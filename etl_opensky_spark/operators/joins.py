@@ -1,0 +1,85 @@
+"""Join operators (SURVEY §2.5: J1-J6).
+
+The reference's whole join surface is left outer equi-joins of a big fact
+against small dims — broadcast-eligible by design.  ``lookup_dim``
+captures the join+rename+drop pattern used for role-playing dims
+(reference: src/jobs/load_fct_flights.py:58-90); ``check_fk`` replaces the
+reference's left-join + null-count FK assert
+(reference: src/jobs/load_dim_aircrafts.py:227-251) with a left-anti join.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def lookup_dim(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    attach: Mapping[str, str],
+    broadcast: bool = True,
+    drop_fact_key: bool = True,
+) -> DataFrame:
+    """Attach dim attributes to a fact by a single-key left equi-join.
+
+    ``attach`` maps {dim column -> output name}; only those dim columns are
+    selected before the join (column pruning up front keeps the broadcast
+    small).  ``broadcast=True`` (default) forces a broadcast-hash join:
+    dims here are <<10 MB and at 100 TB fact scale a shuffle of the fact
+    for a dim lookup is the single worst plan available.
+
+    Role-playing dims (airports as departure AND arrival,
+    reference: src/jobs/load_fct_flights.py:58-77) are two calls with
+    different ``attach`` names.
+    """
+    dim_narrow = dim.select(dim_key, *attach.keys())
+    for old, new in attach.items():
+        dim_narrow = dim_narrow.withColumnRenamed(old, new)
+    if broadcast:
+        dim_narrow = F.broadcast(dim_narrow)
+    joined = fact.join(dim_narrow, fact[fact_key] == dim_narrow[dim_key], "left")
+    joined = joined.drop(dim_narrow[dim_key])
+    if drop_fact_key:
+        joined = joined.drop(fact_key)
+    return joined
+
+
+def fk_orphans(
+    fact: DataFrame, fact_key: str, dim: DataFrame, dim_key: str
+) -> DataFrame:
+    """J6 — rows of ``fact`` whose non-null key has no match in ``dim``.
+
+    Left-anti join: map-side broadcast anti when dim is small, no fact
+    shuffle.  NULL keys are not orphans (a left join would keep them with
+    null dim attrs — same as the reference's semantics, which only counts
+    nulls coming from the dim side after a left join).
+    """
+    return fact.filter(F.col(fact_key).isNotNull()).join(
+        F.broadcast(dim.select(dim_key)),
+        fact[fact_key] == dim[dim_key],
+        "left_anti",
+    )
+
+
+def check_fk(
+    fact: DataFrame, fact_key: str, dim: DataFrame, dim_key: str
+) -> None:
+    """Assert referential integrity fact.key ⊆ dim.key (nulls exempt).
+
+    Raises ``ValueError`` with an orphan sample, mirroring the reference's
+    ``assert`` (src/jobs/load_dim_aircrafts.py:251) but with an anti-join
+    instead of join-then-count-nulls.
+    """
+    orphans = fk_orphans(fact, fact_key, dim, dim_key)
+    sample = orphans.select(fact_key).limit(5).collect()
+    if sample:
+        keys = [row[0] for row in sample]
+        raise ValueError(
+            f"FK violation: {fact_key} values missing in dim.{dim_key}, "
+            f"e.g. {keys}"
+        )

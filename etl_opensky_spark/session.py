@@ -1,0 +1,67 @@
+"""SparkSession factory.
+
+Replaces the reference's ``get_default_SparkConf`` cluster factory
+(reference: src/config/config_services.py:32-53) with a local-mode,
+test-friendly builder.  Differences from the reference, on purpose:
+
+- session timezone pinned to UTC (the reference sets ``TZ=Europe/London``
+  in the job env while claiming UTC — src/jobs/extract_flights.py:171-173);
+- AQE on (runtime re-planning, skew-join handling);
+- shuffle partitions sized to local cores, not the 200 default;
+- dynamic-partition-overwrite semantics set so partitioned overwrites
+  replace only touched partitions (the scalable replacement for the
+  reference's check-then-append idempotency).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def default_master() -> str:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    return f"local[{cpus}]"
+
+
+def get_spark(
+    app_name: str = "etl_opensky_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    warehouse_dir: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    The confs mirror what we would set on a 1000-executor cluster; only
+    master/memory are local-mode specific.
+    """
+    builder = (
+        SparkSession.builder.master(master or default_master())
+        .appName(app_name)
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # overwrite only the partitions present in the written frame —
+        # scalable idempotent re-load of one day (SURVEY §2.12)
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+    )
+    if warehouse_dir:
+        builder = builder.config("spark.sql.warehouse.dir", warehouse_dir)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,43 @@
+"""Sinks (SURVEY §2.2: K1-K4).
+
+The reference's idempotency is check-then-append (non-atomic, SURVEY §7.3);
+the engine's default for partitioned re-loads is dynamic partition
+OVERWRITE (session.py sets ``partitionOverwriteMode=dynamic``): rewriting a
+day's partition is atomic-per-partition and needs no reconciliation scan of
+the existing data — the scalable choice at 100 TB.  ``mode="append"`` +
+``append_missing`` reproduces the reference's observable semantics where
+bit-compat matters.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str],
+    mode: str = "append",
+) -> None:
+    """K1 — write into a hive-partitioned parquet layout
+    (reference: src/jobs/extract_flights.py:96-99)."""
+    df.write.mode(mode).partitionBy(*partition_by).parquet(path)
+
+
+def write_table(
+    df: DataFrame,
+    name: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+) -> None:
+    """K2-K4 — save as a catalog table (parquet-backed ``saveAsTable``;
+    the reference uses ``format("hive")`` against a metastore,
+    src/jobs/load_fct_flights.py:112-116 — same observable surface via
+    ``spark.table(name)``)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.saveAsTable(name)

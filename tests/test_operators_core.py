@@ -1,0 +1,191 @@
+"""Unit tests for SURVEY §2 core operators."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_opensky_spark.operators import (
+    append_missing,
+    check_fk,
+    date_dim_id,
+    date_spine,
+    drop_columns,
+    filter_partition,
+    fk_orphans,
+    lookup_dim,
+    melt,
+    nullify_values,
+    rename_columns,
+    select_columns,
+    surrogate_key,
+    top_k_per_group,
+    union_by_name,
+    with_columns,
+)
+from etl_opensky_spark.operators.sets import append_missing_by_key
+from tests.conftest import rows
+
+
+# --- projections -------------------------------------------------------------
+
+
+def test_select_drop_rename_with_columns(spark):
+    df = spark.createDataFrame([(1, "a", 10.0)], "id int, name string, v double")
+    assert select_columns(df, ["name", "id"]).columns == ["name", "id"]
+    assert drop_columns(df, ["v", "not_there"]).columns == ["id", "name"]
+    assert rename_columns(df, {"v": "value"}).columns == ["id", "name", "value"]
+    out = with_columns(df, {"v2": F.col("v") * 2, "v": F.col("v") + 1})
+    assert rows(out) == [(1, "a", 11.0, 20.0)]
+
+
+# --- filters -----------------------------------------------------------------
+
+
+def test_filter_partition(spark):
+    df = spark.createDataFrame(
+        [(2018, 1, 1, "x"), (2018, 1, 2, "y"), (2019, 1, 1, "z")],
+        "y int, m int, d int, v string",
+    )
+    assert rows(filter_partition(df, y=2018, m=1, d=2)) == [(2018, 1, 2, "y")]
+    assert filter_partition(df).count() == 3
+
+
+def test_nullify_values(spark):
+    df = spark.createDataFrame(
+        [("\tN/A",), ("-",), ("ok",), (None,)], "line_num string"
+    )
+    out = nullify_values(df, {"line_num": ["\tN/A", "-", "n/a"]})
+    vals = [r[0] for r in out.collect()]
+    assert vals.count(None) == 3 and "ok" in vals  # sentinels -> NULL, rest kept
+
+
+# --- joins -------------------------------------------------------------------
+
+
+def test_lookup_dim_role_playing(spark):
+    fact = spark.createDataFrame(
+        [(1, "AAA", "BBB"), (2, "AAA", None), (3, "ZZZ", "AAA")],
+        "fid int, dep string, arr string",
+    )
+    dim = spark.createDataFrame(
+        [(10, "AAA"), (20, "BBB")], "dim_id int, icao string"
+    )
+    out = lookup_dim(
+        fact, dim, "dep", "icao", attach={"dim_id": "dep_dim_id"}
+    )
+    out = lookup_dim(
+        out, dim, "arr", "icao", attach={"dim_id": "arr_dim_id"}
+    )
+    assert rows(out.select("fid", "dep_dim_id", "arr_dim_id")) == [
+        (1, 10, 20),
+        (2, 10, None),
+        (3, None, 10),
+    ]
+
+
+def test_fk_orphans_and_check(spark):
+    fact = spark.createDataFrame(
+        [("a",), ("b",), (None,)], "k string"
+    )
+    dim_ok = spark.createDataFrame([("a",), ("b",), ("c",)], "pk string")
+    dim_bad = spark.createDataFrame([("a",)], "pk string")
+    assert fk_orphans(fact, "k", dim_ok, "pk").count() == 0  # nulls exempt
+    check_fk(fact, "k", dim_ok, "pk")
+    assert [r[0] for r in fk_orphans(fact, "k", dim_bad, "pk").collect()] == ["b"]
+    with pytest.raises(ValueError, match="FK violation"):
+        check_fk(fact, "k", dim_bad, "pk")
+
+
+# --- set ops -----------------------------------------------------------------
+
+
+def test_append_missing_semantics(spark):
+    # EXCEPT: positional, null-safe, dedups the input
+    new = spark.createDataFrame(
+        [(1, None), (1, None), (2, "b"), (3, "c")], "id int, v string"
+    )
+    existing = spark.createDataFrame([(2, "b"), (9, None)], "id int, v string")
+    out = rows(append_missing(new, existing))
+    # (1, None) collapses to one row (EXCEPT is distinct); (2,"b") removed
+    assert out == [(1, None), (3, "c")]
+
+
+def test_append_missing_null_safe(spark):
+    new = spark.createDataFrame([(1, None)], "id int, v string")
+    existing = spark.createDataFrame([(1, None)], "id int, v string")
+    assert append_missing(new, existing).count() == 0  # NULL = NULL under EXCEPT
+
+
+def test_append_missing_by_key(spark):
+    new = spark.createDataFrame([(1, "x"), (1, "x2"), (2, "y")], "id int, v string")
+    existing = spark.createDataFrame([(1, "whatever")], "id int, v string")
+    out = rows(append_missing_by_key(new, existing, ["id"]))
+    assert out == [(2, "y")]  # key-based: both id=1 rows dropped, no dedup of id=2
+
+
+def test_union_by_name(spark):
+    a = spark.createDataFrame([(1, "x")], "id int, v string")
+    b = spark.createDataFrame([("y", 2)], "v string, id int")
+    assert rows(union_by_name(a, b)) == [(1, "x"), (2, "y")]
+
+
+# --- keys --------------------------------------------------------------------
+
+
+def test_surrogate_key_row_number_matches_sort(spark):
+    df = spark.createDataFrame([("b",), ("a",), ("c",)], "name string")
+    out = rows(
+        surrogate_key(df, ["name"], "sk", mode="row_number").select("name", "sk")
+    )
+    assert out == [("a", 1), ("b", 2), ("c", 3)]
+
+
+def test_surrogate_key_hash_deterministic_and_distinct(spark):
+    df = spark.createDataFrame([("a",), ("b",), ("c",)], "name string")
+    out1 = dict(rows(surrogate_key(df, ["name"], "sk").select("name", "sk")))
+    out2 = dict(
+        rows(
+            surrogate_key(df.repartition(3), ["name"], "sk").select("name", "sk")
+        )
+    )
+    assert out1 == out2  # stable under repartition (row_number would not be)
+    assert len(set(out1.values())) == 3
+
+
+def test_date_dim_id(spark):
+    df = spark.createDataFrame([(dt.date(2018, 1, 31),)], "d date")
+    assert rows(df.select(date_dim_id(F.col("d")).alias("k"))) == [(20180131,)]
+
+
+# --- reshape -----------------------------------------------------------------
+
+
+def test_melt(spark):
+    df = spark.createDataFrame(
+        [("Luft", "LH", "DLH"), ("NoCodes", None, None)],
+        "name string, iata string, icao string",
+    )
+    out = melt(df, ["name"], ["iata", "icao"], "kind", "identifier")
+    assert out.columns == ["name", "kind", "identifier"]
+    assert out.count() == 4  # ids × value-cols, nulls kept as rows
+
+
+def test_date_spine(spark):
+    out = date_spine(spark, "2018-01-01", "2018-01-10")
+    assert out.count() == 10
+    vals = sorted(r[0] for r in out.collect())
+    assert vals[0] == dt.date(2018, 1, 1) and vals[-1] == dt.date(2018, 1, 10)
+
+
+# --- aggregates --------------------------------------------------------------
+
+
+def test_top_k_per_group(spark):
+    df = spark.createDataFrame(
+        [("g1", 1), ("g1", 5), ("g1", 3), ("g2", 7)], "g string, v int"
+    )
+    out = top_k_per_group(df, ["g"], F.col("v").desc(), k=2)
+    assert rows(out) == [("g1", 3), ("g1", 5), ("g2", 7)]

@@ -1,0 +1,70 @@
+"""Runner tests: topological order, skip/trigger-rule semantics, retries
+(reference DAG semantics, src/dags/flights_daily.py:113-150)."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_opensky_spark.plans.runner import Pipeline, SkipTask, Task, TaskStatus
+
+
+def test_topological_order_and_success():
+    log = []
+    p = Pipeline()
+    p.add(Task("fact", lambda: log.append("fact"), depends_on=["dims"]))
+    p.add(Task("dims", lambda: log.append("dims"), depends_on=["upload", "ddl"]))
+    p.add(Task("upload", lambda: log.append("upload")))
+    p.add(Task("ddl", lambda: log.append("ddl")))
+    results = p.run()
+    assert log.index("dims") > log.index("upload") > -1
+    assert log.index("fact") == len(log) - 1
+    assert all(s is TaskStatus.SUCCESS for s in results.values())
+
+
+def test_skip_does_not_block_none_failed():
+    p = Pipeline()
+    p.add(Task("upload", lambda: (_ for _ in ()).throw(SkipTask())))
+    p.add(
+        Task("dims", lambda: "ok", depends_on=["upload"], trigger_rule="none_failed")
+    )
+    p.add(Task("strict", lambda: "ok", depends_on=["upload"]))
+    results = p.run()
+    assert results["upload"] is TaskStatus.SKIPPED
+    assert results["dims"] is TaskStatus.SUCCESS  # none_failed tolerates skip
+    assert results["strict"] is TaskStatus.UPSTREAM_FAILED  # all_success does not
+
+
+def test_failure_blocks_downstream():
+    p = Pipeline()
+    p.add(Task("a", lambda: 1 / 0))
+    p.add(Task("b", lambda: "ok", depends_on=["a"], trigger_rule="none_failed"))
+    results = p.run()
+    assert results["a"] is TaskStatus.FAILED
+    assert results["b"] is TaskStatus.UPSTREAM_FAILED
+
+
+def test_retries():
+    attempts = {"n": 0}
+
+    def flaky():
+        attempts["n"] += 1
+        if attempts["n"] < 3:
+            raise RuntimeError("flaky")
+        return "ok"
+
+    p = Pipeline().add(Task("x", flaky, retries=5))
+    assert p.run()["x"] is TaskStatus.SUCCESS
+    assert attempts["n"] == 3
+
+
+def test_cycle_detected():
+    p = Pipeline()
+    p.add(Task("a", lambda: 1, depends_on=["b"]))
+    p.add(Task("b", lambda: 1, depends_on=["a"]))
+    with pytest.raises(ValueError, match="cycle"):
+        p.run()
+
+
+def test_skipped_return_value():
+    p = Pipeline().add(Task("dates", lambda: "skipped"))
+    assert p.run()["dates"] is TaskStatus.SKIPPED

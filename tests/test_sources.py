@@ -1,0 +1,113 @@
+"""Source/sink tests: JSON envelope, CSV, REST (hermetic fake transport),
+partitioned parquet round-trip."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_opensky_spark import schemas
+from etl_opensky_spark.sources.files import read_csv, read_json_envelope, read_parquet
+from etl_opensky_spark.sources.rest import (
+    ResponseValidationError,
+    RestSource,
+    validate_flight_rows,
+)
+from etl_opensky_spark.sources.sinks import write_parquet_partitioned
+from tests.conftest import rows
+
+
+def test_read_json_envelope_with_casts(spark, tmp_path):
+    # lat emitted as int (FlightRadar24 drift the reference documents)
+    payload = {
+        "version": 1,
+        "rows": [
+            {"name": "A", "iata": "AAA", "icao": "AAAA", "country": "X",
+             "lat": 7, "lon": 8.5, "alt": 100},
+            {"name": "B", "iata": None, "icao": "BBBB", "country": "Y",
+             "lat": -1.25, "lon": 0, "alt": None},
+        ],
+    }
+    p = tmp_path / "airports.json"
+    p.write_text(json.dumps(payload))
+    df = read_json_envelope(spark, str(p), cast_to=schemas.SRC_AIRPORTS)
+    assert df.schema == schemas.SRC_AIRPORTS
+    got = {r["name"]: r for r in df.collect()}
+    assert got["A"]["lat"] == pytest.approx(7.0) and isinstance(got["A"]["lat"], float)
+
+
+def test_read_csv_schema_bound(spark, tmp_path):
+    p = tmp_path / "manufacturers.csv"
+    p.write_text("Code,Name\nAIRB,AIRBUS\n")
+    df = read_csv(spark, str(p), schemas.SRC_MANUFACTURERS)
+    assert rows(df) == [("AIRB", "AIRBUS"), ("Code", "Name")]
+
+
+def test_parquet_partitioned_roundtrip_prunes(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(2018, 1, 1, "a"), (2018, 1, 2, "b")],
+        "flight_year int, flight_month int, flight_day int, v string",
+    )
+    path = str(tmp_path / "lake")
+    write_parquet_partitioned(df, path, ["flight_year", "flight_month", "flight_day"])
+    back = read_parquet(spark, path).filter(F.col("flight_day") == 2)
+    assert [r["v"] for r in back.collect()] == ["b"]
+    # partition pruning visible in the physical plan
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "flight_day" in plan
+
+
+def test_rest_source_fetch_and_retry(spark):
+    calls = {"n": 0}
+
+    def flaky_fetch(endpoint, params):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise ConnectionError("flaky")
+        return [
+            {"icao24": "abc001", "firstSeen": 1514768400, "lastSeen": 1514772000,
+             "estDepartureAirport": params["airport"], "extra_field": "dropped"},
+        ]
+
+    src = RestSource(fetch=flaky_fetch, schema=schemas.SRC_FLIGHTS, retries=5)
+    df = src.fetch_batch(
+        spark, "flights/departure", {"airport": "EDDF", "begin": 0, "end": 1}
+    )
+    assert calls["n"] == 3
+    row = df.collect()[0]
+    assert row["icao24"] == "abc001" and row["estDepartureAirport"] == "EDDF"
+    assert row["callsign"] is None  # absent payload keys -> NULL
+    assert "extra_field" not in df.columns
+
+
+def test_rest_source_validation_and_exhaustion(spark):
+    with pytest.raises(ResponseValidationError):
+        validate_flight_rows([])
+    with pytest.raises(ResponseValidationError):
+        validate_flight_rows([{"no_icao": 1}])
+
+    def always_bad(endpoint, params):
+        raise ConnectionError("down")
+
+    src = RestSource(fetch=always_bad, schema=schemas.SRC_FLIGHTS, retries=2)
+    with pytest.raises(RuntimeError, match="after 3 attempts"):
+        src.fetch_batch(spark, "flights/arrival", {})
+
+
+def test_rest_source_distributed(spark):
+    def fetch(endpoint, params):
+        return [
+            {"icao24": f"ac{params['airport']}", "firstSeen": 1514768400,
+             "lastSeen": 1514772000},
+        ]
+
+    src = RestSource(fetch=fetch, schema=schemas.SRC_FLIGHTS)
+    params_df = spark.createDataFrame(
+        [("EDDF", 0, 1), ("EGLL", 0, 1)], "airport string, begin long, end long"
+    )
+    out = src.distributed_frame(params_df, "flights/departure", ["airport", "begin", "end"])
+    assert sorted(r["icao24"] for r in out.collect()) == ["acEDDF", "acEGLL"]
+    assert out.schema == schemas.SRC_FLIGHTS
