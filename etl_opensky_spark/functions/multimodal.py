@@ -1,0 +1,106 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary + typed
+metadata.
+
+The container has no image/audio codecs, so the DECODE step is stubbed
+behind ``FAKE_DECODERS`` (deterministic fakes) / ``NotImplementedError``
+— but everything Spark-side is real and tested: the schema contract, the
+Arrow-batched ``mapInPandas`` signature, batch shapes, and partition
+behavior.  Swapping a real decoder in (PIL/torchaudio/ffmpeg) changes one
+dict entry, not the plan.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: output schema of ``extract_features`` — fixed contract
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("byte_size", T.IntegerType()),
+        T.StructField("content_sha256", T.StringType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+FEATURE_DIM = 8
+
+
+def _fake_image_decode(payload: bytes) -> list[float]:
+    """Deterministic fake 'decode': folds the byte histogram into
+    FEATURE_DIM buckets.  Replace with a real decoder when codecs exist."""
+    if payload is None:
+        return [0.0] * FEATURE_DIM
+    buckets = [0] * FEATURE_DIM
+    for byte in payload:
+        buckets[byte % FEATURE_DIM] += 1
+    total = max(len(payload), 1)
+    return [b / total for b in buckets]
+
+
+def _unsupported(payload: bytes) -> list[float]:
+    raise NotImplementedError(
+        "no codec available in this environment — plug a real decoder into "
+        "FAKE_DECODERS (audio: torchaudio/soundfile, video: ffmpeg frame sample)"
+    )
+
+
+FAKE_DECODERS: dict[str, Callable[[bytes], list[float]]] = {
+    "image": _fake_image_decode,
+    "audio": _unsupported,
+    "video": _unsupported,
+}
+
+
+def extract_features(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    type_col: str = "media_type",
+) -> DataFrame:
+    """binary payload -> (metadata, feature vector) via Arrow-batched
+    ``mapInPandas``.
+
+    The per-batch loop touches each payload exactly once; batch size is
+    governed by ``spark.sql.execution.arrow.maxRecordsPerBatch`` so large
+    blobs don't blow executor memory.  Pure per-row map — preserves
+    partitioning, no shuffle.
+    """
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": pdf[id_col],
+                "media_type": pdf[type_col],
+                "byte_size": pdf[payload_col].map(
+                    lambda p: 0 if p is None else len(p)
+                ),
+                "content_sha256": pdf[payload_col].map(
+                    lambda p: hashlib.sha256(p or b"").hexdigest()
+                ),
+                "feature": [
+                    FAKE_DECODERS[t](p)
+                    for t, p in zip(pdf[type_col], pdf[payload_col])
+                ],
+            }
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(decode_batches, schema=FEATURE_SCHEMA)
+
+
+def documents_as_media(documents: DataFrame) -> DataFrame:
+    """Adapter for tests/benches: treat document text bytes as an opaque
+    'image' payload so the binary plumbing can be exercised without real
+    media files."""
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )

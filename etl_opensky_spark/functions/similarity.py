@@ -1,0 +1,110 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Brute-force cosine top-k as the exact baseline; random-hyperplane LSH
+bucketing as the scale path (candidates from matching buckets only, exact
+re-rank inside).  All vector math is built-in array expressions
+(``zip_with`` + ``aggregate``) computed in double — JVM-side, no UDFs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _to_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-order dot product in double (deterministic accumulation)."""
+    return F.aggregate(
+        F.zip_with(_to_double(a), _to_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec: Sequence[float],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force top-k by cosine to a literal query vector.
+
+    One narrow scan + per-row expression + a top-k (Spark's sort+limit is
+    a distributed TakeOrdered: per-partition heap then driver merge of k —
+    no global sort shuffle).  Ties break on id for determinism.
+    """
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = embeddings.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), q), 6).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def hyperplane_bucket(
+    vec_col: Column, hyperplanes: Sequence[Sequence[float]]
+) -> Column:
+    """Random-hyperplane LSH bucket id: bit b = sign(v · h_b).
+
+    ``hyperplanes`` are fixed literals (generate once, seeded, driver-side)
+    so the bucketing is deterministic and needs no broadcast state.
+    """
+    bucket = F.lit(0).cast("long")
+    for b, h in enumerate(hyperplanes):
+        hcol = F.array(*[F.lit(float(x)) for x in h])
+        bit = F.when(dot(vec_col, hcol) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket.bitwiseOR(F.shiftleft(bit, b))
+    return bucket
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_vec: Sequence[float],
+    hyperplanes: Sequence[Sequence[float]],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's hyperplane bucket,
+    exact cosine re-rank inside the bucket.
+
+    At 100 TB the bucket predicate prunes the scan to ~N/2^H vectors; for
+    recall, union several hash tables (call with different hyperplane
+    sets) before the re-rank.
+    """
+    import math
+
+    qbucket = 0
+    for b, h in enumerate(hyperplanes):
+        d = sum(float(x) * float(y) for x, y in zip(query_vec, h))
+        if d >= 0 or math.isnan(d):
+            qbucket |= 1 << b
+    candidates = embeddings.filter(
+        hyperplane_bucket(F.col(vec_col), hyperplanes) == F.lit(qbucket)
+    )
+    return cosine_topk(candidates, query_vec, k, id_col=id_col, vec_col=vec_col)
+
+
+def make_hyperplanes(dim: int, num: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (numpy, fixed seed)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((num, dim)).tolist()

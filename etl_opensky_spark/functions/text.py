@@ -1,0 +1,127 @@
+"""Text-analysis column functions for training-data pipelines.
+
+All pure Column expressions (JVM-side, whole-stage codegen) — no Python
+UDFs in any hot path.  Operate on the ``documents`` table shape
+(doc_id, text, lang, source, n_chars).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: tiny per-language stopword lists for the n-gram language-ID heuristic
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "you", "that"],
+    "de": ["der", "die", "und", "das", "ist", "ich", "nicht", "ein", "zu", "mit"],
+    "fr": ["le", "la", "et", "les", "des", "est", "un", "une", "pas", "que"],
+    "es": ["el", "la", "de", "que", "y", "los", "es", "un", "una", "no"],
+}
+
+
+def tokenize(col: Column) -> Column:
+    """Whitespace tokenization to a lowercase token array."""
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count; 0 for empty/blank text."""
+    return F.when(F.length(F.trim(col)) == 0, F.lit(0)).otherwise(
+        F.size(tokenize(col))
+    )
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Sub-word-ish token count: splits on whitespace AND between letter/
+    digit/punctuation class changes — a cheap, deterministic proxy for BPE
+    token counts (≈ chars/4 heuristics are worse).  Pure regex, JVM-side.
+    """
+    pieces = F.split(
+        F.trim(col), r"(\s+|(?<=[a-zA-Z])(?=[^a-zA-Z\s])|(?<=[^a-zA-Z\s])(?=[a-zA-Z]))"
+    )
+    return F.size(F.filter(pieces, lambda p: F.length(p) > 0))
+
+
+def alpha_ratio(col: Column) -> Column:
+    """Fraction of characters that are ASCII letters (quality signal)."""
+    total = F.length(col)
+    alpha = total - F.length(F.regexp_replace(col, "[a-zA-Z]", ""))
+    return F.when(total == 0, F.lit(0.0)).otherwise(alpha / total)
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of characters that are punctuation."""
+    total = F.length(col)
+    punct = F.length(col) - F.length(
+        F.regexp_replace(col, r"[\.,;:!\?'\"()\[\]{}-]", "")
+    )
+    return F.when(total == 0, F.lit(0.0)).otherwise(punct / total)
+
+
+def stopword_ratio(col: Column, stopwords: Sequence[str]) -> Column:
+    """Fraction of tokens that are in ``stopwords`` (0 for empty text)."""
+    toks = tokenize(col)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return F.when(F.length(F.trim(col)) == 0, F.lit(0.0)).otherwise(
+        hits / F.size(toks)
+    )
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: length, alpha ratio, stopword
+    presence.  Deterministic; weights are arbitrary but fixed."""
+    length_score = F.least(token_count(col) / F.lit(100.0), F.lit(1.0))
+    return (
+        F.lit(0.4) * length_score
+        + F.lit(0.4) * alpha_ratio(col)
+        + F.lit(0.2) * stopword_ratio(col, STOPWORDS["en"])
+    )
+
+
+def lang_id(col: Column) -> Column:
+    """Stopword-hit language ID: argmax language by stopword-token hits,
+    'und' (undetermined) when no list scores > 0.  Ties break by language
+    code order (deterministic)."""
+    toks = tokenize(col)
+    def _in_list(words):
+        # single-param lambda factory: pyspark's higher-order-function shim
+        # passes one arg per named parameter, so default-arg capture breaks
+        return lambda t: t.isin(*words)
+
+    scored = None
+    for code in sorted(STOPWORDS):
+        hits = F.size(F.filter(toks, _in_list(STOPWORDS[code])))
+        entry = F.struct(hits.alias("hits"), F.lit(code).alias("code"))
+        scored = F.array(entry) if scored is None else F.concat(scored, F.array(entry))
+    # argmax by (hits desc, code asc) — comparator sort, take head
+    best_desc = F.array_sort(
+        scored,
+        lambda a, b: F.when(a["hits"] > b["hits"], F.lit(-1))
+        .when(a["hits"] < b["hits"], F.lit(1))
+        .otherwise(
+            F.when(a["code"] < b["code"], F.lit(-1))
+            .when(a["code"] > b["code"], F.lit(1))
+            .otherwise(F.lit(0))
+        ),
+    )[0]
+    return F.when(best_desc["hits"] > 0, best_desc["code"]).otherwise(F.lit("und"))
+
+
+def fingerprint_md5(col: Column) -> Column:
+    """Canonical content fingerprint: md5 of lowercased, trimmed,
+    whitespace-collapsed text.  md5 (not xxhash64) so external engines can
+    reproduce it."""
+    canon = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    return F.md5(canon)
+
+
+def word_shingles(col: Column, n: int) -> Column:
+    """Array of word n-gram shingles (space-joined), empty array when the
+    text has fewer than ``n`` tokens."""
+    toks = tokenize(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )

@@ -17,20 +17,22 @@ from pyspark.sql import functions as F
 def top_k_per_group(
     df: DataFrame,
     group_cols: Sequence[str],
-    order_col: Column,
+    order_cols: Column | Sequence[Column],
     k: int,
     rank_col: str = "rn",
     keep_rank: bool = False,
 ) -> DataFrame:
-    """Top-k rows per group by ``order_col`` (descending callers pass
+    """Top-k rows per group by ``order_cols`` (descending callers pass
     ``F.col(c).desc()``).
 
     ``row_number`` over a PARTITIONED window: each group sorts locally
     after one shuffle on the group key — scales with group count, no
-    global sort.  Ties: caller includes a tie-break column in
-    ``order_col`` (pass an array via struct) for determinism.
+    global sort.  Ties: include a tie-break column in ``order_cols`` for
+    determinism.
     """
-    window = Window.partitionBy(*group_cols).orderBy(order_col)
+    if isinstance(order_cols, Column):
+        order_cols = [order_cols]
+    window = Window.partitionBy(*group_cols).orderBy(*order_cols)
     out = df.withColumn(rank_col, F.row_number().over(window)).filter(
         F.col(rank_col) <= k
     )

@@ -1,0 +1,794 @@
+"""Query catalog: every SURVEY §2 engine op exercised over the driver's
+synthetic tables, each paired with an ANSI-SQL DuckDB oracle.
+
+Determinism rules (so value-hashes match the oracle bit-for-bit):
+- sums/averages of doubles go through DECIMAL (exact) and are emitted as
+  DOUBLE — both engines then do the identical single rounding;
+- every computed column is aliased identically in Spark and SQL;
+- any LIMIT is preceded by a total order (tie-break on a key column);
+- no nondeterministic functions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_opensky_spark.functions import text as TX
+from etl_opensky_spark.functions.dedup import (
+    dedup_exact,
+    estimate_jaccard,
+    minhash_lsh_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from etl_opensky_spark.functions.multimodal import documents_as_media, extract_features
+from etl_opensky_spark.functions.similarity import (
+    cosine_topk,
+    lsh_topk,
+    make_hyperplanes,
+)
+from etl_opensky_spark.operators import (
+    date_dim_id,
+    filter_partition,
+    fk_orphans,
+    lookup_dim,
+    melt,
+    nullify_values,
+    surrogate_key,
+    top_k_per_group,
+    union_by_name,
+)
+from etl_opensky_spark.operators.sets import append_missing
+from etl_opensky_spark.plans.dim_dates import build_dim_dates
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events reader: the parquet stores ts as TIMESTAMP(NANOS), which
+    Spark's vectorized reader rejects — read nanos as long and truncate to
+    micros (exact integer DIV; same truncation DuckDB applies when it
+    reads NANOS into its micros TIMESTAMP)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
+
+
+def _dec(col: str | F.Column, scale: int = 2) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal(18,{scale})")
+
+
+# --- core relational (reference §2 surface) ----------------------------------
+
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H-Q1-shaped groupBy-agg over lineitem (A1/§2.6, X5)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(_dec("l_extendedprice") * _dec(F.lit(1) - F.col("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+ORACLE_Q01 = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F4/P1 + regex scalar: day-partition-style filter + JSON-ish extract."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.filter(
+            (F.col("ts") >= F.lit("2024-01-15").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-16").cast("timestamp"))
+            & (F.col("event_type") == "purchase")
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            F.regexp_extract("props", r'"k": (\d+)', 1).cast("int").alias("prop_k"),
+        )
+    )
+
+
+ORACLE_Q02 = """
+SELECT event_id, user_id, value,
+  CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INTEGER) AS prop_k
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' AND ts < TIMESTAMP '2024-01-16 00:00:00'
+  AND event_type = 'purchase'
+"""
+
+
+def q03_dim_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J4-style broadcast dim lookups: supplier -> nation -> region."""
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    out = lookup_dim(
+        sup, nat, "s_nationkey", "n_nationkey",
+        attach={"n_name": "nation_name", "n_regionkey": "_rk"},
+        drop_fact_key=False,
+    )
+    out = lookup_dim(
+        out, reg, "_rk", "r_regionkey", attach={"r_name": "region_name"}
+    )
+    return out.select("s_suppkey", "s_name", "s_nationkey", "nation_name", "region_name")
+
+
+ORACLE_Q03 = """
+SELECT s_suppkey, s_name, s_nationkey, n.n_name AS nation_name, r.r_name AS region_name
+FROM supplier s
+LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+"""
+
+
+def q04_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 anti-join FK check: orders pointing outside a restricted customer dim."""
+    orders = _t(spark, sf_dir, "orders")
+    rich_customers = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
+    orphans = fk_orphans(orders, "o_custkey", rich_customers, "c_custkey")
+    return orphans.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orphans"),
+        F.countDistinct("o_custkey").alias("n_cust"),
+    )
+
+
+ORACLE_Q04 = """
+SELECT o_orderpriority, COUNT(*) AS n_orphans, COUNT(DISTINCT o_custkey) AS n_cust
+FROM orders o
+WHERE o.o_custkey IS NOT NULL
+  AND NOT EXISTS (
+    SELECT 1 FROM customer c WHERE c.c_acctbal > 5000 AND c.c_custkey = o.o_custkey)
+GROUP BY o_orderpriority
+"""
+
+
+def q05_append_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 EXCEPT semantics: new-minus-existing reconciliation."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_orderkey", "l_linenumber", "l_quantity", "l_discount"]
+    new = li.filter(F.col("l_discount") >= 0.05).select(*cols)
+    existing = li.filter(F.col("l_discount") >= 0.07).select(*cols)
+    return append_missing(new, existing)
+
+
+ORACLE_Q05 = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+FROM lineitem WHERE l_discount >= 0.05
+EXCEPT
+SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+FROM lineitem WHERE l_discount >= 0.07
+"""
+
+
+def q06_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 unionByName with mismatched column order, then aggregate."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity_id"), F.lit("customer").alias("kind")
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("kind"), F.col("s_suppkey").alias("entity_id")
+    )
+    return union_by_name(cust, supp).groupBy("kind").agg(
+        F.count("*").alias("n"), F.max("entity_id").alias("max_id")
+    )
+
+
+ORACLE_Q06 = """
+SELECT kind, COUNT(*) AS n, MAX(entity_id) AS max_id
+FROM (
+  SELECT c_custkey AS entity_id, 'customer' AS kind FROM customer
+  UNION ALL
+  SELECT s_suppkey AS entity_id, 'supplier' AS kind FROM supplier
+)
+GROUP BY kind
+"""
+
+
+def q07_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3 generalization: exact dedup by canonical md5 fingerprint."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_exact(docs, "text", "doc_id").select("doc_id", "lang", "source")
+
+
+ORACLE_Q07 = """
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id IN (
+  SELECT MIN(doc_id) FROM documents
+  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+"""
+
+
+def q08_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 unpivot: part metrics wide -> long."""
+    part = _t(spark, sf_dir, "part").withColumn(
+        "p_size_d", F.col("p_size").cast("double")
+    )
+    return melt(
+        part,
+        ids=["p_partkey", "p_brand"],
+        values=["p_retailprice", "p_size_d"],
+        var_name="metric",
+        value_name="value",
+    )
+
+
+ORACLE_Q08 = """
+SELECT p_partkey, p_brand, 'p_retailprice' AS metric, p_retailprice AS value FROM part
+UNION ALL
+SELECT p_partkey, p_brand, 'p_size_d' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+"""
+
+
+def q09_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7/R2/X3-X5: generated calendar dimension for 2018."""
+    dd = build_dim_dates(spark, "2018-01-01", "2018-12-31")
+    return dd.select(
+        F.col("date_dim_id").cast("int").alias("date_dim_id"),
+        "date_date",
+        F.col("year").cast("int").alias("year"),
+        F.col("month").cast("int").alias("month"),
+        F.col("day").cast("int").alias("day"),
+        F.col("week_of_year").cast("int").alias("week_of_year"),
+        F.col("day_of_week").cast("int").alias("day_of_week"),
+    )
+
+
+ORACLE_Q09 = """
+SELECT
+  CAST(year(d)*10000 + month(d)*100 + day(d) AS INTEGER) AS date_dim_id,
+  d AS date_date,
+  CAST(year(d) AS INTEGER) AS year,
+  CAST(month(d) AS INTEGER) AS month,
+  CAST(day(d) AS INTEGER) AS day,
+  CAST(weekofyear(d) AS INTEGER) AS week_of_year,
+  CAST(dayofweek(d) + 1 AS INTEGER) AS day_of_week
+FROM (SELECT CAST(unnest(generate_series(DATE '2018-01-01', DATE '2018-12-31', INTERVAL 1 DAY)) AS DATE) AS d)
+"""
+
+
+def q10_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 row_number surrogate key (reference mode) over a unique sort key."""
+    sup = _t(spark, sf_dir, "supplier")
+    return surrogate_key(sup, ["s_name"], "supplier_dim_id", mode="row_number").select(
+        "supplier_dim_id", "s_suppkey", "s_name"
+    )
+
+
+ORACLE_Q10 = """
+SELECT ROW_NUMBER() OVER (ORDER BY s_name) AS supplier_dim_id, s_suppkey, s_name
+FROM supplier
+"""
+
+
+def q11_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k: 3 priciest orders per customer (partitioned window)."""
+    orders = _t(spark, sf_dir, "orders")
+    return top_k_per_group(
+        orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        k=3,
+    )
+
+
+ORACLE_Q11 = """
+SELECT o_custkey, o_orderkey, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+def q12_conditional_nullify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6/X7/X10: sentinel nullification, when/otherwise, coalesce."""
+    cust = _t(spark, sf_dir, "customer")
+    out = nullify_values(cust, {"c_mktsegment": ["MACHINERY"]})
+    return out.select(
+        "c_custkey",
+        F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment"),
+        F.when(F.col("c_acctbal") < 0, F.lit("NEGATIVE"))
+        .when(F.col("c_acctbal") < 1000, F.lit("LOW"))
+        .otherwise(F.lit("HIGH"))
+        .alias("balance_band"),
+    )
+
+
+ORACLE_Q12 = """
+SELECT c_custkey,
+  COALESCE(CASE WHEN c_mktsegment = 'MACHINERY' THEN NULL ELSE c_mktsegment END, 'UNKNOWN') AS segment,
+  CASE WHEN c_acctbal < 0 THEN 'NEGATIVE' WHEN c_acctbal < 1000 THEN 'LOW' ELSE 'HIGH' END AS balance_band
+FROM customer
+"""
+
+
+def q13_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_trunc bucketing + HAVING-style post-aggregate filter."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+        )
+        .filter(F.col("n_orders") > 50)
+    )
+
+
+ORACLE_Q13 = """
+SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders GROUP BY 1 HAVING COUNT(*) > 50
+"""
+
+
+def q14_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped: selective joins + agg + deterministic top-10."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    joined = (
+        li.filter(F.col("l_shipdate") > cutoff)
+        .join(orders.filter(F.col("o_orderdate") < cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    return (
+        joined.groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec(F.lit(1) - F.col("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+ORACLE_Q14 = """
+SELECT o_orderkey, o_orderdate,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q15_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi (EXISTS): customers with at least one urgent order."""
+    cust = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return cust.join(
+        urgent, cust["c_custkey"] == urgent["o_custkey"], "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+ORACLE_Q15 = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+"""
+
+
+def q16_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) aggregates per group."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+ORACLE_Q16 = """
+SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_suppliers,
+  COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q17_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time daily tumbling aggregation (batch form of §2.12)."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(_dec("value", 6)).cast("double").alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+ORACLE_Q17 = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+  MIN(value) AS min_value, MAX(value) AS max_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q18_smart_date_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 smart key arithmetic + X2 field extraction on event time."""
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        date_dim_id(F.col("ts")).alias("date_key"),
+        F.hour("ts").cast("int").alias("hour"),
+    )
+
+
+ORACLE_Q18 = """
+SELECT event_id,
+  CAST(year(ts)*10000 + month(ts)*100 + day(ts) AS INTEGER) AS date_key,
+  CAST(hour(ts) AS INTEGER) AS hour
+FROM events
+"""
+
+
+def q19_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: daily event counts by type as columns."""
+    ev = _events(spark, sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    piv = (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .pivot("event_type", types)
+        .count()
+    )
+    return piv.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
+    )
+
+
+ORACLE_Q19 = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+FROM events GROUP BY 1
+"""
+
+
+def q20_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets over lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+    )
+
+
+ORACLE_Q20 = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q21_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag + gap-flag + per-user session count (30 min gap)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.unix_millis(F.col("ts")) - F.unix_millis(F.lag("ts").over(w)) > 1800000,
+            1,
+        ).otherwise(0),
+    )
+    return flagged.groupBy("user_id").agg(
+        (F.sum("new_session") + 1).alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+ORACLE_Q21 = """
+SELECT user_id, SUM(new_session) + 1 AS n_sessions, COUNT(*) AS n_events
+FROM (
+  SELECT user_id,
+    CASE WHEN epoch_ms(ts) - epoch_ms(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+) GROUP BY user_id
+"""
+
+
+# --- text analysis / dedup / similarity (training-data ops) ------------------
+
+
+def q22_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + content fingerprint (md5, externally reproducible)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        TX.fingerprint_md5(F.col("text")).alias("fingerprint"),
+    )
+
+
+ORACLE_Q22 = """
+SELECT doc_id,
+  CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END AS n_tokens,
+  length(text) AS n_chars_actual,
+  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+FROM documents
+"""
+
+
+def q23_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality ratios + stopword-hit language ID heuristic."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.alpha_ratio(F.col("text")).alias("alpha_ratio"),
+        TX.stopword_ratio(F.col("text"), TX.STOPWORDS["en"]).alias("stop_en"),
+        TX.lang_id(F.col("text")).alias("lang_pred"),
+    )
+
+
+_SW = {k: ", ".join(f"'{w}'" for w in v) for k, v in TX.STOPWORDS.items()}
+ORACLE_Q23 = f"""
+WITH toks AS (
+  SELECT doc_id, text, string_split_regex(trim(lower(text)), '\\s+') AS t,
+    length(text) AS n
+  FROM documents
+), hits AS (
+  SELECT doc_id, text, n,
+    len(t) AS n_tok,
+    len(list_filter(t, x -> x IN ({_SW['de']}))) AS h_de,
+    len(list_filter(t, x -> x IN ({_SW['en']}))) AS h_en,
+    len(list_filter(t, x -> x IN ({_SW['es']}))) AS h_es,
+    len(list_filter(t, x -> x IN ({_SW['fr']}))) AS h_fr
+  FROM toks
+)
+SELECT doc_id,
+  CASE WHEN n = 0 THEN 0.0
+       ELSE (n - length(regexp_replace(text, '[a-zA-Z]', '', 'g'))) / n END AS alpha_ratio,
+  CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE h_en / n_tok END AS stop_en,
+  CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+       WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+       WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+       WHEN h_es >= h_fr THEN 'es'
+       ELSE 'fr' END AS lang_pred
+FROM hits
+"""
+
+
+def q24_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact unigram-set Jaccard near-dup pairs on a doc subset."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=1, threshold=0.5)
+    return pairs.select(
+        "id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard")
+    )
+
+
+ORACLE_Q24 = """
+WITH grams AS (
+  SELECT DISTINCT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS g
+  FROM documents WHERE doc_id < 100
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, ROUND(i / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE i / (sa.sz + sb.sz - i) >= 0.5
+"""
+
+
+def q25_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates (no SQL oracle: xxhash64 family).
+
+    Rows-only check: candidate pairs with estimated Jaccard >= 0.3.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signature(docs, "doc_id", "text", num_hashes=32, shingle_n=3)
+    pairs = minhash_lsh_pairs(sigs, "doc_id", num_bands=8)
+    sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("signature").alias("_sa"))
+    sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("signature").alias("_sb"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", estimate_jaccard(F.col("_sa"), F.col("_sb")))
+        .filter(F.col("est_jaccard") >= 0.3)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def q26_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 64-bit fingerprints (no SQL oracle: xxhash64 basis)."""
+    docs = _t(spark, sf_dir, "documents")
+    return simhash(docs, "doc_id", "text")
+
+
+def q27_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 neighbors of vec_id=0 (exact baseline)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return cosine_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10)
+
+
+ORACLE_Q27 = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+  ROUND(list_dot_product(e.embedding::DOUBLE[], q.qv)
+        / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+           * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+FROM embeddings e, q
+WHERE vec_id != 0
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+
+
+def q28_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate ANN (no oracle: approximate by design)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    planes = make_hyperplanes(dim=len(qvec), num=4, seed=42)
+    return lsh_topk(emb.filter(F.col("vec_id") != 0), qvec, planes, k=10)
+
+
+def q29_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payloads -> metadata + features via
+    mapInPandas.  sha256/byte_size oracle-checked; features rows-only
+    (fake decoder) but deterministic."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = extract_features(documents_as_media(docs))
+    return feats.select(
+        "media_id", "byte_size", "content_sha256",
+        F.round(F.element_at("feature", 1), 6).alias("f0"),
+    )
+
+
+def q30_stream_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming surface: the q17 daily aggregation executed as
+    a watermarked streaming query (availableNow over the same parquet),
+    results landed in a memory sink — semantics identical to batch, so the
+    batch SQL is the oracle."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    on_disk_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # file stream source needs a directory: stream the sf dir, glob one table
+    stream = (
+        spark.readStream.schema(on_disk_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        stream.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    name = "stream_daily_counts"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("w.start").alias("day"), "event_type", "n"
+    )
+
+
+ORACLE_Q30 = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, COUNT(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_filter_project": q02_filter_project,
+    "q03_dim_lookup": q03_dim_lookup,
+    "q04_fk_orphans": q04_fk_orphans,
+    "q05_append_missing": q05_append_missing,
+    "q06_union_by_name": q06_union_by_name,
+    "q07_dedup_exact": q07_dedup_exact,
+    "q08_melt": q08_melt,
+    "q09_date_spine": q09_date_spine,
+    "q10_surrogate_key": q10_surrogate_key,
+    "q11_topk_per_group": q11_topk_per_group,
+    "q12_conditional_nullify": q12_conditional_nullify,
+    "q13_monthly_orders": q13_monthly_orders,
+    "q14_top_revenue_orders": q14_top_revenue_orders,
+    "q15_semi_join": q15_semi_join,
+    "q16_distinct_agg": q16_distinct_agg,
+    "q17_events_daily": q17_events_daily,
+    "q18_smart_date_key": q18_smart_date_key,
+    "q19_pivot": q19_pivot,
+    "q20_rollup": q20_rollup,
+    "q21_sessionize": q21_sessionize,
+    "q22_token_stats": q22_token_stats,
+    "q23_quality_langid": q23_quality_langid,
+    "q24_ngram_jaccard": q24_ngram_jaccard,
+    "q25_minhash_lsh": q25_minhash_lsh,
+    "q26_simhash": q26_simhash,
+    "q27_ann_cosine": q27_ann_cosine,
+    "q28_ann_lsh": q28_ann_lsh,
+    "q29_media_features": q29_media_features,
+    "q30_stream_daily_counts": q30_stream_daily_counts,
+}
+
+ORACLES: dict[str, str] = {
+    "q01_pricing_summary": ORACLE_Q01,
+    "q02_filter_project": ORACLE_Q02,
+    "q03_dim_lookup": ORACLE_Q03,
+    "q04_fk_orphans": ORACLE_Q04,
+    "q05_append_missing": ORACLE_Q05,
+    "q06_union_by_name": ORACLE_Q06,
+    "q07_dedup_exact": ORACLE_Q07,
+    "q08_melt": ORACLE_Q08,
+    "q09_date_spine": ORACLE_Q09,
+    "q10_surrogate_key": ORACLE_Q10,
+    "q11_topk_per_group": ORACLE_Q11,
+    "q12_conditional_nullify": ORACLE_Q12,
+    "q13_monthly_orders": ORACLE_Q13,
+    "q14_top_revenue_orders": ORACLE_Q14,
+    "q15_semi_join": ORACLE_Q15,
+    "q16_distinct_agg": ORACLE_Q16,
+    "q17_events_daily": ORACLE_Q17,
+    "q18_smart_date_key": ORACLE_Q18,
+    "q19_pivot": ORACLE_Q19,
+    "q20_rollup": ORACLE_Q20,
+    "q21_sessionize": ORACLE_Q21,
+    "q22_token_stats": ORACLE_Q22,
+    "q23_quality_langid": ORACLE_Q23,
+    "q24_ngram_jaccard": ORACLE_Q24,
+    "q27_ann_cosine": ORACLE_Q27,
+    "q30_stream_daily_counts": ORACLE_Q30,
+    # q25/q26: xxhash64-based — not reproducible in DuckDB (rows-only check)
+    # q28: approximate by design (rows-only)
+    # q29: mapInPandas feature extraction (rows-only; sha256 verified in tests)
+}
