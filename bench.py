@@ -1,0 +1,91 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed end-to-end (plan build + execution + collect-to-count)
+after a shared session warm-up.  ``value`` is the sum of per-query wall
+times — the number the driver tracks round over round.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+#: headline set: every oracle-checked query plus the rows-only scale ops.
+#: q24 (n-gram self-join) is capped to doc_id<100 inside the query itself.
+BENCH_QUERIES = [
+    "q01_pricing_summary",
+    "q02_filter_project",
+    "q03_dim_lookup",
+    "q04_fk_orphans",
+    "q05_append_missing",
+    "q06_union_by_name",
+    "q07_dedup_exact",
+    "q08_melt",
+    "q09_date_spine",
+    "q10_surrogate_key",
+    "q11_topk_per_group",
+    "q12_conditional_nullify",
+    "q13_monthly_orders",
+    "q14_top_revenue_orders",
+    "q15_semi_join",
+    "q16_distinct_agg",
+    "q17_events_daily",
+    "q18_smart_date_key",
+    "q19_pivot",
+    "q20_rollup",
+    "q21_sessionize",
+    "q22_token_stats",
+    "q23_quality_langid",
+    "q24_ngram_jaccard",
+    "q25_minhash_lsh",
+    "q26_simhash",
+    "q27_ann_cosine",
+    "q28_ann_lsh",
+    "q29_media_features",
+    "q30_stream_daily_counts",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from etl_opensky_spark.queries import QUERIES
+    from etl_opensky_spark.session import get_spark
+
+    spark = get_spark("bench")
+    # warm up the JVM + parquet footer caches with a trivial action
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        start = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - start, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

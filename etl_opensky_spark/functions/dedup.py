@@ -44,23 +44,31 @@ def minhash_signature(
 ) -> DataFrame:
     """(id, signature array<long>) — MinHash over word ``shingle_n``-grams.
 
-    Hash family: xxhash64(shingle, seed_i) for i in 0..num_hashes-1 —
-    deterministic, JVM-side, no UDF.  One explode + one groupBy (shuffle
-    on id), signature built by ``num_hashes`` min-aggregates.
+    Computed entirely PER ROW (no explode, no groupBy, NO SHUFFLE):
+    embarrassingly parallel, the shape that survives 100 TB.  Single-pass
+    fold: each shingle is string-hashed ONCE (xxhash64), then re-hashed
+    per family member as a cheap fixed-width hash xxhash64(h, i) — a
+    running element-wise min over a ``num_hashes``-wide accumulator.
+    (A naive ``transform(seq, i -> array_min(...))`` re-evaluates the
+    shingle array per family member — Catalyst does no CSE across lambda
+    boundaries — and is ~40x slower.)  Docs with fewer than ``shingle_n``
+    tokens keep the MAX_LONG init signature.
     """
-    shingled = df.select(
-        F.col(id_col),
-        F.explode_outer(word_shingles(F.col(text_col), shingle_n)).alias("_sh"),
+    shingle_hashes = F.transform(
+        word_shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)
     )
-    aggs = [
-        F.min(F.xxhash64(F.col("_sh"), F.lit(i))).alias(f"_h{i}")
-        for i in range(num_hashes)
-    ]
-    sig = shingled.groupBy(id_col).agg(*aggs)
-    return sig.select(
-        F.col(id_col),
-        F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("signature"),
+    init = F.array_repeat(F.lit(2**63 - 1).cast("long"), num_hashes)
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    sig = F.aggregate(
+        shingle_hashes,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(seeds, lambda i: F.xxhash64(h, i)),
+            lambda a, b: F.least(a, b),
+        ),
     )
+    return df.select(F.col(id_col), sig.alias("signature"))
 
 
 def minhash_lsh_pairs(
@@ -124,31 +132,39 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, simhash long) — 64-bit SimHash over tokens (Charikar '02).
 
     Each token hashes to 64 bits; bit b of the fingerprint is the sign of
-    sum(±1 over tokens by their bit b).  Implemented as explode + 64
-    conditional sums + bit reassembly — all JVM expressions, one shuffle
-    on id.
+    sum(±1 over tokens by their bit b).  Computed PER ROW in one pass:
+    hash the token array once, fold into a 64-wide bit-sum accumulator,
+    then reassemble the sign bits — no explode, no shuffle.  The bit-sum
+    array is materialized in its own projection (referenced 64 times by
+    the reassembly; CollapseProject keeps non-cheap multi-referenced
+    aliases separate, so it is computed once per row).
     """
-    toks = df.select(
-        F.col(id_col), F.explode_outer(tokenize(F.col(text_col))).alias("_t")
-    ).withColumn("_h", F.xxhash64("_t"))
-    bit_sums = toks.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(F.col("_t").isNull(), F.lit(0)).otherwise(
-                    F.when(F.shiftright("_h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-                )
-            ).alias(f"_b{b}")
-            for b in range(64)
-        ]
+    hashes = F.transform(tokenize(F.col(text_col)), lambda t: F.xxhash64(t))
+    # signed-long bit masks (bit 63 = sign bit) — literal array, const-folded
+    bit_masks = F.array(
+        *[F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long") for b in range(64)]
     )
+    bit_sums = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                bit_masks,
+                lambda m: F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+            ),
+            lambda a, d: a + d,
+        ),
+    )
+    summed = df.select(F.col(id_col), bit_sums.alias("_bits"))
     fingerprint = None
     for b in range(64):
-        bit = F.when(F.col(f"_b{b}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+        bit = F.when(
+            F.element_at(F.col("_bits"), b + 1) > 0, F.lit(1).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, b)
         fingerprint = term if fingerprint is None else fingerprint.bitwiseOR(term)
-    return bit_sums.select(F.col(id_col), fingerprint.alias("simhash"))
+    return summed.select(F.col(id_col), fingerprint.alias("simhash"))
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -628,8 +628,15 @@ def q25_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Rows-only check: candidate pairs with estimated Jaccard >= 0.3.
     """
-    docs = _t(spark, sf_dir, "documents")
-    sigs = minhash_signature(docs, "doc_id", "text", num_hashes=32, shingle_n=3)
+    # single-file local input = one scan partition; spread the per-row
+    # hash fold across cores (at corpus scale the input is already split)
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    # signatures feed three consumers (banding + both sides of the verify
+    # join) — persist so the per-row fold runs once, as one would
+    # checkpoint signatures at corpus scale
+    sigs = minhash_signature(docs, "doc_id", "text", num_hashes=32, shingle_n=3).persist()
     pairs = minhash_lsh_pairs(sigs, "doc_id", num_bands=8)
     sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("signature").alias("_sa"))
     sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("signature").alias("_sb"))
@@ -644,7 +651,9 @@ def q25_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q26_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 64-bit fingerprints (no SQL oracle: xxhash64 basis)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return simhash(docs, "doc_id", "text")
 
 
@@ -680,7 +689,9 @@ def q29_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payloads -> metadata + features via
     mapInPandas.  sha256/byte_size oracle-checked; features rows-only
     (fake decoder) but deterministic."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     feats = extract_features(documents_as_media(docs))
     return feats.select(
         "media_id", "byte_size", "content_sha256",

@@ -1,0 +1,221 @@
+"""Unit tests for text analysis, dedup, similarity, and multimodal ops."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_opensky_spark.functions import text as TX
+from etl_opensky_spark.functions.dedup import (
+    dedup_exact,
+    estimate_jaccard,
+    hamming64,
+    minhash_lsh_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from etl_opensky_spark.functions.multimodal import (
+    FEATURE_DIM,
+    documents_as_media,
+    extract_features,
+)
+from etl_opensky_spark.functions.similarity import (
+    cosine,
+    cosine_topk,
+    lsh_topk,
+    make_hyperplanes,
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (3, "completely different words entirely unrelated text here"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (5, "der hund ist nicht ein kater und das ist gut"),  # german-ish
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# --- text --------------------------------------------------------------------
+
+
+def test_token_count(spark, docs):
+    got = dict(
+        docs.select("doc_id", TX.token_count(F.col("text")).alias("n")).collect()
+    )
+    assert got[1] == 9 and got[6] == 0
+
+
+def test_alpha_and_stopword_ratio(spark):
+    df = spark.createDataFrame([(1, "ab, cd!!")], "id int, text string")
+    row = df.select(
+        TX.alpha_ratio(F.col("text")).alias("a"),
+        TX.punct_ratio(F.col("text")).alias("p"),
+    ).collect()[0]
+    assert row["a"] == pytest.approx(4 / 8)
+    assert row["p"] == pytest.approx(3 / 8)
+
+
+def test_lang_id(spark, docs):
+    got = dict(
+        docs.select("doc_id", TX.lang_id(F.col("text")).alias("l")).collect()
+    )
+    assert got[1] == "en"
+    assert got[5] == "de"
+    assert got[3] == "und"  # no stopwords from any list
+    assert got[6] == "und"
+
+
+def test_fingerprint_md5_canonicalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "  hello world "), (3, "other")],
+        "id int, text string",
+    )
+    fps = [
+        r["fp"]
+        for r in df.select(TX.fingerprint_md5(F.col("text")).alias("fp")).collect()
+    ]
+    assert fps[0] == fps[1] != fps[2]
+    assert fps[0] == hashlib.md5(b"hello world").hexdigest()
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([(1, "a b c d"), (2, "a b")], "id int, text string")
+    got = dict(
+        df.select(
+            "id", TX.word_shingles(F.col("text"), 3).alias("sh")
+        ).collect()
+    )
+    assert got[1] == ["a b c", "b c d"]
+    assert got[2] == []  # fewer than n tokens
+
+
+# --- dedup -------------------------------------------------------------------
+
+
+def test_dedup_exact(spark, docs):
+    kept = sorted(r["doc_id"] for r in dedup_exact(docs, "text", "doc_id").collect())
+    assert kept == [1, 2, 3, 5, 6]  # 4 is an exact dup of 1; min id wins
+
+
+def test_minhash_identical_docs_equal_signatures(spark, docs):
+    sigs = {r["doc_id"]: r["signature"] for r in minhash_signature(docs, "doc_id", "text").collect()}
+    assert sigs[1] == sigs[4]
+    assert sigs[1] != sigs[3]
+    assert len(sigs[1]) == 32
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    sigs = minhash_signature(docs, "doc_id", "text", num_hashes=32, shingle_n=3)
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(sigs, "doc_id").collect()
+    }
+    assert (1, 4) in pairs  # exact dups always collide
+    assert (1, 3) not in pairs and (3, 4) not in pairs
+
+
+def test_estimate_jaccard_bounds(spark, docs):
+    sigs = minhash_signature(docs, "doc_id", "text")
+    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("signature").alias("sa"))
+    b = sigs.select(F.col("doc_id").alias("id_b"), F.col("signature").alias("sb"))
+    est = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", estimate_jaccard(F.col("sa"), F.col("sb")).alias("e"))
+        .collect()
+    )
+    vals = {(r["id_a"], r["id_b"]): r["e"] for r in est}
+    assert vals[(1, 4)] == 1.0
+    assert all(0.0 <= v <= 1.0 for v in vals.values())
+
+
+def test_simhash_hamming(spark, docs):
+    fps = {r["doc_id"]: r["simhash"] for r in simhash(docs, "doc_id", "text").collect()}
+    assert fps[1] == fps[4]  # identical text -> identical fingerprint
+    df = spark.createDataFrame(
+        [(fps[1], fps[2]), (fps[1], fps[3])], "a long, b long"
+    )
+    d12, d13 = [r[0] for r in df.select(hamming64(F.col("a"), F.col("b"))).collect()]
+    assert d12 < d13  # near-dup closer than unrelated
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", n=1, threshold=0.5).collect()
+    }
+    assert pairs[(1, 4)] == 1.0
+    assert 0.5 <= pairs[(1, 2)] < 1.0  # 8 shared words of 9
+    assert (1, 3) not in pairs
+
+
+# --- similarity --------------------------------------------------------------
+
+
+@pytest.fixture()
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+        (4, [0.7, 0.7, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_expression(spark, vectors):
+    got = dict(
+        vectors.select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.array(F.lit(1.0), F.lit(0.0), F.lit(0.0))), 6).alias("c"),
+        ).collect()
+    )
+    assert got[0] == 1.0 and got[3] == -1.0 and got[2] == 0.0
+
+
+def test_cosine_topk_order_and_ties(spark, vectors):
+    out = cosine_topk(vectors.filter(F.col("vec_id") != 0), [1.0, 0.0, 0.0], k=3).collect()
+    assert [r["vec_id"] for r in out] == [1, 4, 2]
+    assert out[0]["cosine"] > out[1]["cosine"] > out[2]["cosine"]
+
+
+def test_lsh_topk_subset_of_bruteforce(spark, vectors):
+    planes = make_hyperplanes(dim=3, num=2, seed=7)
+    out = lsh_topk(vectors.filter(F.col("vec_id") != 0), [1.0, 0.0, 0.0], planes, k=3)
+    ids = {r["vec_id"] for r in out.collect()}
+    # candidates only from the query's bucket; exact vector 1 shares any
+    # sign pattern with the query (angle ~6 degrees, 2 planes rarely split)
+    assert ids <= {1, 2, 3, 4}
+
+
+def test_make_hyperplanes_deterministic(spark):
+    assert make_hyperplanes(4, 3, seed=1) == make_hyperplanes(4, 3, seed=1)
+    assert make_hyperplanes(4, 3, seed=1) != make_hyperplanes(4, 3, seed=2)
+
+
+# --- multimodal --------------------------------------------------------------
+
+
+def test_extract_features_contract(spark, docs):
+    media = documents_as_media(docs.withColumnRenamed("doc_id", "doc_id"))
+    out = extract_features(media)
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert set(out.columns) == {
+        "media_id", "media_type", "byte_size", "content_sha256", "feature"
+    }
+    r1 = rows[1]
+    text1 = "the quick brown fox jumps over the lazy dog"
+    assert r1["byte_size"] == len(text1.encode())
+    assert r1["content_sha256"] == hashlib.sha256(text1.encode()).hexdigest()
+    assert len(r1["feature"]) == FEATURE_DIM
+    assert math.isclose(sum(r1["feature"]), 1.0, rel_tol=1e-5)
+    # deterministic fake decode: identical payloads -> identical features
+    assert rows[1]["feature"] == rows[4]["feature"]
