@@ -1,0 +1,94 @@
+"""Structured Streaming surface (SURVEY §2.12 mapping).
+
+The reference's incrementality is batch micro-partitions on an Airflow
+daily schedule; these are the streaming-native equivalents:
+
+- daily partition        -> 1-day tumbling window (``F.window(ts, "1 day")``)
+- subtract-based dedup   -> ``dropDuplicates`` within a watermark
+- idempotent append      -> ``foreachBatch`` EXCEPT-append (exactly-once
+                            per micro-batch via the checkpointed batch id)
+
+All entry points take a streaming DataFrame and return one, so sources
+(file, kafka, rate) stay pluggable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def windowed_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    keys: Sequence[str] = ("event_type",),
+    window: str = "1 day",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Watermarked tumbling-window counts — the streaming form of the daily
+    partition aggregate."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), *keys)
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), *keys, "n")
+    )
+
+
+def dedup_within_watermark(
+    stream: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming dedup on a business key: state is bounded by the watermark
+    (late duplicates beyond it are passed through — same contract as the
+    reference's per-day reconciliation, which also only dedups within the
+    day being reprocessed)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicates(
+        [*keys, ts_col]
+    )
+
+
+def append_missing_sink(
+    stream: DataFrame,
+    target_path: str,
+    partition_by: Sequence[str],
+    checkpoint_dir: str,
+    spark: SparkSession | None = None,
+):
+    """Idempotent streaming append: each micro-batch EXCEPTs the target's
+    affected partitions before appending (the reference's subtract-append,
+    reference: src/jobs/extract_flights.py:80-99, executed per micro-batch;
+    replays of a batch after failure re-subtract, so the sink converges).
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        session = batch_df.sparkSession
+        try:
+            existing = session.read.parquet(target_path).select(*batch_df.columns)
+            to_append = batch_df.subtract(existing)
+        except Exception:  # first batch: target does not exist yet
+            # EXCEPT is distinct — keep the no-target path consistent
+            to_append = batch_df.distinct()
+        to_append.write.mode("append").partitionBy(*partition_by).parquet(target_path)
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def file_stream(
+    spark: SparkSession, directory: str, schema, glob: str | None = None
+) -> DataFrame:
+    """File-based streaming source (directory-watching; availableNow runs
+    drain whatever is present and stop)."""
+    reader = spark.readStream.schema(schema)
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.parquet(directory)
