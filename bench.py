@@ -50,6 +50,8 @@ BENCH_QUERIES = [
     "q28_ann_lsh",
     "q29_media_features",
     "q30_stream_daily_counts",
+    "q31_embedding_centroids",
+    "q32_embedding_norms",
 ]
 
 

@@ -739,6 +739,58 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q31_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid components (the k-means/IVF building block):
+    posexplode the vectors, exact decimal mean per (label, position).
+    One shuffle on (label, pos) with map-side partial sums."""
+    emb = _t(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("pos0", "val")
+    ).select(
+        "label",
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        # float -> DOUBLE first: DuckDB casts REAL->DECIMAL via the float's
+        # shortest repr, Spark via the double expansion — double-first aligns
+        F.col("val").cast("double").cast("decimal(18,9)").alias("val_d"),
+    )
+    return exploded.groupBy("label", "pos").agg(
+        (F.sum("val_d").cast("double") / F.count("*")).alias("centroid"),
+        F.count("*").alias("n"),
+    )
+
+
+ORACLE_Q31 = """
+SELECT label, CAST(pos AS INTEGER) AS pos,
+  CAST(SUM(CAST(val AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS centroid,
+  COUNT(*) AS n
+FROM (
+  SELECT label, CAST(unnest(embedding) AS DOUBLE) AS val,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings)
+GROUP BY label, pos
+"""
+
+
+def q32_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row L2 norm + dimensionality over the embedding column."""
+    emb = _t(spark, sf_dir, "embeddings")
+    from etl_opensky_spark.functions.similarity import norm
+
+    return emb.select(
+        "vec_id",
+        F.round(norm(F.col("embedding")), 6).alias("l2_norm"),
+        F.size("embedding").alias("dim"),
+    )
+
+
+ORACLE_Q32 = """
+SELECT vec_id,
+  ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2_norm,
+  CAST(len(embedding) AS INTEGER) AS dim
+FROM embeddings
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -770,6 +822,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q28_ann_lsh": q28_ann_lsh,
     "q29_media_features": q29_media_features,
     "q30_stream_daily_counts": q30_stream_daily_counts,
+    "q31_embedding_centroids": q31_embedding_centroids,
+    "q32_embedding_norms": q32_embedding_norms,
 }
 
 ORACLES: dict[str, str] = {
@@ -799,6 +853,8 @@ ORACLES: dict[str, str] = {
     "q24_ngram_jaccard": ORACLE_Q24,
     "q27_ann_cosine": ORACLE_Q27,
     "q30_stream_daily_counts": ORACLE_Q30,
+    "q31_embedding_centroids": ORACLE_Q31,
+    "q32_embedding_norms": ORACLE_Q32,
     # q25/q26: xxhash64-based — not reproducible in DuckDB (rows-only check)
     # q28: approximate by design (rows-only)
     # q29: mapInPandas feature extraction (rows-only; sha256 verified in tests)

@@ -142,7 +142,8 @@ def test_fact_joins_resolved(warehouse, spark):
 
 
 def test_dim_dates_loaded(warehouse, spark):
-    dd = spark.table("dim_dates")
+    # scope to the pipeline's range: other tests may append other years
+    dd = spark.table("dim_dates").filter("year = 2018 AND month = 1")
     assert dd.count() == 31
     jan1 = dd.filter(F.col("date_dim_id") == 20180101).head()
     assert jan1["day_of_week"] == 2  # Monday in Spark DAYOFWEEK
