@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "q30_stream_daily_counts",
     "q31_embedding_centroids",
     "q32_embedding_norms",
+    "q33_asof_join",
+    "q34_sketches",
 ]
 
 

@@ -49,6 +49,40 @@ def lookup_dim(
     return joined
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    how: str = "inner",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the big side's key, replicate the
+    small side across all salt buckets, join on (key, salt).
+
+    Use when one key value dominates the big side (AQE's skew-join split
+    handles moderate skew automatically; salting is the explicit fix when
+    a single key exceeds what one task can hold).  The small side grows
+    ``salt_buckets``× — keep it broadcast-sized or lower the bucket count.
+    The salt is derived from the row (xxhash64 of all columns), so the
+    operator stays deterministic.
+    """
+    big_salted = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(*big.columns), F.lit(salt_buckets)).cast("int")
+    )
+    small_replicated = small.withColumn(
+        "_salt",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<int>")),
+    )
+    joined = big_salted.join(
+        small_replicated,
+        on=(big_salted[big_key] == small_replicated[small_key])
+        & (big_salted["_salt"] == small_replicated["_salt"]),
+        how=how,
+    )
+    return joined.drop(big_salted["_salt"]).drop(small_replicated["_salt"])
+
+
 def fk_orphans(
     fact: DataFrame, fact_key: str, dim: DataFrame, dim_key: str
 ) -> DataFrame:

@@ -791,6 +791,44 @@ FROM embeddings
 """
 
 
+def q33_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operator Spark lacks natively; union+window composition):
+    for every purchase, the user's most recent click at-or-before it."""
+    from etl_opensky_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    return asof_join(
+        purchases, clicks, on="ts", by=["user_id"], value_cols=["click_id"]
+    )
+
+
+ORACLE_Q33 = """
+SELECT p.event_id, p.user_id, p.ts, c.click_id AS click_id_asof
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN
+     (SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click') c
+ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def q34_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (HLL++ distinct, GK quantiles) per group —
+    no oracle: sketch implementations differ across engines by design;
+    rows-only check (one row per l_returnflag)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("price_q"),
+        F.count("*").alias("n_rows"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -824,6 +862,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q30_stream_daily_counts": q30_stream_daily_counts,
     "q31_embedding_centroids": q31_embedding_centroids,
     "q32_embedding_norms": q32_embedding_norms,
+    "q33_asof_join": q33_asof_join,
+    "q34_sketches": q34_sketches,
 }
 
 ORACLES: dict[str, str] = {
@@ -855,6 +895,7 @@ ORACLES: dict[str, str] = {
     "q30_stream_daily_counts": ORACLE_Q30,
     "q31_embedding_centroids": ORACLE_Q31,
     "q32_embedding_norms": ORACLE_Q32,
+    "q33_asof_join": ORACLE_Q33,
     # q25/q26: xxhash64-based — not reproducible in DuckDB (rows-only check)
     # q28: approximate by design (rows-only)
     # q29: mapInPandas feature extraction (rows-only; sha256 verified in tests)

@@ -189,3 +189,45 @@ def test_top_k_per_group(spark):
     )
     out = top_k_per_group(df, ["g"], F.col("v").desc(), k=2)
     assert rows(out) == [("g1", 3), ("g1", 5), ("g2", 7)]
+
+
+# --- as-of join --------------------------------------------------------------
+
+
+def test_asof_join_basic(spark):
+    from etl_opensky_spark.operators.asof import asof_join
+
+    quotes = spark.createDataFrame(
+        [("A", 1, 10.0), ("A", 5, 11.0), ("B", 3, 20.0)],
+        "sym string, t int, px double",
+    )
+    trades = spark.createDataFrame(
+        [("A", 0, 100), ("A", 1, 101), ("A", 7, 102), ("B", 2, 103), ("B", 9, 104)],
+        "sym string, t int, qty int",
+    )
+    out = asof_join(trades, quotes, on="t", by=["sym"], value_cols=["px"])
+    got = {(r["sym"], r["t"]): r["px_asof"] for r in out.collect()}
+    assert got == {
+        ("A", 0): None,    # no quote yet
+        ("A", 1): 10.0,    # exact-timestamp quote visible (<=)
+        ("A", 7): 11.0,    # latest prior quote
+        ("B", 2): None,
+        ("B", 9): 20.0,
+    }
+    assert out.count() == trades.count()  # left join: every trade kept
+
+
+def test_salted_join_matches_plain_join(spark):
+    from etl_opensky_spark.operators.joins import salted_join
+
+    # heavily skewed big side: one hot key
+    big = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(2, 999), (3, 1000)], "k int, payload int"
+    )
+    small = spark.createDataFrame([(1, "hot"), (2, "cold")], "sk int, name string")
+    salted = salted_join(big, small, "k", "sk", how="inner", salt_buckets=8)
+    plain = big.join(small, big["k"] == small["sk"], "inner")
+    assert salted.count() == plain.count() == 501
+    got = sorted((r["k"], r["payload"], r["name"]) for r in salted.collect())
+    want = sorted((r["k"], r["payload"], r["name"]) for r in plain.collect())
+    assert got == want
