@@ -30,3 +30,5 @@ from etl_opensky_spark.operators.reshape import (  # noqa: F401
     melt,
 )
 from etl_opensky_spark.operators.aggregates import top_k_per_group  # noqa: F401
+from etl_opensky_spark.operators.asof import asof_join  # noqa: F401
+from etl_opensky_spark.operators.joins import salted_join  # noqa: F401

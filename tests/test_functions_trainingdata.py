@@ -219,3 +219,16 @@ def test_extract_features_contract(spark, docs):
     assert math.isclose(sum(r1["feature"]), 1.0, rel_tol=1e-5)
     # deterministic fake decode: identical payloads -> identical features
     assert rows[1]["feature"] == rows[4]["feature"]
+
+
+def test_bpe_ish_token_count(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "can't stop,won't stop"), (3, "abc123def")],
+        "id int, text string",
+    )
+    got = dict(
+        df.select("id", TX.bpe_ish_token_count(F.col("text")).alias("n")).collect()
+    )
+    assert got[1] == 2  # plain words
+    assert got[3] == 3  # abc | 123 | def class changes
+    assert got[2] >= 7  # punctuation splits add pieces beyond whitespace's 3
