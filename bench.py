@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "q32_embedding_norms",
     "q33_asof_join",
     "q34_sketches",
+    "q35_ann_ivf",
+    "q36_corpus_clean",
 ]
 
 

@@ -829,6 +829,63 @@ def q34_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q35_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN end-to-end: train centroids (Lloyd on DataFrames), assign
+    clusters (narrow map), probe + exact re-rank.  Run with full probe so
+    the result equals brute force — the oracle then verifies the whole
+    IVF plumbing exactly; approximation is just n_probe < k."""
+    from etl_opensky_spark.functions.ivf import assign_clusters, ivf_topk, train_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    centroids = train_centroids(emb, k=4, iterations=2)
+    assigned = assign_clusters(emb.filter(F.col("vec_id") != 0), centroids)
+    return ivf_topk(assigned, centroids, qvec, k=10, n_probe=4)
+
+
+ORACLE_Q35 = ORACLE_Q27  # full probe == exact brute-force top-10
+
+
+def q36_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-data pipeline: quality filter -> language match ->
+    exact dedup -> per-language token stats.  Each stage is an engine op;
+    the whole chain stays one declarative plan (filters fused into the
+    scan, one shuffle for the dedup window, one for the final agg)."""
+    docs = _t(spark, sf_dir, "documents")
+    cleaned = docs.filter(
+        (TX.token_count(F.col("text")) >= 20)
+        & (TX.alpha_ratio(F.col("text")) >= 0.5)
+    )
+    deduped = dedup_exact(cleaned, "text", "doc_id")
+    return deduped.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(TX.token_count(F.col("text"))).alias("total_tokens"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
+ORACLE_Q36 = """
+WITH cleaned AS (
+  SELECT doc_id, lang, text,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END AS n_tokens
+  FROM documents
+  WHERE (CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END) >= 20
+    AND (CASE WHEN length(text) = 0 THEN 0.0
+              ELSE (length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g'))) / length(text) END) >= 0.5
+), deduped AS (
+  SELECT * FROM cleaned
+  WHERE doc_id IN (
+    SELECT MIN(doc_id) FROM cleaned
+    GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+)
+SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+       MIN(doc_id) AS min_doc_id
+FROM deduped GROUP BY lang
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -864,6 +921,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q32_embedding_norms": q32_embedding_norms,
     "q33_asof_join": q33_asof_join,
     "q34_sketches": q34_sketches,
+    "q35_ann_ivf": q35_ann_ivf,
+    "q36_corpus_clean": q36_corpus_clean,
 }
 
 ORACLES: dict[str, str] = {
@@ -896,6 +955,8 @@ ORACLES: dict[str, str] = {
     "q31_embedding_centroids": ORACLE_Q31,
     "q32_embedding_norms": ORACLE_Q32,
     "q33_asof_join": ORACLE_Q33,
+    "q35_ann_ivf": ORACLE_Q35,
+    "q36_corpus_clean": ORACLE_Q36,
     # q25/q26: xxhash64-based — not reproducible in DuckDB (rows-only check)
     # q28: approximate by design (rows-only)
     # q29: mapInPandas feature extraction (rows-only; sha256 verified in tests)

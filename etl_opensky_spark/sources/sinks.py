@@ -27,6 +27,27 @@ def write_parquet_partitioned(
     df.write.mode(mode).partitionBy(*partition_by).parquet(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_by: Sequence[str],
+    num_buckets: int,
+    sort_by: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (hash-clustered) table write: later equi-joins/aggregations
+    on ``bucket_by`` between tables bucketed the same way need NO shuffle —
+    the physical layout IS the partitioning.  The decisive lever for
+    repeated big-fact⋈big-fact joins at 100 TB: pay the shuffle once at
+    write time, never again at read time.  Verified by plan-shape test
+    (no Exchange under the SortMergeJoin of two co-bucketed tables).
+    """
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(name)
+
+
 def write_table(
     df: DataFrame,
     name: str,

@@ -1,0 +1,75 @@
+"""IVF ANN tests + bucketed co-located join plan test."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_opensky_spark.functions.ivf import assign_clusters, ivf_topk, train_centroids
+from etl_opensky_spark.functions.similarity import cosine_topk
+from etl_opensky_spark.sources.sinks import write_bucketed_table
+
+
+@pytest.fixture(scope="module")
+def clustered_vectors(spark):
+    # two well-separated blobs around (10,0) and (0,10), plus the query target
+    rows = (
+        [(i, [10.0 + (i % 3) * 0.1, float(i % 2) * 0.1]) for i in range(10)]
+        + [(100 + i, [float(i % 2) * 0.1, 10.0 + (i % 3) * 0.1]) for i in range(10)]
+    )
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_train_and_assign_separates_blobs(spark, clustered_vectors):
+    centroids = train_centroids(clustered_vectors, k=2, iterations=4)
+    assigned = assign_clusters(clustered_vectors, centroids)
+    clusters = {
+        r["vec_id"]: r["cluster_id"] for r in assigned.collect()
+    }
+    blob_a = {clusters[i] for i in range(10)}
+    blob_b = {clusters[100 + i] for i in range(10)}
+    assert len(blob_a) == 1 and len(blob_b) == 1 and blob_a != blob_b
+
+
+def test_ivf_topk_matches_bruteforce_on_probed_blob(spark, clustered_vectors):
+    centroids = train_centroids(clustered_vectors, k=2, iterations=4)
+    assigned = assign_clusters(clustered_vectors, centroids)
+    query = [10.0, 0.0]
+    ivf = ivf_topk(assigned, centroids, query, k=5, n_probe=1)
+    brute = cosine_topk(clustered_vectors, query, k=5)
+    assert [r["vec_id"] for r in ivf.collect()] == [
+        r["vec_id"] for r in brute.collect()
+    ]  # the right blob contains all true top-5, so 1-probe IVF is exact here
+
+
+def test_assignment_is_narrow(spark, clustered_vectors):
+    centroids = [[10.0, 0.0], [0.0, 10.0]]
+    plan = (
+        assign_clusters(clustered_vectors, centroids)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """Two tables bucketed on the same key join WITHOUT an Exchange."""
+    a = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("va"))
+    b = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("vb"))
+    write_bucketed_table(a, "bucketed_a", ["k"], 4, sort_by=["k"])
+    write_bucketed_table(b, "bucketed_b", ["k"], 4, sort_by=["k"])
+    # force the sort-merge path: tiny test tables would otherwise broadcast
+    # (planner then ignores bucketing entirely)
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bucketed_a").join(spark.table("bucketed_b"), "k")
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan  # co-located: no shuffle
+        assert "Bucketed: true" in plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
