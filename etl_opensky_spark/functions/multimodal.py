@@ -35,14 +35,17 @@ FEATURE_DIM = 8
 
 def _fake_image_decode(payload: bytes) -> list[float]:
     """Deterministic fake 'decode': folds the byte histogram into
-    FEATURE_DIM buckets.  Replace with a real decoder when codecs exist."""
+    FEATURE_DIM buckets (numpy-vectorized — a pure-Python per-byte loop
+    dominated the batch time).  Replace with a real decoder when codecs
+    exist."""
+    import numpy as np
+
     if payload is None:
         return [0.0] * FEATURE_DIM
-    buckets = [0] * FEATURE_DIM
-    for byte in payload:
-        buckets[byte % FEATURE_DIM] += 1
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    buckets = np.bincount(arr % FEATURE_DIM, minlength=FEATURE_DIM)
     total = max(len(payload), 1)
-    return [b / total for b in buckets]
+    return (buckets / total).tolist()
 
 
 def _unsupported(payload: bytes) -> list[float]:
