@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "q34_sketches",
     "q35_ann_ivf",
     "q36_corpus_clean",
+    "q37_sink_roundtrip",
 ]
 
 

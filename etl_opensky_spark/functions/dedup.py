@@ -183,19 +183,32 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 1,
     threshold: float = 0.8,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram-set Jaccard similarity pairs (id_a < id_b, jaccard).
 
     Inverted-index self-join: explode distinct n-grams, join on the n-gram
     (shuffle key = token — candidate pairs only where sets intersect),
-    count intersections, compute |A∪B| from per-doc set sizes.  At corpus
-    scale, prune hot tokens (df-frequency cap) before the self-join.
+    count intersections, compute |A∪B| from per-doc set sizes.
+
+    ``max_df`` caps a gram's document frequency before the self-join: a
+    gram in d docs contributes d² candidate rows, so corpus-scale runs
+    MUST prune stop-gram hot keys (jaccard then becomes a lower bound —
+    set sizes still count pruned grams, intersections can't).
     """
     grams_col = (
         tokenize(F.col(text_col)) if n == 1 else word_shingles(F.col(text_col), n)
     )
     grams = df.select(F.col(id_col), F.explode(grams_col).alias("_g")).distinct()
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("_sz"))
+    if max_df is not None:
+        rare = (
+            grams.groupBy("_g")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("_g")
+        )
+        grams = grams.join(rare, "_g", "left_semi")
 
     a = grams.select(F.col(id_col).alias("id_a"), "_g")
     b = grams.select(F.col(id_col).alias("id_b"), "_g")

@@ -886,6 +886,39 @@ FROM deduped GROUP BY lang
 """
 
 
+def q37_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1+S1+F1 in one gate query: write a y/m/d-partitioned parquet lake
+    from orders, read it back, and answer with a partition-pruned scan —
+    the write/read path itself is what's under test."""
+    import tempfile
+
+    orders = _t(spark, sf_dir, "orders")
+    lake = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.year("o_orderdate").cast("int").alias("y"),
+        F.month("o_orderdate").cast("int").alias("m"),
+    )
+    target = tempfile.mkdtemp(prefix="q37_lake_")
+    lake.write.mode("overwrite").partitionBy("y", "m").parquet(target)
+    back = spark.read.parquet(target).filter((F.col("y") == 1997) & (F.col("m") == 3))
+    return back.groupBy("y", "m").agg(
+        F.count("*").alias("n"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+    )
+
+
+ORACLE_Q37 = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+       CAST(month(o_orderdate) AS INTEGER) AS m,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+WHERE year(o_orderdate) = 1997 AND month(o_orderdate) = 3
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -923,6 +956,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q34_sketches": q34_sketches,
     "q35_ann_ivf": q35_ann_ivf,
     "q36_corpus_clean": q36_corpus_clean,
+    "q37_sink_roundtrip": q37_sink_roundtrip,
 }
 
 ORACLES: dict[str, str] = {
@@ -957,6 +991,7 @@ ORACLES: dict[str, str] = {
     "q33_asof_join": ORACLE_Q33,
     "q35_ann_ivf": ORACLE_Q35,
     "q36_corpus_clean": ORACLE_Q36,
+    "q37_sink_roundtrip": ORACLE_Q37,
     # q25/q26: xxhash64-based — not reproducible in DuckDB (rows-only check)
     # q28: approximate by design (rows-only)
     # q29: mapInPandas feature extraction (rows-only; sha256 verified in tests)

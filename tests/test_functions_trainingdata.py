@@ -232,3 +232,15 @@ def test_bpe_ish_token_count(spark):
     assert got[1] == 2  # plain words
     assert got[3] == 3  # abc | 123 | def class changes
     assert got[2] >= 7  # punctuation splits add pieces beyond whitespace's 3
+
+
+def test_ngram_jaccard_max_df_prunes_hot_grams(spark, docs):
+    # with max_df=1 every shared gram is pruned -> no candidate pairs at all
+    none = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=1, threshold=0.0, max_df=1
+    )
+    assert none.count() == 0
+    # generous cap keeps exact results identical to the unpruned run
+    capped = ngram_jaccard_pairs(docs, "doc_id", "text", n=1, threshold=0.5, max_df=100)
+    full = ngram_jaccard_pairs(docs, "doc_id", "text", n=1, threshold=0.5)
+    assert sorted(map(tuple, capped.collect())) == sorted(map(tuple, full.collect()))
