@@ -900,7 +900,11 @@ def q37_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month("o_orderdate").cast("int").alias("m"),
     )
     target = tempfile.mkdtemp(prefix="q37_lake_")
-    lake.write.mode("overwrite").partitionBy("y", "m").parquet(target)
+    # cluster rows by partition key before the partitioned write: one file
+    # per partition instead of (partitions x tasks) small files
+    lake.repartition("y", "m").write.mode("overwrite").partitionBy("y", "m").parquet(
+        target
+    )
     back = spark.read.parquet(target).filter((F.col("y") == 1997) & (F.col("m") == 3))
     return back.groupBy("y", "m").agg(
         F.count("*").alias("n"),
