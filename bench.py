@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "q35_ann_ivf",
     "q36_corpus_clean",
     "q37_sink_roundtrip",
+    "q38_regional_revenue",
+    "q39_small_quantity_parts",
 ]
 
 

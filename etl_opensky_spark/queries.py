@@ -923,6 +923,86 @@ GROUP BY 1, 2
 """
 
 
+def q38_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped 6-way join: revenue per nation for one region and
+    date range, where supplier and customer share the nation.  Catalyst
+    broadcast-plans the whole dim chain; only lineitem⋈orders shuffles."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        F.sum(_dec("l_extendedprice") * _dec(F.lit(1) - F.col("l_discount")))
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+ORACLE_Q38 = """
+SELECT n_name AS nation,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+def q39_small_quantity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-shaped: join against a per-key aggregated subquery —
+    lineitems below 20% of their part's average quantity.  The aggregate
+    side reduces to one row per part before the join (partial agg map-side),
+    then broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("p_key")).agg(
+        (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty")
+    )
+    joined = li.join(
+        F.broadcast(avg_qty), F.col("l_partkey") == F.col("p_key")
+    ).filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+    return joined.agg(
+        F.count("*").alias("n_small"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("total_price"),
+    )
+
+
+ORACLE_Q39 = """
+SELECT COUNT(*) AS n_small,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM lineitem l
+JOIN (
+  SELECT l_partkey AS p_key,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+) a ON l.l_partkey = a.p_key
+WHERE l.l_quantity < 0.2 * a.avg_qty
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -961,6 +1041,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q35_ann_ivf": q35_ann_ivf,
     "q36_corpus_clean": q36_corpus_clean,
     "q37_sink_roundtrip": q37_sink_roundtrip,
+    "q38_regional_revenue": q38_regional_revenue,
+    "q39_small_quantity_parts": q39_small_quantity_parts,
 }
 
 ORACLES: dict[str, str] = {
@@ -996,6 +1078,8 @@ ORACLES: dict[str, str] = {
     "q35_ann_ivf": ORACLE_Q35,
     "q36_corpus_clean": ORACLE_Q36,
     "q37_sink_roundtrip": ORACLE_Q37,
+    "q38_regional_revenue": ORACLE_Q38,
+    "q39_small_quantity_parts": ORACLE_Q39,
     # q25/q26: xxhash64-based — not reproducible in DuckDB (rows-only check)
     # q28: approximate by design (rows-only)
     # q29: mapInPandas feature extraction (rows-only; sha256 verified in tests)
