@@ -522,7 +522,7 @@ def q21_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_Q21 = """
-SELECT user_id, SUM(new_session) + 1 AS n_sessions, COUNT(*) AS n_events
+SELECT user_id, CAST(SUM(new_session) + 1 AS BIGINT) AS n_sessions, COUNT(*) AS n_events
 FROM (
   SELECT user_id,
     CASE WHEN epoch_ms(ts) - epoch_ms(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000
@@ -880,7 +880,7 @@ WITH cleaned AS (
     SELECT MIN(doc_id) FROM cleaned
     GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
 )
-SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        MIN(doc_id) AS min_doc_id
 FROM deduped GROUP BY lang
 """
