@@ -84,7 +84,8 @@ def main(argv: list[str] | None = None) -> int:
 
         def fetch(endpoint: str, params: dict) -> list[dict]:
             response = requests.get(
-                f"https://opensky-network.org/api/{endpoint}", params=params
+                f"https://opensky-network.org/api/{endpoint}", params=params,
+                timeout=30,
             )
             response.raise_for_status()
             return response.json()

@@ -57,7 +57,9 @@ def minhash_signature(
     (A naive ``transform(seq, i -> array_min(...))`` re-evaluates the
     shingle array per family member — Catalyst does no CSE across lambda
     boundaries — and is ~40x slower.)  Docs with fewer than ``shingle_n``
-    tokens keep the MAX_LONG init signature.
+    tokens get a NULL signature: a shared sentinel signature would make
+    every pair of short docs collide in every LSH band as a false 1.0
+    near-duplicate.  ``minhash_lsh_pairs`` skips NULL signatures.
     """
     shingle_hashes = F.transform(
         word_shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)
@@ -73,7 +75,10 @@ def minhash_signature(
             lambda a, b: F.least(a, b),
         ),
     )
-    return df.select(F.col(id_col), sig.alias("signature"))
+    # guard on the (cheap) token count, not the hash array — re-referencing
+    # shingle_hashes would recompute every hash just for the size check
+    has_shingles = F.size(tokenize(F.col(text_col))) >= shingle_n
+    return df.select(F.col(id_col), F.when(has_shingles, sig).alias("signature"))
 
 
 def minhash_lsh_pairs(
@@ -89,7 +94,7 @@ def minhash_lsh_pairs(
     (band index, band hash) — the shuffle key is the bucket, so skew only
     occurs when a bucket is genuinely hot (near-identical corpus slices).
     """
-    bands = signatures.select(
+    bands = signatures.filter(F.col(sig_col).isNotNull()).select(
         F.col(id_col),
         F.posexplode(
             F.transform(

@@ -66,7 +66,16 @@ def salted_join(
     ``salt_buckets``× — keep it broadcast-sized or lower the bucket count.
     The salt is derived from the row (xxhash64 of all columns), so the
     operator stays deterministic.
+
+    Only big-side-preserving modes are allowed: under right/full outer an
+    unmatched small-side row would survive once PER SALT REPLICA.
     """
+    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti", "semi", "anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)}; {how!r} would duplicate "
+            "unmatched small-side rows once per salt bucket"
+        )
     big_salted = big.withColumn(
         "_salt", F.pmod(F.xxhash64(*big.columns), F.lit(salt_buckets)).cast("int")
     )

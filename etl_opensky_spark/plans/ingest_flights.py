@@ -27,6 +27,17 @@ logger = logging.getLogger(__name__)
 EVENT_TIME = {"departure": "firstSeen", "arrival": "lastSeen"}
 
 
+def path_exists(spark: SparkSession, path: str) -> bool:
+    """Filesystem-agnostic existence check via the Hadoop FileSystem API —
+    works for local, HDFS, and object-store paths alike (the reference's
+    one JVM escape hatch, src/jobs/extract_flights.py:69-73)."""
+    jvm = spark._jvm
+    jsc = spark._jsc
+    hadoop_path = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hadoop_path.getFileSystem(jsc.hadoopConfiguration())
+    return bool(fs.exists(hadoop_path))
+
+
 def with_partition_columns(df: DataFrame, event_col: str) -> DataFrame:
     """Derive flight_year/month/day from the event-time epoch column
     (reference: src/jobs/extract_flights.py:52-63)."""
@@ -85,18 +96,20 @@ def ingest_flights(
     end_ts = begin_ts + 86400
     extracted = extract_day(spark, source, airport_icao, begin_ts, end_ts)
 
-    try:
-        current = filter_partition(
-            spark.read.parquet(lake_path),
-            flight_year=data_date.year,
-            flight_month=data_date.month,
-            flight_day=data_date.day,
-        )
-    except Exception:  # path does not exist yet -> first write
+    # explicit existence check (reference: src/jobs/extract_flights.py:69-79)
+    # — a broad except around the read would misread transient read errors
+    # as "first write" and silently append duplicates
+    if not path_exists(spark, lake_path):
         extracted.write.mode("append").partitionBy(
             "flight_year", "flight_month", "flight_day"
         ).parquet(lake_path)
         return "created"
+    current = filter_partition(
+        spark.read.parquet(lake_path),
+        flight_year=data_date.year,
+        flight_month=data_date.month,
+        flight_day=data_date.day,
+    )
 
     if current.count() == extracted.count():
         return "skipped"

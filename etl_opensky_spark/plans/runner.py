@@ -75,13 +75,18 @@ class Pipeline:
         results: dict[str, TaskStatus] = {}
         for task in self._topo_order():
             upstream = [results[d] for d in task.depends_on]
-            blocked = (
-                any(s in (TaskStatus.FAILED, TaskStatus.UPSTREAM_FAILED) for s in upstream)
-                if task.trigger_rule == "none_failed"
-                else any(s is not TaskStatus.SUCCESS for s in upstream)
+            any_failed = any(
+                s in (TaskStatus.FAILED, TaskStatus.UPSTREAM_FAILED) for s in upstream
             )
-            if blocked:
+            if any_failed:
                 results[task.name] = TaskStatus.UPSTREAM_FAILED
+                continue
+            if task.trigger_rule != "none_failed" and any(
+                s is TaskStatus.SKIPPED for s in upstream
+            ):
+                # Airflow all_success semantics: a skipped upstream skips
+                # (not fails) the downstream task
+                results[task.name] = TaskStatus.SKIPPED
                 continue
             results[task.name] = self._run_one(task)
         return results

@@ -54,7 +54,11 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events reader: the parquet stores ts as TIMESTAMP(NANOS), which
     Spark's vectorized reader rejects — read nanos as long and truncate to
     micros (exact integer DIV; same truncation DuckDB applies when it
-    reads NANOS into its micros TIMESTAMP)."""
+    reads NANOS into its micros TIMESTAMP).
+
+    NOTE: deliberately leaves ``nanosAsLong`` set on the session — the
+    conf must still be active when the scan executes, and restoring it
+    eagerly would break the lazily-executed plan."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(raw.dtypes).get("ts") == "bigint":
@@ -890,6 +894,7 @@ def q37_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K1+S1+F1 in one gate query: write a y/m/d-partitioned parquet lake
     from orders, read it back, and answer with a partition-pruned scan —
     the write/read path itself is what's under test."""
+    import os
     import tempfile
 
     orders = _t(spark, sf_dir, "orders")
@@ -899,7 +904,11 @@ def q37_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate").cast("int").alias("y"),
         F.month("o_orderdate").cast("int").alias("m"),
     )
-    target = tempfile.mkdtemp(prefix="q37_lake_")
+    # fixed per-sf path + overwrite: repeated runs reuse the directory
+    # instead of leaking a new tempdir per invocation
+    target = os.path.join(
+        tempfile.gettempdir(), f"q37_lake_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
     # cluster rows by partition key before the partitioned write: one file
     # per partition instead of (partitions x tasks) small files
     lake.repartition("y", "m").write.mode("overwrite").partitionBy("y", "m").parquet(

@@ -63,14 +63,32 @@ def append_missing_sink(
     affected partitions before appending (the reference's subtract-append,
     reference: src/jobs/extract_flights.py:80-99, executed per micro-batch;
     replays of a batch after failure re-subtract, so the sink converges).
+
+    The subtract reads ONLY the partitions present in the batch (an IN
+    filter on the partition columns — partition pruning), and target
+    existence is checked explicitly so a transient read error fails the
+    batch (checkpoint retries it) instead of silently double-appending.
     """
+    from etl_opensky_spark.plans.ingest_flights import path_exists
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         session = batch_df.sparkSession
-        try:
+        if path_exists(session, target_path):
+            batch_parts = [
+                tuple(r) for r in batch_df.select(*partition_by).distinct().collect()
+            ]
             existing = session.read.parquet(target_path).select(*batch_df.columns)
+            if batch_parts:
+                pred = None
+                for values in batch_parts:
+                    clause = None
+                    for col_name, value in zip(partition_by, values):
+                        eq = F.col(col_name) == F.lit(value)
+                        clause = eq if clause is None else (clause & eq)
+                    pred = clause if pred is None else (pred | clause)
+                existing = existing.filter(pred)
             to_append = batch_df.subtract(existing)
-        except Exception:  # first batch: target does not exist yet
+        else:
             # EXCEPT is distinct — keep the no-target path consistent
             to_append = batch_df.distinct()
         to_append.write.mode("append").partitionBy(*partition_by).parquet(target_path)

@@ -25,9 +25,11 @@ def running_totals(
     value_col: str = "value",
 ) -> DataFrame:
     """Streaming per-key running (n, total) — updated rows emitted each
-    micro-batch the key appears in."""
+    micro-batch the key appears in.  The key column keeps its input type
+    (string source ids work the same as numeric user ids)."""
 
-    output_schema = f"{key_col} long, n long, total double"
+    key_type = dict(stream.dtypes)[key_col]
+    output_schema = f"{key_col} {key_type}, n long, total double"
     state_schema = "n long, total double"
 
     def update(

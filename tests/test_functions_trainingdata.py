@@ -123,7 +123,11 @@ def test_minhash_lsh_finds_near_dups(spark, docs):
 
 
 def test_estimate_jaccard_bounds(spark, docs):
-    sigs = minhash_signature(docs, "doc_id", "text")
+    # short/empty docs carry NULL signatures (no sentinel cliques) —
+    # estimation is only defined over real signatures
+    sigs = minhash_signature(docs, "doc_id", "text").filter(
+        F.col("signature").isNotNull()
+    )
     a = sigs.select(F.col("doc_id").alias("id_a"), F.col("signature").alias("sa"))
     b = sigs.select(F.col("doc_id").alias("id_b"), F.col("signature").alias("sb"))
     est = (
@@ -244,3 +248,16 @@ def test_ngram_jaccard_max_df_prunes_hot_grams(spark, docs):
     capped = ngram_jaccard_pairs(docs, "doc_id", "text", n=1, threshold=0.5, max_df=100)
     full = ngram_jaccard_pairs(docs, "doc_id", "text", n=1, threshold=0.5)
     assert sorted(map(tuple, capped.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_minhash_short_docs_no_false_pairs(spark):
+    # two unrelated docs below shingle_n tokens must NOT collide via a
+    # shared sentinel signature (code-review finding)
+    df = spark.createDataFrame(
+        [(1, "hi there"), (2, "foo bar"), (3, "a b c d e f g")],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signature(df, "doc_id", "text", shingle_n=3)
+    by_id = {r["doc_id"]: r["signature"] for r in sigs.collect()}
+    assert by_id[1] is None and by_id[2] is None and by_id[3] is not None
+    assert minhash_lsh_pairs(sigs, "doc_id").count() == 0

@@ -31,7 +31,7 @@ def test_skip_does_not_block_none_failed():
     results = p.run()
     assert results["upload"] is TaskStatus.SKIPPED
     assert results["dims"] is TaskStatus.SUCCESS  # none_failed tolerates skip
-    assert results["strict"] is TaskStatus.UPSTREAM_FAILED  # all_success does not
+    assert results["strict"] is TaskStatus.SKIPPED  # all_success propagates skip
 
 
 def test_failure_blocks_downstream():
