@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "q37_sink_roundtrip",
     "q38_regional_revenue",
     "q39_small_quantity_parts",
+    "q40_near_dedup",
 ]
 
 

@@ -177,6 +177,89 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return summed.select(F.col(id_col), fingerprint.alias("simhash"))
 
 
+def connected_components(
+    pairs: DataFrame,
+    ids: DataFrame,
+    id_col: str,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(id, component) — connected components over an undirected pair list
+    by iterative min-label propagation: every node repeatedly adopts the
+    smallest label among itself and its neighbors until a fixpoint.
+
+    Converges in O(graph diameter) rounds — near-dup graphs are unions of
+    small cliques (diameter ~1-2), so 3-4 rounds in practice; each round
+    is one join + one groupBy on the node id.  ``max_iterations`` bounds
+    pathological chains.  Labels persist per round to cut lineage growth.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+    )
+    labels = ids.select(F.col(id_col).alias("node"), F.col(id_col).alias("component"))
+    for _ in range(max_iterations):
+        labels = labels.persist()
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", "component")
+                ).alias("component"),
+            )
+        )
+        updated = updated.persist()
+        changed = (
+            updated.join(labels.withColumnRenamed("component", "old"), "node")
+            .filter(F.col("component") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = updated
+        if changed == 0:
+            break
+    out = labels.select(F.col("node").alias(id_col), "component")
+    labels.unpersist()
+    return out
+
+
+def dedup_near(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Transitive near-duplicate removal: MinHash -> LSH candidates ->
+    signature-verified pairs -> connected components -> keep the min-id
+    doc per component.  Docs too short to shingle are always kept (no
+    signature, never candidates)."""
+    sigs = minhash_signature(df, id_col, text_col, num_hashes, shingle_n).persist()
+    candidates = minhash_lsh_pairs(sigs, id_col, num_bands)
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("_sa"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("_sb"))
+    verified = (
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(estimate_jaccard(F.col("_sa"), F.col("_sb")) >= threshold)
+        .select("id_a", "id_b")
+    )
+    components = connected_components(verified, df.select(id_col), id_col)
+    keepers = components.groupBy("component").agg(F.min(id_col).alias(id_col))
+    return df.join(keepers.select(id_col), on=id_col, how="left_semi")
+
+
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit fingerprints (popcount of XOR)."""
     return F.bit_count(a.bitwiseXOR(b))

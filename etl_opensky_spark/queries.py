@@ -1012,6 +1012,19 @@ WHERE l.l_quantity < 0.2 * a.avg_qty
 """
 
 
+def q40_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dedup end-to-end: MinHash -> LSH -> verify ->
+    connected components -> keep min id per cluster (rows-only: xxhash64
+    basis).  Returns the per-language survivor counts."""
+    from etl_opensky_spark.functions.dedup import dedup_near
+
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    survivors = dedup_near(docs, "doc_id", "text", threshold=0.5)
+    return survivors.groupBy("lang").agg(F.count("*").alias("n_docs"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -1052,6 +1065,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q37_sink_roundtrip": q37_sink_roundtrip,
     "q38_regional_revenue": q38_regional_revenue,
     "q39_small_quantity_parts": q39_small_quantity_parts,
+    "q40_near_dedup": q40_near_dedup,
 }
 
 ORACLES: dict[str, str] = {

@@ -261,3 +261,36 @@ def test_minhash_short_docs_no_false_pairs(spark):
     by_id = {r["doc_id"]: r["signature"] for r in sigs.collect()}
     assert by_id[1] is None and by_id[2] is None and by_id[3] is not None
     assert minhash_lsh_pairs(sigs, "doc_id").count() == 0
+
+
+def test_connected_components_transitive(spark):
+    from etl_opensky_spark.functions.dedup import connected_components
+
+    # chain 1-2-3 plus isolated 4 and pair 5-6
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    ids = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+    got = dict(
+        (r["doc_id"], r["component"])
+        for r in connected_components(pairs, ids, "doc_id").collect()
+    )
+    assert got[1] == got[2] == got[3] == 1  # transitive closure
+    assert got[4] == 4                      # isolated keeps own label
+    assert got[5] == got[6] == 5
+
+
+def test_dedup_near_transitive_keeps_one_per_cluster(spark):
+    from etl_opensky_spark.functions.dedup import dedup_near
+
+    base = "the quick brown fox jumps over the lazy dog and keeps running far away"
+    rows = [
+        (1, base),
+        (2, base + " x"),          # near-dup of 1
+        (3, base + " x y"),        # near-dup of 2 (and transitively of 1)
+        (4, "completely different content about spark partitions and shuffles here"),
+        (5, "too short"),          # unshingleable: always kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(r["doc_id"] for r in dedup_near(df, "doc_id", "text", threshold=0.4).collect())
+    assert kept == [1, 4, 5]
