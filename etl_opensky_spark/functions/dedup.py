@@ -21,6 +21,10 @@ from pyspark.sql import functions as F
 
 from etl_opensky_spark.functions.text import fingerprint_md5, tokenize, word_shingles
 
+#: below this edge count, connected components solves on the driver
+#: (union-find) instead of paying per-round distributed scheduling
+SMALL_GRAPH_EDGES = 1_000_000
+
 
 def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Keep one row per exact (canonicalized) text: the min id wins.
@@ -187,10 +191,13 @@ def connected_components(
     by iterative min-label propagation: every node repeatedly adopts the
     smallest label among itself and its neighbors until a fixpoint.
 
-    Converges in O(graph diameter) rounds — near-dup graphs are unions of
-    small cliques (diameter ~1-2), so 3-4 rounds in practice; each round
-    is one join + one groupBy on the node id.  ``max_iterations`` bounds
-    pathological chains.  Labels persist per round to cut lineage growth.
+    Hybrid execution: below ``SMALL_GRAPH_EDGES`` the edge list is
+    collected and solved with driver-side union-find (a few hundred
+    near-dup pairs do not deserve N Spark rounds of scheduling overhead);
+    above it, iterative distributed min-label propagation — O(diameter)
+    rounds, each one join + one groupBy on the node id, labels persisted
+    per round to cut lineage growth.  ``max_iterations`` bounds
+    pathological chains.
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -198,7 +205,39 @@ def connected_components(
             pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
         )
         .distinct()
+        .persist()
     )
+    if edges.count() <= SMALL_GRAPH_EDGES:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        touched = set()
+        for row in edges.collect():
+            touched.add(row["src"])
+            touched.add(row["dst"])
+            ra, rb = find(row["src"]), find(row["dst"])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        edges.unpersist()
+        # only edge-touched nodes need a mapping; everyone else is a
+        # singleton — ids stays distributed (it may be the whole corpus)
+        spark = ids.sparkSession
+        id_type = dict(ids.dtypes)[id_col]
+        mapping = spark.createDataFrame(
+            [(n, find(n)) for n in sorted(touched)],
+            f"{id_col} {id_type}, _mapped {id_type}",
+        )
+        return ids.join(F.broadcast(mapping), on=id_col, how="left").select(
+            F.col(id_col),
+            F.coalesce("_mapped", id_col).alias("component"),
+        )
     labels = ids.select(F.col(id_col).alias("node"), F.col(id_col).alias("component"))
     for _ in range(max_iterations):
         labels = labels.persist()
@@ -254,10 +293,33 @@ def dedup_near(
         .join(sb, "id_b")
         .filter(estimate_jaccard(F.col("_sa"), F.col("_sb")) >= threshold)
         .select("id_a", "id_b")
+    ).persist()
+    # full count (not isEmpty): materializes the verified cache in ONE pass
+    # — a limit-1 probe would leave the cache partial and re-run the whole
+    # signature pipeline on the next action
+    if verified.count() == 0:  # common case: clean corpus -> skip the CC loop
+        sigs.unpersist()
+        verified.unpersist()
+        return df
+    # components only over the pair SUBGRAPH — every doc outside it is a
+    # trivial singleton; the subgraph is |pairs|-sized, not corpus-sized
+    pair_nodes = (
+        verified.select(F.col("id_a").alias(id_col))
+        .unionByName(verified.select(F.col("id_b").alias(id_col)))
+        .distinct()
     )
-    components = connected_components(verified, df.select(id_col), id_col)
-    keepers = components.groupBy("component").agg(F.min(id_col).alias(id_col))
-    return df.join(keepers.select(id_col), on=id_col, how="left_semi")
+    components = connected_components(verified, pair_nodes, id_col)
+    losers = (
+        components.withColumn(
+            "_keep", F.min(id_col).over(Window.partitionBy("component"))
+        )
+        .filter(F.col(id_col) != F.col("_keep"))
+        .select(id_col)
+    )
+    out = df.join(losers, on=id_col, how="left_anti")
+    sigs.unpersist()
+    verified.unpersist()
+    return out
 
 
 def hamming64(a: Column, b: Column) -> Column:
