@@ -181,6 +181,21 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return summed.select(F.col(id_col), fingerprint.alias("simhash"))
 
 
+def _union_find():
+    """Driver-side union-find with path compression: returns (parent, find)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    return parent, find
+
+
 def connected_components(
     pairs: DataFrame,
     ids: DataFrame,
@@ -208,16 +223,7 @@ def connected_components(
         .persist()
     )
     if edges.count() <= SMALL_GRAPH_EDGES:
-        parent: dict = {}
-
-        def find(x):
-            root = x
-            while parent.get(root, root) != root:
-                root = parent[root]
-            while parent.get(x, x) != x:  # path compression
-                parent[x], x = root, parent[x]
-            return root
-
+        parent, find = _union_find()
         touched = set()
         for row in edges.collect():
             touched.add(row["src"])
@@ -297,26 +303,42 @@ def dedup_near(
     # full count (not isEmpty): materializes the verified cache in ONE pass
     # — a limit-1 probe would leave the cache partial and re-run the whole
     # signature pipeline on the next action
-    if verified.count() == 0:  # common case: clean corpus -> skip the CC loop
-        sigs.unpersist()
-        verified.unpersist()
-        return df
-    # components only over the pair SUBGRAPH — every doc outside it is a
-    # trivial singleton; the subgraph is |pairs|-sized, not corpus-sized
-    pair_nodes = (
-        verified.select(F.col("id_a").alias(id_col))
-        .unionByName(verified.select(F.col("id_b").alias(id_col)))
-        .distinct()
-    )
-    components = connected_components(verified, pair_nodes, id_col)
-    losers = (
-        components.withColumn(
-            "_keep", F.min(id_col).over(Window.partitionBy("component"))
+    n_pairs = verified.count()
+    spark = df.sparkSession
+    id_type = dict(df.dtypes)[id_col]
+    if n_pairs <= SMALL_GRAPH_EDGES:
+        # resolve clusters driver-side in one pass: collect the (tiny)
+        # verified pair list, union-find, anti-join the losers — avoids
+        # half a dozen scheduled jobs for a few hundred rows
+        parent, find = _union_find()
+        touched = set()
+        for row in verified.collect():
+            a, b = row["id_a"], row["id_b"]
+            touched.update((a, b))
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        loser_ids = [n for n in touched if find(n) != n]
+        losers = spark.createDataFrame(
+            [(n,) for n in sorted(loser_ids)], f"{id_col} {id_type}"
         )
-        .filter(F.col(id_col) != F.col("_keep"))
-        .select(id_col)
-    )
-    out = df.join(losers, on=id_col, how="left_anti")
+    else:
+        # components only over the pair SUBGRAPH — every doc outside it is
+        # a trivial singleton; the subgraph is |pairs|-sized, not corpus-sized
+        pair_nodes = (
+            verified.select(F.col("id_a").alias(id_col))
+            .unionByName(verified.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        components = connected_components(verified, pair_nodes, id_col)
+        losers = (
+            components.withColumn(
+                "_keep", F.min(id_col).over(Window.partitionBy("component"))
+            )
+            .filter(F.col(id_col) != F.col("_keep"))
+            .select(id_col)
+        )
+    out = df.join(F.broadcast(losers), on=id_col, how="left_anti")
     sigs.unpersist()
     verified.unpersist()
     return out
