@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "q38_regional_revenue",
     "q39_small_quantity_parts",
     "q40_near_dedup",
+    "q41_train_test_split",
 ]
 
 

@@ -1025,6 +1025,34 @@ def q40_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.groupBy("lang").agg(F.count("*").alias("n_docs"))
 
 
+def q41_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bucket train/val/test split over documents —
+    reproducible across engines (md5 buckets), oracle-checked."""
+    from etl_opensky_spark.functions.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    split = hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return split.groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("min_id")
+    )
+
+
+ORACLE_Q41 = """
+WITH b AS (
+  SELECT doc_id, lang,
+    CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 10000 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 1000 THEN 'test'
+            WHEN bucket < 9000 THEN 'train'
+            ELSE 'val' END AS split,
+  lang, COUNT(*) AS n_docs, MIN(doc_id) AS min_id
+FROM b GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -1066,6 +1094,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q38_regional_revenue": q38_regional_revenue,
     "q39_small_quantity_parts": q39_small_quantity_parts,
     "q40_near_dedup": q40_near_dedup,
+    "q41_train_test_split": q41_train_test_split,
 }
 
 ORACLES: dict[str, str] = {
@@ -1102,6 +1131,7 @@ ORACLES: dict[str, str] = {
     "q36_corpus_clean": ORACLE_Q36,
     "q37_sink_roundtrip": ORACLE_Q37,
     "q38_regional_revenue": ORACLE_Q38,
+    "q41_train_test_split": ORACLE_Q41,
     "q39_small_quantity_parts": ORACLE_Q39,
     # q25/q26: xxhash64-based — not reproducible in DuckDB (rows-only check)
     # q28: approximate by design (rows-only)

@@ -294,3 +294,47 @@ def test_dedup_near_transitive_keeps_one_per_cluster(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     kept = sorted(r["doc_id"] for r in dedup_near(df, "doc_id", "text", threshold=0.4).collect())
     assert kept == [1, 4, 5]
+
+
+def test_hash_split_deterministic_partition(spark):
+    from etl_opensky_spark.functions.sampling import hash_split
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], "doc_id long")
+    split = hash_split(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    rows = split.collect()
+    # total partition: every row labeled, once
+    assert len(rows) == 1000
+    counts = {}
+    for r in rows:
+        counts[r["split"]] = counts.get(r["split"], 0) + 1
+    assert set(counts) <= {"train", "val", "test"}
+    assert counts["train"] > counts.get("val", 0)
+    assert counts["train"] > counts.get("test", 0)
+    # deterministic: recomputing yields the identical assignment
+    again = {r["doc_id"]: r["split"] for r in hash_split(
+        df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    first = {r["doc_id"]: r["split"] for r in rows}
+    assert first == again
+
+
+def test_hash_split_rejects_bad_weights(spark):
+    import pytest as _pytest
+    from etl_opensky_spark.functions.sampling import hash_split
+
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with _pytest.raises(ValueError):
+        hash_split(df, "doc_id", {"train": 0.5, "test": 0.1})
+
+
+def test_stratified_sample_fraction(spark):
+    from etl_opensky_spark.functions.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(2000)], "id long, s string"
+    )
+    out = stratified_sample(df, "s", {"a": 0.1, "b": 0.5}, seed=7)
+    got = {r["s"]: r["n"] for r in out.groupBy("s").agg(
+        __import__("pyspark.sql.functions", fromlist=["F"]).count("*").alias("n")
+    ).collect()}
+    assert 40 <= got.get("a", 0) <= 180
+    assert 350 <= got.get("b", 0) <= 650
