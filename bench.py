@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "q39_small_quantity_parts",
     "q40_near_dedup",
     "q41_train_test_split",
+    "q42_embedding_dedup",
 ]
 
 

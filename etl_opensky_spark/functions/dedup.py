@@ -304,6 +304,22 @@ def dedup_near(
     # — a limit-1 probe would leave the cache partial and re-run the whole
     # signature pipeline on the next action
     n_pairs = verified.count()
+    out = df.join(
+        F.broadcast(_transitive_losers(df, verified, id_col, n_pairs)),
+        on=id_col,
+        how="left_anti",
+    )
+    sigs.unpersist()
+    verified.unpersist()
+    return out
+
+
+def _transitive_losers(
+    df: DataFrame, verified: DataFrame, id_col: str, n_pairs: int
+) -> DataFrame:
+    """Ids to drop so each connected component of ``verified`` pairs keeps
+    only its min id.  Driver union-find under ``SMALL_GRAPH_EDGES``,
+    distributed components above (subgraph-sized, never corpus-sized)."""
     spark = df.sparkSession
     id_type = dict(df.dtypes)[id_col]
     if n_pairs <= SMALL_GRAPH_EDGES:
@@ -319,7 +335,7 @@ def dedup_near(
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
         loser_ids = [n for n in touched if find(n) != n]
-        losers = spark.createDataFrame(
+        return spark.createDataFrame(
             [(n,) for n in sorted(loser_ids)], f"{id_col} {id_type}"
         )
     else:
@@ -331,15 +347,74 @@ def dedup_near(
             .distinct()
         )
         components = connected_components(verified, pair_nodes, id_col)
-        losers = (
+        return (
             components.withColumn(
                 "_keep", F.min(id_col).over(Window.partitionBy("component"))
             )
             .filter(F.col(id_col) != F.col("_keep"))
             .select(id_col)
         )
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    hyperplanes=None,
+) -> DataFrame:
+    """(id_a, id_b) with id_a < id_b and cosine(vec_a, vec_b) >= threshold.
+
+    ``hyperplanes=None`` -> exact all-pairs comparison: a nested-loop self
+    join, O(n^2) cosine evaluations — correct at any threshold but only
+    viable for modest n (or input pre-blocked by some partition key).
+    With ``hyperplanes`` (see ``similarity.make_hyperplanes``): vectors are
+    bucketed by LSH signature and the self-join becomes an equi-join on
+    the bucket — Spark shuffles on the bucket key only and the quadratic
+    verify runs inside buckets, the same candidate-generation shape as
+    MinHash-LSH.  Recall < 1 per table; union pairs from several plane
+    sets to raise it.
+    """
+    from etl_opensky_spark.functions.similarity import cosine, hyperplane_bucket
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    if hyperplanes is None:
+        cand = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        a = a.withColumn("_bkt", hyperplane_bucket(F.col("_va"), hyperplanes))
+        b = b.withColumn("_bkt", hyperplane_bucket(F.col("_vb"), hyperplanes))
+        cand = a.join(b, "_bkt").filter(F.col("id_a") < F.col("id_b"))
+    return cand.filter(
+        cosine(F.col("_va"), F.col("_vb")) >= F.lit(float(threshold))
+    ).select("id_a", "id_b")
+
+
+def dedup_embedding(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    hyperplanes=None,
+    transitive: bool = True,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate removal.
+
+    ``transitive=True``: connected components over the dup-pair graph,
+    keep the min id per component (same clustering semantics as
+    ``dedup_near``).  ``transitive=False``: greedy earlier-doc-wins — drop
+    every row that has ANY lower-id row with cosine >= threshold
+    (SQL-expressible as NOT EXISTS, which is what the oracle gate checks).
+    """
+    verified = embedding_dup_pairs(
+        df, id_col, vec_col, threshold, hyperplanes
+    ).persist()
+    if transitive:
+        n_pairs = verified.count()
+        losers = _transitive_losers(df, verified, id_col, n_pairs)
+    else:
+        losers = verified.select(F.col("id_b").alias(id_col)).distinct()
     out = df.join(F.broadcast(losers), on=id_col, how="left_anti")
-    sigs.unpersist()
     verified.unpersist()
     return out
 

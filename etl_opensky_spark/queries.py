@@ -1053,6 +1053,36 @@ FROM b GROUP BY 1, 2
 """
 
 
+def q42_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dedup, greedy earlier-doc-wins mode: keep a
+    vector iff no lower-id vector has cosine >= 0.45.  Exact all-pairs
+    verify (input explicitly capped to vec_id < 1000 so the O(n^2) gate
+    stays cheap at every SF; the op's LSH-bucketed path is the scale
+    route).  Threshold sits >= 1.6e-4 from every actual pair cosine, so
+    engine-order float summation cannot flip a comparison."""
+    from etl_opensky_spark.functions.dedup import dedup_embedding
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
+    kept = dedup_embedding(
+        emb, "vec_id", "embedding", threshold=0.45, transitive=False
+    )
+    return kept.select("vec_id")
+
+
+ORACLE_Q42 = """
+SELECT a.vec_id
+FROM embeddings a
+WHERE a.vec_id < 1000 AND NOT EXISTS (
+  SELECT 1 FROM embeddings b
+  WHERE b.vec_id < a.vec_id AND b.vec_id < 1000
+    AND list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+           * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+        >= 0.45
+)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -1095,6 +1125,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q39_small_quantity_parts": q39_small_quantity_parts,
     "q40_near_dedup": q40_near_dedup,
     "q41_train_test_split": q41_train_test_split,
+    "q42_embedding_dedup": q42_embedding_dedup,
 }
 
 ORACLES: dict[str, str] = {
@@ -1132,6 +1163,7 @@ ORACLES: dict[str, str] = {
     "q37_sink_roundtrip": ORACLE_Q37,
     "q38_regional_revenue": ORACLE_Q38,
     "q41_train_test_split": ORACLE_Q41,
+    "q42_embedding_dedup": ORACLE_Q42,
     "q39_small_quantity_parts": ORACLE_Q39,
     # q25/q26: xxhash64-based — not reproducible in DuckDB (rows-only check)
     # q28: approximate by design (rows-only)

@@ -338,3 +338,54 @@ def test_stratified_sample_fraction(spark):
     ).collect()}
     assert 40 <= got.get("a", 0) <= 180
     assert 350 <= got.get("b", 0) <= 650
+
+
+def _unit(v):
+    import math
+    n = math.sqrt(sum(x * x for x in v))
+    return [x / n for x in v]
+
+
+def test_dedup_embedding_greedy_vs_transitive(spark):
+    from etl_opensky_spark.functions.dedup import dedup_embedding
+
+    # 1 and 3 similar, 2 and 3 similar, but 1 and 2 NOT similar:
+    # transitive clusters {1,2,3} -> keep 1; greedy drops only 3
+    # (2 has no similar LOWER id: cos(1,2) < threshold).
+    rows = [
+        (1, _unit([1.0, 0.0, 0.25])),
+        (2, _unit([0.0, 1.0, 0.25])),
+        (3, _unit([1.0, 1.0, 0.35])),
+        (4, _unit([-1.0, 0.5, -0.3])),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    greedy = sorted(
+        r["vec_id"]
+        for r in dedup_embedding(df, threshold=0.7, transitive=False).collect()
+    )
+    assert greedy == [1, 2, 4]
+    transitive = sorted(
+        r["vec_id"]
+        for r in dedup_embedding(df, threshold=0.7, transitive=True).collect()
+    )
+    assert transitive == [1, 4]
+
+
+def test_embedding_dup_pairs_lsh_subset_of_exact(spark):
+    from etl_opensky_spark.functions.dedup import embedding_dup_pairs
+    from etl_opensky_spark.functions.similarity import make_hyperplanes
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_dup_pairs(emb, threshold=0.45).collect()
+    }
+    assert len(exact) == 7  # known pair count at sf0.001 / t=0.45
+    planes = make_hyperplanes(dim=64, num=2, seed=42)
+    bucketed = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_dup_pairs(
+            emb, threshold=0.45, hyperplanes=planes
+        ).collect()
+    }
+    assert bucketed <= exact  # LSH candidates never invent pairs
