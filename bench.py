@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "q40_near_dedup",
     "q41_train_test_split",
     "q42_embedding_dedup",
+    "q43_rolling_fingerprint",
 ]
 
 

@@ -56,6 +56,49 @@ def assign_clusters(
     ).drop("_dists")
 
 
+def assign_clusters_vectorized(
+    embeddings: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    vec_col: str = "embedding",
+    out_col: str = "cluster_id",
+) -> DataFrame:
+    """Nearest-centroid assignment via Arrow-batched numpy — the large-k
+    path.
+
+    ``assign_clusters`` compiles k x dim literal nodes into the plan: fine
+    for k <= ~16, but a production IVF index (k = 1024+, dim = 768) would
+    be a million-node expression tree that Catalyst chokes on.  Here the
+    centroid matrix rides inside the mapInPandas closure (k x dim floats,
+    task-broadcast once) and each Arrow batch does ONE numpy matmul:
+    argmin_c(|v|^2 - 2 v.C^T + |c|^2), identical ties-to-lowest-id
+    semantics via argmin's first-match rule.  Still a narrow map — no
+    shuffle, composes with the same ivf_topk/bucketed-write downstream.
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    cmat = np.asarray(centroids, dtype=np.float64)  # k x dim
+    c_sq = (cmat * cmat).sum(axis=1)  # |c|^2 per centroid
+
+    out_schema = T.StructType(
+        embeddings.schema.fields + [T.StructField(out_col, T.IntegerType())]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf):
+                v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                # |v-c|^2 = |v|^2 - 2 v.c + |c|^2; |v|^2 constant per row,
+                # so argmin needs only the cross term and |c|^2
+                d = c_sq[None, :] - 2.0 * (v @ cmat.T)
+                pdf = pdf.assign(**{out_col: d.argmin(axis=1).astype("int32")})
+            else:
+                pdf = pdf.assign(**{out_col: np.array([], dtype="int32")})
+            yield pdf
+
+    return embeddings.mapInPandas(assign, schema=out_schema)
+
+
 def train_centroids(
     embeddings: DataFrame,
     k: int,

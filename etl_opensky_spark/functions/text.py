@@ -117,6 +117,26 @@ def fingerprint_md5(col: Column) -> Column:
     return F.md5(canon)
 
 
+def fingerprint_rolling(
+    col: Column, base: int = 31, mod: int = 1_000_000_007
+) -> Column:
+    """Polynomial rolling hash (Rabin-Karp form) over codepoints:
+    ``h = fold(h*base + codepoint) mod m``.
+
+    Unlike md5 this is incrementally maintainable (append a char = one
+    multiply-add), which is what chunk/window fingerprinting pipelines
+    want.  Pure integer arithmetic in JVM expressions — cross-engine
+    reproducible bit-for-bit (DuckDB ``list_reduce``; verified incl.
+    non-ASCII and surrogate-pair codepoints).  Keep ``mod`` below
+    2^63 / (base + max_codepoint) so the fold never overflows signed 64.
+    """
+    return F.aggregate(
+        F.split(col, ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * F.lit(base) + F.ascii(ch)) % F.lit(mod),
+    )
+
+
 def word_shingles(col: Column, n: int) -> Column:
     """Array of word n-gram shingles (space-joined), empty array when the
     text has fewer than ``n`` tokens."""

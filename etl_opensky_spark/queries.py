@@ -1083,6 +1083,37 @@ WHERE a.vec_id < 1000 AND NOT EXISTS (
 """
 
 
+def q43_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp rolling fingerprint per document — integer polynomial
+    hash, bit-for-bit reproducible across engines (DuckDB list_reduce
+    oracle), plus a per-language distinct-fingerprint rollup."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = docs.select(
+        "lang", TX.fingerprint_rolling(F.col("text")).alias("fp")
+    )
+    return fp.groupBy("lang").agg(
+        F.count_distinct("fp").alias("n_distinct"),
+        F.min("fp").alias("min_fp"),
+        F.max("fp").alias("max_fp"),
+        (F.sum("fp") % F.lit(1_000_000_007)).alias("fp_sum_mod"),
+    )
+
+
+ORACLE_Q43 = """
+WITH fp AS (
+  SELECT lang,
+    list_reduce(
+      list_prepend(0::BIGINT,
+        list_transform(regexp_split_to_array(text, ''), c -> ascii(c)::BIGINT)),
+      (acc, ch) -> (acc * 31 + ch) % 1000000007) AS fp
+  FROM documents
+)
+SELECT lang, COUNT(DISTINCT fp) AS n_distinct, MIN(fp) AS min_fp,
+  MAX(fp) AS max_fp, (SUM(fp) % 1000000007)::BIGINT AS fp_sum_mod
+FROM fp GROUP BY lang
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -1126,6 +1157,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q40_near_dedup": q40_near_dedup,
     "q41_train_test_split": q41_train_test_split,
     "q42_embedding_dedup": q42_embedding_dedup,
+    "q43_rolling_fingerprint": q43_rolling_fingerprint,
 }
 
 ORACLES: dict[str, str] = {
@@ -1164,6 +1196,7 @@ ORACLES: dict[str, str] = {
     "q38_regional_revenue": ORACLE_Q38,
     "q41_train_test_split": ORACLE_Q41,
     "q42_embedding_dedup": ORACLE_Q42,
+    "q43_rolling_fingerprint": ORACLE_Q43,
     "q39_small_quantity_parts": ORACLE_Q39,
     # q25/q26: xxhash64-based — not reproducible in DuckDB (rows-only check)
     # q28: approximate by design (rows-only)

@@ -389,3 +389,22 @@ def test_embedding_dup_pairs_lsh_subset_of_exact(spark):
         ).collect()
     }
     assert bucketed <= exact  # LSH candidates never invent pairs
+
+
+def test_fingerprint_rolling_known_values(spark):
+    from etl_opensky_spark.functions.text import fingerprint_rolling
+
+    # hand-checked against the Rabin-Karp fold and the DuckDB list_reduce
+    # formulation (incl. non-ASCII + surrogate-pair codepoints)
+    texts = ["hello world", "a", "", "日本語テキスト", "emoji 🙂 test"]
+    expected = [204910434, 97, 0, 842898328, 53892324]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    got = {
+        r["id"]: r["h"]
+        for r in df.select(
+            "id", fingerprint_rolling(F.col("text")).alias("h")
+        ).collect()
+    }
+    assert [got[i] for i in range(len(texts))] == expected

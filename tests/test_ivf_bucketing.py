@@ -73,3 +73,34 @@ def test_bucketed_join_has_no_shuffle(spark):
         assert joined.count() == 1000
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+
+
+def test_vectorized_assignment_matches_expression_path(spark, clustered_vectors):
+    from etl_opensky_spark.functions.ivf import assign_clusters_vectorized
+
+    centroids = train_centroids(clustered_vectors, k=2, iterations=4)
+    expr = {
+        r["vec_id"]: r["cluster_id"]
+        for r in assign_clusters(clustered_vectors, centroids).collect()
+    }
+    vec = {
+        r["vec_id"]: r["cluster_id"]
+        for r in assign_clusters_vectorized(clustered_vectors, centroids).collect()
+    }
+    assert expr == vec
+
+
+def test_vectorized_assignment_matches_on_real_embeddings(spark):
+    from etl_opensky_spark.functions.ivf import assign_clusters_vectorized
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    centroids = train_centroids(emb, k=8, iterations=2)
+    expr = {
+        r["vec_id"]: r["cluster_id"]
+        for r in assign_clusters(emb, centroids).collect()
+    }
+    vec = {
+        r["vec_id"]: r["cluster_id"]
+        for r in assign_clusters_vectorized(emb, centroids).collect()
+    }
+    assert expr == vec

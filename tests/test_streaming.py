@@ -86,3 +86,76 @@ def test_append_missing_sink_idempotent(spark, events_dir, tmp_path):
     out = spark.read.parquet(target)
     # duplicates collapsed by the EXCEPT, second full replay added nothing
     assert out.count() == 4
+
+
+def test_decode_kafka_records_static(spark):
+    import json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from etl_opensky_spark.streaming.kafka import (
+        KAFKA_WIRE_SCHEMA,
+        decode_kafka_records,
+    )
+
+    import datetime as dt
+
+    value_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    ts = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (None, json.dumps({"event_id": 1, "event_type": "a"}).encode(),
+         "t", 0, 100, ts, 0),
+        (None, b"not json at all", "t", 0, 101, ts, 0),
+    ]
+    wire = spark.createDataFrame(rows, KAFKA_WIRE_SCHEMA)
+    out = decode_kafka_records(wire, value_schema).collect()
+    good = [r for r in out if not r["is_corrupt"]]
+    bad = [r for r in out if r["is_corrupt"]]
+    assert len(good) == 1 and good[0]["event_id"] == 1
+    assert good[0]["offset"] == 100 and good[0]["topic"] == "t"
+    assert len(bad) == 1 and bad[0]["event_id"] is None
+
+
+def test_decode_kafka_records_composes_with_windowed_counts(spark):
+    """The decoded stream feeds the same windowed agg as any other source
+    — proves the adapter is source-agnostic (memory source stand-in)."""
+    import json
+
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from etl_opensky_spark.streaming.daily import windowed_counts
+    from etl_opensky_spark.streaming.kafka import (
+        KAFKA_WIRE_SCHEMA,
+        decode_kafka_records,
+    )
+
+    value_schema = T.StructType([T.StructField("event_type", T.StringType())])
+    rows = [
+        (None, json.dumps({"event_type": k}).encode(), "t", 0, i,
+         dt.datetime(2024, 1, 1 + d, 6), 0)
+        for i, (k, d) in enumerate([("a", 0), ("a", 0), ("b", 0), ("a", 1)])
+    ]
+    wire = spark.createDataFrame(rows, KAFKA_WIRE_SCHEMA)
+    decoded = decode_kafka_records(wire, value_schema, ts_col="ts")
+    got = {
+        (r["window_start"].day, r["event_type"]): r["n"]
+        for r in windowed_counts(decoded, ts_col="ts").collect()
+    }
+    assert got == {(1, "a"): 2, (1, "b"): 1, (2, "a"): 1}
+
+
+def test_kafka_stream_raises_clear_error_without_connector(spark):
+    import pytest as _pytest
+
+    from etl_opensky_spark.streaming.kafka import kafka_stream
+
+    with _pytest.raises(RuntimeError, match="kafka connector unavailable"):
+        kafka_stream(spark, "localhost:9092", "topic")
