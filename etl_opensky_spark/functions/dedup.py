@@ -375,19 +375,108 @@ def embedding_dup_pairs(
     MinHash-LSH.  Recall < 1 per table; union pairs from several plane
     sets to raise it.
     """
-    from etl_opensky_spark.functions.similarity import cosine, hyperplane_bucket
+    from etl_opensky_spark.functions.similarity import (
+        dot,
+        dot_unrolled,
+        hyperplane_bucket,
+        norm,
+    )
 
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     if hyperplanes is None:
-        cand = a.join(b, F.col("id_a") < F.col("id_b"))
-    else:
-        a = a.withColumn("_bkt", hyperplane_bucket(F.col("_va"), hyperplanes))
-        b = b.withColumn("_bkt", hyperplane_bucket(F.col("_vb"), hyperplanes))
-        cand = a.join(b, "_bkt").filter(F.col("id_a") < F.col("id_b"))
-    return cand.filter(
-        cosine(F.col("_va"), F.col("_vb")) >= F.lit(float(threshold))
-    ).select("id_a", "id_b")
+        return _exact_pairs_matmul(df, id_col, vec_col, threshold)
+
+    # probe the (fixed) dimension once: the pair-verify dot product is the
+    # hot loop, and the unrolled codegen form needs dim at plan time
+    dim_row = df.select(F.size(F.col(vec_col)).alias("d")).head()
+    dim = dim_row["d"] if dim_row is not None else 0
+
+    def side(id_alias: str, vec_alias: str) -> DataFrame:
+        # normalize ONCE per row, norm materialized in its own projection:
+        # cosine(a, b) per PAIR then collapses to a single dot product.
+        # Inlining norm into the pair filter would re-evaluate 3 aggregates
+        # per pair (no CSE across higher-order lambdas) — measured ~10x
+        # slower on a 500k-pair verify.
+        return (
+            df.select(F.col(id_col).alias(id_alias), F.col(vec_col).alias("_v"))
+            .withColumn("_n", norm(F.col("_v")))
+            .select(
+                id_alias,
+                F.transform(
+                    "_v", lambda x: x.cast("double") / F.col("_n")
+                ).alias(vec_alias),
+            )
+        )
+
+    # bucket signs are scale-invariant, so bucketing the normalized
+    # vectors matches bucketing the originals
+    a = side("id_a", "_va").withColumn(
+        "_bkt", hyperplane_bucket(F.col("_va"), hyperplanes)
+    )
+    b = side("id_b", "_vb").withColumn(
+        "_bkt", hyperplane_bucket(F.col("_vb"), hyperplanes)
+    )
+    cand = a.join(b, "_bkt").filter(F.col("id_a") < F.col("id_b"))
+    pair_dot = (
+        dot_unrolled(F.col("_va"), F.col("_vb"), dim)
+        if 0 < dim <= 256
+        else dot(F.col("_va"), F.col("_vb"))
+    )
+    return cand.filter(pair_dot >= F.lit(float(threshold))).select(
+        "id_a", "id_b"
+    )
+
+
+def _exact_pairs_matmul(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold via distributed blocked matmul.
+
+    The O(n^2) similarity surface is dense linear algebra — JVM expression
+    trees evaluate it hundreds of times slower than one numpy matmul per
+    Arrow batch (measured: 1000 x 1000 x 64 took ~10s as a codegen'd
+    nested-loop join vs <1s here).  Shape: the driver collects and
+    broadcasts the NORMALIZED n x dim matrix (O(n*dim) — the exact mode's
+    documented bound, ~50 MB at n=100k/dim=64; beyond that use the LSH
+    mode), every task matmuls its own row block against it, so the O(n^2)
+    compute stays distributed and each task emits only its surviving
+    pairs.
+    """
+    import numpy as np
+
+    spark = df.sparkSession
+    side = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    rows = side.collect()
+    if not rows:
+        return spark.createDataFrame(
+            [], f"id_a {dict(df.dtypes)[id_col]}, id_b {dict(df.dtypes)[id_col]}"
+        )
+    ids = np.array([r["_id"] for r in rows], dtype=np.int64)
+    mat = np.stack([np.asarray(r["_v"], dtype=np.float64) for r in rows])
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    np.divide(mat, norms, out=mat, where=norms != 0)
+    bc = spark.sparkContext.broadcast((ids, mat))
+    thr = float(threshold)
+    id_type = dict(df.dtypes)[id_col]
+
+    def gen(batches):
+        import pandas as pd
+
+        all_ids, full = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            block = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            bn = np.linalg.norm(block, axis=1, keepdims=True)
+            np.divide(block, bn, out=block, where=bn != 0)
+            sims = block @ full.T
+            ia, jb = np.nonzero(sims >= thr)
+            a_ids, b_ids = pdf["_id"].to_numpy()[ia], all_ids[jb]
+            keep = a_ids < b_ids
+            yield pd.DataFrame({"id_a": a_ids[keep], "id_b": b_ids[keep]})
+
+    return side.repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(gen, f"id_a {id_type}, id_b {id_type}")
 
 
 def dedup_embedding(

@@ -27,6 +27,27 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """Dot product as an unrolled ``sum(a[i]*b[i])`` expression tree.
+
+    ``zip_with``/``aggregate`` lambdas are evaluated interpretively per
+    element (higher-order functions sit outside whole-stage codegen);
+    for a KNOWN dimension, 2*dim plain arithmetic nodes compile into the
+    generated code and run ~10x faster on pair-verify hot loops.  Same
+    left-to-right accumulation order as ``dot``, so results are
+    bit-identical.  Keep for dim <= a few hundred; beyond that expression
+    tree size wins go to the Arrow/numpy path.
+    """
+    terms = [
+        a.getItem(i).cast("double") * b.getItem(i).cast("double")
+        for i in range(dim)
+    ]
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = acc + t
+    return acc
+
+
 def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 

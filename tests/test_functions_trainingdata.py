@@ -408,3 +408,14 @@ def test_fingerprint_rolling_known_values(spark):
         ).collect()
     }
     assert [got[i] for i in range(len(texts))] == expected
+
+
+def test_dot_unrolled_bit_identical_to_fold(spark):
+    from etl_opensky_spark.functions.similarity import dot, dot_unrolled
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
+    pairs = emb.alias("a").crossJoin(emb.alias("b")).select(
+        dot(F.col("a.embedding"), F.col("b.embedding")).alias("fold"),
+        dot_unrolled(F.col("a.embedding"), F.col("b.embedding"), 64).alias("unrolled"),
+    )
+    assert pairs.filter(F.col("fold") != F.col("unrolled")).count() == 0
