@@ -33,11 +33,18 @@ def get_spark(
     shuffle_partitions: int | None = None,
     warehouse_dir: str | None = None,
     extra_conf: dict[str, str] | None = None,
+    hive_support: bool = False,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession with engine defaults.
 
     The confs mirror what we would set on a 1000-executor cluster; only
     master/memory are local-mode specific.
+
+    ``hive_support=True`` backs the catalog with a Hive metastore (the
+    reference's warehouse tier, src/config/config_services.py:40-48) —
+    embedded derby locally, thrift URI via ``extra_conf`` on a real
+    deployment.  The catalog implementation is fixed at the FIRST session
+    in a JVM, so tests exercise this in a subprocess.
     """
     builder = (
         SparkSession.builder.master(master or default_master())
@@ -62,6 +69,10 @@ def get_spark(
         builder = builder.config("spark.sql.warehouse.dir", warehouse_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
+    if hive_support:
+        builder = builder.config(
+            "spark.sql.catalogImplementation", "hive"
+        ).enableHiveSupport()
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

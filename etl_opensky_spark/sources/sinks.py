@@ -57,7 +57,25 @@ def write_table(
     """K2-K4 — save as a catalog table (parquet-backed ``saveAsTable``;
     the reference uses ``format("hive")`` against a metastore,
     src/jobs/load_fct_flights.py:112-116 — same observable surface via
-    ``spark.table(name)``)."""
+    ``spark.table(name)``).
+
+    ``mode="overwrite_partitions"``: rewrite ONLY the partitions present
+    in ``df`` (``INSERT OVERWRITE`` under ``partitionOverwriteMode=
+    dynamic``) — the scalable idempotent day re-load; plain ``overwrite``
+    via ``saveAsTable`` replaces the ENTIRE table, dynamic mode
+    notwithstanding (it only governs insertInto/INSERT OVERWRITE).
+    insertInto matches columns POSITIONALLY, so the frame is re-selected
+    into the table's column order first.  Falls back to table creation
+    when the target does not exist yet.
+    """
+    if mode == "overwrite_partitions":
+        spark = df.sparkSession
+        if spark.catalog.tableExists(name):
+            df.select(*spark.table(name).columns).write.insertInto(
+                name, overwrite=True
+            )
+            return
+        mode = "overwrite"
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)

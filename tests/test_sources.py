@@ -111,3 +111,28 @@ def test_rest_source_distributed(spark):
     out = src.distributed_frame(params_df, "flights/departure", ["airport", "begin", "end"])
     assert sorted(r["icao24"] for r in out.collect()) == ["acEDDF", "acEGLL"]
     assert out.schema == schemas.SRC_FLIGHTS
+
+
+def test_write_table_overwrite_partitions_in_memory_catalog(spark, tmp_path):
+    from etl_opensky_spark.sources.sinks import write_table
+
+    name = "t_owp"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    day1 = spark.createDataFrame([(1, 10), (2, 10)], "id long, d int")
+    day2 = spark.createDataFrame([(3, 20)], "id long, d int")
+    # first call creates the table (fallback path)
+    write_table(day1, name, mode="overwrite_partitions", partition_by=["d"])
+    write_table(day2, name, mode="append", partition_by=["d"])
+    # rewrite only partition d=10; d=20 must survive
+    redo = spark.createDataFrame([(9, 10)], "id long, d int")
+    write_table(redo, name, mode="overwrite_partitions", partition_by=["d"])
+    got = sorted((r["id"], r["d"]) for r in spark.table(name).collect())
+    assert got == [(3, 20), (9, 10)]
+    # column order robustness: insertInto re-selects into table order,
+    # so a (d, id)-ordered frame still lands in the right columns —
+    # and partition d=20 is rewritten (3 -> 11)
+    redo2 = spark.createDataFrame([(20, 11)], "d int, id long").select("d", "id")
+    write_table(redo2, name, mode="overwrite_partitions")
+    got2 = sorted((r["id"], r["d"]) for r in spark.table(name).collect())
+    assert got2 == [(9, 10), (11, 20)]
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
