@@ -63,6 +63,9 @@ BENCH_QUERIES = [
     "q41_train_test_split",
     "q42_embedding_dedup",
     "q43_rolling_fingerprint",
+    "q44_shipping_priority",
+    "q45_returned_items",
+    "q46_order_priority_check",
 ]
 
 
