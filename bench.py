@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "q44_shipping_priority",
     "q45_returned_items",
     "q46_order_priority_check",
+    "q47_moving_metrics",
 ]
 
 

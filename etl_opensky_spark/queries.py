@@ -1231,6 +1231,47 @@ ORDER BY o_orderpriority
 """
 
 
+def q47_moving_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window FRAME specs over events: per-user 3-event moving average
+    (ROWS frame, tie-broken ordering) and trailing-1-hour event count
+    (RANGE frame over epoch seconds — range frames need a numeric order
+    key).  One shuffle on user_id serves both windows."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 100)
+    epoch = F.unix_timestamp("ts")
+    w_rows = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 0)
+    )
+    w_range = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch)
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.avg("value").over(w_rows), 6).alias("mavg3"),
+        F.count("*").over(w_range).alias("cnt_1h"),
+    )
+
+
+ORACLE_Q47 = """
+SELECT event_id, user_id, ts,
+  ROUND(AVG(value) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mavg3,
+  COUNT(*) OVER (
+    PARTITION BY user_id ORDER BY epoch(ts)::BIGINT
+    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS cnt_1h
+FROM events
+WHERE user_id < 100
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -1278,6 +1319,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q44_shipping_priority": q44_shipping_priority,
     "q45_returned_items": q45_returned_items,
     "q46_order_priority_check": q46_order_priority_check,
+    "q47_moving_metrics": q47_moving_metrics,
 }
 
 ORACLES: dict[str, str] = {
@@ -1320,6 +1362,7 @@ ORACLES: dict[str, str] = {
     "q44_shipping_priority": ORACLE_Q44,
     "q45_returned_items": ORACLE_Q45,
     "q46_order_priority_check": ORACLE_Q46,
+    "q47_moving_metrics": ORACLE_Q47,
     "q39_small_quantity_parts": ORACLE_Q39,
     # q25/q26: xxhash64-based — not reproducible in DuckDB (rows-only check)
     # q28: approximate by design (rows-only)
