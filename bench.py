@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "q45_returned_items",
     "q46_order_priority_check",
     "q47_moving_metrics",
+    "q48_grouping_sets",
 ]
 
 

@@ -1272,6 +1272,40 @@ WHERE user_id < 100
 """
 
 
+def q48_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS through the SQL surface (S6: temp view +
+    spark.sql — the DataFrame API only exposes cube/rollup): priority x
+    status detail, priority subtotal, and grand total in ONE pass.
+    GROUPING() flags disambiguate real NULLs from subtotal rows."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_q48")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+          CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+          CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+          COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM v_orders_q48
+        GROUP BY GROUPING SETS (
+          (o_orderpriority, o_orderstatus), (o_orderpriority), ()
+        )
+        """
+    )
+
+
+ORACLE_Q48 = """
+SELECT o_orderpriority, o_orderstatus,
+  CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY GROUPING SETS (
+  (o_orderpriority, o_orderstatus), (o_orderpriority), ()
+)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -1320,6 +1354,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q45_returned_items": q45_returned_items,
     "q46_order_priority_check": q46_order_priority_check,
     "q47_moving_metrics": q47_moving_metrics,
+    "q48_grouping_sets": q48_grouping_sets,
 }
 
 ORACLES: dict[str, str] = {
@@ -1363,6 +1398,7 @@ ORACLES: dict[str, str] = {
     "q45_returned_items": ORACLE_Q45,
     "q46_order_priority_check": ORACLE_Q46,
     "q47_moving_metrics": ORACLE_Q47,
+    "q48_grouping_sets": ORACLE_Q48,
     "q39_small_quantity_parts": ORACLE_Q39,
     # q25/q26: xxhash64-based — not reproducible in DuckDB (rows-only check)
     # q28: approximate by design (rows-only)

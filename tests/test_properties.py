@@ -84,3 +84,68 @@ def test_fk_orphans_matches_set_semantics(spark, fact_keys, dim_keys):
     got = sorted(r["k"] for r in fk_orphans(fact, "k", dim, "pk").collect())
     expected = sorted(k for k in fact_keys if k is not None and k not in dim_keys)
     assert got == expected
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.integers(min_value=-(10**9), max_value=10**9),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    ),
+    st.sampled_from(
+        [
+            {"train": 0.8, "val": 0.1, "test": 0.1},
+            {"a": 0.5, "b": 0.5},
+            {"x": 1.0},
+        ]
+    ),
+)
+def test_hash_split_total_partition_and_stable(spark, keys, weights):
+    from etl_opensky_spark.functions.sampling import hash_split
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    out = {r["k"]: r["split"] for r in hash_split(df, "k", weights).collect()}
+    # total: every key labeled with a declared label
+    assert set(out) == set(keys)
+    assert set(out.values()) <= set(weights)
+    # stable: reversing input order changes nothing
+    df2 = spark.createDataFrame([(k,) for k in reversed(keys)], "k long")
+    out2 = {r["k"]: r["split"] for r in hash_split(df2, "k", weights).collect()}
+    assert out == out2
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),
+            st.integers(min_value=0, max_value=20),
+        ),
+        min_size=0,
+        max_size=15,
+    )
+)
+def test_greedy_embedding_losers_complement_of_pair_targets(spark, raw_pairs):
+    """Greedy mode keeps exactly the ids never appearing as the HIGHER id
+    of a dup pair — checked against driver-side set arithmetic by feeding
+    dedup_embedding vectors engineered so cosine>=t iff same group."""
+    from etl_opensky_spark.functions.dedup import dedup_embedding
+
+    # group each id by value: ids in the same group are exact duplicates
+    # (cosine 1), different groups orthogonal (cosine 0)
+    ids = sorted({i for p in raw_pairs for i in p} | {0, 1})
+    group = {i: i % 3 for i in ids}
+    vec = {0: [1.0, 0.0, 0.0], 1: [0.0, 1.0, 0.0], 2: [0.0, 0.0, 1.0]}
+    df = spark.createDataFrame(
+        [(i, vec[group[i]]) for i in ids], "vec_id long, embedding array<double>"
+    )
+    kept = sorted(
+        r["vec_id"]
+        for r in dedup_embedding(df, threshold=0.5, transitive=False).collect()
+    )
+    expected = sorted(
+        i for i in ids if not any(j < i and group[j] == group[i] for j in ids)
+    )
+    assert kept == expected
