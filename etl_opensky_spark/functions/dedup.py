@@ -479,6 +479,36 @@ def _exact_pairs_matmul(
     ).mapInPandas(gen, f"id_a {id_type}, id_b {id_type}")
 
 
+def embedding_dup_pairs_multi(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    num_tables: int = 4,
+    num_planes: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Union of LSH-bucketed pair sets over ``num_tables`` independent
+    hyperplane sets — the standard recall amplifier: a true dup pair is
+    missed only if it splits in EVERY table (miss prob p^L for per-table
+    miss p).  Each table is an independent equi-join on its own bucket
+    key; the union dedups on (id_a, id_b).  Precision is unaffected:
+    every candidate still passes the exact cosine verify.
+    """
+    from etl_opensky_spark.functions.similarity import make_hyperplanes
+
+    dim_row = df.select(F.size(F.col(vec_col)).alias("d")).head()
+    if dim_row is None:
+        return embedding_dup_pairs(df, id_col, vec_col, threshold, [[1.0]])
+    dim = dim_row["d"]
+    out = None
+    for t in range(num_tables):
+        planes = make_hyperplanes(dim=dim, num=num_planes, seed=seed + t)
+        pairs = embedding_dup_pairs(df, id_col, vec_col, threshold, planes)
+        out = pairs if out is None else out.unionByName(pairs)
+    return out.distinct()
+
+
 def dedup_embedding(
     df: DataFrame,
     id_col: str = "vec_id",

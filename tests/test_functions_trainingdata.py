@@ -419,3 +419,34 @@ def test_dot_unrolled_bit_identical_to_fold(spark):
         dot_unrolled(F.col("a.embedding"), F.col("b.embedding"), 64).alias("unrolled"),
     )
     assert pairs.filter(F.col("fold") != F.col("unrolled")).count() == 0
+
+
+def test_embedding_dup_pairs_multi_table_recall(spark):
+    from etl_opensky_spark.functions.dedup import (
+        embedding_dup_pairs,
+        embedding_dup_pairs_multi,
+    )
+    from etl_opensky_spark.functions.similarity import make_hyperplanes
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_dup_pairs(emb, threshold=0.45).collect()
+    }
+    one_table = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_dup_pairs(
+            emb, threshold=0.45,
+            hyperplanes=make_hyperplanes(dim=64, num=4, seed=42),
+        ).collect()
+    }
+    # shorter bucket keys + more tables -> structurally higher recall
+    multi = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_dup_pairs_multi(
+            emb, threshold=0.45, num_tables=6, num_planes=2, seed=42
+        ).collect()
+    }
+    # tables never invent pairs (exact verify inside buckets)
+    assert multi <= exact
+    assert len(multi) > len(one_table)  # recall actually amplified here

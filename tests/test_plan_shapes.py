@@ -84,3 +84,52 @@ def test_whole_stage_codegen_active(spark):
     df.collect()  # AQE finalizes the plan (and codegen spans) on execution
     # whole-stage-codegen'd operators are starred "*(n)" in the plan string
     assert "*(1)" in physical_plan(df)
+
+
+def _executed(df) -> str:
+    df.collect()  # finalize AQE
+    return physical_plan(df)
+
+
+def test_q44_all_joins_broadcast_no_sort_shuffle(spark):
+    """Q3-shape: every join broadcasts at gate scale; top-k is
+    TakeOrdered (per-partition heaps), never a global Exchange+Sort."""
+    from etl_opensky_spark.queries import QUERIES
+
+    plan = _executed(QUERIES["q44_shipping_priority"](spark, "/root/testdata/sf0.001"))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q46_exists_is_semi_join_no_aggregation_of_lineitem(spark):
+    """Q4-shape correlated EXISTS plans as a (broadcast) left-semi join —
+    no row multiplication, no distinct over lineitem."""
+    from etl_opensky_spark.queries import QUERIES
+
+    plan = _executed(QUERIES["q46_order_priority_check"](spark, "/root/testdata/sf0.001"))
+    assert "LeftSemi" in plan
+
+
+def test_q47_both_windows_share_one_shuffle(spark):
+    """ROWS and RANGE frames both partition by user_id: one exchange
+    serves both window operators."""
+    from etl_opensky_spark.queries import QUERIES
+
+    # AQE's toString appends the initial plan after the final one —
+    # count exchanges in the final plan only
+    plan = _executed(
+        QUERIES["q47_moving_metrics"](spark, "/root/testdata/sf0.001")
+    ).split("== Initial Plan ==")[0]
+    n_user_exchanges = plan.count("hashpartitioning(user_id")
+    assert "Window" in plan and n_user_exchanges == 1
+
+
+def test_q48_grouping_sets_single_expand_single_agg_shuffle(spark):
+    """GROUPING SETS = one Expand (3 replicas) + one hash aggregate; no
+    union-of-three-scans plan."""
+    from etl_opensky_spark.queries import QUERIES
+
+    plan = _executed(QUERIES["q48_grouping_sets"](spark, "/root/testdata/sf0.001"))
+    assert plan.count("Expand") >= 1
+    assert "Union" not in plan
