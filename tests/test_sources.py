@@ -136,3 +136,35 @@ def test_write_table_overwrite_partitions_in_memory_catalog(spark, tmp_path):
     got2 = sorted((r["id"], r["d"]) for r in spark.table(name).collect())
     assert got2 == [(9, 10), (11, 20)]
     spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_write_range_sorted_files_cover_disjoint_slices(spark, tmp_path):
+    """Range-sorted layout: every parquet file spans a narrow, pairwise
+    non-overlapping id slice (checked from actual footer statistics), so
+    range predicates can skip whole files/row groups."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from etl_opensky_spark.sources.sinks import write_range_sorted
+
+    df = spark.range(0, 10_000).withColumn("v", F.col("id") * 2)
+    path = str(tmp_path / "sorted")
+    write_range_sorted(df, path, ["id"], num_files=8)
+
+    ranges = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        if mins:
+            ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 4  # actually split across files
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2  # disjoint slices
+    # full span covered, nothing lost
+    assert spark.read.parquet(path).count() == 10_000
