@@ -1306,6 +1306,45 @@ GROUP BY GROUPING SETS (
 """
 
 
+def q49_range_sorted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate for ``write_range_sorted`` (the time-range layout lever): write
+    events range-partitioned + sorted by ``ts``, read back, and answer a
+    one-day range predicate — on this layout every parquet file covers a
+    narrow disjoint ``ts`` slice, so the min/max footer stats let the scan
+    skip all files outside the day (directory partitioning's pruning
+    without its small-files explosion)."""
+    import os
+    import tempfile
+
+    from etl_opensky_spark.sources.sinks import write_range_sorted
+
+    ev = _events(spark, sf_dir)
+    target = os.path.join(
+        tempfile.gettempdir(), f"q49_sorted_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    write_range_sorted(ev, target, ["ts"], num_files=8)
+    back = spark.read.parquet(target).filter(
+        (F.col("ts") >= F.lit("2024-01-15").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-16").cast("timestamp"))
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(_dec("value", 6)).cast("double").alias("sum_value"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+    )
+
+
+ORACLE_Q49 = """
+SELECT event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+  MIN(event_id) AS min_event_id, MAX(event_id) AS max_event_id
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' AND ts < TIMESTAMP '2024-01-16 00:00:00'
+GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -1355,6 +1394,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q46_order_priority_check": q46_order_priority_check,
     "q47_moving_metrics": q47_moving_metrics,
     "q48_grouping_sets": q48_grouping_sets,
+    "q49_range_sorted_scan": q49_range_sorted_scan,
 }
 
 ORACLES: dict[str, str] = {
@@ -1400,6 +1440,7 @@ ORACLES: dict[str, str] = {
     "q47_moving_metrics": ORACLE_Q47,
     "q48_grouping_sets": ORACLE_Q48,
     "q39_small_quantity_parts": ORACLE_Q39,
+    "q49_range_sorted_scan": ORACLE_Q49,
     # q25/q26: xxhash64-based — not reproducible in DuckDB (rows-only check)
     # q28: approximate by design (rows-only)
     # q29: mapInPandas feature extraction (rows-only; sha256 verified in tests)
