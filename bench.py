@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "q46_order_priority_check",
     "q47_moving_metrics",
     "q48_grouping_sets",
+    "q49_range_sorted_scan",
 ]
 
 
