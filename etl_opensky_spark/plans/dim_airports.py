@@ -35,13 +35,38 @@ def build_dim_airports(src_airports: DataFrame, key_mode: str = "row_number") ->
     return df.select(*DIM_AIRPORTS_COLUMNS)
 
 
-def frames_differ(left: DataFrame, right: DataFrame) -> bool:
-    """Real change detection: symmetric EXCEPT-ALL emptiness (fixes the
-    reference's object-identity ``==`` bug, SURVEY §2.12).  Shuffles both
-    frames once each — for very large frames compare partition-level
-    content hashes instead."""
+def frames_differ(left: DataFrame, right: DataFrame, mode: str = "exact") -> bool:
+    """Real change detection: fixes the reference's object-identity ``==``
+    bug (SURVEY §2.12, src/jobs/load_dim_airports.py:54).
+
+    mode="exact": symmetric EXCEPT-ALL emptiness — shuffles both frames
+    once each; right for dim-sized frames.
+
+    mode="hash": order-independent multiset signature (row count + two
+    independently-seeded xxhash64 row hashes summed into a decimal(38,0)
+    accumulator, so ANSI overflow can't trip) — each frame reduces
+    map-side to ONE scalar row, no row shuffle at all; the change-detection
+    path for very large frames.  Probabilistic: a false "unchanged" needs
+    a simultaneous collision of both 64-bit sums at equal counts.
+    """
     if left.schema != right.schema:
         return True
+    if mode == "hash":
+
+        def signature(df: DataFrame) -> tuple:
+            cols = [F.col(c) for c in df.columns]
+            h1 = F.xxhash64(*cols).cast("decimal(38,0)")
+            h2 = F.xxhash64(F.lit("frames_differ:seed2"), *cols).cast(
+                "decimal(38,0)"
+            )
+            row = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(h1).alias("h1"),
+                F.sum(h2).alias("h2"),
+            ).collect()[0]
+            return (row["n"], row["h1"], row["h2"])
+
+        return signature(left) != signature(right)
     return (not left.exceptAll(right).isEmpty()) or (
         not right.exceptAll(left).isEmpty()
     )

@@ -48,6 +48,20 @@ def test_frames_differ(spark):
     assert frames_differ(a, a.limit(2))
 
 
+def test_frames_differ_hash_mode(spark):
+    a = fixtures.src_airports(spark)
+    # agrees with exact mode on equal / unequal frames
+    assert not frames_differ(a, fixtures.src_airports(spark), mode="hash")
+    assert frames_differ(a, a.limit(2), mode="hash")
+    # order-independent (multiset semantics, like EXCEPT ALL)
+    assert not frames_differ(a, a.orderBy(F.desc("name")), mode="hash")
+    # multiplicity-sensitive at equal row counts: {x,x,y} vs {x,y,y}
+    x, y = a.limit(1), a.offset(1).limit(1)
+    assert frames_differ(
+        x.unionAll(x).unionAll(y), x.unionAll(y).unionAll(y), mode="hash"
+    )
+
+
 def test_build_dim_aircrafts(spark):
     df = build_dim_aircrafts(
         fixtures.src_aircrafts(spark),
