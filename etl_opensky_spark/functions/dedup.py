@@ -26,22 +26,59 @@ from etl_opensky_spark.functions.text import fingerprint_md5, tokenize, word_shi
 SMALL_GRAPH_EDGES = 1_000_000
 
 
-def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def dedup_exact(
+    df: DataFrame, text_col: str, id_col: str, hot_threshold: int | None = None
+) -> DataFrame:
     """Keep one row per exact (canonicalized) text: the min id wins.
 
-    One shuffle on the md5 fingerprint + per-group sort (window
-    row_number) — measured ~4x faster cold than the groupBy-winners +
-    semi-join formulation, which shuffles the payload anyway for the join.
-    Fingerprint groups are tiny (dup cardinality), so the per-group sort
-    is O(dups); no skew concern unless one text dominates the corpus —
-    then pre-aggregate counts and handle the hot fingerprint separately.
+    Default path: one shuffle on the md5 fingerprint + per-group sort
+    (window row_number) — measured ~4x faster cold than the
+    groupBy-winners + semi-join formulation, which shuffles the payload
+    anyway for the join.  Fingerprint groups are tiny (dup cardinality),
+    so the per-group sort is O(dups).
+
+    ``hot_threshold``: skew hardening for corpora where one text dominates
+    (empty/boilerplate docs at corpus scale — a single window partition
+    would absorb every copy).  Fingerprint counts are pre-aggregated
+    (map-side combine, skew-immune by construction), fingerprints with
+    count > hot_threshold are routed through a ``min_by`` aggregate —
+    partial aggregation collapses the hot key to one row per map task
+    BEFORE the shuffle — and only the cold tail pays the window.  The hot
+    set is <= n/hot_threshold fingerprints, so its broadcast is bounded.
     """
-    w = Window.partitionBy(fingerprint_md5(F.col(text_col))).orderBy(id_col)
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    if hot_threshold is None:
+        w = Window.partitionBy(fingerprint_md5(F.col(text_col))).orderBy(id_col)
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    cols = df.columns
+    dfp = df.withColumn("_fp", fingerprint_md5(F.col(text_col)))
+    hot = (
+        dfp.groupBy("_fp")
+        .agg(F.count("*").alias("_cnt"))
+        .filter(F.col("_cnt") > hot_threshold)
+        .select("_fp")
     )
+    flagged = dfp.join(
+        F.broadcast(hot.withColumn("_is_hot", F.lit(True))), "_fp", "left"
+    )
+    w = Window.partitionBy("_fp").orderBy(id_col)
+    cold_kept = (
+        flagged.filter(F.col("_is_hot").isNull())
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(*cols)
+    )
+    payload = F.struct(*[F.col(c) for c in cols])
+    hot_kept = (
+        flagged.filter(F.col("_is_hot").isNotNull())
+        .groupBy("_fp")
+        .agg(F.min_by(payload, F.col(id_col)).alias("_row"))
+        .select("_row.*")
+    )
+    return cold_kept.unionByName(hot_kept)
 
 
 def minhash_signature(
@@ -245,6 +282,7 @@ def connected_components(
             F.coalesce("_mapped", id_col).alias("component"),
         )
     labels = ids.select(F.col(id_col).alias("node"), F.col(id_col).alias("component"))
+    changed = 0
     for _ in range(max_iterations):
         labels = labels.persist()
         neighbor_min = (
@@ -272,6 +310,17 @@ def connected_components(
         labels = updated
         if changed == 0:
             break
+    if changed != 0:
+        # min-label propagation moves one hop per round: exiting while
+        # labels still change means a component with diameter >
+        # max_iterations would be silently SPLIT (under-deduplication).
+        # Fail loudly instead — the caller can raise max_iterations.
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iterations} "
+            "iterations (labels still changing); a component's diameter "
+            "exceeds the round budget — raise max_iterations"
+        )
     out = labels.select(F.col("node").alias(id_col), "component")
     labels.unpersist()
     return out
@@ -356,24 +405,35 @@ def _transitive_losers(
         )
 
 
+#: exact-mode safety rail: ``_exact_pairs_matmul`` collects the whole
+#: normalized matrix onto the driver (O(n*dim) bytes), so refuse above
+#: this row count and point the caller at the LSH mode instead.
+MAX_EXACT_ROWS = 1_000_000
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
     hyperplanes=None,
+    exact: bool = False,
+    max_exact_rows: int = MAX_EXACT_ROWS,
 ) -> DataFrame:
     """(id_a, id_b) with id_a < id_b and cosine(vec_a, vec_b) >= threshold.
 
-    ``hyperplanes=None`` -> exact all-pairs comparison: a nested-loop self
-    join, O(n^2) cosine evaluations — correct at any threshold but only
-    viable for modest n (or input pre-blocked by some partition key).
-    With ``hyperplanes`` (see ``similarity.make_hyperplanes``): vectors are
-    bucketed by LSH signature and the self-join becomes an equi-join on
-    the bucket — Spark shuffles on the bucket key only and the quadratic
-    verify runs inside buckets, the same candidate-generation shape as
-    MinHash-LSH.  Recall < 1 per table; union pairs from several plane
-    sets to raise it.
+    Default (``hyperplanes=None``, ``exact=False``) -> multi-table
+    LSH-bucketed candidate generation (``embedding_dup_pairs_multi``):
+    the scale-safe path, never collects the corpus.  ``exact=True`` ->
+    exact all-pairs comparison via distributed blocked matmul; the driver
+    holds the normalized n x dim matrix, so this REFUSES above
+    ``max_exact_rows`` rows (opt-in only — correct at any threshold but
+    only viable for modest n).  With explicit ``hyperplanes`` (see
+    ``similarity.make_hyperplanes``): vectors are bucketed by LSH
+    signature and the self-join becomes an equi-join on the bucket —
+    Spark shuffles on the bucket key only and the quadratic verify runs
+    inside buckets, the same candidate-generation shape as MinHash-LSH.
+    Recall < 1 per table; union pairs from several plane sets to raise it.
     """
     from etl_opensky_spark.functions.similarity import (
         dot,
@@ -383,6 +443,15 @@ def embedding_dup_pairs(
     )
 
     if hyperplanes is None:
+        if not exact:
+            return embedding_dup_pairs_multi(df, id_col, vec_col, threshold)
+        n = df.count()
+        if n > max_exact_rows:
+            raise ValueError(
+                f"embedding_dup_pairs(exact=True) on {n} rows would collect "
+                f"an O(n*dim) matrix onto the driver (limit {max_exact_rows}); "
+                "use the LSH mode (default, or pass hyperplanes=) at scale"
+            )
         return _exact_pairs_matmul(df, id_col, vec_col, threshold)
 
     # probe the (fixed) dimension once: the pair-verify dot product is the
@@ -450,13 +519,18 @@ def _exact_pairs_matmul(
         return spark.createDataFrame(
             [], f"id_a {dict(df.dtypes)[id_col]}, id_b {dict(df.dtypes)[id_col]}"
         )
-    ids = np.array([r["_id"] for r in rows], dtype=np.int64)
+    # integral ids pack into int64; anything else (string keys, decimals)
+    # stays an object array — comparisons and indexing work either way
+    id_type = dict(df.dtypes)[id_col]
+    integral = id_type in ("tinyint", "smallint", "int", "bigint")
+    ids = np.array(
+        [r["_id"] for r in rows], dtype=np.int64 if integral else object
+    )
     mat = np.stack([np.asarray(r["_v"], dtype=np.float64) for r in rows])
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     np.divide(mat, norms, out=mat, where=norms != 0)
     bc = spark.sparkContext.broadcast((ids, mat))
     thr = float(threshold)
-    id_type = dict(df.dtypes)[id_col]
 
     def gen(batches):
         import pandas as pd
@@ -516,6 +590,7 @@ def dedup_embedding(
     threshold: float = 0.9,
     hyperplanes=None,
     transitive: bool = True,
+    exact: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate removal.
 
@@ -524,9 +599,11 @@ def dedup_embedding(
     ``dedup_near``).  ``transitive=False``: greedy earlier-doc-wins — drop
     every row that has ANY lower-id row with cosine >= threshold
     (SQL-expressible as NOT EXISTS, which is what the oracle gate checks).
+    Pair generation defaults to the scale-safe LSH path; ``exact=True``
+    opts into all-pairs verification (guarded, see ``embedding_dup_pairs``).
     """
     verified = embedding_dup_pairs(
-        df, id_col, vec_col, threshold, hyperplanes
+        df, id_col, vec_col, threshold, hyperplanes, exact=exact
     ).persist()
     if transitive:
         n_pairs = verified.count()
@@ -586,9 +663,12 @@ def ngram_jaccard_pairs(
     )
     sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("_sz").alias("_sza"))
     sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("_sz").alias("_szb"))
+    # no broadcast hint on the size tables: they are one row PER DOCUMENT
+    # (corpus cardinality), so a forced broadcast OOMs at scale.  AQE
+    # still picks a broadcast join when the corpus is small enough.
     out = (
-        inter.join(F.broadcast(sz_a), "id_a")
-        .join(F.broadcast(sz_b), "id_b")
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
         .withColumn(
             "jaccard",
             F.col("_inter") / (F.col("_sza") + F.col("_szb") - F.col("_inter")),

@@ -99,26 +99,50 @@ def assign_clusters_vectorized(
     return embeddings.mapInPandas(assign, schema=out_schema)
 
 
+#: above this k, ``train_centroids`` switches each Lloyd assignment from
+#: the literal-expression path to the Arrow/numpy path: the expression
+#: plan holds k x dim literal nodes, and past ~32 clusters the tree cost
+#: (analysis + codegen per iteration) dwarfs the Arrow transfer
+VECTORIZED_ASSIGN_K = 32
+
+
 def train_centroids(
     embeddings: DataFrame,
     k: int,
     iterations: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    assign_mode: str = "auto",
 ) -> list[list[float]]:
     """Lloyd's k-means on DataFrames: seed with the k lowest-id vectors
     (deterministic), then alternate assign (narrow map) / recompute means
     (posexplode + groupBy — one shuffle per iteration on (cluster, pos)).
 
+    ``assign_mode``: "expression" (literal-array argmin, whole-stage
+    codegen), "vectorized" (Arrow-batched numpy matmul), or "auto" —
+    expression up to ``VECTORIZED_ASSIGN_K`` clusters, vectorized beyond
+    (a production index at k=1024/dim=768 would otherwise compile a
+    million-node expression tree per iteration).  Both paths share
+    identical ties-to-lowest-id semantics, so the trained centroids are
+    the same either way.
+
     The driver only ever holds k×dim floats.  For 100 TB, train on a
     sample (``embeddings.sample(...)``) — assignment still runs over the
     full corpus.
     """
+    if assign_mode not in ("auto", "expression", "vectorized"):
+        raise ValueError(f"unknown assign_mode: {assign_mode!r}")
+    use_vectorized = (
+        assign_mode == "vectorized"
+        or (assign_mode == "auto" and k > VECTORIZED_ASSIGN_K)
+    )
+    assign = assign_clusters_vectorized if use_vectorized else assign_clusters
+
     seed_rows = embeddings.orderBy(id_col).limit(k).select(vec_col).collect()
     centroids = [list(map(float, r[0])) for r in seed_rows]
 
     for _ in range(iterations):
-        assigned = assign_clusters(embeddings, centroids, vec_col=vec_col)
+        assigned = assign(embeddings, centroids, vec_col=vec_col)
         means = (
             assigned.select(
                 "cluster_id", F.posexplode(vec_col).alias("pos", "val")

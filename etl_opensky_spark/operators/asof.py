@@ -11,6 +11,12 @@ Implementation is the UNION + WINDOW composition, all JVM-side:
    non-null right payload forward (``F.last(ignorenulls=True)``);
 3. keep the left rows.
 
+The right payload travels as ONE struct column, so every attached value
+comes from the SAME right row — matching DuckDB ASOF / pandas merge_asof,
+which attach the latest row wholesale, NULL fields included.  (Filling
+each value column independently would stitch a NULL field from an older
+right row.)
+
 Cost: ONE shuffle on the group key + a per-group sort — same order of
 work as a sort-merge join, with bounded state. This beats the naive
 range-join (quadratic per group) and needs no pandas.  Skew note: a hot
@@ -42,11 +48,19 @@ def asof_join(
     (<=, like DuckDB ASOF and pandas merge_asof defaults).
 
     ``value_cols``: right columns to attach (default: all non-key columns),
-    each renamed ``<col><suffix>``.
+    each renamed ``<col><suffix>``.  All attached values come from the
+    single most recent right row (row-wholesale semantics): a NULL field
+    on that row stays NULL, it is never backfilled from an older row.
     """
     by = list(by)
     if value_cols is None:
         value_cols = [c for c in right.columns if c != on and c not in by]
+    value_cols = list(value_cols)
+
+    # the whole right payload rides in one struct: the struct itself is
+    # non-null on every right row (even when all fields are NULL), so
+    # last(ignorenulls) picks the latest right ROW, not per-column values
+    payload_type = right.select(*[F.col(c) for c in value_cols]).schema
 
     # tag=0 sorts right rows before left rows at equal timestamps, so an
     # exact-timestamp right row is visible to the left row (<= semantics)
@@ -54,7 +68,7 @@ def asof_join(
         *by,
         F.col(on).alias("_on"),
         F.lit(0).alias("_tag"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("_rp"),
         *[
             F.lit(None).cast(dict(left.dtypes)[c]).alias(f"_l_{c}")
             for c in left.columns
@@ -65,7 +79,7 @@ def asof_join(
         *by,
         F.col(on).alias("_on"),
         F.lit(1).alias("_tag"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"{c}{suffix}") for c in value_cols],
+        F.lit(None).cast(payload_type).alias("_rp"),
         *[F.col(c).alias(f"_l_{c}") for c in left.columns if c not in by],
     )
     unioned = right_tagged.unionByName(left_tagged)
@@ -79,13 +93,13 @@ def asof_join(
         *by,
         "_tag",
         *[F.col(f"_l_{c}") for c in left.columns if c not in by],
-        *[
-            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in value_cols
-        ],
+        F.last("_rp", ignorenulls=True).over(w).alias("_rp"),
     )
     out = filled.filter(F.col("_tag") == 1).drop("_tag")
     for c in left.columns:
         if c not in by:
             out = out.withColumnRenamed(f"_l_{c}", c)
-    return out.select(*left.columns, *[f"{c}{suffix}" for c in value_cols])
+    return out.select(
+        *left.columns,
+        *[F.col("_rp").getField(c).alias(f"{c}{suffix}") for c in value_cols],
+    )

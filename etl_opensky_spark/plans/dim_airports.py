@@ -48,13 +48,23 @@ def frames_differ(left: DataFrame, right: DataFrame, mode: str = "exact") -> boo
     map-side to ONE scalar row, no row shuffle at all; the change-detection
     path for very large frames.  Probabilistic: a false "unchanged" needs
     a simultaneous collision of both 64-bit sums at equal counts.
+
+    NULL disambiguation: xxhash64 SKIPS null inputs (a null argument
+    leaves the running hash unchanged), so hashing raw columns would make
+    (NULL,'x') and ('x',NULL) collide DETERMINISTICALLY.  Each column is
+    therefore interleaved with its is-null flag — the flag stream encodes
+    the null pattern positionally, restoring the documented probabilistic
+    collision bound.
     """
     if left.schema != right.schema:
         return True
     if mode == "hash":
 
         def signature(df: DataFrame) -> tuple:
-            cols = [F.col(c) for c in df.columns]
+            cols: list = []
+            for c in df.columns:
+                cols.append(F.isnull(F.col(c)).cast("int"))
+                cols.append(F.col(c))
             h1 = F.xxhash64(*cols).cast("decimal(38,0)")
             h2 = F.xxhash64(F.lit("frames_differ:seed2"), *cols).cast(
                 "decimal(38,0)"

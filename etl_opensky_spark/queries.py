@@ -366,7 +366,10 @@ def q14_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = (
         li.filter(F.col("l_shipdate") > cutoff)
         .join(orders.filter(F.col("o_orderdate") < cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        # no forced hint on customer: it scales WITH the fact tables
+        # (150k rows/SF), so AQE must keep the size check — it still
+        # picks a broadcast join at gate scale
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
     )
     return (
         joined.groupBy("o_orderkey", "o_orderdate")
@@ -828,7 +831,8 @@ def q34_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("price_q"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("price_q50"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("price_q95"),
         F.count("*").alias("n_rows"),
     )
 
@@ -947,7 +951,10 @@ def q38_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     joined = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        # customer is fact-sized (scales per SF) — leave the strategy to
+        # AQE; forced hints stay only on the true dims (nation/region)
+        # and supplier
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(
             F.broadcast(supp),
             (F.col("l_suppkey") == F.col("s_suppkey"))
@@ -1064,7 +1071,7 @@ def q42_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
     kept = dedup_embedding(
-        emb, "vec_id", "embedding", threshold=0.45, transitive=False
+        emb, "vec_id", "embedding", threshold=0.45, transitive=False, exact=True
     )
     return kept.select("vec_id")
 
@@ -1126,7 +1133,9 @@ def q44_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        # customer hint removed: fact-sized side, AQE decides (still BHJ
+        # at gate scale, shuffle join at 100x where broadcast would OOM)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
             F.sum(_dec("l_extendedprice") * _dec(F.lit(1) - F.col("l_discount")))
@@ -1165,7 +1174,8 @@ def q45_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = _t(spark, sf_dir, "nation")
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        # customer hint removed: fact-sized side, AQE decides
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
         .agg(

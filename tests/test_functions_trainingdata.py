@@ -361,12 +361,16 @@ def test_dedup_embedding_greedy_vs_transitive(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     greedy = sorted(
         r["vec_id"]
-        for r in dedup_embedding(df, threshold=0.7, transitive=False).collect()
+        for r in dedup_embedding(
+            df, threshold=0.7, transitive=False, exact=True
+        ).collect()
     )
     assert greedy == [1, 2, 4]
     transitive = sorted(
         r["vec_id"]
-        for r in dedup_embedding(df, threshold=0.7, transitive=True).collect()
+        for r in dedup_embedding(
+            df, threshold=0.7, transitive=True, exact=True
+        ).collect()
     )
     assert transitive == [1, 4]
 
@@ -378,7 +382,7 @@ def test_embedding_dup_pairs_lsh_subset_of_exact(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     exact = {
         (r["id_a"], r["id_b"])
-        for r in embedding_dup_pairs(emb, threshold=0.45).collect()
+        for r in embedding_dup_pairs(emb, threshold=0.45, exact=True).collect()
     }
     assert len(exact) == 7  # known pair count at sf0.001 / t=0.45
     planes = make_hyperplanes(dim=64, num=2, seed=42)
@@ -431,7 +435,7 @@ def test_embedding_dup_pairs_multi_table_recall(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     exact = {
         (r["id_a"], r["id_b"])
-        for r in embedding_dup_pairs(emb, threshold=0.45).collect()
+        for r in embedding_dup_pairs(emb, threshold=0.45, exact=True).collect()
     }
     one_table = {
         (r["id_a"], r["id_b"])
@@ -450,3 +454,86 @@ def test_embedding_dup_pairs_multi_table_recall(spark):
     # tables never invent pairs (exact verify inside buckets)
     assert multi <= exact
     assert len(multi) > len(one_table)  # recall actually amplified here
+
+
+def test_dedup_exact_skew_hardened_matches_window(spark):
+    # 90%-duplicate corpus: one boilerplate text dominates — the shape
+    # that skews the plain window.  The hardened path must agree exactly.
+    rows = [(i, "boilerplate page" if i % 10 else f"unique text {i}")
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    plain = sorted(r["doc_id"] for r in dedup_exact(df, "text", "doc_id").collect())
+    hardened = sorted(
+        r["doc_id"]
+        for r in dedup_exact(df, "text", "doc_id", hot_threshold=5).collect()
+    )
+    assert hardened == plain
+    # schema preserved (payload columns survive the min_by struct round-trip)
+    hard_df = dedup_exact(df, "text", "doc_id", hot_threshold=5)
+    assert hard_df.columns == df.columns
+
+
+def test_dedup_exact_hot_threshold_no_hot_keys(spark, docs):
+    # threshold above every count: everything takes the cold/window branch
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_exact(docs, "text", "doc_id", hot_threshold=100).collect()
+    )
+    assert kept == [1, 2, 3, 5, 6]
+
+
+def test_embedding_dup_pairs_default_is_lsh_not_driver_collect(spark, monkeypatch):
+    # the scale-safe default must never route through the driver-collect
+    # exact matmul — monkeypatched to explode if touched
+    from etl_opensky_spark.functions import dedup as D
+
+    def boom(*a, **k):
+        raise AssertionError("default path must not driver-collect")
+
+    monkeypatch.setattr(D, "_exact_pairs_matmul", boom)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pairs = D.embedding_dup_pairs(emb, threshold=0.45)  # default: LSH multi
+    assert pairs.count() >= 0  # materialize — would raise if exact path used
+
+
+def test_embedding_dup_pairs_exact_guard_raises(spark):
+    from etl_opensky_spark.functions.dedup import embedding_dup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError, match="LSH mode"):
+        embedding_dup_pairs(emb, threshold=0.45, exact=True, max_exact_rows=10)
+
+
+def test_exact_pairs_matmul_string_ids(spark):
+    from etl_opensky_spark.functions.dedup import embedding_dup_pairs
+
+    rows = [("a", [1.0, 0.0]), ("b", [1.0, 0.01]), ("c", [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_dup_pairs(
+            df, threshold=0.9, exact=True
+        ).collect()
+    }
+    assert pairs == {("a", "b")}
+
+
+def test_connected_components_nonconvergence_raises(spark, monkeypatch):
+    from etl_opensky_spark.functions import dedup as D
+
+    monkeypatch.setattr(D, "SMALL_GRAPH_EDGES", 0)  # force distributed path
+    # chain 0-1-2-3-4: diameter 4, min-label needs >1 round
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(4)], "id_a long, id_b long"
+    )
+    ids = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(pairs, ids, "doc_id", max_iterations=1)
+    # and with enough rounds it converges to one component
+    comps = {
+        r["component"]
+        for r in D.connected_components(
+            pairs, ids, "doc_id", max_iterations=10
+        ).collect()
+    }
+    assert comps == {0}

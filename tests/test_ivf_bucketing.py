@@ -104,3 +104,20 @@ def test_vectorized_assignment_matches_on_real_embeddings(spark):
         for r in assign_clusters_vectorized(emb, centroids).collect()
     }
     assert expr == vec
+
+
+def test_train_centroids_vectorized_mode_equivalent(spark):
+    # both Lloyd assignment paths must train IDENTICAL centroids; also
+    # pins the auto-threshold routing
+    from etl_opensky_spark.functions import ivf as IVF
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    expr = IVF.train_centroids(emb, k=4, iterations=2, assign_mode="expression")
+    vec = IVF.train_centroids(emb, k=4, iterations=2, assign_mode="vectorized")
+    assert len(expr) == len(vec) == 4
+    for ce, cv in zip(expr, vec):
+        assert ce == pytest.approx(cv, rel=1e-12)
+    # auto routes through the vectorized path above the threshold
+    with pytest.raises(ValueError, match="assign_mode"):
+        IVF.train_centroids(emb, k=4, assign_mode="bogus")
+    assert IVF.VECTORIZED_ASSIGN_K >= 16

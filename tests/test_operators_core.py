@@ -217,7 +217,21 @@ def test_asof_join_basic(spark):
     assert out.count() == trades.count()  # left join: every trade kept
 
 
-def test_salted_join_matches_plain_join(spark):
+def test_asof_join_attaches_latest_row_wholesale(spark):
+    """A NULL field on the most recent right row must be attached AS NULL
+    — never stitched from an older right row (DuckDB ASOF / merge_asof
+    row-wholesale semantics)."""
+    from etl_opensky_spark.operators.asof import asof_join
+
+    quotes = spark.createDataFrame(
+        [("A", 1, 10.0, 5), ("A", 5, 11.0, None)],
+        "sym string, t int, px double, sz int",
+    )
+    trades = spark.createDataFrame([("A", 7, 100)], "sym string, t int, qty int")
+    out = asof_join(trades, quotes, on="t", by=["sym"], value_cols=["px", "sz"])
+    row = out.collect()[0]
+    assert row["px_asof"] == 11.0
+    assert row["sz_asof"] is None  # from the t=5 row, NOT backfilled from t=1
     from etl_opensky_spark.operators.joins import salted_join
 
     # heavily skewed big side: one hot key

@@ -93,13 +93,31 @@ def _executed(df) -> str:
 
 def test_q44_all_joins_broadcast_no_sort_shuffle(spark):
     """Q3-shape: every join broadcasts at gate scale; top-k is
-    TakeOrdered (per-partition heaps), never a global Exchange+Sort."""
+    TakeOrdered (per-partition heaps), never a global Exchange+Sort.
+    The customer join carries NO forced hint (fact-sized at 100x) —
+    AQE's size check must still choose broadcast here, proving the old
+    hint was redundant at gate scale."""
     from etl_opensky_spark.queries import QUERIES
 
-    plan = _executed(QUERIES["q44_shipping_priority"](spark, "/root/testdata/sf0.001"))
+    plan = _executed(
+        QUERIES["q44_shipping_priority"](spark, "/root/testdata/sf0.001")
+    ).split("== Initial Plan ==")[0]
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q38_unhinted_customer_join_still_broadcasts_via_aqe(spark):
+    """Q5-shape 6-way join: with the forced customer hint removed, the
+    finalized (AQE) plan still broadcasts every dimension side at gate
+    scale — no SortMergeJoin anywhere in the final plan."""
+    from etl_opensky_spark.queries import QUERIES
+
+    plan = _executed(
+        QUERIES["q38_regional_revenue"](spark, "/root/testdata/sf0.001")
+    ).split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
 
 
 def test_q46_exists_is_semi_join_no_aggregation_of_lineitem(spark):

@@ -62,6 +62,17 @@ def test_frames_differ_hash_mode(spark):
     )
 
 
+def test_frames_differ_hash_mode_null_position(spark):
+    # xxhash64 skips NULL inputs, so without null disambiguation
+    # (NULL,'x') vs ('x',NULL) would be a deterministic false "unchanged"
+    left = spark.createDataFrame([(None, "x")], "a string, b string")
+    right = spark.createDataFrame([("x", None)], "a string, b string")
+    assert frames_differ(left, right, mode="hash")
+    # and a genuine NULL-for-NULL match still reads unchanged
+    left2 = spark.createDataFrame([(None, "x")], "a string, b string")
+    assert not frames_differ(left, left2, mode="hash")
+
+
 def test_build_dim_aircrafts(spark):
     df = build_dim_aircrafts(
         fixtures.src_aircrafts(spark),

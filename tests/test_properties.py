@@ -143,7 +143,9 @@ def test_greedy_embedding_losers_complement_of_pair_targets(spark, raw_pairs):
     )
     kept = sorted(
         r["vec_id"]
-        for r in dedup_embedding(df, threshold=0.5, transitive=False).collect()
+        for r in dedup_embedding(
+            df, threshold=0.5, transitive=False, exact=True
+        ).collect()
     )
     expected = sorted(
         i for i in ids if not any(j < i and group[j] == group[i] for j in ids)
