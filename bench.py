@@ -69,6 +69,13 @@ BENCH_QUERIES = [
     "q47_moving_metrics",
     "q48_grouping_sets",
     "q49_range_sorted_scan",
+    "q50_csv_source",
+    "q51_json_envelope",
+    "q52_rest_ingest",
+    # skew probe: 90%-duplicate corpus through the hardened dedup path —
+    # guards the hot-fingerprint mitigation against "ran at sf0.1 so it's
+    # fine" regressions
+    "q53_dedup_skewed",
 ]
 
 

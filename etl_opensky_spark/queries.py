@@ -1355,6 +1355,225 @@ GROUP BY event_type
 """
 
 
+def q50_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 oracle gate: render supplier to a header-less schema-enforced
+    CSV (the reference's aircraft-DB ingest shape,
+    src/jobs/load_dim_aircrafts.py:35-59), read it back through
+    ``read_csv``, and return every row — the hash match against the
+    parquet oracle proves the CSV write/read path is lossless, including
+    shortest-repr double round-trip of s_acctbal."""
+    import os
+    import tempfile
+
+    from etl_opensky_spark.sources.files import read_csv
+
+    supp = _t(spark, sf_dir, "supplier")
+    target = os.path.join(
+        tempfile.gettempdir(), f"q50_csv_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    supp.write.mode("overwrite").csv(target)  # header=False: schema-enforced read
+    return read_csv(spark, target, supp.schema).select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+
+
+ORACLE_Q50 = """
+SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+"""
+
+
+def q51_json_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 oracle gate: wrap nation in a ``{"rows": [...]}`` JSON envelope
+    (the reference's airports-file shape, src/jobs/load_dim_airports.py:
+    22-45), read it back through ``read_json_envelope`` with enforced
+    per-column casts, and return every row."""
+    import json
+    import os
+    import tempfile
+
+    from etl_opensky_spark.sources.files import read_json_envelope
+
+    nation = _t(spark, sf_dir, "nation")
+    # nation is 25 rows at every SF — the envelope build is a dim-sized
+    # driver convenience for the GATE only; a corpus-scale envelope is
+    # read/exploded executor-side by read_json_envelope itself
+    payload = {
+        "rows": [
+            {"n_nationkey": r["n_nationkey"], "n_name": r["n_name"],
+             "n_regionkey": r["n_regionkey"]}
+            for r in nation.orderBy("n_nationkey").collect()
+        ]
+    }
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"q51_envelope_{os.path.basename(sf_dir.rstrip('/'))}.json",
+    )
+    with open(path, "w") as f:
+        json.dump(payload, f)
+    # cast_to the parquet schema: spark.read.json infers long where the
+    # table holds int — the cast repairs exactly that kind of drift
+    return read_json_envelope(spark, path, cast_to=nation.schema)
+
+
+ORACLE_Q51 = """
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+"""
+
+
+# -- q52: deterministic REST payload, shared by the Spark query and (re-
+#    expressed in SQL) the DuckDB oracle.  Module-level so mapInPandas can
+#    pickle it into executor tasks.
+Q52_AIRPORTS = ["EDDF", "EHAM", "KJFK"]
+Q52_BEGIN = 1710028800  # 2024-03-10 00:00:00 UTC
+
+
+def _q52_fetch(endpoint: str, params: dict) -> list[dict]:
+    kind = endpoint.rsplit("/", 1)[-1]  # departure | arrival
+    airport, begin = params["airport"], params["begin"]
+    tag = kind[:3]
+    rows = []
+    for i in range(3):
+        rows.append(
+            {
+                "icao24": f"{airport.lower()}-{tag}-{i}",
+                "firstSeen": begin + 600 * i,
+                "lastSeen": begin + 600 * i + 5400,
+                "estDepartureAirport": airport if kind == "departure" else None,
+                "estArrivalAirport": airport if kind == "arrival" else None,
+                "callsign": f"{airport}{tag.upper()}{i}",
+            }
+        )
+    return rows
+
+
+def q52_rest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4+K1+U2 oracle gate: a deterministic in-process REST transport is
+    fanned out executor-side over (airport, day) params via
+    ``distributed_frame`` (the 100 TB extract shape — one fetch per param
+    row, no driver bottleneck), landed in a y/m/d-partitioned lake via
+    ``write_parquet_partitioned``, re-landed through the EXCEPT-based
+    idempotency path (``append_missing`` must find nothing new), and read
+    back partition-pruned.  Mirrors ``plans/ingest_flights.py`` semantics
+    (reference: src/jobs/extract_flights.py:66-145) end-to-end."""
+    import os
+    import shutil
+    import tempfile
+
+    from etl_opensky_spark.operators.filters import filter_partition
+    from etl_opensky_spark.operators.sets import append_missing, union_by_name
+    from etl_opensky_spark.plans.ingest_flights import with_partition_columns
+    from etl_opensky_spark.schemas import SRC_FLIGHTS
+    from etl_opensky_spark.sources.rest import RestSource
+    from etl_opensky_spark.sources.sinks import write_parquet_partitioned
+
+    source = RestSource(fetch=_q52_fetch, schema=SRC_FLIGHTS, retries=1)
+    params = spark.createDataFrame(
+        [(a, Q52_BEGIN, Q52_BEGIN + 86400) for a in Q52_AIRPORTS],
+        "airport string, begin long, end long",
+    ).repartition(len(Q52_AIRPORTS))
+
+    frames = []
+    for kind in ("departure", "arrival"):
+        df = source.distributed_frame(
+            params, f"flights/{kind}", ["airport", "begin", "end"]
+        )
+        event_col = {"departure": "firstSeen", "arrival": "lastSeen"}[kind]
+        frames.append(with_partition_columns(df, event_col))
+    extracted = union_by_name(frames[0], frames[1]).select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in SRC_FLIGHTS.fields]
+    )
+
+    target = os.path.join(
+        tempfile.gettempdir(), f"q52_lake_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(target, ignore_errors=True)  # hermetic across repeat runs
+    part_cols = ["flight_year", "flight_month", "flight_day"]
+    write_parquet_partitioned(extracted, target, part_cols)
+
+    # idempotent re-land: everything already present -> EXCEPT finds nothing
+    current = filter_partition(
+        spark.read.parquet(target),
+        flight_year=2024, flight_month=3, flight_day=10,
+    )
+    write_parquet_partitioned(
+        append_missing(extracted, current.select(*extracted.columns)),
+        target,
+        part_cols,
+    )
+
+    back = filter_partition(
+        spark.read.parquet(target),
+        flight_year=2024, flight_month=3, flight_day=10,
+    )
+    return back.select(
+        "icao24", "firstSeen", "lastSeen",
+        "estDepartureAirport", "estArrivalAirport", "callsign",
+    )
+
+
+ORACLE_Q52 = """
+WITH airports(airport) AS (VALUES ('EDDF'), ('EHAM'), ('KJFK')),
+deps AS (
+  SELECT lower(airport) || '-dep-' || i AS icao24,
+         CAST(1710028800 + 600*i AS BIGINT) AS "firstSeen",
+         CAST(1710028800 + 600*i + 5400 AS BIGINT) AS "lastSeen",
+         airport AS "estDepartureAirport",
+         CAST(NULL AS VARCHAR) AS "estArrivalAirport",
+         airport || 'DEP' || i AS callsign
+  FROM airports, range(3) t(i)
+),
+arrs AS (
+  SELECT lower(airport) || '-arr-' || i AS icao24,
+         CAST(1710028800 + 600*i AS BIGINT) AS "firstSeen",
+         CAST(1710028800 + 600*i + 5400 AS BIGINT) AS "lastSeen",
+         CAST(NULL AS VARCHAR) AS "estDepartureAirport",
+         airport AS "estArrivalAirport",
+         airport || 'ARR' || i AS callsign
+  FROM airports, range(3) t(i)
+)
+SELECT * FROM deps UNION ALL SELECT * FROM arrs
+"""
+
+
+def q53_dedup_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew probe for ``dedup_exact``: 90% of the corpus is rewritten to
+    ONE boilerplate text (the hot-fingerprint shape that would serialize
+    a single window partition at corpus scale), deduped via the hardened
+    ``hot_threshold`` path — pre-aggregated counts route the hot
+    fingerprint through a map-side-combining ``min_by`` aggregate, so no
+    task ever holds the full duplicate set.  The oracle checks the result
+    is EXACTLY the plain keep-min-id semantics."""
+    from etl_opensky_spark.functions.dedup import dedup_exact
+
+    docs = _t(spark, sf_dir, "documents")
+    boiler = "the same boilerplate page text repeated across the corpus"
+    skewed = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 10 != 0, F.lit(boiler)).otherwise(
+            F.col("text")
+        ),
+    )
+    return dedup_exact(skewed, "text", "doc_id", hot_threshold=20).select(
+        "doc_id", "lang"
+    )
+
+
+ORACLE_Q53 = """
+WITH skewed AS (
+  SELECT doc_id, lang,
+    CASE WHEN doc_id % 10 <> 0
+         THEN 'the same boilerplate page text repeated across the corpus'
+         ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id, lang FROM skewed
+WHERE doc_id IN (
+  SELECT MIN(doc_id) FROM skewed
+  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -1405,6 +1624,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q47_moving_metrics": q47_moving_metrics,
     "q48_grouping_sets": q48_grouping_sets,
     "q49_range_sorted_scan": q49_range_sorted_scan,
+    "q50_csv_source": q50_csv_source,
+    "q51_json_envelope": q51_json_envelope,
+    "q52_rest_ingest": q52_rest_ingest,
+    "q53_dedup_skewed": q53_dedup_skewed,
 }
 
 ORACLES: dict[str, str] = {
@@ -1451,6 +1674,10 @@ ORACLES: dict[str, str] = {
     "q48_grouping_sets": ORACLE_Q48,
     "q39_small_quantity_parts": ORACLE_Q39,
     "q49_range_sorted_scan": ORACLE_Q49,
+    "q50_csv_source": ORACLE_Q50,
+    "q51_json_envelope": ORACLE_Q51,
+    "q52_rest_ingest": ORACLE_Q52,
+    "q53_dedup_skewed": ORACLE_Q53,
     # q25/q26: xxhash64-based — not reproducible in DuckDB (rows-only check)
     # q28: approximate by design (rows-only)
     # q29: mapInPandas feature extraction (rows-only; sha256 verified in tests)
