@@ -76,6 +76,10 @@ BENCH_QUERIES = [
     # guards the hot-fingerprint mitigation against "ran at sf0.1 so it's
     # fine" regressions
     "q53_dedup_skewed",
+    "q54_repetition_signals",
+    "q55_shuffle_deterministic",
+    "q56_pack_sequences",
+    "q57_decontaminate",
 ]
 
 

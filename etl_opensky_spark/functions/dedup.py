@@ -620,6 +620,60 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def contaminated_ids(
+    corpus: DataFrame,
+    reference: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Corpus ids sharing at least one word ``n``-gram with the reference
+    set — train/test decontamination (the GPT-3/PaLM-style benchmark
+    overlap check).
+
+    Inverted-index shape: corpus shingles stay UN-shuffled (narrow
+    explode, no distinct — a semi join neither needs distinct inputs nor
+    multiplies rows), and only the reference side dedups its grams.  The
+    reference is typically a small benchmark set, so AQE turns the semi
+    join into a broadcast: the corpus-side gram stream is never
+    exchanged at all — the shape that survives a 100 TB corpus.  With a
+    large reference AQE falls back to a shuffle on the gram key; a semi
+    join emits each corpus gram row at most once, so there is no
+    quadratic blowup on a hot gram.  Pruning stop-grams would trade
+    recall for speed — decontamination must not miss, so nothing is
+    pruned here; raise ``n`` to sharpen specificity instead.
+    """
+    corpus_grams = corpus.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), n)).alias("_g"),
+    )
+    ref_grams = reference.select(
+        F.explode(word_shingles(F.col(text_col), n)).alias("_g")
+    ).distinct()
+    return (
+        corpus_grams.join(ref_grams, "_g", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    reference: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Drop every corpus row sharing a word ``n``-gram with ``reference``
+    (see ``contaminated_ids``).  Documents too short to shingle are kept:
+    they cannot contain a full benchmark n-gram."""
+    return corpus.join(
+        contaminated_ids(corpus, reference, id_col, text_col, n),
+        on=id_col,
+        how="left_anti",
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

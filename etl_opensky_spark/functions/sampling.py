@@ -69,3 +69,83 @@ def stratified_sample(
     deterministic within Spark, but NOT reproducible by other engines —
     use ``hash_split`` when cross-system reproducibility matters."""
     return df.sampleBy(strata_col, dict(fractions), seed)
+
+
+def shuffle_deterministic(
+    df: DataFrame, key_col: str, seed: int = 42, key_out: str = "_shuffle_key"
+) -> DataFrame:
+    """Engine-reproducible global shuffle: total order by
+    ``md5(seed || key)`` — the standard trick for a training-data corpus
+    shuffle that any engine (and any rerun) reproduces exactly, unlike a
+    random-number shuffle.
+
+    ``orderBy`` on the hash is Spark's distributed total order (range-
+    partition exchange + per-partition sort); there is no single-task
+    sort bottleneck, and downstream sequential writers read partitions
+    in order.  The hash key is left in ``key_out`` so consumers can
+    range-split the shuffled corpus without re-deriving it.
+    """
+    k = F.md5(
+        F.concat_ws(":", F.lit(str(seed)), F.col(key_col).cast("string"))
+    )
+    return df.withColumn(key_out, k).orderBy(key_out)
+
+
+def pack_contiguous(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    budget: int,
+    num_buckets: int = 256,
+    out_col: str = "bin",
+) -> DataFrame:
+    """Concatenate-then-split sequence packing: assign each row the bin
+    ``floor(start_offset / budget)`` where ``start_offset`` is the running
+    ``weight_col`` total in ``id_col`` order — the deterministic packing
+    used to fill fixed-token-budget training sequences (rows may straddle
+    a boundary; the consumer truncates/continues, as in LLM pretraining
+    packing).
+
+    The global prefix sum is computed WITHOUT a one-partition window:
+    rows are bucketed by id range, each bucket computes its local cumsum
+    in parallel (window partitioned by bucket), and the per-bucket totals
+    (``num_buckets`` scalars) are prefix-summed on the driver and
+    broadcast back — the classic two-pass distributed scan, so the plan
+    scales with executors instead of serializing the corpus.
+
+    Requires non-negative ``id_col`` values (bucket = id range slice).
+    """
+    from pyspark.sql import Window
+
+    mx = df.agg(F.max(F.col(id_col)).alias("m")).collect()[0]["m"]
+    if mx is None:  # empty frame
+        return df.withColumn(out_col, F.lit(None).cast("long"))
+    span = max(1, (int(mx) + num_buckets) // num_buckets)  # ceil((mx+1)/nb)
+    bucketed = df.withColumn("_bkt", (F.col(id_col) / span).cast("int"))
+
+    w = (
+        Window.partitionBy("_bkt")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = bucketed.withColumn(
+        "_cum", F.sum(F.col(weight_col).cast("long")).over(w)
+    )
+
+    totals = (
+        bucketed.groupBy("_bkt")
+        .agg(F.sum(F.col(weight_col).cast("long")).alias("_tot"))
+        .collect()
+    )
+    offsets, running = [], 0
+    for row in sorted(totals, key=lambda r: r["_bkt"]):
+        offsets.append((row["_bkt"], running))
+        running += row["_tot"]
+    off_df = df.sparkSession.createDataFrame(offsets, "_bkt int, _off long")
+
+    start = F.col("_off") + F.col("_cum") - F.col(weight_col).cast("long")
+    return (
+        local.join(F.broadcast(off_df), "_bkt")
+        .withColumn(out_col, F.floor(start / F.lit(float(budget))))
+        .drop("_bkt", "_cum", "_off")
+    )

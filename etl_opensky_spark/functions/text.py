@@ -137,6 +137,55 @@ def fingerprint_rolling(
     )
 
 
+def dup_line_ratio(col: Column) -> Column:
+    """Fraction of non-blank lines that are repeats of an earlier line —
+    the Gopher-style repetition signal (Rae et al. '21 §A1.1) for
+    boilerplate/navigation pages.  Pure per-row array expressions, no
+    shuffle; 0.0 for empty or single-line text."""
+    lines = F.filter(
+        F.transform(F.split(col, "\n"), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
+    n_lines = F.size(lines)
+    return F.when(n_lines == 0, F.lit(0.0)).otherwise(
+        (n_lines - F.size(F.array_distinct(lines))) / n_lines
+    )
+
+
+def top_ngram_fraction(shingles: Column) -> Column:
+    """Fraction of n-gram occurrences taken by the single most frequent
+    n-gram (Gopher repetition signal: a high value means one phrase
+    dominates the document).
+
+    Takes a MATERIALIZED shingle array column (``word_shingles`` output
+    stored via ``withColumn`` first): Catalyst does no CSE across
+    higher-order-function lambda boundaries, so passing the raw
+    expression would re-tokenize per lambda.  Per-row O(k·d) over k
+    shingles / d distinct — row-local, no shuffle."""
+    counts = F.transform(
+        F.array_distinct(shingles),
+        lambda s: F.size(F.filter(shingles, lambda x: x == s)),
+    )
+    return F.when(F.size(shingles) == 0, F.lit(0.0)).otherwise(
+        F.array_max(counts) / F.size(shingles)
+    )
+
+
+def dup_ngram_fraction(shingles: Column) -> Column:
+    """Fraction of n-gram occurrences whose n-gram appears more than once
+    in the document (the companion Gopher duplicate-n-gram signal).
+    Same materialized-column contract as ``top_ngram_fraction``."""
+    dup_occurrences = F.size(
+        F.filter(
+            shingles,
+            lambda x: F.size(F.filter(shingles, lambda y: y == x)) > 1,
+        )
+    )
+    return F.when(F.size(shingles) == 0, F.lit(0.0)).otherwise(
+        dup_occurrences / F.size(shingles)
+    )
+
+
 def word_shingles(col: Column, n: int) -> Column:
     """Array of word n-gram shingles (space-joined), empty array when the
     text has fewer than ``n`` tokens."""

@@ -1574,6 +1574,132 @@ WHERE doc_id IN (
 """
 
 
+def q54_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: fraction of
+    2-gram occurrences taken by the most frequent 2-gram, and fraction of
+    3-gram occurrences whose gram repeats.  Shingle arrays are
+    MATERIALIZED once per row (no CSE across lambda boundaries), all
+    row-local array expressions — zero shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.withColumn(
+        "_g2", TX.word_shingles(F.col("text"), 2)
+    ).withColumn("_g3", TX.word_shingles(F.col("text"), 3))
+    return staged.select(
+        "doc_id",
+        TX.top_ngram_fraction(F.col("_g2")).alias("top2_frac"),
+        TX.dup_ngram_fraction(F.col("_g3")).alias("dup3_frac"),
+    )
+
+
+ORACLE_Q54 = """
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ts
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+    CASE WHEN len(ts) < 2 THEN []::VARCHAR[]
+         ELSE list_transform(range(1, len(ts)),
+                             i -> array_to_string(ts[i:i+1], ' ')) END AS g2,
+    CASE WHEN len(ts) < 3 THEN []::VARCHAR[]
+         ELSE list_transform(range(1, len(ts) - 1),
+                             i -> array_to_string(ts[i:i+2], ' ')) END AS g3
+  FROM tok
+)
+SELECT doc_id,
+  CASE WHEN len(g2) = 0 THEN 0.0
+       ELSE list_max(list_transform(list_distinct(g2),
+                       s -> len(list_filter(g2, x -> x = s))))
+            / CAST(len(g2) AS DOUBLE) END AS top2_frac,
+  CASE WHEN len(g3) = 0 THEN 0.0
+       ELSE len(list_filter(g3, x -> len(list_filter(g3, y -> y = x)) > 1))
+            / CAST(len(g3) AS DOUBLE) END AS dup3_frac
+FROM sh
+"""
+
+
+def q55_shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-reproducible corpus shuffle: md5(seed||id) total order —
+    first 20 docs of the shuffled stream.  orderBy+limit compiles to
+    TakeOrdered (per-partition heaps), not a global sort."""
+    from etl_opensky_spark.functions.sampling import shuffle_deterministic
+
+    docs = _t(spark, sf_dir, "documents")
+    return shuffle_deterministic(docs, "doc_id", seed=42).select(
+        "doc_id", "_shuffle_key"
+    ).limit(20)
+
+
+ORACLE_Q55 = """
+SELECT doc_id, md5('42:' || doc_id) AS _shuffle_key
+FROM documents ORDER BY _shuffle_key LIMIT 20
+"""
+
+
+def q56_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-then-split sequence packing: every doc assigned the
+    training bin its start offset falls in (budget = 2000 chars), via the
+    two-pass distributed prefix sum — per-bucket window cumsum + driver
+    prefix of 256 bucket totals; no one-partition global window."""
+    from etl_opensky_spark.functions.sampling import pack_contiguous
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_contiguous(docs, "doc_id", "n_chars", budget=2000).select(
+        "doc_id", "bin"
+    )
+
+
+ORACLE_Q56 = """
+SELECT doc_id,
+  CAST(FLOOR((SUM(n_chars) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_chars) / 2000.0) AS BIGINT) AS bin
+FROM documents
+"""
+
+
+def q57_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination gate: reference = every 37th doc,
+    corpus = the rest; drop corpus docs sharing any word 3-gram with the
+    reference, summarize survivors per language.  Shuffle key is the
+    gram (semi join — no pair blowup on hot grams)."""
+    from etl_opensky_spark.functions.dedup import decontaminate
+
+    # single-parquet-file input = one scan task: spread the (interpreted)
+    # shingle transform across cores before exploding.  A multi-split
+    # production corpus is already parallel and skips this.
+    docs = _t(spark, sf_dir, "documents").repartition(32)
+    reference = docs.filter(F.col("doc_id") % 37 == 0)
+    corpus = docs.filter(F.col("doc_id") % 37 != 0)
+    kept = decontaminate(corpus, reference, "doc_id", "text", n=3)
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
+ORACLE_Q57 = """
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ts
+  FROM documents
+), sh AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(ts) < 3 THEN []::VARCHAR[]
+         ELSE list_transform(range(1, len(ts) - 1),
+                             i -> array_to_string(ts[i:i+2], ' ')) END) AS g
+  FROM tok
+), contaminated AS (
+  SELECT DISTINCT c.doc_id
+  FROM sh c JOIN (SELECT DISTINCT g FROM sh WHERE doc_id % 37 = 0) r USING (g)
+  WHERE c.doc_id % 37 <> 0
+)
+SELECT lang, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
+FROM documents
+WHERE doc_id % 37 <> 0
+  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+GROUP BY lang
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -1628,6 +1754,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q51_json_envelope": q51_json_envelope,
     "q52_rest_ingest": q52_rest_ingest,
     "q53_dedup_skewed": q53_dedup_skewed,
+    "q54_repetition_signals": q54_repetition_signals,
+    "q55_shuffle_deterministic": q55_shuffle_deterministic,
+    "q56_pack_sequences": q56_pack_sequences,
+    "q57_decontaminate": q57_decontaminate,
 }
 
 ORACLES: dict[str, str] = {
@@ -1678,6 +1808,10 @@ ORACLES: dict[str, str] = {
     "q51_json_envelope": ORACLE_Q51,
     "q52_rest_ingest": ORACLE_Q52,
     "q53_dedup_skewed": ORACLE_Q53,
+    "q54_repetition_signals": ORACLE_Q54,
+    "q55_shuffle_deterministic": ORACLE_Q55,
+    "q56_pack_sequences": ORACLE_Q56,
+    "q57_decontaminate": ORACLE_Q57,
     # q25/q26: xxhash64-based — not reproducible in DuckDB (rows-only check)
     # q28: approximate by design (rows-only)
     # q29: mapInPandas feature extraction (rows-only; sha256 verified in tests)

@@ -537,3 +537,87 @@ def test_connected_components_nonconvergence_raises(spark, monkeypatch):
         ).collect()
     }
     assert comps == {0}
+
+
+def test_dup_line_ratio(spark):
+    df = spark.createDataFrame(
+        [(1, "a\nb\n a \n\nc"), (2, "x\ny"), (3, "")], "id int, text string"
+    )
+    got = dict(
+        df.select("id", TX.dup_line_ratio(F.col("text")).alias("r")).collect()
+    )
+    assert got[1] == pytest.approx(1 / 4)  # lines a,b,a,c -> one repeat
+    assert got[2] == 0.0
+    assert got[3] == 0.0
+
+
+def test_ngram_repetition_fractions(spark):
+    df = spark.createDataFrame([(1, "a b a b c"), (2, "x")], "id int, text string")
+    staged = df.withColumn("_g2", TX.word_shingles(F.col("text"), 2))
+    got = {
+        r["id"]: (r["top"], r["dup"])
+        for r in staged.select(
+            "id",
+            TX.top_ngram_fraction(F.col("_g2")).alias("top"),
+            TX.dup_ngram_fraction(F.col("_g2")).alias("dup"),
+        ).collect()
+    }
+    # 2-grams: [a b, b a, a b, b c] -> top 'a b' = 2/4; dup occurrences 2/4
+    assert got[1] == (pytest.approx(0.5), pytest.approx(0.5))
+    assert got[2] == (0.0, 0.0)  # too short to shingle
+
+
+def test_pack_contiguous_matches_driver_prefix_sum(spark):
+    from etl_opensky_spark.functions.sampling import pack_contiguous
+
+    rows = [(i, (i * 37) % 90 + 10) for i in range(0, 500, 3)]  # sparse ids
+    df = spark.createDataFrame(rows, "doc_id long, w long").repartition(7)
+    budget = 250
+    got = {
+        r["doc_id"]: r["bin"]
+        for r in pack_contiguous(df, "doc_id", "w", budget, num_buckets=8).collect()
+    }
+    run = 0
+    for i, w in rows:  # rows already in id order
+        assert got[i] == run // budget, f"doc {i}"
+        run += w
+    # bucket count must not change the packing
+    one = {
+        r["doc_id"]: r["bin"]
+        for r in pack_contiguous(df, "doc_id", "w", budget, num_buckets=1).collect()
+    }
+    assert one == got
+
+
+def test_shuffle_deterministic_stable_under_partitioning(spark):
+    from etl_opensky_spark.functions.sampling import shuffle_deterministic
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    a = [r["doc_id"] for r in shuffle_deterministic(df, "doc_id", 7).collect()]
+    b = [
+        r["doc_id"]
+        for r in shuffle_deterministic(df.repartition(13), "doc_id", 7).collect()
+    ]
+    assert a == b  # order depends only on (seed, key)
+    c = [r["doc_id"] for r in shuffle_deterministic(df, "doc_id", 8).collect()]
+    assert a != c  # and genuinely changes with the seed
+
+
+def test_decontaminate(spark):
+    from etl_opensky_spark.functions.dedup import contaminated_ids, decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps high"),
+            (2, "totally unrelated words here now"),
+            (3, "short doc"),  # too short for 3-grams: always kept
+        ],
+        "doc_id long, text string",
+    )
+    reference = spark.createDataFrame(
+        [(100, "we saw the quick brown fox yesterday")], "doc_id long, text string"
+    )
+    bad = {r["doc_id"] for r in contaminated_ids(corpus, reference, "doc_id", "text", n=3).collect()}
+    assert bad == {1}
+    kept = {r["doc_id"] for r in decontaminate(corpus, reference, "doc_id", "text", n=3).collect()}
+    assert kept == {2, 3}
