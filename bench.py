@@ -80,6 +80,8 @@ BENCH_QUERIES = [
     "q55_shuffle_deterministic",
     "q56_pack_sequences",
     "q57_decontaminate",
+    "q58_scd2_merge",
+    "q59_strip_common_lines",
 ]
 
 

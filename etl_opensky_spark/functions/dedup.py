@@ -233,23 +233,112 @@ def _union_find():
     return parent, find
 
 
+def _edge_signature(edges: DataFrame) -> tuple:
+    """Order-independent (count, hash-sum) signature of an edge set —
+    one scalar row per check, used to detect the star-contraction
+    fixpoint without materializing a set comparison."""
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.xxhash64(F.col("src"), F.col("dst")).cast("decimal(38,0)")
+        ).alias("h"),
+    ).collect()[0]
+    return (row["n"], row["h"])
+
+
+def _star_contract(edges: DataFrame, max_iterations: int) -> DataFrame:
+    """Alternating large-star/small-star contraction (Kiveris et al.,
+    'Connected Components in MapReduce and Beyond'): converges to a star
+    forest — every node pointing at its component's MINIMUM id — in
+    O(log n) rounds, unlike one-hop min-label propagation's O(diameter).
+
+    Input: undirected edge list (src, dst).  Output: (src=node,
+    dst=root) with root < node for every non-root node in the graph.
+
+    large-star: each node u connects its LARGER neighbors to
+    min(Γ(u) ∪ u); small-star: each node u (edges oriented big→small)
+    connects its smaller neighbors and itself to that minimum.  Each
+    half-round is one groupBy + one join on the node id; every emitted
+    edge keeps src > dst, so the orientation invariant is maintained
+    without re-sorting.
+
+    Each round is materialized via ``localCheckpoint`` — iterative plans
+    that merely ``persist`` nest the previous round's cached plan inside
+    the next round's tree, and after a handful of rounds Catalyst's plan
+    bookkeeping (not the data) blows the driver heap.  Checkpointing
+    truncates the lineage to the round's output RDD.  (localCheckpoint
+    trades executor-loss recovery for speed; this is the same choice
+    GraphFrames makes for its iterative algorithms.)
+    """
+    cur = (
+        edges.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    sig = _edge_signature(cur)
+    for _ in range(max_iterations):
+        # large star: for v in Γ(u), v > u  ->  (v, min(Γ(u) ∪ u))
+        bi = cur.unionByName(
+            cur.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        nbr_min = (
+            bi.groupBy("src")
+            .agg(F.min("dst").alias("_mn"))
+            .select("src", F.least("_mn", F.col("src")).alias("_m"))
+        )
+        large = (
+            bi.join(nbr_min, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        # small star on the (big, small)-oriented result:
+        # (v, min) for v in Γ≤(u), plus (u, min)
+        nbr_min2 = large.groupBy("src").agg(F.min("dst").alias("_m"))
+        small = (
+            large.join(nbr_min2, "src")
+            .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+            .unionByName(
+                nbr_min2.select("src", F.col("_m").alias("dst"))
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint()
+        )
+        new_sig = _edge_signature(small)
+        cur = small
+        if new_sig == sig:
+            return cur
+        sig = new_sig
+    raise RuntimeError(
+        f"star contraction did not converge within {max_iterations} "
+        "rounds — with O(log n) convergence this indicates a graph far "
+        "beyond the round budget; raise max_iterations"
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     ids: DataFrame,
     id_col: str,
     max_iterations: int = 20,
 ) -> DataFrame:
-    """(id, component) — connected components over an undirected pair list
-    by iterative min-label propagation: every node repeatedly adopts the
-    smallest label among itself and its neighbors until a fixpoint.
+    """(id, component) — connected components over an undirected pair
+    list; the component label is the component's minimum id.
 
     Hybrid execution: below ``SMALL_GRAPH_EDGES`` the edge list is
     collected and solved with driver-side union-find (a few hundred
     near-dup pairs do not deserve N Spark rounds of scheduling overhead);
-    above it, iterative distributed min-label propagation — O(diameter)
-    rounds, each one join + one groupBy on the node id, labels persisted
-    per round to cut lineage growth.  ``max_iterations`` bounds
-    pathological chains.
+    above it, distributed alternating star contraction
+    (``_star_contract``) — O(log n) rounds of groupBy+join on the node
+    id, intermediate edge sets persisted per round to cut lineage
+    growth.  Raises if the round budget is exhausted before the
+    fixpoint (never silently splits a component).
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -281,48 +370,19 @@ def connected_components(
             F.col(id_col),
             F.coalesce("_mapped", id_col).alias("component"),
         )
-    labels = ids.select(F.col(id_col).alias("node"), F.col(id_col).alias("component"))
-    changed = 0
-    for _ in range(max_iterations):
-        labels = labels.persist()
-        neighbor_min = (
-            edges.join(labels, edges["dst"] == labels["node"])
-            .groupBy("src")
-            .agg(F.min("component").alias("nbr_component"))
-        )
-        updated = (
-            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_component", "component")
-                ).alias("component"),
-            )
-        )
-        updated = updated.persist()
-        changed = (
-            updated.join(labels.withColumnRenamed("component", "old"), "node")
-            .filter(F.col("component") != F.col("old"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = updated
-        if changed == 0:
-            break
-    if changed != 0:
-        # min-label propagation moves one hop per round: exiting while
-        # labels still change means a component with diameter >
-        # max_iterations would be silently SPLIT (under-deduplication).
-        # Fail loudly instead — the caller can raise max_iterations.
-        labels.unpersist()
-        raise RuntimeError(
-            f"connected_components did not converge within {max_iterations} "
-            "iterations (labels still changing); a component's diameter "
-            "exceeds the round budget — raise max_iterations"
-        )
-    out = labels.select(F.col("node").alias(id_col), "component")
-    labels.unpersist()
+    # star contraction leaves one (node, root) edge per non-root node;
+    # everything absent from the mapping is a singleton or its own root
+    stars = _star_contract(edges, max_iterations)
+    mapping = stars.groupBy("src").agg(F.min("dst").alias("_root"))
+    out = ids.join(
+        mapping, ids[id_col] == mapping["src"], "left"
+    ).select(
+        F.col(id_col),
+        F.coalesce(F.col("_root"), F.col(id_col)).alias("component"),
+    )
+    edges.unpersist()
+    # the final star edge set is a localCheckpoint: node-count bounded
+    # (two longs per non-root node) and GC'd once the result is dropped
     return out
 
 
@@ -618,6 +678,54 @@ def dedup_embedding(
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit fingerprints (popcount of XOR)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def strip_common_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_doc_freq: int = 1,
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-level line deduplication (the RefinedWeb/CCNet boilerplate
+    pass): delete every line whose trimmed form occurs in more than
+    ``max_doc_freq`` DISTINCT documents, and reassemble each document's
+    surviving lines in their original order.  Documents left with zero
+    lines are dropped entirely (pure boilerplate).
+
+    Shape: posexplode (narrow) -> one shuffle counting distinct (doc,
+    line) pairs per line -> the HOT-line list (only lines above the
+    threshold — small by construction, broadcastable) anti-joined against
+    the line stream -> one shuffle regrouping lines by document -> one
+    join reattaching the non-text columns.  The full line stream is
+    never joined against itself, so a boilerplate line shared by a
+    billion docs costs one aggregate row, not a pair explosion.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_line"),
+    )
+    key = F.trim(F.col("_line"))
+    hot = (
+        lines.select(F.col(id_col), key.alias("_k"))
+        .distinct()
+        .groupBy("_k")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") > max_doc_freq)
+        .select("_k")
+    )
+    kept = lines.withColumn("_k", key).join(hot, "_k", "left_anti")
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("_pos", "_line"))).alias("_ls"))
+        .select(
+            F.col(id_col),
+            F.concat_ws(
+                sep, F.transform("_ls", lambda s: s["_line"])
+            ).alias(text_col),
+        )
+    )
+    return df.drop(text_col).join(rebuilt, id_col, "inner")
 
 
 def contaminated_ids(

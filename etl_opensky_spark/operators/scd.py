@@ -72,8 +72,11 @@ def scd2_merge(
         *[F.col(f"u.{k}").alias(k) for k in keys],
         F.col(f"u.{effective_col}").alias("_new_from"),
     )
+    # no forced broadcast: changed_keys scales with the update batch, so
+    # the size check stays with AQE (still a broadcast join for typical
+    # dim-sized update batches)
     closing = (
-        cur_open.join(F.broadcast(changed_keys), on=keys, how="inner")
+        cur_open.join(changed_keys, on=keys, how="inner")
         .withColumns({end_col: F.col("_new_from"), current_flag: F.lit(False)})
         .drop("_new_from")
     )

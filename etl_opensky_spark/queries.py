@@ -1700,6 +1700,137 @@ GROUP BY lang
 """
 
 
+def q58_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 merge gate (operators/scd.py): a customer dimension with open
+    + pre-closed history rows absorbs an update batch containing changed
+    attributes (key%5==0), no-churn rows (key%5==1, must NOT create
+    versions), and brand-new keys (key%5==2, offset ids).  The oracle
+    reconstructs the exact expected table with set logic."""
+    from etl_opensky_spark.operators.scd import scd2_merge
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), "c_name", "c_acctbal"
+    )
+    t2019 = F.lit("2019-01-01").cast("timestamp")
+    t2020 = F.lit("2020-01-01").cast("timestamp")
+    t2024 = F.lit("2024-01-01").cast("timestamp")
+    open_rows = cust.withColumns(
+        {
+            "valid_from": t2020,
+            "valid_to": F.lit(None).cast("timestamp"),
+            "is_current": F.lit(True),
+        }
+    )
+    closed_rows = (
+        cust.filter(F.col("k") % 100 == 0)
+        .withColumn("c_acctbal", F.col("c_acctbal") - 100)
+        .withColumns(
+            {"valid_from": t2019, "valid_to": t2020, "is_current": F.lit(False)}
+        )
+    )
+    current = open_rows.unionByName(closed_rows)
+
+    changed = (
+        cust.filter(F.col("k") % 5 == 0)
+        .withColumn("c_acctbal", F.col("c_acctbal") + 50)
+    )
+    no_churn = cust.filter(F.col("k") % 5 == 1)
+    new_keys = cust.filter(F.col("k") % 5 == 2).withColumn(
+        "k", F.col("k") + 1000000
+    )
+    updates = (
+        changed.unionByName(no_churn)
+        .unionByName(new_keys)
+        .withColumn("valid_from", t2024)
+    )
+    merged = scd2_merge(
+        current,
+        updates,
+        keys=["k"],
+        compare_cols=["c_name", "c_acctbal"],
+    )
+    return merged.select(
+        "k", "c_name", "c_acctbal", "valid_from", "valid_to", "is_current"
+    )
+
+
+ORACLE_Q58 = """
+WITH base AS (SELECT c_custkey AS k, c_name, c_acctbal FROM customer)
+-- pre-closed history: untouched by the merge
+SELECT k, c_name, c_acctbal - 100 AS c_acctbal,
+       TIMESTAMP '2019-01-01' AS valid_from,
+       TIMESTAMP '2020-01-01' AS valid_to, FALSE AS is_current
+FROM base WHERE k % 100 = 0
+UNION ALL
+-- open rows whose key did not change (incl. the %5==1 no-churn updates)
+SELECT k, c_name, c_acctbal, TIMESTAMP '2020-01-01',
+       CAST(NULL AS TIMESTAMP), TRUE
+FROM base WHERE k % 5 <> 0
+UNION ALL
+-- changed keys: old version closed at the update's effective ts
+SELECT k, c_name, c_acctbal, TIMESTAMP '2020-01-01',
+       TIMESTAMP '2024-01-01', FALSE
+FROM base WHERE k % 5 = 0
+UNION ALL
+-- changed keys: new current version with the updated attribute
+SELECT k, c_name, c_acctbal + 50, TIMESTAMP '2024-01-01',
+       CAST(NULL AS TIMESTAMP), TRUE
+FROM base WHERE k % 5 = 0
+UNION ALL
+-- brand-new keys inserted as current
+SELECT k + 1000000, c_name, c_acctbal, TIMESTAMP '2024-01-01',
+       CAST(NULL AS TIMESTAMP), TRUE
+FROM base WHERE k % 5 = 2
+"""
+
+
+def q59_strip_common_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level line dedup gate: documents are reshaped one-word-per-
+    line (the synthetic corpus has no newlines), then every 'line' present
+    in more than 77% of documents is stripped — the RefinedWeb-style
+    boilerplate pass.  At that cut the ~19 corpus-hot words go while
+    every document stays alive, so the gate hash-matches the full set of
+    REBUILT texts: order preservation and reassembly are what's verified.
+    (Integer counts make ``count > 0.77*n`` and ``count > floor(0.77*n)``
+    the same predicate, so the Spark and DuckDB cuts agree exactly.)"""
+    from etl_opensky_spark.functions.dedup import strip_common_lines
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .repartition(32)  # single-file input: parallelize the explode
+        .select(
+            "doc_id",
+            F.translate(F.col("text"), " ", "\n").alias("text"),
+            "lang",
+        )
+    )
+    threshold = int(0.77 * docs.count())
+    out = strip_common_lines(docs, "doc_id", "text", max_doc_freq=threshold)
+    return out.select("doc_id", "lang", "text")
+
+
+ORACLE_Q59 = """
+WITH reshaped AS (
+  SELECT doc_id, lang, replace(text, ' ', chr(10)) AS text FROM documents
+), exploded AS (
+  SELECT doc_id, lang, unnest(range(1, len(ls) + 1)) AS pos, ls
+  FROM (SELECT doc_id, lang, string_split(text, chr(10)) AS ls FROM reshaped)
+), lines AS (
+  SELECT doc_id, lang, pos, ls[pos] AS line FROM exploded
+), hot AS (
+  SELECT k FROM (
+    SELECT DISTINCT doc_id, trim(line) AS k FROM lines
+  ) GROUP BY k HAVING COUNT(*) > 0.77 * (SELECT COUNT(*) FROM documents)
+), kept AS (
+  SELECT doc_id, lang, pos, line FROM lines
+  WHERE trim(line) NOT IN (SELECT k FROM hot)
+)
+SELECT doc_id, any_value(lang) AS lang,
+       string_agg(line, chr(10) ORDER BY pos) AS text
+FROM kept GROUP BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -1758,6 +1889,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q55_shuffle_deterministic": q55_shuffle_deterministic,
     "q56_pack_sequences": q56_pack_sequences,
     "q57_decontaminate": q57_decontaminate,
+    "q58_scd2_merge": q58_scd2_merge,
+    "q59_strip_common_lines": q59_strip_common_lines,
 }
 
 ORACLES: dict[str, str] = {
@@ -1812,6 +1945,8 @@ ORACLES: dict[str, str] = {
     "q55_shuffle_deterministic": ORACLE_Q55,
     "q56_pack_sequences": ORACLE_Q56,
     "q57_decontaminate": ORACLE_Q57,
+    "q58_scd2_merge": ORACLE_Q58,
+    "q59_strip_common_lines": ORACLE_Q59,
     # q25/q26: xxhash64-based — not reproducible in DuckDB (rows-only check)
     # q28: approximate by design (rows-only)
     # q29: mapInPandas feature extraction (rows-only; sha256 verified in tests)

@@ -522,7 +522,7 @@ def test_connected_components_nonconvergence_raises(spark, monkeypatch):
     from etl_opensky_spark.functions import dedup as D
 
     monkeypatch.setattr(D, "SMALL_GRAPH_EDGES", 0)  # force distributed path
-    # chain 0-1-2-3-4: diameter 4, min-label needs >1 round
+    # chain 0-1-2-3-4: needs more than one contraction round
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(4)], "id_a long, id_b long"
     )
@@ -537,6 +537,38 @@ def test_connected_components_nonconvergence_raises(spark, monkeypatch):
         ).collect()
     }
     assert comps == {0}
+
+
+def test_star_contraction_matches_union_find(spark, monkeypatch):
+    """Distributed star contraction must agree exactly with driver-side
+    union-find on assorted graph shapes (chains, merged components,
+    singletons, high-degree hubs)."""
+    import random
+
+    from etl_opensky_spark.functions import dedup as D
+
+    rng = random.Random(7)
+    graphs = [
+        [(i, i + 1) for i in range(9)],                      # long chain
+        [(0, 5), (5, 9), (2, 7), (7, 3), (11, 12)],          # two comps
+        [(0, i) for i in range(1, 8)],                       # star (hub 0)
+        [(rng.randrange(30), rng.randrange(30)) for _ in range(25)],
+    ]
+    for edges in graphs:
+        nodes = sorted({n for e in edges for n in e} | {98, 99})  # +singletons
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        ids = spark.createDataFrame([(n,) for n in nodes], "doc_id long")
+        monkeypatch.setattr(D, "SMALL_GRAPH_EDGES", 1_000_000)
+        want = {
+            (r["doc_id"], r["component"])
+            for r in D.connected_components(pairs, ids, "doc_id").collect()
+        }
+        monkeypatch.setattr(D, "SMALL_GRAPH_EDGES", 0)
+        got = {
+            (r["doc_id"], r["component"])
+            for r in D.connected_components(pairs, ids, "doc_id").collect()
+        }
+        assert got == want, f"graph {edges}"
 
 
 def test_dup_line_ratio(spark):
@@ -621,3 +653,43 @@ def test_decontaminate(spark):
     assert bad == {1}
     kept = {r["doc_id"] for r in decontaminate(corpus, reference, "doc_id", "text", n=3).collect()}
     assert kept == {2, 3}
+
+
+def test_strip_common_lines(spark):
+    from etl_opensky_spark.functions.dedup import strip_common_lines
+
+    rows = [
+        (1, "cookie banner\nreal content one\nfooter"),
+        (2, "cookie banner\nreal content two\nfooter"),
+        (3, "cookie banner\nunique text here\nfooter"),
+        (4, "cookie banner\nfooter"),  # boilerplate-only: dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["text"]
+        for r in strip_common_lines(df, "doc_id", "text", max_doc_freq=2).collect()
+    }
+    # 'cookie banner' and 'footer' occur in 4 docs (>2): stripped everywhere
+    assert out == {
+        1: "real content one",
+        2: "real content two",
+        3: "unique text here",
+    }
+
+
+def test_strip_common_lines_preserves_order_and_trim_matching(spark):
+    from etl_opensky_spark.functions.dedup import strip_common_lines
+
+    rows = [
+        (1, "keep a\n  hot  \nkeep b\nkeep c"),
+        (2, "hot\nother"),
+        (3, "hot\nthird"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["text"]
+        for r in strip_common_lines(df, "doc_id", "text", max_doc_freq=2).collect()
+    }
+    # '  hot  ' trims to 'hot' (3 docs > 2): stripped; order preserved
+    assert out[1] == "keep a\nkeep b\nkeep c"
+    assert out[2] == "other" and out[3] == "third"
