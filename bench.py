@@ -82,6 +82,8 @@ BENCH_QUERIES = [
     "q57_decontaminate",
     "q58_scd2_merge",
     "q59_strip_common_lines",
+    "q60_stream_running_totals",
+    "q61_pii_redaction",
 ]
 
 

@@ -137,6 +137,34 @@ def fingerprint_rolling(
     )
 
 
+#: PII-ish redaction patterns — kept to RE2-compatible syntax (no
+#: lookaround) so external engines can replay the exact same scrub
+REDACTION_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\+?\d{3}[-. ]\d{3,4}[-. ]\d{4}",
+}
+
+#: deterministic application order: emails first (their dots would
+#: otherwise feed the ipv4 pattern), then IPs (so the dotted quads are
+#: gone before the phone pattern — whose separator class includes '.' —
+#: can munch them), then phones
+REDACTION_ORDER = ["email", "ipv4", "phone"]
+
+
+def redact_pii(col: Column, kinds=None, token: str = "[REDACTED]") -> Column:
+    """Scrub PII-shaped substrings (emails, IPv4 addresses, phone
+    numbers) with a fixed token — the pre-training scrub pass.  Pure
+    ``regexp_replace`` chain (JVM-side, global replace); patterns avoid
+    lookaround so the scrub is reproducible in RE2-based engines.
+    Pattern order is fixed (see ``REDACTION_ORDER``) because the
+    patterns' character classes overlap."""
+    out = col
+    for kind in kinds if kinds is not None else REDACTION_ORDER:
+        out = F.regexp_replace(out, REDACTION_PATTERNS[kind], token)
+    return out
+
+
 def dup_line_ratio(col: Column) -> Column:
     """Fraction of non-blank lines that are repeats of an earlier line —
     the Gopher-style repetition signal (Rae et al. '21 §A1.1) for

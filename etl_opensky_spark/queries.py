@@ -1831,6 +1831,95 @@ FROM kept GROUP BY doc_id
 """
 
 
+def q60_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming gate (`applyInPandasWithState`): per-user
+    running (count, total) accumulated across micro-batches over the
+    events stream, final state per key compared against the batch
+    aggregate oracle.  Values are floor-scaled to exact integers in
+    doubles so cross-engine float summation order cannot matter."""
+    from etl_opensky_spark.streaming.stateful import running_totals
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    on_disk_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(on_disk_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    scaled = stream.select(
+        "user_id",
+        F.floor(F.col("value").cast("double") * 1e6)
+        .cast("double")
+        .alias("value"),
+    )
+    totals = running_totals(scaled, key_col="user_id", value_col="value")
+    name = "stream_running_totals"
+    q = (
+        totals.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode re-emits a key each micro-batch it appears in: the
+    # final state per key is the row with the largest running count
+    out = spark.table(name)
+    return out.groupBy("user_id").agg(
+        F.max("n").alias("n"), F.max_by("total", "n").alias("total")
+    )
+
+
+ORACLE_Q60 = """
+SELECT user_id, COUNT(*) AS n,
+  CAST(SUM(CAST(FLOOR(CAST(value AS DOUBLE) * 1e6) AS BIGINT)) AS DOUBLE) AS total
+FROM events GROUP BY user_id
+"""
+
+
+def q61_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub gate: deterministic emails / IPv4s / phone numbers are
+    woven into each document, then ``redact_pii`` must remove exactly
+    them — the rebuilt strings hash-match an oracle running the same
+    RE2-compatible patterns in DuckDB."""
+    docs = _t(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-123-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 192.168."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1 thanks"),
+        ).alias("text"),
+    )
+    return seeded.select(
+        "doc_id", TX.redact_pii(F.col("text")).alias("text")
+    )
+
+
+ORACLE_Q61 = """
+WITH seeded AS (
+  SELECT doc_id,
+    text || ' contact user' || doc_id || '@example.com or 555-123-' ||
+    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' from 192.168.' ||
+    CAST(doc_id % 256 AS VARCHAR) || '.1 thanks' AS text
+  FROM documents
+)
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[REDACTED]', 'g'),
+      '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '[REDACTED]', 'g'),
+    '\\+?\\d{3}[-. ]\\d{3,4}[-. ]\\d{4}', '[REDACTED]', 'g') AS text
+FROM seeded
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -1891,6 +1980,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q57_decontaminate": q57_decontaminate,
     "q58_scd2_merge": q58_scd2_merge,
     "q59_strip_common_lines": q59_strip_common_lines,
+    "q60_stream_running_totals": q60_stream_running_totals,
+    "q61_pii_redaction": q61_pii_redaction,
 }
 
 ORACLES: dict[str, str] = {
@@ -1947,6 +2038,8 @@ ORACLES: dict[str, str] = {
     "q57_decontaminate": ORACLE_Q57,
     "q58_scd2_merge": ORACLE_Q58,
     "q59_strip_common_lines": ORACLE_Q59,
+    "q60_stream_running_totals": ORACLE_Q60,
+    "q61_pii_redaction": ORACLE_Q61,
     # q25/q26: xxhash64-based — not reproducible in DuckDB (rows-only check)
     # q28: approximate by design (rows-only)
     # q29: mapInPandas feature extraction (rows-only; sha256 verified in tests)

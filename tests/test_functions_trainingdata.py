@@ -693,3 +693,20 @@ def test_strip_common_lines_preserves_order_and_trim_matching(spark):
     # '  hot  ' trims to 'hot' (3 docs > 2): stripped; order preserved
     assert out[1] == "keep a\nkeep b\nkeep c"
     assert out[2] == "other" and out[3] == "third"
+
+
+def test_redact_pii(spark):
+    rows = [
+        (1, "mail me at jo.doe+x@site.org or call 555-123-4567 ok"),
+        (2, "server 10.0.255.3 and backup 192.168.1.1"),
+        (3, "no pii here at all"),
+        (4, "dotted phone 555.123.4567 stays a phone"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = dict(
+        df.select("id", TX.redact_pii(F.col("text")).alias("t")).collect()
+    )
+    assert got[1] == "mail me at [REDACTED] or call [REDACTED] ok"
+    assert got[2] == "server [REDACTED] and backup [REDACTED]"
+    assert got[3] == "no pii here at all"
+    assert got[4] == "dotted phone [REDACTED] stays a phone"
