@@ -84,6 +84,8 @@ BENCH_QUERIES = [
     "q59_strip_common_lines",
     "q60_stream_running_totals",
     "q61_pii_redaction",
+    "q62_media_pipeline",
+    "q63_interval_join",
 ]
 
 

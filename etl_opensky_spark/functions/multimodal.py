@@ -107,3 +107,68 @@ def documents_as_media(documents: DataFrame) -> DataFrame:
         F.lit("image").alias("media_type"),
         F.encode(F.col("text"), "UTF-8").alias("payload"),
     )
+
+
+def resize_media(
+    media: DataFrame, target_bytes: int, payload_col: str = "payload"
+) -> DataFrame:
+    """'Resize' each payload to at most ``target_bytes`` (deterministic
+    byte crop — the stand-in for a real image resize; the env has no
+    codecs).  The Spark-side plumbing is the real contract: binary in /
+    binary out through an Arrow batch, per-row map, no shuffle, schema
+    preserved.  Byte semantics are engine-reproducible (= SQL
+    ``substring(payload, 1, n)``), so the gate query hash-checks it."""
+
+    def crop(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[payload_col] = pdf[payload_col].map(
+                lambda p: None if p is None else p[:target_bytes]
+            )
+            yield pdf
+
+    return media.mapInPandas(crop, schema=media.schema)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame,
+    num_frames: int,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Sample ``num_frames`` evenly-spaced 'frames' from each payload —
+    the video-frame-sampling shape: a 1-to-N Arrow map (each input row
+    yields up to ``num_frames`` frame rows).  Frame i covers bytes
+    [i*stride, (i+1)*stride) with stride = max(len // num_frames, 1);
+    offsets beyond the payload produce no row.  Deterministic byte
+    slicing (= SQL substring), so the plumbing is oracle-checkable; a
+    real ffmpeg sampler swaps into the same signature."""
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, payloads = [], [], []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                if p is None or len(p) == 0:
+                    continue
+                stride = max(len(p) // num_frames, 1)
+                for i in range(num_frames):
+                    off = i * stride
+                    if off >= len(p):
+                        break
+                    ids.append(mid)
+                    idxs.append(i)
+                    payloads.append(p[off : off + stride])
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame": payloads}
+            )
+
+    return media.mapInPandas(frames, schema=FRAME_SCHEMA)

@@ -126,3 +126,61 @@ def check_fk(
             f"FK violation: {fact_key} values missing in dim.{dim_key}, "
             f"e.g. {keys}"
         )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by,
+    tolerance_s: int,
+    direction: str = "both",
+    suffix: str = "_r",
+) -> DataFrame:
+    """All (left, right) row pairs in the same ``by`` group whose ``on``
+    timestamps lie within ``tolerance_s`` seconds — the interval/range
+    join (CDC reconciliation, nearby-event correlation), which Spark
+    would otherwise plan as a nested-loop over the inequality predicate.
+
+    ``direction``: "both" (|l - r| <= tol), "backward" (r in
+    [l - tol, l]), "forward" (r in [l, l + tol]).
+
+    Bucketed equi-join shape: both sides bucket their timestamp by the
+    tolerance width; the right side EXPLODES to its own bucket ±1 so any
+    qualifying pair shares an equi-key (by, bucket).  The join is then a
+    plain hash equi-join — shuffle keyed on (by, bucket), never a
+    nested-loop — and the exact inequality filters inside the bucket
+    pairs.  Each qualifying pair matches on exactly ONE replicated
+    bucket, so no dedup pass is needed.  Replication factor is a fixed
+    3x on the right side regardless of data volume.
+    """
+    if direction not in ("both", "backward", "forward"):
+        raise ValueError(f"unknown direction: {direction!r}")
+    by = list(by)
+    width = int(tolerance_s) * 1_000_000  # microseconds
+
+    lb = F.floor(F.unix_micros(F.col(on)) / width)
+    l_side = left.withColumn("_b", lb)
+    right_renamed = right.select(
+        *by,
+        F.col(on).alias(f"{on}{suffix}"),
+        *[
+            F.col(c).alias(f"{c}{suffix}")
+            for c in right.columns
+            if c != on and c not in by
+        ],
+    )
+    rb = F.floor(F.unix_micros(F.col(f"{on}{suffix}")) / width)
+    r_side = right_renamed.withColumn(
+        "_b", F.explode(F.array(rb - 1, rb, rb + 1))
+    )
+    joined = l_side.join(r_side, on=by + ["_b"]).drop("_b")
+
+    delta = F.unix_micros(F.col(f"{on}{suffix}")) - F.unix_micros(F.col(on))
+    if direction == "both":
+        cond = F.abs(delta) <= width
+    elif direction == "backward":
+        cond = (delta >= -width) & (delta <= 0)
+    else:
+        cond = (delta >= 0) & (delta <= width)
+    return joined.filter(cond)

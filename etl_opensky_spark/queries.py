@@ -1920,6 +1920,88 @@ FROM seeded
 """
 
 
+def q62_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing gate: binary payloads -> resize (byte crop) ->
+    frame sampling (1-to-N Arrow map) -> per-frame size + sha256.  The
+    'decode' is a deterministic byte transform (no codecs in env), but
+    the byte semantics equal SQL substring, so the WHOLE pipeline —
+    binary columns through two mapInPandas stages — is hash-verified
+    against DuckDB, not just rows-only."""
+    from etl_opensky_spark.functions.multimodal import (
+        documents_as_media,
+        resize_media,
+        sample_frames,
+    )
+
+    docs = _t(spark, sf_dir, "documents").repartition(32)
+    media = documents_as_media(docs)
+    resized = resize_media(media, target_bytes=64)
+    frames = sample_frames(resized, num_frames=4)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.length(F.col("frame")).cast("int").alias("byte_size"),
+        F.sha2(F.col("frame"), 256).alias("frame_sha"),
+    )
+
+
+# DuckDB's substring/sha256 don't take BLOBs, but the corpus is pure
+# ASCII (verified) so VARCHAR slicing is byte-exact and sha256(varchar)
+# hashes the same UTF-8 bytes Spark's binary path hashes.
+ORACLE_Q62 = """
+WITH media AS (
+  SELECT doc_id AS media_id, substring(text, 1, 64) AS payload
+  FROM documents
+), sized AS (
+  SELECT media_id, payload,
+         GREATEST(length(payload) // 4, 1) AS stride,
+         length(payload) AS len
+  FROM media WHERE length(payload) > 0
+), frames AS (
+  SELECT media_id, CAST(i AS INTEGER) AS frame_idx,
+         substring(payload, CAST(1 + i * stride AS INTEGER),
+                   CAST(stride AS INTEGER)) AS frame
+  FROM sized, range(4) t(i)
+  WHERE i * stride < len
+)
+SELECT media_id, frame_idx,
+       CAST(length(frame) AS INTEGER) AS byte_size,
+       sha256(frame) AS frame_sha
+FROM frames
+"""
+
+
+def q63_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join gate: every (purchase, click) pair for the same user
+    with the click at most 10 minutes BEFORE the purchase.  The operator
+    plans this as a bucketed hash equi-join (tolerance-width time
+    buckets, right side replicated ±1 bucket) — never the nested-loop
+    Spark picks for a raw inequality join."""
+    from etl_opensky_spark.operators.joins import interval_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    out = interval_join(
+        purchases, clicks, on="ts", by=["user_id"],
+        tolerance_s=600, direction="backward",
+    )
+    return out.select("event_id", "user_id", "click_id_r")
+
+
+ORACLE_Q63 = """
+SELECT p.event_id, p.user_id, c.click_id AS click_id_r
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -1982,6 +2064,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q59_strip_common_lines": q59_strip_common_lines,
     "q60_stream_running_totals": q60_stream_running_totals,
     "q61_pii_redaction": q61_pii_redaction,
+    "q62_media_pipeline": q62_media_pipeline,
+    "q63_interval_join": q63_interval_join,
 }
 
 ORACLES: dict[str, str] = {
@@ -2040,6 +2124,8 @@ ORACLES: dict[str, str] = {
     "q59_strip_common_lines": ORACLE_Q59,
     "q60_stream_running_totals": ORACLE_Q60,
     "q61_pii_redaction": ORACLE_Q61,
+    "q62_media_pipeline": ORACLE_Q62,
+    "q63_interval_join": ORACLE_Q63,
     # q25/q26: xxhash64-based — not reproducible in DuckDB (rows-only check)
     # q28: approximate by design (rows-only)
     # q29: mapInPandas feature extraction (rows-only; sha256 verified in tests)

@@ -710,3 +710,30 @@ def test_redact_pii(spark):
     assert got[2] == "server [REDACTED] and backup [REDACTED]"
     assert got[3] == "no pii here at all"
     assert got[4] == "dotted phone [REDACTED] stays a phone"
+
+
+def test_resize_and_sample_frames(spark):
+    from etl_opensky_spark.functions.multimodal import (
+        documents_as_media,
+        resize_media,
+        sample_frames,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "abcdefgh"), (2, "xy"), (3, "")], "doc_id long, text string"
+    )
+    media = documents_as_media(df)
+    resized = resize_media(media, target_bytes=4)
+    sizes = {
+        r["media_id"]: len(r["payload"])
+        for r in resized.collect()
+    }
+    assert sizes == {1: 4, 2: 2, 3: 0}  # crop to at most 4 bytes
+    frames = sample_frames(resized, num_frames=2).collect()
+    got = {(r["media_id"], r["frame_idx"]): bytes(r["frame"]) for r in frames}
+    # doc 1: 'abcd' -> stride 2 -> frames 'ab', 'cd'; doc 2: 'xy' ->
+    # stride 1 -> 'x', 'y'; doc 3: empty -> no rows
+    assert got == {
+        (1, 0): b"ab", (1, 1): b"cd",
+        (2, 0): b"x", (2, 1): b"y",
+    }

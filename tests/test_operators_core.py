@@ -245,3 +245,54 @@ def test_asof_join_attaches_latest_row_wholesale(spark):
     got = sorted((r["k"], r["payload"], r["name"]) for r in salted.collect())
     want = sorted((r["k"], r["payload"], r["name"]) for r in plain.collect())
     assert got == want
+
+
+def test_interval_join_matches_naive(spark):
+    import datetime as dt
+
+    from etl_opensky_spark.operators.joins import interval_join
+
+    base = dt.datetime(2024, 1, 1)
+    lrows = [(i, "u%d" % (i % 3), base + dt.timedelta(seconds=37 * i)) for i in range(40)]
+    rrows = [(100 + i, "u%d" % (i % 3), base + dt.timedelta(seconds=11 * i)) for i in range(80)]
+    left = spark.createDataFrame(lrows, "lid long, user string, ts timestamp")
+    right = spark.createDataFrame(rrows, "rid long, user string, ts timestamp")
+
+    for direction in ("both", "backward", "forward"):
+        got = {
+            (r["lid"], r["rid_r"])
+            for r in interval_join(
+                left, right, on="ts", by=["user"],
+                tolerance_s=60, direction=direction,
+            ).collect()
+        }
+        want = set()
+        for lid, lu, lts in lrows:
+            for rid, ru, rts in rrows:
+                if lu != ru:
+                    continue
+                d = (rts - lts).total_seconds()
+                ok = (
+                    abs(d) <= 60 if direction == "both"
+                    else -60 <= d <= 0 if direction == "backward"
+                    else 0 <= d <= 60
+                )
+                if ok:
+                    want.add((lid, rid))
+        assert got == want, direction
+
+
+def test_interval_join_is_equi_join_not_nested_loop(spark):
+    import datetime as dt
+
+    from etl_opensky_spark.operators.joins import interval_join
+
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(i, "u", base + dt.timedelta(seconds=i)) for i in range(100)],
+        "eid long, user string, ts timestamp",
+    )
+    out = interval_join(df, df, on="ts", by=["user"], tolerance_s=10)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
