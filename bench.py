@@ -86,6 +86,10 @@ BENCH_QUERIES = [
     "q61_pii_redaction",
     "q62_media_pipeline",
     "q63_interval_join",
+    "q64_window_suite",
+    "q65_time_rollup",
+    "q66_histogram",
+    "q67_profile",
 ]
 
 

@@ -37,3 +37,120 @@ def top_k_per_group(
         F.col(rank_col) <= k
     )
     return out if keep_rank else out.drop(rank_col)
+
+
+def time_rollup(
+    df: DataFrame,
+    ts_col: str,
+    every: str,
+    group_cols: Sequence[str],
+    aggs: dict[str, Column],
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Time-bucketed pre-aggregation (the continuous-aggregate /
+    hypertable-rollup pattern): truncate ``ts_col`` to ``every``
+    ('hour', 'day', 'week', ...) and aggregate per (bucket, groups).
+
+    The point at scale: materialize a fine rollup ONCE (e.g. hourly),
+    then answer coarser queries by RE-aggregating the rollup
+    (``reaggregate_rollup``) — count/sum/min/max re-aggregate losslessly,
+    so a daily query reads ~24 rows per key instead of the raw corpus.
+    One shuffle on (bucket, groups) with map-side partial aggregation.
+    """
+    bucket = F.date_trunc(every, F.col(ts_col)).alias(bucket_col)
+    return df.groupBy(bucket, *group_cols).agg(
+        *[c.alias(name) for name, c in aggs.items()]
+    )
+
+
+#: how each rollup measure re-aggregates to a coarser grain
+_REAGG = {
+    "sum": F.sum,
+    "count": F.sum,  # counts ADD across finer buckets
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def reaggregate_rollup(
+    rollup: DataFrame,
+    every: str,
+    group_cols: Sequence[str],
+    measures: dict[str, str],
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Re-aggregate a fine ``time_rollup`` output to a coarser grain.
+    ``measures`` maps column -> its rollup kind ('sum' | 'count' | 'min'
+    | 'max' — the losslessly re-aggregable measures; averages must be
+    carried as sum+count pairs).  Input is rollup-sized, not raw-sized.
+    """
+    unknown = {k for k in measures.values() if k not in _REAGG}
+    if unknown:
+        raise ValueError(f"not re-aggregable: {sorted(unknown)}")
+    coarse = F.date_trunc(every, F.col(bucket_col)).alias(bucket_col)
+    return rollup.groupBy(coarse, *group_cols).agg(
+        *[_REAGG[kind](F.col(name)).alias(name) for name, kind in measures.items()]
+    )
+
+
+def equi_width_histogram(
+    df: DataFrame,
+    col: str,
+    bin_width: float,
+    origin: float = 0.0,
+    bucket_col: str = "bucket",
+    count_col: str = "n",
+) -> DataFrame:
+    """Equi-width histogram: one map-side-combining groupBy on the bucket
+    index ``floor((x - origin) / bin_width)`` — a single pass, no
+    data-dependent pre-scan.  Empty buckets are absent (dense ranges can
+    be rebuilt by joining a bucket spine).  NULLs are dropped."""
+    bucket = F.floor(
+        (F.col(col).cast("double") - F.lit(float(origin)))
+        / F.lit(float(bin_width))
+    ).alias(bucket_col)
+    return (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(bucket)
+        .agg(F.count("*").alias(count_col))
+    )
+
+
+def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Data-profiling summary: one row per column with row count, null
+    count, distinct count, and min/max (as strings, so heterogeneous
+    column types stack into one frame).
+
+    ONE aggregation pass computes every metric for every column
+    simultaneously (a per-column loop would scan the table N times);
+    the wide 1-row result is reshaped driver-side — it is metrics-sized,
+    not data-sized.  ``count_distinct`` is exact (shuffles distinct
+    values per column); swap ``approx_count_distinct`` in at corpus
+    scale where 2% error is acceptable.
+    """
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.sum(F.isnull(F.col(c)).cast("long")).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs).collect()[0]
+    rows = [
+        (
+            c,
+            wide[f"{c}__rows"],
+            wide[f"{c}__nulls"],
+            wide[f"{c}__distinct"],
+            wide[f"{c}__min"],
+            wide[f"{c}__max"],
+        )
+        for c in cols
+    ]
+    return df.sparkSession.createDataFrame(
+        rows,
+        "column string, n_rows long, n_nulls long, n_distinct long, "
+        "min_value string, max_value string",
+    )

@@ -2002,6 +2002,139 @@ JOIN (SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'c
 """
 
 
+def q64_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full analytic-window surface in one partitioned pass:
+    dense_rank / percent_rank / cume_dist / ntile / lag / lead share ONE
+    window spec (one shuffle on the partition key; unique tie-break so
+    ntile and lag/lead are deterministic)."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.dense_rank().over(w).alias("dr"),
+        F.round(F.percent_rank().over(w), 9).alias("pr"),
+        F.round(F.cume_dist().over(w), 9).alias("cd"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lag("o_orderkey", 1).over(w).alias("prev_key"),
+        F.lead("o_orderkey", 1).over(w).alias("next_key"),
+    )
+
+
+ORACLE_Q64 = """
+SELECT o_orderkey, o_orderpriority,
+  CAST(dense_rank() OVER w AS INTEGER) AS dr,
+  ROUND(percent_rank() OVER w, 9) AS pr,
+  ROUND(cume_dist() OVER w, 9) AS cd,
+  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+  lag(o_orderkey, 1) OVER w AS prev_key,
+  lead(o_orderkey, 1) OVER w AS next_key
+FROM orders WHERE o_orderkey % 7 = 0
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice DESC, o_orderkey)
+"""
+
+
+def q65_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate pattern: events roll up to an HOURLY table
+    once, and the daily answer re-aggregates those ~24 rows/key instead
+    of the raw corpus (count/sum/min/max re-aggregate losslessly).  The
+    oracle aggregates the raw table directly at daily grain — equality
+    proves the rollup path is lossless."""
+    from etl_opensky_spark.operators.aggregates import (
+        reaggregate_rollup,
+        time_rollup,
+    )
+
+    ev = _events(spark, sf_dir)
+    hourly = time_rollup(
+        ev,
+        "ts",
+        "hour",
+        ["event_type"],
+        {
+            "n": F.count("*"),
+            "sum_value": F.sum(_dec("value", 6)),
+            "max_value": F.max(F.col("value").cast("double")),
+        },
+    )
+    daily = reaggregate_rollup(
+        hourly,
+        "day",
+        ["event_type"],
+        {"n": "count", "sum_value": "sum", "max_value": "max"},
+    )
+    return daily.select(
+        F.col("bucket").alias("day"),
+        "event_type",
+        "n",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        "max_value",
+    )
+
+
+ORACLE_Q65 = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+  MAX(CAST(value AS DOUBLE)) AS max_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q66_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of lineitem prices: single
+    map-side-combining pass on the bucket index, no pre-scan."""
+    from etl_opensky_spark.operators.aggregates import equi_width_histogram
+
+    li = _t(spark, sf_dir, "lineitem")
+    return equi_width_histogram(li, "l_extendedprice", bin_width=5000.0)
+
+
+ORACLE_Q66 = """
+SELECT CAST(FLOOR(CAST(l_extendedprice AS DOUBLE) / 5000.0) AS BIGINT) AS bucket,
+       COUNT(*) AS n
+FROM lineitem WHERE l_extendedprice IS NOT NULL
+GROUP BY 1
+"""
+
+
+def q67_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling gate: per-column rows / nulls / exact distinct /
+    min / max for customer, computed in ONE aggregation pass over the
+    table (the per-column loop would scan N times)."""
+    from etl_opensky_spark.operators.aggregates import profile_columns
+
+    cust = _t(spark, sf_dir, "customer")
+    return profile_columns(cust, ["c_custkey", "c_mktsegment", "c_acctbal"])
+
+
+ORACLE_Q67 = """
+SELECT 'c_custkey' AS "column", COUNT(*) AS n_rows,
+  CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+  COUNT(DISTINCT c_custkey) AS n_distinct,
+  CAST(MIN(c_custkey) AS VARCHAR) AS min_value,
+  CAST(MAX(c_custkey) AS VARCHAR) AS max_value
+FROM customer
+UNION ALL
+SELECT 'c_mktsegment', COUNT(*),
+  CAST(SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+  COUNT(DISTINCT c_mktsegment),
+  CAST(MIN(c_mktsegment) AS VARCHAR), CAST(MAX(c_mktsegment) AS VARCHAR)
+FROM customer
+UNION ALL
+SELECT 'c_acctbal', COUNT(*),
+  CAST(SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+  COUNT(DISTINCT c_acctbal),
+  CAST(MIN(c_acctbal) AS VARCHAR), CAST(MAX(c_acctbal) AS VARCHAR)
+FROM customer
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -2066,6 +2199,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q61_pii_redaction": q61_pii_redaction,
     "q62_media_pipeline": q62_media_pipeline,
     "q63_interval_join": q63_interval_join,
+    "q64_window_suite": q64_window_suite,
+    "q65_time_rollup": q65_time_rollup,
+    "q66_histogram": q66_histogram,
+    "q67_profile": q67_profile,
 }
 
 ORACLES: dict[str, str] = {
@@ -2126,6 +2263,10 @@ ORACLES: dict[str, str] = {
     "q61_pii_redaction": ORACLE_Q61,
     "q62_media_pipeline": ORACLE_Q62,
     "q63_interval_join": ORACLE_Q63,
+    "q64_window_suite": ORACLE_Q64,
+    "q65_time_rollup": ORACLE_Q65,
+    "q66_histogram": ORACLE_Q66,
+    "q67_profile": ORACLE_Q67,
     # q25/q26: xxhash64-based — not reproducible in DuckDB (rows-only check)
     # q28: approximate by design (rows-only)
     # q29: mapInPandas feature extraction (rows-only; sha256 verified in tests)

@@ -296,3 +296,66 @@ def test_interval_join_is_equi_join_not_nested_loop(spark):
     out.collect()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+# --- rollup / histogram / profile -------------------------------------------
+
+
+def test_time_rollup_reaggregation_lossless(spark):
+    from etl_opensky_spark.operators.aggregates import (
+        reaggregate_rollup,
+        time_rollup,
+    )
+
+    rows = [
+        ("a", dt.datetime(2024, 1, 1, 0, 10), 1.0),
+        ("a", dt.datetime(2024, 1, 1, 5, 30), 2.0),
+        ("a", dt.datetime(2024, 1, 2, 1, 0), 4.0),
+        ("b", dt.datetime(2024, 1, 1, 23, 59), 8.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    hourly = time_rollup(
+        df, "ts", "hour", ["k"],
+        {"n": F.count("*"), "s": F.sum("v"), "mx": F.max("v")},
+    )
+    assert hourly.count() == 4  # four distinct (hour, k) buckets
+    daily = reaggregate_rollup(
+        hourly, "day", ["k"], {"n": "count", "s": "sum", "mx": "max"}
+    )
+    got = {
+        (r["k"], r["bucket"].day): (r["n"], r["s"], r["mx"])
+        for r in daily.collect()
+    }
+    assert got == {
+        ("a", 1): (2, 3.0, 2.0),
+        ("a", 2): (1, 4.0, 4.0),
+        ("b", 1): (1, 8.0, 8.0),
+    }
+    with pytest.raises(ValueError, match="not re-aggregable"):
+        reaggregate_rollup(hourly, "day", ["k"], {"s": "avg"})
+
+
+def test_equi_width_histogram(spark):
+    from etl_opensky_spark.operators.aggregates import equi_width_histogram
+
+    df = spark.createDataFrame(
+        [(0.5,), (4.9,), (5.0,), (12.0,), (None,)], "x double"
+    )
+    got = dict(
+        (r["bucket"], r["n"])
+        for r in equi_width_histogram(df, "x", bin_width=5.0).collect()
+    )
+    assert got == {0: 2, 1: 1, 2: 1}  # NULL dropped, 5.0 lands in bucket 1
+
+
+def test_profile_columns(spark):
+    from etl_opensky_spark.operators.aggregates import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (2, "y")], "id int, s string"
+    )
+    got = {r["column"]: r for r in profile_columns(df, ["id", "s"]).collect()}
+    assert got["id"]["n_rows"] == 3 and got["id"]["n_nulls"] == 0
+    assert got["id"]["n_distinct"] == 2
+    assert got["id"]["min_value"] == "1" and got["id"]["max_value"] == "2"
+    assert got["s"]["n_nulls"] == 1 and got["s"]["n_distinct"] == 2
