@@ -413,8 +413,12 @@ def dedup_near(
     # — a limit-1 probe would leave the cache partial and re-run the whole
     # signature pipeline on the next action
     n_pairs = verified.count()
+    # no forced broadcast: the loser list is DUPLICATE-count-sized — on a
+    # heavily duplicated corpus it is a large fraction of the input, and a
+    # forced broadcast would OOM exactly when dedup matters most.  AQE
+    # still broadcasts when the list is actually small.
     out = df.join(
-        F.broadcast(_transitive_losers(df, verified, id_col, n_pairs)),
+        _transitive_losers(df, verified, id_col, n_pairs),
         on=id_col,
         how="left_anti",
     )
@@ -670,7 +674,8 @@ def dedup_embedding(
         losers = _transitive_losers(df, verified, id_col, n_pairs)
     else:
         losers = verified.select(F.col("id_b").alias(id_col)).distinct()
-    out = df.join(F.broadcast(losers), on=id_col, how="left_anti")
+    # loser list scales with the duplicate count — strategy stays with AQE
+    out = df.join(losers, on=id_col, how="left_anti")
     verified.unpersist()
     return out
 
