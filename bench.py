@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "q65_time_rollup",
     "q66_histogram",
     "q67_profile",
+    "q68_weighted_sample",
 ]
 
 

@@ -71,6 +71,51 @@ def stratified_sample(
     return df.sampleBy(strata_col, dict(fractions), seed)
 
 
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 42,
+    key_out: str = "_sample_key",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-Res): each row draws u = hash-uniform(seed, key) in (0,1)
+    and scores ``u^(1/w)``; the k highest scores are the sample.
+    Inclusion probability is proportional to weight, and — because u
+    comes from md5, not an RNG stream — the SAME rows are chosen on
+    every rerun, any partitioning, and any engine (the property
+    ``rand()``-based sampling loses the moment row order changes).
+
+    Per-row arithmetic + a global top-k (TakeOrdered: per-partition
+    heaps, driver merges k rows) — no shuffle of the corpus.  Rows with
+    NULL or non-positive weight are excluded (their inclusion
+    probability is zero).
+    """
+    # 15 md5 hex digits = 60 uniform bits; +0.5 keeps u strictly in (0,1)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(":", F.lit(str(seed)), F.col(key_col).cast("string"))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(2**60))
+    score = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn(key_out, score)
+        .orderBy(F.col(key_out).desc(), F.col(key_col))
+        .limit(k)
+    )
+
+
 def shuffle_deterministic(
     df: DataFrame, key_col: str, seed: int = 42, key_out: str = "_shuffle_key"
 ) -> DataFrame:

@@ -2135,6 +2135,36 @@ FROM customer
 """
 
 
+def q68_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling gate (Efraimidis-Spirakis with
+    md5-derived uniforms): 25 documents sampled proportionally to
+    n_chars — DuckDB reproduces the identical selection because the
+    'randomness' is pure hash arithmetic.  Scores are floats, so only
+    the selected ids (and integer weights) are returned; score ties are
+    impossible at 60 uniform bits and cross-library pow error (~1 ulp)
+    is orders of magnitude below inter-score gaps."""
+    from etl_opensky_spark.functions.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    picked = weighted_sample(docs, "doc_id", "n_chars", k=25, seed=7)
+    return picked.select("doc_id", "n_chars")
+
+
+ORACLE_Q68 = """
+SELECT doc_id, n_chars
+FROM (
+  SELECT doc_id, n_chars,
+    pow(
+      (CAST(('0x' || substring(md5('7:' || doc_id), 1, 15)) AS UBIGINT) + 0.5)
+        / 1152921504606846976.0,
+      1.0 / n_chars) AS score
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+)
+ORDER BY score DESC, doc_id LIMIT 25
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -2203,6 +2233,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q65_time_rollup": q65_time_rollup,
     "q66_histogram": q66_histogram,
     "q67_profile": q67_profile,
+    "q68_weighted_sample": q68_weighted_sample,
 }
 
 ORACLES: dict[str, str] = {
@@ -2267,6 +2298,7 @@ ORACLES: dict[str, str] = {
     "q65_time_rollup": ORACLE_Q65,
     "q66_histogram": ORACLE_Q66,
     "q67_profile": ORACLE_Q67,
+    "q68_weighted_sample": ORACLE_Q68,
     # q25/q26: xxhash64-based — not reproducible in DuckDB (rows-only check)
     # q28: approximate by design (rows-only)
     # q29: mapInPandas feature extraction (rows-only; sha256 verified in tests)

@@ -737,3 +737,23 @@ def test_resize_and_sample_frames(spark):
         (1, 0): b"ab", (1, 1): b"cd",
         (2, 0): b"x", (2, 1): b"y",
     }
+
+
+def test_weighted_sample_deterministic_and_weight_sensitive(spark):
+    from etl_opensky_spark.functions.sampling import weighted_sample
+
+    rows = [(i, 1 if i < 90 else 1000) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    a = sorted(r["doc_id"] for r in weighted_sample(df, "doc_id", "w", k=10).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in weighted_sample(df.repartition(13), "doc_id", "w", k=10).collect()
+    )
+    assert a == b  # partitioning-independent
+    # the ten 1000-weight rows should dominate a k=10 sample
+    heavy = sum(1 for i in a if i >= 90)
+    assert heavy >= 8
+    # zero/NULL weights never selected
+    df2 = spark.createDataFrame([(1, 0), (2, None), (3, 5)], "doc_id long, w int")
+    only = [r["doc_id"] for r in weighted_sample(df2, "doc_id", "w", k=3).collect()]
+    assert only == [3]
