@@ -151,3 +151,33 @@ def test_q48_grouping_sets_single_expand_single_agg_shuffle(spark):
     plan = _executed(QUERIES["q48_grouping_sets"](spark, "/root/testdata/sf0.001"))
     assert plan.count("Expand") >= 1
     assert "Union" not in plan
+
+
+def test_q57_decontaminate_broadcast_semi_join(spark):
+    """The corpus-side gram stream must meet the (small) reference gram
+    set in a BROADCAST left-semi join — the corpus is never exchanged
+    for the membership test."""
+    from etl_opensky_spark.queries import QUERIES
+
+    plan = _executed(
+        QUERIES["q57_decontaminate"](spark, "/root/testdata/sf0.001")
+    ).split("== Initial Plan ==")[0]
+    assert "LeftSemi" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_strip_common_lines_hot_list_broadcast_anti_join(spark):
+    """The hot-line list (count-filtered, small by construction) joins
+    the line stream as a broadcast anti join at gate scale."""
+    from etl_opensky_spark.functions.dedup import strip_common_lines
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, "common\nunique %d" % i) for i in range(50)],
+        "doc_id long, text string",
+    )
+    out = strip_common_lines(docs, "doc_id", "text", max_doc_freq=10)
+    out.collect()
+    plan = physical_plan(out).split("== Initial Plan ==")[0]
+    assert "LeftAnti" in plan
+    assert "BroadcastExchange" in plan
