@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "q66_histogram",
     "q67_profile",
     "q68_weighted_sample",
+    "q69_ngram_jaccard_corpus",
 ]
 
 

@@ -2165,6 +2165,53 @@ ORDER BY score DESC, doc_id LIMIT 25
 """
 
 
+def q69_ngram_jaccard_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-corpus n-gram Jaccard (q24 gates a doc_id<100 subset): word
+    3-gram shingles are selective enough that the inverted-index
+    self-join runs uncapped, with ``max_df`` hot-key pruning active —
+    the corpus-scale configuration of the operator.  max_df is
+    corpus-relative (5% of docs), and pruned grams still count toward
+    set sizes, so jaccard is a documented LOWER BOUND; the oracle
+    replicates the identical pruning."""
+    docs = _t(spark, sf_dir, "documents").repartition(32)
+    n_docs = docs.count()
+    max_df = max(int(0.05 * n_docs), 2)
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.2, max_df=max_df
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard")
+    )
+
+
+ORACLE_Q69 = """
+WITH grams AS (
+  SELECT DISTINCT doc_id, unnest(
+    CASE WHEN len(ts) < 3 THEN []::VARCHAR[]
+         ELSE list_transform(range(1, len(ts) - 1),
+                             i -> array_to_string(ts[i:i+2], ' ')) END) AS g
+  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ts
+        FROM documents)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id
+), rare AS (
+  SELECT g FROM grams GROUP BY g
+  HAVING COUNT(*) <= GREATEST(CAST(FLOOR(0.05 * (SELECT COUNT(*) FROM documents)) AS INTEGER), 2)
+), pruned AS (
+  SELECT doc_id, g FROM grams WHERE g IN (SELECT g FROM rare)
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM pruned a JOIN pruned b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, ROUND(i / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE i / (sa.sz + sb.sz - i) >= 0.2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -2234,6 +2281,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q66_histogram": q66_histogram,
     "q67_profile": q67_profile,
     "q68_weighted_sample": q68_weighted_sample,
+    "q69_ngram_jaccard_corpus": q69_ngram_jaccard_corpus,
 }
 
 ORACLES: dict[str, str] = {
@@ -2299,6 +2347,7 @@ ORACLES: dict[str, str] = {
     "q66_histogram": ORACLE_Q66,
     "q67_profile": ORACLE_Q67,
     "q68_weighted_sample": ORACLE_Q68,
+    "q69_ngram_jaccard_corpus": ORACLE_Q69,
     # q25/q26: xxhash64-based — not reproducible in DuckDB (rows-only check)
     # q28: approximate by design (rows-only)
     # q29: mapInPandas feature extraction (rows-only; sha256 verified in tests)
