@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "q67_profile",
     "q68_weighted_sample",
     "q69_ngram_jaccard_corpus",
+    "q70_budget_selection",
 ]
 
 

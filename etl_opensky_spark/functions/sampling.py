@@ -71,6 +71,64 @@ def stratified_sample(
     return df.sampleBy(strata_col, dict(fractions), seed)
 
 
+def take_until_budget(
+    df: DataFrame,
+    order_col: str,
+    key_col: str,
+    weight_col: str,
+    budget: float,
+    num_buckets: int = 64,
+) -> DataFrame:
+    """Budgeted corpus selection: walk rows in (``order_col`` DESC,
+    ``key_col``) order — best-first — and keep the maximal prefix whose
+    cumulative ``weight_col`` stays within ``budget`` (the 'take the
+    highest-quality documents until the token budget is full' step of a
+    data-mixing pipeline).
+
+    The global prefix sum never serializes through one task:
+    ``repartitionByRange`` splits the corpus into ordered buckets
+    (partition i's rows all precede partition i+1's), each bucket
+    windows its local cumsum in parallel, and the per-bucket totals are
+    prefix-summed on the driver and broadcast back.  The bucketing is
+    sample-based, so the materialized layout is pinned with an eager
+    ``localCheckpoint`` — both the totals pass and the final filter must
+    see the SAME partitioning.  The selected SET is independent of the
+    bucketing (it is defined by the total order alone).
+    """
+    from pyspark.sql import Window
+
+    ranged = (
+        df.repartitionByRange(
+            num_buckets, F.col(order_col).desc(), F.col(key_col)
+        )
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(F.col(order_col).desc(), F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = ranged.withColumn(
+        "_cum", F.sum(F.col(weight_col).cast("long")).over(w)
+    )
+    totals = (
+        ranged.groupBy("_pid")
+        .agg(F.sum(F.col(weight_col).cast("long")).alias("_tot"))
+        .collect()
+    )
+    offsets, running = [], 0
+    for row in sorted(totals, key=lambda r: r["_pid"]):
+        offsets.append((row["_pid"], running))
+        running += row["_tot"]
+    off_df = df.sparkSession.createDataFrame(offsets, "_pid int, _off long")
+    return (
+        local.join(F.broadcast(off_df), "_pid")
+        .filter((F.col("_off") + F.col("_cum")) <= F.lit(float(budget)))
+        .drop("_pid", "_cum", "_off")
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     key_col: str,

@@ -2212,6 +2212,35 @@ WHERE i / (sa.sz + sb.sz - i) >= 0.2
 """
 
 
+def q70_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted corpus selection gate: take documents best-first
+    (n_chars DESC as the quality proxy) until 30% of the corpus's total
+    characters are consumed — the data-mixing 'fill the token budget'
+    step, via the range-partitioned distributed prefix sum (no
+    single-task global window)."""
+    from etl_opensky_spark.functions.sampling import take_until_budget
+
+    docs = _t(spark, sf_dir, "documents")
+    total = docs.agg(F.sum("n_chars").alias("t")).collect()[0]["t"]
+    budget = 0.3 * float(total)
+    picked = take_until_budget(
+        docs, order_col="n_chars", key_col="doc_id",
+        weight_col="n_chars", budget=budget,
+    )
+    return picked.select("doc_id", "n_chars")
+
+
+ORACLE_Q70 = """
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars,
+    SUM(n_chars) OVER (ORDER BY n_chars DESC, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM documents
+)
+WHERE cum <= 0.3 * (SELECT SUM(n_chars) FROM documents)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -2282,6 +2311,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q67_profile": q67_profile,
     "q68_weighted_sample": q68_weighted_sample,
     "q69_ngram_jaccard_corpus": q69_ngram_jaccard_corpus,
+    "q70_budget_selection": q70_budget_selection,
 }
 
 ORACLES: dict[str, str] = {
@@ -2348,6 +2378,7 @@ ORACLES: dict[str, str] = {
     "q67_profile": ORACLE_Q67,
     "q68_weighted_sample": ORACLE_Q68,
     "q69_ngram_jaccard_corpus": ORACLE_Q69,
+    "q70_budget_selection": ORACLE_Q70,
     # q25/q26: xxhash64-based — not reproducible in DuckDB (rows-only check)
     # q28: approximate by design (rows-only)
     # q29: mapInPandas feature extraction (rows-only; sha256 verified in tests)

@@ -757,3 +757,34 @@ def test_weighted_sample_deterministic_and_weight_sensitive(spark):
     df2 = spark.createDataFrame([(1, 0), (2, None), (3, 5)], "doc_id long, w int")
     only = [r["doc_id"] for r in weighted_sample(df2, "doc_id", "w", k=3).collect()]
     assert only == [3]
+
+
+def test_take_until_budget_matches_driver_walk(spark):
+    from etl_opensky_spark.functions.sampling import take_until_budget
+
+    rows = [(i, (i * 13) % 50 + 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, w long").repartition(9)
+    budget = 900.0
+    got = sorted(
+        r["doc_id"]
+        for r in take_until_budget(
+            df, order_col="w", key_col="doc_id", weight_col="w",
+            budget=budget, num_buckets=7,
+        ).collect()
+    )
+    want, cum = [], 0
+    for i, w in sorted(rows, key=lambda r: (-r[1], r[0])):
+        if cum + w > budget:
+            break  # maximal prefix: first overflow stops the walk
+        cum += w
+        want.append(i)
+    assert got == sorted(want)
+    # bucket count must not change the selection
+    one = sorted(
+        r["doc_id"]
+        for r in take_until_budget(
+            df, order_col="w", key_col="doc_id", weight_col="w",
+            budget=budget, num_buckets=1,
+        ).collect()
+    )
+    assert one == got
