@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "q68_weighted_sample",
     "q69_ngram_jaccard_corpus",
     "q70_budget_selection",
+    "q71_rollup_merge",
 ]
 
 

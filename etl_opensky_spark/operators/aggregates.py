@@ -93,6 +93,63 @@ def reaggregate_rollup(
     )
 
 
+def merge_rollup(
+    rollup: DataFrame,
+    delta: DataFrame,
+    ts_col: str,
+    every: str,
+    group_cols: Sequence[str],
+    aggs: dict[str, Column],
+    measures: dict[str, str],
+    bucket_col: str = "bucket",
+    mode: str = "combine",
+) -> DataFrame:
+    """Incremental maintenance of a materialized ``time_rollup``: fold a
+    raw ``delta`` batch into an existing ``rollup`` touching ONLY the
+    (bucket, groups) keys the delta lands in — every other rollup row
+    passes through verbatim, so refresh cost scales with the delta, not
+    the rollup's history.
+
+    ``aggs`` must be the same aggregation dict the rollup was built
+    with; ``measures`` maps each measure to its merge kind ('sum' |
+    'count' | 'min' | 'max', as in ``reaggregate_rollup``).
+
+    ``mode='combine'`` (append-only deltas): existing rows for affected
+    keys are combined with the delta's partial aggregates — counts/sums
+    add, min/max fold.  ``mode='replace'`` (updates/deletes): ``delta``
+    must be the FULL raw data for its buckets; affected rollup rows are
+    discarded and replaced by the fresh aggregates (a key whose raw rows
+    all vanished needs its rollup row deleted separately — a rollup-side
+    anti join on the surviving keys).
+
+    Scale shape: the delta aggregates with one map-side-combining
+    shuffle; the affected-key list is delta-grain-sized (typically a few
+    recent buckets), so AQE broadcasts the semi/anti joins against the
+    large rollup — no forced hint, a backfill delta with millions of
+    keys falls back to a shuffle join instead of OOMing the driver.
+    """
+    if mode not in ("combine", "replace"):
+        raise ValueError(f"unknown mode: {mode!r}")
+    delta_rollup = time_rollup(delta, ts_col, every, group_cols, aggs, bucket_col)
+    keys = [bucket_col, *group_cols]
+    affected = delta_rollup.select(*keys).distinct()
+    untouched = rollup.join(affected, keys, "left_anti")
+    if mode == "replace":
+        return untouched.unionByName(delta_rollup)
+    unknown = {k for k in measures.values() if k not in _REAGG}
+    if unknown:
+        raise ValueError(f"not re-aggregable: {sorted(unknown)}")
+    touched = rollup.join(affected, keys, "left_semi")
+    merged = (
+        touched.unionByName(delta_rollup)
+        .groupBy(*keys)
+        .agg(
+            *[_REAGG[kind](F.col(name)).alias(name) for name, kind in measures.items()]
+        )
+    )
+    return untouched.unionByName(merged)
+
+
 def equi_width_histogram(
     df: DataFrame,
     col: str,

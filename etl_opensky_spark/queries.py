@@ -2241,6 +2241,52 @@ WHERE cum <= 0.3 * (SELECT SUM(n_chars) FROM documents)
 """
 
 
+def q71_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance gate: the hourly events rollup is
+    built from history only, the last 7 days arrive as an append-only
+    delta, and merge_rollup folds them in touching only the delta's
+    (bucket, type) keys.  The oracle recomputes the FULL hourly rollup
+    from raw — equality proves incremental refresh == full refresh,
+    including the boundary bucket that straddles the cutoff."""
+    from etl_opensky_spark.operators.aggregates import merge_rollup, time_rollup
+
+    ev = _events(spark, sf_dir)
+    cutoff = ev.agg(F.expr("max(ts) - INTERVAL 7 DAYS").alias("c")).collect()[0]["c"]
+    aggs = {
+        "n": F.count("*"),
+        "sum_value": F.sum(_dec("value", 6)),
+        "max_value": F.max(F.col("value").cast("double")),
+    }
+    hourly = time_rollup(
+        ev.filter(F.col("ts") < F.lit(cutoff)), "ts", "hour", ["event_type"], aggs
+    )
+    merged = merge_rollup(
+        hourly,
+        ev.filter(F.col("ts") >= F.lit(cutoff)),
+        "ts",
+        "hour",
+        ["event_type"],
+        aggs,
+        {"n": "count", "sum_value": "sum", "max_value": "max"},
+    )
+    return merged.select(
+        "bucket",
+        "event_type",
+        "n",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        "max_value",
+    )
+
+
+ORACLE_Q71 = """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, event_type,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+  MAX(CAST(value AS DOUBLE)) AS max_value
+FROM events GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -2312,6 +2358,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q68_weighted_sample": q68_weighted_sample,
     "q69_ngram_jaccard_corpus": q69_ngram_jaccard_corpus,
     "q70_budget_selection": q70_budget_selection,
+    "q71_rollup_merge": q71_rollup_merge,
 }
 
 ORACLES: dict[str, str] = {
@@ -2379,6 +2426,7 @@ ORACLES: dict[str, str] = {
     "q68_weighted_sample": ORACLE_Q68,
     "q69_ngram_jaccard_corpus": ORACLE_Q69,
     "q70_budget_selection": ORACLE_Q70,
+    "q71_rollup_merge": ORACLE_Q71,
     # q25/q26: xxhash64-based — not reproducible in DuckDB (rows-only check)
     # q28: approximate by design (rows-only)
     # q29: mapInPandas feature extraction (rows-only; sha256 verified in tests)

@@ -335,6 +335,59 @@ def test_time_rollup_reaggregation_lossless(spark):
         reaggregate_rollup(hourly, "day", ["k"], {"s": "avg"})
 
 
+def test_merge_rollup_combine_equals_full_recompute(spark):
+    from etl_opensky_spark.operators.aggregates import merge_rollup, time_rollup
+
+    base_rows = [
+        ("a", dt.datetime(2024, 1, 1, 0, 10), 1.0),
+        ("a", dt.datetime(2024, 1, 1, 5, 30), 2.0),
+        ("b", dt.datetime(2024, 1, 1, 23, 59), 8.0),
+    ]
+    delta_rows = [
+        ("a", dt.datetime(2024, 1, 1, 5, 45), 16.0),  # lands in an EXISTING bucket
+        ("a", dt.datetime(2024, 1, 2, 1, 0), 4.0),  # new bucket, existing key
+        ("c", dt.datetime(2024, 1, 1, 0, 20), 32.0),  # brand-new group key
+    ]
+    schema = "k string, ts timestamp, v double"
+    base = spark.createDataFrame(base_rows, schema)
+    delta = spark.createDataFrame(delta_rows, schema)
+    aggs = {"n": F.count("*"), "s": F.sum("v"), "mx": F.max("v")}
+    measures = {"n": "count", "s": "sum", "mx": "max"}
+
+    def canon(df):
+        return {
+            (r["k"], r["bucket"]): (r["n"], r["s"], r["mx"]) for r in df.collect()
+        }
+
+    merged = merge_rollup(
+        time_rollup(base, "ts", "hour", ["k"], aggs),
+        delta, "ts", "hour", ["k"], aggs, measures,
+    )
+    full = time_rollup(
+        spark.createDataFrame(base_rows + delta_rows, schema),
+        "ts", "hour", ["k"], aggs,
+    )
+    assert canon(merged) == canon(full)
+
+    # replace mode: delta is the corrected FULL raw for its bucket
+    fixed = spark.createDataFrame(
+        [("b", dt.datetime(2024, 1, 1, 23, 58), 9.0)], schema
+    )
+    replaced = merge_rollup(
+        time_rollup(base, "ts", "hour", ["k"], aggs),
+        fixed, "ts", "hour", ["k"], aggs, measures, mode="replace",
+    )
+    got = canon(replaced)
+    assert got[("b", dt.datetime(2024, 1, 1, 23, 0))] == (1, 9.0, 9.0)
+    # untouched buckets pass through verbatim
+    assert got[("a", dt.datetime(2024, 1, 1, 0, 0))] == (1, 1.0, 1.0)
+    with pytest.raises(ValueError, match="unknown mode"):
+        merge_rollup(
+            time_rollup(base, "ts", "hour", ["k"], aggs),
+            delta, "ts", "hour", ["k"], aggs, measures, mode="upsert",
+        )
+
+
 def test_equi_width_histogram(spark):
     from etl_opensky_spark.operators.aggregates import equi_width_histogram
 
