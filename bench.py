@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "q69_ngram_jaccard_corpus",
     "q70_budget_selection",
     "q71_rollup_merge",
+    "q72_bloom_pruned_join",
 ]
 
 

@@ -10,9 +10,10 @@ reference's left-join + null-count FK assert
 
 from __future__ import annotations
 
-from collections.abc import Mapping
+from collections.abc import Iterator, Mapping
+from contextlib import contextmanager
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -90,6 +91,63 @@ def salted_join(
         how=how,
     )
     return joined.drop(big_salted["_salt"]).drop(small_replicated["_salt"])
+
+
+@contextmanager
+def runtime_bloom_pruning(
+    spark: SparkSession,
+    application_side_scan_threshold: str = "0",
+    creation_side_threshold: str | None = None,
+    disable_broadcast: bool = False,
+) -> Iterator[None]:
+    """Enable Catalyst's runtime Bloom-filter join pruning for plans
+    BUILT AND EXECUTED inside the block.
+
+    For a shuffle join where one side carries a selective predicate,
+    Spark builds a Bloom filter over that side's join keys
+    (``bloom_filter_agg``) and pushes a ``might_contain`` probe onto the
+    big side's scan — rows that cannot match are dropped BEFORE the
+    shuffle, the dominant cost of a fact-to-fact join at 100 TB.  The
+    feature is on by default but gated by size thresholds tuned for
+    clusters (application side must scan >10 GB); this context manager
+    lowers them so the plan shape is testable — and restores every conf
+    on exit.
+
+    Laziness warning: confs are read when an ACTION runs the plan, not
+    when the DataFrame is composed — materialize (collect / write /
+    localCheckpoint) inside the block.
+
+    ``disable_broadcast=True`` additionally sets
+    ``autoBroadcastJoinThreshold=-1`` — the demo needs a shuffle join,
+    which at test scale AQE would otherwise convert to broadcast (where
+    a Bloom filter adds nothing: the probe side never shuffles).
+    """
+    confs: dict[str, str] = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": application_side_scan_threshold,
+    }
+    if creation_side_threshold is not None:
+        confs[
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"
+        ] = creation_side_threshold
+    if disable_broadcast:
+        confs["spark.sql.autoBroadcastJoinThreshold"] = "-1"
+    saved: dict[str, str | None] = {}
+    for key, value in confs.items():
+        try:
+            saved[key] = spark.conf.get(key)
+        except Exception:
+            saved[key] = None
+        spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        for key, old in saved.items():
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
 
 
 def fk_orphans(

@@ -2287,6 +2287,50 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q72_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join pruning gate: lineitem ⋈ urgent orders
+    as a SHUFFLE join with Catalyst's runtime filter active — an
+    ObjectHashAggregate builds ``bloom_filter_agg`` over the filtered
+    orders' keys and a ``might_contain`` probe lands on the lineitem
+    scan, so fact rows that cannot match die BEFORE the exchange.  At
+    100 TB this is the difference between shuffling the whole fact
+    table and shuffling only the ~20% that survives the probe; locally
+    the thresholds are lowered via runtime_bloom_pruning.  Materialized
+    inside the conf block (localCheckpoint): runtime-filter injection
+    happens at optimization time, and the driver collects after the
+    confs are restored."""
+    from etl_opensky_spark.operators.joins import runtime_bloom_pruning
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    with runtime_bloom_pruning(spark, disable_broadcast=True):
+        out = (
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("l_returnflag")
+            .agg(
+                F.count("*").alias("n_items"),
+                F.sum(
+                    _dec("l_extendedprice") * _dec(F.lit(1) - F.col("l_discount"))
+                )
+                .cast("double")
+                .alias("revenue"),
+            )
+            .localCheckpoint()
+        )
+    return out
+
+
+ORACLE_Q72 = """
+SELECT l_returnflag, COUNT(*) AS n_items,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY l_returnflag
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -2359,6 +2403,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q69_ngram_jaccard_corpus": q69_ngram_jaccard_corpus,
     "q70_budget_selection": q70_budget_selection,
     "q71_rollup_merge": q71_rollup_merge,
+    "q72_bloom_pruned_join": q72_bloom_pruned_join,
 }
 
 ORACLES: dict[str, str] = {
@@ -2427,6 +2472,7 @@ ORACLES: dict[str, str] = {
     "q69_ngram_jaccard_corpus": ORACLE_Q69,
     "q70_budget_selection": ORACLE_Q70,
     "q71_rollup_merge": ORACLE_Q71,
+    "q72_bloom_pruned_join": ORACLE_Q72,
     # q25/q26: xxhash64-based — not reproducible in DuckDB (rows-only check)
     # q28: approximate by design (rows-only)
     # q29: mapInPandas feature extraction (rows-only; sha256 verified in tests)

@@ -181,3 +181,43 @@ def test_strip_common_lines_hot_list_broadcast_anti_join(spark):
     plan = physical_plan(out).split("== Initial Plan ==")[0]
     assert "LeftAnti" in plan
     assert "BroadcastExchange" in plan
+
+
+def test_runtime_bloom_pruning_injects_might_contain(spark, tmp_path_factory):
+    """Inside runtime_bloom_pruning, a shuffle join whose build side
+    carries a selective filter gets a Bloom probe (`might_contain`)
+    pushed onto the probe side's scan — rows that cannot match die
+    BEFORE the shuffle.  Outside the block the same plan has no probe
+    (cluster-tuned thresholds) and the session confs are restored."""
+    from etl_opensky_spark.operators.joins import runtime_bloom_pruning
+
+    base = tmp_path_factory.mktemp("bloom")
+    spark.range(0, 200_000).select(
+        F.col("id").alias("fk"), (F.col("id") % 1000).alias("v")
+    ).write.parquet(str(base / "big"))
+    spark.range(0, 50_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("tag")
+    ).write.parquet(str(base / "small"))
+
+    def build():
+        big = spark.read.parquet(str(base / "big"))
+        small = spark.read.parquet(str(base / "small")).filter(F.col("tag") == 3)
+        return big.join(small, F.col("fk") == F.col("k")).agg(
+            F.count("*").alias("n")
+        )
+
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    baseline = build()
+    assert "might_contain" not in physical_plan(baseline).lower()
+
+    with runtime_bloom_pruning(spark, disable_broadcast=True):
+        pruned = build()
+        [row] = pruned.collect()  # materialize INSIDE the block
+        plan = physical_plan(pruned).lower()
+    assert "might_contain" in plan
+    assert "bloomfilter" in plan or "bloom_filter" in plan
+    assert row["n"] == len([k for k in range(50_000) if k % 97 == 3])
+
+    # confs restored on exit
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before
+    assert "might_contain" not in physical_plan(build()).lower()
