@@ -788,3 +788,30 @@ def test_take_until_budget_matches_driver_walk(spark):
         ).collect()
     )
     assert one == got
+
+
+def test_connected_components_distributed_over_threshold(spark):
+    """Real >SMALL_GRAPH_EDGES run through the distributed
+    star-contraction path — NO monkeypatched threshold: 100k chains of
+    length 10 (~1.8M directed edges after symmetrization) plus one
+    1000-node chain to stress contraction depth.  Every node must land
+    in the component labeled by its chain's minimum id."""
+    from etl_opensky_spark.functions import dedup as D
+
+    n, chain = 1_000_000, 10
+    pairs = (
+        spark.range(n)
+        .filter((F.col("id") % chain) != chain - 1)
+        .select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+        .unionByName(
+            spark.range(n, n + 999).select(
+                F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+            )
+        )
+    )
+    ids = spark.range(n + 1000).select(F.col("id").alias("doc_id"))
+    comp = D.connected_components(pairs, ids, "doc_id")
+    expected = F.when(
+        F.col("doc_id") < n, F.col("doc_id") - (F.col("doc_id") % chain)
+    ).otherwise(F.lit(n))
+    assert comp.filter(F.col("component") != expected).count() == 0
