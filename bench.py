@@ -95,6 +95,10 @@ BENCH_QUERIES = [
     "q70_budget_selection",
     "q71_rollup_merge",
     "q72_bloom_pruned_join",
+    "q73_chunk_documents",
+    "q74_bm25_scores",
+    "q75_zordered_scan",
+    "q76_exact_percentiles",
 ]
 
 

@@ -222,3 +222,117 @@ def word_shingles(col: Column, n: int) -> Column:
     return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
     )
+
+
+def chunk_documents(
+    docs,
+    id_col: str,
+    text_col: str,
+    window: int,
+    stride: int | None = None,
+):
+    """Split each document's whitespace token stream into (possibly
+    overlapping) windows of ``window`` tokens advancing by ``stride``
+    (default: ``window``, i.e. disjoint) — the context-window
+    preparation step of a training pipeline (overlap preserves
+    cross-boundary continuations).
+
+    Returns ``(id_col, chunk_idx, chunk_text, chunk_tokens)`` with one
+    row per chunk; a document with fewer than ``window`` tokens yields
+    one short chunk, blank documents yield none.
+
+    Scale: tokenize → ``posexplode`` over the window-start sequence is
+    per-row narrow work — NO shuffle, no UDF; output size is
+    ``ceil(n/stride)`` rows per doc.  The exploded chunk text is
+    materialized once per chunk (bounded by ``window``), never the full
+    token array per chunk.
+    """
+    if stride is None:
+        stride = window
+    if window <= 0 or stride <= 0:
+        raise ValueError("window and stride must be positive")
+    toks = tokenize(F.col(text_col))
+    n = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(
+        F.size(toks)
+    )
+    starts = F.when(n == 0, F.array().cast("array<int>")).otherwise(
+        F.sequence(F.lit(0), n - 1, F.lit(stride)).cast("array<int>")
+    )
+    exploded = docs.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.posexplode(starts).alias("chunk_idx", "_start"),
+    )
+    chunk = F.slice(F.col("_toks"), F.col("_start") + 1, window)
+    return exploded.select(
+        F.col(id_col),
+        "chunk_idx",
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+        F.size(chunk).alias("chunk_tokens"),
+    )
+
+
+def bm25_scores(
+    docs,
+    id_col: str,
+    text_col: str,
+    query_terms: Sequence[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """BM25 relevance of every document against a small bag of query
+    terms (Robertson/Sparck-Jones idf, Lucene's +1 smoothing) — the
+    keyword-retrieval primitive for corpus curation and eval-set
+    mining.
+
+    Two passes, both scale-sane at 100 TB:
+    1. ONE map-side-combined aggregate computes N, avgdl, and per-term
+       document frequencies as |Q|+2 scalars (array_contains flags —
+       the corpus is never exploded or shuffled for stats).
+    2. A narrow per-row pass scores each doc: tf via row-local
+       ``F.size(F.filter(...))``, idf folded in as a Python literal.
+       No shuffle anywhere; only docs matching ≥1 term are returned.
+
+    Determinism: avgdl is an exact bigint-sum / count division and the
+    per-term additions follow the fixed ``query_terms`` order, so the
+    float result is reproducible across engines modulo ln() ULPs.
+    """
+    import math
+
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = tokenize(F.col(text_col))
+    dl = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(
+        F.size(toks)
+    )
+    stats = docs.agg(
+        F.count("*").alias("_n"),
+        F.avg(dl).alias("_avgdl"),
+        *[
+            F.sum(
+                F.when(F.array_contains(toks, F.lit(t)), 1).otherwise(0)
+            ).alias(f"_df_{i}")
+            for i, t in enumerate(query_terms)
+        ],
+    ).first()
+    n_docs, avgdl = stats["_n"], stats["_avgdl"]
+    score = None
+    for i, t in enumerate(query_terms):
+        df_t = stats[f"_df_{i}"]
+        idf = math.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+        tf = F.size(F.filter(toks, lambda x: x == F.lit(t)))
+        contrib = (
+            F.lit(idf)
+            * (tf * (k1 + 1.0))
+            / (tf + k1 * (1.0 - b + b * dl / F.lit(avgdl)))
+        )
+        score = contrib if score is None else score + contrib
+    matched = None
+    for t in query_terms:
+        hit = F.when(F.array_contains(toks, F.lit(t)), 1).otherwise(0)
+        matched = hit if matched is None else matched + hit
+    return docs.select(
+        F.col(id_col),
+        matched.alias("matched_terms"),
+        score.alias("bm25"),
+    ).filter(F.col("matched_terms") > 0)

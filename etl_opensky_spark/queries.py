@@ -2331,6 +2331,154 @@ GROUP BY l_returnflag
 """
 
 
+def q73_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking gate: every document's token stream cut
+    into 40-token windows advancing by 30 (10-token overlap) — the
+    training-pipeline step between cleaning and packing.  Narrow
+    per-row explode, no shuffle, no UDF."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.chunk_documents(docs, "doc_id", "text", window=40, stride=30)
+
+
+ORACLE_Q73 = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ts
+  FROM documents WHERE length(trim(text)) > 0
+), starts AS (
+  SELECT doc_id, ts, unnest(range(0, len(ts), 30)) AS s
+  FROM toks
+)
+SELECT doc_id,
+  CAST(s // 30 AS INTEGER) AS chunk_idx,
+  array_to_string(ts[s + 1 : s + 40], ' ') AS chunk_text,
+  CAST(len(ts[s + 1 : s + 40]) AS INTEGER) AS chunk_tokens
+FROM starts
+"""
+
+
+def q74_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword-relevance gate over the corpus for a 3-term query.
+    Global stats (N, avgdl, per-term df) come from ONE map-side-combined
+    aggregate; scoring is a narrow per-row pass — zero shuffles.  The
+    oracle replays the identical arithmetic (same association order) so
+    the doubles agree to the rounded precision."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = TX.bm25_scores(
+        docs, "doc_id", "text", ["spark", "vector", "join"], k1=1.2, b=0.75
+    )
+    return scored.select(
+        "doc_id", "matched_terms", F.round("bm25", 6).alias("bm25")
+    )
+
+
+ORACLE_Q74 = """
+WITH base AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+         ELSE string_split_regex(trim(lower(text)), '\\s+') END AS ts
+  FROM documents
+), stats AS (
+  SELECT COUNT(*) AS n, AVG(len(ts)) AS avgdl,
+    COUNT(*) FILTER (WHERE list_contains(ts, 'spark'))  AS df0,
+    COUNT(*) FILTER (WHERE list_contains(ts, 'vector')) AS df1,
+    COUNT(*) FILTER (WHERE list_contains(ts, 'join'))   AS df2
+  FROM base
+)
+SELECT doc_id, matched_terms, ROUND(bm25, 6) AS bm25 FROM (
+  SELECT doc_id,
+    CAST(list_contains(ts, 'spark') AS INTEGER)
+      + CAST(list_contains(ts, 'vector') AS INTEGER)
+      + CAST(list_contains(ts, 'join') AS INTEGER) AS matched_terms,
+      (ln(1 + (n - df0 + 0.5) / (df0 + 0.5))
+         * (len(list_filter(ts, x -> x = 'spark')) * 2.2)
+         / (len(list_filter(ts, x -> x = 'spark'))
+            + 1.2 * (0.25 + (0.75 * len(ts)) / avgdl)))
+    + (ln(1 + (n - df1 + 0.5) / (df1 + 0.5))
+         * (len(list_filter(ts, x -> x = 'vector')) * 2.2)
+         / (len(list_filter(ts, x -> x = 'vector'))
+            + 1.2 * (0.25 + (0.75 * len(ts)) / avgdl)))
+    + (ln(1 + (n - df2 + 0.5) / (df2 + 0.5))
+         * (len(list_filter(ts, x -> x = 'join')) * 2.2)
+         / (len(list_filter(ts, x -> x = 'join'))
+            + 1.2 * (0.25 + (0.75 * len(ts)) / avgdl))) AS bm25
+  FROM base CROSS JOIN stats
+)
+WHERE matched_terms > 0
+"""
+
+
+def q75_zordered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate for ``write_parquet_zordered`` (multi-dimensional layout
+    lever): events clustered along a Morton curve over (ts, user_id),
+    read back under a predicate RECTANGLE on both dimensions — on this
+    layout the footer stats are narrow on each dimension at once, so
+    the scan skips row groups for time-range AND user-range predicates
+    (a single-column sort only serves one of them).  Layout-only:
+    values must hash-match the raw table."""
+    import os
+    import tempfile
+
+    from etl_opensky_spark.sources.sinks import write_parquet_zordered
+
+    ev = _events(spark, sf_dir)
+    target = os.path.join(
+        tempfile.gettempdir(), f"q75_zorder_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    write_parquet_zordered(ev, target, ["ts", "user_id"], bits=10, num_files=8)
+    back = spark.read.parquet(target).filter(
+        (F.col("ts") >= F.lit("2024-01-10").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-20").cast("timestamp"))
+        & (F.col("user_id") >= 3)
+        & (F.col("user_id") < 10)
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(_dec("value", 6)).cast("double").alias("sum_value"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+    )
+
+
+ORACLE_Q75 = """
+SELECT event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+  MIN(event_id) AS min_event_id,
+  MAX(event_id) AS max_event_id
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+  AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+  AND user_id >= 3 AND user_id < 10
+GROUP BY event_type
+"""
+
+
+def q76_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles per group (green counterpart to the rows-only
+    q34 sketches): Spark's ``percentile`` and DuckDB's ``quantile_cont``
+    share the linear-interpolation definition, so the values cross-check
+    to rounded precision — unlike t-digest/KLL approximations, which are
+    engine-specific by construction.  Exact percentile is a full sort
+    per group (fine at gate scale; the 100 TB answer IS q34's sketch —
+    this gate pins the exact semantics the sketch approximates)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("price_p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("price_p90"),
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 6).alias("qty_p25"),
+        F.count("*").alias("n"),
+    )
+
+
+ORACLE_Q76 = """
+SELECT l_returnflag,
+  ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS price_p50,
+  ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS price_p90,
+  ROUND(quantile_cont(l_quantity, 0.25), 6) AS qty_p25,
+  COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -2404,6 +2552,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q70_budget_selection": q70_budget_selection,
     "q71_rollup_merge": q71_rollup_merge,
     "q72_bloom_pruned_join": q72_bloom_pruned_join,
+    "q73_chunk_documents": q73_chunk_documents,
+    "q74_bm25_scores": q74_bm25_scores,
+    "q75_zordered_scan": q75_zordered_scan,
+    "q76_exact_percentiles": q76_exact_percentiles,
 }
 
 ORACLES: dict[str, str] = {
@@ -2473,6 +2625,10 @@ ORACLES: dict[str, str] = {
     "q70_budget_selection": ORACLE_Q70,
     "q71_rollup_merge": ORACLE_Q71,
     "q72_bloom_pruned_join": ORACLE_Q72,
+    "q73_chunk_documents": ORACLE_Q73,
+    "q74_bm25_scores": ORACLE_Q74,
+    "q75_zordered_scan": ORACLE_Q75,
+    "q76_exact_percentiles": ORACLE_Q76,
     # q25/q26: xxhash64-based — not reproducible in DuckDB (rows-only check)
     # q28: approximate by design (rows-only)
     # q29: mapInPandas feature extraction (rows-only; sha256 verified in tests)

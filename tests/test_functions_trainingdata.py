@@ -815,3 +815,51 @@ def test_connected_components_distributed_over_threshold(spark):
         F.col("doc_id") < n, F.col("doc_id") - (F.col("doc_id") % chain)
     ).otherwise(F.lit(n))
     assert comp.filter(F.col("component") != expected).count() == 0
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from etl_opensky_spark.functions.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x y"), (3, "   "), (4, "solo")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, "doc_id", "text", window=3, stride=2)
+    got = {
+        (r.doc_id, r.chunk_idx): (r.chunk_text, r.chunk_tokens)
+        for r in out.collect()
+    }
+    assert got[(1, 0)] == ("a b c", 3)
+    assert got[(1, 1)] == ("c d e", 3)
+    assert got[(1, 2)] == ("e f g", 3)
+    assert got[(1, 3)] == ("g", 1)  # short tail chunk kept
+    assert got[(2, 0)] == ("x y", 2)
+    assert not any(d == 3 for d, _ in got)  # blank doc: no chunks
+    assert got[(4, 0)] == ("solo", 1)
+    # default stride = window → disjoint cover
+    out2 = chunk_documents(docs, "doc_id", "text", window=3)
+    assert [
+        r.chunk_text
+        for r in out2.filter("doc_id=1").orderBy("chunk_idx").collect()
+    ] == ["a b c", "d e f", "g"]
+    # narrow op: no exchange anywhere in the chunking plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_bm25_scores_ranks_and_filters(spark):
+    from etl_opensky_spark.functions.text import bm25_scores
+
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "apple"), (3, "cherry"), (4, "")],
+        "doc_id long, text string",
+    )
+    out = bm25_scores(docs, "doc_id", "text", ["apple", "banana"])
+    by_id = {r.doc_id: r for r in out.collect()}
+    assert set(by_id) == {1, 2}  # cherry/blank docs filtered out
+    assert by_id[1].matched_terms == 2
+    assert by_id[2].matched_terms == 1
+    assert by_id[1].bm25 > by_id[2].bm25  # more hits → higher score
+    # scoring pass is narrow: zero shuffles
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -168,3 +168,48 @@ def test_write_range_sorted_files_cover_disjoint_slices(spark, tmp_path):
         assert hi1 < lo2  # disjoint slices
     # full span covered, nothing lost
     assert spark.read.parquet(path).count() == 10_000
+
+
+def test_write_parquet_zordered_narrows_both_dims(spark, tmp_path):
+    """Z-ordered layout: footer min/max stats must be narrow on BOTH
+    curve dimensions (a plain single-column sort gives full-span stats
+    on the second column in every file — no skipping possible)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from etl_opensky_spark.sources.sinks import write_parquet_zordered
+
+    n = 128
+    df = (
+        spark.range(n * n)
+        .select(
+            (F.col("id") % n).alias("x"),
+            (F.col("id") / n).cast("long").alias("y"),
+        )
+    )
+    path = str(tmp_path / "zorder")
+    write_parquet_zordered(df, path, ["x", "y"], bits=7, num_files=16)
+
+    def spans(col_idx):
+        out = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(col_idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            if mins:
+                out.append(max(maxs) - min(mins))
+        return out
+
+    names = pq.ParquetFile(glob.glob(f"{path}/*.parquet")[0]).schema.names
+    sx, sy = spans(names.index("x")), spans(names.index("y"))
+    assert len(sx) >= 8
+    # typical file covers a tile: BOTH dims well under the full domain
+    sx.sort(), sy.sort()
+    assert sx[len(sx) // 2] <= n // 2
+    assert sy[len(sy) // 2] <= n // 2
+    # layout-only: nothing lost
+    assert spark.read.parquet(path).count() == n * n
