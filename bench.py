@@ -99,6 +99,10 @@ BENCH_QUERIES = [
     "q74_bm25_scores",
     "q75_zordered_scan",
     "q76_exact_percentiles",
+    "q77_corpus_mixing",
+    "q78_hll_accuracy",
+    "q79_quantile_sketch_accuracy",
+    "q80_stream_dedup",
 ]
 
 

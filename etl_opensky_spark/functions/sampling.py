@@ -252,3 +252,41 @@ def pack_contiguous(
         .withColumn(out_col, F.floor(start / F.lit(float(budget))))
         .drop("_bkt", "_cum", "_off")
     )
+
+
+def sample_by_fractions(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    fractions: Mapping[str, float],
+    default: float = 1.0,
+    buckets: int = HASH_BUCKETS,
+) -> DataFrame:
+    """Deterministic per-group downsampling to target keep-fractions —
+    the data-mixing primitive (re-weight domains/languages/sources of a
+    corpus before training).  A row survives iff
+    ``hash_bucket(key) < round(fraction(group) * buckets)``: the kept
+    set is a pure function of the spec, reproducible in ANY engine with
+    md5 (unlike ``stratified_sample``'s Spark-seeded Bernoulli), and
+    monotone — raising a fraction only ADDS rows, so mixture updates
+    are incremental, never a reshuffle of what was kept.
+
+    Narrow per-row filter: no shuffle, no group materialization, scales
+    to any corpus.  Groups absent from ``fractions`` keep ``default``.
+    """
+    for g, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for {g!r} must be in [0, 1], got {f}")
+    if not 0.0 <= default <= 1.0:
+        raise ValueError(f"default fraction must be in [0, 1], got {default}")
+    thr = None
+    for g in sorted(fractions):
+        cut = F.lit(int(round(fractions[g] * buckets)))
+        cond = F.col(group_col) == g
+        thr = F.when(cond, cut) if thr is None else thr.when(cond, cut)
+    thr = (
+        F.lit(int(round(default * buckets)))
+        if thr is None
+        else thr.otherwise(F.lit(int(round(default * buckets))))
+    )
+    return df.filter(hash_bucket(F.col(key_col), buckets) < thr)

@@ -2479,6 +2479,156 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q77_corpus_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing gate: re-weight the corpus by language (keep half the
+    English, a quarter of the Chinese, all the rest) with the
+    deterministic md5-bucket filter — the kept set is a pure function
+    of the spec, reproduced row-for-row by the DuckDB oracle.  Narrow
+    filter, zero shuffles, monotone under fraction increases."""
+    from etl_opensky_spark.functions.sampling import sample_by_fractions
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = sample_by_fractions(
+        docs, "lang", "doc_id", {"en": 0.5, "zh": 0.25}, default=1.0
+    )
+    return kept.select("doc_id", "lang", "source")
+
+
+ORACLE_Q77 = """
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+    CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 10000 AS bucket
+  FROM documents
+)
+WHERE bucket < CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 2500 ELSE 10000 END
+"""
+
+
+def q78_hll_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch ACCURACY-BOUND gate (the pattern that makes approximate
+    operators oracle-checkable): HLL++ ``approx_count_distinct`` per
+    event_type must land within 4× its configured relative standard
+    deviation of the exact distinct count.  Spark computes both sides;
+    DuckDB supplies the exact truth and TRUE — if the sketch ever
+    drifts outside its documented bound, the hash mismatches.  At
+    100 TB the sketch is the only viable plan (fixed-size state,
+    map-side partial merge); this gate pins that it stays honest."""
+    ev = _events(spark, sf_dir)
+    rsd = 0.05
+    per_type = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd).alias("_approx"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    tolerance = F.greatest(
+        4.0 * rsd * F.col("exact_users"), F.lit(2.0)
+    )
+    return per_type.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("_approx") - F.col("exact_users")) <= tolerance
+        ).alias("within_bound"),
+    )
+
+
+ORACLE_Q78 = """
+SELECT event_type,
+  COUNT(DISTINCT user_id) AS exact_users,
+  TRUE AS within_bound
+FROM events GROUP BY event_type
+"""
+
+
+def q79_quantile_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch accuracy-bound gate: ``percentile_approx``
+    (Greenwald-Khanna) guarantees the returned element's RANK is within
+    n/accuracy of the target rank.  Spark checks its own sketch against
+    its own exact rank counts (one extra broadcast join); DuckDB
+    supplies TRUE and the group sizes.  Complements q34 (whose VALUES
+    are legitimately engine-specific) with a cross-checked claim about
+    the sketch's documented contract."""
+    accuracy = 1000
+    li = _t(spark, sf_dir, "lineitem")
+    approx = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, accuracy).alias("_v")
+    )
+    per = (
+        li.join(F.broadcast(approx), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("l_extendedprice") <= F.col("_v"), 1).otherwise(0)
+            ).alias("_le"),
+            F.sum(
+                F.when(F.col("l_extendedprice") < F.col("_v"), 1).otherwise(0)
+            ).alias("_lt"),
+        )
+    )
+    eps = F.ceil(F.col("n") / F.lit(accuracy)) + 1
+    target = 0.5 * F.col("n")
+    ok = (F.col("_lt") <= target + eps) & (F.col("_le") >= target - eps)
+    return per.select("l_returnflag", "n", ok.alias("within_bound"))
+
+
+ORACLE_Q79 = """
+SELECT l_returnflag, COUNT(*) AS n, TRUE AS within_bound
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q80_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-dedup gate: the events stream unioned with ITSELF
+    (every row arrives twice) flows through ``dedup_within_watermark``
+    and must emit each (event_id, ts) exactly once — the
+    exactly-once-on-a-business-key contract with state bounded by the
+    watermark.  The batch oracle is the raw table: 2× in, 1× out."""
+    from etl_opensky_spark.streaming.daily import dedup_within_watermark
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def src() -> DataFrame:
+        s = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        if dict(s.dtypes).get("ts") == "bigint":
+            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return s
+
+    deduped = dedup_within_watermark(
+        src().unionByName(src()), keys=["event_id"], watermark="2 days"
+    )
+    name = "stream_dedup"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("event_id").alias("n_ids"),
+            F.sum(_dec("value", 6)).cast("double").alias("sum_value"),
+        )
+    )
+
+
+ORACLE_Q80 = """
+SELECT event_type, COUNT(*) AS n,
+  COUNT(DISTINCT event_id) AS n_ids,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -2556,6 +2706,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q74_bm25_scores": q74_bm25_scores,
     "q75_zordered_scan": q75_zordered_scan,
     "q76_exact_percentiles": q76_exact_percentiles,
+    "q77_corpus_mixing": q77_corpus_mixing,
+    "q78_hll_accuracy": q78_hll_accuracy,
+    "q79_quantile_sketch_accuracy": q79_quantile_sketch_accuracy,
+    "q80_stream_dedup": q80_stream_dedup,
 }
 
 ORACLES: dict[str, str] = {
@@ -2629,6 +2783,10 @@ ORACLES: dict[str, str] = {
     "q74_bm25_scores": ORACLE_Q74,
     "q75_zordered_scan": ORACLE_Q75,
     "q76_exact_percentiles": ORACLE_Q76,
+    "q77_corpus_mixing": ORACLE_Q77,
+    "q78_hll_accuracy": ORACLE_Q78,
+    "q79_quantile_sketch_accuracy": ORACLE_Q79,
+    "q80_stream_dedup": ORACLE_Q80,
     # q25/q26: xxhash64-based — not reproducible in DuckDB (rows-only check)
     # q28: approximate by design (rows-only)
     # q29: mapInPandas feature extraction (rows-only; sha256 verified in tests)

@@ -863,3 +863,43 @@ def test_bm25_scores_ranks_and_filters(spark):
     # scoring pass is narrow: zero shuffles
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_sample_by_fractions_deterministic_and_monotone(spark):
+    from etl_opensky_spark.functions.sampling import sample_by_fractions
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(400)],
+        "doc_id long, lang string",
+    )
+    half = sample_by_fractions(docs, "lang", "doc_id", {"en": 0.5}, default=1.0)
+    kept_half = {r.doc_id for r in half.collect()}
+    # all german kept (default 1.0); english roughly halved
+    de = {i for i in range(400) if i % 2 == 1}
+    assert de <= kept_half
+    n_en = len(kept_half) - len(de)
+    assert 60 <= n_en <= 140  # ~100 expected of 200
+    # determinism: same spec → identical set
+    again = {
+        r.doc_id
+        for r in sample_by_fractions(
+            docs, "lang", "doc_id", {"en": 0.5}, default=1.0
+        ).collect()
+    }
+    assert again == kept_half
+    # monotone: raising a fraction only ADDS rows
+    more = {
+        r.doc_id
+        for r in sample_by_fractions(
+            docs, "lang", "doc_id", {"en": 0.8}, default=1.0
+        ).collect()
+    }
+    assert kept_half <= more
+    # fraction 0 drops the group entirely; fraction 1 keeps everything
+    none_en = {
+        r.doc_id
+        for r in sample_by_fractions(
+            docs, "lang", "doc_id", {"en": 0.0}, default=1.0
+        ).collect()
+    }
+    assert none_en == de
