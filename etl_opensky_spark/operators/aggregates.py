@@ -211,3 +211,37 @@ def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         "column string, n_rows long, n_nulls long, n_distinct long, "
         "min_value string, max_value string",
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    lower_q: float = 0.01,
+    upper_q: float = 0.99,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Clip ``value_col`` to its per-group [lower_q, upper_q] exact
+    quantiles (winsorization — the standard outlier treatment before
+    aggregating noisy metrics or training on numeric features).
+
+    The per-group quantile table is one aggregate (``group_cols``
+    cardinality rows — stats-sized, not data-sized) joined back with a
+    broadcast, then a narrow ``least/greatest`` clip.  One shuffle for
+    the quantile agg, zero extra movement of the data itself at any
+    scale.  Swap ``percentile_approx`` into the agg at 100 TB if the
+    exact per-group sort is too hot — the clip plumbing is unchanged.
+    """
+    if not 0.0 <= lower_q <= upper_q <= 1.0:
+        raise ValueError("need 0 <= lower_q <= upper_q <= 1")
+    out_col = out_col or f"{value_col}_winsorized"
+    v = F.col(value_col).cast("double")
+    bounds = df.groupBy(*group_cols).agg(
+        F.expr(f"percentile({value_col}, {lower_q})").alias("_lo"),
+        F.expr(f"percentile({value_col}, {upper_q})").alias("_hi"),
+    )
+    return (
+        df.join(F.broadcast(bounds), on=list(group_cols), how="left")
+        .withColumn(out_col, F.least(F.greatest(v, F.col("_lo")), F.col("_hi")))
+        .drop("_lo", "_hi")
+    )

@@ -2629,6 +2629,80 @@ FROM events GROUP BY event_type
 """
 
 
+def q81_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization gate: events.value clipped to its per-type exact
+    [p5, p95] quantiles, then aggregated — the outlier treatment before
+    training on noisy numeric features.  Clipped values are
+    decimal-ized before summing so cross-engine accumulation order
+    cannot move the result; min/max of the clipped column directly
+    cross-check the interpolated bounds themselves."""
+    from etl_opensky_spark.operators.aggregates import winsorize
+
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.col("value").cast("double").alias("value")
+    )
+    w = winsorize(ev, "value", ["event_type"], lower_q=0.05, upper_q=0.95)
+    return w.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value_winsorized").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_clipped"),
+        F.round(F.min("value_winsorized"), 6).alias("min_clipped"),
+        F.round(F.max("value_winsorized"), 6).alias("max_clipped"),
+    )
+
+
+ORACLE_Q81 = """
+WITH b AS (
+  SELECT event_type,
+    quantile_cont(value, 0.05) AS lo,
+    quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(LEAST(GREATEST(value, lo), hi) AS DECIMAL(18,6))) AS DOUBLE) AS sum_clipped,
+  ROUND(MIN(LEAST(GREATEST(value, lo), hi)), 6) AS min_clipped,
+  ROUND(MAX(LEAST(GREATEST(value, lo), hi)), 6) AS max_clipped
+FROM events JOIN b USING (event_type)
+GROUP BY event_type
+"""
+
+
+def q82_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort-retention matrix: users grouped by their FIRST active day,
+    distinct users counted at each day offset — the standard product
+    analytics rollup.  Per-user first-day is one shuffle; the offset
+    aggregation reuses the user partitioning.  The oracle is the
+    equivalent self-join-free SQL."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    first_day = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(first_day, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("active_users"))
+        .filter(F.col("day_offset") <= 7)
+    )
+
+
+ORACLE_Q82 = """
+WITH fd AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+  FROM events GROUP BY user_id
+)
+SELECT cohort_day,
+  CAST(date_diff('day', cohort_day, CAST(ts AS DATE)) AS INTEGER) AS day_offset,
+  COUNT(DISTINCT user_id) AS active_users
+FROM events JOIN fd USING (user_id)
+WHERE date_diff('day', cohort_day, CAST(ts AS DATE)) <= 7
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -2710,6 +2784,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q78_hll_accuracy": q78_hll_accuracy,
     "q79_quantile_sketch_accuracy": q79_quantile_sketch_accuracy,
     "q80_stream_dedup": q80_stream_dedup,
+    "q81_winsorize": q81_winsorize,
+    "q82_retention_cohorts": q82_retention_cohorts,
 }
 
 ORACLES: dict[str, str] = {
@@ -2787,6 +2863,8 @@ ORACLES: dict[str, str] = {
     "q78_hll_accuracy": ORACLE_Q78,
     "q79_quantile_sketch_accuracy": ORACLE_Q79,
     "q80_stream_dedup": ORACLE_Q80,
+    "q81_winsorize": ORACLE_Q81,
+    "q82_retention_cohorts": ORACLE_Q82,
     # q25/q26: xxhash64-based — not reproducible in DuckDB (rows-only check)
     # q28: approximate by design (rows-only)
     # q29: mapInPandas feature extraction (rows-only; sha256 verified in tests)

@@ -412,3 +412,20 @@ def test_profile_columns(spark):
     assert got["id"]["n_distinct"] == 2
     assert got["id"]["min_value"] == "1" and got["id"]["max_value"] == "2"
     assert got["s"]["n_nulls"] == 1 and got["s"]["n_distinct"] == 2
+
+
+def test_winsorize_clips_to_group_quantiles(spark):
+    from etl_opensky_spark.operators.aggregates import winsorize
+
+    rows = [("a", float(v)) for v in range(1, 101)] + [("b", 5.0)] * 10
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = winsorize(df, "v", ["g"], lower_q=0.10, upper_q=0.90)
+    got = {(r.g, r.v): r.v_winsorized for r in out.collect()}
+    # group a: 1..100 → p10=10.9, p90=90.1 (linear interpolation)
+    assert got[("a", 1.0)] == pytest.approx(10.9)
+    assert got[("a", 100.0)] == pytest.approx(90.1)
+    assert got[("a", 50.0)] == 50.0  # interior untouched
+    # constant group: bounds collapse, values unchanged
+    assert got[("b", 5.0)] == 5.0
+    # row count preserved
+    assert out.count() == len(rows)

@@ -151,3 +151,31 @@ def test_greedy_embedding_losers_complement_of_pair_targets(spark, raw_pairs):
         i for i in ids if not any(j < i and group[j] == group[i] for j in ids)
     )
     assert kept == expected
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["tok", "x", "yy", "z9"]), min_size=0, max_size=17),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(1, 5),
+)
+def test_chunk_documents_disjoint_reconstruction(spark, token_lists, window):
+    """With stride == window (disjoint chunks), concatenating a doc's
+    chunks in chunk_idx order reconstructs its token stream exactly —
+    chunking is lossless and order-preserving for every doc/window."""
+    from etl_opensky_spark.functions.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(token_lists)],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, "doc_id", "text", window=window).collect()
+    by_doc = {}
+    for r in sorted(out, key=lambda r: (r.doc_id, r.chunk_idx)):
+        by_doc.setdefault(r.doc_id, []).append(r.chunk_text)
+        assert 1 <= r.chunk_tokens <= window
+    for i, toks in enumerate(token_lists):
+        assert " ".join(by_doc.get(i, [])) == " ".join(toks)
