@@ -103,6 +103,13 @@ BENCH_QUERIES = [
     "q78_hll_accuracy",
     "q79_quantile_sketch_accuracy",
     "q80_stream_dedup",
+    "q81_winsorize",
+    "q82_retention_cohorts",
+    "q83_normalize_features",
+    "q84_funnel",
+    "q85_event_transitions",
+    "q86_knn_classify",
+    "q87_fuzzy_pairs",
 ]
 
 

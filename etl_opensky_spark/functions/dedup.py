@@ -843,3 +843,40 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
     )
     return out.select("id_a", "id_b", "jaccard")
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: Column,
+    max_distance: int,
+    compare_len: int | None = None,
+) -> DataFrame:
+    """Edit-distance near-duplicate pairs with key blocking: candidate
+    pairs share ``block_col`` (e.g. first token, length bucket, phonetic
+    key); survivors have ``levenshtein(a, b) <= max_distance`` on the
+    (optionally length-capped) comparison string.
+
+    Same candidate-generation shape as the LSH tiers — an equi-join on
+    the blocking key confines the quadratic edit-distance work inside
+    blocks; ``levenshtein`` is a JVM built-in, no UDF.  ``compare_len``
+    caps the comparison to a prefix so the O(len^2) DP per pair stays
+    bounded regardless of document size.  Recall is bounded by the
+    blocking key (a typo inside the key splits the pair) — union several
+    ``fuzzy_pairs`` calls with independent keys to amplify, exactly like
+    the multi-table LSH amplifier.
+    """
+    cmp = F.col(text_col)
+    if compare_len is not None:
+        cmp = F.substring(cmp, 1, compare_len)
+    t = df.select(F.col(id_col), cmp.alias("_cmp"), block_col.alias("_blk"))
+    a = t.select(F.col(id_col).alias("id_a"), F.col("_cmp").alias("_ca"), "_blk")
+    b = t.select(F.col(id_col).alias("id_b"), F.col("_cmp").alias("_cb"), "_blk")
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("distance", F.levenshtein("_ca", "_cb"))
+        .filter(F.col("distance") <= max_distance)
+        .select("id_a", "id_b", "distance")
+    )

@@ -129,3 +129,53 @@ def make_hyperplanes(dim: int, num: int, seed: int = 42) -> list[list[float]]:
 
     rng = np.random.default_rng(seed)
     return rng.standard_normal((num, dim)).tolist()
+
+
+def knn_classify(
+    embeddings: DataFrame,
+    query_ids: Sequence[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN majority-vote classification: for each query id, the modal
+    label among its k nearest labeled neighbors by cosine (queries
+    excluded from the candidate pool).  Ties break deterministically:
+    higher vote count, then smaller label; neighbor rank ties break on
+    rounded cosine then id (engine-reproducible).
+
+    The query batch is broadcast (batch-sized, not corpus-sized) against
+    one scan of the candidates; the per-query top-k runs as a window over
+    rows keyed by query id.  At corpus scale, pre-prune candidates with
+    ``hyperplane_bucket`` / IVF probing before calling this — the voting
+    plumbing is unchanged.
+    """
+    from pyspark.sql import Window
+
+    ids = [int(i) for i in query_ids]
+    q = embeddings.filter(F.col(id_col).isin(ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    cand = embeddings.filter(~F.col(id_col).isin(ids))
+    scored = cand.join(F.broadcast(q)).select(
+        "query_id",
+        F.col(id_col),
+        F.col(label_col),
+        F.round(cosine(F.col(vec_col), F.col("_qv")), 6).alias("_cos"),
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col(id_col)
+    )
+    topk = scored.withColumn("_rn", F.row_number().over(wk)).filter(
+        F.col("_rn") <= k
+    )
+    votes = topk.groupBy("query_id", label_col).agg(F.count("*").alias("votes"))
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col(label_col)
+    )
+    return (
+        votes.withColumn("_r", F.row_number().over(wv))
+        .filter(F.col("_r") == 1)
+        .select("query_id", F.col(label_col).alias("predicted_label"), "votes")
+    )

@@ -245,3 +245,59 @@ def winsorize(
         .withColumn(out_col, F.least(F.greatest(v, F.col("_lo")), F.col("_hi")))
         .drop("_lo", "_hi")
     )
+
+
+def normalize_features(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+) -> DataFrame:
+    """Per-group feature scaling: appends ``{value_col}_zscore``
+    (standard score), ``{value_col}_minmax`` ([0,1] rescale), and
+    ``{value_col}_robust`` (median/MAD score, the outlier-insensitive
+    variant) — the standard numeric-feature treatments before training.
+
+    Two aggregate passes (moments+median, then MAD — the median of
+    absolute deviations needs the median first), each producing a
+    group-cardinality stats table broadcast back onto the data; the data
+    itself moves twice through the ``group_cols`` shuffle and never
+    otherwise.  Degenerate groups (zero spread) yield NULL scores rather
+    than infinities.
+    """
+    v = F.col(value_col).cast("double")
+    stats = df.groupBy(*group_cols).agg(
+        F.avg(v).alias("_mean"),
+        F.stddev_samp(v).alias("_std"),
+        F.min(v).alias("_min"),
+        F.max(v).alias("_max"),
+        F.expr(f"percentile({value_col}, 0.5)").alias("_med"),
+    )
+    mad = (
+        df.join(F.broadcast(stats.select(*group_cols, "_med")), on=list(group_cols))
+        .withColumn("_absdev", F.abs(v - F.col("_med")))
+        .groupBy(*group_cols)
+        .agg(F.expr("percentile(_absdev, 0.5)").alias("_mad"))
+    )
+    scored = (
+        df.join(F.broadcast(stats), on=list(group_cols), how="left")
+        .join(F.broadcast(mad), on=list(group_cols), how="left")
+        .withColumn(
+            f"{value_col}_zscore",
+            F.when(F.col("_std") > 0, (v - F.col("_mean")) / F.col("_std")),
+        )
+        .withColumn(
+            f"{value_col}_minmax",
+            F.when(
+                F.col("_max") > F.col("_min"),
+                (v - F.col("_min")) / (F.col("_max") - F.col("_min")),
+            ),
+        )
+        .withColumn(
+            f"{value_col}_robust",
+            F.when(
+                F.col("_mad") > 0,
+                (v - F.col("_med")) / (F.lit(1.4826) * F.col("_mad")),
+            ),
+        )
+    )
+    return scored.drop("_mean", "_std", "_min", "_max", "_med", "_mad")

@@ -1,0 +1,92 @@
+"""User-behavior sequence analytics: ordered funnels and transition
+matrices over an (entity, timestamp, event-type) stream.
+
+The reference's warehouse rollups (``hql/agg_flights_daily.hql``) stop at
+per-day counts; these operators cover the ordered-sequence questions a
+product-analytics user asks of the same event stream: "how many users
+completed step A then B then C, in order?" and "which event follows
+which?".
+
+Scale contract: every stage keys on the entity column, so the funnel's
+per-step joins and the transition window reuse one hash partitioning on
+``user_col``; step frames are user-cardinality (one row per surviving
+user), never event-cardinality.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def funnel_steps(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: Sequence[str],
+) -> DataFrame:
+    """Strictly-ordered funnel: a user reaches step ``i`` if an event of
+    type ``steps[i]`` occurs strictly after their earliest completion of
+    step ``i-1``.  Returns one row per step: (step_idx, step, users).
+
+    Each step is an aggregate to user grain joined to the filtered event
+    slice for the next step — the classic cascading-minimum formulation.
+    All joins key on ``user_col`` (co-partitioned, AQE may broadcast the
+    shrinking step frame); no window over the raw event stream, so hot
+    users cost one combine, not a sort.
+    """
+    if not steps:
+        raise ValueError("need at least one funnel step")
+    ev = df.select(user_col, ts_col, type_col)
+    cur = (
+        ev.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_t"))
+    )
+    out = []
+    for i, s in enumerate(steps, start=1):
+        if i > 1:
+            cur = (
+                ev.filter(F.col(type_col) == s)
+                .join(cur, on=user_col)
+                .filter(F.col(ts_col) > F.col("_t"))
+                .groupBy(user_col)
+                .agg(F.min(ts_col).alias("_t"))
+            )
+        out.append(
+            cur.agg(F.count("*").alias("users")).select(
+                F.lit(i).alias("step_idx"), F.lit(s).alias("step"), "users"
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), out)
+
+
+def event_transitions(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """First-order transition matrix: counts of consecutive
+    (previous event type -> next event type) pairs within each user's
+    timeline.  Pass ``order_cols`` to break timestamp ties
+    deterministically (e.g. an event id).
+
+    One shuffle for the per-user window; the output aggregate is
+    type-cardinality squared (tiny), map-side combined.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, *order_cols)
+    return (
+        df.withColumn("_prev", F.lag(type_col).over(w))
+        .filter(F.col("_prev").isNotNull())
+        .groupBy(
+            F.col("_prev").alias("prev_type"),
+            F.col(type_col).alias("next_type"),
+        )
+        .agg(F.count("*").alias("n_transitions"))
+    )

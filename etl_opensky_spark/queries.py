@@ -2703,6 +2703,163 @@ GROUP BY 1, 2
 """
 
 
+def q83_normalize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-scaling gate: per-event-type z-score, min-max, and
+    median/MAD robust score on events.value — the standard numeric
+    treatments before training.  Scores rounded to 4 dp so last-ulp
+    accumulation-order differences between engines cannot flip the
+    hash."""
+    from etl_opensky_spark.operators.aggregates import normalize_features
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "event_type", F.col("value").cast("double").alias("value")
+    )
+    out = normalize_features(ev, "value", ["event_type"])
+    return out.select(
+        "event_id",
+        "event_type",
+        F.round("value_zscore", 4).alias("zscore"),
+        F.round("value_minmax", 4).alias("minmax"),
+        F.round("value_robust", 4).alias("robust"),
+    )
+
+
+ORACLE_Q83 = """
+WITH s AS (
+  SELECT event_type, AVG(value) AS mean, STDDEV_SAMP(value) AS std,
+         MIN(value) AS mn, MAX(value) AS mx, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+), m AS (
+  SELECT e.event_type, quantile_cont(ABS(e.value - s.med), 0.5) AS mad
+  FROM events e JOIN s USING (event_type) GROUP BY e.event_type
+)
+SELECT e.event_id, e.event_type,
+  ROUND(CASE WHEN s.std > 0 THEN (e.value - s.mean) / s.std END, 4) AS zscore,
+  ROUND(CASE WHEN s.mx > s.mn THEN (e.value - s.mn) / (s.mx - s.mn) END, 4) AS minmax,
+  ROUND(CASE WHEN m.mad > 0 THEN (e.value - s.med) / (1.4826 * m.mad) END, 4) AS robust
+FROM events e JOIN s USING (event_type) JOIN m USING (event_type)
+"""
+
+
+def q84_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel gate: users completing view -> click -> purchase
+    strictly in order, counted at each step (cascading-minimum
+    formulation, exact timestamps so the gate is deterministic)."""
+    from etl_opensky_spark.operators.behavior import funnel_steps
+
+    ev = _events(spark, sf_dir)
+    return funnel_steps(
+        ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    )
+
+
+ORACLE_Q84 = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id
+)
+SELECT 1 AS step_idx, 'view' AS step, (SELECT COUNT(*) FROM s1) AS users
+UNION ALL
+SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+UNION ALL
+SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
+"""
+
+
+def q85_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-transition matrix per user timeline (lag window,
+    event_id tie-break for determinism)."""
+    from etl_opensky_spark.operators.behavior import event_transitions
+
+    ev = _events(spark, sf_dir)
+    return event_transitions(
+        ev, "user_id", "ts", "event_type", order_cols=["event_id"]
+    )
+
+
+ORACLE_Q85 = """
+SELECT prev_type, next_type, COUNT(*) AS n_transitions FROM (
+  SELECT
+    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+    event_type AS next_type
+  FROM events
+) WHERE prev_type IS NOT NULL GROUP BY 1, 2
+"""
+
+
+def q86_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote classification over the labeled embeddings:
+    queries vec_id 0..4, k=10 cosine neighbors, modal label with
+    deterministic tie-breaks (votes desc, label asc; neighbor rank by
+    rounded cosine then id)."""
+    from etl_opensky_spark.functions.similarity import knn_classify
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_classify(emb, [0, 1, 2, 3, 4], k=10)
+
+
+ORACLE_Q86 = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+), scored AS (
+  SELECT q.query_id, e.vec_id, e.label,
+    ROUND(list_dot_product(e.embedding::DOUBLE[], q.qv)
+          / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+             * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+  FROM embeddings e, q WHERE e.vec_id NOT IN (0, 1, 2, 3, 4)
+), topk AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+    FROM scored
+  ) WHERE rn <= 10
+), votes AS (
+  SELECT query_id, label, COUNT(*) AS votes FROM topk GROUP BY 1, 2
+)
+SELECT query_id, label AS predicted_label, votes FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY votes DESC, label) AS r
+  FROM votes
+) WHERE r = 1
+"""
+
+
+def q87_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance near-duplicate pairs: documents sharing a
+    first token, levenshtein on the 24-char prefix <= 8.  Integer
+    distances, so no cross-engine float boundary exists."""
+    from etl_opensky_spark.functions.dedup import fuzzy_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return fuzzy_pairs(
+        docs,
+        "doc_id",
+        "text",
+        block_col=F.substring_index(F.col("text"), " ", 1),
+        max_distance=8,
+        compare_len=24,
+    )
+
+
+ORACLE_Q87 = """
+WITH t AS (
+  SELECT doc_id, substr(text, 1, 24) AS cmp, split_part(text, ' ', 1) AS blk
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(levenshtein(a.cmp, b.cmp) AS INTEGER) AS distance
+FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.cmp, b.cmp) <= 8
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -2786,6 +2943,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q80_stream_dedup": q80_stream_dedup,
     "q81_winsorize": q81_winsorize,
     "q82_retention_cohorts": q82_retention_cohorts,
+    "q83_normalize_features": q83_normalize_features,
+    "q84_funnel": q84_funnel,
+    "q85_event_transitions": q85_event_transitions,
+    "q86_knn_classify": q86_knn_classify,
+    "q87_fuzzy_pairs": q87_fuzzy_pairs,
 }
 
 ORACLES: dict[str, str] = {
@@ -2865,6 +3027,11 @@ ORACLES: dict[str, str] = {
     "q80_stream_dedup": ORACLE_Q80,
     "q81_winsorize": ORACLE_Q81,
     "q82_retention_cohorts": ORACLE_Q82,
+    "q83_normalize_features": ORACLE_Q83,
+    "q84_funnel": ORACLE_Q84,
+    "q85_event_transitions": ORACLE_Q85,
+    "q86_knn_classify": ORACLE_Q86,
+    "q87_fuzzy_pairs": ORACLE_Q87,
     # q25/q26: xxhash64-based — not reproducible in DuckDB (rows-only check)
     # q28: approximate by design (rows-only)
     # q29: mapInPandas feature extraction (rows-only; sha256 verified in tests)

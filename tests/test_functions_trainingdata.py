@@ -903,3 +903,68 @@ def test_sample_by_fractions_deterministic_and_monotone(spark):
         ).collect()
     }
     assert none_en == de
+
+
+def test_knn_classify_majority_and_tiebreak(spark):
+    from etl_opensky_spark.functions.similarity import knn_classify
+
+    # query 0 at origin-ish; 3 neighbors of label 1, 2 of label 2 -> k=5
+    # majority is 1.  A 2-2 split at k=4 must pick the SMALLER label.
+    rows = [
+        (0, [1.0, 0.0], 9),        # query
+        (1, [1.0, 0.01], 1),
+        (2, [1.0, 0.02], 1),
+        (3, [1.0, 0.03], 1),
+        (4, [1.0, 0.04], 2),
+        (5, [1.0, 0.05], 2),
+        (6, [-1.0, 0.0], 7),       # far away, never in top-5
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = knn_classify(emb, [0], k=5).collect()
+    assert [(r.query_id, r.predicted_label, r.votes) for r in got] == [(0, 1, 3)]
+    # k=4 -> labels {1,1,1,2} still 1; k=2 -> {1,1}; force a tie with k=6:
+    # adds the far vector (label 7): votes {1:3, 2:2, 7:1} -> still 1
+    got6 = knn_classify(emb, [0], k=6).collect()
+    assert got6[0].predicted_label == 1
+    # exact tie: two labels with equal votes -> smaller label wins
+    rows_tie = [
+        (0, [1.0, 0.0], 9),
+        (1, [1.0, 0.01], 5),
+        (2, [1.0, 0.02], 3),
+    ]
+    emb_tie = spark.createDataFrame(
+        rows_tie, "vec_id long, embedding array<float>, label int"
+    )
+    t = knn_classify(emb_tie, [0], k=2).collect()
+    assert t[0].predicted_label == 3 and t[0].votes == 1
+
+
+def test_fuzzy_pairs_blocking_and_threshold(spark):
+    from etl_opensky_spark.functions.dedup import fuzzy_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha beta gamba"),   # same block, distance 1 from doc 1
+            (3, "alpha zzzzz xxxxx"),  # same block, far from both
+            (4, "omega beta gamma"),   # near doc 1 but DIFFERENT block
+        ],
+        "doc_id long, text string",
+    )
+    out = fuzzy_pairs(
+        docs, "doc_id", "text",
+        block_col=F.substring_index(F.col("text"), " ", 1),
+        max_distance=2,
+    ).collect()
+    # only (1,2) survives: (1,4) is split by blocking (recall bound),
+    # (1,3)/(2,3) exceed the distance threshold
+    assert [(r.id_a, r.id_b, r.distance) for r in out] == [(1, 2, 1)]
+    # compare_len caps the DP: distance computed on the prefix only
+    capped = fuzzy_pairs(
+        docs, "doc_id", "text",
+        block_col=F.substring_index(F.col("text"), " ", 1),
+        max_distance=0, compare_len=10,
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in capped} == {(1, 2)}  # equal 10-char prefix

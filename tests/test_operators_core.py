@@ -429,3 +429,58 @@ def test_winsorize_clips_to_group_quantiles(spark):
     assert got[("b", 5.0)] == 5.0
     # row count preserved
     assert out.count() == len(rows)
+
+
+def test_funnel_steps_strict_ordering(spark):
+    from etl_opensky_spark.operators.behavior import funnel_steps
+
+    # u1 completes all three in order; u2 clicks BEFORE first view (click
+    # must not count); u3 views only; u4 has purchase->click->view (only
+    # the view counts, order matters)
+    rows = [
+        (1, 10, "view"), (1, 20, "click"), (1, 30, "purchase"),
+        (2, 5, "click"), (2, 10, "view"), (2, 10, "click"),  # click not AFTER view
+        (3, 10, "view"),
+        (4, 10, "purchase"), (4, 20, "click"), (4, 30, "view"),
+    ]
+    df = spark.createDataFrame(
+        [(u, float(t), e) for u, t, e in rows], "user_id long, ts double, event_type string"
+    )
+    out = funnel_steps(df, "user_id", "ts", "event_type", ["view", "click", "purchase"])
+    got = {r.step_idx: (r.step, r.users) for r in out.collect()}
+    assert got == {1: ("view", 4), 2: ("click", 1), 3: ("purchase", 1)}
+
+
+def test_event_transitions_counts_and_tiebreak(spark):
+    from etl_opensky_spark.operators.behavior import event_transitions
+
+    rows = [
+        (1, 1.0, 1, "a"), (1, 2.0, 2, "b"), (1, 3.0, 3, "a"),
+        (2, 1.0, 4, "a"), (2, 1.0, 5, "b"),  # same ts -> event_id breaks tie
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts double, event_id long, event_type string"
+    )
+    out = event_transitions(df, "user_id", "ts", "event_type", order_cols=["event_id"])
+    got = {(r.prev_type, r.next_type): r.n_transitions for r in out.collect()}
+    assert got == {("a", "b"): 2, ("b", "a"): 1}
+
+
+def test_normalize_features_known_values(spark):
+    from etl_opensky_spark.operators.aggregates import normalize_features
+
+    # group a: 1..5 -> mean 3, std sqrt(2.5), min 1 max 5, med 3, mad 1
+    # group b: constant -> all three scores NULL (degenerate spread)
+    rows = [("a", float(v)) for v in (1, 2, 3, 4, 5)] + [("b", 7.0)] * 3
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = normalize_features(df, "v", ["g"]).collect()
+    by = {(r.g, r.v): r for r in out}
+    import math
+    r = by[("a", 5.0)]
+    assert r.v_zscore == pytest.approx(2.0 / math.sqrt(2.5))
+    assert r.v_minmax == pytest.approx(1.0)
+    assert r.v_robust == pytest.approx(2.0 / 1.4826)
+    assert by[("a", 3.0)].v_minmax == pytest.approx(0.5)
+    rb = by[("b", 7.0)]
+    assert rb.v_zscore is None and rb.v_minmax is None and rb.v_robust is None
+    assert len(out) == len(rows)
