@@ -172,3 +172,44 @@ def sample_frames(
             )
 
     return media.mapInPandas(frames, schema=FRAME_SCHEMA)
+
+
+def resize_and_sample_frames(
+    media: DataFrame,
+    target_bytes: int,
+    num_frames: int,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Fused resize → frame-sample in ONE Arrow pass.
+
+    Chaining ``resize_media`` then ``sample_frames`` costs two
+    ``mapInPandas`` stages = two Python-worker fleets and an extra
+    Arrow serialize/deserialize of every (large, binary) payload — the
+    measured worst throttling victim on the media path (docs/NOTES_r2.md).
+    The crop is a cheap per-row slice, so it fuses into the frame loop for
+    free: one Python stage, payload bytes cross the JVM↔Arrow boundary
+    once.  Byte semantics identical to the chained form (gate-verified)."""
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, payloads = [], [], []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                if p is None:
+                    continue
+                p = p[:target_bytes]
+                if len(p) == 0:
+                    continue
+                stride = max(len(p) // num_frames, 1)
+                for i in range(num_frames):
+                    off = i * stride
+                    if off >= len(p):
+                        break
+                    ids.append(mid)
+                    idxs.append(i)
+                    payloads.append(p[off : off + stride])
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame": payloads}
+            )
+
+    return media.mapInPandas(frames, schema=FRAME_SCHEMA)

@@ -226,11 +226,13 @@ def winsorize(
     aggregating noisy metrics or training on numeric features).
 
     The per-group quantile table is one aggregate (``group_cols``
-    cardinality rows — stats-sized, not data-sized) joined back with a
-    broadcast, then a narrow ``least/greatest`` clip.  One shuffle for
-    the quantile agg, zero extra movement of the data itself at any
-    scale.  Swap ``percentile_approx`` into the agg at 100 TB if the
-    exact per-group sort is too hot — the clip plumbing is unchanged.
+    cardinality rows) joined back on the group key, then a narrow
+    ``least/greatest`` clip.  No broadcast hint: group cardinality is
+    unbounded (per-user groups at corpus scale can be 1e8+ rows), so the
+    join is left to AQE — it picks broadcast when the stats table fits
+    and a key-shuffle hash join when it doesn't.  Swap
+    ``percentile_approx`` into the agg at 100 TB if the exact per-group
+    sort is too hot — the clip plumbing is unchanged.
     """
     if not 0.0 <= lower_q <= upper_q <= 1.0:
         raise ValueError("need 0 <= lower_q <= upper_q <= 1")
@@ -241,7 +243,7 @@ def winsorize(
         F.expr(f"percentile({value_col}, {upper_q})").alias("_hi"),
     )
     return (
-        df.join(F.broadcast(bounds), on=list(group_cols), how="left")
+        df.join(bounds, on=list(group_cols), how="left")
         .withColumn(out_col, F.least(F.greatest(v, F.col("_lo")), F.col("_hi")))
         .drop("_lo", "_hi")
     )
@@ -258,11 +260,22 @@ def normalize_features(
     variant) — the standard numeric-feature treatments before training.
 
     Two aggregate passes (moments+median, then MAD — the median of
-    absolute deviations needs the median first), each producing a
-    group-cardinality stats table broadcast back onto the data; the data
-    itself moves twice through the ``group_cols`` shuffle and never
-    otherwise.  Degenerate groups (zero spread) yield NULL scores rather
-    than infinities.
+    absolute deviations needs the median first).  The two stats tables
+    are group-cardinality, so they join EACH OTHER first (stats-sized
+    join) and the combined table comes back onto the data in a single
+    join — the full data passes through exactly one join, not two.
+
+    No broadcast hints — group cardinality is unbounded.  Instead the
+    combined stats table is ``localCheckpoint``-ed (group-cardinality
+    rows, trivially small to materialize): the planner then sees its
+    TRUE size and picks broadcast when it fits, shuffle-hash/merge when
+    it genuinely doesn't — the adaptive choice AQE cannot make here on
+    its own, because the MAD aggregate runs mid-stage (above a
+    broadcast, no shuffle boundary) so its size estimate never updates
+    from the data-proportional static guess.  The checkpoint also stops
+    the moments aggregate being computed twice (it feeds both the MAD
+    pass and the final join).  Degenerate groups (zero spread) yield
+    NULL scores rather than infinities.
     """
     v = F.col(value_col).cast("double")
     stats = df.groupBy(*group_cols).agg(
@@ -271,16 +284,16 @@ def normalize_features(
         F.min(v).alias("_min"),
         F.max(v).alias("_max"),
         F.expr(f"percentile({value_col}, 0.5)").alias("_med"),
-    )
+    ).localCheckpoint()
     mad = (
-        df.join(F.broadcast(stats.select(*group_cols, "_med")), on=list(group_cols))
+        df.join(stats.select(*group_cols, "_med"), on=list(group_cols))
         .withColumn("_absdev", F.abs(v - F.col("_med")))
         .groupBy(*group_cols)
         .agg(F.expr("percentile(_absdev, 0.5)").alias("_mad"))
     )
+    all_stats = stats.join(mad, on=list(group_cols), how="left").localCheckpoint()
     scored = (
-        df.join(F.broadcast(stats), on=list(group_cols), how="left")
-        .join(F.broadcast(mad), on=list(group_cols), how="left")
+        df.join(all_stats, on=list(group_cols), how="left")
         .withColumn(
             f"{value_col}_zscore",
             F.when(F.col("_std") > 0, (v - F.col("_mean")) / F.col("_std")),

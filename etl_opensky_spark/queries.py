@@ -50,20 +50,36 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events reader: the parquet stores ts as TIMESTAMP(NANOS), which
-    Spark's vectorized reader rejects — read nanos as long and truncate to
-    micros (exact integer DIV; same truncation DuckDB applies when it
-    reads NANOS into its micros TIMESTAMP).
+def _ensure_ltz(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize a timestamp column to plain TIMESTAMP (LTZ) whatever the
+    writer emitted:
 
-    NOTE: deliberately leaves ``nanosAsLong`` set on the session — the
-    conf must still be active when the scan executes, and restoring it
-    eagerly would break the lazily-executed plan."""
+    - bigint          → TIMESTAMP(NANOS) parquet read via ``nanosAsLong``;
+                        integer-DIV to micros (same truncation DuckDB does)
+    - timestamp_ntz   → parquet ``timestamp[us]`` with no UTC flag; the
+                        session TZ is pinned UTC so a cast is value-preserving
+    - timestamp       → already what every time-typed operator needs
+
+    Watermarks, ``unix_millis``/``unix_micros`` and ``window`` all reject
+    TIMESTAMP_NTZ at analysis, so every events consumer funnels through
+    this — the upstream writer's flag choice must never break a query."""
+    dt = dict(df.dtypes).get(col)
+    if dt == "bigint":
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    elif dt == "timestamp_ntz":
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events reader, robust to upstream timestamp-encoding drift (see
+    ``_ensure_ltz``).  The NANOS path needs ``nanosAsLong`` active when the
+    scan *executes*, so the conf is deliberately left set on the session.
+    ``inferTimestampNTZ`` is disabled in session.py, but re-disable here
+    defensively in case the session was built elsewhere."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(raw.dtypes).get("ts") == "bigint":
-        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return raw
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    return _ensure_ltz(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 def _dec(col: str | F.Column, scale: int = 2) -> F.Column:
@@ -712,15 +728,14 @@ def q30_stream_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     results landed in a memory sink — semantics identical to batch, so the
     batch SQL is the oracle."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     on_disk_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # file stream source needs a directory: stream the sf dir, glob one table
-    stream = (
+    stream = _ensure_ltz(
         spark.readStream.schema(on_disk_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     agg = (
         stream.withWatermark("ts", "1 day")
         .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
@@ -1840,8 +1855,9 @@ def q60_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_opensky_spark.streaming.stateful import running_totals
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     on_disk_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
+    stream = _ensure_ltz(
         spark.readStream.schema(on_disk_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
@@ -1921,22 +1937,21 @@ FROM seeded
 
 
 def q62_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing gate: binary payloads -> resize (byte crop) ->
-    frame sampling (1-to-N Arrow map) -> per-frame size + sha256.  The
-    'decode' is a deterministic byte transform (no codecs in env), but
-    the byte semantics equal SQL substring, so the WHOLE pipeline —
-    binary columns through two mapInPandas stages — is hash-verified
-    against DuckDB, not just rows-only."""
+    """Multimodal plumbing gate: binary payloads -> resize (byte crop) +
+    frame sampling (1-to-N Arrow map) FUSED into a single mapInPandas
+    stage (one Python-worker fleet, payload crosses Arrow once) ->
+    per-frame size + sha256.  The 'decode' is a deterministic byte
+    transform (no codecs in env), but the byte semantics equal SQL
+    substring, so the whole binary pipeline is hash-verified against
+    DuckDB, not just rows-only."""
     from etl_opensky_spark.functions.multimodal import (
         documents_as_media,
-        resize_media,
-        sample_frames,
+        resize_and_sample_frames,
     )
 
     docs = _t(spark, sf_dir, "documents").repartition(32)
     media = documents_as_media(docs)
-    resized = resize_media(media, target_bytes=64)
-    frames = sample_frames(resized, num_frames=4)
+    frames = resize_and_sample_frames(media, target_bytes=64, num_frames=4)
     return frames.select(
         "media_id",
         "frame_idx",
@@ -2586,17 +2601,15 @@ def q80_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_opensky_spark.streaming.daily import dedup_within_watermark
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
     def src() -> DataFrame:
-        s = (
+        return _ensure_ltz(
             spark.readStream.schema(schema)
             .option("pathGlobFilter", "events.parquet")
             .parquet(sf_dir)
         )
-        if dict(s.dtypes).get("ts") == "bigint":
-            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return s
 
     deduped = dedup_within_watermark(
         src().unionByName(src()), keys=["event_id"], watermark="2 days"

@@ -57,6 +57,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # parquet timestamps without the UTC flag read as plain TIMESTAMP
+        # (LTZ), not TIMESTAMP_NTZ — the session TZ is pinned UTC so the
+        # values are identical, and time-typed operators (watermarks,
+        # unix_millis, window) stay valid regardless of how an upstream
+        # writer flagged the column.  Guards against writer drift.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # overwrite only the partitions present in the written frame —
         # scalable idempotent re-load of one day (SURVEY §2.12)

@@ -221,3 +221,45 @@ def test_runtime_bloom_pruning_injects_might_contain(spark, tmp_path_factory):
     # confs restored on exit
     assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before
     assert "might_contain" not in physical_plan(build()).lower()
+
+
+def test_winsorize_unhinted_stats_join_broadcasts_via_aqe(spark):
+    """winsorize no longer forces a broadcast of the per-group quantile
+    table (group cardinality is unbounded at corpus scale).  At gate
+    scale AQE's size check must still pick a broadcast join on its own —
+    proving the removed hint was redundant, exactly as with the q38/q44
+    customer join."""
+    from etl_opensky_spark.operators.aggregates import winsorize
+    from etl_opensky_spark.queries import _events
+
+    ev = _events(spark, "/root/testdata/sf0.001")
+    out = winsorize(ev, "value", ["event_type"])
+    plan = _executed(out).split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_normalize_features_unhinted_stats_joins_broadcast_via_aqe(spark):
+    """Same contract for normalize_features: every stats-table join
+    (moments+median, MAD, and the single combined join back onto the
+    data) broadcasts via AQE with no hint.  Checked at sf0.01 — at
+    sf0.001 the events file is so small the static planner broadcasts
+    the SCAN side instead, which deprives AQE of the shuffle-stage
+    boundaries it needs; realistic sizes give the realistic plan."""
+    from etl_opensky_spark.operators.aggregates import normalize_features
+    from etl_opensky_spark.queries import _events
+
+    ev = _events(spark, "/root/testdata/sf0.01")
+    out = normalize_features(ev, "value", ["event_type"])
+    plan = _executed(out).split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q62_media_pipeline_single_fused_python_stage(spark):
+    """resize + frame-sample are fused into ONE mapInPandas — a single
+    Python-worker stage, payload bytes cross the Arrow boundary once."""
+    from etl_opensky_spark.queries import QUERIES
+
+    plan = physical_plan(QUERIES["q62_media_pipeline"](spark, "/root/testdata/sf0.001"))
+    assert plan.count("MapInPandas") == 1
