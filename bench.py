@@ -18,7 +18,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 #: headline set: every oracle-checked query plus the rows-only scale ops.
-#: q24 (n-gram self-join) is capped to doc_id<100 inside the query itself.
+#: q69 (n-gram self-join) is capped to doc_id<100 inside the query itself;
+#: q24 is the full-corpus variant with document-frequency pruning.
 BENCH_QUERIES = [
     "q01_pricing_summary",
     "q02_filter_project",
@@ -43,38 +44,35 @@ BENCH_QUERIES = [
     "q21_sessionize",
     "q22_token_stats",
     "q23_quality_langid",
-    "q24_ngram_jaccard",
-    "q25_minhash_lsh",
-    "q26_simhash",
+    "q24_ngram_jaccard_corpus",
+    "q25_interval_join",
+    "q26_rollup_merge",
     "q27_ann_cosine",
-    "q28_ann_lsh",
-    "q29_media_features",
+    "q28_bloom_pruned_join",
+    "q29_stream_dedup",
     "q30_stream_daily_counts",
     "q31_embedding_centroids",
     "q32_embedding_norms",
     "q33_asof_join",
-    "q34_sketches",
+    "q34_winsorize",
     "q35_ann_ivf",
     "q36_corpus_clean",
     "q37_sink_roundtrip",
     "q38_regional_revenue",
     "q39_small_quantity_parts",
-    "q40_near_dedup",
+    "q40_normalize_features",
     "q41_train_test_split",
     "q42_embedding_dedup",
     "q43_rolling_fingerprint",
     "q44_shipping_priority",
-    "q45_returned_items",
-    "q46_order_priority_check",
+    "q45_funnel",
+    "q46_retention_cohorts",
     "q47_moving_metrics",
     "q48_grouping_sets",
     "q49_range_sorted_scan",
     "q50_csv_source",
     "q51_json_envelope",
     "q52_rest_ingest",
-    # skew probe: 90%-duplicate corpus through the hardened dedup path —
-    # guards the hot-fingerprint mitigation against "ran at sf0.1 so it's
-    # fine" regressions
     "q53_dedup_skewed",
     "q54_repetition_signals",
     "q55_shuffle_deterministic",
@@ -85,16 +83,16 @@ BENCH_QUERIES = [
     "q60_stream_running_totals",
     "q61_pii_redaction",
     "q62_media_pipeline",
-    "q63_interval_join",
+    "q63_minhash_lsh",
     "q64_window_suite",
     "q65_time_rollup",
     "q66_histogram",
     "q67_profile",
     "q68_weighted_sample",
-    "q69_ngram_jaccard_corpus",
+    "q69_ngram_jaccard",
     "q70_budget_selection",
-    "q71_rollup_merge",
-    "q72_bloom_pruned_join",
+    "q71_simhash",
+    "q72_ann_lsh",
     "q73_chunk_documents",
     "q74_bm25_scores",
     "q75_zordered_scan",
@@ -102,11 +100,11 @@ BENCH_QUERIES = [
     "q77_corpus_mixing",
     "q78_hll_accuracy",
     "q79_quantile_sketch_accuracy",
-    "q80_stream_dedup",
-    "q81_winsorize",
-    "q82_retention_cohorts",
-    "q83_normalize_features",
-    "q84_funnel",
+    "q80_media_features",
+    "q81_sketches",
+    "q82_order_priority_check",
+    "q83_near_dedup",
+    "q84_returned_items",
     "q85_event_transitions",
     "q86_knn_classify",
     "q87_fuzzy_pairs",

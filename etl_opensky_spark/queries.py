@@ -618,7 +618,7 @@ FROM hits
 """
 
 
-def q24_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q69_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact unigram-set Jaccard near-dup pairs on a doc subset."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=1, threshold=0.5)
@@ -627,7 +627,7 @@ def q24_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_Q24 = """
+ORACLE_Q69 = """
 WITH grams AS (
   SELECT DISTINCT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS g
   FROM documents WHERE doc_id < 100
@@ -646,7 +646,7 @@ WHERE i / (sa.sz + sb.sz - i) >= 0.5
 """
 
 
-def q25_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q63_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates (no SQL oracle: xxhash64 family).
 
     Rows-only check: candidate pairs with estimated Jaccard >= 0.3.
@@ -672,7 +672,7 @@ def q25_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q26_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q71_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 64-bit fingerprints (no SQL oracle: xxhash64 basis)."""
     docs = _t(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
@@ -700,7 +700,7 @@ LIMIT 10
 """
 
 
-def q28_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q72_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate ANN (no oracle: approximate by design)."""
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
@@ -708,7 +708,7 @@ def q28_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb.filter(F.col("vec_id") != 0), qvec, planes, k=10)
 
 
-def q29_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q80_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payloads -> metadata + features via
     mapInPandas.  sha256/byte_size oracle-checked; features rows-only
     (fake decoder) but deterministic."""
@@ -839,7 +839,7 @@ ON p.user_id = c.user_id AND p.ts >= c.ts
 """
 
 
-def q34_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q81_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (HLL++ distinct, GK quantiles) per group —
     no oracle: sketch implementations differ across engines by design;
     rows-only check (one row per l_returnflag)."""
@@ -1034,7 +1034,7 @@ WHERE l.l_quantity < 0.2 * a.avg_qty
 """
 
 
-def q40_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q83_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dedup end-to-end: MinHash -> LSH -> verify ->
     connected components -> keep min id per cluster (rows-only: xxhash64
     basis).  Returns the per-language survivor counts."""
@@ -1177,7 +1177,7 @@ LIMIT 10
 """
 
 
-def q45_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q84_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q10-shaped returned-item reporting: top-20 customers by
     revenue lost to returns in one quarter, with nation context."""
     orders = _t(spark, sf_dir, "orders").filter(
@@ -1203,7 +1203,7 @@ def q45_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_Q45 = """
+ORACLE_Q84 = """
 SELECT c_custkey, c_name, n_name, c_acctbal,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
 FROM lineitem
@@ -1219,7 +1219,7 @@ LIMIT 20
 """
 
 
-def q46_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q82_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q4-shaped priority check: orders per priority in one quarter
     having at least one line shipped after the order date (the synthetic
     schema's stand-in for commit<receipt).  The correlated EXISTS is a
@@ -1242,7 +1242,7 @@ def q46_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_Q46 = """
+ORACLE_Q82 = """
 SELECT o_orderpriority, COUNT(*) AS order_count
 FROM orders
 WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
@@ -1986,7 +1986,7 @@ FROM frames
 """
 
 
-def q63_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q25_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval join gate: every (purchase, click) pair for the same user
     with the click at most 10 minutes BEFORE the purchase.  The operator
     plans this as a bucketed hash equi-join (tolerance-width time
@@ -2008,7 +2008,7 @@ def q63_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "click_id_r")
 
 
-ORACLE_Q63 = """
+ORACLE_Q25 = """
 SELECT p.event_id, p.user_id, c.click_id AS click_id_r
 FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
 JOIN (SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click') c
@@ -2180,7 +2180,7 @@ ORDER BY score DESC, doc_id LIMIT 25
 """
 
 
-def q69_ngram_jaccard_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q24_ngram_jaccard_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL-corpus n-gram Jaccard (q24 gates a doc_id<100 subset): word
     3-gram shingles are selective enough that the inverted-index
     self-join runs uncapped, with ``max_df`` hot-key pruning active —
@@ -2199,7 +2199,7 @@ def q69_ngram_jaccard_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_Q69 = """
+ORACLE_Q24 = """
 WITH grams AS (
   SELECT DISTINCT doc_id, unnest(
     CASE WHEN len(ts) < 3 THEN []::VARCHAR[]
@@ -2256,7 +2256,7 @@ WHERE cum <= 0.3 * (SELECT SUM(n_chars) FROM documents)
 """
 
 
-def q71_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q26_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental rollup maintenance gate: the hourly events rollup is
     built from history only, the last 7 days arrive as an append-only
     delta, and merge_rollup folds them in touching only the delta's
@@ -2293,7 +2293,7 @@ def q71_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_Q71 = """
+ORACLE_Q26 = """
 SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, event_type,
   COUNT(*) AS n,
   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
@@ -2302,7 +2302,7 @@ FROM events GROUP BY 1, 2
 """
 
 
-def q72_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q28_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runtime Bloom-filter join pruning gate: lineitem ⋈ urgent orders
     as a SHUFFLE join with Catalyst's runtime filter active — an
     ObjectHashAggregate builds ``bloom_filter_agg`` over the filtered
@@ -2337,7 +2337,7 @@ def q72_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-ORACLE_Q72 = """
+ORACLE_Q28 = """
 SELECT l_returnflag, COUNT(*) AS n_items,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -2592,7 +2592,7 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
-def q80_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q29_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming-dedup gate: the events stream unioned with ITSELF
     (every row arrives twice) flows through ``dedup_within_watermark``
     and must emit each (event_id, ts) exactly once — the
@@ -2634,7 +2634,7 @@ def q80_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_Q80 = """
+ORACLE_Q29 = """
 SELECT event_type, COUNT(*) AS n,
   COUNT(DISTINCT event_id) AS n_ids,
   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
@@ -2642,7 +2642,7 @@ FROM events GROUP BY event_type
 """
 
 
-def q81_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q34_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorization gate: events.value clipped to its per-type exact
     [p5, p95] quantiles, then aggregated — the outlier treatment before
     training on noisy numeric features.  Clipped values are
@@ -2665,7 +2665,7 @@ def q81_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_Q81 = """
+ORACLE_Q34 = """
 WITH b AS (
   SELECT event_type,
     quantile_cont(value, 0.05) AS lo,
@@ -2681,7 +2681,7 @@ GROUP BY event_type
 """
 
 
-def q82_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q46_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort-retention matrix: users grouped by their FIRST active day,
     distinct users counted at each day offset — the standard product
     analytics rollup.  Per-user first-day is one shuffle; the offset
@@ -2702,7 +2702,7 @@ def q82_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_Q82 = """
+ORACLE_Q46 = """
 WITH fd AS (
   SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
   FROM events GROUP BY user_id
@@ -2716,7 +2716,7 @@ GROUP BY 1, 2
 """
 
 
-def q83_normalize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q40_normalize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-scaling gate: per-event-type z-score, min-max, and
     median/MAD robust score on events.value — the standard numeric
     treatments before training.  Scores rounded to 4 dp so last-ulp
@@ -2737,7 +2737,7 @@ def q83_normalize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_Q83 = """
+ORACLE_Q40 = """
 WITH s AS (
   SELECT event_type, AVG(value) AS mean, STDDEV_SAMP(value) AS std,
          MIN(value) AS mn, MAX(value) AS mx, quantile_cont(value, 0.5) AS med
@@ -2754,7 +2754,7 @@ FROM events e JOIN s USING (event_type) JOIN m USING (event_type)
 """
 
 
-def q84_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q45_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-funnel gate: users completing view -> click -> purchase
     strictly in order, counted at each step (cascading-minimum
     formulation, exact timestamps so the gate is deterministic)."""
@@ -2766,7 +2766,7 @@ def q84_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_Q84 = """
+ORACLE_Q45 = """
 WITH s1 AS (
   SELECT user_id, MIN(ts) AS t FROM events
   WHERE event_type = 'view' GROUP BY user_id
@@ -2897,29 +2897,29 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q21_sessionize": q21_sessionize,
     "q22_token_stats": q22_token_stats,
     "q23_quality_langid": q23_quality_langid,
-    "q24_ngram_jaccard": q24_ngram_jaccard,
-    "q25_minhash_lsh": q25_minhash_lsh,
-    "q26_simhash": q26_simhash,
+    "q24_ngram_jaccard_corpus": q24_ngram_jaccard_corpus,
+    "q25_interval_join": q25_interval_join,
+    "q26_rollup_merge": q26_rollup_merge,
     "q27_ann_cosine": q27_ann_cosine,
-    "q28_ann_lsh": q28_ann_lsh,
-    "q29_media_features": q29_media_features,
+    "q28_bloom_pruned_join": q28_bloom_pruned_join,
+    "q29_stream_dedup": q29_stream_dedup,
     "q30_stream_daily_counts": q30_stream_daily_counts,
     "q31_embedding_centroids": q31_embedding_centroids,
     "q32_embedding_norms": q32_embedding_norms,
     "q33_asof_join": q33_asof_join,
-    "q34_sketches": q34_sketches,
+    "q34_winsorize": q34_winsorize,
     "q35_ann_ivf": q35_ann_ivf,
     "q36_corpus_clean": q36_corpus_clean,
     "q37_sink_roundtrip": q37_sink_roundtrip,
     "q38_regional_revenue": q38_regional_revenue,
     "q39_small_quantity_parts": q39_small_quantity_parts,
-    "q40_near_dedup": q40_near_dedup,
+    "q40_normalize_features": q40_normalize_features,
     "q41_train_test_split": q41_train_test_split,
     "q42_embedding_dedup": q42_embedding_dedup,
     "q43_rolling_fingerprint": q43_rolling_fingerprint,
     "q44_shipping_priority": q44_shipping_priority,
-    "q45_returned_items": q45_returned_items,
-    "q46_order_priority_check": q46_order_priority_check,
+    "q45_funnel": q45_funnel,
+    "q46_retention_cohorts": q46_retention_cohorts,
     "q47_moving_metrics": q47_moving_metrics,
     "q48_grouping_sets": q48_grouping_sets,
     "q49_range_sorted_scan": q49_range_sorted_scan,
@@ -2936,16 +2936,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q60_stream_running_totals": q60_stream_running_totals,
     "q61_pii_redaction": q61_pii_redaction,
     "q62_media_pipeline": q62_media_pipeline,
-    "q63_interval_join": q63_interval_join,
+    "q63_minhash_lsh": q63_minhash_lsh,
     "q64_window_suite": q64_window_suite,
     "q65_time_rollup": q65_time_rollup,
     "q66_histogram": q66_histogram,
     "q67_profile": q67_profile,
     "q68_weighted_sample": q68_weighted_sample,
-    "q69_ngram_jaccard_corpus": q69_ngram_jaccard_corpus,
+    "q69_ngram_jaccard": q69_ngram_jaccard,
     "q70_budget_selection": q70_budget_selection,
-    "q71_rollup_merge": q71_rollup_merge,
-    "q72_bloom_pruned_join": q72_bloom_pruned_join,
+    "q71_simhash": q71_simhash,
+    "q72_ann_lsh": q72_ann_lsh,
     "q73_chunk_documents": q73_chunk_documents,
     "q74_bm25_scores": q74_bm25_scores,
     "q75_zordered_scan": q75_zordered_scan,
@@ -2953,11 +2953,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q77_corpus_mixing": q77_corpus_mixing,
     "q78_hll_accuracy": q78_hll_accuracy,
     "q79_quantile_sketch_accuracy": q79_quantile_sketch_accuracy,
-    "q80_stream_dedup": q80_stream_dedup,
-    "q81_winsorize": q81_winsorize,
-    "q82_retention_cohorts": q82_retention_cohorts,
-    "q83_normalize_features": q83_normalize_features,
-    "q84_funnel": q84_funnel,
+    "q80_media_features": q80_media_features,
+    "q81_sketches": q81_sketches,
+    "q82_order_priority_check": q82_order_priority_check,
+    "q83_near_dedup": q83_near_dedup,
+    "q84_returned_items": q84_returned_items,
     "q85_event_transitions": q85_event_transitions,
     "q86_knn_classify": q86_knn_classify,
     "q87_fuzzy_pairs": q87_fuzzy_pairs,
@@ -2987,25 +2987,31 @@ ORACLES: dict[str, str] = {
     "q21_sessionize": ORACLE_Q21,
     "q22_token_stats": ORACLE_Q22,
     "q23_quality_langid": ORACLE_Q23,
-    "q24_ngram_jaccard": ORACLE_Q24,
+    "q24_ngram_jaccard_corpus": ORACLE_Q24,
+    "q25_interval_join": ORACLE_Q25,
+    "q26_rollup_merge": ORACLE_Q26,
     "q27_ann_cosine": ORACLE_Q27,
+    "q28_bloom_pruned_join": ORACLE_Q28,
+    "q29_stream_dedup": ORACLE_Q29,
     "q30_stream_daily_counts": ORACLE_Q30,
     "q31_embedding_centroids": ORACLE_Q31,
     "q32_embedding_norms": ORACLE_Q32,
     "q33_asof_join": ORACLE_Q33,
+    "q34_winsorize": ORACLE_Q34,
     "q35_ann_ivf": ORACLE_Q35,
     "q36_corpus_clean": ORACLE_Q36,
     "q37_sink_roundtrip": ORACLE_Q37,
     "q38_regional_revenue": ORACLE_Q38,
+    "q39_small_quantity_parts": ORACLE_Q39,
+    "q40_normalize_features": ORACLE_Q40,
     "q41_train_test_split": ORACLE_Q41,
     "q42_embedding_dedup": ORACLE_Q42,
     "q43_rolling_fingerprint": ORACLE_Q43,
     "q44_shipping_priority": ORACLE_Q44,
-    "q45_returned_items": ORACLE_Q45,
-    "q46_order_priority_check": ORACLE_Q46,
+    "q45_funnel": ORACLE_Q45,
+    "q46_retention_cohorts": ORACLE_Q46,
     "q47_moving_metrics": ORACLE_Q47,
     "q48_grouping_sets": ORACLE_Q48,
-    "q39_small_quantity_parts": ORACLE_Q39,
     "q49_range_sorted_scan": ORACLE_Q49,
     "q50_csv_source": ORACLE_Q50,
     "q51_json_envelope": ORACLE_Q51,
@@ -3020,16 +3026,13 @@ ORACLES: dict[str, str] = {
     "q60_stream_running_totals": ORACLE_Q60,
     "q61_pii_redaction": ORACLE_Q61,
     "q62_media_pipeline": ORACLE_Q62,
-    "q63_interval_join": ORACLE_Q63,
     "q64_window_suite": ORACLE_Q64,
     "q65_time_rollup": ORACLE_Q65,
     "q66_histogram": ORACLE_Q66,
     "q67_profile": ORACLE_Q67,
     "q68_weighted_sample": ORACLE_Q68,
-    "q69_ngram_jaccard_corpus": ORACLE_Q69,
+    "q69_ngram_jaccard": ORACLE_Q69,
     "q70_budget_selection": ORACLE_Q70,
-    "q71_rollup_merge": ORACLE_Q71,
-    "q72_bloom_pruned_join": ORACLE_Q72,
     "q73_chunk_documents": ORACLE_Q73,
     "q74_bm25_scores": ORACLE_Q74,
     "q75_zordered_scan": ORACLE_Q75,
@@ -3037,15 +3040,9 @@ ORACLES: dict[str, str] = {
     "q77_corpus_mixing": ORACLE_Q77,
     "q78_hll_accuracy": ORACLE_Q78,
     "q79_quantile_sketch_accuracy": ORACLE_Q79,
-    "q80_stream_dedup": ORACLE_Q80,
-    "q81_winsorize": ORACLE_Q81,
-    "q82_retention_cohorts": ORACLE_Q82,
-    "q83_normalize_features": ORACLE_Q83,
-    "q84_funnel": ORACLE_Q84,
+    "q82_order_priority_check": ORACLE_Q82,
+    "q84_returned_items": ORACLE_Q84,
     "q85_event_transitions": ORACLE_Q85,
     "q86_knn_classify": ORACLE_Q86,
     "q87_fuzzy_pairs": ORACLE_Q87,
-    # q25/q26: xxhash64-based — not reproducible in DuckDB (rows-only check)
-    # q28: approximate by design (rows-only)
-    # q29: mapInPandas feature extraction (rows-only; sha256 verified in tests)
 }

@@ -85,8 +85,8 @@ def test_events_reader_normalizes_every_encoding(spark, encoded_dirs):
 CONSUMER_QUERIES = [
     "q21_sessionize",       # unix_millis + lag window
     "q33_asof_join",        # time-ordered asof
-    "q63_interval_join",    # unix_micros bucketed range join
-    "q84_funnel",           # ordered step matching
+    "q25_interval_join",    # unix_micros bucketed range join
+    "q45_funnel",           # ordered step matching
     "q85_event_transitions",  # lag over event time
     "q17_events_daily",     # date_trunc aggregation
 ]

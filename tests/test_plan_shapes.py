@@ -125,7 +125,7 @@ def test_q46_exists_is_semi_join_no_aggregation_of_lineitem(spark):
     no row multiplication, no distinct over lineitem."""
     from etl_opensky_spark.queries import QUERIES
 
-    plan = _executed(QUERIES["q46_order_priority_check"](spark, "/root/testdata/sf0.001"))
+    plan = _executed(QUERIES["q82_order_priority_check"](spark, "/root/testdata/sf0.001"))
     assert "LeftSemi" in plan
 
 
