@@ -2181,7 +2181,7 @@ ORDER BY score DESC, doc_id LIMIT 25
 
 
 def q24_ngram_jaccard_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FULL-corpus n-gram Jaccard (q24 gates a doc_id<100 subset): word
+    """FULL-corpus n-gram Jaccard (q69 gates a doc_id<100 subset): word
     3-gram shingles are selective enough that the inverted-index
     self-join runs uncapped, with ``max_df`` hot-key pruning active —
     the corpus-scale configuration of the operator.  max_df is
@@ -2469,11 +2469,11 @@ GROUP BY event_type
 
 def q76_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT percentiles per group (green counterpart to the rows-only
-    q34 sketches): Spark's ``percentile`` and DuckDB's ``quantile_cont``
+    q81 sketches): Spark's ``percentile`` and DuckDB's ``quantile_cont``
     share the linear-interpolation definition, so the values cross-check
     to rounded precision — unlike t-digest/KLL approximations, which are
     engine-specific by construction.  Exact percentile is a full sort
-    per group (fine at gate scale; the 100 TB answer IS q34's sketch —
+    per group (fine at gate scale; the 100 TB answer IS q81's sketch —
     this gate pins the exact semantics the sketch approximates)."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
@@ -2559,7 +2559,7 @@ def q79_quantile_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Greenwald-Khanna) guarantees the returned element's RANK is within
     n/accuracy of the target rank.  Spark checks its own sketch against
     its own exact rank counts (one extra broadcast join); DuckDB
-    supplies TRUE and the group sizes.  Complements q34 (whose VALUES
+    supplies TRUE and the group sizes.  Complements q81 (whose VALUES
     are legitimately engine-specific) with a cross-checked claim about
     the sketch's documented contract."""
     accuracy = 1000
