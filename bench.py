@@ -108,6 +108,9 @@ BENCH_QUERIES = [
     "q85_event_transitions",
     "q86_knn_classify",
     "q87_fuzzy_pairs",
+    "q88_kmeans_clusters",
+    "q89_dsir_weights",
+    "q90_vocab_coverage",
 ]
 
 

@@ -1,0 +1,147 @@
+"""Distributed k-means over an embedding column (Lloyd's algorithm).
+
+The clustering building block of a training-data pipeline: diversity
+sampling, SemDeDup-style per-cluster dedup, and IVF coarse quantizers
+all start from "assign every vector to its nearest centroid, update,
+repeat".
+
+Spark-first shape (the same one MLlib uses):
+
+- **assignment is shuffle-free**: centroids are k×dim driver scalars
+  (the ONLY collect — k rows, the legitimate scalar-aggregate kind),
+  embedded as literal arrays; per-row distance is a pure Column
+  expression (``zip_with`` + ``aggregate``), so the full data is
+  never exchanged to be assigned;
+- **update is one shuffle per iteration**: ``posexplode`` →
+  ``groupBy(cluster, pos)`` with map-side partial sums — the moved
+  bytes are k·dim partials per task, not the data;
+- the quantized vector frame is ``localCheckpoint``-ed once: every
+  iteration re-reads the materialized rows instead of re-running the
+  scan lineage (and the plan cannot nest round-over-round).
+
+Determinism (what makes an ITERATIVE algorithm oracle-checkable):
+floats are quantized up front to integer micro-units
+(``round(x*1e6) AS BIGINT``), distances are exact integer sums, and
+centroid updates use ``floor(sum/count)`` on IEEE doubles (exact for
+these magnitudes) — every engine computes bit-identical centroids, so
+round counts and total distortion hash-match a DuckDB oracle running
+the same recursion.  Ties break to the lowest centroid id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: micro-unit quantization: exact integer arithmetic thereafter
+QUANT_SCALE = 1_000_000
+
+
+def _quantize(df: DataFrame, vec_col: str) -> F.Column:
+    return F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * QUANT_SCALE).cast("long"),
+    )
+
+
+def _distances(cents: list[tuple[int, list[int]]]) -> F.Column:
+    """Array of exact squared distances to each centroid (JVM Column
+    expression over the quantized vector — no shuffle, no Python)."""
+    return F.array(
+        *[
+            F.aggregate(
+                F.zip_with("_vq", F.lit(cq), lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            for _, cq in cents
+        ]
+    )
+
+
+def _assign(vq_df: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
+    """Nearest-centroid assignment; ties break to the lowest centroid id
+    (``array_position`` returns the FIRST minimal slot)."""
+    cid_lit = F.lit([cid for cid, _ in cents])
+    dists = _distances(cents)
+    return (
+        vq_df.withColumn("_d", dists)
+        .withColumn("_slot", F.array_position("_d", F.array_min("_d")))
+        .select(
+            "*",
+            F.element_at(cid_lit, F.col("_slot").cast("int")).alias("_cid"),
+            F.element_at("_d", F.col("_slot").cast("int")).alias("_dist"),
+        )
+        .drop("_d", "_slot")
+    )
+
+
+def kmeans(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """Run ``iters`` Lloyd iterations from a deterministic init (the
+    first ``k`` vectors by ``id_col``) and return the final assignment:
+    one row per input vector with ``cluster_id`` (1-based) and the
+    exact integer squared distance ``sq_dist`` in quantized units.
+    Empty clusters are dropped (never reseeded) so the recursion stays
+    engine-reproducible.
+    """
+    vq_df = emb.select(
+        F.col(id_col), _quantize(emb, vec_col).alias("_vq")
+    ).localCheckpoint()
+
+    # deterministic init: first k vectors by id, cluster ids 1..k
+    seed_rows = vq_df.orderBy(id_col).limit(k).collect()
+    cents: list[tuple[int, list[int]]] = [
+        (i + 1, list(r["_vq"])) for i, r in enumerate(seed_rows)
+    ]
+
+    for _ in range(iters):
+        assigned = _assign(vq_df, cents)
+        # one shuffle: per-(cluster, position) partial sums, then the
+        # k*dim totals come back as driver scalars for the next round
+        new_rows = (
+            assigned.select("_cid", F.posexplode("_vq").alias("_pos", "_val"))
+            .groupBy("_cid", "_pos")
+            .agg(F.sum("_val").alias("_s"), F.count("*").alias("_n"))
+            .select(
+                "_cid",
+                "_pos",
+                F.floor(F.col("_s") / F.col("_n")).cast("long").alias("_c"),
+            )
+            .collect()
+        )
+        by_cid: dict[int, dict[int, int]] = {}
+        for r in new_rows:
+            by_cid.setdefault(r["_cid"], {})[r["_pos"]] = r["_c"]
+        cents = [
+            (cid, [comps[p] for p in sorted(comps)])
+            for cid, comps in sorted(by_cid.items())
+        ]
+
+    final = _assign(vq_df, cents)
+    return final.select(
+        F.col(id_col),
+        F.col("_cid").alias("cluster_id"),
+        F.col("_dist").alias("sq_dist"),
+    )
+
+
+def kmeans_summary(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """Per-cluster size and total distortion after ``iters`` rounds —
+    the hash-exact gate surface for the iterative algorithm."""
+    a = kmeans(emb, vec_col=vec_col, id_col=id_col, k=k, iters=iters)
+    return a.groupBy("cluster_id").agg(
+        F.count("*").alias("n"),
+        F.sum("sq_dist").alias("total_sq_dist"),
+    )

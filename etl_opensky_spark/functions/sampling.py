@@ -290,3 +290,68 @@ def sample_by_fractions(
         else thr.otherwise(F.lit(int(round(default * buckets))))
     )
     return df.filter(hash_bucket(F.col(key_col), buckets) < thr)
+
+
+def dsir_log_weights(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    is_target: F.Column,
+    buckets: int = 1024,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every document
+    by how much more likely its tokens are under a TARGET distribution
+    (rows where ``is_target``) than under the full corpus, using
+    hashed-unigram bag-of-words models with add-1 smoothing.  Downstream,
+    ``weighted_sample`` over ``exp(weight)`` IS importance resampling.
+
+    Output: ``(id, n_tokens, log_weight_micros)`` where
+    ``log_weight_micros = sum over tokens of round(1e6 * [log p_t(b) -
+    log p_s(b)])`` — the per-BUCKET log-ratio is quantized to integer
+    micro-units first, so the per-document sum is exact integer
+    arithmetic: no float-summation-order hazard, any engine reproduces
+    the hash bit-for-bit.
+
+    Scale shape: tokenize is a narrow pass; bucket counts are ONE
+    map-side-combined aggregate bounded by ``buckets`` rows; the
+    bucket->ratio table is ``buckets`` rows (broadcast-sized BY
+    CONSTRUCTION — a true bound, unlike group cardinality) joined back
+    onto the token stream; the per-doc sum is the second and last
+    shuffle, with map-side combine.  Corpus totals are two driver
+    scalars.
+    """
+    toks = (
+        docs.select(
+            F.col(id_col), is_target.alias("_t"),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("_tok"),
+        )
+        .filter(F.col("_tok") != "")
+        .withColumn("_b", hash_bucket(F.col("_tok"), buckets))
+    )
+    bc = toks.groupBy("_b").agg(
+        F.count("*").alias("_src_n"),
+        F.count_if(F.col("_t")).alias("_tgt_n"),
+    )
+    tot = bc.agg(F.sum("_src_n"), F.sum("_tgt_n")).collect()[0]
+    s_total, t_total = int(tot[0]), int(tot[1])
+    ratio = bc.select(
+        "_b",
+        F.round(
+            (
+                F.log((F.col("_tgt_n") + 1.0) / F.lit(float(t_total + buckets)))
+                - F.log((F.col("_src_n") + 1.0) / F.lit(float(s_total + buckets)))
+            )
+            * 1_000_000.0
+        )
+        .cast("long")
+        .alias("_w"),
+    )
+    return (
+        toks.join(ratio, on="_b")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("_w").alias("log_weight_micros"),
+        )
+    )

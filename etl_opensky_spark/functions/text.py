@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: tiny per-language stopword lists for the n-gram language-ID heuristic
@@ -336,3 +336,46 @@ def bm25_scores(
         matched.alias("matched_terms"),
         score.alias("bm25"),
     ).filter(F.col("matched_terms") > 0)
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    text_col: str,
+    coverage_pct: int = 90,
+) -> DataFrame:
+    """How many distinct tokens cover ``coverage_pct``% of all token
+    occurrences — the corpus statistic behind vocabulary sizing and
+    tokenizer budgeting.  Returns one row:
+    ``(vocab_size_at_pct, total_tokens, vocab_size)``.
+
+    Frequencies come from one map-side-combined aggregate; the global
+    cumulative walk down the frequency-sorted vocabulary reuses
+    ``take_until_budget``'s distributed prefix sum (range buckets +
+    driver bucket offsets) — the vocabulary is never serialized through
+    a single-partition window.  Counts are strictly positive, so the
+    cumulative sum is strictly increasing and the boundary rank is
+    exact integer arithmetic: hash-stable across engines.
+    """
+    from pyspark.sql import functions as F
+
+    from etl_opensky_spark.functions.sampling import take_until_budget
+
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("_tok")
+    ).filter(F.col("_tok") != "")
+    freq = toks.groupBy("_tok").agg(F.count("*").alias("_cnt"))
+    total, vocab = freq.agg(
+        F.sum("_cnt"), F.count("*")
+    ).collect()[0]  # two driver scalars
+    target = (coverage_pct * int(total) + 99) // 100  # ceil(pct% of total)
+    # strictly increasing cumsum: ranks with cum <= target-1 are exactly
+    # the ranks BELOW the first rank whose cum reaches the target
+    below = take_until_budget(
+        freq, order_col="_cnt", key_col="_tok", weight_col="_cnt",
+        budget=target - 1,
+    )
+    return below.agg(
+        (F.count("*") + 1).alias("vocab_size_at_pct"),
+        F.lit(int(total)).alias("total_tokens"),
+        F.lit(int(vocab)).alias("vocab_size"),
+    )

@@ -2873,6 +2873,146 @@ WHERE levenshtein(a.cmp, b.cmp) <= 8
 """
 
 
+def q88_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (Lloyd's, k=8, 2 iterations) over the
+    embeddings table — the clustering block behind diversity sampling /
+    SemDeDup.  Vectors are quantized to integer micro-units up front so
+    the ITERATIVE recursion is bit-identical across engines: assignment
+    distances are exact integer sums (shuffle-free, broadcast-literal
+    centroids), centroid updates are floor(sum/count).  Gate output is
+    per-cluster size + total distortion, hash-exact against DuckDB
+    running the same unrolled recursion."""
+    from etl_opensky_spark.functions.clustering import kmeans_summary
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_summary(emb, k=8, iters=2)
+
+
+def _kmeans_oracle_sql(k: int, iters: int) -> str:
+    """Unrolled Lloyd recursion as chained CTEs (assign -> update,
+    ``iters`` times, then a final assignment)."""
+    quant = (
+        "SELECT vec_id, list_transform(embedding,"
+        " x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS vq"
+        " FROM embeddings"
+    )
+    parts = [f"v AS ({quant})"]
+    parts.append(
+        f"c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER)"
+        f" AS cid, vq AS cq FROM (SELECT * FROM v ORDER BY vec_id LIMIT {k}))"
+    )
+    for it in range(1, iters + 2):  # iters updates + one final assignment
+        prev_c = f"c{it - 1}"
+        parts.append(
+            f"a{it} AS ("
+            f" SELECT vec_id, vq, cid, dist,"
+            f"  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn"
+            f" FROM ("
+            f"  SELECT v.vec_id, v.vq, c.cid,"
+            f"   CAST(list_sum(list_transform(range(len(v.vq)),"
+            f"    i -> (v.vq[i+1]-c.cq[i+1])*(v.vq[i+1]-c.cq[i+1])))"
+            f"    AS BIGINT) AS dist"
+            f"  FROM v, {prev_c} c))"
+        )
+        if it <= iters:
+            parts.append(
+                f"c{it} AS ("
+                f" SELECT cid, list(c ORDER BY pos) AS cq FROM ("
+                f"  SELECT cid, pos,"
+                f"   CAST(FLOOR(CAST(SUM(val) AS DOUBLE)/COUNT(*)) AS BIGINT) AS c"
+                f"  FROM (SELECT cid, unnest(vq) AS val,"
+                f"        unnest(range(len(vq))) AS pos FROM a{it} WHERE rn = 1)"
+                f"  GROUP BY cid, pos) GROUP BY cid)"
+            )
+    final = iters + 1
+    return (
+        "WITH " + ",\n".join(parts) + f"\n"
+        f"SELECT cid AS cluster_id, COUNT(*) AS n,"
+        f" CAST(SUM(dist) AS BIGINT) AS total_sq_dist"
+        f" FROM a{final} WHERE rn = 1 GROUP BY cid"
+    )
+
+
+ORACLE_Q88 = _kmeans_oracle_sql(k=8, iters=2)
+
+
+def q89_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights: hashed-unigram bag-of-words models
+    (1024 md5 buckets, add-1 smoothing) for target = English docs vs the
+    full corpus; per-doc weight = integer sum of micro-quantized bucket
+    log-ratios — exact arithmetic end-to-end, hash-gated."""
+    from etl_opensky_spark.functions.sampling import dsir_log_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_log_weights(
+        docs, "doc_id", "text", is_target=F.col("lang") == "en"
+    )
+
+
+ORACLE_Q89 = """
+WITH toks AS (
+  SELECT doc_id, t, tok,
+    CAST(CONCAT('0x', substr(md5(tok), 1, 4)) AS INTEGER) % 1024 AS b
+  FROM (
+    SELECT doc_id, lang = 'en' AS t,
+           unnest(string_split_regex(lower(text), '\\s+')) AS tok
+    FROM documents)
+  WHERE tok <> ''
+),
+bc AS (
+  SELECT b, COUNT(*) AS src_n, COUNT(*) FILTER (WHERE t) AS tgt_n
+  FROM toks GROUP BY b
+),
+tot AS (
+  SELECT CAST(SUM(src_n) AS BIGINT) AS s, CAST(SUM(tgt_n) AS BIGINT) AS t
+  FROM bc
+),
+lr AS (
+  SELECT b,
+    CAST(round((ln((tgt_n + 1.0) / (t + 1024.0))
+              - ln((src_n + 1.0) / (s + 1024.0))) * 1000000.0) AS BIGINT) AS w
+  FROM bc, tot
+)
+SELECT toks.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(w) AS BIGINT) AS log_weight_micros
+FROM toks JOIN lr USING (b) GROUP BY toks.doc_id
+"""
+
+
+def q90_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage gate: the number of distinct tokens that
+    cover 90% of all token occurrences (tokenizer/vocab budgeting).
+    The global frequency-ranked cumulative walk runs through the
+    distributed prefix sum (range buckets + driver offsets), never a
+    one-partition window; strictly-increasing integer cumsums make the
+    boundary rank hash-exact."""
+    from etl_opensky_spark.functions.text import vocab_coverage
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_coverage(docs, "text", coverage_pct=90)
+
+
+ORACLE_Q90 = """
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok FROM documents
+),
+f AS (SELECT tok, COUNT(*) AS cnt FROM toks WHERE tok <> '' GROUP BY tok),
+t AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS vocab
+  FROM f
+),
+c AS (
+  SELECT row_number() OVER (ORDER BY cnt DESC, tok) AS rk,
+         SUM(cnt) OVER (ORDER BY cnt DESC, tok ROWS UNBOUNDED PRECEDING) AS cum
+  FROM f
+)
+SELECT CAST(MIN(rk) AS BIGINT) AS vocab_size_at_pct,
+       t.total AS total_tokens, t.vocab AS vocab_size
+FROM c, t WHERE cum >= (90 * t.total + 99) // 100
+GROUP BY t.total, t.vocab
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -2961,6 +3101,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q85_event_transitions": q85_event_transitions,
     "q86_knn_classify": q86_knn_classify,
     "q87_fuzzy_pairs": q87_fuzzy_pairs,
+    "q88_kmeans_clusters": q88_kmeans_clusters,
+    "q89_dsir_weights": q89_dsir_weights,
+    "q90_vocab_coverage": q90_vocab_coverage,
 }
 
 ORACLES: dict[str, str] = {
@@ -3045,4 +3188,7 @@ ORACLES: dict[str, str] = {
     "q85_event_transitions": ORACLE_Q85,
     "q86_knn_classify": ORACLE_Q86,
     "q87_fuzzy_pairs": ORACLE_Q87,
+    "q88_kmeans_clusters": ORACLE_Q88,
+    "q89_dsir_weights": ORACLE_Q89,
+    "q90_vocab_coverage": ORACLE_Q90,
 }

@@ -968,3 +968,40 @@ def test_fuzzy_pairs_blocking_and_threshold(spark):
         max_distance=0, compare_len=10,
     ).collect()
     assert {(r.id_a, r.id_b) for r in capped} == {(1, 2)}  # equal 10-char prefix
+
+
+def test_dsir_weights_favor_target_distribution(spark):
+    from pyspark.sql import functions as F
+
+    from etl_opensky_spark.functions.sampling import dsir_log_weights
+
+    # target docs speak "aa bb", background docs speak "zz yy"
+    rows = [(i, "aa bb aa bb", "t") for i in range(20)] + [
+        (i + 100, "zz yy zz yy", "s") for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, grp string")
+    out = dsir_log_weights(
+        docs, "doc_id", "text", is_target=F.col("grp") == "t"
+    ).collect()
+    w = {r.doc_id: r.log_weight_micros for r in out}
+    t_avg = sum(w[i] for i in range(20)) / 20
+    s_avg = sum(w[i + 100] for i in range(20)) / 20
+    assert t_avg > 0 > s_avg
+    assert all(r.n_tokens == 4 for r in out)
+
+
+def test_vocab_coverage_known_distribution(spark):
+    from etl_opensky_spark.functions.text import vocab_coverage
+
+    # 10 tokens total: "a"x6, "b"x3, "c"x1 -> 80% needs {a,b} (cum 9 >= 8)
+    docs = spark.createDataFrame(
+        [(1, "a a a a a a b b b c")], "doc_id long, text string"
+    )
+    row = vocab_coverage(docs, "text", coverage_pct=80).collect()[0]
+    assert (row.vocab_size_at_pct, row.total_tokens, row.vocab_size) == (2, 10, 3)
+    # 90% needs exactly cum >= 9 -> still {a,b}
+    row = vocab_coverage(docs, "text", coverage_pct=90).collect()[0]
+    assert row.vocab_size_at_pct == 2
+    # 95% -> ceil(9.5)=10 -> all three
+    row = vocab_coverage(docs, "text", coverage_pct=95).collect()[0]
+    assert row.vocab_size_at_pct == 3
