@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "q88_kmeans_clusters",
     "q89_dsir_weights",
     "q90_vocab_coverage",
+    "q91_semdedup",
 ]
 
 

@@ -145,3 +145,92 @@ def kmeans_summary(
         F.count("*").alias("n"),
         F.sum("sq_dist").alias("total_sq_dist"),
     )
+
+
+def semdedup(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 1,
+    threshold_bp: int = 4500,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space with
+    k-means, then inside each cluster drop every vector whose cosine
+    similarity to a LOWER-id cluster-mate reaches ``threshold_bp``
+    (basis points, 4500 = 0.45).  Clustering bounds the candidate pairs
+    to same-cluster members — the whole point of the method at corpus
+    scale: k is chosen so clusters are small, and the pair join is an
+    equi-join on ``cluster_id``, never all-pairs.
+
+    One-pass drop rule (drop b iff some a < b in the same cluster is
+    similar): deterministic and engine-reproducible, unlike the
+    sequential keep-set walk, at the cost of occasionally dropping a
+    little more.
+
+    The cosine test is EXACT integer arithmetic on the quantized
+    vectors — ``cos(a,b) >= t`` tested as ``dot >= 0 AND
+    1e8*dot^2 >= t_bp^2 * |a|^2 * |b|^2`` in DECIMAL(38,0) — so there
+    is no float-threshold margin to verify: any engine computes the
+    identical keep set.
+
+    Returns per-cluster ``(cluster_id, n_members, n_kept)``.
+    """
+    assigned = kmeans(emb, vec_col=vec_col, id_col=id_col, k=k, iters=iters)
+    vq_df = emb.select(F.col(id_col), _quantize(emb, vec_col).alias("_vq"))
+    dec = "decimal(38,0)"
+    members = (
+        assigned.join(vq_df, on=id_col)
+        .select(
+            F.col(id_col),
+            "cluster_id",
+            "_vq",
+            F.aggregate(
+                F.zip_with("_vq", "_vq", lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            .cast(dec)
+            .alias("_n2"),
+        )
+    )
+    a = members.select(
+        F.col("cluster_id").alias("_c"),
+        F.col(id_col).alias("_ida"),
+        F.col("_vq").alias("_vqa"),
+        F.col("_n2").alias("_n2a"),
+    )
+    b = members.select(
+        F.col("cluster_id").alias("_c"),
+        F.col(id_col).alias("_idb"),
+        F.col("_vq").alias("_vqb"),
+        F.col("_n2").alias("_n2b"),
+    )
+    dot = F.aggregate(
+        F.zip_with("_vqa", "_vqb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.join(b, on="_c")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .withColumn("_dot", dot)
+    )
+    dropped = (
+        pairs.filter(
+            (F.col("_dot") >= 0)
+            & (
+                F.col("_dot").cast(dec) * F.col("_dot").cast(dec)
+                * F.lit(100_000_000).cast(dec)
+                >= F.lit(threshold_bp * threshold_bp).cast(dec)
+                * F.col("_n2a") * F.col("_n2b")
+            )
+        )
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+    )
+    kept_flag = members.join(dropped.withColumn("_drop", F.lit(1)), on=id_col, how="left")
+    return kept_flag.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"),
+        F.count_if(F.col("_drop").isNull()).alias("n_kept"),
+    )

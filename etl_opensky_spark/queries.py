@@ -2888,9 +2888,10 @@ def q88_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_summary(emb, k=8, iters=2)
 
 
-def _kmeans_oracle_sql(k: int, iters: int) -> str:
+def _kmeans_ctes(k: int, iters: int) -> tuple[str, str]:
     """Unrolled Lloyd recursion as chained CTEs (assign -> update,
-    ``iters`` times, then a final assignment)."""
+    ``iters`` times, then a final assignment).  Returns the WITH-clause
+    body and the name of the final assignment CTE (filter ``rn = 1``)."""
     quant = (
         "SELECT vec_id, list_transform(embedding,"
         " x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS vq"
@@ -2924,12 +2925,16 @@ def _kmeans_oracle_sql(k: int, iters: int) -> str:
                 f"        unnest(range(len(vq))) AS pos FROM a{it} WHERE rn = 1)"
                 f"  GROUP BY cid, pos) GROUP BY cid)"
             )
-    final = iters + 1
+    return ",\n".join(parts), f"a{iters + 1}"
+
+
+def _kmeans_oracle_sql(k: int, iters: int) -> str:
+    ctes, final = _kmeans_ctes(k, iters)
     return (
-        "WITH " + ",\n".join(parts) + f"\n"
+        f"WITH {ctes}\n"
         f"SELECT cid AS cluster_id, COUNT(*) AS n,"
         f" CAST(SUM(dist) AS BIGINT) AS total_sq_dist"
-        f" FROM a{final} WHERE rn = 1 GROUP BY cid"
+        f" FROM {final} WHERE rn = 1 GROUP BY cid"
     )
 
 
@@ -3011,6 +3016,51 @@ SELECT CAST(MIN(rk) AS BIGINT) AS vocab_size_at_pct,
 FROM c, t WHERE cum >= (90 * t.total + 99) // 100
 GROUP BY t.total, t.vocab
 """
+
+
+def q91_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup gate: k-means partition of the embedding space (k=8,
+    1 iteration), then per-cluster cosine dedup at 0.45 against
+    lower-id cluster-mates.  The cosine threshold test is exact integer
+    arithmetic on quantized vectors (no float margin), so the
+    iterative-clustering + dedup composition hash-matches the unrolled
+    SQL recursion."""
+    from etl_opensky_spark.functions.clustering import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semdedup(emb, k=8, iters=1, threshold_bp=4500)
+
+
+def _semdedup_oracle_sql(k: int, iters: int, threshold_bp: int) -> str:
+    ctes, final = _kmeans_ctes(k, iters)
+    t2 = threshold_bp * threshold_bp
+    return f"""
+WITH {ctes},
+m AS (
+  SELECT cid, vec_id, vq,
+    CAST(list_sum(list_transform(range(len(vq)), i -> vq[i+1]*vq[i+1]))
+         AS HUGEINT) AS n2
+  FROM {final} WHERE rn = 1
+),
+p AS (
+  SELECT a.cid, b.vec_id AS idb,
+    CAST(list_sum(list_transform(range(len(a.vq)), i -> a.vq[i+1]*b.vq[i+1]))
+         AS HUGEINT) AS dot,
+    a.n2 AS n2a, b.n2 AS n2b
+  FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id
+),
+drops AS (
+  SELECT DISTINCT idb FROM p
+  WHERE dot >= 0 AND 100000000 * dot * dot >= {t2} * n2a * n2b
+)
+SELECT m.cid AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+  CAST(COUNT(*) FILTER (WHERE m.vec_id NOT IN (SELECT idb FROM drops))
+       AS BIGINT) AS n_kept
+FROM m GROUP BY m.cid
+"""
+
+
+ORACLE_Q91 = _semdedup_oracle_sql(k=8, iters=1, threshold_bp=4500)
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3104,6 +3154,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q88_kmeans_clusters": q88_kmeans_clusters,
     "q89_dsir_weights": q89_dsir_weights,
     "q90_vocab_coverage": q90_vocab_coverage,
+    "q91_semdedup": q91_semdedup,
 }
 
 ORACLES: dict[str, str] = {
@@ -3191,4 +3242,5 @@ ORACLES: dict[str, str] = {
     "q88_kmeans_clusters": ORACLE_Q88,
     "q89_dsir_weights": ORACLE_Q89,
     "q90_vocab_coverage": ORACLE_Q90,
+    "q91_semdedup": ORACLE_Q91,
 }

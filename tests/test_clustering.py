@@ -117,3 +117,29 @@ def test_kmeans_matches_single_node_reference(spark):
 
     got = {r.vec_id: r.cluster_id for r in kmeans(emb, k=k, iters=iters).collect()}
     assert got == expected
+
+
+def test_semdedup_drops_near_duplicates_keeps_lowest_id(spark):
+    from etl_opensky_spark.functions.clustering import semdedup
+
+    pts = [
+        (1, [1.0, 0.0]), (2, [0.999, 0.001]),   # near-dups: 2 dropped
+        (3, [0.0, 1.0]),                          # distinct direction
+        (10, [10.0, 10.0]), (11, [10.01, 10.0]),  # far blob near-dups
+    ]
+    emb = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    out = {r.cluster_id: (r.n_members, r.n_kept)
+           for r in semdedup(emb, k=2, iters=2, threshold_bp=9900).collect()}
+    assert sum(m for m, _ in out.values()) == 5
+    assert sum(kp for _, kp in out.values()) == 3  # one drop per dup pair
+
+
+def test_semdedup_threshold_zero_keeps_only_first_per_direction(spark):
+    from etl_opensky_spark.functions.clustering import semdedup
+
+    # orthogonal vectors: dot = 0 -> cos = 0 >= 0.0 threshold -> all but
+    # the lowest id drop within the cluster
+    pts = [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 0.0])]
+    emb = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    out = semdedup(emb, k=1, iters=1, threshold_bp=0).collect()
+    assert [(r.n_members, r.n_kept) for r in out] == [(3, 1)]
