@@ -82,13 +82,16 @@ def kmeans(
     id_col: str = "vec_id",
     k: int = 8,
     iters: int = 2,
+    keep_vectors: bool = False,
 ) -> DataFrame:
     """Run ``iters`` Lloyd iterations from a deterministic init (the
     first ``k`` vectors by ``id_col``) and return the final assignment:
     one row per input vector with ``cluster_id`` (1-based) and the
     exact integer squared distance ``sq_dist`` in quantized units.
     Empty clusters are dropped (never reseeded) so the recursion stays
-    engine-reproducible.
+    engine-reproducible.  ``keep_vectors=True`` carries the quantized
+    vector through as ``_vq`` so downstream consumers (semdedup) avoid
+    a re-scan + join-on-id shuffle of the full data.
     """
     vq_df = emb.select(
         F.col(id_col), _quantize(emb, vec_col).alias("_vq")
@@ -124,11 +127,14 @@ def kmeans(
         ]
 
     final = _assign(vq_df, cents)
-    return final.select(
+    cols = [
         F.col(id_col),
         F.col("_cid").alias("cluster_id"),
         F.col("_dist").alias("sq_dist"),
-    )
+    ]
+    if keep_vectors:
+        cols.append(F.col("_vq"))
+    return final.select(*cols)
 
 
 def kmeans_summary(
@@ -176,11 +182,13 @@ def semdedup(
 
     Returns per-cluster ``(cluster_id, n_members, n_kept)``.
     """
-    assigned = kmeans(emb, vec_col=vec_col, id_col=id_col, k=k, iters=iters)
-    vq_df = emb.select(F.col(id_col), _quantize(emb, vec_col).alias("_vq"))
+    assigned = kmeans(
+        emb, vec_col=vec_col, id_col=id_col, k=k, iters=iters,
+        keep_vectors=True,
+    )
     dec = "decimal(38,0)"
     members = (
-        assigned.join(vq_df, on=id_col)
+        assigned
         .select(
             F.col(id_col),
             "cluster_id",
