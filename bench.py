@@ -112,6 +112,8 @@ BENCH_QUERIES = [
     "q89_dsir_weights",
     "q90_vocab_coverage",
     "q91_semdedup",
+    "q92_stream_session_windows",
+    "q93_stream_stream_join",
 ]
 
 

@@ -3063,6 +3063,147 @@ FROM m GROUP BY m.cid
 ORACLE_Q91 = _semdedup_oracle_sql(k=8, iters=1, threshold_bp=4500)
 
 
+def q92_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SESSION windows (§2.12 depth beyond q30's tumbling
+    windows): per-user sessions with a 30-minute inactivity gap via
+    ``F.session_window`` over the events stream (availableNow, memory
+    sink).  Spark merges an event into a session iff it lands STRICTLY
+    before last_ts + gap, so the batch oracle marks a new session on
+    ``gap >= 30min`` — verified equivalent, hash-gated with
+    decimal-stable sums."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    on_disk_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = _ensure_ltz(
+        spark.readStream.schema(on_disk_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    agg = (
+        stream.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(_dec("value", 6)).cast("double").alias("sum_value"),
+        )
+    )
+    name = "stream_session_windows"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        "n_events",
+        "sum_value",
+    )
+
+
+ORACLE_Q92 = """
+WITH marked AS (
+  SELECT user_id, ts, event_id, value,
+    CASE WHEN epoch_ms(ts) - epoch_ms(LAG(ts) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id)) >= 1800000
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+), sess AS (
+  SELECT user_id, ts, value,
+    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id, CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM sess GROUP BY user_id, sid
+"""
+
+
+def q93_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream time-bounded inner join (attribution shape): each
+    purchase joins the same user's views from the preceding hour, BOTH
+    sides streaming with watermarks — the state-bounded join Structured
+    Streaming is built for.  availableNow drains the files; inner-join
+    matches emit as soon as both sides arrive, so the single-batch run
+    equals the batch self-join oracle.  Gate: per-user pair counts with
+    decimal-stable view-value sums."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def src() -> DataFrame:
+        return _ensure_ltz(
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+
+    views = (
+        src()
+        .filter(F.col("event_type") == "view")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+            F.col("event_id").alias("v_event"),
+            F.col("value").alias("v_value"),
+        )
+    )
+    purchases = (
+        src()
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_event"),
+        )
+    )
+    joined = purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+    )
+    name = "stream_stream_join"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy(F.col("p_user").alias("user_id"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("p_event").alias("n_purchases"),
+            F.sum(_dec("v_value", 6)).cast("double").alias("sum_view_value"),
+        )
+    )
+
+
+ORACLE_Q93 = """
+SELECT p.user_id,
+  COUNT(*) AS n_pairs,
+  COUNT(DISTINCT p.event_id) AS n_purchases,
+  CAST(SUM(CAST(v.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_view_value
+FROM events p JOIN events v
+  ON p.user_id = v.user_id
+ AND p.event_type = 'purchase' AND v.event_type = 'view'
+ AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+GROUP BY p.user_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -3155,6 +3296,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q89_dsir_weights": q89_dsir_weights,
     "q90_vocab_coverage": q90_vocab_coverage,
     "q91_semdedup": q91_semdedup,
+    "q92_stream_session_windows": q92_stream_session_windows,
+    "q93_stream_stream_join": q93_stream_stream_join,
 }
 
 ORACLES: dict[str, str] = {
@@ -3243,4 +3386,6 @@ ORACLES: dict[str, str] = {
     "q89_dsir_weights": ORACLE_Q89,
     "q90_vocab_coverage": ORACLE_Q90,
     "q91_semdedup": ORACLE_Q91,
+    "q92_stream_session_windows": ORACLE_Q92,
+    "q93_stream_stream_join": ORACLE_Q93,
 }
