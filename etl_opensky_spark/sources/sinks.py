@@ -189,3 +189,72 @@ def write_parquet_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    partition_by: Sequence[str] = (),
+    target_rows_per_file: int = 1_000_000,
+) -> int:
+    """Small-file compaction for a parquet lake path (the OPTIMIZE /
+    rewrite-small-files maintenance op): rewrite the dataset so each
+    partition directory holds ~``target_rows_per_file``-row files
+    instead of the per-task dribble incremental appends leave behind.
+    At 100 TB the small-files problem is a read-throughput killer —
+    every file is a scan task and a footer fetch.
+
+    One data pass: rows are bucketed to ceil(partition_rows / target)
+    output files via a hash bucket (per-partition row counts come from a
+    footer-backed count aggregate first), written to a STAGING directory,
+    then swapped in with a directory rename — the local stand-in for the
+    metadata commit a table format (Delta/Iceberg) or an HDFS rename
+    does; overwriting a path while reading it is illegal in Spark, and
+    double-writing the data is not acceptable at scale.  Rows are
+    identical in/out (layout-only).  Returns the number of partition
+    directories compacted (1 for an unpartitioned path).
+    """
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    cols = list(partition_by)
+    staging = path.rstrip("/") + "._compacting"
+    shutil.rmtree(staging, ignore_errors=True)
+    if not cols:
+        total = df.count()
+        n_files = max(1, -(-total // target_rows_per_file))
+        df.repartition(n_files).write.mode("overwrite").parquet(staging)
+        n_parts = 1
+    else:
+        sizes = df.groupBy(*cols).count().collect()
+        files_expr = None
+        for row in sizes:
+            n = max(1, -(-row["count"] // target_rows_per_file))
+            clause = None
+            for c in cols:
+                eq = F.col(c) == F.lit(row[c])
+                clause = eq if clause is None else (clause & eq)
+            files_expr = (
+                F.when(clause, F.lit(n)) if files_expr is None
+                else files_expr.when(clause, F.lit(n))
+            )
+        n_parts = len(sizes)
+        data_cols = [c for c in df.columns if c not in cols]
+        bucket = F.abs(
+            F.xxhash64(*[F.col(c) for c in data_cols]) % files_expr
+        ).cast("int")
+        (
+            df.withColumn("_fb", bucket)
+            .repartition(*[F.col(c) for c in cols], F.col("_fb"))
+            .drop("_fb")
+            .write.mode("overwrite")
+            .partitionBy(*cols)
+            .parquet(staging)
+        )
+    old = path.rstrip("/") + "._pre_compact"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
+    return n_parts

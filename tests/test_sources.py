@@ -213,3 +213,44 @@ def test_write_parquet_zordered_narrows_both_dims(spark, tmp_path):
     assert sy[len(sy) // 2] <= n // 2
     # layout-only: nothing lost
     assert spark.read.parquet(path).count() == n * n
+
+
+def test_compact_parquet_merges_small_files_preserving_rows(spark, tmp_path):
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from etl_opensky_spark.sources.sinks import compact_parquet
+
+    path = str(tmp_path / "lake")
+    df = spark.range(1000).select(
+        (F.col("id") % 3).alias("day"), F.col("id").alias("v")
+    )
+    # simulate append dribble: many tiny files per partition
+    for _ in range(4):
+        df.repartition(8).write.mode("append").partitionBy("day").parquet(path)
+    before_rows = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    before_files = len(glob.glob(f"{path}/day=*/*.parquet"))
+
+    n = compact_parquet(spark, path, partition_by=["day"],
+                        target_rows_per_file=10_000)
+    assert n == 3
+    after_files = len(glob.glob(f"{path}/day=*/*.parquet"))
+    after_rows = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert after_rows == before_rows          # layout-only: values identical
+    assert after_files < before_files
+    assert after_files <= 3                   # one file per partition at this size
+
+
+def test_compact_parquet_unpartitioned(spark, tmp_path):
+    import glob
+
+    from etl_opensky_spark.sources.sinks import compact_parquet
+
+    path = str(tmp_path / "flat")
+    for _ in range(5):
+        spark.range(100).write.mode("append").parquet(path)
+    before = sorted(r.id for r in spark.read.parquet(path).collect())
+    compact_parquet(spark, path, target_rows_per_file=10_000)
+    assert len(glob.glob(f"{path}/*.parquet")) == 1
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == before
