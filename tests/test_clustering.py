@@ -143,3 +143,27 @@ def test_semdedup_threshold_zero_keeps_only_first_per_direction(spark):
     emb = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
     out = semdedup(emb, k=1, iters=1, threshold_bp=0).collect()
     assert [(r.n_members, r.n_kept) for r in out] == [(3, 1)]
+
+
+def test_kmeans_invariant_under_repartitioning(spark):
+    from etl_opensky_spark.functions.clustering import kmeans
+
+    pts = [(i, [((i * 37) % 11) / 3.0, ((i * 53) % 7) / 2.0]) for i in range(40)]
+    emb = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    base = sorted(tuple(r) for r in kmeans(emb, k=3, iters=2).collect())
+    for parts in (1, 3, 13):
+        shuffled = emb.repartition(parts)
+        got = sorted(tuple(r) for r in kmeans(shuffled, k=3, iters=2).collect())
+        assert got == base, f"partitioning {parts} changed the result"
+
+
+def test_semdedup_invariant_under_repartitioning(spark):
+    from etl_opensky_spark.functions.clustering import semdedup
+
+    pts = [(i, [((i * 19) % 13) / 4.0, ((i * 31) % 5) / 2.0]) for i in range(40)]
+    emb = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    base = sorted(tuple(r) for r in semdedup(emb, k=3, iters=1).collect())
+    got = sorted(
+        tuple(r) for r in semdedup(emb.repartition(7), k=3, iters=1).collect()
+    )
+    assert got == base

@@ -1005,3 +1005,19 @@ def test_vocab_coverage_known_distribution(spark):
     # 95% -> ceil(9.5)=10 -> all three
     row = vocab_coverage(docs, "text", coverage_pct=95).collect()[0]
     assert row.vocab_size_at_pct == 3
+
+
+def test_dsir_weights_invariant_under_repartitioning(spark):
+    from pyspark.sql import functions as F
+
+    from etl_opensky_spark.functions.sampling import dsir_log_weights
+
+    rows = [(i, f"tok{i % 7} tok{i % 3} common", ["a", "b"][i % 2])
+            for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, grp string")
+    tgt = F.col("grp") == "a"
+    base = sorted(tuple(r) for r in
+                  dsir_log_weights(docs, "doc_id", "text", tgt).collect())
+    got = sorted(tuple(r) for r in
+                 dsir_log_weights(docs.repartition(9), "doc_id", "text", tgt).collect())
+    assert got == base
