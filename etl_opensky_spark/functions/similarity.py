@@ -102,13 +102,19 @@ def lsh_topk(
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probe_hamming: int = 0,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's hyperplane bucket,
-    exact cosine re-rank inside the bucket.
+    """Approximate top-k: candidates come from hyperplane buckets within
+    ``probe_hamming`` bit flips of the query's bucket (multiprobe LSH),
+    exact cosine re-rank inside.
 
-    At 100 TB the bucket predicate prunes the scan to ~N/2^H vectors; for
-    recall, union several hash tables (call with different hyperplane
-    sets) before the re-rank.
+    ``probe_hamming=0`` probes only the query's bucket (~N/2^H of the
+    scan); each +1 widens recall at ~H× the candidates; at
+    ``probe_hamming = len(hyperplanes)`` every bucket is probed and the
+    result EQUALS brute force — the verifiable-accuracy knob that lets
+    an approximate index be oracle-gated exactly.  For production
+    recall at 100 TB, union several hash tables (different hyperplane
+    seeds) before the re-rank instead of raising the probe radius.
     """
     import math
 
@@ -117,8 +123,9 @@ def lsh_topk(
         d = sum(float(x) * float(y) for x, y in zip(query_vec, h))
         if d >= 0 or math.isnan(d):
             qbucket |= 1 << b
+    bucket = hyperplane_bucket(F.col(vec_col), hyperplanes)
     candidates = embeddings.filter(
-        hyperplane_bucket(F.col(vec_col), hyperplanes) == F.lit(qbucket)
+        F.bit_count(bucket.bitwiseXOR(F.lit(qbucket))) <= F.lit(probe_hamming)
     )
     return cosine_topk(candidates, query_vec, k, id_col=id_col, vec_col=vec_col)
 

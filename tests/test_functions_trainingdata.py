@@ -1021,3 +1021,43 @@ def test_dsir_weights_invariant_under_repartitioning(spark):
     got = sorted(tuple(r) for r in
                  dsir_log_weights(docs.repartition(9), "doc_id", "text", tgt).collect())
     assert got == base
+
+
+def test_lsh_multiprobe_widens_candidates_and_full_probe_is_exact(spark):
+    from pyspark.sql import functions as F
+
+    from etl_opensky_spark.functions.similarity import (
+        cosine_topk,
+        lsh_topk,
+        make_hyperplanes,
+    )
+
+    rows = [(i, [((i * 13) % 17) / 8.0 - 1.0, ((i * 29) % 23) / 11.0 - 1.0,
+                 ((i * 7) % 19) / 9.0 - 1.0]) for i in range(1, 200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qvec = [0.5, -0.25, 0.75]
+    planes = make_hyperplanes(dim=3, num=3, seed=7)
+
+    sizes = []
+    for radius in range(4):
+        got = lsh_topk(emb, qvec, planes, k=200, probe_hamming=radius)
+        sizes.append(got.count())
+    assert sizes == sorted(sizes)  # wider probe never loses candidates
+
+    exact = [tuple(r) for r in cosine_topk(emb, qvec, k=10).collect()]
+    full = [tuple(r) for r in lsh_topk(emb, qvec, planes, k=10,
+                                       probe_hamming=3).collect()]
+    assert full == exact  # full probe radius == brute force
+
+
+def test_lsh_single_probe_finds_colocated_neighbor(spark):
+    from etl_opensky_spark.functions.similarity import lsh_topk, make_hyperplanes
+
+    # the near-duplicate of the query lands in the query's own bucket
+    rows = [(1, [1.0, 1.0, 1.0]), (2, [0.99, 1.01, 1.0]),
+            (3, [-1.0, -1.0, -1.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = [r.vec_id for r in
+           lsh_topk(emb, [1.0, 1.0, 1.0], make_hyperplanes(3, 3, seed=7),
+                    k=3, probe_hamming=0).collect()]
+    assert 1 in got and 2 in got and 3 not in got
