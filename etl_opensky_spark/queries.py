@@ -659,8 +659,13 @@ def q63_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
+    # corpus-relative hot-gram pruning (the q24 rule): truth pairs are
+    # then proven by RARE shared grams — a subset of the unpruned truth,
+    # so the recall bound only gets harder; cost stops scaling with
+    # stop-gram df^2
+    max_df = max(int(0.05 * docs.count()), 2)
     truth = ngram_jaccard_pairs(
-        docs, "doc_id", "text", n=3, threshold=0.5
+        docs, "doc_id", "text", n=3, threshold=0.5, max_df=max_df
     ).select("id_a", "id_b")
     sigs = minhash_signature(docs, "doc_id", "text", num_hashes=32, shingle_n=3)
     cand = minhash_lsh_pairs(sigs, "doc_id", num_bands=8).select(
@@ -684,9 +689,14 @@ WITH grams AS (
         FROM documents)
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id
+), rare AS (
+  SELECT g FROM grams GROUP BY g
+  HAVING COUNT(*) <= GREATEST(CAST(FLOOR(0.05 * (SELECT COUNT(*) FROM documents)) AS INTEGER), 2)
+), pruned AS (
+  SELECT doc_id, g FROM grams WHERE g IN (SELECT g FROM rare)
 ), inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  FROM pruned a JOIN pruned b ON a.g = b.g AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT COUNT(*) AS n_true_pairs, TRUE AS recall_ok
@@ -709,8 +719,9 @@ def q71_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     )
     sh = simhash(docs, "doc_id", "text")
+    max_df = max(int(0.05 * docs.count()), 2)
     truth = ngram_jaccard_pairs(
-        docs, "doc_id", "text", n=3, threshold=0.5
+        docs, "doc_id", "text", n=3, threshold=0.5, max_df=max_df
     ).select("id_a", "id_b")
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("_ha"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("_hb"))
@@ -736,9 +747,14 @@ WITH grams AS (
         FROM documents)
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id
+), rare AS (
+  SELECT g FROM grams GROUP BY g
+  HAVING COUNT(*) <= GREATEST(CAST(FLOOR(0.05 * (SELECT COUNT(*) FROM documents)) AS INTEGER), 2)
+), pruned AS (
+  SELECT doc_id, g FROM grams WHERE g IN (SELECT g FROM rare)
 ), inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  FROM pruned a JOIN pruned b ON a.g = b.g AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT COUNT(*) AS n_true_pairs, TRUE AS within_bound
