@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "q91_semdedup",
     "q92_stream_session_windows",
     "q93_stream_stream_join",
+    "q94_balanced_sample",
 ]
 
 

@@ -3365,6 +3365,42 @@ GROUP BY p.user_id
 """
 
 
+def q94_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced per-class sampling: exactly min(k, class size) documents
+    per language, chosen by deterministic md5 rank (the class-balancing
+    primitive before training on skewed label distributions).  A
+    composition gate — ``top_k_per_group`` over the ``hash_bucket``
+    order — reproducible in any engine with md5: one shuffle on the
+    group key, per-group local sort, no global order."""
+    from etl_opensky_spark.functions.sampling import hash_bucket
+    from etl_opensky_spark.operators import top_k_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    ranked = docs.withColumn("_r", hash_bucket(F.col("doc_id"), 1_000_000))
+    picked = top_k_per_group(
+        ranked, ["lang"], [F.col("_r").asc(), F.col("doc_id").asc()], k=40
+    )
+    return picked.groupBy("lang").agg(
+        F.count("*").alias("n_sampled"),
+        F.sum("doc_id").alias("id_checksum"),
+    )
+
+
+ORACLE_Q94 = """
+WITH ranked AS (
+  SELECT lang, doc_id,
+    ROW_NUMBER() OVER (
+      PARTITION BY lang
+      ORDER BY CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+               AS INTEGER) % 1000000, doc_id) AS rn
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_sampled,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM ranked WHERE rn <= 40 GROUP BY lang
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -3459,6 +3495,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q91_semdedup": q91_semdedup,
     "q92_stream_session_windows": q92_stream_session_windows,
     "q93_stream_stream_join": q93_stream_stream_join,
+    "q94_balanced_sample": q94_balanced_sample,
 }
 
 ORACLES: dict[str, str] = {
@@ -3554,4 +3591,5 @@ ORACLES: dict[str, str] = {
     "q91_semdedup": ORACLE_Q91,
     "q92_stream_session_windows": ORACLE_Q92,
     "q93_stream_stream_join": ORACLE_Q93,
+    "q94_balanced_sample": ORACLE_Q94,
 }
