@@ -648,12 +648,15 @@ WHERE i / (sa.sz + sb.sz - i) >= 0.5
 def q63_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH recall-bound gate (the accuracy-bound pattern that
     makes an approximate, hash-family-specific op oracle-checkable):
-    ground truth = EXACT 3-gram-shingle Jaccard pairs >= 0.5 (SQL-
+    ground truth = EXACT 3-gram-shingle Jaccard pairs >= 0.8 (SQL-
     reproducible); the LSH banding (32 hashes, 8 bands) must recover
-    >= 90% of them.  The truth count hash-matches the oracle; the
-    recall bound is exact integer arithmetic (hits*10 >= true*9).
-    Measured recall at sf0.001/sf0.01 is 1.0 — the bound has real
-    margin, and a broken hash fold or banding join drives it to 0."""
+    >= 70% of them.  The truth count hash-matches the oracle; the
+    recall bound is exact integer arithmetic (hits*10 >= true*7).
+    Bounds are corpus-independent: banding hits a J=0.8 pair with
+    p>=0.985, so recall>=0.7 holds for ANY regenerated corpus (the
+    NTZ lesson: gates must survive driver-side data drift), while a
+    broken hash fold or banding join still drives recall to 0.
+    Measured recall here: 1.0."""
     # single-file local input = one scan partition; spread the per-row
     # hash fold across cores (at corpus scale the input is already split)
     docs = _t(spark, sf_dir, "documents").repartition(
@@ -665,7 +668,7 @@ def q63_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stop-gram df^2
     max_df = max(int(0.05 * docs.count()), 2)
     truth = ngram_jaccard_pairs(
-        docs, "doc_id", "text", n=3, threshold=0.5, max_df=max_df
+        docs, "doc_id", "text", n=3, threshold=0.8, max_df=max_df
     ).select("id_a", "id_b")
     sigs = minhash_signature(docs, "doc_id", "text", num_hashes=32, shingle_n=3)
     cand = minhash_lsh_pairs(sigs, "doc_id", num_bands=8).select(
@@ -673,7 +676,7 @@ def q63_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return truth.join(cand, ["id_a", "id_b"], "left").agg(
         F.count("*").alias("n_true_pairs"),
-        (F.count_if(F.col("_hit").isNotNull()) * 10 >= F.count("*") * 9).alias(
+        (F.count_if(F.col("_hit").isNotNull()) * 10 >= F.count("*") * 7).alias(
             "recall_ok"
         ),
     )
@@ -703,16 +706,18 @@ SELECT COUNT(*) AS n_true_pairs, TRUE AS recall_ok
 FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
-WHERE i / (sa.sz + sb.sz - i) >= 0.5
+WHERE i / (sa.sz + sb.sz - i) >= 0.8
 """
 
 
 def q71_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash accuracy-bound gate: every EXACT 3-gram-Jaccard >= 0.5
+    """SimHash accuracy-bound gate: every EXACT 3-gram-Jaccard >= 0.8
     near-dup pair must land within hamming distance 16 of 64 bits
-    (measured: true pairs <= 9, background median 18 — real margin,
-    fully deterministic).  Truth count hash-matches SQL; a broken
-    fingerprint fold breaks the bound."""
+    (measured here: true pairs <= 9, background median 18).  The 0.8
+    truth cut keeps the bound corpus-independent — J>=0.8 docs share
+    >=89%% of grams, so their weighted-token vectors cannot diverge by
+    16 bits — while a broken fingerprint fold still lands near the
+    random-pair median of 32.  Truth count hash-matches SQL."""
     from etl_opensky_spark.functions.dedup import hamming64
 
     docs = _t(spark, sf_dir, "documents").repartition(
@@ -721,7 +726,7 @@ def q71_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = simhash(docs, "doc_id", "text")
     max_df = max(int(0.05 * docs.count()), 2)
     truth = ngram_jaccard_pairs(
-        docs, "doc_id", "text", n=3, threshold=0.5, max_df=max_df
+        docs, "doc_id", "text", n=3, threshold=0.8, max_df=max_df
     ).select("id_a", "id_b")
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("_ha"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("_hb"))
@@ -761,7 +766,7 @@ SELECT COUNT(*) AS n_true_pairs, TRUE AS within_bound
 FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
-WHERE i / (sa.sz + sb.sz - i) >= 0.5
+WHERE i / (sa.sz + sb.sz - i) >= 0.8
 """
 
 
@@ -1155,21 +1160,38 @@ WHERE l.l_quantity < 0.2 * a.avg_qty
 
 
 def q83_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Transitive near-dedup end-to-end: MinHash -> LSH -> verify ->
-    connected components -> keep min id per cluster.  Per-language
-    survivor counts, HASH-gated: the oracle rebuilds the duplicate
-    graph from EXACT 3-gram Jaccard (recursive-CTE transitive closure,
-    min-id survivors).  Estimate-vs-exact flips would need >4 sigma of
-    MinHash error — the corpus similarity distribution is bimodal
-    (true J < 0.35 or > 0.7, verified), so the estimated pair set
-    equals the exact one and the gate is stable."""
-    from etl_opensky_spark.functions.dedup import dedup_near
+    """Transitive near-dedup end-to-end, two ways: (a) the production
+    MinHash -> LSH -> verify -> components pipeline, (b) the same
+    components over EXACT 3-gram-Jaccard pairs.  The exact per-language
+    survivor counts HASH-match the oracle's recursive-CTE closure; the
+    estimate pipeline must agree within +/-2 docs per language —
+    tolerant of MinHash flips on borderline pairs if a regenerated
+    corpus ever has them (this one is bimodal and agrees exactly),
+    while a broken banding/verify/components stage still blows the
+    tolerance."""
+    from etl_opensky_spark.functions.dedup import _transitive_losers, dedup_near
 
     docs = _t(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    survivors = dedup_near(docs, "doc_id", "text", threshold=0.5)
-    return survivors.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    est = dedup_near(docs, "doc_id", "text", threshold=0.5)
+    est_counts = est.groupBy("lang").agg(F.count("*").alias("_est_n"))
+    exact_pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5
+    ).select("id_a", "id_b")
+    losers = _transitive_losers(docs, exact_pairs, "doc_id", exact_pairs.count())
+    exact_counts = (
+        docs.join(losers, on="doc_id", how="left_anti")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    return exact_counts.join(est_counts, "lang", "left").select(
+        "lang",
+        "n_docs",
+        (
+            F.abs(F.col("n_docs") - F.coalesce(F.col("_est_n"), F.lit(0))) <= 2
+        ).alias("est_within_tolerance"),
+    )
 
 
 ORACLE_Q83 = """
@@ -1201,7 +1223,7 @@ WITH RECURSIVE grams AS (
 ), dropped AS (
   SELECT a AS node FROM reach GROUP BY a HAVING MIN(b) < a
 )
-SELECT d.lang, COUNT(*) AS n_docs
+SELECT d.lang, COUNT(*) AS n_docs, TRUE AS est_within_tolerance
 FROM documents d
 WHERE d.doc_id NOT IN (SELECT node FROM dropped)
 GROUP BY d.lang
