@@ -115,6 +115,10 @@ BENCH_QUERIES = [
     "q92_stream_session_windows",
     "q93_stream_stream_join",
     "q94_balanced_sample",
+    "q95_orc_roundtrip",
+    "q96_inverted_index",
+    "q97_heavy_hitters",
+    "q98_pagerank",
 ]
 
 

@@ -1,0 +1,153 @@
+"""Iterative graph algorithms on edge DataFrames: PageRank.
+
+Complements the star-contraction connected components in
+``functions.dedup`` — PageRank is the other graph primitive a
+training-data pipeline needs (link-graph quality weighting a la
+Common Crawl harmonic/PageRank centrality for source selection).
+
+Spark-first shape (per iteration):
+
+- ``ranks ⋈ edges`` on ``src`` — an equi-join that AQE broadcasts
+  while ranks fit and shuffle-partitions on the same key across
+  iterations otherwise;
+- ``groupBy(dst).sum`` with map-side partial aggregation — the moved
+  bytes per iteration are one long per (reducer, dst), not the edges;
+- a left join back onto the node set so dangling/unreferenced nodes
+  keep receiving the teleport mass.
+
+Nothing iterates on the driver: per round the driver launches one job;
+all data stays distributed.  The edge list and node set are
+``localCheckpoint``-ed once so each round re-reads materialized rows
+instead of growing a nested lineage (same pattern as k-means /
+star-contraction).
+
+Determinism (what makes an iterative algorithm oracle-checkable —
+same trick as ``functions.clustering``): ranks live in integer
+pico-units (SCALE = 1e12) and every update is integer floor
+arithmetic — ``rank div outdeg``, ``(d_num * contrib) div d_den`` —
+so any engine that can floor-divide integers reproduces bit-identical
+ranks round over round, and a DuckDB oracle can unroll the recursion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: ranks are integers in units of 1e-12 of total probability mass
+SCALE = 1_000_000_000_000
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    n_iter: int = 3,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> DataFrame:
+    """``n_iter`` synchronous (weighted) PageRank rounds over an edge
+    list with at most one row per (src, dst).
+
+    Returns one row per node: ``(node, rank)`` with ``rank`` in
+    1e-12 units.  Initial rank is ``SCALE div n`` for every node;
+    each round::
+
+        contrib(u→v) = (rank(u) * w(u,v)) div totw(u)
+        rank'(v)     = teleport + (d_num * Σ contrib) div d_den
+        teleport     = ((d_den - d_num) * SCALE div d_den) div n
+
+    ``weight=None`` means w ≡ 1 (classic PageRank).  Integer weights
+    must keep ``max_weight * SCALE < 2^63`` (i.e. per-edge weight
+    < ~9.2e6) — plenty for transition counts; renormalize heavier
+    weights upstream.  Mass lost to floor truncation and dangling
+    nodes is dropped (the standard simplification) — identically on
+    every engine, so results still hash-match.  ``n`` (node count) is
+    the one driver scalar.
+    """
+    w = (
+        F.col(weight).cast("long")
+        if weight is not None
+        else F.lit(1).cast("long")
+    )
+    e = (
+        edges.select(
+            F.col(src).alias("_src"), F.col(dst).alias("_dst"), w.alias("_w")
+        )
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .union(e.select(F.col("_dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0).cast("long"))
+    teleport = ((damping_den - damping_num) * SCALE // damping_den) // n
+
+    totw = e.groupBy("_src").agg(F.sum("_w").alias("_totw"))
+    ranks = nodes.select("node", F.lit(SCALE // n).cast("long").alias("rank"))
+    for _ in range(n_iter):
+        contribs = (
+            e.join(ranks, e["_src"] == ranks["node"])
+            .join(totw, "_src")
+            .select(
+                F.col("_dst").alias("node"),
+                F.expr("(rank * _w) div _totw").alias("_c"),
+            )
+        )
+        summed = contribs.groupBy("node").agg(F.sum("_c").alias("_s"))
+        ranks = nodes.join(summed, "node", "left").select(
+            "node",
+            (
+                F.lit(teleport)
+                + F.expr(
+                    f"({damping_num} * coalesce(_s, 0L)) div {damping_den}"
+                )
+            )
+            .cast("long")
+            .alias("rank"),
+        )
+    return ranks
+
+
+def pagerank_oracle_sql(
+    edges_cte: str,
+    n_iter: int = 3,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> str:
+    """Unrolled ANSI-SQL mirror of :func:`pagerank` for the DuckDB
+    oracle: ``edges_cte`` must define ``edges(src, dst, w)`` with at
+    most one row per (src, dst) — pass ``1 AS w`` for the unweighted
+    case.  Every op is the same integer floor arithmetic, so the
+    values hash-match the Spark recursion exactly."""
+    parts = [
+        f"WITH edges AS ({edges_cte})",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        "totw AS (SELECT src, SUM(w) AS totw FROM edges GROUP BY src)",
+        f"r0 AS (SELECT node, {SCALE} // (SELECT n FROM nn) AS rank FROM nodes)",
+    ]
+    teleport = (
+        f"(({damping_den - damping_num} * {SCALE}) // {damping_den})"
+        " // (SELECT n FROM nn)"
+    )
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"s{i} AS (SELECT e.dst AS node, SUM((r.rank * e.w) // o.totw) AS s"
+            f" FROM edges e JOIN r{i - 1} r ON e.src = r.node"
+            " JOIN totw o ON e.src = o.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"r{i} AS (SELECT nodes.node, {teleport}"
+            f" + ({damping_num} * COALESCE(s{i}.s, 0)) // {damping_den} AS rank"
+            f" FROM nodes LEFT JOIN s{i} ON nodes.node = s{i}.node)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r{n_iter}"
+    )

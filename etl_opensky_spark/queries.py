@@ -3423,6 +3423,180 @@ FROM ranked WHERE rn <= 40 GROUP BY lang
 """
 
 
+def q95_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink/source parity (widens the source surface beyond
+    parquet/csv/json — q37/q50/q51): write a column-pruned orders
+    extract as ORC with Spark's native vectorized writer, read it back,
+    and answer a filtered aggregate — the serde round-trip is what's
+    under test; the oracle answers from the source parquet.  ORC keeps
+    the same predicate-pushdown + column-pruning contract as parquet,
+    so the read side stays a pruned, pushed-down scan."""
+    import os
+    import tempfile
+
+    orders = _t(spark, sf_dir, "orders")
+    target = os.path.join(
+        tempfile.gettempdir(), f"q95_orc_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    orders.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    ).write.mode("overwrite").orc(target)
+    back = spark.read.orc(target).filter(F.col("o_orderstatus") == "F")
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+ORACLE_Q95 = """
+SELECT o_orderstatus,
+  COUNT(*) AS n_orders,
+  COUNT(DISTINCT o_custkey) AS n_customers,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+  MIN(o_orderkey) AS min_key,
+  MAX(o_orderkey) AS max_key
+FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderstatus
+"""
+
+
+def q96_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list build — the decontamination / search-index
+    primitive: explode documents to DISTINCT (token, doc_id) pairs,
+    group to per-token document frequency plus a sorted, capped posting
+    list.  One shuffle on the token key with map-side distinct;
+    posting lists are bounded (first 15 doc ids via slice) so reducer
+    state stays capped however hot the token.  Top-20 by df under a
+    total order makes the gate deterministic."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = (
+        docs.select("doc_id", F.explode(TX.tokenize(F.col("text"))).alias("token"))
+        .filter(F.col("token").rlike("^[a-z]{4,}$"))
+        .distinct()
+    )
+    idx = pairs.groupBy("token").agg(
+        F.count("*").alias("df"),
+        F.slice(F.sort_array(F.collect_list("doc_id")), 1, 15).alias("postings"),
+    )
+    return idx.orderBy(F.col("df").desc(), F.col("token").asc()).limit(20)
+
+
+ORACLE_Q96 = r"""
+WITH pairs AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+    FROM documents) t
+  WHERE regexp_matches(token, '^[a-z]{4,}$')
+)
+SELECT token, COUNT(*) AS df,
+       (list(doc_id ORDER BY doc_id))[1:15] AS postings
+FROM pairs GROUP BY token
+ORDER BY df DESC, token ASC LIMIT 20
+"""
+
+
+def q97_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy-bound gate for distributed Misra-Gries heavy hitters
+    (``functions.heavyhitters``, q78/q79 pattern): for every token
+    whose EXACT count exceeds n/k, the merged k-counter summary must
+    contain it with ``true - n/(k+1) <= est <= true`` — the documented
+    MG contract, valid under ANY partition layout.  DuckDB supplies
+    the exact heavy set and TRUE; if the sketch ever breaks its bound
+    the hash mismatches.  At 100 TB the summary is the only fixed-state
+    plan: k counters per partition, k rows per partition merged."""
+    from etl_opensky_spark.functions.heavyhitters import misra_gries
+
+    k = 48
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(TX.tokenize(F.col("text"))).alias("token")
+    ).filter(F.col("token").rlike("^[a-z]+$"))
+    merged = misra_gries(toks, "token", k=k)
+    exact = toks.groupBy("token").agg(F.count("*").alias("exact_cnt"))
+    total = toks.groupBy().agg(F.count("*").alias("_n"))
+    heavy = exact.join(F.broadcast(total)).filter(
+        F.col("exact_cnt") * k > F.col("_n")
+    )
+    return heavy.join(
+        merged, heavy["token"] == merged["item"], "left"
+    ).select(
+        "token",
+        "exact_cnt",
+        (
+            F.col("est").isNotNull()
+            & (F.col("est") <= F.col("exact_cnt"))
+            & ((F.col("exact_cnt") - F.col("est")) * (k + 1) <= F.col("_n"))
+        ).alias("within_bound"),
+    )
+
+
+ORACLE_Q97 = r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+  FROM documents
+), clean AS (
+  SELECT token FROM toks WHERE regexp_matches(token, '^[a-z]+$')
+)
+SELECT token, COUNT(*) AS exact_cnt, TRUE AS within_bound
+FROM clean GROUP BY token
+HAVING COUNT(*) * 48 > (SELECT COUNT(*) FROM clean)
+"""
+
+
+def q98_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the event-type transition graph
+    (``functions.graph`` — link-graph centrality for source-quality
+    weighting): edges are per-user consecutive event-type transitions
+    with count weights, ranks from 3 integer-quantized rounds.  The
+    oracle unrolls the identical floor-arithmetic recursion in SQL, so
+    an ITERATIVE distributed algorithm hash-matches exactly (same
+    pattern as q88 k-means)."""
+    from etl_opensky_spark.functions.graph import pagerank
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = ev.withColumn("_next", F.lead("event_type").over(w))
+    edges = (
+        nxt.filter(
+            F.col("_next").isNotNull() & (F.col("_next") != F.col("event_type"))
+        )
+        .groupBy(
+            F.col("event_type").alias("src"), F.col("_next").alias("dst")
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    ranks = pagerank(edges, weight="w", n_iter=3)
+    return ranks.select(F.col("node").alias("event_type"), "rank")
+
+
+def _oracle_q98() -> str:
+    from etl_opensky_spark.functions.graph import pagerank_oracle_sql
+
+    edges_cte = """
+    SELECT event_type AS src, next_type AS dst, COUNT(*) AS w FROM (
+      SELECT event_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events) t
+    WHERE next_type IS NOT NULL AND next_type <> event_type
+    GROUP BY src, dst
+    """
+    sql = pagerank_oracle_sql(edges_cte, n_iter=3)
+    return (
+        sql.rstrip()
+        + "\n"
+    ).replace(
+        "SELECT node, CAST(rank AS BIGINT) AS rank",
+        "SELECT node AS event_type, CAST(rank AS BIGINT) AS rank",
+    )
+
+
+ORACLE_Q98 = _oracle_q98()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -3518,6 +3692,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q92_stream_session_windows": q92_stream_session_windows,
     "q93_stream_stream_join": q93_stream_stream_join,
     "q94_balanced_sample": q94_balanced_sample,
+    "q95_orc_roundtrip": q95_orc_roundtrip,
+    "q96_inverted_index": q96_inverted_index,
+    "q97_heavy_hitters": q97_heavy_hitters,
+    "q98_pagerank": q98_pagerank,
 }
 
 ORACLES: dict[str, str] = {
@@ -3614,4 +3792,8 @@ ORACLES: dict[str, str] = {
     "q92_stream_session_windows": ORACLE_Q92,
     "q93_stream_stream_join": ORACLE_Q93,
     "q94_balanced_sample": ORACLE_Q94,
+    "q95_orc_roundtrip": ORACLE_Q95,
+    "q96_inverted_index": ORACLE_Q96,
+    "q97_heavy_hitters": ORACLE_Q97,
+    "q98_pagerank": ORACLE_Q98,
 }
