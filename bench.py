@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "q96_inverted_index",
     "q97_heavy_hitters",
     "q98_pagerank",
+    "q99_substring_dedup",
 ]
 
 

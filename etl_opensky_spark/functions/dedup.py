@@ -845,6 +845,71 @@ def ngram_jaccard_pairs(
     return out.select("id_a", "id_b", "jaccard")
 
 
+def substring_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 40,
+    sample_mod: int = 1,
+    max_df: int = 10,
+) -> DataFrame:
+    """Exact substring-duplication pairs (the character-level half of
+    "Deduplicating Training Data Makes Language Models Better", Lee et
+    al. 2022): two documents are flagged iff they share at least one
+    verbatim ``window``-char substring; ``n_shared`` counts the shared
+    distinct windows — a proxy for the duplicated span length.
+
+    The suffix-array of the paper is a single-machine structure; the
+    distributed shape is an inverted index over rolling windows:
+
+    - explode each doc into ALL its ``window``-char substrings and hash
+      them (md5 — same value in any engine, and collisions merge pairs
+      identically on both sides of a gate);
+    - distinct (doc, hash), then prune hashes by document frequency:
+      a window in d docs yields d² candidate rows, so boilerplate
+      windows MUST be capped (``max_df``) before the self-join —
+      same hot-key rule as ``ngram_jaccard_pairs``;
+    - equi-join on the hash (never all-pairs), count per pair.
+
+    ``sample_mod=1`` is exact.  At corpus scale set ``sample_mod > 1``:
+    only windows with ``crc32(window) % sample_mod == 0`` enter the
+    index — CONTENT-defined selection (winnowing-style), so the kept
+    set is identical whatever a span's alignment inside each document
+    (a position stride would sample disjoint grids in two documents
+    and miss their shared span entirely).  Expected 1/sample_mod of
+    the windows survive; a duplicated span of ~``window +
+    3*sample_mod`` chars is caught with high probability, and
+    ``n_shared`` scales down by the same factor.
+    """
+    sub = F.col(text_col).substr(F.col("_p"), F.lit(window))
+    wins = df.filter(F.length(text_col) >= window).select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.lit(1), F.length(text_col) - (window - 1))
+        ).alias("_p"),
+        F.col(text_col),
+    )
+    if sample_mod > 1:
+        wins = wins.filter(F.crc32(sub.cast("binary")) % sample_mod == 0)
+    wins = wins.select(F.col(id_col), F.md5(sub).alias("_h"))
+    grams = wins.distinct()
+    rare = (
+        grams.groupBy("_h")
+        .agg(F.count("*").alias("_df"))
+        .filter((F.col("_df") >= 2) & (F.col("_df") <= max_df))
+        .select("_h")
+    )
+    pruned = grams.join(rare, "_h", "left_semi")
+    a = pruned.select(F.col(id_col).alias("doc_a"), "_h")
+    b = pruned.select(F.col(id_col).alias("doc_b"), "_h")
+    return (
+        a.join(b, "_h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
 def fuzzy_pairs(
     df: DataFrame,
     id_col: str,

@@ -3597,6 +3597,38 @@ def _oracle_q98() -> str:
 ORACLE_Q98 = _oracle_q98()
 
 
+def q99_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level duplicate pairs (functions.dedup.
+    substring_dup_pairs — Lee et al. 2022 semantics, inverted-index
+    shape): doc pairs sharing verbatim 40-char windows, top-20 by
+    shared-window count under a total order.  sample_mod=1 here (exact,
+    oracle-matched); content-defined window sampling (sample_mod>1,
+    winnowing-style — alignment-free) is the 100 TB path."""
+    from etl_opensky_spark.functions.dedup import substring_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = substring_dup_pairs(docs, "doc_id", "text", window=40, max_df=10)
+    return pairs.orderBy(
+        F.col("n_shared").desc(), F.col("doc_a").asc(), F.col("doc_b").asc()
+    ).limit(20)
+
+
+ORACLE_Q99 = """
+WITH wins AS (
+  SELECT doc_id, md5(substr(text, p, 40)) AS h FROM (
+    SELECT doc_id, text,
+           unnest(generate_series(1, length(text) - 39)) AS p
+    FROM documents WHERE length(text) >= 40) t
+), grams AS (SELECT DISTINCT doc_id, h FROM wins),
+rare AS (SELECT h FROM grams GROUP BY h HAVING COUNT(*) BETWEEN 2 AND 10)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+FROM grams a JOIN rare USING (h) JOIN grams b USING (h)
+WHERE a.doc_id < b.doc_id
+GROUP BY doc_a, doc_b
+ORDER BY n_shared DESC, doc_a, doc_b LIMIT 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -3696,6 +3728,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q96_inverted_index": q96_inverted_index,
     "q97_heavy_hitters": q97_heavy_hitters,
     "q98_pagerank": q98_pagerank,
+    "q99_substring_dedup": q99_substring_dedup,
 }
 
 ORACLES: dict[str, str] = {
@@ -3796,4 +3829,5 @@ ORACLES: dict[str, str] = {
     "q96_inverted_index": ORACLE_Q96,
     "q97_heavy_hitters": ORACLE_Q97,
     "q98_pagerank": ORACLE_Q98,
+    "q99_substring_dedup": ORACLE_Q99,
 }

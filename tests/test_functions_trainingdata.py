@@ -1061,3 +1061,67 @@ def test_lsh_single_probe_finds_colocated_neighbor(spark):
            lsh_topk(emb, [1.0, 1.0, 1.0], make_hyperplanes(3, 3, seed=7),
                     k=3, probe_hamming=0).collect()]
     assert 1 in got and 2 in got and 3 not in got
+
+
+# --- substring-level exact dedup (functions/dedup.py) -----------------------
+
+
+def _substr_rows():
+    span = "x" * 25 + "the quick brown fox jumps over the lazy dog" + "y" * 25
+    return [
+        (1, "A" * 30 + span + "B" * 30),
+        (2, "C" * 55 + span + "D" * 5),
+        (3, "unrelated " * 20),
+        (4, "also totally different text " * 8),
+    ]
+
+
+def _substr_docs(spark):
+    return spark.createDataFrame(_substr_rows(), "doc_id long, text string")
+
+
+def test_substring_dup_pairs_finds_shared_span(spark):
+    from etl_opensky_spark.functions.dedup import substring_dup_pairs
+
+    got = substring_dup_pairs(_substr_docs(spark), "doc_id", "text", window=40)
+    rows = {(r.doc_a, r.doc_b): r.n_shared for r in got.collect()}
+    assert (1, 2) in rows
+    # ground truth: DISTINCT windows common to both docs (the x/y runs
+    # make two in-span windows collide, so it's one less than span-w+1)
+    d1, d2 = [r[1] for r in _substr_rows()[:2]]
+    truth = len(
+        {d1[i : i + 40] for i in range(len(d1) - 39)}
+        & {d2[i : i + 40] for i in range(len(d2) - 39)}
+    )
+    assert rows[(1, 2)] == truth
+    assert all(p == (1, 2) for p in rows)  # no false pairs
+
+
+def test_substring_dup_pairs_content_sampling_is_alignment_free(spark):
+    from etl_opensky_spark.functions.dedup import substring_dup_pairs
+
+    # the shared span sits at DIFFERENT offsets in doc 1 and doc 2; a
+    # positional stride would sample disjoint grids and miss the pair,
+    # content-defined selection (crc32 % mod) must still catch it
+    got = substring_dup_pairs(
+        _substr_docs(spark), "doc_id", "text", window=40, sample_mod=20
+    )
+    pairs = {(r.doc_a, r.doc_b) for r in got.collect()}
+    assert (1, 2) in pairs
+
+
+def test_substring_dup_pairs_invariant_under_partitioning(spark):
+    from etl_opensky_spark.functions.dedup import substring_dup_pairs
+
+    docs = _substr_docs(spark)
+    base = sorted(
+        tuple(r)
+        for r in substring_dup_pairs(docs, "doc_id", "text", window=40).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in substring_dup_pairs(
+            docs.repartition(7), "doc_id", "text", window=40
+        ).collect()
+    )
+    assert got == base
