@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "q97_heavy_hitters",
     "q98_pagerank",
     "q99_substring_dedup",
+    "q100_bucketed_join",
 ]
 
 

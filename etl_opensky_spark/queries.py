@@ -3629,6 +3629,60 @@ ORDER BY n_shared DESC, doc_a, doc_b LIMIT 20
 """
 
 
+def q100_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located fact⋈fact join gate (sinks.
+    write_bucketed_table): orders and lineitem are written bucketed by
+    the join key, so the join reads both sides shuffle-FREE — the
+    decisive repeated-join lever at 100 TB (pay the shuffle once at
+    write time).  The no-Exchange plan shape is pinned by
+    tests/test_ivf_bucketing.py; this gate pins that the bucketed
+    read path also returns exactly the right ANSWER (oracle joins the
+    source parquet).  External-path tables keep gate data in /tmp."""
+    import os
+    import tempfile
+
+    from etl_opensky_spark.sources.sinks import write_bucketed_table
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), f"q100_bucketed_{tag}")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    for name, df, key in (
+        (f"q100_orders_{tag}", orders, "o_orderkey"),
+        (f"q100_lineitem_{tag}", li, "l_orderkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        write_bucketed_table(
+            df, name, [key], 8, sort_by=[key],
+            path=os.path.join(base, name),
+        )
+    o = spark.table(f"q100_orders_{tag}")
+    l = spark.table(f"q100_lineitem_{tag}")
+    joined = l.join(o, l["l_orderkey"] == o["o_orderkey"])
+    return joined.groupBy(
+        F.year("o_orderdate").cast("int").alias("y"), "o_orderpriority"
+    ).agg(
+        F.count("*").alias("n_items"),
+        F.sum(_dec("l_extendedprice") * _dec(F.lit(1) - F.col("l_discount")))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+ORACLE_Q100 = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS y, o_orderpriority,
+  COUNT(*) AS n_items,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -3729,6 +3783,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q97_heavy_hitters": q97_heavy_hitters,
     "q98_pagerank": q98_pagerank,
     "q99_substring_dedup": q99_substring_dedup,
+    "q100_bucketed_join": q100_bucketed_join,
 }
 
 ORACLES: dict[str, str] = {
@@ -3830,4 +3885,5 @@ ORACLES: dict[str, str] = {
     "q97_heavy_hitters": ORACLE_Q97,
     "q98_pagerank": ORACLE_Q98,
     "q99_substring_dedup": ORACLE_Q99,
+    "q100_bucketed_join": ORACLE_Q100,
 }

@@ -35,6 +35,7 @@ def write_bucketed_table(
     num_buckets: int,
     sort_by: Sequence[str] | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Bucketed (hash-clustered) table write: later equi-joins/aggregations
     on ``bucket_by`` between tables bucketed the same way need NO shuffle —
@@ -42,10 +43,16 @@ def write_bucketed_table(
     repeated big-fact⋈big-fact joins at 100 TB: pay the shuffle once at
     write time, never again at read time.  Verified by plan-shape test
     (no Exchange under the SortMergeJoin of two co-bucketed tables).
+
+    ``path`` makes the table external at that location (catalog keeps
+    only metadata) — lets gate queries keep data under a temp dir
+    instead of the session warehouse.
     """
     writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_by)
     if sort_by:
         writer = writer.sortBy(*sort_by)
+    if path:
+        writer = writer.option("path", path)
     writer.saveAsTable(name)
 
 
