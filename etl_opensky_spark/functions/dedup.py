@@ -882,7 +882,12 @@ def substring_dup_pairs(
     ``n_shared`` scales down by the same factor.
     """
     sub = F.col(text_col).substr(F.col("_p"), F.lit(window))
-    wins = df.filter(F.length(text_col) >= window).select(
+    # the explode fans each doc out ~|text| times: spread the INPUT rows
+    # across the shuffle width first, or a single-file source runs the
+    # whole window-hash stage in one task (docs are small pre-explode,
+    # so this shuffle is cheap; the exploded rows never move)
+    width = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    wins = df.repartition(width).filter(F.length(text_col) >= window).select(
         F.col(id_col),
         F.explode(
             F.sequence(F.lit(1), F.length(text_col) - (window - 1))
