@@ -68,3 +68,13 @@ def test_cycle_detected():
 def test_skipped_return_value():
     p = Pipeline().add(Task("dates", lambda: "skipped"))
     assert p.run()["dates"] is TaskStatus.SKIPPED
+
+
+def test_bench_list_covers_every_catalog_query():
+    # bench.py's list is maintained by hand; a forgotten entry means a
+    # query family ships unbenched (and a typo'd one crashes the bench)
+    import bench
+    from etl_opensky_spark.queries import QUERIES
+
+    assert set(bench.BENCH_QUERIES) == set(QUERIES)
+    assert len(bench.BENCH_QUERIES) == len(set(bench.BENCH_QUERIES))
