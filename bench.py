@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "q98_pagerank",
     "q99_substring_dedup",
     "q100_bucketed_join",
+    "q101_salted_join",
 ]
 
 

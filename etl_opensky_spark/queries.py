@@ -3683,6 +3683,37 @@ GROUP BY 1, 2
 """
 
 
+def q101_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew-join gate (operators.joins.salted_join): the
+    explicit fix for the one-key-exceeds-a-task case AQE's skew split
+    can't handle.  Salting must be semantically INVISIBLE — the oracle
+    is the plain join — while the physical join key becomes
+    (key, salt) so a hot key spreads over salt_buckets tasks.  Small
+    side replicates salt_buckets×, so it stays broadcast-sized."""
+    from etl_opensky_spark.operators.joins import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_quantity"
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = salted_join(li, part, "l_partkey", "p_partkey", salt_buckets=8)
+    return joined.groupBy("p_brand").agg(
+        F.count("*").alias("n_items"),
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("total_price"),
+    )
+
+
+ORACLE_Q101 = """
+SELECT p_brand,
+  COUNT(*) AS n_items,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -3784,6 +3815,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q98_pagerank": q98_pagerank,
     "q99_substring_dedup": q99_substring_dedup,
     "q100_bucketed_join": q100_bucketed_join,
+    "q101_salted_join": q101_salted_join,
 }
 
 ORACLES: dict[str, str] = {
@@ -3886,4 +3918,5 @@ ORACLES: dict[str, str] = {
     "q98_pagerank": ORACLE_Q98,
     "q99_substring_dedup": ORACLE_Q99,
     "q100_bucketed_join": ORACLE_Q100,
+    "q101_salted_join": ORACLE_Q101,
 }
