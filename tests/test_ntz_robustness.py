@@ -89,6 +89,7 @@ CONSUMER_QUERIES = [
     "q45_funnel",           # ordered step matching
     "q85_event_transitions",  # lag over event time
     "q17_events_daily",     # date_trunc aggregation
+    "q98_pagerank",         # lead window over event time feeds the graph
 ]
 
 
