@@ -218,6 +218,83 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return summed.select(F.col(id_col), fingerprint.alias("simhash"))
 
 
+def simhash_vectorized(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash long) — hash-identical to :func:`simhash`, Arrow path.
+
+    The expression-fold ``simhash`` evaluates a 64-wide ``aggregate``/
+    ``zip_with`` accumulator per row — a huge codegen tree whose constant
+    factor dominates at corpus scale (~5x its minhash sibling).  Here the
+    work splits at the natural seam: token hashing stays JVM-side
+    (``xxhash64`` under whole-stage codegen, same hash family — so the
+    two paths are bit-identical), and the 64-wide ±1 bit fold moves to
+    ONE numpy pass per Arrow batch: ``unpackbits`` → signed segment sums
+    (``add.reduceat``) → sign bits → ``packbits``.  Still a narrow map —
+    no shuffle, no Python per-row loop; the same split as
+    ``ivf.assign_clusters_vectorized``.
+
+    Equivalence to the expression path is pinned by a test
+    (tests/test_functions_trainingdata.py); null/empty text folds to
+    fingerprint 0 on both paths.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    id_field = df.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType, id_field.nullable),
+            T.StructField("simhash", T.LongType(), False),
+        ]
+    )
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(tokenize(F.col(text_col)), lambda t: F.xxhash64(t)).alias(
+            "_th"
+        ),
+    )
+
+    def fold(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame(
+                    {id_col: pdf[id_col], "simhash": np.array([], dtype=np.int64)}
+                )
+                continue
+            arrs = [
+                np.asarray(a, dtype=np.int64)
+                if a is not None
+                else np.empty(0, dtype=np.int64)
+                for a in pdf["_th"]
+            ]
+            lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=n)
+            fps = np.zeros(n, dtype=np.int64)
+            nz = lens > 0
+            if nz.any():
+                flat = np.concatenate([a for a in arrs if len(a)])
+                # little-endian machine + bitorder='little': column j of the
+                # unpacked matrix IS bit j of the 64-bit hash, so pack/unpack
+                # round-trips the exact bit positions the JVM fold uses
+                bits = np.unpackbits(
+                    flat.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+                ).astype(np.int32)
+                signed = 2 * bits - 1
+                nz_lens = lens[nz]
+                offsets = np.zeros(len(nz_lens), dtype=np.int64)
+                np.cumsum(nz_lens[:-1], out=offsets[1:])
+                sums = np.add.reduceat(signed, offsets, axis=0)
+                fp_bits = (sums > 0).astype(np.uint8)
+                fps[nz] = (
+                    np.packbits(fp_bits, axis=1, bitorder="little")
+                    .view(np.int64)
+                    .reshape(-1)
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], "simhash": fps})
+
+    return hashed.mapInPandas(fold, schema=out_schema)
+
+
 def _union_find():
     """Driver-side union-find with path compression: returns (parent, find)."""
     parent: dict = {}

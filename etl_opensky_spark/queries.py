@@ -717,13 +717,17 @@ def q71_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth cut keeps the bound corpus-independent — J>=0.8 docs share
     >=89%% of grams, so their weighted-token vectors cannot diverge by
     16 bits — while a broken fingerprint fold still lands near the
-    random-pair median of 32.  Truth count hash-matches SQL."""
-    from etl_opensky_spark.functions.dedup import hamming64
+    random-pair median of 32.  Truth count hash-matches SQL.
+
+    Uses the Arrow/numpy fingerprint path (bit-identical to the
+    expression fold — equivalence pinned in tests); the r3 20.7 s bench
+    outlier was the 64-wide codegen tree, not the truth computation."""
+    from etl_opensky_spark.functions.dedup import hamming64, simhash_vectorized
 
     docs = _t(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    sh = simhash(docs, "doc_id", "text")
+    sh = simhash_vectorized(docs, "doc_id", "text")
     max_df = max(int(0.05 * docs.count()), 2)
     truth = ngram_jaccard_pairs(
         docs, "doc_id", "text", n=3, threshold=0.8, max_df=max_df
@@ -3919,4 +3923,72 @@ ORACLES: dict[str, str] = {
     "q99_substring_dedup": ORACLE_Q99,
     "q100_bucketed_join": ORACLE_Q100,
     "q101_salted_join": ORACLE_Q101,
+}
+
+
+# --------------------------------------------------------------------------
+# Bench-only production-pipeline variants (VERDICT r3 #2): the accuracy-
+# bound gates q63/q71/q83/q99 run their EXACT ground truth inside the
+# benched query, so BENCH charges each operator for its verification
+# oracle.  These variants run the production pipeline ALONE so the bench
+# measures operator cost; the gates stay in QUERIES unchanged (still the
+# correctness story).  Not in QUERIES: they have no oracle-checkable shape
+# on their own (hash-family-specific candidates) — the matching gate IS
+# their correctness check.
+# --------------------------------------------------------------------------
+
+
+def q63_minhash_lsh_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production MinHash→LSH candidate generation alone (no exact-truth
+    join): per-row signature fold + banding self-join."""
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    sigs = minhash_signature(docs, "doc_id", "text", num_hashes=32, shingle_n=3)
+    return minhash_lsh_pairs(sigs, "doc_id", num_bands=8)
+
+
+def q71_simhash_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production SimHash fingerprinting alone (Arrow/numpy path): one
+    narrow map over the corpus, no truth self-join."""
+    from etl_opensky_spark.functions.dedup import simhash_vectorized
+
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return simhash_vectorized(docs, "doc_id", "text")
+
+
+def q83_near_dedup_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production transitive near-dedup alone (MinHash→LSH→verify→
+    components→survivors), no exact-Jaccard truth pass."""
+    from etl_opensky_spark.functions.dedup import dedup_near
+
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return dedup_near(docs, "doc_id", "text", threshold=0.5).groupBy("lang").agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+def q99_substring_dedup_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production substring-dup pairs alone — same op call as the q99
+    gate (the gate's oracle is DuckDB-side, so gate≈op here; kept for a
+    like-for-like op-only series across the dedup family)."""
+    from etl_opensky_spark.functions.dedup import substring_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = substring_dup_pairs(docs, "doc_id", "text", window=40, max_df=10)
+    return pairs.orderBy(
+        F.col("n_shared").desc(), F.col("doc_a").asc(), F.col("doc_b").asc()
+    ).limit(20)
+
+
+#: bench-only callables — timed by bench.py, never oracle-compared
+BENCH_ONLY_QUERIES = {
+    "q63_minhash_lsh_op": q63_minhash_lsh_op,
+    "q71_simhash_op": q71_simhash_op,
+    "q83_near_dedup_op": q83_near_dedup_op,
+    "q99_substring_dedup_op": q99_substring_dedup_op,
 }

@@ -150,6 +150,32 @@ def test_simhash_hamming(spark, docs):
     assert d12 < d13  # near-dup closer than unrelated
 
 
+def test_simhash_vectorized_hash_equal(spark, docs):
+    """The Arrow/numpy fingerprint path must be BIT-identical to the
+    expression fold — q71 relies on this equivalence."""
+    from etl_opensky_spark.functions.dedup import simhash_vectorized
+
+    edge = spark.createDataFrame(
+        [(100, None), (101, ""), (102, "   "), (103, "one"), (104, "a b a b a")],
+        "doc_id long, text string",
+    )
+    both = docs.select("doc_id", "text").unionByName(edge)
+    expr = {r["doc_id"]: r["simhash"] for r in simhash(both, "doc_id", "text").collect()}
+    vec = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_vectorized(both, "doc_id", "text").collect()
+    }
+    assert expr == vec
+
+
+def test_simhash_vectorized_partition_invariant(spark, docs):
+    from etl_opensky_spark.functions.dedup import simhash_vectorized
+
+    one = simhash_vectorized(docs.coalesce(1), "doc_id", "text").collect()
+    many = simhash_vectorized(docs.repartition(7), "doc_id", "text").collect()
+    assert sorted(map(tuple, one)) == sorted(map(tuple, many))
+
+
 def test_ngram_jaccard_pairs(spark, docs):
     pairs = {
         (r["id_a"], r["id_b"]): r["jaccard"]
