@@ -61,16 +61,33 @@ def pagerank(
     ``weight=None`` means w ≡ 1 (classic PageRank).  Integer weights
     must keep ``max_weight * SCALE < 2^63`` (i.e. per-edge weight
     < ~9.2e6) — plenty for transition counts; renormalize heavier
-    weights upstream.  Mass lost to floor truncation and dangling
-    nodes is dropped (the standard simplification) — identically on
-    every engine, so results still hash-match.  ``n`` (node count) is
-    the one driver scalar.
+    weights upstream.  Weights must also be NON-NEGATIVE and non-null
+    (enforced at execution): Spark's integer ``div`` truncates toward
+    zero while DuckDB/Python floor, so a negative weight would silently
+    desync this implementation from the oracle — determinism is the
+    module's core contract, so a bad weight raises instead.  Mass lost
+    to floor truncation and dangling nodes is dropped (the standard
+    simplification) — identically on every engine, so results still
+    hash-match.  ``n`` (node count) is the one driver scalar.
     """
-    w = (
-        F.col(weight).cast("long")
-        if weight is not None
-        else F.lit(1).cast("long")
-    )
+    if weight is not None:
+        raw_w = F.col(weight).cast("long")
+        # inline guard (no extra job): negative or null weight -> error.
+        # Riding on the weight expression itself means column pruning can
+        # never drop the check while the weight is in use.
+        w = F.when(raw_w >= 0, raw_w).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"pagerank: weight column '{weight}' must be "
+                        "non-negative and non-null, got "
+                    ),
+                    F.coalesce(raw_w.cast("string"), F.lit("NULL")),
+                )
+            ).cast("long")
+        )
+    else:
+        w = F.lit(1).cast("long")
     e = (
         edges.select(
             F.col(src).alias("_src"), F.col(dst).alias("_dst"), w.alias("_w")

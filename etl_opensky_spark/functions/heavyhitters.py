@@ -49,6 +49,12 @@ def misra_gries(df: DataFrame, col: str, k: int = 256) -> DataFrame:
     guarantees above hold under every layout, which is what downstream
     consumers and the q97 gate rely on — see
     ``tests/test_functions_trainingdata.py`` partitioning-invariance.
+
+    NULLs are IGNORED: ``value_counts`` drops them, so null never
+    appears as an item and contributes nothing to any counter.  The
+    ``true - n/(k+1) <= est`` bound therefore holds for n = count of
+    NON-null rows — callers computing n with nulls included would apply
+    the bound to the wrong n (q97 pre-filters nulls, so it's unaffected).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")

@@ -49,6 +49,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _gate_tmp(prefix: str, sf_dir: str) -> str:
+    """Scratch target for sink-gate queries (q37/q49/q50/…): deterministic
+    per (user, sf) so repeat runs overwrite instead of leaking a new dir
+    per invocation, but namespaced by uid so a stale dir owned by another
+    user on a shared /tmp can never collide or fail the write (ADVICE r3).
+    Concurrent runs by the SAME user still share targets — gate runs are
+    serialized per user per machine (the driver runs them so)."""
+    import os
+    import tempfile
+
+    uid = os.getuid() if hasattr(os, "getuid") else "u"
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_{uid}")
+    os.makedirs(root, exist_ok=True)
+    return os.path.join(root, f"{prefix}_{os.path.basename(sf_dir.rstrip('/'))}")
+
+
 def _ensure_ltz(df: DataFrame, col: str = "ts") -> DataFrame:
     """Normalize a timestamp column to plain TIMESTAMP (LTZ) whatever the
     writer emitted:
@@ -1042,8 +1058,6 @@ def q37_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K1+S1+F1 in one gate query: write a y/m/d-partitioned parquet lake
     from orders, read it back, and answer with a partition-pruned scan —
     the write/read path itself is what's under test."""
-    import os
-    import tempfile
 
     orders = _t(spark, sf_dir, "orders")
     lake = orders.select(
@@ -1054,9 +1068,7 @@ def q37_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # fixed per-sf path + overwrite: repeated runs reuse the directory
     # instead of leaking a new tempdir per invocation
-    target = os.path.join(
-        tempfile.gettempdir(), f"q37_lake_{os.path.basename(sf_dir.rstrip('/'))}"
-    )
+    target = _gate_tmp("q37_lake", sf_dir)
     # cluster rows by partition key before the partitioned write: one file
     # per partition instead of (partitions x tasks) small files
     lake.repartition("y", "m").write.mode("overwrite").partitionBy("y", "m").parquet(
@@ -1525,15 +1537,11 @@ def q49_range_sorted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow disjoint ``ts`` slice, so the min/max footer stats let the scan
     skip all files outside the day (directory partitioning's pruning
     without its small-files explosion)."""
-    import os
-    import tempfile
 
     from etl_opensky_spark.sources.sinks import write_range_sorted
 
     ev = _events(spark, sf_dir)
-    target = os.path.join(
-        tempfile.gettempdir(), f"q49_sorted_{os.path.basename(sf_dir.rstrip('/'))}"
-    )
+    target = _gate_tmp("q49_sorted", sf_dir)
     write_range_sorted(ev, target, ["ts"], num_files=8)
     back = spark.read.parquet(target).filter(
         (F.col("ts") >= F.lit("2024-01-15").cast("timestamp"))
@@ -1564,15 +1572,11 @@ def q50_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``read_csv``, and return every row — the hash match against the
     parquet oracle proves the CSV write/read path is lossless, including
     shortest-repr double round-trip of s_acctbal."""
-    import os
-    import tempfile
 
     from etl_opensky_spark.sources.files import read_csv
 
     supp = _t(spark, sf_dir, "supplier")
-    target = os.path.join(
-        tempfile.gettempdir(), f"q50_csv_{os.path.basename(sf_dir.rstrip('/'))}"
-    )
+    target = _gate_tmp("q50_csv", sf_dir)
     supp.write.mode("overwrite").csv(target)  # header=False: schema-enforced read
     return read_csv(spark, target, supp.schema).select(
         "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
@@ -1590,8 +1594,6 @@ def q51_json_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     22-45), read it back through ``read_json_envelope`` with enforced
     per-column casts, and return every row."""
     import json
-    import os
-    import tempfile
 
     from etl_opensky_spark.sources.files import read_json_envelope
 
@@ -1606,10 +1608,7 @@ def q51_json_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in nation.orderBy("n_nationkey").collect()
         ]
     }
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"q51_envelope_{os.path.basename(sf_dir.rstrip('/'))}.json",
-    )
+    path = _gate_tmp("q51_envelope", sf_dir) + ".json"
     with open(path, "w") as f:
         json.dump(payload, f)
     # cast_to the parquet schema: spark.read.json infers long where the
@@ -1657,9 +1656,7 @@ def q52_rest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     idempotency path (``append_missing`` must find nothing new), and read
     back partition-pruned.  Mirrors ``plans/ingest_flights.py`` semantics
     (reference: src/jobs/extract_flights.py:66-145) end-to-end."""
-    import os
     import shutil
-    import tempfile
 
     from etl_opensky_spark.operators.filters import filter_partition
     from etl_opensky_spark.operators.sets import append_missing, union_by_name
@@ -1685,9 +1682,7 @@ def q52_rest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.col(f.name).cast(f.dataType).alias(f.name) for f in SRC_FLIGHTS.fields]
     )
 
-    target = os.path.join(
-        tempfile.gettempdir(), f"q52_lake_{os.path.basename(sf_dir.rstrip('/'))}"
-    )
+    target = _gate_tmp("q52_lake", sf_dir)
     shutil.rmtree(target, ignore_errors=True)  # hermetic across repeat runs
     part_cols = ["flight_year", "flight_month", "flight_day"]
     write_parquet_partitioned(extracted, target, part_cols)
@@ -2617,15 +2612,11 @@ def q75_zordered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scan skips row groups for time-range AND user-range predicates
     (a single-column sort only serves one of them).  Layout-only:
     values must hash-match the raw table."""
-    import os
-    import tempfile
 
     from etl_opensky_spark.sources.sinks import write_parquet_zordered
 
     ev = _events(spark, sf_dir)
-    target = os.path.join(
-        tempfile.gettempdir(), f"q75_zorder_{os.path.basename(sf_dir.rstrip('/'))}"
-    )
+    target = _gate_tmp("q75_zorder", sf_dir)
     write_parquet_zordered(ev, target, ["ts", "user_id"], bits=10, num_files=8)
     back = spark.read.parquet(target).filter(
         (F.col("ts") >= F.lit("2024-01-10").cast("timestamp"))
@@ -3435,13 +3426,9 @@ def q95_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     under test; the oracle answers from the source parquet.  ORC keeps
     the same predicate-pushdown + column-pruning contract as parquet,
     so the read side stays a pruned, pushed-down scan."""
-    import os
-    import tempfile
 
     orders = _t(spark, sf_dir, "orders")
-    target = os.path.join(
-        tempfile.gettempdir(), f"q95_orc_{os.path.basename(sf_dir.rstrip('/'))}"
-    )
+    target = _gate_tmp("q95_orc", sf_dir)
     orders.select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     ).write.mode("overwrite").orc(target)
@@ -3643,12 +3630,11 @@ def q100_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     read path also returns exactly the right ANSWER (oracle joins the
     source parquet).  External-path tables keep gate data in /tmp."""
     import os
-    import tempfile
 
     from etl_opensky_spark.sources.sinks import write_bucketed_table
 
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    base = os.path.join(tempfile.gettempdir(), f"q100_bucketed_{tag}")
+    base = _gate_tmp("q100_bucketed", sf_dir)
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate", "o_orderpriority"
     )

@@ -53,6 +53,25 @@ def test_pagerank_unreferenced_node_keeps_teleport_only(spark):
     assert got["d"] == teleport
 
 
+def test_pagerank_rejects_negative_and_null_weights(spark):
+    # Spark's `div` truncates toward zero, DuckDB/Python floor: a negative
+    # weight would silently desync engines, so the guard must raise.
+    import pytest
+
+    neg = spark.createDataFrame(
+        [("a", "b", 3), ("b", "a", -1)], "src string, dst string, w long"
+    )
+    with pytest.raises(Exception) as exc:
+        pagerank(neg, weight="w").collect()
+    assert "non-negative" in str(exc.value)
+    nul = spark.createDataFrame(
+        [("a", "b", 3), ("b", "a", None)], "src string, dst string, w long"
+    )
+    with pytest.raises(Exception) as exc:
+        pagerank(nul, weight="w").collect()
+    assert "non-negative" in str(exc.value)
+
+
 def test_pagerank_invariant_under_repartitioning(spark):
     edges = [
         (f"n{i}", f"n{(i * 7 + 3) % 23}", 1 + i % 5) for i in range(120)
