@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "q99_substring_dedup",
     "q100_bucketed_join",
     "q101_salted_join",
+    "q102_merge_upsert",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

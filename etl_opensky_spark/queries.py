@@ -3704,6 +3704,69 @@ GROUP BY p_brand
 """
 
 
+def q102_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed MERGE upsert gate (sinks.merge_parquet_keyed): build a
+    y-partitioned orders lake, MERGE an update set that UPDATEs matched
+    keys (×2 price, status 'U'), INSERTs unmatched ones, and MOVES every
+    10th key to partition y=1990 — exercising the copy-on-write rewrite
+    of both the destination and the vacated partition.  The oracle is
+    the MERGE contract itself: anti-join + union over the same inputs
+    (VERDICT r3 #4; closes the reference's non-ACID check-then-append
+    race, src/jobs/extract_flights.py:80-92)."""
+    import shutil
+
+    from etl_opensky_spark.sources.sinks import merge_parquet_keyed
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").alias("price"),
+        F.year("o_orderdate").cast("int").alias("y"),
+    )
+    target = base.filter(F.col("o_orderkey") % 7 != 0)
+    updates = base.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("price") * 2).alias("price"),
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit(1990))
+        .otherwise(F.col("y"))
+        .cast("int")
+        .alias("y"),
+    )
+    path = _gate_tmp("q102_merge", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    merge_parquet_keyed(spark, path, target, ["o_orderkey"], ["y"])  # create
+    merge_parquet_keyed(spark, path, updates, ["o_orderkey"], ["y"])  # upsert
+    back = spark.read.parquet(path)
+    return back.groupBy("y", "o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(_dec("price")).cast("double").alias("total_price"),
+    )
+
+
+ORACLE_Q102 = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice AS price,
+         CAST(year(o_orderdate) AS INTEGER) AS y
+  FROM orders
+), tgt AS (
+  SELECT * FROM base WHERE o_orderkey % 7 <> 0
+), upd AS (
+  SELECT o_orderkey, 'U' AS o_orderstatus, price * 2 AS price,
+         CASE WHEN o_orderkey % 10 = 0 THEN 1990 ELSE y END AS y
+  FROM base WHERE o_orderkey % 5 = 0
+), merged AS (
+  SELECT * FROM tgt t
+  WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = t.o_orderkey)
+  UNION ALL
+  SELECT * FROM upd
+)
+SELECT y, o_orderstatus, COUNT(*) AS n,
+  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM merged GROUP BY y, o_orderstatus
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -3806,6 +3869,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q99_substring_dedup": q99_substring_dedup,
     "q100_bucketed_join": q100_bucketed_join,
     "q101_salted_join": q101_salted_join,
+    "q102_merge_upsert": q102_merge_upsert,
 }
 
 ORACLES: dict[str, str] = {
@@ -3909,6 +3973,7 @@ ORACLES: dict[str, str] = {
     "q99_substring_dedup": ORACLE_Q99,
     "q100_bucketed_join": ORACLE_Q100,
     "q101_salted_join": ORACLE_Q101,
+    "q102_merge_upsert": ORACLE_Q102,
 }
 
 

@@ -265,3 +265,169 @@ def compact_parquet(
     os.rename(staging, path)
     shutil.rmtree(old)
     return n_parts
+
+
+class ConcurrentMergeError(RuntimeError):
+    """Another writer holds the merge lock for this lake path."""
+
+
+def _hive_dir(cols: Sequence[str], values) -> str:
+    """Hive partition-directory suffix ``col1=v1/col2=v2`` (values come
+    from this engine's own writes: ints/plain strings; exotic characters
+    needing Hive's %-escaping are out of scope and rejected upstream)."""
+    return "/".join(f"{c}={v}" for c, v in zip(cols, values))
+
+
+def merge_parquet_keyed(
+    spark,
+    path: str,
+    updates: DataFrame,
+    keys: Sequence[str],
+    partition_by: Sequence[str] = (),
+    keys_are_partition_stable: bool = False,
+    lock_timeout_sec: float = 0.0,
+) -> None:
+    """Keyed MERGE (upsert) into a parquet lake path, copy-on-write.
+
+    Semantics of ``MERGE INTO target USING updates ON keys WHEN MATCHED
+    THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`` — the ACID-shaped
+    replacement for the reference's non-atomic check-then-append
+    idempotency (reference: src/jobs/extract_flights.py:80-92; SURVEY
+    §7.1-7, §7.3-6) without a table-format dependency.
+
+    Copy-on-write, partition-scoped: only AFFECTED partitions are
+    rewritten — a partition is affected when ``updates`` lands rows in it
+    or currently holds a matched key (so a key whose partition value
+    changes is deleted from its old partition).  Reconciled rows are
+    written ONCE to a staging directory, then committed by per-partition
+    directory rename — the local stand-in for a table format's metadata
+    commit; data is never double-written and the target is never read
+    and overwritten in the same job (illegal in Spark).  With
+    ``keys_are_partition_stable=True`` the matched-key partition scan is
+    skipped entirely (no row can move partitions) — the flag to set at
+    100 TB when the key functionally determines the partition.
+
+    Writer isolation: a ``._merge.lock`` sentinel (O_CREAT|O_EXCL —
+    atomic on POSIX and HDFS-create semantics) serializes merges per
+    path; a held lock raises :class:`ConcurrentMergeError` after
+    ``lock_timeout_sec`` of polling.  Readers are unaffected except for
+    the rename instant per partition directory.  A real multi-writer
+    lake still wants Delta/Iceberg ``MERGE INTO`` — this op keeps the
+    same call shape so a table-format backend can replace the commit
+    step without touching callers.
+
+    ``updates`` must be key-unique (multiple source matches per target
+    row are ambiguous — same rule as Delta's MERGE, raises ValueError)
+    and must carry exactly the target's columns.  Null partition values
+    are rejected (no ``__HIVE_DEFAULT_PARTITION__`` handling).
+    """
+    import os
+    import shutil
+    import time as _time
+
+    keys = list(keys)
+    part_cols = list(partition_by)
+
+    dup = updates.groupBy(*keys).count().filter(F.col("count") > 1)
+    if dup.limit(1).count() > 0:
+        raise ValueError(
+            f"merge_parquet_keyed: updates contain duplicate keys on {keys}"
+        )
+    if part_cols:
+        n_null = updates.filter(
+            " OR ".join(f"{c} IS NULL" for c in part_cols)
+        ).limit(1).count()
+        if n_null:
+            raise ValueError(
+                "merge_parquet_keyed: null partition values are not supported"
+            )
+
+    if not os.path.exists(path):
+        write_parquet_partitioned(
+            updates, path, part_cols, mode="overwrite"
+        ) if part_cols else updates.write.mode("overwrite").parquet(path)
+        return
+
+    lock = path.rstrip("/") + "._merge.lock"
+    deadline = _time.monotonic() + lock_timeout_sec
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+            break
+        except FileExistsError:
+            if _time.monotonic() >= deadline:
+                raise ConcurrentMergeError(
+                    f"merge lock held for {path} (stale? remove {lock})"
+                ) from None
+            _time.sleep(0.05)
+
+    staging = path.rstrip("/") + "._merging"
+    try:
+        target = spark.read.parquet(path)
+        if set(updates.columns) != set(target.columns):
+            raise ValueError(
+                f"merge_parquet_keyed: updates columns {sorted(updates.columns)} "
+                f"!= target columns {sorted(target.columns)}"
+            )
+        upd = updates.localCheckpoint()  # one computation; reused 3×
+
+        if not part_cols:
+            reconciled = target.join(
+                upd.select(*keys), on=keys, how="left_anti"
+            ).unionByName(upd)
+            shutil.rmtree(staging, ignore_errors=True)
+            reconciled.write.mode("overwrite").parquet(staging)
+            old = path.rstrip("/") + "._pre_merge"
+            shutil.rmtree(old, ignore_errors=True)
+            os.rename(path, old)
+            os.rename(staging, path)
+            shutil.rmtree(old)
+            return
+
+        affected = upd.select(*part_cols).distinct()
+        if not keys_are_partition_stable:
+            # partitions currently holding a matched key: column-pruned
+            # scan of (keys + partition cols) only — parquet reads no
+            # data columns for this probe
+            moved_from = (
+                target.select(*part_cols, *keys)
+                .join(F.broadcast(upd.select(*keys)), on=keys, how="left_semi")
+                .select(*part_cols)
+                .distinct()
+            )
+            affected = affected.union(moved_from).distinct()
+        affected_vals = [tuple(r[c] for c in part_cols) for r in affected.collect()]
+
+        # DPP-prunable filter: broadcast semi join against the (small)
+        # affected-partition list, so at scale only affected partition
+        # directories are scanned for reconciliation
+        existing_affected = target.join(
+            F.broadcast(affected),
+            on=part_cols,
+            how="left_semi",
+        )
+        reconciled = existing_affected.join(
+            upd.select(*keys), on=keys, how="left_anti"
+        ).unionByName(upd).select(*target.columns)
+
+        shutil.rmtree(staging, ignore_errors=True)
+        reconciled.write.mode("overwrite").partitionBy(*part_cols).parquet(staging)
+
+        # commit: per affected partition, drop the old directory and move
+        # the staged one in (absent staged dir = partition emptied by a
+        # key moving out)
+        for vals in affected_vals:
+            suffix = _hive_dir(part_cols, vals)
+            tgt_dir = os.path.join(path, suffix)
+            stg_dir = os.path.join(staging, suffix)
+            shutil.rmtree(tgt_dir, ignore_errors=True)
+            if os.path.isdir(stg_dir):
+                os.makedirs(os.path.dirname(tgt_dir), exist_ok=True)
+                os.rename(stg_dir, tgt_dir)
+        shutil.rmtree(staging, ignore_errors=True)
+    finally:
+        try:
+            os.remove(lock)
+        except FileNotFoundError:
+            pass
