@@ -93,18 +93,14 @@ def kmeans(
     vector through as ``_vq`` so downstream consumers (semdedup) avoid
     a re-scan + join-on-id shuffle of the full data.
     """
+    # lazy checkpoint: lineage is truncated all the same, but the
+    # materialization happens INSIDE the first scheduled job (the fused
+    # seed+round-1 update) instead of paying a dedicated eager job
     vq_df = emb.select(
         F.col(id_col), _quantize(emb, vec_col).alias("_vq")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
-    # deterministic init: first k vectors by id, cluster ids 1..k
-    seed_rows = vq_df.orderBy(id_col).limit(k).collect()
-    cents: list[tuple[int, list[int]]] = [
-        (i + 1, list(r["_vq"])) for i, r in enumerate(seed_rows)
-    ]
-
-    for _ in range(iters):
-        assigned = _assign(vq_df, cents)
+    def update_round(assigned: DataFrame) -> list[tuple[int, list[int]]]:
         # one shuffle: per-(cluster, position) partial sums, then the
         # k*dim totals come back as driver scalars for the next round
         new_rows = (
@@ -121,10 +117,63 @@ def kmeans(
         by_cid: dict[int, dict[int, int]] = {}
         for r in new_rows:
             by_cid.setdefault(r["_cid"], {})[r["_pos"]] = r["_c"]
-        cents = [
+        return [
             (cid, [comps[p] for p in sorted(comps)])
             for cid, comps in sorted(by_cid.items())
         ]
+
+    # deterministic init: first k vectors by id, cluster ids 1..k.
+    # The seeds are NEVER collected when an update round follows: they
+    # ride executor-side as ONE array-of-structs row (broadcast 1-row
+    # cross join — no shuffle), the per-row argmin is a pure expression
+    # (array_min over struct(d, cid): lowest distance, ties to lowest
+    # cid — the same order _assign's array_position gives), and the
+    # first update round's aggregate is the FIRST job after the
+    # checkpoint: seed collect + round-1 collect fused into one
+    # (NOTES_r3 residual; job count pinned by test).  TakeOrdered +
+    # array_sort + transform-with-index — no window, no extra exchange.
+    seed_struct = (
+        vq_df.orderBy(id_col)
+        .limit(k)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(id_col), F.col("_vq")))
+            ).alias("_raw")
+        )
+        .select(
+            F.transform(
+                F.col("_raw"),
+                lambda s, i: F.struct(
+                    (i + 1).cast("int").alias("_scid"),
+                    s["_vq"].alias("_svq"),
+                ),
+            ).alias("_seeds")
+        )
+    )
+    if iters == 0:
+        seed_rows = vq_df.orderBy(id_col).limit(k).collect()
+        cents: list[tuple[int, list[int]]] = [
+            (i + 1, list(r["_vq"])) for i, r in enumerate(seed_rows)
+        ]
+    else:
+        d2 = lambda s: F.aggregate(  # noqa: E731 — exact same arithmetic as _distances
+            F.zip_with(F.col("_vq"), s["_svq"], lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        best = F.array_min(
+            F.transform(
+                F.col("_seeds"),
+                lambda s: F.struct(d2(s).alias("d"), s["_scid"].alias("cid")),
+            )
+        )
+        first_assigned = vq_df.join(F.broadcast(seed_struct)).select(
+            best["cid"].alias("_cid"), F.col("_vq")
+        )
+        cents = update_round(first_assigned)
+
+    for _ in range(max(iters - 1, 0)):
+        cents = update_round(_assign(vq_df, cents))
 
     final = _assign(vq_df, cents)
     cols = [

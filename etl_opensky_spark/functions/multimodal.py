@@ -2,11 +2,16 @@
 metadata.
 
 The container has no image/audio codecs, so the DECODE step is stubbed
-behind ``FAKE_DECODERS`` (deterministic fakes) / ``NotImplementedError``
-— but everything Spark-side is real and tested: the schema contract, the
-Arrow-batched ``mapInPandas`` signature, batch shapes, and partition
-behavior.  Swapping a real decoder in (PIL/torchaudio/ffmpeg) changes one
-dict entry, not the plan.
+behind deterministic fakes / ``NotImplementedError`` — but everything
+Spark-side is real and tested: the schema contract, the Arrow-batched
+``mapInPandas`` signature, batch shapes, and partition behavior.
+
+Decoder injection is official API: :class:`DecoderRegistry` maps
+``media_type -> decoder``; ``extract_features(..., registry=...)``
+carries it into the Arrow closure, and ``with_available_codecs()``
+upgrades a copy with a real decoder per importable codec library
+(Pillow, soundfile) — so real codecs drop in without touching the plan.
+``FAKE_DECODERS`` remains as the dict backing ``DEFAULT_REGISTRY``.
 """
 
 from __future__ import annotations
@@ -62,11 +67,119 @@ FAKE_DECODERS: dict[str, Callable[[bytes], list[float]]] = {
 }
 
 
+class DecoderRegistry:
+    """Official decoder-injection seam (the contract a real Pillow/
+    torchaudio/ffmpeg decoder drops into without touching the Arrow
+    plumbing): ``media_type -> decoder(bytes | None) -> list[float]`` of
+    length ``FEATURE_DIM``.
+
+    A registry instance rides inside the ``mapInPandas`` closure, so
+    decoders must be module-level callables (picklable) — no lambdas
+    capturing live handles; open codec contexts lazily inside the
+    decoder.  ``DEFAULT_REGISTRY`` is backed by the module's
+    ``FAKE_DECODERS`` dict (the historical seam — mutating that dict
+    still works), with deterministic fakes for image and
+    ``NotImplementedError`` guards for audio/video because this
+    container has no codecs.  ``with_available_codecs()`` upgrades a
+    copy with a real decoder for every importable codec library and is
+    a no-op here (tests for real codecs are import-skipped).
+    """
+
+    def __init__(
+        self, decoders: dict[str, Callable[[bytes], list[float]]] | None = None
+    ):
+        self._decoders = decoders if decoders is not None else {}
+
+    def register(
+        self, media_type: str, decoder: Callable[[bytes], list[float]]
+    ) -> "DecoderRegistry":
+        """Bind ``decoder`` to ``media_type`` in place; returns self."""
+        self._decoders[media_type] = decoder
+        return self
+
+    def copy(self) -> "DecoderRegistry":
+        return DecoderRegistry(dict(self._decoders))
+
+    def decode(self, media_type: str, payload: bytes | None) -> list[float]:
+        try:
+            decoder = self._decoders[media_type]
+        except KeyError:
+            raise KeyError(
+                f"no decoder registered for media_type={media_type!r}; "
+                f"known: {sorted(self._decoders)}"
+            ) from None
+        return decoder(payload)
+
+    def media_types(self) -> list[str]:
+        return sorted(self._decoders)
+
+
+#: default registry — SHARES the FAKE_DECODERS dict so the pre-registry
+#: injection seam (mutating FAKE_DECODERS) keeps working unchanged
+DEFAULT_REGISTRY = DecoderRegistry(FAKE_DECODERS)
+
+
+def _pil_image_decode(payload: bytes) -> list[float]:
+    """Real image decode (requires Pillow): grayscale-decode, resize to
+    FEATURE_DIM×1, normalize to [0, 1]."""
+    import io
+
+    import numpy as np
+    from PIL import Image  # gated: only reachable via with_available_codecs
+
+    if payload is None:
+        return [0.0] * FEATURE_DIM
+    img = Image.open(io.BytesIO(payload)).convert("L").resize((FEATURE_DIM, 1))
+    return (np.asarray(img, dtype=np.float64).reshape(-1) / 255.0).tolist()
+
+
+def _soundfile_audio_decode(payload: bytes) -> list[float]:
+    """Real audio decode (requires soundfile): FEATURE_DIM mean-absolute
+    amplitude buckets over the first channel."""
+    import io
+
+    import numpy as np
+    import soundfile  # gated: only reachable via with_available_codecs
+
+    if payload is None:
+        return [0.0] * FEATURE_DIM
+    data, _rate = soundfile.read(io.BytesIO(payload), always_2d=True)
+    mono = np.abs(data[:, 0])
+    n = max(len(mono) // FEATURE_DIM, 1)
+    out = [float(mono[i * n : (i + 1) * n].mean()) if len(mono[i * n : (i + 1) * n]) else 0.0
+           for i in range(FEATURE_DIM)]
+    return out
+
+
+def with_available_codecs(
+    registry: DecoderRegistry | None = None,
+) -> DecoderRegistry:
+    """Copy of ``registry`` (default: DEFAULT_REGISTRY) upgraded with a
+    real decoder for every codec library importable in this environment
+    (Pillow → image, soundfile → audio).  In a codec-less container this
+    returns an unchanged copy — the deterministic fakes stay."""
+    reg = (registry or DEFAULT_REGISTRY).copy()
+    try:
+        import PIL.Image  # noqa: F401
+
+        reg.register("image", _pil_image_decode)
+    except ImportError:
+        pass
+    try:
+        import soundfile  # noqa: F401
+
+        reg.register("audio", _soundfile_audio_decode)
+    except ImportError:
+        pass
+    return reg
+
+
 def extract_features(
     media: DataFrame,
     id_col: str = "media_id",
     payload_col: str = "payload",
     type_col: str = "media_type",
+    registry: DecoderRegistry | None = None,
 ) -> DataFrame:
     """binary payload -> (metadata, feature vector) via Arrow-batched
     ``mapInPandas``.
@@ -75,7 +188,12 @@ def extract_features(
     governed by ``spark.sql.execution.arrow.maxRecordsPerBatch`` so large
     blobs don't blow executor memory.  Pure per-row map — preserves
     partitioning, no shuffle.
+
+    ``registry``: a :class:`DecoderRegistry`; defaults to
+    ``DEFAULT_REGISTRY`` (deterministic fakes in this env).  Pass
+    ``with_available_codecs()`` to use real codecs where installed.
     """
+    reg = registry if registry is not None else DEFAULT_REGISTRY
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -89,7 +207,7 @@ def extract_features(
                     lambda p: hashlib.sha256(p or b"").hexdigest()
                 ),
                 "feature": [
-                    FAKE_DECODERS[t](p)
+                    reg.decode(t, p)
                     for t, p in zip(pdf[type_col], pdf[payload_col])
                 ],
             }

@@ -20,8 +20,9 @@ right row.)
 Cost: ONE shuffle on the group key + a per-group sort — same order of
 work as a sort-merge join, with bounded state. This beats the naive
 range-join (quadratic per group) and needs no pandas.  Skew note: a hot
-``by`` group serializes inside one task; salt the group key and re-merge
-if a single entity dominates the stream.
+``by`` group serializes inside one task; pass ``salt_buckets > 1`` to
+spread it over coarse time buckets with seam rows carrying each bucket's
+incoming state (semantically invisible — see ``asof_join``).
 
 (For a pandas formulation, ``merge_asof`` inside ``applyInPandas`` gives
 the same semantics; kept JVM-side here deliberately.)
@@ -42,6 +43,7 @@ def asof_join(
     by: Sequence[str],
     value_cols: Sequence[str] | None = None,
     suffix: str = "_asof",
+    salt_buckets: int = 1,
 ) -> DataFrame:
     """Left as-of join: latest right values with ``right.on <= left.on``
     per ``by`` group.  Right rows at the exact same ``on`` instant match
@@ -51,6 +53,20 @@ def asof_join(
     each renamed ``<col><suffix>``.  All attached values come from the
     single most recent right row (row-wholesale semantics): a NULL field
     on that row stays NULL, it is never backfilled from an older row.
+
+    ``salt_buckets > 1`` — hot-entity salting (the docs/SCALE.md
+    mitigation, semantically invisible): the time axis is cut into
+    ``salt_buckets`` coarse ranges and the window partitions on
+    ``(by, bucket)``, so one dominant entity spreads over up to
+    ``salt_buckets`` tasks instead of serializing in one.  Seam rows
+    carry each bucket's incoming state: the latest right payload from
+    all EARLIER buckets is injected at ``-inf`` within the bucket (so
+    float boundary rounding can never let a seam shadow a real in-bucket
+    right row).  Costs one extra scalar agg job (global min/max of
+    ``on``) plus a (groups × buckets)-sized seam computation — noise
+    next to the main shuffle.  Numeric or timestamp ``on`` only (bucket
+    arithmetic is on the double cast; longs beyond 2^53 would bucket
+    coarsely — ordering within the window is still exact).
     """
     by = list(by)
     if value_cols is None:
@@ -84,17 +100,20 @@ def asof_join(
     )
     unioned = right_tagged.unionByName(left_tagged)
 
-    w = (
-        Window.partitionBy(*by)
-        .orderBy("_on", "_tag")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    filled = unioned.select(
-        *by,
-        "_tag",
-        *[F.col(f"_l_{c}") for c in left.columns if c not in by],
-        F.last("_rp", ignorenulls=True).over(w).alias("_rp"),
-    )
+    if salt_buckets > 1:
+        filled = _salted_fill(unioned, by, left, salt_buckets)
+    else:
+        w = (
+            Window.partitionBy(*by)
+            .orderBy("_on", "_tag")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        filled = unioned.select(
+            *by,
+            "_tag",
+            *[F.col(f"_l_{c}") for c in left.columns if c not in by],
+            F.last("_rp", ignorenulls=True).over(w).alias("_rp"),
+        )
     out = filled.filter(F.col("_tag") == 1).drop("_tag")
     for c in left.columns:
         if c not in by:
@@ -102,4 +121,80 @@ def asof_join(
     return out.select(
         *left.columns,
         *[F.col("_rp").getField(c).alias(f"{c}{suffix}") for c in value_cols],
+    )
+
+
+def _salted_fill(
+    unioned: DataFrame, by: list, left: DataFrame, salt_buckets: int
+) -> DataFrame:
+    """Salted variant of the fill window: partition on ``(by, bucket)``
+    with per-bucket seam rows carrying the incoming right state."""
+    onb = F.col("_on").cast("double")
+    stats = unioned.agg(
+        F.min(onb).alias("lo"), F.max(onb).alias("hi")
+    ).first()
+    lo, hi = stats["lo"], stats["hi"]
+    width = (hi - lo) / salt_buckets if lo is not None and hi > lo else None
+    if width is None:
+        bucket = F.lit(0)
+    else:
+        bucket = F.least(
+            F.floor((onb - F.lit(lo)) / F.lit(width)),
+            F.lit(salt_buckets - 1),
+        ).cast("int")
+    bucketed = unioned.withColumn("_onb", onb).withColumn("_bk", bucket)
+
+    # latest right payload per (by, bucket): max_by on (time, tag) — the
+    # same total order the window uses
+    rights = bucketed.filter(F.col("_tag") == 0)
+    per_bucket = rights.groupBy(*by, "_bk").agg(
+        F.max_by("_rp", F.struct("_on", "_tag")).alias("_rp_last")
+    )
+    # every (by, bucket) that has ANY rows needs a seam (a bucket with
+    # only left rows still inherits earlier state); running last over
+    # strictly-earlier buckets — (groups × buckets)-sized data
+    grid = bucketed.select(*by, "_bk").distinct()
+    seam_w = (
+        Window.partitionBy(*by)
+        .orderBy("_bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seams = (
+        grid.join(per_bucket, [*by, "_bk"], "left")
+        .select(
+            *by,
+            "_bk",
+            F.last("_rp_last", ignorenulls=True).over(seam_w).alias("_rp"),
+        )
+        .filter(F.col("_rp").isNotNull())
+    )
+    # seam sorts before EVERYTHING in its bucket (-inf), so boundary
+    # float rounding can never let it shadow a real in-bucket right row
+    seam_rows = seams.select(
+        *by,
+        F.lit(None).cast(dict(unioned.dtypes)["_on"]).alias("_on"),
+        F.lit(-1).alias("_tag"),
+        F.col("_rp"),
+        *[
+            F.lit(None).cast(dict(unioned.dtypes)[f"_l_{c}"]).alias(f"_l_{c}")
+            for c in left.columns
+            if c not in by
+        ],
+        F.lit(float("-inf")).alias("_onb"),
+        F.col("_bk"),
+    )
+    salted = bucketed.unionByName(seam_rows)
+    # _onb buckets/coarse-orders; _on is the exact tiebreak (double cast
+    # is monotonic, so adding it can only refine equal-_onb runs — keeps
+    # ordering exact even past double's 2^53 integer range)
+    w = (
+        Window.partitionBy(*by, "_bk")
+        .orderBy("_onb", "_on", "_tag")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return salted.select(
+        *by,
+        "_tag",
+        *[F.col(f"_l_{c}") for c in left.columns if c not in by],
+        F.last("_rp", ignorenulls=True).over(w).alias("_rp"),
     )

@@ -960,7 +960,10 @@ FROM embeddings
 
 def q33_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operator Spark lacks natively; union+window composition):
-    for every purchase, the user's most recent click at-or-before it."""
+    for every purchase, the user's most recent click at-or-before it.
+    Runs SALTED (salt_buckets=4, the q101 pattern): hot-entity salting
+    must be semantically INVISIBLE — the oracle is the plain ASOF join,
+    so the seam-row machinery is hash-proved equivalent every round."""
     from etl_opensky_spark.operators.asof import asof_join
 
     ev = _events(spark, sf_dir)
@@ -971,7 +974,12 @@ def q33_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", F.col("event_id").alias("click_id")
     )
     return asof_join(
-        purchases, clicks, on="ts", by=["user_id"], value_cols=["click_id"]
+        purchases,
+        clicks,
+        on="ts",
+        by=["user_id"],
+        value_cols=["click_id"],
+        salt_buckets=4,
     )
 
 

@@ -157,6 +157,33 @@ def test_kmeans_invariant_under_repartitioning(spark):
         assert got == base, f"partitioning {parts} changed the result"
 
 
+def test_kmeans_seed_collect_fused_into_first_round(spark):
+    """The centroid seeds must not cost a dedicated driver collect: the
+    seed array rides executor-side into the round-1 update, and the
+    checkpoint materializes lazily inside the first scheduled job.
+    Pinned: <= 2 scheduler jobs per Lloyd round + 1 final collect, and
+    NO dedicated localCheckpoint or seed-collect job (was 7 jobs for
+    iters=2 with the eager checkpoint + separate seed collect; now 6)."""
+    pts = [(i, [((i * 37) % 11) / 3.0, ((i * 53) % 7) / 2.0]) for i in range(40)]
+    emb = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    sc = spark.sparkContext
+    group = "kmeans-job-count"
+    sc.setJobGroup(group, "pin kmeans job count")
+    try:
+        rows = kmeans(emb, k=3, iters=2).collect()
+    finally:
+        sc.setJobGroup(None, None)
+    assert len(rows) == 40
+    st = sc.statusTracker()
+    jobs = st.getJobIdsForGroup(group)
+    assert len(jobs) <= 6, f"expected <= 6 jobs for iters=2, got {len(jobs)}"
+    for j in jobs:
+        for s in list(st.getJobInfo(j).stageIds):
+            info = st.getStageInfo(s)
+            if info is not None:
+                assert "localCheckpoint" not in info.name
+
+
 def test_semdedup_invariant_under_repartitioning(spark):
     from etl_opensky_spark.functions.clustering import semdedup
 

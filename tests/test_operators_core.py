@@ -232,6 +232,55 @@ def test_asof_join_attaches_latest_row_wholesale(spark):
     row = out.collect()[0]
     assert row["px_asof"] == 11.0
     assert row["sz_asof"] is None  # from the t=5 row, NOT backfilled from t=1
+
+
+def test_asof_join_salted_equals_unsalted_on_skewed_entity(spark):
+    """One dominant entity (90% of rows) + salt_buckets: identical answer
+    to the unsalted path, including seam inheritance across buckets and
+    the NULL-before-first-quote edge."""
+    import random
+
+    from etl_opensky_spark.operators.asof import asof_join
+
+    rng = random.Random(7)
+    # hot entity: quotes at even times, trades everywhere; cold entity sparse
+    quotes = [("HOT", t, float(t)) for t in range(0, 400, 2)] + [
+        ("COLD", 100, 1.0), ("COLD", 300, 2.0)
+    ]
+    trades = [("HOT", rng.randrange(0, 420), i) for i in range(600)] + [
+        ("COLD", 50, 9001), ("COLD", 150, 9002), ("COLD", 350, 9003)
+    ]
+    qdf = spark.createDataFrame(quotes, "sym string, t int, px double")
+    tdf = spark.createDataFrame(trades, "sym string, t int, qty int")
+    plain = asof_join(tdf, qdf, on="t", by=["sym"], value_cols=["px"])
+    salted = asof_join(
+        tdf, qdf, on="t", by=["sym"], value_cols=["px"], salt_buckets=8
+    )
+    key = lambda r: (r["sym"], r["t"], r["qty"], r["px_asof"])  # noqa: E731
+    assert sorted(map(key, salted.collect())) == sorted(map(key, plain.collect()))
+
+
+def test_asof_join_salted_spreads_hot_key_over_buckets(spark):
+    """The salted window must partition on (by, bucket): the hot entity's
+    rows land in >1 bucket (so >1 task at scale), and the plan's window
+    spec carries the bucket column."""
+    from etl_opensky_spark.operators.asof import asof_join
+
+    quotes = spark.createDataFrame(
+        [("HOT", t, float(t)) for t in range(0, 100, 5)],
+        "sym string, t int, px double",
+    )
+    trades = spark.createDataFrame(
+        [("HOT", t, t) for t in range(100)], "sym string, t int, qty int"
+    )
+    out = asof_join(
+        trades, quotes, on="t", by=["sym"], value_cols=["px"], salt_buckets=8
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "_bk" in plan  # window partition spec includes the salt bucket
+    # bucket assignment itself spreads the single entity
+    got = {r["t"]: r["px_asof"] for r in out.collect()}
+    assert got[0] == 0.0 and got[99] == 95.0 and got[4] == 0.0
     from etl_opensky_spark.operators.joins import salted_join
 
     # heavily skewed big side: one hot key

@@ -74,7 +74,9 @@ def test_bench_list_covers_every_catalog_query():
     # bench.py's list is maintained by hand; a forgotten entry means a
     # query family ships unbenched (and a typo'd one crashes the bench)
     import bench
-    from etl_opensky_spark.queries import QUERIES
+    from etl_opensky_spark.queries import BENCH_ONLY_QUERIES, QUERIES
 
-    assert set(bench.BENCH_QUERIES) == set(QUERIES)
+    assert set(bench.BENCH_QUERIES) == set(QUERIES) | set(BENCH_ONLY_QUERIES)
     assert len(bench.BENCH_QUERIES) == len(set(bench.BENCH_QUERIES))
+    # cooled re-measure targets must exist in the benched catalog
+    assert set(bench.COOLED_QUERIES) <= set(bench.BENCH_QUERIES)
