@@ -123,6 +123,12 @@ BENCH_QUERIES = [
     "q100_bucketed_join",
     "q101_salted_join",
     "q102_merge_upsert",
+    "q103_binary_source",
+    "q104_bpe_pairs",
+    "q105_rrf_fusion",
+    "q106_lm_perplexity",
+    "q107_quantized_ann",
+    "q108_stream_topk",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

@@ -1,0 +1,113 @@
+"""Distributed n-gram language modeling for corpus quality filtering.
+
+CCNet-style pipelines (Wenzek et al., 2020) score every document with a
+language-model negative log-likelihood and keep/bucket by perplexity.  At
+100 TB a neural LM pass is a GPU fleet; a corpus-trained n-gram LM is a
+few Spark aggregates — and is exactly what CCNet's KenLM stage computes.
+This module trains an add-one-smoothed bigram LM over the corpus itself
+and scores each document, entirely in DataFrame ops:
+
+1. tokenize per row (narrow, no shuffle);
+2. ONE groupBy for unigram counts, ONE for bigram counts (map-side
+   combined — the classic word-count shape that scales linearly);
+3. per-bigram-type NLL, micro-quantized to exact integers (the DSIR
+   pattern, ``sampling.dsir_log_weights``) so results are reproducible
+   across engines and partitionings;
+4. per-doc score = equi-join of the doc's *distinct* bigrams to the
+   stats table (distinct-per-doc first, so the join left side is
+   bounded by vocabulary growth, not token count), then an integer sum.
+
+No UDFs, no collect, no broadcast of unbounded state.  The reference has
+no LM surface; this extends the text-analysis suite (SURVEY §2 extension,
+same family as functions/text.py quality scoring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_opensky_spark.functions.text import tokenize
+
+
+def _doc_bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, w1, w2, n_occ) — adjacent-token pairs after dropping empty
+    tokens, counted within each document first so downstream joins see
+    distinct bigrams per doc, not raw token volume."""
+    toks = F.filter(tokenize(F.col(text_col)), lambda x: x != F.lit(""))
+    df = docs.select(F.col(id_col), toks.alias("_ts")).filter(
+        F.size("_ts") >= 2
+    )
+    pairs = df.select(
+        id_col,
+        F.explode(
+            F.arrays_zip(
+                F.slice("_ts", 1, F.size("_ts") - 1).alias("w1"),
+                F.slice("_ts", 2, F.size("_ts") - 1).alias("w2"),
+            )
+        ).alias("_p"),
+    ).select(id_col, F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+    return pairs.groupBy(id_col, "w1", "w2").agg(
+        F.count("*").alias("n_occ")
+    )
+
+
+def bigram_nll_scores(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Score every document under a corpus-trained add-1 bigram LM.
+
+    Returns ``(id_col, n_bigrams, nll_micros)`` where ``nll_micros`` is
+    the document's total negative log-likelihood in integer micro-nats:
+    each bigram type's ``-ln((c(w1,w2)+1) / (c(w1)+V))`` is rounded to
+    micros ONCE (so the per-doc sum is exact integer arithmetic —
+    associative, partitioning-invariant), then weighted by the bigram's
+    in-doc occurrence count.  ``nll_micros / n_bigrams / 1e6`` is the
+    average NLL in nats; ``exp`` of that is the document perplexity.
+
+    Smoothing uses the full unigram count as the context count and the
+    corpus vocabulary size V — the textbook add-1 estimator.  V rides
+    along as a literal from one count-distinct aggregate (a scalar, not
+    a broadcast table).
+    """
+    bigrams = _doc_bigrams(docs, id_col, text_col).cache()
+
+    # corpus-level stats: bigram-type counts, unigram context counts, V
+    bg_counts = bigrams.groupBy("w1", "w2").agg(
+        F.sum("n_occ").alias("c12")
+    )
+    toks = docs.select(
+        F.explode(
+            F.filter(tokenize(F.col(text_col)), lambda x: x != F.lit(""))
+        ).alias("w")
+    )
+    uni = toks.groupBy("w").agg(F.count("*").alias("c1"))
+    vocab_size = uni.count()  # scalar V — one job, result is a literal
+
+    nll = (
+        bg_counts.join(uni, bg_counts["w1"] == uni["w"], "inner")
+        .drop("w")
+        .withColumn(
+            "nll_micros_per_occ",
+            F.round(
+                -F.log(
+                    (F.col("c12") + F.lit(1.0))
+                    / (F.col("c1") + F.lit(float(vocab_size)))
+                )
+                * 1_000_000.0
+            ).cast("bigint"),
+        )
+        .select("w1", "w2", "nll_micros_per_occ")
+    )
+
+    scored = (
+        bigrams.join(nll, ["w1", "w2"], "inner")
+        .groupBy(id_col)
+        .agg(
+            F.sum("n_occ").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("n_occ") * F.col("nll_micros_per_occ"))
+            .cast("bigint")
+            .alias("nll_micros"),
+        )
+    )
+    return scored

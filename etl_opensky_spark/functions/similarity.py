@@ -186,3 +186,104 @@ def knn_classify(
         .filter(F.col("_r") == 1)
         .select("query_id", F.col(label_col).alias("predicted_label"), "votes")
     )
+
+
+def quantize_int8(vec_col: Column) -> Column:
+    """Symmetric per-vector int8 quantization: ``q_i = round(x_i * 127 /
+    max_j |x_j|)`` — the standard scalar-quantized index format (FAISS
+    SQ8).  4× less memory/IO than float32, and downstream dot products
+    become EXACT integer arithmetic (reproducible across engines and
+    partitionings — no float-sum ordering hazards).
+
+    Pure Column expression (transform + array_max), evaluated JVM-side;
+    zero-vectors map to all-zero codes via the max(eps) guard.
+    """
+    xs = F.transform(vec_col, lambda x: x.cast("double"))
+    max_abs = F.greatest(
+        F.array_max(F.transform(xs, lambda x: F.abs(x))), F.lit(1e-30)
+    )
+    return F.transform(
+        xs, lambda x: F.round(x * F.lit(127.0) / max_abs).cast("bigint")
+    )
+
+
+def _max_abs(vec_dbl: Column) -> Column:
+    """Per-vector quantization scale denominator, eps-guarded."""
+    return F.greatest(
+        F.array_max(F.transform(vec_dbl, lambda x: F.abs(x))), F.lit(1e-30)
+    )
+
+
+def quantized_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Int8-quantized max-inner-product top-k, with per-row recall
+    marking against the exact float ranking.
+
+    The corpus AND the query (row ``query_id``'s vector) are quantized
+    with :func:`quantize_int8`.  The integer code dot ``qdot = Σ q_i·x_i``
+    is exact bigint arithmetic, but because quantization scales each
+    vector by its OWN max, ``qdot`` alone ranks by direction only —
+    honest SQ8 MIPS ranks by the dequantized estimate
+    ``adot = qdot · vmax · qmax / 127²`` (one multiply per candidate;
+    deterministic doubles, rounded once).  Each returned row carries
+    ``in_exact_topk``: whether that id also appears in the float
+    dot-product top-k (the recall diagnostic a quantized index ships
+    with).
+
+    Scale: the query row is a 1-row broadcast (deliberate constant-side
+    cross), scoring is one narrow pass, top-k is Spark's distributed
+    TakeOrdered.  At index-build time the quantized codes and per-vector
+    scales would be written once and reused; here they fold into the
+    same scan.
+    """
+    qd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    q = embeddings.filter(F.col(id_col) == query_id).select(
+        quantize_int8(F.col(vec_col)).alias("_qq"),
+        qd.alias("_qf"),
+        _max_abs(qd).alias("_qmax"),
+    )
+    base = embeddings.filter(F.col(id_col) != query_id)
+    qdot = F.aggregate(
+        F.zip_with(
+            quantize_int8(F.col(vec_col)), F.col("_qq"), lambda a, b: a * b
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = base.crossJoin(F.broadcast(q)).select(
+        F.col(id_col),
+        qdot.alias("qdot"),
+        F.round(
+            qdot * _max_abs(qd) * F.col("_qmax") / F.lit(127.0 * 127.0), 6
+        ).alias("adot"),
+        F.round(
+            F.aggregate(
+                F.zip_with(qd, F.col("_qf"), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("_fdot"),
+    )
+    exact_ids = scored.orderBy(
+        F.col("_fdot").desc(), F.col(id_col)
+    ).limit(k).select(F.col(id_col).alias("_eid"))
+    topq = scored.orderBy(F.col("adot").desc(), F.col(id_col)).limit(k)
+    return (
+        topq.join(
+            F.broadcast(exact_ids),
+            topq[id_col] == exact_ids["_eid"],
+            "left",
+        )
+        .select(
+            id_col,
+            "qdot",
+            "adot",
+            F.col("_eid").isNotNull().alias("in_exact_topk"),
+        )
+    )

@@ -3775,6 +3775,323 @@ FROM merged GROUP BY y, o_orderstatus
 """
 
 
+def q103_binary_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-file source gate (sources.scan_binary_files): the first 40
+    documents are materialized as raw ``.bin`` files (utf-8 bytes —
+    fixture setup, driver-side by construction, bounded at 40), then
+    ingested through Spark's distributed ``binaryFile`` source and
+    checksummed executor-side.  This is the multimodal on-ramp: blobs in,
+    (id, byte-length, md5) out, no driver IO on the read path.  The
+    oracle checksums the same texts straight from the documents table."""
+    import os
+    import shutil
+
+    from etl_opensky_spark.sources.files import scan_binary_files
+
+    root = _gate_tmp("q103_blobs", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", "text")
+        .collect()  # 40-row fixture write, documented bound
+    )
+    for r in docs:
+        with open(os.path.join(root, f"doc_{r['doc_id']}.bin"), "wb") as fh:
+            fh.write(r["text"].encode("utf-8"))
+    blobs = scan_binary_files(spark, root, glob="*.bin")
+    return blobs.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.length("content").cast("int").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )
+
+
+ORACLE_Q103 = """
+SELECT doc_id,
+  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+  md5(text) AS content_md5
+FROM documents WHERE doc_id < 40
+"""
+
+
+def q104_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE trainer step (text.bpe_pair_counts): adjacent
+    character-pair frequencies over the corpus, computed via the
+    distinct-word frequency table so the pair explosion is O(vocab),
+    not O(corpus) — the shape that survives trillion-token tokenizer
+    training.  Top-50 pairs, integer counts, total order at the cut."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.bpe_pair_counts(docs, "text", top_n=50)
+
+
+ORACLE_Q104 = """
+WITH words AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  FROM documents
+), wf AS (
+  SELECT w, COUNT(*) AS freq FROM words WHERE w <> '' GROUP BY w
+), pairs AS (
+  SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, freq
+  FROM (SELECT w, freq, unnest(range(1, length(w))) AS i
+        FROM wf WHERE length(w) >= 2)
+)
+SELECT pair, CAST(SUM(freq) AS BIGINT) AS n_occurrences
+FROM pairs GROUP BY pair
+ORDER BY n_occurrences DESC, pair
+LIMIT 50
+"""
+
+
+def q105_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (retrieval.rrf_fuse): BM25 lexical top-20 and
+    dense cosine top-20 (query = vec_id 0's embedding, ids aligned with
+    doc ids) fused by reciprocal-rank fusion, k=60.  Both rankers sort
+    on ROUND(score, 6) with id tie-breaks so the integer ranks — and
+    therefore the micro-quantized RRF scores — are engine-exact."""
+    from etl_opensky_spark.functions.retrieval import rank_topn, rrf_fuse
+    from etl_opensky_spark.functions.similarity import cosine
+
+    docs = _t(spark, sf_dir, "documents")
+    lex_scored = TX.bm25_scores(
+        docs, "doc_id", "text", ["spark", "vector", "join"], k1=1.2, b=0.75
+    ).select("doc_id", F.round("bm25", 6).alias("score"))
+    lex = rank_topn(lex_scored, "score", "doc_id", n=20)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    q = F.array(*[F.lit(float(v)) for v in qvec])
+    dense_scored = emb.filter(F.col("vec_id") != 0).select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(cosine(F.col("embedding"), q), 6).alias("score"),
+    )
+    dense = rank_topn(dense_scored, "score", "doc_id", n=20)
+
+    fused = rrf_fuse(lex, dense, "doc_id", k=60)
+    return fused.select(
+        "doc_id",
+        F.col("rank_a").alias("lex_rank"),
+        F.col("rank_b").alias("dense_rank"),
+        "rrf_micros",
+    )
+
+
+ORACLE_Q105 = """
+WITH base AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+         ELSE string_split_regex(trim(lower(text)), '\\s+') END AS ts
+  FROM documents
+), stats AS (
+  SELECT COUNT(*) AS n, AVG(len(ts)) AS avgdl,
+    COUNT(*) FILTER (WHERE list_contains(ts, 'spark'))  AS df0,
+    COUNT(*) FILTER (WHERE list_contains(ts, 'vector')) AS df1,
+    COUNT(*) FILTER (WHERE list_contains(ts, 'join'))   AS df2
+  FROM base
+), lex_scored AS (
+  SELECT doc_id, ROUND(bm25, 6) AS score FROM (
+    SELECT doc_id,
+      CAST(list_contains(ts, 'spark') AS INTEGER)
+        + CAST(list_contains(ts, 'vector') AS INTEGER)
+        + CAST(list_contains(ts, 'join') AS INTEGER) AS matched_terms,
+        (ln(1 + (n - df0 + 0.5) / (df0 + 0.5))
+           * (len(list_filter(ts, x -> x = 'spark')) * 2.2)
+           / (len(list_filter(ts, x -> x = 'spark'))
+              + 1.2 * (0.25 + (0.75 * len(ts)) / avgdl)))
+      + (ln(1 + (n - df1 + 0.5) / (df1 + 0.5))
+           * (len(list_filter(ts, x -> x = 'vector')) * 2.2)
+           / (len(list_filter(ts, x -> x = 'vector'))
+              + 1.2 * (0.25 + (0.75 * len(ts)) / avgdl)))
+      + (ln(1 + (n - df2 + 0.5) / (df2 + 0.5))
+           * (len(list_filter(ts, x -> x = 'join')) * 2.2)
+           / (len(list_filter(ts, x -> x = 'join'))
+              + 1.2 * (0.25 + (0.75 * len(ts)) / avgdl))) AS bm25
+    FROM base CROSS JOIN stats
+  ) WHERE matched_terms > 0
+), lex AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER)
+    AS lex_rank
+  FROM lex_scored ORDER BY score DESC, doc_id LIMIT 20
+), q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+), dense_scored AS (
+  SELECT vec_id AS doc_id,
+    ROUND(list_dot_product(e.embedding::DOUBLE[], q.qv)
+          / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+             * sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
+  FROM embeddings e, q WHERE vec_id != 0
+), dense AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER)
+    AS dense_rank
+  FROM dense_scored ORDER BY score DESC, doc_id LIMIT 20
+)
+SELECT COALESCE(lex.doc_id, dense.doc_id) AS doc_id, lex_rank, dense_rank,
+  CAST(round((COALESCE(1.0 / (60.0 + CAST(lex_rank AS DOUBLE)), 0.0)
+            + COALESCE(1.0 / (60.0 + CAST(dense_rank AS DOUBLE)), 0.0))
+           * 1000000.0) AS BIGINT) AS rrf_micros
+FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id
+"""
+
+
+def q106_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram-LM document scoring (lm.bigram_nll_scores)
+    — the CCNet perplexity-filter stage expressed as two word-count
+    aggregates plus one distinct-bigram equi-join.  Per-bigram NLLs are
+    micro-quantized once (DSIR pattern) so per-doc sums are exact
+    integers: partitioning-invariant and engine-exact."""
+    from etl_opensky_spark.functions.lm import bigram_nll_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_nll_scores(docs, "doc_id", "text")
+
+
+ORACLE_Q106 = """
+WITH toklists AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                x -> x <> '') AS ts
+  FROM documents
+), toks AS (
+  SELECT doc_id, unnest(ts) AS w FROM toklists
+), uni AS (
+  SELECT w, COUNT(*) AS c1 FROM toks GROUP BY w
+), v AS (
+  SELECT COUNT(*) AS vocab FROM uni
+), doc_bigrams AS (
+  SELECT doc_id, ts[CAST(i AS INTEGER)] AS w1,
+         ts[CAST(i AS INTEGER) + 1] AS w2, COUNT(*) AS n_occ
+  FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
+        FROM toklists WHERE len(ts) >= 2)
+  GROUP BY doc_id, w1, w2
+), bg AS (
+  SELECT w1, w2, SUM(n_occ) AS c12 FROM doc_bigrams GROUP BY w1, w2
+), nll AS (
+  SELECT w1, w2,
+    CAST(round(-ln((c12 + 1.0) / (c1 + CAST(vocab AS DOUBLE)))
+               * 1000000.0) AS BIGINT) AS nll_micros_per_occ
+  FROM bg JOIN uni ON bg.w1 = uni.w CROSS JOIN v
+)
+SELECT doc_id, CAST(SUM(n_occ) AS BIGINT) AS n_bigrams,
+  CAST(SUM(n_occ * nll_micros_per_occ) AS BIGINT) AS nll_micros
+FROM doc_bigrams JOIN nll USING (w1, w2)
+GROUP BY doc_id
+"""
+
+
+def q107_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantized MIPS top-10 (similarity.quantized_topk):
+    per-vector symmetric quantization (FAISS-SQ8 shape), EXACT bigint
+    dot-product ranking, and a per-row recall flag against the float
+    top-10.  The integer path removes every float-ordering hazard; the
+    float diagnostic uses the same fixed fold order as the oracle."""
+    from etl_opensky_spark.functions.similarity import quantized_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return quantized_topk(emb, query_id=0, k=10)
+
+
+ORACLE_Q107 = """
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+), qq AS (
+  SELECT qv,
+    greatest(list_max(list_transform(qv, x -> abs(x))), 1e-30) AS qmax
+  FROM q
+), qc AS (
+  SELECT qv, qmax,
+    list_transform(qv, x -> CAST(round(x * 127.0 / qmax) AS BIGINT)) AS qcodes
+  FROM qq
+), base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id != 0
+), bmax AS (
+  SELECT vec_id, v,
+    greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) AS vmax
+  FROM base
+), scored AS (
+  SELECT vec_id,
+    CAST(list_dot_product(
+      list_transform(v, x -> CAST(round(x * 127.0 / vmax) AS BIGINT)),
+      qcodes) AS BIGINT) AS qdot,
+    ROUND(CAST(list_dot_product(
+        list_transform(v, x -> CAST(round(x * 127.0 / vmax) AS BIGINT)),
+        qcodes) AS BIGINT) * vmax * qmax / (127.0 * 127.0), 6) AS adot,
+    ROUND(list_dot_product(v, qv), 6) AS fdot
+  FROM bmax CROSS JOIN qc
+), exact_top AS (
+  SELECT vec_id FROM scored ORDER BY fdot DESC, vec_id LIMIT 10
+), quant_top AS (
+  SELECT vec_id, qdot, adot FROM scored ORDER BY adot DESC, vec_id LIMIT 10
+)
+SELECT q.vec_id, q.qdot, q.adot,
+  (e.vec_id IS NOT NULL) AS in_exact_topk
+FROM quant_top q LEFT JOIN exact_top e ON q.vec_id = e.vec_id
+"""
+
+
+def q108_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lambda-architecture serving step over a streaming aggregate:
+    watermarked per-(day, user) value totals stream into a memory sink
+    (availableNow), then the bounded result is ranked batch-side —
+    top-3 users per day by summed value (rank windows are not legal
+    inside a streaming agg; ranking the materialized state is the
+    standard serving pattern).  Decimal-exact sums, total order."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    on_disk_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = _ensure_ltz(
+        spark.readStream.schema(on_disk_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("w"), "user_id")
+        .agg(F.sum(_dec("value", 6)).alias("sum_value_dec"))
+    )
+    name = "stream_topk_users"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    wr = Window.partitionBy(F.col("w.start")).orderBy(
+        F.col("sum_value_dec").desc(), F.col("user_id")
+    )
+    return (
+        spark.table(name)
+        .withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("w.start").alias("day"),
+            "user_id",
+            F.col("sum_value_dec").cast("double").alias("sum_value"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+ORACLE_Q108 = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id,
+    SUM(CAST(value AS DECIMAL(18,6))) AS sum_value_dec
+  FROM events GROUP BY 1, 2
+)
+SELECT day, user_id, CAST(sum_value_dec AS DOUBLE) AS sum_value,
+  CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT day, user_id, sum_value_dec,
+    row_number() OVER (PARTITION BY day
+                       ORDER BY sum_value_dec DESC, user_id) AS rnk
+  FROM daily
+) WHERE rnk <= 3
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -3878,6 +4195,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q100_bucketed_join": q100_bucketed_join,
     "q101_salted_join": q101_salted_join,
     "q102_merge_upsert": q102_merge_upsert,
+    "q103_binary_source": q103_binary_source,
+    "q104_bpe_pairs": q104_bpe_pairs,
+    "q105_rrf_fusion": q105_rrf_fusion,
+    "q106_lm_perplexity": q106_lm_perplexity,
+    "q107_quantized_ann": q107_quantized_ann,
+    "q108_stream_topk": q108_stream_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -3982,6 +4305,12 @@ ORACLES: dict[str, str] = {
     "q100_bucketed_join": ORACLE_Q100,
     "q101_salted_join": ORACLE_Q101,
     "q102_merge_upsert": ORACLE_Q102,
+    "q103_binary_source": ORACLE_Q103,
+    "q104_bpe_pairs": ORACLE_Q104,
+    "q105_rrf_fusion": ORACLE_Q105,
+    "q106_lm_perplexity": ORACLE_Q106,
+    "q107_quantized_ann": ORACLE_Q107,
+    "q108_stream_topk": ORACLE_Q108,
 }
 
 

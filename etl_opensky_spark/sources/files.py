@@ -64,3 +64,32 @@ def read_json_envelope(
 def empty_frame(spark: SparkSession, schema: T.StructType) -> DataFrame:
     """S8 — typed empty DataFrame (reference: src/jobs/extract_flights.py:29)."""
     return spark.createDataFrame([], schema)
+
+
+def scan_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Raw-binary ingestion for multimodal corpora: Spark's built-in
+    ``binaryFile`` source reads each file as one row of
+    ``(path, modificationTime, length, content: binary)``.
+
+    This is the on-ramp for image/audio/video blobs into the multimodal
+    pipeline (``functions/multimodal.py``): files land as opaque binary +
+    typed metadata, feature extraction happens downstream in fused Arrow
+    batches.  Scale notes:
+
+    - the listing is distributed (driver lists, executors read), and each
+      file is read exactly once by one task — no driver-side ``open()``
+      loop;
+    - ``pathGlobFilter`` prunes at listing time, before any IO;
+    - ``spark.sql.files.maxPartitionBytes`` packs many small files into
+      one task (the small-files problem is handled by the source, not by
+      the caller).
+
+    The reference has no binary source (its media never leaves HDFS paths);
+    this extends §2.1 for the training-data pipeline.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

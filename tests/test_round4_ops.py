@@ -1,0 +1,156 @@
+"""Round-4 operators: binary source, BPE pair counts, RRF fusion,
+bigram-LM scoring, int8-quantized ANN."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from tests.conftest import rows
+
+
+# --- scan_binary_files -------------------------------------------------------
+
+
+def test_binary_source_reads_bytes_and_metadata(spark, tmp_path):
+    from etl_opensky_spark.sources.files import scan_binary_files
+
+    payloads = {"a.bin": b"hello", "b.bin": b"\x00\xffbytes", "c.txt": b"nope"}
+    for name, data in payloads.items():
+        (tmp_path / name).write_bytes(data)
+
+    df = scan_binary_files(spark, str(tmp_path), glob="*.bin")
+    got = {r["path"].rsplit("/", 1)[-1]: bytes(r["content"]) for r in df.collect()}
+    assert got == {"a.bin": b"hello", "b.bin": b"\x00\xffbytes"}
+    lengths = {
+        r["path"].rsplit("/", 1)[-1]: r["length"] for r in df.collect()
+    }
+    assert lengths == {"a.bin": 5, "b.bin": 7}
+
+
+# --- bpe_pair_counts ---------------------------------------------------------
+
+
+def test_bpe_pair_counts_hand_checked(spark):
+    from etl_opensky_spark.functions.text import bpe_pair_counts
+
+    docs = spark.createDataFrame(
+        [(1, "abab ab"), (2, "ab cd")], ["doc_id", "text"]
+    )
+    # words: abab(1), ab(2), cd(1)
+    # abab pairs: ab, ba, ab -> ab:2, ba:1 ; ab -> ab:1 per occurrence (x2)
+    # totals: ab = 2 + 2 = 4, ba = 1, cd = 1
+    got = {r["pair"]: r["n_occurrences"] for r in
+           bpe_pair_counts(docs, "text", top_n=10).collect()}
+    assert got == {"ab": 4, "ba": 1, "cd": 1}
+
+
+def test_bpe_pair_counts_ignores_single_char_words(spark):
+    from etl_opensky_spark.functions.text import bpe_pair_counts
+
+    docs = spark.createDataFrame([(1, "a b c xy")], ["doc_id", "text"])
+    got = rows(bpe_pair_counts(docs, "text", top_n=10))
+    assert got == [("xy", 1)]
+
+
+def test_bpe_pair_counts_partitioning_invariant(spark):
+    from etl_opensky_spark.functions.text import bpe_pair_counts
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} shared shared tok{i % 3}") for i in range(100)],
+        ["doc_id", "text"],
+    )
+    one = rows(bpe_pair_counts(docs.coalesce(1), "text", top_n=20))
+    many = rows(bpe_pair_counts(docs.repartition(8), "text", top_n=20))
+    assert one == many
+
+
+# --- rrf fusion --------------------------------------------------------------
+
+
+def test_rank_topn_orders_and_bounds(spark):
+    from etl_opensky_spark.functions.retrieval import rank_topn
+
+    scored = spark.createDataFrame(
+        [(1, 0.9), (2, 0.9), (3, 0.5), (4, 1.0)], ["doc_id", "score"]
+    )
+    got = rows(rank_topn(scored, "score", "doc_id", n=3))
+    # ties on score break by id: 4 (1.0), then 1, 2 (0.9)
+    assert got == [(1, 2), (2, 3), (4, 1)]
+
+
+def test_rrf_fuse_full_outer_and_quantization(spark):
+    from etl_opensky_spark.functions.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2)], ["doc_id", "rank"])
+    b = spark.createDataFrame([(2, 1), (3, 2)], ["doc_id", "rank"])
+    got = {r["doc_id"]: r for r in rrf_fuse(a, b, "doc_id", k=60).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["rank_a"] == 1 and got[1]["rank_b"] is None
+    assert got[1]["rrf_micros"] == round(1e6 / 61)
+    assert got[2]["rrf_micros"] == round(1e6 * (1 / 62 + 1 / 61))
+    assert got[3]["rrf_micros"] == round(1e6 / 62)
+
+
+# --- bigram LM ---------------------------------------------------------------
+
+
+def test_bigram_nll_hand_computed(spark):
+    from etl_opensky_spark.functions.lm import bigram_nll_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "c")], ["doc_id", "text"]
+    )
+    # tokens: doc1 [a b a b], doc2 [a b], doc3 [c]  -> V = 3 (a, b, c)
+    # unigrams: a=3, b=3, c=1
+    # bigrams:  (a,b) c12=3  (doc1 x2, doc2 x1);  (b,a) c12=1
+    # nll(a,b) = -ln((3+1)/(3+3)); nll(b,a) = -ln((1+1)/(3+3))
+    nll_ab = round(-math.log(4 / 6) * 1e6)
+    nll_ba = round(-math.log(2 / 6) * 1e6)
+    got = {r["doc_id"]: r for r in
+           bigram_nll_scores(docs, "doc_id", "text").collect()}
+    assert set(got) == {1, 2}  # doc3 has no bigrams
+    assert got[1]["n_bigrams"] == 3
+    assert got[1]["nll_micros"] == 2 * nll_ab + nll_ba
+    assert got[2]["n_bigrams"] == 1
+    assert got[2]["nll_micros"] == nll_ab
+
+
+def test_bigram_nll_partitioning_invariant(spark):
+    from etl_opensky_spark.functions.lm import bigram_nll_scores
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 5} w{(i + 1) % 5} w{i % 3} end") for i in range(60)],
+        ["doc_id", "text"],
+    )
+    one = rows(bigram_nll_scores(docs.coalesce(1), "doc_id", "text"))
+    many = rows(bigram_nll_scores(docs.repartition(7), "doc_id", "text"))
+    assert one == many
+
+
+# --- int8 quantized ANN ------------------------------------------------------
+
+
+def test_quantize_int8_range_and_extremes(spark):
+    from etl_opensky_spark.functions.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [([0.5, -1.0, 0.25],), ([0.0, 0.0],)], ["v"]
+    ).select(quantize_int8(F.col("v")).alias("q"))
+    got = [r["q"] for r in df.collect()]
+    assert got[0] == [64, -127, 32]  # round(0.5*127), -127, round(0.25*127)
+    assert got[1] == [0, 0]  # zero vector maps to zero codes, no div-by-zero
+
+
+def test_quantized_topk_matches_exact_on_separable_data(spark):
+    from etl_opensky_spark.functions.similarity import quantized_topk
+
+    # well-separated vectors: quantized ranking == float ranking
+    data = [(i, [float(i), 1.0]) for i in range(20)]
+    emb = spark.createDataFrame(data, ["vec_id", "embedding"])
+    got = quantized_topk(emb, query_id=19, k=5).collect()
+    assert [r["vec_id"] for r in got] == [18, 17, 16, 15, 14]
+    assert all(r["in_exact_topk"] for r in got)
+    # integer dots are exact: dot(q18, q19) with per-vector scales
+    assert all(isinstance(r["qdot"], int) for r in got)
