@@ -129,6 +129,9 @@ BENCH_QUERIES = [
     "q106_lm_perplexity",
     "q107_quantized_ann",
     "q108_stream_topk",
+    "q109_cdc_apply",
+    "q110_compaction",
+    "q111_stream_upsert",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

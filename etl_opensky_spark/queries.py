@@ -4092,6 +4092,184 @@ FROM (
 """
 
 
+def q109_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog apply (cdc.apply_changelog): a Debezium-shaped
+    change log — re-sent inserts, multiple updates per key (latest-seq
+    wins), deletes that beat earlier updates — reconciled into the
+    orders snapshot.  Keys %5==0 get U@seq1 (price×3) then U@seq2
+    (price×2); %7==0 get D@seq3 (so %35==0 is update-then-DELETE);
+    %11==3 keys absent from the target arrive as I@seq1.  Aggregated
+    by status for a compact hash gate."""
+    from etl_opensky_spark.operators.cdc import apply_changelog
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").alias("price"),
+    )
+    target = base.filter(F.col("o_orderkey") % 11 != 3)
+    k = F.col("o_orderkey")
+    upd1 = base.filter(k % 5 == 0).select(
+        "o_orderkey", F.lit("U").alias("o_orderstatus"),
+        (F.col("price") * 3).alias("price"),
+        F.lit("U").alias("op"), F.lit(1).alias("seq"),
+    )
+    upd2 = base.filter(k % 5 == 0).select(
+        "o_orderkey", F.lit("V").alias("o_orderstatus"),
+        (F.col("price") * 2).alias("price"),
+        F.lit("U").alias("op"), F.lit(2).alias("seq"),
+    )
+    dels = base.filter(k % 7 == 0).select(
+        "o_orderkey", "o_orderstatus", "price",
+        F.lit("D").alias("op"), F.lit(3).alias("seq"),
+    )
+    ins = base.filter(k % 11 == 3).select(
+        "o_orderkey", F.lit("N").alias("o_orderstatus"), "price",
+        F.lit("I").alias("op"), F.lit(1).alias("seq"),
+    )
+    changes = upd1.unionByName(upd2).unionByName(dels).unionByName(ins)
+    snapshot = apply_changelog(target, changes, ["o_orderkey"], "seq")
+    return snapshot.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(_dec("price")).cast("double").alias("total_price"),
+        F.min("o_orderkey").alias("min_key"),
+    )
+
+
+ORACLE_Q109 = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice AS price FROM orders
+), tgt AS (
+  SELECT * FROM base WHERE o_orderkey % 11 <> 3
+), changes AS (
+  SELECT o_orderkey, 'U' AS o_orderstatus, price * 3 AS price,
+         'U' AS op, 1 AS seq FROM base WHERE o_orderkey % 5 = 0
+  UNION ALL
+  SELECT o_orderkey, 'V', price * 2, 'U', 2 FROM base WHERE o_orderkey % 5 = 0
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, price, 'D', 3 FROM base
+  WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey, 'N', price, 'I', 1 FROM base WHERE o_orderkey % 11 = 3
+), latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                 ORDER BY seq DESC) AS rn
+    FROM changes
+  ) WHERE rn = 1
+), snapshot AS (
+  SELECT o_orderkey, o_orderstatus, price FROM tgt t
+  WHERE NOT EXISTS (SELECT 1 FROM latest l
+                    WHERE l.o_orderkey = t.o_orderkey)
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, price FROM latest WHERE op <> 'D'
+)
+SELECT o_orderstatus, COUNT(*) AS n,
+  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+  MIN(o_orderkey) AS min_key
+FROM snapshot GROUP BY o_orderstatus
+"""
+
+
+def q110_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction gate (sinks.compact_parquet): an events
+    lake deliberately written as a per-task dribble (16 files per day
+    partition) is compacted to ~1 file per partition via the staged
+    rewrite + directory-rename commit; the gate proves the rewrite is
+    LAYOUT-ONLY — values hash-match the source table exactly."""
+    import shutil
+
+    from etl_opensky_spark.sources.sinks import compact_parquet
+
+    path = _gate_tmp("q110_lake", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    ev = _events(spark, sf_dir).withColumn(
+        "d", F.to_date("ts").cast("string")
+    )
+    ev.repartition(16).write.partitionBy("d").parquet(path)
+    compact_parquet(
+        spark, path, partition_by=["d"], target_rows_per_file=1_000_000
+    )
+    back = spark.read.parquet(path)
+    return back.groupBy("d").agg(
+        F.count("*").alias("n"),
+        F.sum(_dec("value", 6)).cast("double").alias("sum_value"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+    )
+
+
+ORACLE_Q110 = """
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d, COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+  MIN(event_id) AS min_event_id, MAX(event_id) AS max_event_id
+FROM events GROUP BY 1
+"""
+
+
+def q111_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once lake upsert: the events table is staged
+    TWICE into a landing directory (a replayed extract), streamed file
+    by file (maxFilesPerTrigger=1), and each micro-batch is MERGEd into
+    a day-partitioned lake by event_id via foreachBatch +
+    sinks.merge_parquet_keyed — the streaming version of the q102 ACID
+    upsert.  Replay converges: the lake equals exactly one copy of the
+    source, which is the oracle."""
+    import shutil
+
+    from etl_opensky_spark.sources.sinks import merge_parquet_keyed
+
+    landing = _gate_tmp("q111_landing", sf_dir)
+    lake = _gate_tmp("q111_lake", sf_dir)
+    shutil.rmtree(landing, ignore_errors=True)
+    shutil.rmtree(lake, ignore_errors=True)
+    ev = _events(spark, sf_dir).withColumn(
+        "d", F.to_date("ts").cast("string")
+    )
+    # replayed extract: same rows land twice, as separate files
+    ev.coalesce(1).write.mode("append").parquet(landing)
+    ev.coalesce(1).write.mode("append").parquet(landing)
+
+    schema = spark.read.parquet(landing).schema
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(landing)
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # a replayed file can repeat keys WITHIN a batch too — pick one
+        # deterministic row per key before the keyed merge
+        w = Window.partitionBy("event_id").orderBy("ts")
+        once = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        merge_parquet_keyed(
+            spark, lake, once, ["event_id"], ["d"],
+            keys_are_partition_stable=True, lock_timeout_sec=60.0,
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", lake + "._checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(lake)
+    return back.groupBy("d").agg(
+        F.count("*").alias("n"),
+        F.sum(_dec("value", 6)).cast("double").alias("sum_value"),
+    )
+
+
+ORACLE_Q111 = """
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d, COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -4201,6 +4379,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q106_lm_perplexity": q106_lm_perplexity,
     "q107_quantized_ann": q107_quantized_ann,
     "q108_stream_topk": q108_stream_topk,
+    "q109_cdc_apply": q109_cdc_apply,
+    "q110_compaction": q110_compaction,
+    "q111_stream_upsert": q111_stream_upsert,
 }
 
 ORACLES: dict[str, str] = {
@@ -4311,6 +4492,9 @@ ORACLES: dict[str, str] = {
     "q106_lm_perplexity": ORACLE_Q106,
     "q107_quantized_ann": ORACLE_Q107,
     "q108_stream_topk": ORACLE_Q108,
+    "q109_cdc_apply": ORACLE_Q109,
+    "q110_compaction": ORACLE_Q110,
+    "q111_stream_upsert": ORACLE_Q111,
 }
 
 

@@ -154,3 +154,82 @@ def test_quantized_topk_matches_exact_on_separable_data(spark):
     assert all(r["in_exact_topk"] for r in got)
     # integer dots are exact: dot(q18, q19) with per-vector scales
     assert all(isinstance(r["qdot"], int) for r in got)
+
+
+# --- CDC changelog apply -----------------------------------------------------
+
+
+def _cdc_frames(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        ["id", "status", "price"],
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b1", 21.0, "U", 1),
+            (2, "b2", 22.0, "U", 2),   # latest wins
+            (3, "c", 30.0, "D", 5),
+            (3, "c9", 99.0, "U", 4),   # delete at seq 5 beats this
+            (4, "d", 40.0, "I", 1),    # brand-new key
+        ],
+        ["id", "status", "price", "op", "seq"],
+    )
+    return target, changes
+
+
+def test_apply_changelog_semantics(spark):
+    from etl_opensky_spark.operators.cdc import apply_changelog
+
+    target, changes = _cdc_frames(spark)
+    got = rows(apply_changelog(target, changes, ["id"], "seq"))
+    assert got == [
+        (1, "a", 10.0),       # untouched
+        (2, "b2", 22.0),      # latest update wins
+        (4, "d", 40.0),       # inserted
+    ]                          # 3 deleted
+
+
+def test_apply_changelog_rejects_ambiguous_winning_seq(spark):
+    import pytest
+
+    from etl_opensky_spark.operators.cdc import apply_changelog
+
+    target, _ = _cdc_frames(spark)
+    changes = spark.createDataFrame(
+        [(2, "x", 1.0, "U", 7), (2, "y", 2.0, "U", 7)],
+        ["id", "status", "price", "op", "seq"],
+    )
+    with pytest.raises(ValueError, match="ambiguous"):
+        apply_changelog(target, changes, ["id"], "seq").collect()
+
+
+def test_apply_changelog_deep_ties_are_fine(spark):
+    from etl_opensky_spark.operators.cdc import apply_changelog
+
+    target, _ = _cdc_frames(spark)
+    # tie at seq 1 is irrelevant because seq 2 wins uniquely
+    changes = spark.createDataFrame(
+        [(2, "x", 1.0, "U", 1), (2, "y", 2.0, "U", 1), (2, "z", 3.0, "U", 2)],
+        ["id", "status", "price", "op", "seq"],
+    )
+    got = rows(apply_changelog(target, changes, ["id"], "seq"))
+    assert (2, "z", 3.0) in got
+
+
+def test_apply_changelog_partitioning_invariant(spark):
+    from etl_opensky_spark.operators.cdc import apply_changelog
+
+    target = spark.createDataFrame(
+        [(i, f"s{i}", float(i)) for i in range(200)],
+        ["id", "status", "price"],
+    )
+    changes = spark.createDataFrame(
+        [(i, f"u{i}", float(i * 2), "U" if i % 3 else "D", i % 7 + 1)
+         for i in range(0, 200, 2)],
+        ["id", "status", "price", "op", "seq"],
+    )
+    one = rows(apply_changelog(target.coalesce(1), changes.coalesce(1),
+                               ["id"], "seq"))
+    many = rows(apply_changelog(target.repartition(8),
+                                changes.repartition(5), ["id"], "seq"))
+    assert one == many
