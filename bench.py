@@ -132,6 +132,8 @@ BENCH_QUERIES = [
     "q109_cdc_apply",
     "q110_compaction",
     "q111_stream_upsert",
+    "q112_tfidf_terms",
+    "q113_wordpiece",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

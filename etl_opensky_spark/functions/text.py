@@ -418,3 +418,62 @@ def bpe_pair_counts(
     return counts.orderBy(
         F.col("n_occurrences").desc(), F.col("pair")
     ).limit(top_n)
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_k: int = 5,
+    min_df: int = 2,
+) -> DataFrame:
+    """Per-document top-``top_k`` terms by tf-idf — the classic corpus
+    keyword extractor (and the sparse sibling of the dense embedding
+    path).  Returns ``(id, term, tf, tfidf_micros, term_rank)``.
+
+    idf = ln(N / df) is micro-quantized ONCE per term (the DSIR rule),
+    so per-doc scores ``tf · idf_micros`` are exact integers — rank
+    order is engine-exact with deterministic (score desc, term asc)
+    ties.  ``min_df`` prunes hapax noise the way real pipelines do.
+
+    Scale shape: one (doc, term) count aggregate over the exploded
+    corpus (map-side combined word-count), one term-level df aggregate
+    REUSING that table (no second corpus pass), an equi-join of
+    doc-distinct terms to the df table, and a per-doc top-k window
+    partitioned BY DOCUMENT — bounded partitions, never a global sort.
+    """
+    from pyspark.sql.window import Window as _W
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(tokenize(F.col(text_col))).alias("term"),
+    ).filter(F.col("term") != "")
+    doc_tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df_tbl = doc_tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.select(id_col).distinct().count()  # one scalar job
+    idf = df_tbl.filter(F.col("df") >= min_df).select(
+        "term",
+        F.round(
+            F.log(F.lit(float(n_docs)) / F.col("df").cast("double"))
+            * 1_000_000.0
+        )
+        .cast("bigint")
+        .alias("idf_micros"),
+    )
+    scored = doc_tf.join(idf, "term").select(
+        id_col,
+        "term",
+        "tf",
+        (F.col("tf") * F.col("idf_micros")).cast("bigint").alias(
+            "tfidf_micros"
+        ),
+    )
+    w = _W.partitionBy(id_col).orderBy(
+        F.col("tfidf_micros").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= top_k)
+        .select(id_col, "term", "tf", "tfidf_micros",
+                F.col("term_rank").cast("int").alias("term_rank"))
+    )

@@ -4270,6 +4270,141 @@ FROM events GROUP BY 1
 """
 
 
+def q112_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document tf-idf top-5 keyword extraction
+    (text.tfidf_top_terms): one corpus word-count aggregate whose
+    shuffle output is REUSED for the df table (ReusedExchange, no
+    second corpus pass), micro-quantized idf so scores are exact
+    integers, per-doc bounded top-k window."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.tfidf_top_terms(docs, "doc_id", "text", top_k=5, min_df=2)
+
+
+ORACLE_Q112 = """
+WITH toks AS (
+  SELECT doc_id,
+    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+  FROM documents
+), t2 AS (
+  SELECT doc_id, term FROM toks WHERE term <> ''
+), doc_tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM t2 GROUP BY doc_id, term
+), dfq AS (
+  SELECT term, COUNT(*) AS df FROM doc_tf GROUP BY term
+), n AS (
+  SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents
+), idf AS (
+  SELECT term,
+    CAST(round(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+               * 1000000.0) AS BIGINT) AS idf_micros
+  FROM dfq, n WHERE df >= 2
+), scored AS (
+  SELECT doc_id, doc_tf.term, CAST(tf AS BIGINT) AS tf,
+    CAST(tf * idf_micros AS BIGINT) AS tfidf_micros
+  FROM doc_tf JOIN idf USING (term)
+)
+SELECT doc_id, term, tf, tfidf_micros, CAST(rn AS INTEGER) AS term_rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf_micros DESC, term) AS rn
+  FROM scored
+) WHERE rn <= 5
+"""
+
+
+def q113_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece subword tokenization (functions/wordpiece.py): greedy
+    longest-match over a corpus-derived vocab (single chars ∪ top-100
+    bigrams ∪ top-50 words), applied to the top-500 distinct words via
+    ONE Arrow mapInPandas pass — the O(vocab)-not-O(corpus) custom-op
+    pattern.  Gate = corpus piece frequencies; the oracle unrolls the
+    greedy loop as 20 longest-match join stages (the q88 unrolled-
+    recursion technique)."""
+    from etl_opensky_spark.functions.wordpiece import (
+        build_vocab,
+        wordpiece_pieces,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, "text")
+    return wordpiece_pieces(docs, "text", vocab).limit(50)
+
+
+def _build_oracle_q113(max_word_len: int = 20) -> str:
+    """Unrolled greedy longest-match (see q113 docstring).  Pure string
+    assembly — the result is ordinary ANSI SQL for DuckDB."""
+    steps = []
+    union = []
+    for i in range(max_word_len):
+        prev = "s0" if i == 0 else f"s{i}"
+        steps.append(f"""
+m{i} AS (
+  SELECT s.w, s.freq, s.pos, MAX(length(v.piece)) AS bl
+  FROM {prev} s JOIN vocab v
+    ON substr(s.w, s.pos, 1) = v.c1
+   AND substr(s.w, s.pos, length(v.piece)) = v.piece
+  GROUP BY s.w, s.freq, s.pos
+), p{i} AS MATERIALIZED (
+  SELECT w, freq, substr(w, pos, CAST(bl AS INTEGER)) AS piece,
+         pos + CAST(bl AS INTEGER) AS npos
+  FROM m{i}
+), s{i + 1} AS (
+  SELECT w, freq, CAST(npos AS INTEGER) AS pos FROM p{i}
+  WHERE npos <= length(w)
+)""")
+        union.append(f"SELECT piece, freq FROM p{i}")
+    return (
+        """
+WITH alltoks AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  FROM documents
+), awf AS MATERIALIZED (
+  SELECT w, COUNT(*) AS freq FROM alltoks WHERE w <> '' GROUP BY w
+), wf AS MATERIALIZED (
+  SELECT w, freq FROM awf WHERE length(w) <= """
+        + str(max_word_len)
+        + """
+  ORDER BY freq DESC, w LIMIT 500
+), singles AS (
+  SELECT DISTINCT substr(w, CAST(i AS INTEGER), 1) AS piece
+  FROM (SELECT w, unnest(range(1, length(w) + 1)) AS i FROM wf)
+), bigr AS (
+  SELECT pair AS piece FROM (
+    SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, SUM(freq) AS n
+    FROM (SELECT w, freq, unnest(range(1, length(w2))) AS i
+          FROM (SELECT w, freq, w AS w2 FROM awf WHERE w <> ''
+                  AND length(w) >= 2))
+    GROUP BY pair ORDER BY n DESC, pair LIMIT 100
+  )
+), topw AS (
+  SELECT w AS piece FROM wf ORDER BY freq DESC, w LIMIT 50
+), vocab AS MATERIALIZED (
+  SELECT piece, substr(piece, 1, 1) AS c1 FROM (
+    SELECT DISTINCT piece FROM (
+      SELECT piece FROM singles UNION ALL
+      SELECT piece FROM bigr UNION ALL
+      SELECT piece FROM topw))
+), s0 AS (
+  SELECT w, freq, 1 AS pos FROM wf
+),"""
+        + ",".join(steps)
+        + """,
+pieces AS (
+"""
+        + "\n  UNION ALL\n".join(union)
+        + """
+)
+SELECT piece, CAST(SUM(freq) AS BIGINT) AS n_occurrences
+FROM pieces GROUP BY piece
+ORDER BY n_occurrences DESC, piece
+LIMIT 50
+"""
+    )
+
+
+ORACLE_Q113 = _build_oracle_q113()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -4382,6 +4517,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q109_cdc_apply": q109_cdc_apply,
     "q110_compaction": q110_compaction,
     "q111_stream_upsert": q111_stream_upsert,
+    "q112_tfidf_terms": q112_tfidf_terms,
+    "q113_wordpiece": q113_wordpiece,
 }
 
 ORACLES: dict[str, str] = {
@@ -4495,6 +4632,8 @@ ORACLES: dict[str, str] = {
     "q109_cdc_apply": ORACLE_Q109,
     "q110_compaction": ORACLE_Q110,
     "q111_stream_upsert": ORACLE_Q111,
+    "q112_tfidf_terms": ORACLE_Q112,
+    "q113_wordpiece": ORACLE_Q113,
 }
 
 

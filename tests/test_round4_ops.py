@@ -233,3 +233,76 @@ def test_apply_changelog_partitioning_invariant(spark):
     many = rows(apply_changelog(target.repartition(8),
                                 changes.repartition(5), ["id"], "seq"))
     assert one == many
+
+
+# --- tf-idf top terms --------------------------------------------------------
+
+
+def test_tfidf_top_terms_hand_checked(spark):
+    import math
+
+    from etl_opensky_spark.functions.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "apple cherry"), (3, "banana date")],
+        ["doc_id", "text"],
+    )
+    # df: apple=2, banana=2, cherry=1, date=1; min_df=2 keeps apple+banana
+    got = rows(tfidf_top_terms(docs, "doc_id", "text", top_k=2, min_df=2))
+    idf = round(math.log(3 / 2) * 1e6)
+    assert (1, "apple", 2, 2 * idf, 1) in got
+    assert (1, "banana", 1, idf, 2) in got
+    # cherry/date (df=1) never appear
+    assert all(t not in ("cherry", "date") for _, t, *_ in got)
+
+
+def test_tfidf_partitioning_invariant(spark):
+    from etl_opensky_spark.functions.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 4} w{i % 4} w{i % 9} common") for i in range(80)],
+        ["doc_id", "text"],
+    )
+    one = rows(tfidf_top_terms(docs.coalesce(1), "doc_id", "text"))
+    many = rows(tfidf_top_terms(docs.repartition(8), "doc_id", "text"))
+    assert one == many
+
+
+# --- wordpiece ---------------------------------------------------------------
+
+
+def test_wordpiece_greedy_longest_match(spark):
+    from etl_opensky_spark.functions.wordpiece import wordpiece_pieces
+
+    docs = spark.createDataFrame(
+        [(1, "unhappy unhappy cat"), (2, "hap cat")], ["doc_id", "text"]
+    )
+    vocab = ["un", "hap", "py", "cat", "u", "n", "h", "a", "p", "y", "c", "t"]
+    got = {r["piece"]: r["n_occurrences"] for r in
+           wordpiece_pieces(docs, "text", vocab).collect()}
+    # unhappy -> un + hap + py (greedy longest at each pos), x2
+    # hap -> hap; cat -> cat x2
+    assert got == {"un": 2, "hap": 3, "py": 2, "cat": 2}
+
+
+def test_wordpiece_unknown_chars_fall_back_to_singles(spark):
+    from etl_opensky_spark.functions.wordpiece import wordpiece_pieces
+
+    docs = spark.createDataFrame([(1, "xyz")], ["doc_id", "text"])
+    got = {r["piece"]: r["n_occurrences"] for r in
+           wordpiece_pieces(docs, "text", ["x"]).collect()}
+    # y/z not in vocab: emitted as single chars, never dropped
+    assert got == {"x": 1, "y": 1, "z": 1}
+
+
+def test_build_vocab_contains_all_tiers(spark):
+    from etl_opensky_spark.functions.wordpiece import build_vocab
+
+    docs = spark.createDataFrame(
+        [(i, "the the quick fox") for i in range(5)], ["doc_id", "text"]
+    )
+    vocab = build_vocab(docs, "text", top_bigrams=5, top_words=2)
+    assert "t" in vocab and "h" in vocab          # singles
+    assert "th" in vocab or "he" in vocab          # bigrams
+    assert "the" in vocab                          # top word
+    assert vocab == sorted(vocab)                  # deterministic order
