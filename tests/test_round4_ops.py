@@ -306,3 +306,55 @@ def test_build_vocab_contains_all_tiers(spark):
     assert "th" in vocab or "he" in vocab          # bigrams
     assert "the" in vocab                          # top word
     assert vocab == sorted(vocab)                  # deterministic order
+
+
+# --- numpy XxHash64 + vectorized minhash -------------------------------------
+
+
+def test_numpy_xxh64_matches_spark(spark):
+    import numpy as np
+
+    from etl_opensky_spark.functions.dedup import xxh64_int_np, xxh64_long_np
+
+    rng = np.random.default_rng(7)
+    longs = rng.integers(-(2**63), 2**63 - 1, size=500, dtype=np.int64)
+    ints = rng.integers(-(2**31), 2**31 - 1, size=500, dtype=np.int64)
+    df = spark.createDataFrame(
+        [(int(l), int(i)) for l, i in zip(longs, ints)], ["h", "i"]
+    ).select(
+        "h", "i",
+        F.xxhash64("h").alias("xh"),
+        F.xxhash64("h", F.col("i").cast("int")).alias("xhi"),
+    )
+    rows_ = df.collect()
+    got_h = np.array([r["xh"] for r in rows_], dtype=np.int64)
+    got_hi = np.array([r["xhi"] for r in rows_], dtype=np.int64)
+    np_h = xxh64_long_np(longs, np.uint64(42)).view(np.int64)
+    np_hi = xxh64_int_np(
+        ints, xxh64_long_np(longs, np.uint64(42))
+    ).view(np.int64)
+    assert (np_h == got_h).all()
+    assert (np_hi == got_hi).all()
+
+
+def test_minhash_vectorized_hash_equal_to_expression(spark):
+    from etl_opensky_spark.functions.dedup import (
+        minhash_signature,
+        minhash_signature_vectorized,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = rows(minhash_signature(docs, "doc_id", "text", 32, 3))
+    b = rows(minhash_signature_vectorized(docs, "doc_id", "text", 32, 3))
+    assert a == b
+
+
+def test_minhash_vectorized_short_docs_null(spark):
+    from etl_opensky_spark.functions.dedup import minhash_signature_vectorized
+
+    docs = spark.createDataFrame(
+        [(1, "one two"), (2, "one two three four")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r["signature"] for r in
+           minhash_signature_vectorized(docs, "doc_id", "text", 8, 3).collect()}
+    assert got[1] is None and got[2] is not None and len(got[2]) == 8
