@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "q111_stream_upsert",
     "q112_tfidf_terms",
     "q113_wordpiece",
+    "q114_ppjoin",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

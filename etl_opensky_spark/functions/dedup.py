@@ -1180,3 +1180,90 @@ def fuzzy_pairs(
         .filter(F.col("distance") <= max_distance)
         .select("id_a", "id_b", "distance")
     )
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold_num: int,
+    threshold_den: int,
+) -> DataFrame:
+    """All document pairs with token-SET Jaccard >= num/den, found via
+    PREFIX FILTERING (PPJoin family, Xiao et al. 2008) — provably
+    LOSSLESS, unlike MinHash-LSH's probabilistic recall.
+
+    Math: J(x,y) >= t implies |x∩y| >= t·|x| (and t·|y|).  Order every
+    doc's tokens by a GLOBAL rarest-first key (document frequency, then
+    token); if x and y share no token within x's first
+    ``|x| - ceil(t·|x|) + 1`` tokens, they share at most
+    ``ceil(t·|x|) - 1`` tokens total (pigeonhole) — below the bound.  So
+    the equi-join on PREFIX tokens alone generates every qualifying
+    pair; rare tokens drive candidate generation and stop-word fan-out
+    never enters the join.  The threshold is a rational num/den and the
+    final verify is exact integer arithmetic
+    (``den·i >= num·(|x|+|y|-i)``): no float margins anywhere.
+
+    Scale shape: token explode → df aggregate (word-count); per-doc
+    ``array_sort(collect_list(struct(df, tok)))`` (state bounded by doc
+    length); prefix explode; equi-join on token; intersection counts
+    computed ONLY for candidate pairs (two joins against the token
+    table, both key-partitioned).  Returns
+    ``(id_a, id_b, n_common, size_a, size_b)``.
+    """
+    toks = F.array_distinct(
+        F.filter(tokenize(F.col(text_col)), lambda x: x != F.lit(""))
+    )
+    dt = df.select(F.col(id_col).alias("_id"), F.explode(toks).alias("tok"))
+    sizes = dt.groupBy("_id").agg(F.count("*").alias("n"))
+    dfreq = dt.groupBy("tok").agg(F.count("*").alias("_df"))
+    ordered = (
+        dt.join(dfreq, "tok")
+        .groupBy("_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_df"), F.col("tok")))
+            ).alias("_ord"),
+            F.count("*").alias("n"),
+        )
+    )
+    # prefix length = n - ceil(t*n) + 1, exact integer ceil
+    need = F.floor(
+        (F.col("n") * threshold_num + threshold_den - 1) / threshold_den
+    ).cast("long")
+    plen = (F.col("n") - need + 1).cast("int")
+    prefixes = ordered.select(
+        "_id", F.explode(F.slice("_ord", 1, plen)).alias("_p")
+    ).select("_id", F.col("_p.tok").alias("tok"))
+    cand = (
+        prefixes.alias("a")
+        .join(prefixes.alias("b"), "tok")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
+        )
+        .distinct()
+    )
+    inter = (
+        cand.join(dt.select(F.col("_id").alias("id_a"), "tok"), "id_a")
+        .join(dt.select(F.col("_id").alias("id_b"), "tok"), ["id_b", "tok"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    out = (
+        inter.join(
+            sizes.select(F.col("_id").alias("id_a"), F.col("n").alias("size_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("_id").alias("id_b"), F.col("n").alias("size_b")),
+            "id_b",
+        )
+        .filter(
+            F.col("n_common") * threshold_den
+            >= (F.col("size_a") + F.col("size_b") - F.col("n_common"))
+            * threshold_num
+        )
+        .select("id_a", "id_b", "n_common", "size_a", "size_b")
+    )
+    return out

@@ -4405,6 +4405,47 @@ LIMIT 50
 ORACLE_Q113 = _build_oracle_q113()
 
 
+def q114_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered set-similarity self-join (dedup.
+    prefix_jaccard_pairs, PPJoin family): all doc pairs with token-set
+    Jaccard >= 4/5, candidates generated ONLY from rarest-first token
+    prefixes — lossless by the pigeonhole bound, verified here by the
+    gate itself: the oracle is the BRUTE-FORCE all-shared-token join,
+    and the results must hash-match exactly.  Gate corpus bounded to
+    doc_id < 300 (the brute-force oracle is quadratic in shared
+    tokens; the operator is the scale path)."""
+    from etl_opensky_spark.functions.dedup import prefix_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return prefix_jaccard_pairs(
+        docs, "doc_id", "text", threshold_num=4, threshold_den=5
+    )
+
+
+ORACLE_Q114 = """
+WITH dt AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id,
+      unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+    FROM documents WHERE doc_id < 300
+  ) WHERE tok <> ''
+), sz AS (
+  SELECT doc_id, COUNT(*) AS n FROM dt GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM dt a JOIN dt b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_common,
+  sa.n AS size_a, sb.n AS size_b
+FROM pairs
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE n_common * 5 >= (sa.n + sb.n - n_common) * 4
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -4519,6 +4560,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q111_stream_upsert": q111_stream_upsert,
     "q112_tfidf_terms": q112_tfidf_terms,
     "q113_wordpiece": q113_wordpiece,
+    "q114_ppjoin": q114_ppjoin,
 }
 
 ORACLES: dict[str, str] = {
@@ -4634,6 +4676,7 @@ ORACLES: dict[str, str] = {
     "q111_stream_upsert": ORACLE_Q111,
     "q112_tfidf_terms": ORACLE_Q112,
     "q113_wordpiece": ORACLE_Q113,
+    "q114_ppjoin": ORACLE_Q114,
 }
 
 

@@ -358,3 +358,48 @@ def test_minhash_vectorized_short_docs_null(spark):
     got = {r["doc_id"]: r["signature"] for r in
            minhash_signature_vectorized(docs, "doc_id", "text", 8, 3).collect()}
     assert got[1] is None and got[2] is not None and len(got[2]) == 8
+
+
+# --- prefix-filtered set-similarity join (PPJoin) ---------------------------
+
+
+def test_prefix_jaccard_pairs_matches_brute_force(spark):
+    from itertools import combinations
+
+    from etl_opensky_spark.functions.dedup import prefix_jaccard_pairs
+
+    texts = [
+        "apple banana cherry date",
+        "apple banana cherry elderberry",
+        "fig grape melon",
+        "fig grape melon kiwi",
+        "totally different words here now",
+        "apple banana cherry date",  # exact dup of doc 0
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), ["doc_id", "text"]
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_common"], r["size_a"], r["size_b"])
+        for r in prefix_jaccard_pairs(docs, "doc_id", "text", 1, 2).collect()
+    }
+    sets = [set(t.split()) for t in texts]
+    expect = {}
+    for a, b in combinations(range(len(texts)), 2):
+        i = len(sets[a] & sets[b])
+        u = len(sets[a] | sets[b])
+        if u and 2 * i >= u:  # J >= 1/2
+            expect[(a, b)] = (i, len(sets[a]), len(sets[b]))
+    assert got == expect and len(expect) >= 3
+
+
+def test_prefix_jaccard_pairs_partitioning_invariant(spark):
+    from etl_opensky_spark.functions.dedup import prefix_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 6} w{(i + 1) % 6} w{(i + 2) % 6} shared") for i in range(40)],
+        ["doc_id", "text"],
+    )
+    one = rows(prefix_jaccard_pairs(docs.coalesce(1), "doc_id", "text", 3, 5))
+    many = rows(prefix_jaccard_pairs(docs.repartition(8), "doc_id", "text", 3, 5))
+    assert one == many and len(one) > 0
