@@ -436,10 +436,15 @@ def tfidf_top_terms(
     order is engine-exact with deterministic (score desc, term asc)
     ties.  ``min_df`` prunes hapax noise the way real pipelines do.
 
-    Scale shape: one (doc, term) count aggregate over the exploded
-    corpus (map-side combined word-count), one term-level df aggregate
-    REUSING that table (no second corpus pass), an equi-join of
-    doc-distinct terms to the df table, and a per-doc top-k window
+    Scale shape: ONE (doc, term) count aggregate over the exploded
+    corpus (map-side combined word-count), persisted and reused for the
+    term-level df aggregate AND the scoring join — the corpus is
+    scanned once (without the persist, Catalyst does NOT reuse the
+    exchange: the two consumers prune different columns and the
+    subtrees stop being identical; measured, not guessed).  At real
+    scale the persisted (doc, term) table is the thing you would
+    checkpoint to parquet between pipeline stages.  Then an equi-join
+    of doc-distinct terms to the df table and a per-doc top-k window
     partitioned BY DOCUMENT — bounded partitions, never a global sort.
     """
     from pyspark.sql.window import Window as _W
@@ -448,7 +453,9 @@ def tfidf_top_terms(
         F.col(id_col),
         F.explode(tokenize(F.col(text_col))).alias("term"),
     ).filter(F.col("term") != "")
-    doc_tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    doc_tf = toks.groupBy(id_col, "term").agg(
+        F.count("*").alias("tf")
+    ).persist()
     df_tbl = doc_tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = docs.select(id_col).distinct().count()  # one scalar job
     idf = df_tbl.filter(F.col("df") >= min_df).select(
