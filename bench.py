@@ -135,6 +135,8 @@ BENCH_QUERIES = [
     "q112_tfidf_terms",
     "q113_wordpiece",
     "q114_ppjoin",
+    "q115_quantile_bins",
+    "q116_quality_quarantine",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

@@ -314,3 +314,71 @@ def normalize_features(
         )
     )
     return scored.drop("_mean", "_std", "_min", "_max", "_med", "_mad")
+
+
+def equal_frequency_bins(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    k: int,
+    num_buckets: int = 64,
+) -> DataFrame:
+    """Per-group EXACT equal-frequency (quantile) binning — the feature
+    discretizer: every row gets ``bin = floor(rank·k / n)`` where rank
+    is the row's 0-based position in its group's (value, id) total
+    order and n the group size.  Deterministic integer semantics — no
+    float quantile edges, so no cross-engine ULP hazards at bin
+    boundaries.
+
+    The naive formulation is a rank window PER GROUP — one task per
+    group no matter how large (the q76 exact-percentile trap).  Here
+    the global rank comes from the distributed prefix-sum pattern
+    (``sampling.take_until_budget``): ``repartitionByRange`` over
+    (group, value, id) makes each partition an ordered slice, local
+    ranks come from windows over BOUNDED (partition, group) slices, and
+    the cross-partition offsets are a driver-side prefix sum over the
+    (partition × group) count table (bounded: buckets × groups rows).
+    The range layout is pinned with ``localCheckpoint`` so the counts
+    pass and the rank pass see the same partitioning.
+    """
+    from pyspark.sql import Window as _W
+
+    ranged = (
+        df.repartitionByRange(
+            num_buckets,
+            F.col(group_col),
+            F.col(value_col),
+            F.col(id_col),
+        )
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = (
+        ranged.groupBy("_pid", group_col)
+        .agg(F.count("*").alias("_c"))
+        .collect()
+    )
+    sizes: dict = {}
+    for row in counts:
+        sizes[row[group_col]] = sizes.get(row[group_col], 0) + row["_c"]
+    offsets = []
+    running: dict = {}
+    for row in sorted(counts, key=lambda r: (str(r[group_col]), r["_pid"])):
+        g = row[group_col]
+        offsets.append((row["_pid"], g, running.get(g, 0), sizes[g]))
+        running[g] = running.get(g, 0) + row["_c"]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        offsets, ["_pid", group_col, "_offset", "_n"]
+    )
+    w = _W.partitionBy("_pid", group_col).orderBy(
+        F.col(value_col), F.col(id_col)
+    )
+    ranked = ranged.withColumn("_lrn", F.row_number().over(w)).join(
+        F.broadcast(off_df), ["_pid", group_col]
+    )
+    rank0 = F.col("_offset") + F.col("_lrn") - 1
+    return ranked.withColumn(
+        "bin", F.floor(rank0 * k / F.col("_n")).cast("int")
+    ).drop("_pid", "_lrn", "_offset", "_n")

@@ -4446,6 +4446,100 @@ WHERE n_common * 5 >= (sa.n + sb.n - n_common) * 4
 """
 
 
+def q115_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group EXACT equal-frequency binning (aggregates.
+    equal_frequency_bins): events discretized into value deciles per
+    event_type via the distributed prefix-sum rank — integer bin
+    semantics (floor(rank·k/n)), so no float-edge ULP hazards; the
+    naive one-window-per-group formulation is replaced by bounded
+    (partition, group) windows + a driver prefix sum over the
+    (bucket × group) count table."""
+    from etl_opensky_spark.operators.aggregates import equal_frequency_bins
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    binned = equal_frequency_bins(
+        ev, "event_type", "value", "event_id", k=10
+    )
+    return binned.groupBy("event_type", "bin").agg(
+        F.count("*").alias("n"),
+        F.sum(_dec("value", 6)).cast("double").alias("sum_value"),
+        F.min("event_id").alias("min_event_id"),
+    )
+
+
+ORACLE_Q115 = """
+WITH ranked AS (
+  SELECT event_type, event_id, value,
+    row_number() OVER (PARTITION BY event_type
+                       ORDER BY value, event_id) - 1 AS rank0,
+    COUNT(*) OVER (PARTITION BY event_type) AS n_g
+  FROM events
+)
+SELECT event_type, CAST((rank0 * 10) // n_g AS INTEGER) AS bin,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+  MIN(event_id) AS min_event_id
+FROM ranked GROUP BY 1, 2
+"""
+
+
+def q116_quality_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based row quarantine (quality.validate_rules): orders
+    checked against four expectations in ONE narrow pass; output = one
+    row per rule with its failure count plus the clean-row count and
+    value — quarantined rows carry their failure reasons (exploded
+    here so per-rule counts are oracle-checkable; a row failing two
+    rules counts under both)."""
+    from etl_opensky_spark.operators.quality import validate_rules
+
+    orders = _t(spark, sf_dir, "orders")
+    rules = {
+        "positive_price": F.col("o_totalprice") > 0,
+        "known_status": F.col("o_orderstatus").isin("O", "F", "P"),
+        "price_cap_400k": F.col("o_totalprice") < 400_000,
+        "priority_not_null": F.col("o_orderpriority").isNotNull(),
+    }
+    valid, quarantined = validate_rules(orders, rules)
+    per_rule = (
+        quarantined.select(F.explode("failed_rules").alias("rule"))
+        .groupBy("rule")
+        .agg(F.count("*").alias("n"), F.lit(None).cast("double").alias("sum_price"))
+    )
+    clean = valid.agg(
+        F.lit("_valid").alias("rule"),
+        F.count("*").alias("n"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+    )
+    return per_rule.unionByName(clean)
+
+
+ORACLE_Q116 = """
+WITH tagged AS (
+  SELECT o_totalprice,
+    (NOT COALESCE(o_totalprice > 0, FALSE)) AS f1,
+    (NOT COALESCE(o_orderstatus IN ('O','F','P'), FALSE)) AS f2,
+    (NOT COALESCE(o_totalprice < 400000, FALSE)) AS f3,
+    (NOT COALESCE(o_orderpriority IS NOT NULL, FALSE)) AS f4
+  FROM orders
+)
+SELECT rule, n, sum_price FROM (
+  SELECT 'positive_price' AS rule, COUNT(*) FILTER (WHERE f1) AS n,
+         CAST(NULL AS DOUBLE) AS sum_price FROM tagged
+  UNION ALL
+  SELECT 'known_status', COUNT(*) FILTER (WHERE f2), NULL FROM tagged
+  UNION ALL
+  SELECT 'price_cap_400k', COUNT(*) FILTER (WHERE f3), NULL FROM tagged
+  UNION ALL
+  SELECT 'priority_not_null', COUNT(*) FILTER (WHERE f4), NULL FROM tagged
+  UNION ALL
+  SELECT '_valid', COUNT(*) FILTER (WHERE NOT (f1 OR f2 OR f3 OR f4)),
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+         FILTER (WHERE NOT (f1 OR f2 OR f3 OR f4)) AS DOUBLE)
+  FROM tagged
+) WHERE n > 0 OR rule = '_valid'
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -4561,6 +4655,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q112_tfidf_terms": q112_tfidf_terms,
     "q113_wordpiece": q113_wordpiece,
     "q114_ppjoin": q114_ppjoin,
+    "q115_quantile_bins": q115_quantile_bins,
+    "q116_quality_quarantine": q116_quality_quarantine,
 }
 
 ORACLES: dict[str, str] = {
@@ -4677,6 +4773,8 @@ ORACLES: dict[str, str] = {
     "q112_tfidf_terms": ORACLE_Q112,
     "q113_wordpiece": ORACLE_Q113,
     "q114_ppjoin": ORACLE_Q114,
+    "q115_quantile_bins": ORACLE_Q115,
+    "q116_quality_quarantine": ORACLE_Q116,
 }
 
 

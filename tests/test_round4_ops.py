@@ -403,3 +403,73 @@ def test_prefix_jaccard_pairs_partitioning_invariant(spark):
     one = rows(prefix_jaccard_pairs(docs.coalesce(1), "doc_id", "text", 3, 5))
     many = rows(prefix_jaccard_pairs(docs.repartition(8), "doc_id", "text", 3, 5))
     assert one == many and len(one) > 0
+
+
+# --- equal-frequency binning -------------------------------------------------
+
+
+def test_equal_frequency_bins_exact_semantics(spark):
+    from etl_opensky_spark.operators.aggregates import equal_frequency_bins
+
+    df = spark.createDataFrame(
+        [(i, "g", float(i)) for i in range(10)]
+        + [(i, "h", float(100 - i)) for i in range(5)],
+        ["id", "grp", "v"],
+    )
+    got = {(r["grp"], r["id"]): r["bin"] for r in
+           equal_frequency_bins(df, "grp", "v", "id", k=5).collect()}
+    # group g: 10 rows, k=5 -> 2 per bin, ordered by value==id
+    for i in range(10):
+        assert got[("g", i)] == i // 2
+    # group h: 5 rows, k=5 -> 1 per bin; value DESC of id so id 4 is rank 0
+    for i in range(5):
+        assert got[("h", i)] == 4 - i
+
+
+def test_equal_frequency_bins_partitioning_invariant(spark):
+    from etl_opensky_spark.operators.aggregates import equal_frequency_bins
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}", float((i * 37) % 101)) for i in range(300)],
+        ["id", "grp", "v"],
+    )
+    one = rows(equal_frequency_bins(df.coalesce(1), "grp", "v", "id", 10,
+                                    num_buckets=3))
+    many = rows(equal_frequency_bins(df.repartition(16), "grp", "v", "id", 10,
+                                     num_buckets=7))
+    assert one == many
+
+
+# --- quality quarantine ------------------------------------------------------
+
+
+def test_validate_rules_split_and_null_fails(spark):
+    from etl_opensky_spark.operators.quality import validate_rules
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "O"), (2, -5.0, "O"), (3, None, "O"), (4, 7.0, "X")],
+        ["id", "price", "status"],
+    )
+    valid, quarantined = validate_rules(
+        df,
+        {
+            "pos_price": F.col("price") > 0,
+            "known_status": F.col("status").isin("O", "F"),
+        },
+    )
+    assert [r["id"] for r in valid.collect()] == [1]
+    got = {r["id"]: sorted(r["failed_rules"]) for r in quarantined.collect()}
+    assert got == {
+        2: ["pos_price"],
+        3: ["pos_price"],          # NULL price FAILS the rule
+        4: ["known_status"],
+    }
+
+
+def test_validate_rules_single_pass_no_shuffle(spark):
+    from etl_opensky_spark.operators.quality import tag_rules
+
+    df = spark.createDataFrame([(1, 2.0)], ["id", "v"])
+    tagged = tag_rules(df, {"r": F.col("v") > 0})
+    plan = tagged._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
