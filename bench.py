@@ -137,6 +137,8 @@ BENCH_QUERIES = [
     "q114_ppjoin",
     "q115_quantile_bins",
     "q116_quality_quarantine",
+    "q117_schema_evolution",
+    "q118_jsonl_sink",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

@@ -4540,6 +4540,83 @@ SELECT rule, n, sum_price FROM (
 """
 
 
+def q117_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read (lake reality: writers add columns over
+    time): batch=1 lands orders WITHOUT a price column, batch=2 lands
+    the widened v2 schema; a ``mergeSchema`` read unifies them (missing
+    columns NULL-filled), and the aggregate proves the unified view —
+    the footer-merge is a one-time planning cost, data is read once.
+    The oracle replays the union with CASE-driven nulls."""
+    import shutil
+
+    path = _gate_tmp("q117_evolve", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders")
+    v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus"
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderstatus",
+        F.col("o_totalprice").alias("price"),
+    )
+    v1.write.parquet(f"{path}/batch=1")
+    v2.write.parquet(f"{path}/batch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.count("price").alias("n_priced"),
+        F.sum(_dec("price")).cast("double").alias("sum_price"),
+    )
+
+
+ORACLE_Q117 = """
+SELECT o_orderstatus, COUNT(*) AS n,
+  COUNT(CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice END) AS n_priced,
+  CAST(SUM(CASE WHEN o_orderkey % 2 = 1
+            THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+    AS sum_price
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def q118_jsonl_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink/source round-trip (the interchange format every
+    labeling/annotation tool speaks): orders written as JSONL, read
+    back SCHEMA-ENFORCED (S2 rule — never inferred), values must
+    hash-match the source table.  Doubles survive via shortest-repr
+    printing; dates as ISO strings cast back."""
+    import shutil
+
+    from pyspark.sql import types as T
+
+    path = _gate_tmp("q118_jsonl", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    orders.write.json(path)
+    schema = T.StructType([
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+        T.StructField("o_orderdate", T.DateType()),
+    ])
+    back = spark.read.schema(schema).json(path)
+    return back.groupBy(F.year("o_orderdate").alias("y")).agg(
+        F.count("*").alias("n"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+        F.min("o_orderkey").alias("min_key"),
+    )
+
+
+ORACLE_Q118 = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS y, COUNT(*) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+  MIN(o_orderkey) AS min_key
+FROM orders GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -4657,6 +4734,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q114_ppjoin": q114_ppjoin,
     "q115_quantile_bins": q115_quantile_bins,
     "q116_quality_quarantine": q116_quality_quarantine,
+    "q117_schema_evolution": q117_schema_evolution,
+    "q118_jsonl_sink": q118_jsonl_sink,
 }
 
 ORACLES: dict[str, str] = {
@@ -4775,6 +4854,8 @@ ORACLES: dict[str, str] = {
     "q114_ppjoin": ORACLE_Q114,
     "q115_quantile_bins": ORACLE_Q115,
     "q116_quality_quarantine": ORACLE_Q116,
+    "q117_schema_evolution": ORACLE_Q117,
+    "q118_jsonl_sink": ORACLE_Q118,
 }
 
 
