@@ -139,6 +139,8 @@ BENCH_QUERIES = [
     "q116_quality_quarantine",
     "q117_schema_evolution",
     "q118_jsonl_sink",
+    "q119_multi_distinct",
+    "q120_matryoshka_recall",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

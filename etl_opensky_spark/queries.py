@@ -4617,6 +4617,96 @@ FROM orders GROUP BY 1
 """
 
 
+def q119_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expand-free multi-distinct (aggregates.multi_count_distinct):
+    distinct users AND distinct event types per day without Catalyst's
+    Expand replication (which shuffles row-count × n_cols at scale) —
+    one map-side-deduped two-phase aggregate per column, joined on the
+    group key.  Expand absence is plan-asserted in tests."""
+    from etl_opensky_spark.operators.aggregates import multi_count_distinct
+
+    ev = _events(spark, sf_dir).select(
+        F.to_date("ts").alias("d"), "user_id", "event_type"
+    )
+    return multi_count_distinct(ev, ["d"], ["user_id", "event_type"])
+
+
+ORACLE_Q119 = """
+SELECT CAST(ts AS DATE) AS d,
+  COUNT(DISTINCT user_id) AS n_distinct_user_id,
+  COUNT(DISTINCT event_type) AS n_distinct_event_type
+FROM events GROUP BY 1
+"""
+
+
+def q120_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation retrieval (MRL-style): cosine top-10 using
+    only the FIRST HALF of each embedding's dimensions (the cheap
+    coarse pass a truncated-embedding index runs), flagged against the
+    full-dimension exact top-10 — the recall diagnostic that tells you
+    whether the truncated index is safe as a first stage.  Same narrow
+    scan, slice + fixed-order fold, TakeOrdered."""
+    from etl_opensky_spark.functions.similarity import cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").head()[0])
+    half = dim // 2
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    q_full = F.array(*[F.lit(float(v)) for v in qvec])
+    q_half = F.array(*[F.lit(float(v)) for v in qvec[:half]])
+    base = emb.filter(F.col("vec_id") != 0)
+    scored = base.select(
+        "vec_id",
+        F.round(cosine(F.slice("embedding", 1, half), q_half), 6).alias(
+            "cos_half"
+        ),
+        F.round(cosine(F.col("embedding"), q_full), 6).alias("_cos_full"),
+    )
+    top_half = scored.orderBy(
+        F.col("cos_half").desc(), F.col("vec_id")
+    ).limit(10)
+    top_full = scored.orderBy(
+        F.col("_cos_full").desc(), F.col("vec_id")
+    ).limit(10).select(F.col("vec_id").alias("_fid"))
+    return (
+        top_half.join(
+            F.broadcast(top_full), top_half["vec_id"] == top_full["_fid"],
+            "left",
+        )
+        .select(
+            "vec_id", "cos_half",
+            F.col("_fid").isNotNull().alias("in_full_topk"),
+        )
+    )
+
+
+ORACLE_Q120 = """
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+), scored AS (
+  SELECT vec_id,
+    ROUND(list_dot_product(e.embedding[1:32]::DOUBLE[], q.qv[1:32])
+          / (sqrt(list_dot_product(e.embedding[1:32]::DOUBLE[],
+                                   e.embedding[1:32]::DOUBLE[]))
+             * sqrt(list_dot_product(q.qv[1:32], q.qv[1:32]))), 6)
+      AS cos_half,
+    ROUND(list_dot_product(e.embedding::DOUBLE[], q.qv)
+          / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                   e.embedding::DOUBLE[]))
+             * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_full
+  FROM embeddings e, q WHERE vec_id != 0
+), th AS (
+  SELECT vec_id, cos_half FROM scored
+  ORDER BY cos_half DESC, vec_id LIMIT 10
+), tf AS (
+  SELECT vec_id FROM scored ORDER BY cos_full DESC, vec_id LIMIT 10
+)
+SELECT th.vec_id, th.cos_half,
+  (tf.vec_id IS NOT NULL) AS in_full_topk
+FROM th LEFT JOIN tf ON th.vec_id = tf.vec_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -4736,6 +4826,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q116_quality_quarantine": q116_quality_quarantine,
     "q117_schema_evolution": q117_schema_evolution,
     "q118_jsonl_sink": q118_jsonl_sink,
+    "q119_multi_distinct": q119_multi_distinct,
+    "q120_matryoshka_recall": q120_matryoshka_recall,
 }
 
 ORACLES: dict[str, str] = {
@@ -4856,6 +4948,8 @@ ORACLES: dict[str, str] = {
     "q116_quality_quarantine": ORACLE_Q116,
     "q117_schema_evolution": ORACLE_Q117,
     "q118_jsonl_sink": ORACLE_Q118,
+    "q119_multi_distinct": ORACLE_Q119,
+    "q120_matryoshka_recall": ORACLE_Q120,
 }
 
 

@@ -473,3 +473,38 @@ def test_validate_rules_single_pass_no_shuffle(spark):
     tagged = tag_rules(df, {"r": F.col("v") > 0})
     plan = tagged._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# --- Expand-free multi-distinct ----------------------------------------------
+
+
+def test_multi_count_distinct_matches_builtin(spark):
+    from etl_opensky_spark.operators.aggregates import multi_count_distinct
+
+    df = spark.createDataFrame(
+        [(d, u % 4, f"t{u % 3}" if u % 5 else None)
+         for d in ("a", "b") for u in range(20)],
+        ["d", "u", "t"],
+    )
+    got = rows(multi_count_distinct(df, ["d"], ["u", "t"]))
+    expect = rows(
+        df.groupBy("d").agg(
+            F.countDistinct("u").alias("n_distinct_u"),
+            F.countDistinct("t").alias("n_distinct_t"),
+        )
+    )
+    assert got == expect
+
+
+def test_multi_count_distinct_no_expand_in_plan(spark):
+    from etl_opensky_spark.operators.aggregates import multi_count_distinct
+
+    df = spark.createDataFrame([("a", 1, "x")], ["d", "u", "t"])
+    ours = multi_count_distinct(df, ["d"], ["u", "t"])
+    assert "Expand" not in ours._jdf.queryExecution().executedPlan().toString()
+    builtin = df.groupBy("d").agg(
+        F.countDistinct("u"), F.countDistinct("t")
+    )
+    # the built-in multi-distinct DOES replicate rows via Expand — the
+    # thing this operator exists to avoid
+    assert "Expand" in builtin._jdf.queryExecution().executedPlan().toString()
