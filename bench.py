@@ -141,6 +141,8 @@ BENCH_QUERIES = [
     "q118_jsonl_sink",
     "q119_multi_distinct",
     "q120_matryoshka_recall",
+    "q121_scd2_asof",
+    "q122_novelty_scores",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

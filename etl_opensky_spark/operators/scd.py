@@ -91,3 +91,42 @@ def scd2_merge(
         .unionByName(surviving.select(*out_cols))
         .unionByName(incoming.select(*out_cols))
     )
+
+
+def asof_lookup(
+    scd: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time (AS OF) lookup against an SCD2 dimension: for each
+    probe row (key, ts, ...), attach the dimension attributes whose
+    version interval contains ts (``valid_from <= ts < valid_to``, open
+    versions have NULL valid_to).  Probes with no version alive at ts
+    keep NULL attributes (left join) — the caller decides whether that
+    is an error or an expected pre-history probe.
+
+    Scale shape: the join is an EQUI-join on the key (shuffle- or
+    broadcast-hash-joinable); the interval predicate is a residual
+    filter over each key's handful of versions — no range-join
+    machinery needed because SCD2 versions per key are few by
+    construction.  Exactly one version can match (versions are
+    non-overlapping per key), so no post-dedup is required.
+    """
+    s = scd.alias("_dim")
+    p = probes.alias("_probe")
+    ts = F.col(f"_probe.{ts_col}")
+    cond = (
+        (F.col(f"_probe.{key_col}") == F.col(f"_dim.{key_col}"))
+        & (F.col(f"_dim.{valid_from}") <= ts)
+        & (
+            F.col(f"_dim.{valid_to}").isNull()
+            | (ts < F.col(f"_dim.{valid_to}"))
+        )
+    )
+    dim_cols = [
+        F.col(f"_dim.{c}") for c in scd.columns if c != key_col
+    ]
+    return p.join(s, cond, "left").select("_probe.*", *dim_cols)

@@ -4707,6 +4707,118 @@ FROM th LEFT JOIN tf ON th.vec_id = tf.vec_id
 """
 
 
+def q121_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup against an SCD2 dimension (scd.asof_lookup):
+    a customer history with pre-2020 closed versions (k%100==0, balance
+    −100) and open 2020 versions is probed AS OF 2019-06-01 (only the
+    closed versions are alive) and AS OF 2021-01-01 (open versions) —
+    equi-join on key, interval predicate as residual; exactly one
+    version matches per probe.  Aggregated per probe date."""
+    from etl_opensky_spark.operators.scd import asof_lookup
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), "c_name", "c_acctbal"
+    )
+    t2019 = F.lit("2019-01-01").cast("timestamp")
+    t2020 = F.lit("2020-01-01").cast("timestamp")
+    open_rows = cust.withColumns(
+        {
+            "valid_from": t2020,
+            "valid_to": F.lit(None).cast("timestamp"),
+        }
+    )
+    closed_rows = (
+        cust.filter(F.col("k") % 100 == 0)
+        .withColumn("c_acctbal", F.col("c_acctbal") - 100)
+        .withColumns({"valid_from": t2019, "valid_to": t2020})
+    )
+    scd = open_rows.unionByName(closed_rows)
+    probes = cust.select("k").crossJoin(
+        spark.createDataFrame(
+            [("2019-06-01",), ("2021-01-01",)], ["as_of"]
+        ).select(F.col("as_of").cast("timestamp").alias("as_of"))
+    )
+    looked = asof_lookup(scd, probes, "k", "as_of")
+    return looked.groupBy("as_of").agg(
+        F.count("*").alias("n_probes"),
+        F.count("c_acctbal").alias("n_matched"),
+        F.sum(_dec("c_acctbal")).cast("double").alias("sum_bal"),
+    )
+
+
+ORACLE_Q121 = """
+WITH probes AS (
+  SELECT c_custkey AS k, CAST(d AS TIMESTAMP) AS as_of, c_acctbal
+  FROM customer CROSS JOIN (VALUES ('2019-06-01'), ('2021-01-01')) t(d)
+)
+SELECT as_of, COUNT(*) AS n_probes,
+  COUNT(CASE WHEN as_of >= TIMESTAMP '2020-01-01' THEN 1
+             WHEN k % 100 = 0 THEN 1 END) AS n_matched,
+  CAST(SUM(CASE WHEN as_of >= TIMESTAMP '2020-01-01'
+              THEN CAST(c_acctbal AS DECIMAL(18,2))
+            WHEN k % 100 = 0
+              THEN CAST(c_acctbal AS DECIMAL(18,2)) - 100
+          END) AS DOUBLE) AS sum_bal
+FROM probes GROUP BY as_of
+"""
+
+
+def q122_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document contamination FRACTION (the reporting sibling of
+    q57's binary decontamination): share of each doc's distinct
+    3-grams that also appear in a benchmark set (docs 0–19) — the
+    overlap statistic an eval-contamination report publishes.  Shape:
+    distinct n-grams per doc, LEFT SEMI-flagged against the broadcast
+    benchmark n-gram set, one count aggregate; exact integers."""
+    from etl_opensky_spark.functions.text import word_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles(F.col("text"), 3))
+        ).alias("g"),
+    )
+    bench = (
+        grams.filter(F.col("doc_id") < 20).select("g").distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    rest = grams.filter(F.col("doc_id") >= 20)
+    return (
+        rest.join(F.broadcast(bench), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_overlap"),
+        )
+    )
+
+
+ORACLE_Q122 = """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                x -> x <> '') AS ts
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id,
+    array_to_string(ts[CAST(i AS INTEGER) : CAST(i AS INTEGER) + 2], ' ')
+      AS g
+  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
+        FROM toks WHERE len(ts) >= 3)
+), bench AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id < 20
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+  CAST(COUNT(*) FILTER (WHERE g IN (SELECT g FROM bench)) AS BIGINT)
+    AS n_overlap
+FROM grams WHERE doc_id >= 20
+GROUP BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -4828,6 +4940,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q118_jsonl_sink": q118_jsonl_sink,
     "q119_multi_distinct": q119_multi_distinct,
     "q120_matryoshka_recall": q120_matryoshka_recall,
+    "q121_scd2_asof": q121_scd2_asof,
+    "q122_novelty_scores": q122_novelty_scores,
 }
 
 ORACLES: dict[str, str] = {
@@ -4950,6 +5064,8 @@ ORACLES: dict[str, str] = {
     "q118_jsonl_sink": ORACLE_Q118,
     "q119_multi_distinct": ORACLE_Q119,
     "q120_matryoshka_recall": ORACLE_Q120,
+    "q121_scd2_asof": ORACLE_Q121,
+    "q122_novelty_scores": ORACLE_Q122,
 }
 
 
