@@ -179,3 +179,103 @@ def test_chunk_documents_disjoint_reconstruction(spark, token_lists, window):
         assert 1 <= r.chunk_tokens <= window
     for i, toks in enumerate(token_lists):
         assert " ".join(by_doc.get(i, [])) == " ".join(toks)
+
+
+# --- round-4 operators -------------------------------------------------------
+
+_cdc_ops = st.sampled_from(["I", "U", "D"])
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), _cdc_ops, st.integers(1, 9)),
+        min_size=0,
+        max_size=12,
+        unique_by=lambda t: (t[0], t[2]),  # unique (key, seq) — valid log
+    ),
+    st.sets(st.integers(0, 5)),
+)
+def test_apply_changelog_matches_sequential_model(spark, log, target_keys):
+    """apply_changelog == replaying the log sequentially by seq order."""
+    from etl_opensky_spark.operators.cdc import apply_changelog
+
+    target = spark.createDataFrame(
+        [(k, f"base{k}") for k in sorted(target_keys)] or [],
+        "id int, payload string",
+    )
+    changes = spark.createDataFrame(
+        [(k, f"v{k}s{s}", op, s) for k, op, s in log] or [],
+        "id int, payload string, op string, seq int",
+    )
+    got = sorted(
+        tuple(r) for r in apply_changelog(
+            target, changes, ["id"], "seq"
+        ).select("id", "payload").collect()
+    )
+    state = {k: f"base{k}" for k in target_keys}
+    for k, op, s in sorted(log, key=lambda t: t[2]):
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = f"v{k}s{s}"
+    assert got == sorted(state.items())
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=0, max_size=6),
+        min_size=0,
+        max_size=8,
+    )
+)
+def test_prefix_jaccard_lossless_vs_brute_force(spark, token_lists):
+    """Prefix filtering finds EVERY pair with J >= 1/3 — never fewer."""
+    from itertools import combinations
+
+    from etl_opensky_spark.functions.dedup import prefix_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(ts)) for i, ts in enumerate(token_lists)],
+        "doc_id int, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]) for r in
+        prefix_jaccard_pairs(docs, "doc_id", "text", 1, 3).collect()
+    }
+    sets = [set(ts) for ts in token_lists]
+    expect = set()
+    for a, b in combinations(range(len(sets)), 2):
+        i = len(sets[a] & sets[b])
+        u = len(sets[a] | sets[b])
+        if u and 3 * i >= u:
+            expect.add((a, b))
+    assert got == expect
+
+
+@SETTINGS
+@given(
+    st.lists(st.integers(0, 100), min_size=1, max_size=30),
+    st.integers(2, 5),
+)
+def test_equal_frequency_bins_are_balanced(spark, values, k):
+    """Bin sizes differ by at most 1 and bins are monotone in value."""
+    from etl_opensky_spark.operators.aggregates import equal_frequency_bins
+
+    df = spark.createDataFrame(
+        [(i, "g", float(v)) for i, v in enumerate(values)],
+        "id int, grp string, v double",
+    )
+    out = equal_frequency_bins(df, "grp", "v", "id", k, num_buckets=3).collect()
+    sizes = {}
+    for r in out:
+        sizes[r["bin"]] = sizes.get(r["bin"], 0) + 1
+    n = len(values)
+    assert sum(sizes.values()) == n
+    if n >= k:
+        assert max(sizes.values()) - min(sizes.values()) <= 1
+    # monotone: sort rows by (value, id) -> bins nondecreasing
+    ordered = sorted(out, key=lambda r: (r["v"], r["id"]))
+    bins = [r["bin"] for r in ordered]
+    assert bins == sorted(bins)
