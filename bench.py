@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "q120_matryoshka_recall",
     "q121_scd2_asof",
     "q122_novelty_scores",
+    "q123_stream_static_join",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

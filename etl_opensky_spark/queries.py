@@ -4819,6 +4819,58 @@ GROUP BY doc_id
 """
 
 
+def q123_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC enrichment join (the one streaming join shape q93's
+    stream-stream gate doesn't cover): the events stream joins a static
+    customer-segment dimension — Spark broadcasts the static side into
+    every micro-batch, no state store involved — then aggregates daily
+    counts per segment.  Unmatched users keep a sentinel segment (left
+    join; enrichment must never drop events).  Batch SQL is the oracle."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    on_disk_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = _ensure_ltz(
+        spark.readStream.schema(on_disk_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    enriched = stream.join(F.broadcast(dim), "user_id", "left").select(
+        F.to_date("ts").alias("d"),
+        F.coalesce(F.col("segment"), F.lit("UNKNOWN")).alias("segment"),
+        "value",
+    )
+    agg = enriched.groupBy("d", "segment").agg(
+        F.count("*").alias("n"),
+        F.sum(_dec("value", 6)).alias("_sv"),
+    )
+    name = "stream_static_join"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "d", "segment", "n", F.col("_sv").cast("double").alias("sum_value")
+    )
+
+
+ORACLE_Q123 = """
+SELECT CAST(ts AS DATE) AS d,
+  COALESCE(c_mktsegment, 'UNKNOWN') AS segment,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events LEFT JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -4942,6 +4994,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q120_matryoshka_recall": q120_matryoshka_recall,
     "q121_scd2_asof": q121_scd2_asof,
     "q122_novelty_scores": q122_novelty_scores,
+    "q123_stream_static_join": q123_stream_static_join,
 }
 
 ORACLES: dict[str, str] = {
@@ -5066,6 +5119,7 @@ ORACLES: dict[str, str] = {
     "q120_matryoshka_recall": ORACLE_Q120,
     "q121_scd2_asof": ORACLE_Q121,
     "q122_novelty_scores": ORACLE_Q122,
+    "q123_stream_static_join": ORACLE_Q123,
 }
 
 
