@@ -144,6 +144,10 @@ BENCH_QUERIES = [
     "q121_scd2_asof",
     "q122_novelty_scores",
     "q123_stream_static_join",
+    "q124_min_cost_supplier",
+    "q125_nation_balance_share",
+    "q126_top_quarter_suppliers",
+    "q127_rich_inactive_customers",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

@@ -4871,6 +4871,170 @@ GROUP BY 1, 2
 """
 
 
+def q124_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2-shaped correlated-min lookup (no partsupp table in the
+    driver's schema, so lineitem plays the supply-cost fact): for each
+    of the first 50 parts, the supplier(s) achieving the MINIMUM unit
+    price — the correlated scalar subquery decorrelated Spark-style as
+    a rank-over-window (ties all kept, deterministic)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_partkey") <= 50)
+    unit = li.select(
+        "l_partkey",
+        "l_suppkey",
+        (_dec("l_extendedprice") / F.col("l_quantity"))
+        .cast("decimal(18,6)")
+        .alias("unit_price"),
+    )
+    best = unit.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("unit_price").alias("min_unit")
+    )
+    w = Window.partitionBy("l_partkey").orderBy(F.col("min_unit"))
+    return (
+        best.withColumn("_rk", F.rank().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            F.col("min_unit").cast("double").alias("min_unit_price"),
+        )
+    )
+
+
+ORACLE_Q124 = """
+WITH unit AS (
+  SELECT l_partkey, l_suppkey,
+    MIN(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) / l_quantity
+             AS DECIMAL(18,6))) AS min_unit
+  FROM lineitem WHERE l_partkey <= 50
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT l_partkey, l_suppkey, CAST(min_unit AS DOUBLE) AS min_unit_price
+FROM (
+  SELECT *, rank() OVER (PARTITION BY l_partkey ORDER BY min_unit) AS rk
+  FROM unit
+) WHERE rk = 1
+"""
+
+
+def q125_nation_balance_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q11-shaped HAVING-over-global-scalar: nations whose total
+    customer balance exceeds 3% of the worldwide total.  The global
+    total is ONE map-side-combined scalar aggregate reused as a
+    broadcast literal (cross join of a 1-row frame — the q78-style
+    scalar-broadcast pattern), not a second scan per group."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_nationkey", _dec("c_acctbal").alias("bal")
+    )
+    per_nation = cust.groupBy("c_nationkey").agg(
+        F.sum("bal").alias("nation_bal")
+    )
+    total = cust.agg(F.sum("bal").alias("_total"))
+    return (
+        per_nation.crossJoin(F.broadcast(total))
+        .filter(F.col("nation_bal") * 100 > F.col("_total") * 3)
+        .select(
+            "c_nationkey",
+            F.col("nation_bal").cast("double").alias("nation_bal"),
+        )
+    )
+
+
+ORACLE_Q125 = """
+WITH per AS (
+  SELECT c_nationkey,
+    SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS nation_bal
+  FROM customer GROUP BY c_nationkey
+), tot AS (
+  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS t FROM customer
+)
+SELECT c_nationkey, CAST(nation_bal AS DOUBLE) AS nation_bal
+FROM per, tot WHERE nation_bal * 100 > t * 3
+"""
+
+
+def q126_top_quarter_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15-shaped max-over-derived-view: revenue per supplier for
+    1995Q1, keeping every supplier tied at the maximum — the classic
+    'create view revenue AS ... WHERE total = (SELECT max ...)' shape,
+    decorrelated as one aggregate + a 1-row max broadcast."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01"))
+        & (F.col("l_shipdate") < F.lit("1995-04-01"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            _dec("l_extendedprice") * (1 - _dec("l_discount"))
+        ).alias("revenue")
+    )
+    mx = rev.agg(F.max("revenue").alias("_mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("revenue") == F.col("_mx"))
+        .select(
+            "l_suppkey", F.col("revenue").cast("double").alias("revenue")
+        )
+    )
+
+
+ORACLE_Q126 = """
+WITH rev AS (
+  SELECT l_suppkey,
+    SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1995-04-01'
+  GROUP BY l_suppkey
+)
+SELECT l_suppkey, CAST(revenue AS DOUBLE) AS revenue
+FROM rev WHERE revenue = (SELECT MAX(revenue) FROM rev)
+"""
+
+
+def q127_rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-shaped anti-join + scalar-subquery filter: customers
+    with above-average positive balance and NO urgent orders — the avg is a
+    broadcast scalar, the 'no orders' test a left-anti join (never a
+    NOT IN, whose NULL semantics are a correctness trap).  Grouped by
+    balance band for a compact gate."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", _dec("c_acctbal").alias("bal")
+    )
+    pos = cust.filter(F.col("bal") > 0)
+    avg_bal = pos.agg(F.avg("bal").alias("_avg"))
+    rich = pos.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("bal") > F.col("_avg")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    inactive = rich.join(orders, "c_custkey", "left_anti")
+    return inactive.groupBy(
+        F.floor(F.col("bal") / 1000).cast("int").alias("bal_band_k")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("bal").cast("double").alias("sum_bal"),
+    )
+
+
+ORACLE_Q127 = """
+WITH pos AS (
+  SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+  FROM customer WHERE CAST(c_acctbal AS DECIMAL(18,2)) > 0
+), rich AS (
+  SELECT * FROM pos WHERE bal > (SELECT AVG(bal) FROM pos)
+), inactive AS (
+  SELECT * FROM rich r
+  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = r.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+)
+SELECT CAST(FLOOR(bal / 1000) AS INTEGER) AS bal_band_k,
+  COUNT(*) AS n, CAST(SUM(bal) AS DOUBLE) AS sum_bal
+FROM inactive GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -4995,6 +5159,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q121_scd2_asof": q121_scd2_asof,
     "q122_novelty_scores": q122_novelty_scores,
     "q123_stream_static_join": q123_stream_static_join,
+    "q124_min_cost_supplier": q124_min_cost_supplier,
+    "q125_nation_balance_share": q125_nation_balance_share,
+    "q126_top_quarter_suppliers": q126_top_quarter_suppliers,
+    "q127_rich_inactive_customers": q127_rich_inactive_customers,
 }
 
 ORACLES: dict[str, str] = {
@@ -5120,6 +5288,10 @@ ORACLES: dict[str, str] = {
     "q121_scd2_asof": ORACLE_Q121,
     "q122_novelty_scores": ORACLE_Q122,
     "q123_stream_static_join": ORACLE_Q123,
+    "q124_min_cost_supplier": ORACLE_Q124,
+    "q125_nation_balance_share": ORACLE_Q125,
+    "q126_top_quarter_suppliers": ORACLE_Q126,
+    "q127_rich_inactive_customers": ORACLE_Q127,
 }
 
 
