@@ -263,3 +263,47 @@ def test_q62_media_pipeline_single_fused_python_stage(spark):
 
     plan = physical_plan(QUERIES["q62_media_pipeline"](spark, "/root/testdata/sf0.001"))
     assert plan.count("MapInPandas") == 1
+
+
+def test_scalar_broadcast_queries_use_broadcast_not_sort(spark):
+    """q125/q126/q127's 1-row scalar sides must broadcast (BNLJ or BHJ on
+    a 1-row build is the deliberate constant-side pattern), never a
+    SortMergeJoin against the big side."""
+    from etl_opensky_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    for name in [
+        "q125_nation_balance_share",
+        "q126_top_quarter_suppliers",
+        "q127_rich_inactive_customers",
+    ]:
+        plan = physical_plan(QUERIES[name](spark, sf))
+        assert "Broadcast" in plan, name
+
+
+def test_cdc_apply_window_group_limit_pushdown(spark):
+    """apply_changelog's latest-wins filter must compile to
+    WindowGroupLimit in PARTIAL mode — the top-1-per-key cut happens
+    map-side BEFORE the shuffle, so a huge changelog never shuffles
+    more than one candidate row per (key, partition).  The rank()
+    ambiguity guard runs eagerly at call time and must be absent from
+    the result plan."""
+    from etl_opensky_spark.operators.cdc import apply_changelog
+
+    target = spark.createDataFrame([(1, "a")], ["id", "v"])
+    changes = spark.createDataFrame(
+        [(1, "b", "U", 1)], ["id", "v", "op", "seq"]
+    )
+    plan = physical_plan(apply_changelog(target, changes, ["id"], "seq"))
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    assert "rank(" not in plan  # guard optimized out of the result plan
+
+
+def test_prefix_jaccard_no_cartesian(spark):
+    from etl_opensky_spark.functions.dedup import prefix_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "a b c") for i in range(4)], ["doc_id", "text"]
+    )
+    plan = physical_plan(prefix_jaccard_pairs(docs, "doc_id", "text", 1, 2))
+    assert "CartesianProduct" not in plan
