@@ -5,3 +5,23 @@ from etl_opensky_spark.functions.datetime import (  # noqa: F401
     epoch_to_timestamp,
     ymd_columns,
 )
+from etl_opensky_spark.functions.lm import bigram_nll_scores  # noqa: F401
+from etl_opensky_spark.functions.retrieval import (  # noqa: F401
+    rank_topn,
+    rrf_fuse,
+)
+from etl_opensky_spark.functions.similarity import (  # noqa: F401
+    quantize_int8,
+    quantized_topk,
+)
+from etl_opensky_spark.functions.text import (  # noqa: F401
+    bpe_pair_counts,
+    tfidf_top_terms,
+)
+from etl_opensky_spark.functions.wordpiece import (  # noqa: F401
+    build_vocab,
+    wordpiece_pieces,
+)
+from etl_opensky_spark.functions.dedup import (  # noqa: F401
+    prefix_jaccard_pairs,
+)

@@ -32,3 +32,13 @@ from etl_opensky_spark.operators.reshape import (  # noqa: F401
 from etl_opensky_spark.operators.aggregates import top_k_per_group  # noqa: F401
 from etl_opensky_spark.operators.asof import asof_join  # noqa: F401
 from etl_opensky_spark.operators.joins import salted_join  # noqa: F401
+from etl_opensky_spark.operators.aggregates import (  # noqa: F401
+    equal_frequency_bins,
+    multi_count_distinct,
+)
+from etl_opensky_spark.operators.cdc import apply_changelog  # noqa: F401
+from etl_opensky_spark.operators.quality import (  # noqa: F401
+    tag_rules,
+    validate_rules,
+)
+from etl_opensky_spark.operators.scd import asof_lookup, scd2_merge  # noqa: F401
