@@ -168,3 +168,78 @@ def pagerank_oracle_sql(
         ",\n".join(parts)
         + f"\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r{n_iter}"
     )
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Exact triangle count of the undirected simple graph, degree-ordered.
+
+    The classic scalable formulation (node-iterator with degree
+    orientation): orient every undirected edge from the (degree, node)-
+    smaller endpoint to the larger, so each node's OUT-degree is
+    O(sqrt(m)) on any graph — the wedge join below then generates
+    sum-over-nodes C(outdeg, 2) candidate wedges instead of C(deg, 2),
+    which is what keeps hub nodes from exploding the join at 100×
+    (a hub of degree d contributes ~0 wedges as the wedge CENTER
+    because almost all its edges point INTO it).
+
+    Three equi-joins, no windows, no driver loops:
+      1. canonicalize + distinct (one shuffle),
+      2. degree table (one shuffle on node),
+      3. wedges ``o(a,b) ⋈ o(a,c)`` on the center node,
+      4. close the wedge with a SEMI join against oriented edges (b,c).
+
+    Returns a 1-row frame: ``n_nodes, n_edges, n_triangles`` (the count
+    is orientation-invariant, so an oracle may count with any total
+    order and must agree).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    du = deg.select(
+        F.col("node").alias("u"), F.col("deg").alias("deg_u")
+    )
+    dv = deg.select(
+        F.col("node").alias("v"), F.col("deg").alias("deg_v")
+    )
+    ed = e.join(du, "u").join(dv, "v")
+    # orient a -> b by the (degree, node) total order
+    a_first = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ed.select(
+        F.when(a_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(a_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(a_first, F.col("deg_v")).otherwise(F.col("deg_u")).alias(
+            "deg_b"
+        ),
+    )
+    o1 = oriented.select("a", F.col("b").alias("b1"), F.col("deg_b").alias("d1"))
+    o2 = oriented.select("a", F.col("b").alias("b2"), F.col("deg_b").alias("d2"))
+    wedges = o1.join(o2, "a").filter(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("b1") < F.col("b2")))
+    )
+    closed = wedges.join(
+        oriented.select(
+            F.col("a").alias("b1"), F.col("b").alias("b2")
+        ),
+        ["b1", "b2"],
+        "left_semi",
+    )
+    n_tri = closed.agg(F.count("*").alias("n_triangles"))
+    n_edges = e.agg(F.count("*").alias("n_edges"))
+    n_nodes = deg.agg(F.count("*").alias("n_nodes"))
+    return n_nodes.crossJoin(n_edges).crossJoin(n_tri)

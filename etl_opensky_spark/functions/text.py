@@ -484,3 +484,43 @@ def tfidf_top_terms(
         .select(id_col, "term", "tf", "tfidf_micros",
                 F.col("term_rank").cast("int").alias("term_rank"))
     )
+
+
+def hashed_feature_weight(token: Column, scale: int = 1000) -> Column:
+    """Deterministic integer weight in [-scale, scale] for a feature
+    string: first 4 md5 hex digits mod (2·scale+1), shifted.  The
+    hashing-trick weight lookup any engine can replay (same md5 idiom as
+    ``sampling.hash_bucket``) — stands in for a trained weight table; a
+    real model swaps this expression for a broadcast weight-table join
+    without touching the scoring shape."""
+    h = F.conv(F.substring(F.md5(token), 1, 4), 16, 10).cast("int")
+    return h % (2 * scale + 1) - scale
+
+
+def hashed_linear_score(col: Column, scale: int = 1000) -> Column:
+    """fastText-style linear text scorer, zero-shuffle: tokenize, build
+    unigram + bigram features, sum each feature's hashed weight.  The
+    entire scorer is ONE Column expression per row (codegen'd, no
+    explode — the feature array never leaves the row), so scoring a
+    100 TB corpus is a map-only pass.  Integer sum → exact in any
+    engine; classify on the sign."""
+    toks = tokenize(col)
+    n_1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    # both sides sliced to n-1: zip_with NULL-pads the shorter array, which
+    # would fabricate a trailing pseudo-bigram from the last unigram
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n_1),
+        F.slice(toks, 2, n_1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    uni_w = F.aggregate(
+        F.transform(toks, lambda t: hashed_feature_weight(t, scale)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    bi_w = F.aggregate(
+        F.transform(bigrams, lambda t: hashed_feature_weight(t, scale)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return uni_w + bi_w

@@ -425,3 +425,140 @@ def multi_count_distinct(
             for c in distinct_cols
         ],
     )
+
+
+def skyline_2d(
+    df: DataFrame,
+    min_col: str,
+    max_col: str,
+) -> DataFrame:
+    """Exact 2-D skyline (Pareto frontier): rows not dominated by any
+    other — dominated means another row is <= on ``min_col`` AND >= on
+    ``max_col`` with at least one strict.  Duplicate (min, max) pairs
+    collapse to one frontier point.
+
+    The naive plan is a NOT-EXISTS self-join (O(n²)) or a single global
+    window (one task).  This is the distributed sort-scan: after
+    dedup, ``repartitionByRange(min asc, max desc)`` makes each
+    partition an ordered slice; within a slice the running max of
+    ``max_col`` over PRIOR rows decides dominance locally, and the only
+    cross-partition state is ONE number per partition (its max), prefix-
+    maxed on the driver and broadcast back — the q56/q70/q115 prefix
+    pattern.  A point survives iff its ``max_col`` beats every prior
+    row's: with the (min asc, max desc) order, any prior row with
+    running-max >= this row's value is a strict dominator.
+    """
+    from pyspark.sql import Window as _W
+
+    pts = df.select(
+        F.col(min_col).alias("_x"), F.col(max_col).alias("_y")
+    ).distinct()
+    ranged = (
+        pts.repartitionByRange(
+            df.sparkSession.sparkContext.defaultParallelism,
+            F.col("_x").asc(),
+            F.col("_y").desc(),
+        )
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    part_max = ranged.groupBy("_pid").agg(F.max("_y").alias("_m")).collect()
+    prefix: dict[int, float] = {}
+    best = None
+    for row in sorted(part_max, key=lambda r: r["_pid"]):
+        prefix[row["_pid"]] = best
+        best = row["_m"] if best is None else max(best, row["_m"])
+    spark = df.sparkSession
+    pre_df = spark.createDataFrame(
+        [
+            (pid, float(v) if v is not None else None)
+            for pid, v in prefix.items()
+        ],
+        schema="_pid int, _prev_max double",
+    )
+    w = (
+        _W.partitionBy("_pid")
+        .orderBy(F.col("_x").asc(), F.col("_y").desc())
+        .rowsBetween(_W.unboundedPreceding, -1)
+    )
+    local_prev = F.max("_y").over(w)
+    return (
+        ranged.join(F.broadcast(pre_df), "_pid")
+        .withColumn(
+            "_dom",
+            F.greatest(
+                F.coalesce(local_prev, F.lit(float("-inf"))),
+                F.coalesce(F.col("_prev_max"), F.lit(float("-inf"))),
+            ),
+        )
+        .filter(F.col("_y") > F.col("_dom"))
+        .select(F.col("_x").alias(min_col), F.col("_y").alias(max_col))
+    )
+
+
+def _group_lower_median(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Exact LOWER median per group — the 1-based element at position
+    ``(n+1) div 2`` of the group's sorted values.  Element SELECTION,
+    not interpolation: the result is an actual input value, identical
+    in any engine (no midpoint-average float-order hazard).
+
+    Shape: one shuffle on the group key; per-group state via sort-free
+    two-pass (count, then row_number window per group).  Groups here are
+    LOW-cardinality dimensions (event types, sources) so the per-group
+    window is acceptable; for high-cardinality value domains use the
+    ``equal_frequency_bins`` range-partitioned rank instead.
+    """
+    from pyspark.sql import Window as _W
+
+    n = df.groupBy(group_col).agg(F.count(value_col).alias("_n"))
+    w = _W.partitionBy(group_col).orderBy(F.col(value_col))
+    ranked = df.select(group_col, value_col).withColumn(
+        "_rn", F.row_number().over(w)
+    )
+    return (
+        ranked.join(n, group_col)
+        .filter(F.col("_rn") == F.floor((F.col("_n") + 1) / 2))
+        .select(group_col, F.col(value_col).alias(out_col))
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier summary via Median Absolute Deviation:
+    ``med = lower-median(x)``, ``mad = lower-median(|x - med|)``, an
+    outlier is ``|x - med| > k·mad``.  Lower-medians are exact element
+    selections (see ``_group_lower_median``) and the deviations are
+    exact double subtractions, so the flag — and this summary — is
+    bit-reproducible in any engine: no quantile interpolation, no
+    accumulation-order float drift.
+
+    Returns one row per group: median, mad, n, n_outliers.
+    """
+    med = _group_lower_median(df, group_col, value_col, "_med")
+    dev = df.join(F.broadcast(med), group_col).withColumn(
+        "_adev", F.abs(F.col(value_col) - F.col("_med"))
+    )
+    mad = _group_lower_median(dev, group_col, "_adev", "_mad")
+    return (
+        dev.join(F.broadcast(mad), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.max("_med").alias("median"),
+            F.max("_mad").alias("mad"),
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(
+                    F.col("_adev") > F.lit(k) * F.col("_mad"), 1
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )

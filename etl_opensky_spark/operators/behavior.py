@@ -90,3 +90,57 @@ def event_transitions(
         )
         .agg(F.count("*").alias("n_transitions"))
     )
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    conversion_type: str,
+    window_seconds: int,
+    id_col: str,
+) -> DataFrame:
+    """Last-touch conversion attribution: each conversion event is
+    credited to the user's most recent PRIOR non-conversion event, but
+    only if it happened within ``window_seconds``; conversions with no
+    qualifying touch are 'direct'.
+
+    One shuffle (per-user window ordered by (ts, id)); the carry is
+    ``last(ignorenulls)`` over a struct of (epoch, type) — a single
+    window pass, no self-join of conversions against touches (which
+    would re-shuffle the fact twice and explode on power users).
+    Returns the conversion rows with ``attributed`` ∈ {touch types,
+    'direct'}.
+    """
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col(type_col) != conversion_type
+    touch = F.when(
+        is_touch,
+        F.struct(
+            F.col(ts_col).cast("long").alias("t"),
+            F.col(type_col).alias("y"),
+        ),
+    )
+    carried = events.withColumn(
+        "_touch", F.last(touch, ignorenulls=True).over(w)
+    )
+    return (
+        carried.filter(F.col(type_col) == conversion_type)
+        .withColumn(
+            "attributed",
+            F.when(
+                F.col("_touch").isNotNull()
+                & (
+                    F.col(ts_col).cast("long") - F.col("_touch")["t"]
+                    <= window_seconds
+                ),
+                F.col("_touch")["y"],
+            ).otherwise(F.lit("direct")),
+        )
+        .drop("_touch")
+    )

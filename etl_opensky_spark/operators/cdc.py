@@ -60,3 +60,57 @@ def apply_changelog(
     touched = latest.select(*keys)
     kept = target.join(touched, keys, "left_anti")
     return kept.unionByName(upserts)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """The inverse of ``apply_changelog``: derive the changelog that
+    turns snapshot ``old`` into snapshot ``new``.
+
+    Emits one row per changed key with ``op ∈ {'I','U','D'}`` and the
+    NEW values (for deletes, the old values — the row being retracted).
+    Unchanged keys are omitted, so the output is the minimal delta — the
+    thing you'd feed to ``apply_changelog``/``merge_parquet_keyed`` or
+    publish as a CDC stream after a batch recompute.
+
+    Scale shape: ONE full-outer key equi-join (both sides shuffle on the
+    key, the only data-sized cost); change detection is a null-safe
+    column comparison (``<=>`` — NULL==NULL is 'unchanged', the
+    ``frames_differ`` lesson from the reference's always-False ``==`` at
+    load_dim_airports.py:54), all map-side.
+    """
+    compare_cols = list(
+        compare_cols
+        if compare_cols is not None
+        else [c for c in new.columns if c not in keys]
+    )
+    # side-presence markers: a NULL data column cannot distinguish "no row
+    # on this side" from "row with NULL value" — explicit flags can.
+    o = old.select(
+        *keys, *[F.col(c).alias(f"_old_{c}") for c in compare_cols]
+    ).withColumn("_in_old", F.lit(True))
+    n = new.select(*keys, *compare_cols).withColumn("_in_new", F.lit(True))
+    j = o.join(n, list(keys), "full_outer")
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(f"_old_{c}").eqNullSafe(F.col(c))
+    op = (
+        F.when(F.col("_in_old").isNull(), F.lit("I"))
+        .when(F.col("_in_new").isNull(), F.lit("D"))
+        .when(changed, F.lit("U"))
+    )
+    out_vals = [
+        F.when(F.col("_in_new").isNull(), F.col(f"_old_{c}"))
+        .otherwise(F.col(c))
+        .alias(c)
+        for c in compare_cols
+    ]
+    return (
+        j.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .select(*keys, "op", *out_vals)
+    )

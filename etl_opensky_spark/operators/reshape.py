@@ -47,3 +47,63 @@ def date_spine(
             )
         ).alias(out_col)
     )
+
+
+def fill_time_gaps(
+    df,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+):
+    """Per-key daily gap filling with last-observation-carried-forward.
+
+    Classic time-series densification: for every key, a daily spine from
+    its first to its last observed day; days with no observation get the
+    most recent prior day's closing value (``filled = true``).  The
+    closing value of an observed day is its LAST event by (ts, id) —
+    deterministic under any partitioning.
+
+    Scale shape: the spine is ``sequence()+explode`` per key (no driver
+    loop, no global spine cross-join — each key generates only ITS OWN
+    days); daily closing values are one ``max_by``-style aggregate; the
+    carry-forward is ``last(ignorenulls)`` over a per-key window ordered
+    by day — one shuffle on the key, state bounded by the key's span.
+    """
+    from pyspark.sql import Window as _W
+
+    day = F.to_date(F.col(ts_col))
+    daily = (
+        df.withColumn("_day", day)
+        .groupBy(key_col, "_day")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col(ts_col).alias("t"),
+                    F.col(id_col).alias("i"),
+                    F.col(value_col).alias("v"),
+                )
+            )["v"].alias("_close")
+        )
+    )
+    span = df.groupBy(key_col).agg(
+        F.min(day).alias("_d0"), F.max(day).alias("_d1")
+    )
+    spine = span.select(
+        key_col,
+        F.explode(
+            F.sequence(F.col("_d0"), F.col("_d1"), F.expr("INTERVAL 1 DAY"))
+        ).alias("_day"),
+    )
+    joined = spine.join(daily, [key_col, "_day"], "left")
+    w = (
+        _W.partitionBy(key_col)
+        .orderBy("_day")
+        .rowsBetween(_W.unboundedPreceding, 0)
+    )
+    return joined.select(
+        F.col(key_col),
+        F.col("_day").alias("day"),
+        F.last("_close", ignorenulls=True).over(w).alias("value"),
+        F.col("_close").isNull().alias("filled"),
+    )

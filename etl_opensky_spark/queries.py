@@ -5035,6 +5035,967 @@ FROM inactive GROUP BY 1
 """
 
 
+# --- TPC-H suite completion (q128–q138): the remaining classic shapes -------
+# The driver's schema has no partsupp / l_shipmode / l_commitdate, so each
+# query keeps the CLASSIC PLAN SHAPE (what Catalyst must get right) with the
+# nearest available columns; the docstrings note the substitution.
+
+
+def q128_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-shaped forecasting filter-aggregate: a single wide scan
+    with three pushed predicates and zero joins/groupings — the purest
+    pushdown + map-side-combine probe.  All three predicates (date range,
+    discount band, quantity cap) must reach the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01"))
+        & _dec("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+        .cast("double")
+        .alias("forecast_revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+ORACLE_Q128 = """
+SELECT
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS forecast_revenue,
+  COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
+  AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q129_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7-shaped bilateral trade volume: revenue shipped between two
+    specific nations per year, in both directions.  Plan shape: the big
+    fact⋈fact join (lineitem⋈orders) shuffles on orderkey; supplier and
+    the two role-playing nation dims broadcast; the customer join carries
+    the second nation role.  The (n1,n2) pair disjunction lands AFTER the
+    broadcasts so only two tiny dims are scanned twice — never lineitem."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") < F.lit("1997-01-01")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    df = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(nation.withColumnRenamed("n_name", "supp_nation")),
+            supp.s_nationkey == F.col("n_nationkey"),
+        )
+        .drop("n_nationkey")
+        .join(
+            F.broadcast(nation.withColumnRenamed("n_name", "cust_nation")),
+            cust.c_nationkey == F.col("n_nationkey"),
+        )
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return (
+        df.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+ORACLE_Q129 = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  CAST(year(l_shipdate) AS INT) AS ship_year,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE l_shipdate < DATE '1997-01-01'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+"""
+
+
+def q130_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8-shaped market share: of all PROMO-part revenue sold to
+    ASIA-region customers, the share supplied by NATION_3, per order year.
+    Numerator and denominator are ONE conditional aggregate over one scan
+    (never two passes); the share division happens once, in double, after
+    both decimal sums — bit-identical in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    supp_nation = supp.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        supp.s_nationkey == nation.n_nationkey,
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    rev = F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount")))
+    df = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(asia_nations),
+            cust.c_nationkey == asia_nations.n_nationkey,
+        )
+        .join(F.broadcast(supp_nation), li.l_suppkey == supp_nation.s_suppkey)
+    )
+    agg = df.groupBy(F.year("o_orderdate").alias("order_year")).agg(
+        F.sum(
+            F.when(
+                F.col("supp_nation") == "NATION_3",
+                _dec("l_extendedprice") * (1 - _dec("l_discount")),
+            ).otherwise(F.lit(0).cast("decimal(18,2)"))
+        )
+        .cast("double")
+        .alias("nation_rev"),
+        rev.cast("double").alias("total_rev"),
+    )
+    return agg.select(
+        "order_year",
+        "nation_rev",
+        "total_rev",
+        (F.col("nation_rev") / F.col("total_rev")).alias("mkt_share"),
+    )
+
+
+ORACLE_Q130 = """
+WITH base AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+    CAST(l_extendedprice AS DECIMAL(18,2))
+      * (1 - CAST(l_discount AS DECIMAL(18,2))) AS rev,
+    n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey AND p_type = 'PROMO'
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON n1.n_nationkey = c_nationkey
+  JOIN region ON r_regionkey = n1.n_regionkey AND r_name = 'ASIA'
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation n2 ON n2.n_nationkey = s_nationkey
+), agg AS (
+  SELECT order_year,
+    CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev
+             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS nation_rev,
+    CAST(SUM(rev) AS DOUBLE) AS total_rev
+  FROM base GROUP BY order_year
+)
+SELECT order_year, nation_rev, total_rev,
+  nation_rev / total_rev AS mkt_share
+FROM agg
+"""
+
+
+def q131_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9-shaped product-type profit by nation and year.  The
+    schema has no partsupp, so supply cost is the deterministic proxy
+    ``0.5 × p_retailprice × quantity`` (docstring'd substitution; the
+    plan shape — lineitem⋈part⋈supplier⋈orders⋈nation with only the fact
+    join shuffling — is the Q9 shape).  0.5 is exact in DECIMAL(3,2), so
+    profit stays exact-integer until the final double cast."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    half = F.lit("0.5").cast("decimal(3,2)")
+    profit = _dec("l_extendedprice") * (1 - _dec("l_discount")) - (
+        _dec("p_retailprice") * half * _dec("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("order_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("profit"))
+    )
+
+
+ORACLE_Q131 = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS order_year,
+  CAST(SUM(
+    CAST(l_extendedprice AS DECIMAL(18,2))
+      * (1 - CAST(l_discount AS DECIMAL(18,2)))
+    - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(0.5 AS DECIMAL(3,2))
+      * CAST(l_quantity AS DECIMAL(18,2))
+  ) AS DOUBLE) AS profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey AND p_name LIKE '%widget%'
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN nation ON n_nationkey = s_nationkey
+GROUP BY 1, 2
+"""
+
+
+def q132_shipping_delay_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q12-shaped conditional priority counts: lines bucketed by
+    ship-delay band (the schema's stand-in for l_shipmode), counting
+    high- vs low-priority orders per band via ONE conditional aggregate
+    over the fact⋈orders join — the CASE-sum never forces a second scan
+    or a pivot shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .withColumn(
+            "delay_band",
+            F.when(
+                F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) >= 60,
+                F.lit("SLOW"),
+            ).otherwise(F.lit("FAST")),
+        )
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return joined.groupBy("delay_band").agg(
+        F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+    )
+
+
+ORACLE_Q132 = """
+SELECT CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                           CAST(l_shipdate AS DATE)) >= 60
+       THEN 'SLOW' ELSE 'FAST' END AS delay_band,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+    AS high_line_count,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END)
+    AS low_line_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+GROUP BY 1
+"""
+
+
+def q133_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-shaped promotion-effect percentage per month of 1995:
+    100 × promo revenue / total revenue, both sums from ONE conditional
+    aggregate over lineitem⋈part (part broadcast), division once in
+    double after exact decimal sums."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01"))
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    agg = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.month("l_shipdate").alias("ship_month"))
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                    F.lit(0).cast("decimal(18,2)")
+                )
+            )
+            .cast("double")
+            .alias("promo_rev"),
+            F.sum(rev).cast("double").alias("total_rev"),
+        )
+    )
+    return agg.select(
+        "ship_month",
+        "promo_rev",
+        "total_rev",
+        (F.lit(100.0) * F.col("promo_rev") / F.col("total_rev")).alias(
+            "promo_pct"
+        ),
+    )
+
+
+ORACLE_Q133 = """
+WITH agg AS (
+  SELECT CAST(month(l_shipdate) AS INT) AS ship_month,
+    CAST(SUM(CASE WHEN p_type = 'PROMO'
+        THEN CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_rev,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_rev
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
+  GROUP BY 1
+)
+SELECT ship_month, promo_rev, total_rev,
+  100.0 * promo_rev / total_rev AS promo_pct
+FROM agg
+"""
+
+
+def q134_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16-shaped supplier-per-part-group counts: distinct suppliers
+    able to supply each (brand, size) group of small parts, EXCLUDING a
+    denylist of suppliers (negative balance — the 'customer complaints'
+    stand-in).  The denylist is a broadcast LEFT-ANTI join (never NOT IN:
+    NULL-semantics trap); the distinct-count agg shuffles once on the
+    group key with map-side partial distinct."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= 8)
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(bad, "l_suppkey", "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+ORACLE_Q134 = """
+SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_size <= 8
+  AND NOT EXISTS (SELECT 1 FROM supplier
+                  WHERE s_suppkey = l_suppkey AND s_acctbal < 0)
+GROUP BY 1, 2
+"""
+
+
+def q135_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-shaped large-volume customers: orders whose total line
+    quantity exceeds 150, joined back to customer and orders, top 100 by
+    total price.  The HAVING pre-aggregate runs FIRST so the expensive
+    3-way join sees only qualifying orderkeys (semi-reduction), and the
+    TakeOrdered top-100 never global-sorts."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            _dec("o_totalprice").cast("double").alias("total_price"),
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.col("total_price").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+ORACLE_Q135 = """
+WITH big AS (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+  FROM lineitem GROUP BY 1
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+)
+SELECT c_name, c_custkey, o_orderkey,
+  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price,
+  CAST(sum_qty AS DOUBLE) AS sum_qty
+FROM big
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY total_price DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
+def q136_disjunctive_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19-shaped disjunctive predicate revenue: an OR of three
+    brand/size/quantity conjunction clauses across lineitem⋈part.  The
+    part-only conjuncts stay with the broadcast dim and the common
+    quantity bound (the OR's hull, qty ≤ 30) is pushed to the lineitem
+    scan — the pattern Catalyst must not collapse into a full-scan
+    cross filter."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") <= 30)
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(clause).agg(
+        F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount")))
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+ORACLE_Q136 = """
+SELECT
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_quantity <= 30 AND (
+     (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+      AND l_quantity BETWEEN 1 AND 11)
+  OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+      AND l_quantity BETWEEN 10 AND 20)
+  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+      AND l_quantity BETWEEN 20 AND 30))
+"""
+
+
+def q137_supplier_ship_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q20-shaped nested semi-join chain: suppliers who shipped
+    more than 50 units of some PROMO part during 1995, resolved to
+    (name, nation).  The chain reduces strictly: part filter (broadcast)
+    → per-(supp, part) quantity agg → HAVING → DISTINCT suppkeys →
+    broadcast SEMI join into the 100-row supplier dim.  lineitem is
+    touched exactly once."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01"))
+    )
+    promo = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    shippers = (
+        li.join(F.broadcast(promo), li.l_partkey == promo.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(_dec("l_quantity")).alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+        .distinct()
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        supp.join(shippers, "s_suppkey", "left_semi")
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+    )
+
+
+ORACLE_Q137 = """
+SELECT s_suppkey, s_name, n_name AS nation
+FROM supplier JOIN nation ON n_nationkey = s_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  JOIN part ON p_partkey = l_partkey AND p_type = 'PROMO'
+  WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
+  GROUP BY l_suppkey, l_partkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 50)
+"""
+
+
+def q138_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21-shaped suppliers-who-kept-orders-waiting: count, per
+    supplier, the multi-supplier orders where THIS supplier's line was
+    late (shipped > 90 days after order date) and no other supplier's
+    was.  Q21's EXISTS / NOT-EXISTS pair over the same fact is
+    decorrelated as ONE per-order aggregate (distinct suppliers,
+    distinct LATE suppliers) joined back on orderkey — one extra
+    exchange-free join instead of two correlated self-joins, which is
+    the plan that survives 100× (no O(lines²-per-order) blowup on fat
+    orders).  Top 20, fully ordered."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey).withColumn(
+        "is_late",
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("is_late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    waiting = (
+        lo.filter(F.col("is_late"))
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .select("l_suppkey", "l_orderkey")
+        .distinct()
+    )
+    return (
+        waiting.groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_suppkey").asc())
+        .limit(20)
+    )
+
+
+ORACLE_Q138 = """
+WITH lo AS (
+  SELECT l_orderkey, l_suppkey,
+    (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS is_late
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+), per_order AS (
+  SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_supp,
+    COUNT(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late_supp
+  FROM lo GROUP BY 1
+)
+SELECT l_suppkey AS s_suppkey, COUNT(*) AS numwait
+FROM (
+  SELECT DISTINCT lo.l_suppkey, lo.l_orderkey
+  FROM lo JOIN per_order USING (l_orderkey)
+  WHERE lo.is_late AND n_supp > 1 AND n_late_supp = 1
+)
+GROUP BY 1
+ORDER BY numwait DESC, s_suppkey ASC
+LIMIT 20
+"""
+
+
+# --- round-4 batch 6: pipeline/analytics operators (q139–q147) --------------
+
+
+def q139_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog GENERATION (``operators.cdc.snapshot_diff`` — the
+    inverse of q109's apply): per-customer order aggregates over two
+    shifted one-year windows play the old/new snapshots; the diff emits
+    the minimal I/U/D delta.  One full-outer key join, null-safe change
+    detection — the batch-recompute-to-CDC-stream bridge."""
+    from etl_opensky_spark.operators.cdc import snapshot_diff
+
+    orders = _t(spark, sf_dir, "orders")
+
+    def snap(lo: str, hi: str) -> DataFrame:
+        return (
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit(lo))
+                & (F.col("o_orderdate") < F.lit(hi))
+            )
+            .groupBy("o_custkey")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum(_dec("o_totalprice")).alias("total_spend"),
+            )
+        )
+
+    old = snap("1995-01-01", "1997-01-01")
+    new = snap("1996-01-01", "1998-01-01")
+    delta = snapshot_diff(old, new, ["o_custkey"])
+    return delta.select(
+        "o_custkey",
+        "op",
+        "n_orders",
+        F.col("total_spend").cast("double").alias("total_spend"),
+    )
+
+
+ORACLE_Q139 = """
+WITH old AS (
+  SELECT o_custkey, COUNT(*) AS n_orders,
+    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spend
+  FROM orders
+  WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1997-01-01'
+  GROUP BY 1
+), new AS (
+  SELECT o_custkey, COUNT(*) AS n_orders,
+    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spend
+  FROM orders
+  WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01'
+  GROUP BY 1
+)
+SELECT COALESCE(o.o_custkey, n.o_custkey) AS o_custkey,
+  CASE WHEN o.o_custkey IS NULL THEN 'I'
+       WHEN n.o_custkey IS NULL THEN 'D'
+       ELSE 'U' END AS op,
+  COALESCE(n.n_orders, o.n_orders) AS n_orders,
+  CAST(COALESCE(n.total_spend, o.total_spend) AS DOUBLE) AS total_spend
+FROM old o FULL OUTER JOIN new n USING (o_custkey)
+WHERE o.o_custkey IS NULL OR n.o_custkey IS NULL
+   OR o.n_orders <> n.n_orders OR o.total_spend <> n.total_spend
+"""
+
+
+def q140_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count (``functions.graph.triangle_count``) of the
+    part co-purchase graph (parts sharing an order).  Degree-oriented
+    node-iterator — each wedge is generated at its lowest-degree corner,
+    the hub-safe plan at 100×.  The oracle counts with the plain id
+    order (the count is orientation-invariant), so agreement checks the
+    whole orient→wedge→close pipeline."""
+    from etl_opensky_spark.functions.graph import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+    )
+    return triangle_count(edges)
+
+
+ORACLE_Q140 = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), nodes AS (
+  SELECT u AS node FROM e UNION SELECT v FROM e
+)
+SELECT (SELECT COUNT(*) FROM nodes) AS n_nodes,
+       (SELECT COUNT(*) FROM e) AS n_edges,
+       (SELECT COUNT(*) FROM e e1
+          JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+          JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v) AS n_triangles
+"""
+
+
+def q141_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily gap filling with last-observation-carried-forward
+    (``operators.reshape.fill_time_gaps``): every user gets a dense
+    daily spine over their active span; silent days inherit the prior
+    day's closing value.  Spine via per-key sequence+explode (no global
+    cross-join), LOCF via one bounded per-key window — the time-series
+    densification every feature store needs."""
+    from etl_opensky_spark.operators.reshape import fill_time_gaps
+
+    ev = _events(spark, sf_dir)
+    return fill_time_gaps(ev, "user_id", "ts", "value", "event_id")
+
+
+ORACLE_Q141 = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, value AS close FROM (
+    SELECT user_id, ts, event_id, value,
+      row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                         ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events) t
+  WHERE rn = 1
+), span AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+  FROM events GROUP BY 1
+), spine AS (
+  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM span
+)
+SELECT s.user_id, s.day,
+  last_value(d.close IGNORE NULLS) OVER (
+    PARTITION BY s.user_id ORDER BY s.day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+  d.close IS NULL AS filled
+FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+"""
+
+
+def q142_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear text classifier inference (``functions.text.
+    hashed_linear_score``) — the fastText serving shape: unigram+bigram
+    features, integer hashed weights, ONE codegen'd Column expression
+    per row (no explode, no shuffle, no Python).  Weights are
+    md5-derived stand-ins; a trained model swaps in a broadcast weight
+    table without changing the scoring plan.  Gate groups score sign by
+    language."""
+    from etl_opensky_spark.functions.text import hashed_linear_score
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.withColumn("score", hashed_linear_score(F.col("text")))
+    return scored.groupBy("lang").agg(
+        F.sum(F.when(F.col("score") > 0, 1).otherwise(0)).alias("n_pos"),
+        F.sum(F.when(F.col("score") <= 0, 1).otherwise(0)).alias("n_neg"),
+        F.sum("score").alias("sum_score"),
+    )
+
+
+ORACLE_Q142 = """
+WITH toks AS (
+  SELECT doc_id, lang,
+    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok,
+    generate_subscripts(string_split_regex(lower(trim(text)), '\\s+'), 1) AS ord
+  FROM documents
+), feats AS (
+  SELECT doc_id, lang, ord,
+    CAST(CONCAT('0x', substr(md5(tok), 1, 4)) AS INTEGER) % 2001 - 1000 AS w_uni,
+    CASE WHEN lead(tok) OVER (PARTITION BY doc_id ORDER BY ord) IS NULL
+         THEN 0
+         ELSE CAST(CONCAT('0x', substr(md5(
+                tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY ord)
+              ), 1, 4)) AS INTEGER) % 2001 - 1000 END AS w_bi
+  FROM toks
+), scores AS (
+  SELECT doc_id, lang, SUM(w_uni) + SUM(w_bi) AS score
+  FROM feats GROUP BY 1, 2
+)
+SELECT lang,
+  SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS n_pos,
+  SUM(CASE WHEN score <= 0 THEN 1 ELSE 0 END) AS n_neg,
+  CAST(SUM(score) AS BIGINT) AS sum_score
+FROM scores GROUP BY 1
+"""
+
+
+def q143_hopping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) time windows — ``F.window(ts, '6 hours',
+    '2 hours')``: every event lands in exactly 3 overlapping windows,
+    the SAME windowing Structured Streaming uses (q92's session windows'
+    fixed-width sibling), here over the batch table so the assignment
+    arithmetic is oracle-checkable.  The explode-by-3 is bounded by the
+    overlap factor, never by data skew."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.window("ts", "6 hours", "2 hours").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("value", 6)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+ORACLE_Q143 = """
+SELECT make_timestamp(((epoch_us(ts) // 7200000000) - k.k) * 7200000000)
+         AS win_start,
+  event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events CROSS JOIN (VALUES (0), (1), (2)) AS k(k)
+GROUP BY 1, 2
+"""
+
+
+def q144_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier summary via Median Absolute Deviation
+    (``operators.aggregates.mad_outliers``): lower-median and MAD are
+    exact ELEMENT SELECTIONS (no quantile interpolation, no float-order
+    drift), deviations exact double subtractions — the whole robust
+    statistic is bit-reproducible cross-engine, unlike mean±k·stddev
+    whose accumulation order varies."""
+    from etl_opensky_spark.operators.aggregates import mad_outliers
+
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    return mad_outliers(ev, "event_type", "value", k=3.0)
+
+
+ORACLE_Q144 = """
+WITH v AS (
+  SELECT event_type, value FROM events WHERE value IS NOT NULL
+), n AS (
+  SELECT event_type, COUNT(*) AS n FROM v GROUP BY 1
+), med AS (
+  SELECT t.event_type, t.value AS median FROM (
+    SELECT event_type, value,
+      row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn
+    FROM v) t JOIN n USING (event_type)
+  WHERE t.rn = (n.n + 1) // 2
+), dev AS (
+  SELECT v.event_type, v.value, med.median,
+    abs(v.value - med.median) AS adev
+  FROM v JOIN med USING (event_type)
+), mad AS (
+  SELECT t.event_type, t.adev AS mad FROM (
+    SELECT event_type, adev,
+      row_number() OVER (PARTITION BY event_type ORDER BY adev) AS rn
+    FROM dev) t JOIN n USING (event_type)
+  WHERE t.rn = (n.n + 1) // 2
+)
+SELECT dev.event_type, MAX(dev.median) AS median, MAX(mad.mad) AS mad,
+  COUNT(*) AS n,
+  CAST(SUM(CASE WHEN dev.adev > 3.0 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_outliers
+FROM dev JOIN mad USING (event_type)
+GROUP BY 1
+"""
+
+
+def q145_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution (``operators.behavior.
+    last_touch_attribution``): each purchase credits the user's most
+    recent prior non-purchase event within 1 hour, else 'direct'.  ONE
+    per-user window pass with a struct carry — no conversions×touches
+    self-join to explode on power users."""
+    from etl_opensky_spark.operators.behavior import last_touch_attribution
+
+    ev = _events(spark, sf_dir)
+    attributed = last_touch_attribution(
+        ev, "user_id", "ts", "event_type", "purchase", 3600, "event_id"
+    )
+    return attributed.groupBy("attributed").agg(
+        F.count("*").alias("n_conversions"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+ORACLE_Q145 = """
+WITH c AS (
+  SELECT user_id, ts, event_type,
+    last_value(CASE WHEN event_type <> 'purchase'
+                    THEN {'t': epoch_us(ts) // 1000000, 'y': event_type}
+               END IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+  FROM events
+)
+SELECT CASE WHEN touch IS NULL
+              OR epoch_us(ts) // 1000000 - touch.t > 3600 THEN 'direct'
+            ELSE touch.y END AS attributed,
+  COUNT(*) AS n_conversions,
+  COUNT(DISTINCT user_id) AS n_users
+FROM c WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+
+def q146_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 2-D skyline / Pareto frontier (``operators.aggregates.
+    skyline_2d``): parts not dominated on (cheaper price, larger size).
+    Distributed sort-scan — range partitions ordered by (price asc,
+    size desc), per-partition running max, ONE number per partition
+    prefix-maxed on the driver — instead of the O(n²) NOT-EXISTS
+    self-join the oracle runs, or a single-task global window."""
+    from etl_opensky_spark.operators.aggregates import skyline_2d
+
+    part = _t(spark, sf_dir, "part")
+    return skyline_2d(part, "p_retailprice", "p_size")
+
+
+ORACLE_Q146 = """
+WITH d AS (SELECT DISTINCT p_retailprice, p_size FROM part)
+SELECT p_retailprice, p_size FROM d a
+WHERE NOT EXISTS (
+  SELECT 1 FROM d b
+  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+"""
+
+
+def q147_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token Shannon entropy — the corpus-diversity /
+    quality signal.  Decomposed for exactness: H = ln(N) − S/N with
+    ``S = Σ cnt·ln(cnt)``; each distinct count's ln is micro-quantized
+    ONCE (the q106/q89 integer-micros rule), so S is an exact integer
+    sum, partitioning-invariant, and the single final division happens
+    in double identically in both engines.  Two shuffles (token counts,
+    then per-source sum) — no sort, no window."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(TX.tokenize(F.col("text"))).alias("tok")
+    )
+    counts = toks.groupBy("source", "tok").agg(F.count("*").alias("cnt"))
+    per_source = counts.groupBy("source").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.sum(
+            F.col("cnt")
+            * F.round(F.log(F.col("cnt").cast("double")) * 1_000_000.0).cast(
+                "bigint"
+            )
+        ).alias("s_micros"),
+        F.count("*").alias("n_types"),
+    )
+    return per_source.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        "s_micros",
+        (
+            F.log(F.col("n_tokens").cast("double"))
+            - (F.col("s_micros").cast("double") / 1e6)
+            / F.col("n_tokens").cast("double")
+        ).alias("entropy_nats"),
+    )
+
+
+ORACLE_Q147 = """
+WITH toks AS (
+  SELECT source,
+    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
+), counts AS (
+  SELECT source, tok, COUNT(*) AS cnt FROM toks GROUP BY 1, 2
+), per_source AS (
+  SELECT source,
+    CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+    CAST(SUM(cnt * CAST(ROUND(ln(CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT))
+         AS BIGINT) AS s_micros,
+    COUNT(*) AS n_types
+  FROM counts GROUP BY 1
+)
+SELECT source, n_tokens, n_types, s_micros,
+  ln(CAST(n_tokens AS DOUBLE))
+    - (CAST(s_micros AS DOUBLE) / 1e6) / CAST(n_tokens AS DOUBLE)
+    AS entropy_nats
+FROM per_source
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -5163,6 +6124,26 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q125_nation_balance_share": q125_nation_balance_share,
     "q126_top_quarter_suppliers": q126_top_quarter_suppliers,
     "q127_rich_inactive_customers": q127_rich_inactive_customers,
+    "q128_forecast_revenue": q128_forecast_revenue,
+    "q129_volume_shipping": q129_volume_shipping,
+    "q130_market_share": q130_market_share,
+    "q131_product_profit": q131_product_profit,
+    "q132_shipping_delay_modes": q132_shipping_delay_modes,
+    "q133_promo_share": q133_promo_share,
+    "q134_supplier_part_counts": q134_supplier_part_counts,
+    "q135_large_orders": q135_large_orders,
+    "q136_disjunctive_scan": q136_disjunctive_scan,
+    "q137_supplier_ship_chain": q137_supplier_ship_chain,
+    "q138_waiting_suppliers": q138_waiting_suppliers,
+    "q139_snapshot_diff": q139_snapshot_diff,
+    "q140_triangle_count": q140_triangle_count,
+    "q141_gap_fill": q141_gap_fill,
+    "q142_hashed_classifier": q142_hashed_classifier,
+    "q143_hopping_windows": q143_hopping_windows,
+    "q144_mad_outliers": q144_mad_outliers,
+    "q145_attribution": q145_attribution,
+    "q146_skyline": q146_skyline,
+    "q147_source_entropy": q147_source_entropy,
 }
 
 ORACLES: dict[str, str] = {
@@ -5292,6 +6273,26 @@ ORACLES: dict[str, str] = {
     "q125_nation_balance_share": ORACLE_Q125,
     "q126_top_quarter_suppliers": ORACLE_Q126,
     "q127_rich_inactive_customers": ORACLE_Q127,
+    "q128_forecast_revenue": ORACLE_Q128,
+    "q129_volume_shipping": ORACLE_Q129,
+    "q130_market_share": ORACLE_Q130,
+    "q131_product_profit": ORACLE_Q131,
+    "q132_shipping_delay_modes": ORACLE_Q132,
+    "q133_promo_share": ORACLE_Q133,
+    "q134_supplier_part_counts": ORACLE_Q134,
+    "q135_large_orders": ORACLE_Q135,
+    "q136_disjunctive_scan": ORACLE_Q136,
+    "q137_supplier_ship_chain": ORACLE_Q137,
+    "q138_waiting_suppliers": ORACLE_Q138,
+    "q139_snapshot_diff": ORACLE_Q139,
+    "q140_triangle_count": ORACLE_Q140,
+    "q141_gap_fill": ORACLE_Q141,
+    "q142_hashed_classifier": ORACLE_Q142,
+    "q143_hopping_windows": ORACLE_Q143,
+    "q144_mad_outliers": ORACLE_Q144,
+    "q145_attribution": ORACLE_Q145,
+    "q146_skyline": ORACLE_Q146,
+    "q147_source_entropy": ORACLE_Q147,
 }
 
 
