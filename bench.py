@@ -148,6 +148,26 @@ BENCH_QUERIES = [
     "q125_nation_balance_share",
     "q126_top_quarter_suppliers",
     "q127_rich_inactive_customers",
+    "q128_forecast_revenue",
+    "q129_volume_shipping",
+    "q130_market_share",
+    "q131_product_profit",
+    "q132_shipping_delay_modes",
+    "q133_promo_share",
+    "q134_supplier_part_counts",
+    "q135_large_orders",
+    "q136_disjunctive_scan",
+    "q137_supplier_ship_chain",
+    "q138_waiting_suppliers",
+    "q139_snapshot_diff",
+    "q140_triangle_count",
+    "q141_gap_fill",
+    "q142_hashed_classifier",
+    "q143_hopping_windows",
+    "q144_mad_outliers",
+    "q145_attribution",
+    "q146_skyline",
+    "q147_source_entropy",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

@@ -5684,7 +5684,11 @@ def q140_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole orient→wedge→close pipeline."""
     from etl_opensky_spark.functions.graph import triangle_count
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") < F.lit("1997-01-01"))
+        .select("l_orderkey", "l_partkey")
+    )
     a = li.alias("a")
     b = li.alias("b")
     edges = (
@@ -5699,9 +5703,12 @@ def q140_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_Q140 = """
-WITH e AS (
+WITH li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem
+  WHERE l_shipdate < DATE '1997-01-01'
+), e AS (
   SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-  FROM lineitem a JOIN lineitem b
+  FROM li a JOIN li b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
 ), nodes AS (
   SELECT u AS node FROM e UNION SELECT v FROM e
@@ -5945,7 +5952,9 @@ def q147_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum, partitioning-invariant, and the single final division happens
     in double identically in both engines.  Two shuffles (token counts,
     then per-source sum) — no sort, no window."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )  # single parquet file = single task; spread BEFORE the explode
     toks = docs.select(
         "source", F.explode(TX.tokenize(F.col("text"))).alias("tok")
     )
