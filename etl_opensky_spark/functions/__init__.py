@@ -25,3 +25,8 @@ from etl_opensky_spark.functions.wordpiece import (  # noqa: F401
 from etl_opensky_spark.functions.dedup import (  # noqa: F401
     prefix_jaccard_pairs,
 )
+from etl_opensky_spark.functions.graph import triangle_count  # noqa: F401
+from etl_opensky_spark.functions.text import (  # noqa: F401
+    hashed_feature_weight,
+    hashed_linear_score,
+)

@@ -42,3 +42,12 @@ from etl_opensky_spark.operators.quality import (  # noqa: F401
     validate_rules,
 )
 from etl_opensky_spark.operators.scd import asof_lookup, scd2_merge  # noqa: F401
+from etl_opensky_spark.operators.cdc import snapshot_diff  # noqa: F401
+from etl_opensky_spark.operators.reshape import fill_time_gaps  # noqa: F401
+from etl_opensky_spark.operators.aggregates import (  # noqa: F401
+    mad_outliers,
+    skyline_2d,
+)
+from etl_opensky_spark.operators.behavior import (  # noqa: F401
+    last_touch_attribution,
+)

@@ -307,3 +307,57 @@ def test_prefix_jaccard_no_cartesian(spark):
     )
     plan = physical_plan(prefix_jaccard_pairs(docs, "doc_id", "text", 1, 2))
     assert "CartesianProduct" not in plan
+
+
+def test_q128_all_predicates_pushed_to_scan(spark):
+    """Q6 shape: date range, discount band, and quantity cap must all
+    reach the parquet scan as PushedFilters (the decimal-cast band
+    pushes its IsNotNull at minimum; date + quantity push fully)."""
+    from etl_opensky_spark.queries import q128_forecast_revenue
+
+    plan = physical_plan(q128_forecast_revenue(spark, "/root/testdata/sf0.001"))
+    pushed = plan.split("PushedFilters")[1][:400]
+    assert "l_shipdate" in pushed
+    assert "l_quantity" in pushed
+
+
+def test_q136_disjunction_join_not_cartesian(spark):
+    """Q19 shape: the OR-of-conjunctions must stay a broadcast hash
+    equi-join on partkey with the quantity hull pushed to the scan —
+    never a nested-loop cross filter."""
+    from etl_opensky_spark.queries import q136_disjunctive_scan
+
+    plan = physical_plan(q136_disjunctive_scan(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    pushed = plan.split("PushedFilters")[1][:300]
+    assert "l_quantity" in pushed
+
+
+def test_q134_denylist_is_broadcast_anti_join(spark):
+    from etl_opensky_spark.queries import q134_supplier_part_counts
+
+    plan = physical_plan(
+        q134_supplier_part_counts(spark, "/root/testdata/sf0.001")
+    )
+    assert "LeftAnti, BuildRight" in plan.replace("build right", "BuildRight")
+
+
+def test_q142_classifier_is_single_narrow_pass(spark):
+    """The hashed linear scorer must stay one map-side pass: scoring
+    adds NO exchange beyond the final 5-group aggregate's."""
+    from etl_opensky_spark.queries import q142_hashed_classifier
+
+    plan = physical_plan(q142_hashed_classifier(spark, "/root/testdata/sf0.001"))
+    assert plan.count("Exchange") <= 2  # partial->final agg only (+AQE read)
+    assert "pythonUDF" not in plan  # pure Column expression, no Python
+
+
+def test_q140_triangle_pipeline_all_equi_joins(spark):
+    from etl_opensky_spark.queries import q140_triangle_count
+
+    plan = physical_plan(q140_triangle_count(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    # the 1-row x 1-row x 1-row count combine is the only BNLJ allowed
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
