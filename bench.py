@@ -168,6 +168,11 @@ BENCH_QUERIES = [
     "q145_attribution",
     "q146_skyline",
     "q147_source_entropy",
+    "q148_ks_drift",
+    "q149_psi_drift",
+    "q150_skew_report",
+    "q151_nullsafe_join",
+    "q152_set_ops",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

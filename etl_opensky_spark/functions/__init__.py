@@ -30,3 +30,4 @@ from etl_opensky_spark.functions.text import (  # noqa: F401
     hashed_feature_weight,
     hashed_linear_score,
 )
+from etl_opensky_spark.functions.drift import ks_statistic, psi  # noqa: F401

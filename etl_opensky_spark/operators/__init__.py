@@ -51,3 +51,4 @@ from etl_opensky_spark.operators.aggregates import (  # noqa: F401
 from etl_opensky_spark.operators.behavior import (  # noqa: F401
     last_touch_attribution,
 )
+from etl_opensky_spark.operators.quality import key_skew_report  # noqa: F401

@@ -44,3 +44,39 @@ def validate_rules(
     valid = tagged.filter(F.size(FAILED_COL) == 0).drop(FAILED_COL)
     quarantined = tagged.filter(F.size(FAILED_COL) > 0)
     return valid, quarantined
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 10,
+    skew_share_pct: float = 1.0,
+) -> DataFrame:
+    """Join-key skew diagnostic: the pre-flight check before shuffling
+    on ``key_col``.  Returns the ``top_k`` heaviest keys with their row
+    counts, share of the table, and a ``skewed`` flag (share above
+    ``skew_share_pct`` percent — a single reducer would receive that
+    share of the shuffle).  This is the report that tells you to reach
+    for ``salted_join``/AQE skew handling BEFORE the job dies at 100×.
+
+    Shape: one map-side-combined count aggregate, a TakeOrdered top-k
+    (never a global sort), one broadcast scalar total.  NULL keys count
+    as a key — they hash to one reducer like any other hot key.
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").alias("cnt")
+    )
+    total = counts.agg(F.sum("cnt").alias("_total"))
+    top = (
+        counts.orderBy(F.col("cnt").desc(), F.col("key").asc_nulls_last())
+        .limit(top_k)
+    )
+    return top.crossJoin(F.broadcast(total)).select(
+        "key",
+        "cnt",
+        (F.col("cnt") * 100.0 / F.col("_total")).alias("share_pct"),
+        (F.col("cnt") * 100 > F.col("_total") * skew_share_pct).alias(
+            "skewed"
+        ),
+        F.col("_total").alias("n_rows"),
+    )

@@ -6005,6 +6005,192 @@ FROM per_source
 """
 
 
+def q148_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic (``functions.drift.
+    ks_statistic``) between the first and second half of the month —
+    the feature-distribution-shift monitor.  CDF gaps stay integer
+    (``|cA·nB − cB·nA|``, cross-multiplied — no per-row division); the
+    running totals use the distributed-prefix pattern, never a global
+    single-task window.  ONE final double division."""
+    from etl_opensky_spark.functions.drift import ks_statistic
+
+    ev = (
+        _events(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("is_early", F.col("ts") < F.lit("2024-01-16"))
+    )
+    return ks_statistic(ev, "value", "is_early")
+
+
+ORACLE_Q148 = """
+WITH counts AS (
+  SELECT value AS v,
+    SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS ca,
+    SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END) AS cb
+  FROM events GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+  FROM counts
+), cum AS (
+  SELECT v,
+    CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) AS cum_a,
+    CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) AS cum_b
+  FROM counts
+)
+SELECT na AS n_a, nb AS n_b,
+  CAST(MAX(ABS(cum_a * nb - cum_b * na)) AS BIGINT) AS d_num,
+  CAST(MAX(ABS(cum_a * nb - cum_b * na)) AS DOUBLE)
+    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS ks
+FROM cum, tot GROUP BY na, nb
+"""
+
+
+def q149_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index (``functions.drift.psi``) between the
+    month's halves over fixed equal-width value bins — the scorecard
+    drift monitor.  Per-bin log-ratios micro-quantized ONCE (q106
+    integer-micros rule), weighted sum exact bigint, one final double
+    division; bins empty on either side excluded deterministically."""
+    from etl_opensky_spark.functions.drift import psi
+
+    ev = _events(spark, sf_dir).withColumn(
+        "is_early", F.col("ts") < F.lit("2024-01-16")
+    )
+    return psi(ev, "value", "is_early", lo=0.0, hi=500.0, n_bins=10)
+
+
+ORACLE_Q149 = """
+WITH counts AS (
+  SELECT CAST(LEAST(GREATEST(FLOOR(value / 50.0), 0), 9) AS INTEGER) AS bin,
+    CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+         AS BIGINT) AS c_a,
+    CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END)
+         AS BIGINT) AS c_b
+  FROM events GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(c_a) AS BIGINT) AS n_a, CAST(SUM(c_b) AS BIGINT) AS n_b
+  FROM counts
+), terms AS (
+  SELECT bin, c_a, c_b,
+    CAST(ROUND(ln(CAST(c_a * n_b AS DOUBLE) / CAST(c_b * n_a AS DOUBLE))
+               * 1000000) AS BIGINT) AS lr_micros,
+    n_a, n_b
+  FROM counts, tot WHERE c_a > 0 AND c_b > 0
+), terms2 AS (
+  SELECT bin, c_a, c_b, lr_micros,
+    (c_a * n_b - c_b * n_a) * lr_micros AS term_micros, n_a, n_b
+  FROM terms
+), total AS (
+  SELECT CAST(SUM(term_micros) AS BIGINT) AS psi_micros_num,
+    CAST(SUM(term_micros) AS DOUBLE)
+      / (CAST(MAX(n_a) AS DOUBLE) * CAST(MAX(n_b) AS DOUBLE) * 1e6) AS psi
+  FROM terms2
+)
+SELECT bin, c_a, c_b, lr_micros, CAST(term_micros AS BIGINT) AS term_micros,
+  psi_micros_num, psi
+FROM terms2, total
+"""
+
+
+def q150_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic (``operators.quality.key_skew_report``)
+    on lineitem's supplier key — the pre-flight report that says 'salt
+    this join' BEFORE a 100× shuffle dies on one reducer.  One map-side-
+    combined count, TakeOrdered top-10 (no global sort), broadcast
+    scalar total."""
+    from etl_opensky_spark.operators.quality import key_skew_report
+
+    li = _t(spark, sf_dir, "lineitem")
+    return key_skew_report(li, "l_suppkey", top_k=10, skew_share_pct=1.0)
+
+
+ORACLE_Q150 = """
+WITH counts AS (
+  SELECT l_suppkey AS key, COUNT(*) AS cnt FROM lineitem GROUP BY 1
+), tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM counts)
+SELECT key, cnt, cnt * 100.0 / total AS share_pct,
+  cnt * 100 > total * 1.0 AS skewed, total AS n_rows
+FROM counts, tot
+ORDER BY cnt DESC, key ASC LIMIT 10
+"""
+
+
+def q151_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join gate (``eqNullSafe`` / ``<=>`` ↔ SQL
+    ``IS NOT DISTINCT FROM``): NULL keys MATCH each other — the
+    semantics a plain equi-join silently drops.  Both engines treat the
+    null-safe comparison as a hash-joinable key (Spark plans a
+    BroadcastHashJoin on the wrapped key, not a nested loop)."""
+    orders = _t(spark, sf_dir, "orders").select(
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_key"),
+        "o_orderkey",
+    )
+    dim = (
+        orders.select("status_key")
+        .distinct()
+        .withColumn("dim_tag", F.concat(F.lit("grp_"), F.coalesce("status_key", F.lit("null"))))
+    )
+    joined = orders.join(
+        F.broadcast(dim),
+        orders.status_key.eqNullSafe(dim.status_key),
+    )
+    return joined.groupBy("dim_tag").agg(F.count("*").alias("n_orders"))
+
+
+ORACLE_Q151 = """
+WITH o AS (
+  SELECT NULLIF(o_orderstatus, 'O') AS status_key, o_orderkey FROM orders
+), dim AS (
+  SELECT status_key,
+    CONCAT('grp_', COALESCE(status_key, 'null')) AS dim_tag
+  FROM (SELECT DISTINCT status_key FROM o)
+)
+SELECT dim_tag, COUNT(*) AS n_orders
+FROM o JOIN dim ON o.status_key IS NOT DISTINCT FROM dim.status_key
+GROUP BY 1
+"""
+
+
+def q152_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set-operator gate: customers ordering in BOTH
+    1995 and 1996 minus those with any urgent 1997 order — Spark's
+    ``intersect``/``subtract`` (distinct set semantics) against the SQL
+    set operators.  Both plan as hash aggregates + joins, not sorts."""
+    orders = _t(spark, sf_dir, "orders")
+
+    def buyers(year: int) -> DataFrame:
+        return orders.filter(
+            F.year("o_orderdate") == year
+        ).select("o_custkey")
+
+    urgent97 = orders.filter(
+        (F.year("o_orderdate") == 1997)
+        & (F.col("o_orderpriority") == "1-URGENT")
+    ).select("o_custkey")
+    keys = buyers(1995).intersect(buyers(1996)).subtract(urgent97)
+    return keys.agg(
+        F.count("*").alias("n_customers"),
+        F.min("o_custkey").alias("min_key"),
+        F.max("o_custkey").alias("max_key"),
+        F.sum("o_custkey").alias("key_sum"),
+    )
+
+
+ORACLE_Q152 = """
+WITH keys AS (
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+  EXCEPT
+  SELECT o_custkey FROM orders
+  WHERE year(o_orderdate) = 1997 AND o_orderpriority = '1-URGENT'
+)
+SELECT COUNT(*) AS n_customers, MIN(o_custkey) AS min_key,
+  MAX(o_custkey) AS max_key, CAST(SUM(o_custkey) AS BIGINT) AS key_sum
+FROM keys
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -6153,6 +6339,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q145_attribution": q145_attribution,
     "q146_skyline": q146_skyline,
     "q147_source_entropy": q147_source_entropy,
+    "q148_ks_drift": q148_ks_drift,
+    "q149_psi_drift": q149_psi_drift,
+    "q150_skew_report": q150_skew_report,
+    "q151_nullsafe_join": q151_nullsafe_join,
+    "q152_set_ops": q152_set_ops,
 }
 
 ORACLES: dict[str, str] = {
@@ -6302,6 +6493,11 @@ ORACLES: dict[str, str] = {
     "q145_attribution": ORACLE_Q145,
     "q146_skyline": ORACLE_Q146,
     "q147_source_entropy": ORACLE_Q147,
+    "q148_ks_drift": ORACLE_Q148,
+    "q149_psi_drift": ORACLE_Q149,
+    "q150_skew_report": ORACLE_Q150,
+    "q151_nullsafe_join": ORACLE_Q151,
+    "q152_set_ops": ORACLE_Q152,
 }
 
 

@@ -300,3 +300,87 @@ def test_skyline_spans_multiple_range_partitions(spark):
     pts2 = [(float(i), float(100 - i)) for i in range(100)]
     df2 = spark.createDataFrame(pts2, ["x", "y"])
     assert rows(skyline_2d(df2, "x", "y")) == [(0.0, 100.0)]
+
+
+# --- drift: ks_statistic / psi ----------------------------------------------
+
+
+def test_ks_statistic_hand_checked(spark):
+    from etl_opensky_spark.functions.drift import ks_statistic
+
+    # A = {1,2,3,4}, B = {3,4,5,6}: max CDF gap at x=2: |2/4 - 0/4| = 0.5
+    df = spark.createDataFrame(
+        [(float(v), True) for v in [1, 2, 3, 4]]
+        + [(float(v), False) for v in [3, 4, 5, 6]],
+        ["value", "side"],
+    )
+    got = ks_statistic(df, "value", "side").collect()[0]
+    assert (got["n_a"], got["n_b"], got["d_num"]) == (4, 4, 8)
+    assert got["ks"] == 0.5
+
+
+def test_ks_statistic_identical_samples_zero(spark):
+    from etl_opensky_spark.functions.drift import ks_statistic
+
+    rows_ = [(float(v % 17), s) for v in range(100) for s in (True, False)]
+    df = spark.createDataFrame(rows_, ["value", "side"])
+    assert ks_statistic(df, "value", "side").collect()[0]["ks"] == 0.0
+
+
+def test_ks_statistic_partitioning_invariant(spark):
+    from etl_opensky_spark.functions.drift import ks_statistic
+
+    rows_ = [(float(v * 13 % 101), v % 3 == 0) for v in range(500)]
+    df = spark.createDataFrame(rows_, ["value", "side"])
+    a = ks_statistic(df, "value", "side").collect()[0]
+    b = ks_statistic(df.repartition(17), "value", "side", num_buckets=5).collect()[0]
+    assert (a["d_num"], a["ks"]) == (b["d_num"], b["ks"])
+
+
+def test_psi_identical_distributions_zero(spark):
+    from etl_opensky_spark.functions.drift import psi
+
+    rows_ = [(float(v % 50), s) for v in range(200) for s in (True, False)]
+    df = spark.createDataFrame(rows_, ["value", "side"])
+    out = psi(df, "value", "side", lo=0.0, hi=50.0, n_bins=5).collect()
+    assert all(r["term_micros"] == 0 for r in out)
+    assert out[0]["psi"] == 0.0
+
+
+def test_psi_clamps_out_of_range_values(spark):
+    from etl_opensky_spark.functions.drift import psi
+
+    df = spark.createDataFrame(
+        [(-5.0, True), (999.0, True), (-5.0, False), (999.0, False)],
+        ["value", "side"],
+    )
+    out = psi(df, "value", "side", lo=0.0, hi=10.0, n_bins=2).collect()
+    assert sorted(r["bin"] for r in out) == [0, 1]
+    assert sum(r["c_a"] + r["c_b"] for r in out) == 4
+
+
+# --- key_skew_report ---------------------------------------------------------
+
+
+def test_key_skew_report_flags_hot_key(spark):
+    from etl_opensky_spark.operators.quality import key_skew_report
+
+    df = spark.createDataFrame(
+        [("hot",)] * 60 + [(f"k{i}",) for i in range(40)], ["k"]
+    )
+    out = key_skew_report(df, "k", top_k=3, skew_share_pct=10.0).collect()
+    assert out[0]["key"] == "hot"
+    assert out[0]["cnt"] == 60
+    assert out[0]["skewed"] is True
+    assert out[0]["n_rows"] == 100
+    assert all(r["skewed"] is False for r in out[1:])
+
+
+def test_key_skew_report_counts_null_keys(spark):
+    from etl_opensky_spark.operators.quality import key_skew_report
+
+    df = spark.createDataFrame(
+        [(None,)] * 5 + [("a",)] * 3, "k string"
+    )
+    out = key_skew_report(df, "k", top_k=2, skew_share_pct=50.0).collect()
+    assert out[0]["key"] is None and out[0]["cnt"] == 5 and out[0]["skewed"]
