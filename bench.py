@@ -173,6 +173,13 @@ BENCH_QUERIES = [
     "q150_skew_report",
     "q151_nullsafe_join",
     "q152_set_ops",
+    "q153_constraint_audit",
+    "q154_group_split",
+    "q155_pmi_collocations",
+    "q156_zorder_layout",
+    "q157_array_hof_suite",
+    "q158_json_flatten",
+    "q159_gram_matrix",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

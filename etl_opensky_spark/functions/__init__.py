@@ -31,3 +31,9 @@ from etl_opensky_spark.functions.text import (  # noqa: F401
     hashed_linear_score,
 )
 from etl_opensky_spark.functions.drift import ks_statistic, psi  # noqa: F401
+from etl_opensky_spark.functions.lm import pmi_collocations  # noqa: F401
+from etl_opensky_spark.functions.linalg import (  # noqa: F401
+    gram_upper_triangle,
+    moment_sums,
+    quantize_micros,
+)

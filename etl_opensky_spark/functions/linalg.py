@@ -1,0 +1,112 @@
+"""Distributed exact linear algebra over embedding columns: quantized
+second-moment (Gram) matrices — the building block for PCA / whitening /
+covariance over a corpus of vectors.
+
+PCA on 100 TB of embeddings is two very different problems glued
+together: a DISTRIBUTED reduction (the d x d second-moment matrix — the
+only part that touches all rows) and a DRIVER-SIDE eigensolve of a tiny
+d x d matrix.  This module does the distributed half exactly:
+
+- every component is quantized ONCE to integer micros with ``floor``
+  (floor, not round — floor on an IEEE double is bit-identical across
+  engines, so the oracle replay is exact);
+- each Arrow batch computes ONE numpy ``X^T X`` integer matmul and
+  emits d*(d+1)/2 upper-triangle PARTIAL sums (int64 — exact);
+- one map-side-combined groupBy on (i, j) sums the partials.
+
+Shuffle volume is d^2 x n_partitions rows — independent of corpus row
+count.  That is the scale shape: the data never shuffles, only the tiny
+partial matrices do (the classic tree-aggregate, expressed relationally
+so AQE/codegen still apply).  First moments (component sums) and the
+row count ride in the same pass.
+
+Overflow bound: |q| <= scale * |x|; with unit-ish embeddings and
+scale=1e6, per-row products are <= 1e12, so int64 partials hold ~9e6
+rows per batch and the final sum is accumulated as DECIMAL(38,0) —
+exact far past 100 TB row counts.
+
+The reference has no vector surface; this extends the embedding suite
+(functions/similarity.py, functions/ivf.py) per SURVEY §2-extension.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+QUANT_SCALE = 1_000_000.0
+
+
+def quantize_micros(col, scale: float = QUANT_SCALE):
+    """``floor(double(x) * scale)`` per component — the engine-portable
+    quantization (float->double widening and floor are exact IEEE ops,
+    identical in Spark, DuckDB, and numpy)."""
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * F.lit(scale)).cast("bigint")
+    )
+
+
+def gram_upper_triangle(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    scale: float = QUANT_SCALE,
+) -> DataFrame:
+    """Exact integer upper-triangle second-moment matrix of the
+    quantized vectors: ``(i, j, s_ij)`` for 0 <= i <= j < d with
+    ``s_ij = sum_rows q_i * q_j`` (DECIMAL(38,0) — exact).
+
+    Mean-centering to a covariance and the eigensolve are driver-side
+    arithmetic on this d x d result plus ``moment_sums``; the
+    distributed pass is this one narrow map + one tiny shuffle.
+    """
+    import numpy as np
+
+    out_schema = "i int, j int, s_part long"
+
+    def partial_gram(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            q = np.floor(mat * scale).astype(np.int64)
+            gram = q.T @ q  # d x d int64, exact
+            d = gram.shape[0]
+            iu, ju = np.triu_indices(d)
+            yield pd.DataFrame(
+                {"i": iu.astype(np.int32), "j": ju.astype(np.int32),
+                 "s_part": gram[iu, ju]}
+            )
+
+    partials = embeddings.select(vec_col).mapInPandas(
+        partial_gram, schema=out_schema
+    )
+    return partials.groupBy("i", "j").agg(
+        F.sum(F.col("s_part").cast("decimal(38,0)")).alias("s_ij")
+    )
+
+
+def moment_sums(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    scale: float = QUANT_SCALE,
+) -> DataFrame:
+    """First moments of the quantized vectors: ``(i, s_i, n)`` — the
+    per-component sums and the row count, one posexplode + one
+    map-side-combined aggregate.  Combined with ``gram_upper_triangle``
+    this gives the exact covariance:
+    ``cov_ij = (s_ij - s_i*s_j/n) / (n-1) / scale^2``.
+    """
+    comps = embeddings.select(
+        F.posexplode(quantize_micros(F.col(vec_col), scale)).alias("i", "q")
+    )
+    n = embeddings.count()
+    return comps.groupBy("i").agg(
+        F.sum(F.col("q").cast("decimal(38,0)")).alias("s_i"),
+        F.lit(n).cast("bigint").alias("n"),
+    )

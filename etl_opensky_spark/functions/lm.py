@@ -111,3 +111,76 @@ def bigram_nll_scores(
         )
     )
     return scored
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_pair_count: int = 5,
+) -> DataFrame:
+    """Corpus-level collocation mining: pointwise mutual information of
+    adjacent-token pairs — ``PMI(w1,w2) = ln(c12 * N / (c1 * c2))``
+    where counts are corpus totals over adjacent positions and N is the
+    total number of adjacent positions.
+
+    Returns ``(w1, w2, c12, pmi_micros)`` for pairs with
+    ``c12 >= min_pair_count``, PMI micro-quantized to integer
+    micro-nats (one rounding per pair type; everything upstream is
+    exact integer counting, so the result is engine- and partitioning-
+    invariant — the DSIR/bigram-LM quantization rule).
+
+    Scale shape: the pair and unigram tables are vocabulary-bounded
+    (Heaps-law sublinear in corpus size), built by TWO map-side-combined
+    word-count aggregates; the PMI join joins count TABLES, never rows
+    of the corpus.  ``min_pair_count`` prunes the long tail before the
+    unigram joins.  No UDFs, no collect, no global sort.
+    """
+    toks = F.filter(tokenize(F.col(text_col)), lambda x: x != F.lit(""))
+    base = docs.select(toks.alias("_ts")).filter(F.size("_ts") >= 2)
+    pairs = base.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("_ts", 1, F.size("_ts") - 1).alias("w1"),
+                F.slice("_ts", 2, F.size("_ts") - 1).alias("w2"),
+            )
+        ).alias("_p")
+    ).select(F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+
+    pair_counts = pairs.groupBy("w1", "w2").agg(
+        F.count("*").alias("c12")
+    ).filter(F.col("c12") >= min_pair_count)
+
+    # position-marginal counts: w as the LEFT (w1) and RIGHT (w2) member
+    # of an adjacent pair — the marginals of the same joint distribution
+    # (using raw unigram counts instead would make rows' PMI not sum
+    # from the same N and bias boundary tokens).
+    left = pairs.groupBy(F.col("w1").alias("w")).agg(
+        F.count("*").alias("c1")
+    )
+    right = pairs.groupBy(F.col("w2").alias("w")).agg(
+        F.count("*").alias("c2")
+    )
+    n_pairs = pairs.count()  # scalar N: one job, rides as a literal
+
+    return (
+        pair_counts.join(left, pair_counts["w1"] == left["w"], "inner")
+        .drop("w")
+        .join(right, pair_counts["w2"] == right["w"], "inner")
+        .drop("w")
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(
+                F.log(
+                    F.col("c12").cast("double")
+                    * F.lit(float(n_pairs))
+                    / (
+                        F.col("c1").cast("double")
+                        * F.col("c2").cast("double")
+                    )
+                )
+                * 1_000_000.0
+            ).cast("bigint").alias("pmi_micros"),
+        )
+    )

@@ -52,3 +52,9 @@ from etl_opensky_spark.operators.behavior import (  # noqa: F401
     last_touch_attribution,
 )
 from etl_opensky_spark.operators.quality import key_skew_report  # noqa: F401
+from etl_opensky_spark.operators.quality import constraint_audit  # noqa: F401
+from etl_opensky_spark.operators.layout import (  # noqa: F401
+    file_envelope_report,
+    zorder_value,
+    zorder_write,
+)

@@ -1,0 +1,100 @@
+"""Multi-dimensional data layout: Z-order (Morton) clustering.
+
+The reference's lake layout is 1-D hive partitioning on flight date
+(src/jobs/load_fct_flights.py partition columns); min/max data skipping
+then only helps date predicates.  Z-ordering interleaves the bits of
+TWO (or more) columns into one sort key so a range-sorted write gives
+every file a tight min/max envelope on *both* dimensions — the layout
+behind Delta/Iceberg ``OPTIMIZE ZORDER BY`` — and parquet row-group
+pruning then serves either predicate.
+
+Scale shape: the z-value is a pure per-row bit expression (whole-stage
+codegen, zero shuffles); the clustered write is ONE
+``repartitionByRange`` shuffle on the z-value — the same cost as any
+sorted write — and file count is explicit.  No driver-side anything.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+ZBITS = 16  # bits kept per dimension; 2 dims -> 32-bit z-value
+
+
+def _clamp16(col: Column) -> Column:
+    """Clamp a non-negative integral column into [0, 2^16)."""
+    v = col.cast("bigint")
+    return F.least(F.greatest(v, F.lit(0)), F.lit((1 << ZBITS) - 1))
+
+
+def zorder_value(x: Column, y: Column, bits: int = ZBITS) -> Column:
+    """Morton-interleave two clamped ``bits``-wide ints: bit ``i`` of
+    ``x`` lands at position ``2i``, of ``y`` at ``2i+1``.  Unrolled to
+    ``2*bits`` shift/mask terms OR-ed together — one codegen'd
+    expression, no UDF, no shuffle."""
+    xv, yv = _clamp16(x), _clamp16(y)
+    terms = []
+    for i in range(bits):
+        terms.append(
+            F.shiftleft(F.shiftright(xv, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+        terms.append(
+            F.shiftleft(F.shiftright(yv, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return reduce(lambda a, b: a.bitwiseOR(b), terms)
+
+
+def zorder_value_sql(x_expr: str, y_expr: str, bits: int = ZBITS) -> str:
+    """The identical unrolled interleave as ANSI SQL (oracle/DuckDB
+    replay) over pre-clamped integer expressions.  Every term is fully
+    parenthesized: Postgres-lineage engines give ``<<``/``&``/``|``
+    EQUAL precedence (left-to-right), so an unparenthesized mix
+    evaluates in source order, not C order."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((({x_expr}) >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((({y_expr}) >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " | ".join(terms) + ")"
+
+
+def zorder_write(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    path: str,
+    n_files: int = 8,
+    z_col: str = "_z",
+) -> None:
+    """Z-clustered parquet write: range-partition on the interleaved
+    key (one shuffle), sort within partitions, one file per partition.
+    Readers filtering on EITHER source column prune most files via
+    parquet min/max stats."""
+    (
+        df.withColumn(z_col, zorder_value(F.col(x_col), F.col(y_col)))
+        .repartitionByRange(n_files, z_col)
+        .sortWithinPartitions(z_col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def file_envelope_report(
+    spark, path: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Per-file min/max envelopes for two columns of a parquet dataset —
+    the data-skipping effectiveness report.  Uses the file name from
+    ``input_file_name`` grouping; envelope AREA relative to the global
+    domain is the locality metric a Z-ordered layout shrinks."""
+    df = spark.read.parquet(path).withColumn(
+        "_file", F.element_at(F.split(F.input_file_name(), "/"), -1)
+    )
+    return df.groupBy("_file").agg(
+        F.min(x_col).alias("x_min"),
+        F.max(x_col).alias("x_max"),
+        F.min(y_col).alias("y_min"),
+        F.max(y_col).alias("y_max"),
+        F.count("*").alias("n_rows"),
+    )

@@ -80,3 +80,104 @@ def key_skew_report(
         ),
         F.col("_total").alias("n_rows"),
     )
+
+
+def constraint_audit(
+    df: DataFrame,
+    *,
+    not_null: list[str] | None = None,
+    accepted_values: dict[str, list] | None = None,
+    ranges: dict[str, tuple] | None = None,
+    unique: list[list[str]] | None = None,
+    relationships: list[tuple[str, DataFrame, str]] | None = None,
+) -> DataFrame:
+    """Table-level constraint audit (the dbt-test / expectation-suite
+    compile target): returns one row per declared rule with its
+    violation count — ``(rule: string, n_violations: bigint)``.
+
+    Rule families and their scale shapes:
+
+    - ``not_null`` / ``accepted_values`` / ``ranges`` are ROW-LEVEL
+      predicates: all of them fold into ONE conditional-sum aggregate
+      over a single scan (zero shuffles beyond the final 1-row agg;
+      Catalyst prunes the scan to the referenced columns).
+    - ``unique`` (one entry per key-column list) counts rows carrying a
+      duplicated key: one map-side-combined count per key, summed where
+      ``cnt > 1``.  Each unique rule is one key-partitioned shuffle of
+      COUNTS, never of rows.
+    - ``relationships`` ``(fk_col, dim_df, pk_col)`` counts orphans via
+      a LEFT ANTI broadcast join (dims are small by definition; NULL
+      FKs are not orphans, matching SQL FK semantics and the
+      reference's orphan check, src/jobs/load_fct_flights.py).
+
+    The per-family results are tiny (one row each) and are unioned at
+    the end — the union is driver-side plan glue, not a data shuffle.
+    NULL semantics: a NULL value *fails* ``not_null``, *passes* its own
+    ``accepted_values``/``ranges`` rule only if NULL is listed/bounded —
+    here NULL counts as a violation for accepted/range too (a null
+    price is not a price in [lo, hi]), matching ``tag_rules``.
+    """
+    spark = df.sparkSession
+    row_rules: list[tuple[str, Column]] = []
+    for col in not_null or []:
+        row_rules.append((f"not_null:{col}", F.col(col).isNotNull()))
+    for col, values in (accepted_values or {}).items():
+        row_rules.append(
+            (f"accepted_values:{col}", F.col(col).isin(list(values)))
+        )
+    for col, (lo, hi) in (ranges or {}).items():
+        row_rules.append((f"range:{col}", F.col(col).between(lo, hi)))
+
+    parts: list[DataFrame] = []
+    if row_rules:
+        aggs = [
+            F.sum(
+                F.when(~F.coalesce(cond, F.lit(False)), 1).otherwise(0)
+            ).cast("bigint").alias(name)
+            for name, cond in row_rules
+        ]
+        wide = df.agg(*aggs)
+        stack = ", ".join(
+            f"'{name}', `{name}`" for name, _ in row_rules
+        )
+        parts.append(
+            wide.selectExpr(
+                f"stack({len(row_rules)}, {stack}) AS (rule, n_violations)"
+            )
+        )
+
+    for key_cols in unique or []:
+        name = "unique:" + ",".join(key_cols)
+        dup_rows = (
+            df.groupBy(*key_cols)
+            .agg(F.count("*").alias("cnt"))
+            .filter(F.col("cnt") > 1)
+            .agg(
+                F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias(
+                    "n_violations"
+                )
+            )
+            .select(F.lit(name).alias("rule"), "n_violations")
+        )
+        parts.append(dup_rows)
+
+    for fk_col, dim_df, pk_col in relationships or []:
+        name = f"relationship:{fk_col}->{pk_col}"
+        orphans = (
+            df.filter(F.col(fk_col).isNotNull())
+            .join(
+                F.broadcast(dim_df.select(F.col(pk_col).alias(fk_col))),
+                on=fk_col,
+                how="left_anti",
+            )
+            .agg(F.count("*").cast("bigint").alias("n_violations"))
+            .select(F.lit(name).alias("rule"), "n_violations")
+        )
+        parts.append(orphans)
+
+    if not parts:
+        return spark.createDataFrame([], "rule string, n_violations bigint")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -6191,6 +6191,329 @@ FROM keys
 """
 
 
+def q153_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-level constraint audit (``operators.quality.constraint_
+    audit``) — the dbt-test/expectation-suite compile target: not-null,
+    accepted-values, and range rules fold into ONE conditional-sum scan;
+    unique-key shuffles COUNTS not rows; FK orphans via broadcast
+    left-anti (the reference's implicit checks, src/jobs/load_fct_
+    flights.py, made an explicit audited surface)."""
+    from etl_opensky_spark.operators.quality import constraint_audit
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    orders = _t(spark, sf_dir, "orders")
+    return constraint_audit(
+        li,
+        not_null=["l_shipdate", "l_returnflag"],
+        accepted_values={"l_returnflag": ["A", "N", "R"]},
+        ranges={"l_quantity": (1, 25), "l_discount": (0.0, 0.1)},
+        unique=[["l_orderkey", "l_linenumber"]],
+        relationships=[
+            ("l_partkey", part, "p_partkey"),
+            ("l_orderkey", orders, "o_orderkey"),
+        ],
+    )
+
+
+ORACLE_Q153 = """
+SELECT 'not_null:l_shipdate' AS rule,
+  CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+FROM lineitem
+UNION ALL
+SELECT 'not_null:l_returnflag',
+  CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'accepted_values:l_returnflag',
+  CAST(SUM(CASE WHEN l_returnflag IS NULL
+            OR l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'range:l_quantity',
+  CAST(SUM(CASE WHEN l_quantity IS NULL
+            OR l_quantity NOT BETWEEN 1 AND 25 THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'range:l_discount',
+  CAST(SUM(CASE WHEN l_discount IS NULL
+            OR l_discount NOT BETWEEN 0.0 AND 0.1 THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'unique:l_orderkey,l_linenumber',
+  CAST(COALESCE(SUM(cnt), 0) AS BIGINT)
+FROM (SELECT COUNT(*) AS cnt FROM lineitem
+      GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1)
+UNION ALL
+SELECT 'relationship:l_partkey->p_partkey', CAST(COUNT(*) AS BIGINT)
+FROM lineitem WHERE l_partkey IS NOT NULL
+  AND l_partkey NOT IN (SELECT p_partkey FROM part)
+UNION ALL
+SELECT 'relationship:l_orderkey->o_orderkey', CAST(COUNT(*) AS BIGINT)
+FROM lineitem WHERE l_orderkey IS NOT NULL
+  AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+"""
+
+
+def q154_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe GROUP-aware train/val/test split: the split label is
+    a pure function of the GROUP key (md5 bucket of ``source``), so all
+    documents from one source land in one split BY CONSTRUCTION — zero
+    shuffles, no distinct, no join-back (the trap implementation
+    distincts groups, splits, and joins back: one avoidable shuffle and
+    a skew hazard).  ``max_splits_per_group`` proves the no-leak
+    invariant inside the gate itself (must be 1 for every split)."""
+    from etl_opensky_spark.functions.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    split = hash_split(
+        docs, "source", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    per_group = split.groupBy("source", "split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
+    leak = per_group.groupBy("source").agg(
+        F.count("*").alias("n_splits_of_group")
+    )
+    return (
+        per_group.join(F.broadcast(leak), "source")
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sources"),
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("sum_chars").cast("bigint").alias("sum_chars"),
+            F.max("n_splits_of_group").cast("bigint").alias(
+                "max_splits_per_group"
+            ),
+        )
+    )
+
+
+ORACLE_Q154 = """
+WITH b AS (
+  SELECT source, n_chars,
+    CAST(CONCAT('0x', substr(md5(CAST(source AS VARCHAR)), 1, 4)) AS INTEGER) % 10000 AS bucket
+  FROM documents
+), s AS (
+  SELECT source, n_chars,
+    CASE WHEN bucket < 1000 THEN 'test'
+         WHEN bucket < 9000 THEN 'train'
+         ELSE 'val' END AS split
+  FROM b
+), per_group AS (
+  SELECT source, split, COUNT(*) AS n_docs,
+    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+  FROM s GROUP BY 1, 2
+), leak AS (
+  SELECT source, COUNT(*) AS n_splits_of_group FROM per_group GROUP BY 1
+)
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n_sources,
+  CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+  CAST(SUM(sum_chars) AS BIGINT) AS sum_chars,
+  CAST(MAX(n_splits_of_group) AS BIGINT) AS max_splits_per_group
+FROM per_group JOIN leak USING (source)
+GROUP BY 1
+"""
+
+
+def q155_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining via adjacent-pair PMI (``functions.lm.
+    pmi_collocations``): two vocabulary-bounded word-count aggregates +
+    a join of COUNT TABLES, PMI micro-quantized once per pair type
+    (exact-integer downstream, partitioning-invariant)."""
+    from etl_opensky_spark.functions.lm import pmi_collocations
+
+    docs = _t(spark, sf_dir, "documents")
+    return pmi_collocations(docs, "text", min_pair_count=5)
+
+
+ORACLE_Q155 = """
+WITH toklists AS (
+  SELECT list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS ts
+  FROM documents
+), pairs AS (
+  SELECT ts[CAST(i AS INTEGER)] AS w1, ts[CAST(i AS INTEGER) + 1] AS w2
+  FROM (SELECT ts, unnest(range(1, len(ts))) AS i
+        FROM toklists WHERE len(ts) >= 2)
+), pc AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY 1, 2
+  HAVING COUNT(*) >= 5
+), lc AS (
+  SELECT w1 AS w, COUNT(*) AS c1 FROM pairs GROUP BY 1
+), rc AS (
+  SELECT w2 AS w, COUNT(*) AS c2 FROM pairs GROUP BY 1
+), n AS (
+  SELECT COUNT(*) AS np FROM pairs
+)
+SELECT w1, w2, c12,
+  CAST(round(ln(CAST(c12 AS DOUBLE) * CAST(np AS DOUBLE)
+                / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE)))
+             * 1000000.0) AS BIGINT) AS pmi_micros
+FROM pc JOIN lc ON pc.w1 = lc.w JOIN rc ON pc.w2 = rc.w CROSS JOIN n
+"""
+
+
+def q156_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key (``operators.layout.zorder_
+    value``): the interleaved sort key behind OPTIMIZE ZORDER BY —
+    a pure per-row bit expression (codegen, zero shuffles); the gate
+    aggregates per z-range bucket so every one of the 64 interleave
+    terms must be bit-correct for the hash to match.  The clustered
+    write + per-file envelope report is covered by the layout unit
+    tests (file assignment is partitioning state, not query semantics)."""
+    from etl_opensky_spark.operators.layout import zorder_value
+
+    part = _t(spark, sf_dir, "part")
+    z = zorder_value(F.col("p_size"), F.col("p_partkey") % 65536)
+    return (
+        part.select(z.alias("z"))
+        .groupBy(F.shiftright(F.col("z"), 10).alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("z").alias("zmin"),
+            F.max("z").alias("zmax"),
+            F.sum("z").cast("bigint").alias("zsum"),
+        )
+    )
+
+
+def _oracle_q156() -> str:
+    from etl_opensky_spark.operators.layout import zorder_value_sql
+
+    z = zorder_value_sql("x", "y")
+    return f"""
+WITH base AS (
+  SELECT LEAST(GREATEST(CAST(p_size AS BIGINT), 0), 65535) AS x,
+         LEAST(GREATEST(CAST(p_partkey % 65536 AS BIGINT), 0), 65535) AS y
+  FROM part
+), zt AS (SELECT {z} AS z FROM base)
+SELECT (z >> 10) AS bucket, COUNT(*) AS n, MIN(z) AS zmin, MAX(z) AS zmax,
+  CAST(SUM(z) AS BIGINT) AS zsum
+FROM zt GROUP BY 1
+"""
+
+
+ORACLE_Q156 = _oracle_q156()
+
+
+def q157_array_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array function gate: ``transform`` / ``filter`` /
+    ``aggregate`` / ``exists`` over micro-quantized (exact-integer)
+    embedding components vs DuckDB's ``list_*`` lambdas.  All
+    per-row expression work — narrow, codegen'd, zero shuffles; the
+    reversed self-dot exercises index arithmetic inside ``transform``."""
+    from etl_opensky_spark.functions.linalg import quantize_micros
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = quantize_micros(F.col("embedding"))
+    d = F.size("qv")
+    return (
+        emb.select("vec_id", q.alias("qv"))
+        .select(
+            "vec_id",
+            F.coalesce(
+                F.aggregate(
+                    F.filter("qv", lambda x: x > 0),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x,
+                ),
+                F.lit(0).cast("bigint"),
+            ).alias("sum_pos"),
+            F.size(F.filter("qv", lambda x: x < 0)).alias("n_neg"),
+            F.coalesce(
+                F.aggregate(
+                    F.transform(
+                        F.sequence(F.lit(1), d),
+                        lambda i: F.element_at("qv", i)
+                        * F.element_at("qv", d + 1 - i),
+                    ),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x,
+                ),
+                F.lit(0).cast("bigint"),
+            ).alias("dot_rev"),
+            F.exists("qv", lambda x: x > 900_000).alias("has_big"),
+        )
+    )
+
+
+ORACLE_Q157 = """
+WITH q AS (
+  SELECT vec_id,
+    list_transform(embedding,
+      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+  FROM embeddings
+)
+SELECT vec_id,
+  CAST(COALESCE(list_aggregate(list_filter(qv, x -> x > 0), 'sum'), 0) AS BIGINT) AS sum_pos,
+  CAST(len(list_filter(qv, x -> x < 0)) AS INTEGER) AS n_neg,
+  CAST(COALESCE(list_aggregate(
+    list_transform(range(1, len(qv) + 1),
+      i -> qv[CAST(i AS INTEGER)] * qv[len(qv) + 1 - CAST(i AS INTEGER)]),
+    'sum'), 0) AS BIGINT) AS dot_rev,
+  len(list_filter(qv, x -> x > 900000)) > 0 AS has_big
+FROM q
+"""
+
+
+def q158_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the events ``props`` JSON
+    column with a typed ``from_json`` schema (JVM-side Jackson, not a
+    UDF), aggregate by event type.  At scale the typed-schema parse is
+    the right shape: one narrow pass, pushdown-friendly, no
+    schema-inference job over the corpus."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json(F.col("props"), "k INT").alias("p"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("p.k")).cast("bigint").alias("sum_k"),
+        F.max(F.col("p.k")).alias("max_k"),
+        F.count(F.col("p.k")).cast("bigint").alias("n_with_k"),
+    )
+
+
+ORACLE_Q158 = """
+SELECT event_type, COUNT(*) AS n_events,
+  CAST(SUM(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k,
+  MAX(CAST(props->>'$.k' AS INTEGER)) AS max_k,
+  CAST(COUNT(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS n_with_k
+FROM events GROUP BY 1
+"""
+
+
+def q159_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed exact second-moment (Gram) matrix of the quantized
+    embedding corpus (``functions.linalg.gram_upper_triangle``): one
+    Arrow-batched numpy ``X^T X`` per partition, then a shuffle of
+    d^2-per-partition PARTIALS (independent of row count) — the
+    distributed half of corpus PCA/whitening.  Exact integers
+    throughout, so the oracle's unnest-self-join replay hash-matches."""
+    from etl_opensky_spark.functions.linalg import gram_upper_triangle
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return gram_upper_triangle(emb)
+
+
+ORACLE_Q159 = """
+WITH comp AS (
+  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i, embedding
+  FROM embeddings
+), q AS (
+  SELECT vec_id, CAST(i AS INTEGER) - 1 AS i,
+    CAST(FLOOR(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000000) AS BIGINT) AS qv
+  FROM comp
+)
+SELECT a.i AS i, b.i AS j, SUM(CAST(a.qv AS HUGEINT) * b.qv) AS s_ij
+FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -6344,6 +6667,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q150_skew_report": q150_skew_report,
     "q151_nullsafe_join": q151_nullsafe_join,
     "q152_set_ops": q152_set_ops,
+    "q153_constraint_audit": q153_constraint_audit,
+    "q154_group_split": q154_group_split,
+    "q155_pmi_collocations": q155_pmi_collocations,
+    "q156_zorder_layout": q156_zorder_layout,
+    "q157_array_hof_suite": q157_array_hof_suite,
+    "q158_json_flatten": q158_json_flatten,
+    "q159_gram_matrix": q159_gram_matrix,
 }
 
 ORACLES: dict[str, str] = {
@@ -6498,6 +6828,13 @@ ORACLES: dict[str, str] = {
     "q150_skew_report": ORACLE_Q150,
     "q151_nullsafe_join": ORACLE_Q151,
     "q152_set_ops": ORACLE_Q152,
+    "q153_constraint_audit": ORACLE_Q153,
+    "q154_group_split": ORACLE_Q154,
+    "q155_pmi_collocations": ORACLE_Q155,
+    "q156_zorder_layout": ORACLE_Q156,
+    "q157_array_hof_suite": ORACLE_Q157,
+    "q158_json_flatten": ORACLE_Q158,
+    "q159_gram_matrix": ORACLE_Q159,
 }
 
 
