@@ -180,6 +180,10 @@ BENCH_QUERIES = [
     "q157_array_hof_suite",
     "q158_json_flatten",
     "q159_gram_matrix",
+    "q160_countmin",
+    "q161_hll_registers",
+    "q162_ewma_smoothing",
+    "q163_negative_samples",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

@@ -37,3 +37,9 @@ from etl_opensky_spark.functions.linalg import (  # noqa: F401
     moment_sums,
     quantize_micros,
 )
+from etl_opensky_spark.functions.heavyhitters import countmin_estimates  # noqa: F401
+from etl_opensky_spark.functions.cardinality import (  # noqa: F401
+    hll_estimate,
+    hll_registers,
+)
+from etl_opensky_spark.functions.sampling import negative_samples  # noqa: F401

@@ -1,0 +1,111 @@
+"""HyperLogLog registers from scratch — engine-exact, mergeable.
+
+``approx_count_distinct`` (already gated with accuracy bounds, q78) is a
+black box: you cannot persist its state, merge it across days, or
+replay it in another engine.  Production pipelines persist SKETCH STATE
+(per-day HLL registers in the lake) and merge by element-wise max —
+this module builds that state with arithmetic both Spark and DuckDB
+reproduce bit-for-bit:
+
+- hash = md5 (the repo's cross-engine parity hash): first ``b`` hex
+  digits pick the register, the next 52 bits form the rank field;
+- rho (position of the first 1-bit, 1-based from the MSB of the 52-bit
+  field) is computed as ``52 - floor_log2(v)`` with ``floor_log2``
+  UNROLLED as 51 integer comparisons ``v >= 2^k`` — pure integer
+  arithmetic, no float ``log2``, no engine-specific ``bin()`` widths;
+- registers are ``max(rho)`` per bucket: a map-side-combined groupBy,
+  and the merge of two sketches IS element-wise max — the groupBy
+  already computes the mergeable form.
+
+Scale shape: one narrow hash pass + one aggregate whose output is
+``2^b`` rows regardless of corpus size; per-partition partial maxes
+combine losslessly (the sketch property).  The estimate denominator
+``sum(2^-rho)`` is carried exactly as ``sum(2^(52-rho))`` over a common
+``2^52`` denominator — exact bigint, one final double division.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+RANK_BITS = 52  # 13 md5 hex digits
+
+
+def floor_log2(v: Column, bits: int = RANK_BITS) -> Column:
+    """``floor(log2(v))`` for ``v >= 1`` as unrolled integer compares
+    (sum of ``v >= 2^k`` indicators) — deterministic in any engine."""
+    terms = [
+        F.when(v >= F.lit(1 << k), 1).otherwise(0) for k in range(1, bits)
+    ]
+    return reduce(lambda a, b: a + b, terms)
+
+
+def floor_log2_sql(expr: str, bits: int = RANK_BITS) -> str:
+    """The identical unrolled ``floor_log2`` as ANSI SQL."""
+    terms = [
+        f"(CASE WHEN ({expr}) >= {1 << k} THEN 1 ELSE 0 END)"
+        for k in range(1, bits)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def hll_registers(
+    df: DataFrame, col: str, b: int = 8
+) -> DataFrame:
+    """Per-bucket HLL registers ``(bucket, register)`` for ``2^b``
+    buckets: ``bucket`` = first ``b/4`` md5 hex digits, ``register`` =
+    max rho of the 52-bit rank field.  Missing buckets simply don't
+    appear (register 0) — union + groupBy-max re-merges sketches."""
+    if b % 4 != 0:
+        raise ValueError("b must be a multiple of 4 (whole hex digits)")
+    hexdigits = b // 4
+    h = F.md5(F.col(col).cast("string"))
+    bucket = F.conv(F.substring(h, 1, hexdigits), 16, 10).cast("int")
+    rank_field = F.conv(
+        F.substring(h, hexdigits + 1, RANK_BITS // 4), 16, 10
+    ).cast("bigint")
+    rho = F.when(rank_field == 0, F.lit(RANK_BITS + 1)).otherwise(
+        F.lit(RANK_BITS) - floor_log2(rank_field)
+    )
+    return (
+        df.select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("register"))
+    )
+
+
+def hll_estimate(registers: DataFrame, b: int = 8) -> DataFrame:
+    """Raw HLL estimate from a register table: ``alpha_m * m^2 / Z``
+    with ``Z = sum over ALL m buckets of 2^-register`` (absent buckets
+    contribute ``2^0 = 1``).  The sum is carried exactly as
+    ``sum(2^(53-register))`` over denominator ``2^53`` — registers run
+    1..53 (53 = all-zero rank field), so every exponent is >= 0 and the
+    numerator is an exact bigint — then ONE double division.  Returns a
+    single row ``(m, z_num_times_2p53, estimate)``."""
+    m = 1 << b
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    denom_pow = RANK_BITS + 1  # registers max out at RANK_BITS + 1
+    agg = registers.agg(
+        F.count("*").alias("n_buckets"),
+        # pyspark's F.shiftleft only takes a literal int shift; the SQL
+        # function accepts a column expression
+        F.sum(
+            F.expr(f"shiftleft(cast(1 as bigint), {denom_pow} - register)")
+        ).alias("z_present"),
+    )
+    scale = float(1 << denom_pow)
+    z_num = (
+        F.col("z_present")
+        + (F.lit(m) - F.col("n_buckets")).cast("bigint")
+        * F.lit(1 << denom_pow).cast("bigint")
+    )
+    return agg.select(
+        F.lit(m).alias("m"),
+        z_num.alias("z_num_times_2p53"),
+        (F.lit(alpha * m * m * scale) / z_num.cast("double")).alias(
+            "estimate"
+        ),
+    )

@@ -91,3 +91,91 @@ def misra_gries(df: DataFrame, col: str, k: int = 256) -> DataFrame:
         lambda it: mg_partition(it), schema=SUMMARY_SCHEMA
     )
     return summaries.groupBy("item").agg(F.sum("est").alias("est"))
+
+
+def _md5_bucket(col, salt: int, width: int):
+    """Deterministic cross-engine hash row: first 8 md5 hex digits of
+    ``value:salt`` mod ``width`` — the same md5-parity idiom as
+    ``sampling.hash_bucket`` (engine-portable, unlike xxhash64 which
+    DuckDB lacks)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", col.cast("string"), F.lit(str(salt)))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % width
+    )
+
+
+def countmin_estimates(
+    df: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 256,
+    top_k: int = 20,
+) -> DataFrame:
+    """Count-Min sketch point queries (Cormode & Muthukrishnan 2005) —
+    the OVER-estimating complement to ``misra_gries`` (which
+    under-estimates): ``est = min_r cell[r][h_r(key)]`` with
+    ``true <= est`` ALWAYS (every occurrence of the key lands in the
+    probed cell; collisions only add).
+
+    Returns the ``top_k`` keys by true count as
+    ``(item, true_cnt, est_cnt, over_ok)`` — ``over_ok`` is the
+    deterministic one-sided guarantee, checked per row.
+
+    Scale shape: counts first (ONE map-side-combined aggregate — the
+    sketch is built from the KEY-COUNT table, never by exploding raw
+    rows ``depth``-fold); the cell table is ``depth*width`` rows
+    regardless of corpus size, and per-partition cell partials merge by
+    SUM — the textbook mergeable-sketch property, which is exactly what
+    the groupBy computes.  Estimates join the bounded key table to the
+    bounded cell table.  md5-salted rows keep both engines bit-equal.
+    """
+    key = F.col(col).cast("string")
+    counts = (
+        df.select(key.alias("item"))
+        .groupBy("item")
+        .agg(F.count("*").alias("true_cnt"))
+    )
+
+    probes = counts.select(
+        "item",
+        "true_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        _md5_bucket(F.col("item"), r, width).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("p"),
+    ).select("item", "true_cnt", "p.r", "p.bucket")
+
+    cells = probes.groupBy("r", "bucket").agg(
+        F.sum("true_cnt").alias("cell_sum")
+    )
+
+    est = (
+        probes.join(cells, ["r", "bucket"])
+        .groupBy("item", "true_cnt")
+        .agg(F.min("cell_sum").alias("est_cnt"))
+    )
+    return (
+        est.select(
+            "item",
+            "true_cnt",
+            "est_cnt",
+            (F.col("est_cnt") >= F.col("true_cnt")).alias("over_ok"),
+        )
+        .orderBy(F.col("true_cnt").desc(), F.col("item"))
+        .limit(top_k)
+    )

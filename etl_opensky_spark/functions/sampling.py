@@ -355,3 +355,55 @@ def dsir_log_weights(
             F.sum("_w").alias("log_weight_micros"),
         )
     )
+
+
+def negative_samples(
+    df: DataFrame,
+    id_col: str,
+    k: int = 4,
+    universe_size: int | None = None,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for
+    every row, ``k`` pseudo-random OTHER ids drawn by salted md5 over a
+    known id universe — ``(id_col, slot, neg_id)``.
+
+    Candidate ``neg_id = md5(id:slot) mod universe`` is a pure function
+    of (id, slot): reproducible across engines, runs, and partitionings
+    (no ``rand()``).  Self-collisions are dropped (a row yields < k
+    negatives with probability k/universe).  Candidates are validated
+    against the actual id set by a key-partitioned LEFT SEMI join —
+    never a broadcast of the corpus, never a cross join; shuffle volume
+    is k rows per input row on the join key.
+
+    ``universe_size`` defaults to ``df.count()`` (one scalar job) and
+    assumes dense ids [0, n); for sparse id spaces the semi join is
+    what guarantees only real ids survive — pass the id-space bound.
+    """
+    n = universe_size if universe_size is not None else df.count()
+    slots = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("slot")
+    cands = df.select(F.col(id_col), slots).select(
+        id_col,
+        "slot",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col(id_col).cast("string"),
+                            F.col("slot").cast("string"),
+                        )
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % n
+        ).alias("neg_id"),
+    ).filter(F.col("neg_id") != F.col(id_col))
+    valid_ids = df.select(F.col(id_col).alias("neg_id")).distinct()
+    return cands.join(valid_ids, "neg_id", "left_semi").select(
+        id_col, "slot", "neg_id"
+    )

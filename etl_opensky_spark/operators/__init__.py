@@ -58,3 +58,4 @@ from etl_opensky_spark.operators.layout import (  # noqa: F401
     zorder_value,
     zorder_write,
 )
+from etl_opensky_spark.operators.reshape import ewma_pow2  # noqa: F401

@@ -107,3 +107,64 @@ def fill_time_gaps(
         F.last("_close", ignorenulls=True).over(w).alias("value"),
         F.col("_close").isNull().alias("filled"),
     )
+
+
+def ewma_pow2(
+    daily,
+    key_col: str,
+    day_col: str,
+    value_col: str,
+    horizon: int = 16,
+):
+    """Exact exponentially-weighted moving average (half-life 1 step)
+    over a possibly-gappy daily series, truncated at ``horizon`` days —
+    engine-exact because the weights are powers of two: the smoothed
+    value is returned as an exact integer fraction
+    ``(ewma_num, weight_den)`` with
+    ``num = sum_{lag<H} v[t-lag] * 2^(H-1-lag)`` and ``den`` the sum of
+    the weights of the days actually PRESENT (gap-aware
+    renormalization).  ``num/den`` is the EWMA; callers divide once.
+
+    Scale shape: the classic recursive EWMA is a sequential scan
+    (unbounded window — one task per key at 100x); the truncated form
+    is an EQUI-join: each anchor day explodes into ``horizon`` bounded
+    probe rows ``(key, day - lag)`` that hash-join back to the series
+    on the exact (key, day) key — key-partitioned shuffle, no range
+    join, no nested loop, explosion bounded by the constant horizon.
+    Truncation error is 2^-H of the oldest weight — below double
+    precision at H=16 against any downstream float use.
+
+    ``value_col`` must already be integral (micro-quantize floats
+    first: ``functions.linalg.quantize_micros`` semantics).
+    """
+    lags = F.explode(
+        F.array(*[F.lit(i) for i in range(horizon)])
+    ).alias("lag")
+    probes = daily.select(
+        F.col(key_col).alias("_k"),
+        F.col(day_col).alias("_anchor"),
+        lags,
+    ).select(
+        "_k",
+        "_anchor",
+        "lag",
+        F.date_sub(F.col("_anchor"), F.col("lag")).alias("_src_day"),
+    )
+    series = daily.select(
+        F.col(key_col).alias("_k"),
+        F.col(day_col).alias("_src_day"),
+        F.col(value_col).cast("bigint").alias("_v"),
+    )
+    # pyspark's F.shiftleft only takes a literal int shift; the SQL
+    # function accepts a column expression
+    weight = F.expr(f"shiftleft(cast(1 as bigint), {horizon - 1} - lag)")
+    return (
+        probes.join(series, ["_k", "_src_day"])
+        .groupBy(
+            F.col("_k").alias(key_col), F.col("_anchor").alias(day_col)
+        )
+        .agg(
+            F.sum(F.col("_v") * weight).alias("ewma_num"),
+            F.sum(weight).alias("weight_den"),
+        )
+    )

@@ -6514,6 +6514,140 @@ GROUP BY 1, 2
 """
 
 
+def q160_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch point queries (``functions.heavyhitters.
+    countmin_estimates``) — the over-estimating mergeable complement to
+    Misra–Gries (q97): cells built from the KEY-COUNT table (never
+    depth-fold row explosion), cell table is depth×width rows
+    regardless of corpus size, per-partition partials merge by SUM.
+    ``over_ok`` is the deterministic ``true <= est`` guarantee."""
+    from etl_opensky_spark.functions.heavyhitters import countmin_estimates
+
+    li = _t(spark, sf_dir, "lineitem")
+    return countmin_estimates(li, "l_partkey", depth=4, width=256, top_k=20)
+
+
+ORACLE_Q160 = """
+WITH counts AS (
+  SELECT CAST(l_partkey AS VARCHAR) AS item, COUNT(*) AS true_cnt
+  FROM lineitem GROUP BY 1
+), probes AS (
+  SELECT item, true_cnt, r,
+    CAST(CONCAT('0x', substr(md5(CONCAT(item, ':', CAST(r AS VARCHAR))), 1, 8)) AS BIGINT) % 256 AS bucket
+  FROM counts CROSS JOIN (SELECT unnest(range(0, 4)) AS r)
+), cells AS (
+  SELECT r, bucket, SUM(true_cnt) AS cell_sum FROM probes GROUP BY 1, 2
+), est AS (
+  SELECT item, true_cnt, MIN(cell_sum) AS est_cnt
+  FROM probes JOIN cells USING (r, bucket) GROUP BY 1, 2
+)
+SELECT item, CAST(true_cnt AS BIGINT) AS true_cnt,
+  CAST(est_cnt AS BIGINT) AS est_cnt, est_cnt >= true_cnt AS over_ok
+FROM est ORDER BY true_cnt DESC, item LIMIT 20
+"""
+
+
+def q161_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register state from scratch (``functions.
+    cardinality.hll_registers``): persistable/mergeable sketch state
+    (element-wise max merges days into months), md5-parity hashing and
+    an UNROLLED integer ``floor_log2`` — no float log, no engine
+    ``bin()`` quirks — so both engines produce identical registers.
+    The 2^b-row output is corpus-size independent."""
+    from etl_opensky_spark.functions.cardinality import hll_registers
+
+    orders = _t(spark, sf_dir, "orders")
+    out = hll_registers(orders, "o_custkey", b=8)
+    return out.select("bucket", F.col("register").cast("int").alias("register"))
+
+
+def _oracle_q161() -> str:
+    from etl_opensky_spark.functions.cardinality import floor_log2_sql
+
+    fl2 = floor_log2_sql("v")
+    return f"""
+WITH h AS (
+  SELECT md5(CAST(o_custkey AS VARCHAR)) AS hx FROM orders
+), f AS (
+  SELECT CAST(CONCAT('0x', substr(hx, 1, 2)) AS INTEGER) AS bucket,
+         CAST(CONCAT('0x', substr(hx, 3, 13)) AS BIGINT) AS v
+  FROM h
+)
+SELECT bucket,
+  CAST(MAX(CASE WHEN v = 0 THEN 53 ELSE 52 - {fl2} END) AS INTEGER) AS register
+FROM f GROUP BY 1
+"""
+
+
+ORACLE_Q161 = _oracle_q161()
+
+
+def q162_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact truncated EWMA over gappy daily series (``operators.
+    reshape.ewma_pow2``): power-of-two weights keep the smoothed value
+    an exact integer fraction; the recursive scan becomes a BOUNDED
+    equi-join (anchor × horizon probe rows hash-joined back on exact
+    (key, day)) — key-partitioned, no sequential per-key task."""
+    from etl_opensky_spark.operators.reshape import ewma_pow2
+
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 1_000_000).cast("bigint")).alias(
+            "v_micros"
+        )
+    )
+    return ewma_pow2(daily, "event_type", "day", "v_micros", horizon=16)
+
+
+ORACLE_Q162 = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+    CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+), probes AS (
+  SELECT daily.event_type, daily.d AS anchor, CAST(lag AS INTEGER) AS lag,
+    daily.d - CAST(lag AS INTEGER) AS src_day
+  FROM daily CROSS JOIN (SELECT unnest(range(0, 16)) AS lag)
+)
+SELECT p.event_type, p.anchor AS day,
+  CAST(SUM(s.v * (CAST(1 AS BIGINT) << (15 - p.lag))) AS BIGINT) AS ewma_num,
+  CAST(SUM(CAST(1 AS BIGINT) << (15 - p.lag)) AS BIGINT) AS weight_den
+FROM probes p JOIN daily s
+  ON s.event_type = p.event_type AND s.d = p.src_day
+GROUP BY 1, 2
+"""
+
+
+def q163_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training
+    (``functions.sampling.negative_samples``): candidates are a pure
+    md5 function of (id, slot) — reproducible, partitioning-invariant,
+    no ``rand()`` — validated by a key-partitioned LEFT SEMI join
+    (never a corpus broadcast / cross join)."""
+    from etl_opensky_spark.functions.sampling import negative_samples
+
+    docs = _t(spark, sf_dir, "documents")
+    return negative_samples(docs, "doc_id", k=4)
+
+
+ORACLE_Q163 = """
+WITH ids AS (
+  SELECT doc_id FROM documents
+), n AS (
+  SELECT COUNT(*) AS n FROM ids
+), cands AS (
+  SELECT doc_id, CAST(slot AS INTEGER) AS slot,
+    CAST(CONCAT('0x', substr(md5(CONCAT(CAST(doc_id AS VARCHAR), ':',
+      CAST(slot AS VARCHAR))), 1, 12)) AS BIGINT) % n.n AS neg_id
+  FROM ids CROSS JOIN (SELECT unnest(range(0, 4)) AS slot) CROSS JOIN n
+)
+SELECT doc_id, slot, neg_id FROM cands
+WHERE neg_id <> doc_id AND neg_id IN (SELECT doc_id FROM ids)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -6674,6 +6808,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q157_array_hof_suite": q157_array_hof_suite,
     "q158_json_flatten": q158_json_flatten,
     "q159_gram_matrix": q159_gram_matrix,
+    "q160_countmin": q160_countmin,
+    "q161_hll_registers": q161_hll_registers,
+    "q162_ewma_smoothing": q162_ewma_smoothing,
+    "q163_negative_samples": q163_negative_samples,
 }
 
 ORACLES: dict[str, str] = {
@@ -6835,6 +6973,10 @@ ORACLES: dict[str, str] = {
     "q157_array_hof_suite": ORACLE_Q157,
     "q158_json_flatten": ORACLE_Q158,
     "q159_gram_matrix": ORACLE_Q159,
+    "q160_countmin": ORACLE_Q160,
+    "q161_hll_registers": ORACLE_Q161,
+    "q162_ewma_smoothing": ORACLE_Q162,
+    "q163_negative_samples": ORACLE_Q163,
 }
 
 
