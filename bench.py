@@ -184,6 +184,7 @@ BENCH_QUERIES = [
     "q161_hll_registers",
     "q162_ewma_smoothing",
     "q163_negative_samples",
+    "q164_label_spread",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

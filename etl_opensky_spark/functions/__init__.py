@@ -43,3 +43,4 @@ from etl_opensky_spark.functions.cardinality import (  # noqa: F401
     hll_registers,
 )
 from etl_opensky_spark.functions.sampling import negative_samples  # noqa: F401
+from etl_opensky_spark.functions.graph import label_spread  # noqa: F401

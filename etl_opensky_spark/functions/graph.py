@@ -243,3 +243,81 @@ def triangle_count(
     n_edges = e.agg(F.count("*").alias("n_edges"))
     n_nodes = deg.agg(F.count("*").alias("n_nodes"))
     return n_nodes.crossJoin(n_edges).crossJoin(n_tri)
+
+
+def label_spread(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+    n_rounds: int = 3,
+) -> DataFrame:
+    """Deterministic semi-supervised label spreading: after ``n_rounds``
+    synchronous rounds every node carries the MINIMUM seed label
+    reachable within ``n_rounds`` undirected hops (unreached nodes are
+    absent).  The min-adoption rule replaces classic LPA's random
+    tie-breaking — the weak-supervision propagation step made
+    engine-exact and partitioning-invariant.
+
+    Scale shape per round: ONE equi-join of the current frontier label
+    table to the (symmetrized) edge list + ONE map-side-combined
+    groupBy-min — the same key-partitioned pattern as connected
+    components' small-star step, bounded to ``n_rounds`` rounds.
+    Lineage is ``localCheckpoint``-ed each round (the iterative-plan
+    OOM lesson, docs/SCALE.md).  Label tables hold one row per REACHED
+    node — at 100 TB the frontier is as sparse as the seed set's
+    k-hop neighborhood, never corpus-sized.
+    """
+    sym = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d")
+    ).union(
+        edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d"))
+    ).distinct()
+
+    labels = seeds.select(
+        F.col(node_col).alias("_n"), F.col(label_col).alias("_l")
+    ).groupBy("_n").agg(F.min("_l").alias("_l")).localCheckpoint()
+
+    for _ in range(n_rounds):
+        spread = labels.join(
+            sym, labels["_n"] == sym["_s"], "inner"
+        ).select(F.col("_d").alias("_n"), "_l")
+        labels = (
+            labels.union(spread)
+            .groupBy("_n")
+            .agg(F.min("_l").alias("_l"))
+            .localCheckpoint()
+        )
+    return labels.select(
+        F.col("_n").alias(node_col), F.col("_l").alias(label_col)
+    )
+
+
+def label_spread_oracle_sql(
+    edges_cte: str, seeds_cte: str, n_rounds: int = 3
+) -> str:
+    """Unrolled ANSI-SQL replay of ``label_spread`` (the q98/q88
+    unrolled-recursion oracle pattern): ``edges_cte``/``seeds_cte`` are
+    SQL bodies producing (src, dst) and (node, label).  Chained CTEs
+    are left un-MATERIALIZED deliberately — each is referenced once
+    (the q113 exponential-reference trap does not apply)."""
+    parts = [
+        f"WITH edges AS ({edges_cte})",
+        "sym AS (SELECT src AS s, dst AS d FROM edges"
+        " UNION SELECT dst AS s, src AS d FROM edges)",
+        f"l0 AS (SELECT node AS n, MIN(label) AS l FROM ({seeds_cte}) s"
+        " GROUP BY 1)",
+    ]
+    for r in range(n_rounds):
+        parts.append(
+            f"l{r + 1} AS (SELECT n, MIN(l) AS l FROM ("
+            f"SELECT n, l FROM l{r} UNION ALL "
+            f"SELECT sym.d AS n, l{r}.l FROM l{r} JOIN sym ON sym.s = l{r}.n"
+            f") GROUP BY 1)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT n AS node, l AS label FROM l{n_rounds}"
+    )

@@ -6648,6 +6648,58 @@ WHERE neg_id <> doc_id AND neg_id IN (SELECT doc_id FROM ids)
 """
 
 
+def q164_label_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label spreading (``functions.graph.
+    label_spread``) over the part co-purchase graph (q140's graph):
+    3 synchronous min-adoption rounds from ``p_size = 1`` seed parts —
+    the weak-supervision propagation step, engine-exact (min rule, no
+    random tie-break).  One equi-join + groupBy-min per round,
+    localCheckpoint'ed lineage; oracle is the unrolled 3-round SQL."""
+    from etl_opensky_spark.functions.graph import label_spread
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") < F.lit("1997-01-01"))
+        .select("l_orderkey", "l_partkey")
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+    )
+    seeds = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size") == 1)
+        .select(
+            F.col("p_partkey").alias("node"),
+            F.col("p_partkey").alias("label"),
+        )
+    )
+    return label_spread(edges, seeds, n_rounds=3)
+
+
+def _oracle_q164() -> str:
+    from etl_opensky_spark.functions.graph import label_spread_oracle_sql
+
+    edges = """
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_shipdate < DATE '1997-01-01'
+    AND b.l_shipdate < DATE '1997-01-01'
+"""
+    seeds = "SELECT p_partkey AS node, p_partkey AS label FROM part WHERE p_size = 1"
+    return label_spread_oracle_sql(edges, seeds, n_rounds=3)
+
+
+ORACLE_Q164 = _oracle_q164()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -6812,6 +6864,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q161_hll_registers": q161_hll_registers,
     "q162_ewma_smoothing": q162_ewma_smoothing,
     "q163_negative_samples": q163_negative_samples,
+    "q164_label_spread": q164_label_spread,
 }
 
 ORACLES: dict[str, str] = {
@@ -6977,6 +7030,7 @@ ORACLES: dict[str, str] = {
     "q161_hll_registers": ORACLE_Q161,
     "q162_ewma_smoothing": ORACLE_Q162,
     "q163_negative_samples": ORACLE_Q163,
+    "q164_label_spread": ORACLE_Q164,
 }
 
 

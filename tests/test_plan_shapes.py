@@ -361,3 +361,90 @@ def test_q140_triangle_pipeline_all_equi_joins(spark):
     assert "CartesianProduct" not in plan
     # the 1-row x 1-row x 1-row count combine is the only BNLJ allowed
     assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_countmin_builds_cells_from_key_counts_not_rows(spark):
+    """The depth-fold Generate (explode) must sit ABOVE the first
+    count aggregate: the sketch explodes vocabulary rows, never corpus
+    rows."""
+    from etl_opensky_spark.functions.heavyhitters import countmin_estimates
+
+    df = spark.createDataFrame([(i % 30,) for i in range(900)], ["k"])
+    out = countmin_estimates(df, "k", top_k=5)
+    out.count()
+    plan = physical_plan(out)
+    gen = plan.find("Generate explode")
+    agg = plan.rfind("HashAggregate")  # deepest agg = the key-count
+    assert gen != -1 and agg != -1
+    # deepest HashAggregate (key counts) is BELOW the explode in the
+    # tree printout (later in the string = deeper)
+    assert agg > gen
+
+
+def test_zorder_value_is_whole_stage_codegen_narrow(spark):
+    from etl_opensky_spark.operators.layout import zorder_value
+
+    df = spark.range(1000).select(
+        (F.col("id") % 100).alias("x"), (F.col("id") % 64).alias("y")
+    )
+    out = df.select(zorder_value(F.col("x"), F.col("y")).alias("z"))
+    out.count()
+    plan = physical_plan(out)
+    assert "Exchange" not in plan  # narrow: no shuffle
+    assert "*(1) Project" in plan  # codegen span marker (SCALE.md #3)
+
+
+def test_gram_matrix_shuffles_partials_not_rows(spark):
+    """The only Exchange in the Gram plan must sit above the Python
+    (partial X^T X) stage — rows never shuffle, partials do."""
+    from etl_opensky_spark.functions.linalg import gram_upper_triangle
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 3)]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    ).repartition(4)
+    out = gram_upper_triangle(df)
+    out.count()
+    plan = physical_plan(out)
+    assert plan.count("Exchange") <= 2  # partial-agg exchange (+AQE read)
+    py = plan.find("MapInPandas")
+    ex = plan.find("Exchange")
+    assert py != -1 and ex != -1
+    assert py > ex  # python stage deeper than the exchange
+
+
+def test_negative_samples_semi_join_is_not_broadcast_of_corpus(spark):
+    """At corpus scale the validity check must be a shuffle semi join
+    on the key, not a broadcast of all ids — pin that the semi join
+    exists and candidates stay distributed (no CollectLimit/collect)."""
+    from etl_opensky_spark.functions.sampling import negative_samples
+
+    df = spark.range(5000).select(F.col("id").alias("doc_id"))
+    out = negative_samples(df, "doc_id", k=2)
+    out.count()
+    plan = physical_plan(out)
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_dynamic_partition_pruning_fires_on_partitioned_fact(
+    spark, tmp_path_factory
+):
+    """At 100 TB the fact scan must be pruned by the DIM filter at
+    runtime (DPP) — the plan carries a dynamicpruning subquery on the
+    fact's partition column when joining a filtered dim."""
+    path = str(tmp_path_factory.mktemp("dpp") / "fact")
+    fact = spark.range(2000).select(
+        (F.col("id") % 20).alias("pk"), F.col("id").alias("v")
+    )
+    fact.write.partitionBy("pk").mode("overwrite").parquet(path)
+    dim = spark.range(20).select(
+        F.col("id").alias("pk"), (F.col("id") % 4).alias("grp")
+    )
+    joined = (
+        spark.read.parquet(path)
+        .join(dim.filter(F.col("grp") == 1), "pk")
+        .agg(F.sum("v").alias("s"))
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString().lower()
+    assert "dynamicpruning" in plan

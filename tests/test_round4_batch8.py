@@ -161,3 +161,34 @@ def test_negative_samples_sparse_id_space_only_real_ids(spark):
     got = negative_samples(df, "doc_id", k=8, universe_size=200).collect()
     assert all(r.neg_id in ids for r in got)
     assert len(got) < 100 * 8  # odd candidates were really dropped
+
+
+# --- label spreading ---------------------------------------------------------
+
+
+def test_label_spread_min_seed_within_k_hops(spark):
+    from etl_opensky_spark.functions.graph import label_spread
+
+    # path graph 1-2-3-4-5-6, seeds: 1 -> 10, 5 -> 50
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(1, 10), (5, 50)], ["node", "label"])
+    got = dict(
+        rows(label_spread(edges, seeds, n_rounds=2).select("node", "label"))
+    )
+    # 2 hops from node 1: {1,2,3}; from node 5: {3,4,5,6}; node 3 sees both
+    assert got == {1: 10, 2: 10, 3: 10, 4: 50, 5: 50, 6: 50}
+
+
+def test_label_spread_partitioning_invariant_and_unreached_absent(spark):
+    from etl_opensky_spark.functions.graph import label_spread
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40, 2)], ["src", "dst"]
+    )  # 20 disjoint 2-node components
+    seeds = spark.createDataFrame([(0, 7), (10, 3)], ["node", "label"])
+    a = rows(label_spread(edges, seeds, n_rounds=3))
+    b = rows(label_spread(edges.repartition(9), seeds, n_rounds=3))
+    assert a == b
+    assert len(a) == 4  # only the two seeded components are reached
