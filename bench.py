@@ -185,6 +185,10 @@ BENCH_QUERIES = [
     "q162_ewma_smoothing",
     "q163_negative_samples",
     "q164_label_spread",
+    "q165_correlation_matrix",
+    "q166_chi2_independence",
+    "q167_rolling_distinct",
+    "q168_table_checksum",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

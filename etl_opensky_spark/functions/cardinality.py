@@ -109,3 +109,29 @@ def hll_estimate(registers: DataFrame, b: int = 8) -> DataFrame:
             "estimate"
         ),
     )
+
+
+def hll_registers_by(
+    df: DataFrame, key_cols: list[str], col: str, b: int = 8
+) -> DataFrame:
+    """Per-group HLL registers ``(*key_cols, bucket, register)`` — the
+    persisted form for rolling-window distinct counts: store one
+    register table per day/partition, merge any window of them by
+    element-wise max, estimate without re-touching rows.  Same hash and
+    rho arithmetic as ``hll_registers``."""
+    if b % 4 != 0:
+        raise ValueError("b must be a multiple of 4 (whole hex digits)")
+    hexdigits = b // 4
+    h = F.md5(F.col(col).cast("string"))
+    bucket = F.conv(F.substring(h, 1, hexdigits), 16, 10).cast("int")
+    rank_field = F.conv(
+        F.substring(h, hexdigits + 1, RANK_BITS // 4), 16, 10
+    ).cast("bigint")
+    rho = F.when(rank_field == 0, F.lit(RANK_BITS + 1)).otherwise(
+        F.lit(RANK_BITS) - floor_log2(rank_field)
+    )
+    return (
+        df.select(*key_cols, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*key_cols, "bucket")
+        .agg(F.max("rho").alias("register"))
+    )

@@ -110,3 +110,61 @@ def moment_sums(
         F.sum(F.col("q").cast("decimal(38,0)")).alias("s_i"),
         F.lit(n).cast("bigint").alias("n"),
     )
+
+
+def correlation_matrix(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    scale: float = QUANT_SCALE,
+    decimals: int = 6,
+) -> DataFrame:
+    """Pearson correlation of every component pair from the exact
+    integer moments: ``corr_ij = (n*s_ij - s_i*s_j) /
+    sqrt((n*s_ii - s_i^2) * (n*s_jj - s_j^2))`` — the d x d feature-
+    redundancy matrix behind whitening / feature pruning.
+
+    All inputs are the EXACT integer sums from ``gram_upper_triangle``
+    / ``moment_sums`` (quantization cancels in the ratio); the final
+    expression is evaluated once in double with a fixed operand order
+    and rounded to ``decimals``, so both engines land on the same
+    value.  Joins are d^2-sized table-to-table — driver-free, corpus-
+    size independent after the two moment passes.
+    """
+    gram = gram_upper_triangle(embeddings, vec_col, scale)
+    mom = moment_sums(embeddings, vec_col, scale)
+
+    diag = gram.filter(F.col("i") == F.col("j")).select(
+        F.col("i").alias("d_idx"), F.col("s_ij").alias("s_diag")
+    )
+    mi = mom.select(
+        F.col("i").alias("mi_idx"),
+        F.col("s_i").alias("si"),
+        F.col("n").alias("n"),
+    )
+    mj = mom.select(
+        F.col("i").alias("mj_idx"), F.col("s_i").alias("sj")
+    )
+    di = diag.select(
+        F.col("d_idx").alias("di_idx"), F.col("s_diag").alias("sii")
+    )
+    dj = diag.select(
+        F.col("d_idx").alias("dj_idx"), F.col("s_diag").alias("sjj")
+    )
+    out = (
+        gram.join(mi, gram["i"] == mi["mi_idx"])
+        .join(mj, gram["j"] == mj["mj_idx"])
+        .join(di, gram["i"] == di["di_idx"])
+        .join(dj, gram["j"] == dj["dj_idx"])
+    )
+    n = F.col("n").cast("double")
+    sij = F.col("s_ij").cast("double")
+    si = F.col("si").cast("double")
+    sj = F.col("sj").cast("double")
+    sii = F.col("sii").cast("double")
+    sjj = F.col("sjj").cast("double")
+    corr = (n * sij - si * sj) / F.sqrt(
+        (n * sii - si * si) * (n * sjj - sj * sj)
+    )
+    return out.select(
+        "i", "j", F.round(corr, decimals).alias("corr")
+    )

@@ -6700,6 +6700,253 @@ def _oracle_q164() -> str:
 ORACLE_Q164 = _oracle_q164()
 
 
+def q165_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson feature-correlation matrix (``functions.linalg.
+    correlation_matrix``) from the exact integer Gram + moment sums —
+    the feature-redundancy pass behind whitening/pruning.  Corpus
+    touched twice (narrow passes); every join afterwards is d²-sized
+    table-to-table.  One fixed-order double expression, rounded once,
+    keeps both engines identical."""
+    from etl_opensky_spark.functions.linalg import correlation_matrix
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return correlation_matrix(emb)
+
+
+ORACLE_Q165 = """
+WITH comp AS (
+  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i, embedding
+  FROM embeddings
+), q AS (
+  SELECT vec_id, CAST(i AS INTEGER) - 1 AS i,
+    CAST(FLOOR(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000000) AS BIGINT) AS qv
+  FROM comp
+), gram AS (
+  SELECT a.i AS i, b.i AS j, SUM(CAST(a.qv AS HUGEINT) * b.qv) AS s_ij
+  FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY 1, 2
+), mom AS (
+  SELECT i, SUM(CAST(qv AS HUGEINT)) AS s_i FROM q GROUP BY 1
+), nn AS (
+  SELECT COUNT(*) AS n FROM embeddings
+), diag AS (
+  SELECT i, s_ij AS s_diag FROM gram WHERE i = j
+)
+SELECT g.i AS i, g.j AS j,
+  ROUND(
+    (CAST(nn.n AS DOUBLE) * CAST(g.s_ij AS DOUBLE)
+       - CAST(mi.s_i AS DOUBLE) * CAST(mj.s_i AS DOUBLE))
+    / sqrt(
+        (CAST(nn.n AS DOUBLE) * CAST(di.s_diag AS DOUBLE)
+           - CAST(mi.s_i AS DOUBLE) * CAST(mi.s_i AS DOUBLE))
+        * (CAST(nn.n AS DOUBLE) * CAST(dj.s_diag AS DOUBLE)
+           - CAST(mj.s_i AS DOUBLE) * CAST(mj.s_i AS DOUBLE))
+      ), 6) AS corr
+FROM gram g
+JOIN mom mi ON g.i = mi.i
+JOIN mom mj ON g.j = mj.i
+JOIN diag di ON g.i = di.i
+JOIN diag dj ON g.j = dj.i
+CROSS JOIN nn
+"""
+
+
+def q166_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence statistic for two categorical features
+    (event type × day-of-week) — the feature-selection / drift test
+    beside KS (q148) and PSI (q149).  ONE contingency aggregate (cells
+    are category-product sized), marginals re-aggregated from the CELLS
+    (never a second corpus scan), broadcast scalar total; the per-cell
+    term ``(O*N - R*C)² / (R*C*N)`` keeps the numerator exact integer
+    and does one fixed-order double division, micro-quantized."""
+    ev = _events(spark, sf_dir)
+    cells = ev.groupBy(
+        "event_type", F.dayofweek("ts").alias("dow")
+    ).agg(F.count("*").alias("o"))
+    rowm = cells.groupBy("event_type").agg(F.sum("o").alias("r"))
+    colm = cells.groupBy("dow").agg(F.sum("o").alias("c"))
+    total = cells.agg(F.sum("o").alias("n"))
+    j = (
+        cells.join(F.broadcast(rowm), "event_type")
+        .join(F.broadcast(colm), "dow")
+        .crossJoin(F.broadcast(total))
+    )
+    num = (F.col("o") * F.col("n") - F.col("r") * F.col("c")).cast("double")
+    den = (
+        F.col("r").cast("double")
+        * F.col("c").cast("double")
+        * F.col("n").cast("double")
+    )
+    return j.select(
+        "event_type",
+        "dow",
+        "o",
+        F.round(num * num / den * 1_000_000.0).cast("bigint").alias(
+            "term_micros"
+        ),
+    )
+
+
+ORACLE_Q166 = """
+WITH cells AS (
+  SELECT event_type, CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+    COUNT(*) AS o
+  FROM events GROUP BY 1, 2
+), rowm AS (
+  SELECT event_type, SUM(o) AS r FROM cells GROUP BY 1
+), colm AS (
+  SELECT dow, SUM(o) AS c FROM cells GROUP BY 1
+), total AS (
+  SELECT SUM(o) AS n FROM cells
+)
+SELECT cells.event_type, cells.dow, CAST(o AS BIGINT) AS o,
+  CAST(ROUND(
+    (CAST(o * n - r * c AS DOUBLE) * CAST(o * n - r * c AS DOUBLE))
+    / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) * CAST(n AS DOUBLE))
+    * 1000000.0) AS BIGINT) AS term_micros
+FROM cells JOIN rowm USING (event_type) JOIN colm USING (dow)
+CROSS JOIN total
+"""
+
+
+#: shared constant for the q167 estimate: alpha_256 * 256^2 * 2^53,
+#: computed ONCE in Python and embedded as the same literal in both
+#: engines (one double product — no per-engine re-derivation).
+_HLL_EST_C = (0.7213 / (1.0 + 1.079 / 256)) * 256 * 256 * float(1 << 53)
+
+
+def q167_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users via sliding HLL register merges
+    (``functions.cardinality.hll_registers_by``) — THE use case for
+    persisted sketch state: per-day registers merge by element-wise max
+    over the window (q162's bounded lag equi-join shape), estimate per
+    day without re-touching events.  Register tables are 2^b rows/day;
+    the merge joins register tables only."""
+    from etl_opensky_spark.functions.cardinality import hll_registers_by
+
+    ev = _events(spark, sf_dir)
+    regs = hll_registers_by(
+        ev.select(F.to_date("ts").alias("day"), "user_id"),
+        ["day"],
+        "user_id",
+    ).localCheckpoint()  # reused by anchors + probes below
+    anchors = regs.select("day").distinct()
+    lags = F.explode(F.array(*[F.lit(i) for i in range(7)])).alias("lag")
+    probes = anchors.select(F.col("day").alias("_anchor"), lags).select(
+        "_anchor", F.date_sub(F.col("_anchor"), F.col("lag")).alias("day")
+    )
+    merged = (
+        probes.join(regs, "day")
+        .groupBy(F.col("_anchor").alias("day"), "bucket")
+        .agg(F.max("register").alias("register"))
+    )
+    est = merged.groupBy("day").agg(
+        F.count("*").alias("n_buckets"),
+        F.sum(
+            F.expr("shiftleft(cast(1 as bigint), 53 - register)")
+        ).alias("z_present"),
+    )
+    z = (
+        F.col("z_present")
+        + (F.lit(256) - F.col("n_buckets")).cast("bigint")
+        * F.lit(1 << 53).cast("bigint")
+    )
+    return est.select(
+        "day",
+        F.round(F.lit(_HLL_EST_C) / z.cast("double"), 6).alias(
+            "est_users_7d"
+        ),
+    )
+
+
+def _oracle_q167() -> str:
+    from etl_opensky_spark.functions.cardinality import floor_log2_sql
+
+    fl2 = floor_log2_sql("v")
+    return f"""
+WITH base AS (
+  SELECT CAST(ts AS DATE) AS day, md5(CAST(user_id AS VARCHAR)) AS hx
+  FROM events
+), f AS (
+  SELECT day,
+    CAST(CONCAT('0x', substr(hx, 1, 2)) AS INTEGER) AS bucket,
+    CAST(CONCAT('0x', substr(hx, 3, 13)) AS BIGINT) AS v
+  FROM base
+), regs AS (
+  SELECT day, bucket,
+    MAX(CASE WHEN v = 0 THEN 53 ELSE 52 - {fl2} END) AS register
+  FROM f GROUP BY 1, 2
+), anchors AS (
+  SELECT DISTINCT day FROM regs
+), probes AS (
+  SELECT anchors.day AS anchor,
+    anchors.day - CAST(lag AS INTEGER) AS day
+  FROM anchors CROSS JOIN (SELECT unnest(range(0, 7)) AS lag)
+), merged AS (
+  SELECT p.anchor AS day, r.bucket, MAX(r.register) AS register
+  FROM probes p JOIN regs r ON r.day = p.day
+  GROUP BY 1, 2
+), est AS (
+  SELECT day, COUNT(*) AS n_buckets,
+    SUM(CAST(1 AS BIGINT) << (53 - register)) AS z_present
+  FROM merged GROUP BY 1
+)
+SELECT day,
+  ROUND({_HLL_EST_C!r} / CAST(z_present
+    + CAST(256 - n_buckets AS BIGINT) * (CAST(1 AS BIGINT) << 53)
+    AS DOUBLE), 6) AS est_users_7d
+FROM est
+"""
+
+
+ORACLE_Q167 = _oracle_q167()
+
+
+def q168_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition table checksums — the anti-entropy primitive for
+    cheap cross-lake reconciliation (compare two tables by exchanging
+    one row per partition, re-sync only mismatched partitions): rows
+    hash to a 60-bit md5-derived integer, summed ORDER-INSENSITIVELY
+    per month (DECIMAL(38) — exact under any partitioning).  Only
+    stable-format columns enter the hash (keys, strings, ISO dates —
+    never raw floats, whose string forms are engine-specific)."""
+    orders = _t(spark, sf_dir, "orders")
+    rowhash = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("o_orderkey").cast("string"),
+                    F.col("o_custkey").cast("string"),
+                    F.col("o_orderpriority"),
+                    F.col("o_orderdate").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("decimal(38,0)")
+    return orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(rowhash).alias("checksum"),
+    )
+
+
+ORACLE_Q168 = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+  COUNT(*) AS n_rows,
+  SUM(CAST(CAST(CONCAT('0x', substr(md5(CONCAT_WS('|',
+    CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+    o_orderpriority, CAST(o_orderdate AS VARCHAR))), 1, 15)) AS BIGINT)
+    AS HUGEINT)) AS checksum
+FROM orders GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -6865,6 +7112,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q162_ewma_smoothing": q162_ewma_smoothing,
     "q163_negative_samples": q163_negative_samples,
     "q164_label_spread": q164_label_spread,
+    "q165_correlation_matrix": q165_correlation_matrix,
+    "q166_chi2_independence": q166_chi2_independence,
+    "q167_rolling_distinct": q167_rolling_distinct,
+    "q168_table_checksum": q168_table_checksum,
 }
 
 ORACLES: dict[str, str] = {
@@ -7031,6 +7282,10 @@ ORACLES: dict[str, str] = {
     "q162_ewma_smoothing": ORACLE_Q162,
     "q163_negative_samples": ORACLE_Q163,
     "q164_label_spread": ORACLE_Q164,
+    "q165_correlation_matrix": ORACLE_Q165,
+    "q166_chi2_independence": ORACLE_Q166,
+    "q167_rolling_distinct": ORACLE_Q167,
+    "q168_table_checksum": ORACLE_Q168,
 }
 
 
