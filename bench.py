@@ -189,6 +189,9 @@ BENCH_QUERIES = [
     "q166_chi2_independence",
     "q167_rolling_distinct",
     "q168_table_checksum",
+    "q169_time_travel",
+    "q170_keyed_purge",
+    "q171_curation_pipeline",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

@@ -16,8 +16,6 @@ sorted write — and file count is explicit.  No driver-side anything.
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -32,19 +30,13 @@ def _clamp16(col: Column) -> Column:
 
 def zorder_value(x: Column, y: Column, bits: int = ZBITS) -> Column:
     """Morton-interleave two clamped ``bits``-wide ints: bit ``i`` of
-    ``x`` lands at position ``2i``, of ``y`` at ``2i+1``.  Unrolled to
-    ``2*bits`` shift/mask terms OR-ed together — one codegen'd
-    expression, no UDF, no shuffle."""
-    xv, yv = _clamp16(x), _clamp16(y)
-    terms = []
-    for i in range(bits):
-        terms.append(
-            F.shiftleft(F.shiftright(xv, i).bitwiseAND(F.lit(1)), 2 * i)
-        )
-        terms.append(
-            F.shiftleft(F.shiftright(yv, i).bitwiseAND(F.lit(1)), 2 * i + 1)
-        )
-    return reduce(lambda a, b: a.bitwiseOR(b), terms)
+    ``x`` lands at position ``2i``, of ``y`` at ``2i+1``.  The
+    interleave itself is ``sinks.zorder_key`` (the generic n-column
+    form used by ``write_parquet_zordered``/q75); this wrapper adds the
+    domain clamp and the fixed 2-D oracle-replayable contract."""
+    from etl_opensky_spark.sources.sinks import zorder_key
+
+    return zorder_key([_clamp16(x), _clamp16(y)], bits)
 
 
 def zorder_value_sql(x_expr: str, y_expr: str, bits: int = ZBITS) -> str:

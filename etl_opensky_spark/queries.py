@@ -6947,6 +6947,140 @@ FROM orders GROUP BY 1
 """
 
 
+def q169_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-isolation + time travel on plain parquet
+    (``sources.versioned``): two committed versions, read back AS-OF
+    v1 — the manifest-pointer protocol (atomic ``os.replace``; a
+    conditional PUT on object stores) that replaces the reference's
+    torn-read in-place overwrite (load_dim_airports full refresh).
+    The oracle is v1's defining predicate over the source table —
+    proving the later v2 commit did not leak into the pinned
+    snapshot."""
+    import shutil
+
+    from etl_opensky_spark.sources.versioned import (
+        read_version,
+        write_version,
+    )
+
+    base = _gate_tmp("q169_versions", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders")
+    v1 = orders.filter(F.year("o_orderdate") == 1995)
+    v2 = orders.filter(F.year("o_orderdate").isin(1995, 1996))
+    write_version(v1, base)
+    write_version(v2, base)
+
+    snap = read_version(spark, base, as_of=1)
+    return snap.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        F.max(F.col("o_orderdate").cast("string")).alias("last_date"),
+    )
+
+
+ORACLE_Q169 = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+  MAX(CAST(o_orderdate AS VARCHAR)) AS last_date
+FROM orders WHERE year(o_orderdate) = 1995
+GROUP BY 1
+"""
+
+
+def q170_keyed_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed copy-on-write DELETE (``sinks.purge_parquet_keyed``) — the
+    GDPR/right-to-be-forgotten primitive: only partitions holding a
+    matched key are rewritten (column-pruned probe + broadcast semi
+    join), per-partition rename commit, audit count returned.  The
+    gate purges every order of customers with ``o_custkey % 7 = 0``
+    and re-reads the lake; ``n_deleted`` rides along so the audit
+    count is oracle-checked too."""
+    import shutil
+
+    from etl_opensky_spark.sources.sinks import purge_parquet_keyed
+
+    base = _gate_tmp("q170_purge_lake", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders")
+    orders.write.partitionBy("o_orderpriority").parquet(base)
+
+    delete_keys = orders.filter(F.col("o_custkey") % 7 == 0).select(
+        "o_orderkey"
+    )
+    n_deleted = purge_parquet_keyed(
+        spark, base, delete_keys, ["o_orderkey"],
+        partition_by=["o_orderpriority"],
+    )
+    survivors = spark.read.parquet(base)
+    return survivors.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        F.lit(n_deleted).cast("bigint").alias("n_deleted"),
+    )
+
+
+ORACLE_Q170 = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+   WHERE o_custkey % 7 = 0) AS n_deleted
+FROM orders WHERE o_custkey % 7 <> 0
+GROUP BY 1
+"""
+
+
+def q171_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-curation composition — the realistic shape a
+    training-data job takes: language filter → token-count quality gate
+    → exact near-normalized dedup (whitespace-collapsed md5, earliest
+    doc wins via ``min_by``) → per-language report.  Every stage is an
+    operator gated elsewhere (q23/q22/q07); this gate pins that the
+    COMPOSITION stays correct — filters before the dedup shuffle
+    (semi-reduction first), one groupBy on the fingerprint, one on
+    lang."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = TX.token_count(F.col("text"))
+    fp = F.md5(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    )
+    filtered = (
+        docs.filter(F.col("lang").isin("en", "es"))
+        .withColumn("toks", toks)
+        .filter(F.col("toks") >= 5)
+        .withColumn("fp", fp)
+    )
+    kept = filtered.groupBy("lang", "fp").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.min("toks").alias("toks"),  # constant within fp group
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs_kept"),
+        F.sum("toks").cast("bigint").alias("sum_tokens"),
+        F.min("keep_id").alias("first_doc"),
+    )
+
+
+ORACLE_Q171 = """
+WITH f AS (
+  SELECT doc_id, lang,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END AS toks,
+    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents WHERE lang IN ('en', 'es')
+), q AS (
+  SELECT * FROM f WHERE toks >= 5
+), kept AS (
+  SELECT lang, fp, MIN(doc_id) AS keep_id, MIN(toks) AS toks
+  FROM q GROUP BY 1, 2
+)
+SELECT lang, COUNT(*) AS n_docs_kept,
+  CAST(SUM(toks) AS BIGINT) AS sum_tokens,
+  MIN(keep_id) AS first_doc
+FROM kept GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -7116,6 +7250,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q166_chi2_independence": q166_chi2_independence,
     "q167_rolling_distinct": q167_rolling_distinct,
     "q168_table_checksum": q168_table_checksum,
+    "q169_time_travel": q169_time_travel,
+    "q170_keyed_purge": q170_keyed_purge,
+    "q171_curation_pipeline": q171_curation_pipeline,
 }
 
 ORACLES: dict[str, str] = {
@@ -7286,6 +7423,9 @@ ORACLES: dict[str, str] = {
     "q166_chi2_independence": ORACLE_Q166,
     "q167_rolling_distinct": ORACLE_Q167,
     "q168_table_checksum": ORACLE_Q168,
+    "q169_time_travel": ORACLE_Q169,
+    "q170_keyed_purge": ORACLE_Q170,
+    "q171_curation_pipeline": ORACLE_Q171,
 }
 
 

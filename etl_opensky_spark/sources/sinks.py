@@ -431,3 +431,102 @@ def merge_parquet_keyed(
             os.remove(lock)
         except FileNotFoundError:
             pass
+
+
+def purge_parquet_keyed(
+    spark,
+    path: str,
+    delete_keys: DataFrame,
+    keys: Sequence[str],
+    partition_by: Sequence[str] = (),
+    lock_timeout_sec: float = 0.0,
+) -> int:
+    """Keyed DELETE from a parquet lake path, copy-on-write — the
+    right-to-be-forgotten / tombstone primitive (``DELETE FROM target
+    WHERE (keys) IN delete_keys``) with the same commit protocol as
+    :func:`merge_parquet_keyed`: only partitions that actually hold a
+    matched key are rewritten (found by a column-pruned keys+partition
+    probe — parquet reads no data columns), staged once, committed by
+    per-partition directory rename under the shared ``._merge.lock``
+    sentinel.  Returns the number of rows deleted (the audit count a
+    GDPR workflow must record).
+
+    At 100 TB the cost is proportional to the AFFECTED partitions, not
+    the table: the probe is a broadcast semi join of the (small) delete
+    set, and untouched partition directories are never read or moved.
+    """
+    import os
+    import shutil
+    import time as _time
+
+    keys = list(keys)
+    part_cols = list(partition_by)
+    if not os.path.exists(path):
+        return 0
+
+    lock = path.rstrip("/") + "._merge.lock"
+    deadline = _time.monotonic() + lock_timeout_sec
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+            break
+        except FileExistsError:
+            if _time.monotonic() >= deadline:
+                raise ConcurrentMergeError(
+                    f"merge lock held for {path} (stale? remove {lock})"
+                ) from None
+            _time.sleep(0.05)
+
+    staging = path.rstrip("/") + "._purging"
+    try:
+        target = spark.read.parquet(path)
+        dk = delete_keys.select(*keys).distinct().localCheckpoint()
+        n_deleted = target.join(
+            F.broadcast(dk), on=keys, how="left_semi"
+        ).count()
+        if n_deleted == 0:
+            return 0
+
+        if not part_cols:
+            kept = target.join(F.broadcast(dk), on=keys, how="left_anti")
+            shutil.rmtree(staging, ignore_errors=True)
+            kept.write.mode("overwrite").parquet(staging)
+            old = path.rstrip("/") + "._pre_purge"
+            shutil.rmtree(old, ignore_errors=True)
+            os.rename(path, old)
+            os.rename(staging, path)
+            shutil.rmtree(old)
+            return n_deleted
+
+        affected = (
+            target.select(*part_cols, *keys)
+            .join(F.broadcast(dk), on=keys, how="left_semi")
+            .select(*part_cols)
+            .distinct()
+        )
+        affected_vals = [
+            tuple(r[c] for c in part_cols) for r in affected.collect()
+        ]
+        kept = (
+            target.join(F.broadcast(affected), on=part_cols, how="left_semi")
+            .join(F.broadcast(dk), on=keys, how="left_anti")
+            .select(*target.columns)
+        )
+        shutil.rmtree(staging, ignore_errors=True)
+        kept.write.mode("overwrite").partitionBy(*part_cols).parquet(staging)
+        for vals in affected_vals:
+            suffix = _hive_dir(part_cols, vals)
+            tgt_dir = os.path.join(path, suffix)
+            stg_dir = os.path.join(staging, suffix)
+            shutil.rmtree(tgt_dir, ignore_errors=True)
+            if os.path.isdir(stg_dir):
+                os.makedirs(os.path.dirname(tgt_dir), exist_ok=True)
+                os.rename(stg_dir, tgt_dir)
+        shutil.rmtree(staging, ignore_errors=True)
+        return n_deleted
+    finally:
+        try:
+            os.remove(lock)
+        except FileNotFoundError:
+            pass

@@ -1,0 +1,116 @@
+"""Round-4 batch-11: versioned time travel, keyed purge, snapshot
+isolation properties."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import rows
+
+
+def test_versioned_write_read_history(spark, tmp_path):
+    from etl_opensky_spark.sources.versioned import (
+        read_version,
+        table_history,
+        write_version,
+    )
+
+    base = str(tmp_path / "tbl")
+    v1 = write_version(spark.range(3), base)
+    v2 = write_version(spark.range(10), base)
+    assert (v1, v2) == (1, 2)
+    assert table_history(base) == [1, 2]
+    assert read_version(spark, base).count() == 10  # current = v2
+    assert read_version(spark, base, as_of=1).count() == 3
+    with pytest.raises(ValueError, match="not committed"):
+        read_version(spark, base, as_of=5)
+
+
+def test_versioned_snapshot_pinned_across_commits(spark, tmp_path):
+    """A reader resolved before a new commit must keep seeing its
+    snapshot (snapshot isolation)."""
+    from etl_opensky_spark.sources.versioned import (
+        read_version,
+        write_version,
+    )
+
+    base = str(tmp_path / "tbl")
+    write_version(spark.range(5), base)
+    snap = read_version(spark, base)  # pinned to v1's directory
+    write_version(spark.range(100), base)
+    assert snap.count() == 5
+    assert read_version(spark, base).count() == 100
+
+
+def test_versioned_torn_manifest_never_observed(spark, tmp_path):
+    """An orphan data directory without a manifest flip is invisible."""
+    from etl_opensky_spark.sources.versioned import (
+        read_version,
+        write_version,
+    )
+
+    base = str(tmp_path / "tbl")
+    write_version(spark.range(4), base)
+    # simulate a crash after data write, before manifest commit
+    spark.range(999).write.parquet(os.path.join(base, "v=2"))
+    assert read_version(spark, base).count() == 4
+    man = json.load(open(os.path.join(base, "_manifest.json")))
+    assert man["versions"] == [1]
+
+
+def test_purge_deletes_only_matched_keys_and_reports_count(spark, tmp_path):
+    from etl_opensky_spark.sources.sinks import purge_parquet_keyed
+
+    base = str(tmp_path / "lake")
+    df = spark.createDataFrame(
+        [(i, f"p{i % 3}", i * 10) for i in range(30)], ["k", "part", "v"]
+    )
+    df.write.partitionBy("part").parquet(base)
+    dk = spark.createDataFrame([(i,) for i in range(0, 30, 5)], ["k"])
+    n = purge_parquet_keyed(spark, base, dk, ["k"], partition_by=["part"])
+    assert n == 6
+    left = spark.read.parquet(base)
+    assert left.count() == 24
+    assert left.filter(F.col("k") % 5 == 0).count() == 0
+    # untouched rows intact, values preserved
+    assert rows(left.filter(F.col("k") == 1).select("v")) == [(10,)]
+
+
+def test_purge_untouched_partitions_not_rewritten(spark, tmp_path):
+    """Copy-on-write must leave unaffected partition directories'
+    files byte-identical (mtimes/inode paths unchanged)."""
+    from etl_opensky_spark.sources.sinks import purge_parquet_keyed
+
+    base = str(tmp_path / "lake")
+    df = spark.createDataFrame(
+        [(i, "a" if i < 10 else "b", i) for i in range(20)],
+        ["k", "part", "v"],
+    )
+    df.write.partitionBy("part").parquet(base)
+
+    def files(p):
+        out = {}
+        for root, _, names in os.walk(p):
+            for n in names:
+                fp = os.path.join(root, n)
+                out[fp] = os.stat(fp).st_mtime_ns
+        return out
+
+    before = files(os.path.join(base, "part=b"))
+    dk = spark.createDataFrame([(3,)], ["k"])  # lives in part=a only
+    assert purge_parquet_keyed(spark, base, dk, ["k"], ["part"]) == 1
+    assert files(os.path.join(base, "part=b")) == before
+
+
+def test_purge_no_match_is_noop(spark, tmp_path):
+    from etl_opensky_spark.sources.sinks import purge_parquet_keyed
+
+    base = str(tmp_path / "lake")
+    spark.createDataFrame([(1, "x")], ["k", "v"]).write.parquet(base)
+    dk = spark.createDataFrame([(99,)], ["k"])
+    assert purge_parquet_keyed(spark, base, dk, ["k"]) == 0
+    assert spark.read.parquet(base).count() == 1
