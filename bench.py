@@ -192,6 +192,7 @@ BENCH_QUERIES = [
     "q169_time_travel",
     "q170_keyed_purge",
     "q171_curation_pipeline",
+    "q172_ivm_retractions",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

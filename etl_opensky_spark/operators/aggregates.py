@@ -562,3 +562,58 @@ def mad_outliers(
             ).alias("n_outliers"),
         )
     )
+
+
+def apply_agg_delta(
+    state: DataFrame,
+    changelog: DataFrame,
+    group_col: str = "g",
+    cnt_col: str = "cnt",
+    sum_col: str = "total",
+) -> DataFrame:
+    """Incremental view maintenance WITH RETRACTIONS: fold a row-level
+    changelog into a keyed (count, sum) aggregate state without
+    re-scanning the base table — the delta form of materialized-view
+    maintenance (q26's rollup_merge handles append-only; this handles
+    updates/deletes, including GROUP-CHANGING updates).
+
+    ``changelog`` rows: ``(op, old_group, old_val, new_group,
+    new_val)`` with op in I/U/D — the shape ``cdc.snapshot_diff``
+    emits.  Contributions: I adds to ``new_group``; D retracts from
+    ``old_group``; U retracts old AND adds new (two contributions, so a
+    group change moves the row between groups).  Groups whose count
+    reaches zero are dropped (exact retraction needs additive
+    aggregates — count/sum/avg-from-sums; min/max need a re-scan of
+    the affected group, deliberately out of scope).
+
+    Scale shape: the changelog explodes to at most 2 contribution rows
+    each, ONE map-side-combined groupBy builds the per-group delta, and
+    ONE key-partitioned full-outer join folds it into state — cost
+    proportional to the DELTA, never the base table.  That is the whole
+    point of IVM at 100 TB: a day's changes against a year's aggregate.
+    """
+    adds = changelog.filter(F.col("op").isin("I", "U")).select(
+        F.col("new_group").alias(group_col),
+        F.lit(1).cast("bigint").alias("_dc"),
+        F.col("new_val").cast("bigint").alias("_ds"),
+    )
+    retracts = changelog.filter(F.col("op").isin("D", "U")).select(
+        F.col("old_group").alias(group_col),
+        F.lit(-1).cast("bigint").alias("_dc"),
+        (-F.col("old_val")).cast("bigint").alias("_ds"),
+    )
+    delta = (
+        adds.unionByName(retracts)
+        .groupBy(group_col)
+        .agg(F.sum("_dc").alias("_dc"), F.sum("_ds").alias("_ds"))
+    )
+    merged = state.join(delta, on=group_col, how="full_outer").select(
+        group_col,
+        (F.coalesce(F.col(cnt_col), F.lit(0)) + F.coalesce("_dc", F.lit(0)))
+        .cast("bigint")
+        .alias(cnt_col),
+        (F.coalesce(F.col(sum_col), F.lit(0)) + F.coalesce("_ds", F.lit(0)))
+        .cast("bigint")
+        .alias(sum_col),
+    )
+    return merged.filter(F.col(cnt_col) > 0)

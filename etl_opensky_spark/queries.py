@@ -7081,6 +7081,79 @@ FROM kept GROUP BY 1
 """
 
 
+def q172_ivm_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance with retractions
+    (``operators.aggregates.apply_agg_delta``): a keyed (count, sum)
+    aggregate state folded forward by a deterministic I/U/D changelog —
+    updates retract-and-add (including group-changing updates), deletes
+    retract, zero-count groups vanish.  The oracle RECOMPUTES the final
+    aggregate from the effective row set from scratch: incremental ==
+    recompute is the IVM guarantee.  Cost is proportional to the delta,
+    never the base table."""
+    from etl_opensky_spark.operators.aggregates import apply_agg_delta
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 4 != 0)
+    state = base.groupBy(
+        F.col("o_orderpriority").alias("g")
+    ).agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.sum("o_custkey").cast("bigint").alias("total"),
+    )
+
+    inserts = orders.filter(F.col("o_orderkey") % 4 == 0).select(
+        F.lit("I").alias("op"),
+        F.lit(None).cast("string").alias("old_group"),
+        F.lit(None).cast("bigint").alias("old_val"),
+        F.col("o_orderpriority").alias("new_group"),
+        F.col("o_custkey").alias("new_val"),
+    )
+    deletes = base.filter(F.col("o_orderkey") % 5 == 0).select(
+        F.lit("D").alias("op"),
+        F.col("o_orderpriority").alias("old_group"),
+        F.col("o_custkey").alias("old_val"),
+        F.lit(None).cast("string").alias("new_group"),
+        F.lit(None).cast("bigint").alias("new_val"),
+    )
+    updates = (
+        base.filter(
+            (F.col("o_orderkey") % 5 != 0) & (F.col("o_orderkey") % 7 == 3)
+        )
+        .select(
+            F.lit("U").alias("op"),
+            F.col("o_orderpriority").alias("old_group"),
+            F.col("o_custkey").alias("old_val"),
+            # group-changing update when orderkey % 11 == 0
+            F.when(
+                F.col("o_orderkey") % 11 == 0, F.lit("5-LOW")
+            ).otherwise(F.col("o_orderpriority")).alias("new_group"),
+            (F.col("o_custkey") + 1000).alias("new_val"),
+        )
+    )
+    changelog = inserts.unionByName(deletes).unionByName(updates)
+    return apply_agg_delta(state, changelog)
+
+
+ORACLE_Q172 = """
+WITH effective AS (
+  -- final row set after the changelog: inserts in; deletes out;
+  -- updates rewrite value (and group when %11)
+  SELECT CASE WHEN o_orderkey % 4 != 0 AND o_orderkey % 5 != 0
+               AND o_orderkey % 7 = 3 AND o_orderkey % 11 = 0
+              THEN '5-LOW' ELSE o_orderpriority END AS g,
+         CASE WHEN o_orderkey % 4 != 0 AND o_orderkey % 5 != 0
+               AND o_orderkey % 7 = 3
+              THEN o_custkey + 1000 ELSE o_custkey END AS v
+  FROM orders
+  WHERE o_orderkey % 4 = 0                               -- inserts
+     OR (o_orderkey % 4 != 0 AND o_orderkey % 5 != 0)    -- survivors
+)
+SELECT g, CAST(COUNT(*) AS BIGINT) AS cnt,
+  CAST(SUM(v) AS BIGINT) AS total
+FROM effective GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -7253,6 +7326,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q169_time_travel": q169_time_travel,
     "q170_keyed_purge": q170_keyed_purge,
     "q171_curation_pipeline": q171_curation_pipeline,
+    "q172_ivm_retractions": q172_ivm_retractions,
 }
 
 ORACLES: dict[str, str] = {
@@ -7426,6 +7500,7 @@ ORACLES: dict[str, str] = {
     "q169_time_travel": ORACLE_Q169,
     "q170_keyed_purge": ORACLE_Q170,
     "q171_curation_pipeline": ORACLE_Q171,
+    "q172_ivm_retractions": ORACLE_Q172,
 }
 
 

@@ -114,3 +114,54 @@ def test_purge_no_match_is_noop(spark, tmp_path):
     dk = spark.createDataFrame([(99,)], ["k"])
     assert purge_parquet_keyed(spark, base, dk, ["k"]) == 0
     assert spark.read.parquet(base).count() == 1
+
+
+# --- incremental view maintenance -------------------------------------------
+
+
+def test_apply_agg_delta_matches_recompute_with_group_moves(spark):
+    from etl_opensky_spark.operators.aggregates import apply_agg_delta
+
+    base = [(i, "g%d" % (i % 3), i * 10) for i in range(30)]
+    state = (
+        spark.createDataFrame(base, ["k", "g", "v"])
+        .groupBy("g")
+        .agg(
+            F.count("*").cast("bigint").alias("cnt"),
+            F.sum("v").cast("bigint").alias("total"),
+        )
+    )
+    # delete k=0..4, update k=10 (value +5, group g1->g0), insert k=100
+    changelog = spark.createDataFrame(
+        [("D", "g%d" % (k % 3), k * 10, None, None) for k in range(5)]
+        + [("U", "g1", 100, "g0", 105)]
+        + [("I", None, None, "g2", 1000)],
+        "op string, old_group string, old_val long, new_group string, new_val long",
+    )
+    got = dict(
+        (r.g, (r.cnt, r.total))
+        for r in apply_agg_delta(state, changelog).collect()
+    )
+    final = (
+        [(k, "g%d" % (k % 3), k * 10) for k in range(5, 30) if k != 10]
+        + [(10, "g0", 105), (100, "g2", 1000)]
+    )
+    want = {}
+    for _, g, v in final:
+        c, s = want.get(g, (0, 0))
+        want[g] = (c + 1, s + v)
+    assert got == want
+
+
+def test_apply_agg_delta_drops_emptied_groups(spark):
+    from etl_opensky_spark.operators.aggregates import apply_agg_delta
+
+    state = spark.createDataFrame(
+        [("a", 1, 7), ("b", 2, 10)], "g string, cnt long, total long"
+    )
+    changelog = spark.createDataFrame(
+        [("D", "a", 7, None, None)],
+        "op string, old_group string, old_val long, new_group string, new_val long",
+    )
+    got = rows(apply_agg_delta(state, changelog))
+    assert got == [("b", 2, 10)]
