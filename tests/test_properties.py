@@ -14,6 +14,7 @@ from etl_opensky_spark.operators.filters import nullify_values
 from etl_opensky_spark.operators.joins import fk_orphans
 from etl_opensky_spark.operators.reshape import date_spine
 from etl_opensky_spark.operators.sets import append_missing
+from tests.conftest import rows
 
 SETTINGS = settings(
     max_examples=8,
@@ -279,3 +280,151 @@ def test_equal_frequency_bins_are_balanced(spark, values, k):
     ordered = sorted(out, key=lambda r: (r["v"], r["id"]))
     bins = [r["bin"] for r in ordered]
     assert bins == sorted(bins)
+
+
+@SETTINGS
+@given(
+    st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=40),
+)
+def test_countmin_one_sided_bound_any_data(spark, keys):
+    """CM guarantee under arbitrary key distributions: true <= est for
+    EVERY key, at any (depth, width)."""
+    from etl_opensky_spark.functions.heavyhitters import countmin_estimates
+
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    got = countmin_estimates(df, "k", depth=2, width=8, top_k=50).collect()
+    from collections import Counter
+
+    truth = Counter(str(k) for k in keys)
+    assert {r.item for r in got} <= set(truth)
+    for r in got:
+        assert r.true_cnt == truth[r.item]
+        assert r.est_cnt >= r.true_cnt
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),   # day offset
+            st.integers(min_value=-50, max_value=50),  # value
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_ewma_pow2_matches_python_model(spark, day_vals):
+    """EWMA equi-join formulation == the direct per-anchor weighted sum."""
+    import datetime as _dt
+
+    from etl_opensky_spark.operators.reshape import ewma_pow2
+
+    day0 = _dt.date(2024, 5, 1)
+    daily = {}
+    for off, v in day_vals:
+        daily[off] = daily.get(off, 0) + v
+    df = spark.createDataFrame(
+        [("k", day0 + _dt.timedelta(days=o), v) for o, v in daily.items()],
+        ["k", "day", "v"],
+    )
+    H = 4
+    got = {
+        (r.day - day0).days: (r.ewma_num, r.weight_den)
+        for r in ewma_pow2(df, "k", "day", "v", horizon=H).collect()
+    }
+    for anchor in daily:
+        num = den = 0
+        for lag in range(H):
+            src = anchor - lag
+            if src in daily:
+                w = 1 << (H - 1 - lag)
+                num += daily[src] * w
+                den += w
+        assert got[anchor] == (num, den)
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["I", "D", "U"]),
+            st.integers(min_value=0, max_value=3),  # group id
+            st.integers(min_value=0, max_value=3),  # new group id (U)
+            st.integers(min_value=-20, max_value=20),
+        ),
+        min_size=0,
+        max_size=15,
+    )
+)
+def test_apply_agg_delta_equals_recompute(spark, ops):
+    """Random retraction streams: incremental fold == from-scratch
+    recompute of the implied final multiset."""
+    from etl_opensky_spark.operators.aggregates import apply_agg_delta
+
+    # base rows: 3 per group, value = group*10 + i
+    base = [(g, g * 10 + i) for g in range(4) for i in range(3)]
+    rows_ = list(base)
+    changelog = []
+    for op, g, ng, v in ops:
+        if op == "I":
+            changelog.append(("I", None, None, f"g{ng}", v))
+            rows_.append((ng, v))
+        elif op == "D":
+            victim = next(((gg, vv) for gg, vv in rows_ if gg == g), None)
+            if victim is None:
+                continue
+            rows_.remove(victim)
+            changelog.append(("D", f"g{victim[0]}", victim[1], None, None))
+        else:  # U: move first row of g to ng with value v
+            victim = next(((gg, vv) for gg, vv in rows_ if gg == g), None)
+            if victim is None:
+                continue
+            rows_.remove(victim)
+            rows_.append((ng, v))
+            changelog.append(("U", f"g{victim[0]}", victim[1], f"g{ng}", v))
+
+    state = (
+        spark.createDataFrame(base, ["g_id", "v"])
+        .groupBy(F.concat(F.lit("g"), F.col("g_id")).alias("g"))
+        .agg(
+            F.count("*").cast("bigint").alias("cnt"),
+            F.sum("v").cast("bigint").alias("total"),
+        )
+    )
+    cl = spark.createDataFrame(
+        changelog or [("I", None, None, "g0", 0)],
+        "op string, old_group string, old_val long, new_group string, new_val long",
+    )
+    if not changelog:
+        rows_.append((0, 0))
+    got = {
+        r.g: (r.cnt, r.total) for r in apply_agg_delta(state, cl).collect()
+    }
+    want = {}
+    for g, v in rows_:
+        c, s = want.get(f"g{g}", (0, 0))
+        want[f"g{g}"] = (c + 1, s + v)
+    assert got == want
+
+
+@SETTINGS
+@given(
+    st.lists(st.integers(min_value=0, max_value=99), min_size=1, max_size=30)
+)
+def test_hll_merge_associative_any_split(spark, ids):
+    """Register merge is associative/commutative: any 2-way split of
+    the data merges to the registers of the whole."""
+    from etl_opensky_spark.functions.cardinality import hll_registers
+
+    df = spark.createDataFrame([(i,) for i in ids], ["k"])
+    half = len(ids) // 2
+    a = spark.createDataFrame([(i,) for i in ids[:half]], "k int")
+    b = spark.createDataFrame([(i,) for i in ids[half:]], "k int")
+    whole = rows(hll_registers(df, "k"))
+    merged = rows(
+        hll_registers(a, "k")
+        .union(hll_registers(b, "k"))
+        .groupBy("bucket")
+        .agg(F.max("register").alias("register"))
+    )
+    assert whole == merged
