@@ -138,10 +138,14 @@ def countmin_estimates(
     bounded cell table.  md5-salted rows keep both engines bit-equal.
     """
     key = F.col(col).cast("string")
+    # checkpoint: the key-count table feeds BOTH the cell build and the
+    # estimate join — without it Catalyst re-scans the corpus per
+    # consumer (the q112 exchange-reuse lesson)
     counts = (
         df.select(key.alias("item"))
         .groupBy("item")
         .agg(F.count("*").alias("true_cnt"))
+        .localCheckpoint()
     )
 
     probes = counts.select(

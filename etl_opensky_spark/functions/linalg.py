@@ -130,8 +130,12 @@ def correlation_matrix(
     value.  Joins are d^2-sized table-to-table — driver-free, corpus-
     size independent after the two moment passes.
     """
-    gram = gram_upper_triangle(embeddings, vec_col, scale)
-    mom = moment_sums(embeddings, vec_col, scale)
+    # checkpoint both moment tables (d²- and d-sized): gram feeds the
+    # pair rows AND the diagonal, mom feeds both marginals — without
+    # this each consumer re-runs its corpus pass (plan-sweep finding;
+    # the q112 exchange-reuse lesson)
+    gram = gram_upper_triangle(embeddings, vec_col, scale).localCheckpoint()
+    mom = moment_sums(embeddings, vec_col, scale).localCheckpoint()
 
     diag = gram.filter(F.col("i") == F.col("j")).select(
         F.col("i").alias("d_idx"), F.col("s_ij").alias("s_diag")

@@ -146,21 +146,32 @@ def pmi_collocations(
         ).alias("_p")
     ).select(F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
 
-    pair_counts = pairs.groupBy("w1", "w2").agg(
-        F.count("*").alias("c12")
-    ).filter(F.col("c12") >= min_pair_count)
+    # ONE corpus pass: the unpruned pair-count table is vocabulary-
+    # bounded, and every downstream quantity — pruned pairs, both
+    # position marginals, N — derives from it.  Without the checkpoint
+    # Catalyst re-tokenizes the corpus once per consumer (measured: the
+    # plan sweep showed 4 corpus scans — the q112 exchange-reuse lesson
+    # again: reuse does not fire across differently-aggregated
+    # consumers).
+    pc_all = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .localCheckpoint()
+    )
+    pair_counts = pc_all.filter(F.col("c12") >= min_pair_count)
 
     # position-marginal counts: w as the LEFT (w1) and RIGHT (w2) member
     # of an adjacent pair — the marginals of the same joint distribution
     # (using raw unigram counts instead would make rows' PMI not sum
-    # from the same N and bias boundary tokens).
-    left = pairs.groupBy(F.col("w1").alias("w")).agg(
-        F.count("*").alias("c1")
+    # from the same N and bias boundary tokens).  Re-aggregated from the
+    # pair-count TABLE, never from the corpus.
+    left = pc_all.groupBy(F.col("w1").alias("w")).agg(
+        F.sum("c12").alias("c1")
     )
-    right = pairs.groupBy(F.col("w2").alias("w")).agg(
-        F.count("*").alias("c2")
+    right = pc_all.groupBy(F.col("w2").alias("w")).agg(
+        F.sum("c12").alias("c2")
     )
-    n_pairs = pairs.count()  # scalar N: one job, rides as a literal
+    n_pairs = pc_all.agg(F.sum("c12")).collect()[0][0]  # scalar N
 
     return (
         pair_counts.join(left, pair_counts["w1"] == left["w"], "inner")

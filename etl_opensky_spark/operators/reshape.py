@@ -137,6 +137,10 @@ def ewma_pow2(
     ``value_col`` must already be integral (micro-quantize floats
     first: ``functions.linalg.quantize_micros`` semantics).
     """
+    # the daily table is consumed twice (anchors and series); checkpoint
+    # so an upstream aggregation isn't re-run per consumer (plan-sweep
+    # finding; (key, day)-sized, bounded)
+    daily = daily.localCheckpoint()
     lags = F.explode(
         F.array(*[F.lit(i) for i in range(horizon)])
     ).alias("lag")

@@ -6269,10 +6269,12 @@ def q154_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = hash_split(
         docs, "source", {"train": 0.8, "val": 0.1, "test": 0.1}
     )
+    # checkpointed: per_group feeds both the leak audit and the final
+    # report — one corpus scan, group-cardinality rows after it
     per_group = split.groupBy("source", "split").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("sum_chars"),
-    )
+    ).localCheckpoint()
     leak = per_group.groupBy("source").agg(
         F.count("*").alias("n_splits_of_group")
     )
@@ -6760,9 +6762,12 @@ def q166_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     term ``(O*N - R*C)² / (R*C*N)`` keeps the numerator exact integer
     and does one fixed-order double division, micro-quantized."""
     ev = _events(spark, sf_dir)
+    # ONE corpus scan: the contingency table is checkpointed, so the
+    # marginals and total re-aggregate category-product-sized CELLS
+    # instead of re-scanning events per consumer (plan-sweep finding)
     cells = ev.groupBy(
         "event_type", F.dayofweek("ts").alias("dow")
-    ).agg(F.count("*").alias("o"))
+    ).agg(F.count("*").alias("o")).localCheckpoint()
     rowm = cells.groupBy("event_type").agg(F.sum("o").alias("r"))
     colm = cells.groupBy("dow").agg(F.sum("o").alias("c"))
     total = cells.agg(F.sum("o").alias("n"))
