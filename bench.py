@@ -193,6 +193,9 @@ BENCH_QUERIES = [
     "q170_keyed_purge",
     "q171_curation_pipeline",
     "q172_ivm_retractions",
+    "q173_partial_salted_join",
+    "q174_entity_resolution",
+    "q175_version_diff",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

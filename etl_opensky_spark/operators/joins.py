@@ -242,3 +242,65 @@ def interval_join(
     else:
         cond = (delta >= 0) & (delta <= width)
     return joined.filter(cond)
+
+
+def partial_salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    how: str = "inner",
+    salt_buckets: int = 16,
+    hot_share_pct: float = 1.0,
+) -> DataFrame:
+    """Skew join with PARTIAL salting: detect the hot keys first (the
+    q150 ``key_skew_report`` probe — one map-side-combined count), then
+    salt ONLY rows carrying a hot key; cold keys join plain.
+
+    Why not salt everything (``salted_join``): blanket salting
+    replicates the ENTIRE small side ``salt_buckets``× — at 100 TB the
+    replication dwarfs the skew it fixes when only a handful of keys
+    are hot.  Partial salting replicates only the small-side rows whose
+    key is hot (hot-key-count × buckets rows), which is the shape AQE's
+    skew-join split produces at runtime — made explicit, deterministic,
+    and available to modes AQE won't rewrite.
+
+    The hot-key set is collected to the driver (bounded: keys above
+    ``hot_share_pct`` percent of the big side — at most
+    ``100/hot_share_pct`` keys can exist) and broadcast back inside a
+    literal ``isin``; the two sub-joins (hot salted, cold plain) union.
+    Semantically invisible: same rows as a plain equi-join (oracle-
+    gated).  Big-side-preserving modes only, as ``salted_join``.
+    """
+    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti", "semi", "anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"partial_salted_join supports {sorted(allowed)}; {how!r} would "
+            "duplicate unmatched small-side rows once per salt bucket"
+        )
+    counts = big.groupBy(big_key).agg(F.count("*").alias("_cnt"))
+    total = big.count()
+    threshold = int(total * hot_share_pct / 100.0)
+    hot_keys = [
+        r[big_key]
+        for r in counts.filter(F.col("_cnt") > threshold).collect()
+    ]
+    if not hot_keys:
+        return big.join(
+            small, on=big[big_key] == small[small_key], how=how
+        )
+
+    big_hot = big.filter(F.col(big_key).isin(hot_keys))
+    big_cold = big.filter(
+        ~F.col(big_key).isin(hot_keys) | F.col(big_key).isNull()
+    )
+    small_hot = small.filter(F.col(small_key).isin(hot_keys))
+
+    hot_joined = salted_join(
+        big_hot, small_hot, big_key, small_key, how=how,
+        salt_buckets=salt_buckets,
+    )
+    cold_joined = big_cold.join(
+        small, on=big_cold[big_key] == small[small_key], how=how
+    )
+    return hot_joined.unionByName(cold_joined)

@@ -7159,6 +7159,170 @@ FROM effective GROUP BY 1
 """
 
 
+def q173_partial_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTIAL skew salting (``operators.joins.partial_salted_join``):
+    hot keys detected by a count probe and salted; cold keys join
+    plain — replicating only the hot small-side rows instead of the
+    whole small side (blanket ``salted_join``'s cost).  A synthetic
+    70%-hot key makes the skew real; the oracle is the PLAIN equi-join
+    (salting must be semantically invisible, the q101 contract)."""
+    from etl_opensky_spark.operators.joins import partial_salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 10 < 7, F.lit(1))
+        .otherwise(F.col("l_partkey"))
+        .alias("skew_key"),
+        "l_quantity",
+    )
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pk"), "p_size"
+    )
+    joined = partial_salted_join(
+        li, part, "skew_key", "pk", how="inner", salt_buckets=8,
+        hot_share_pct=1.0,
+    )
+    return joined.groupBy("p_size").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("qty_sum"),
+    )
+
+
+ORACLE_Q173 = """
+WITH li AS (
+  SELECT CASE WHEN l_orderkey % 10 < 7 THEN 1 ELSE l_partkey END AS skew_key,
+         l_quantity
+  FROM lineitem
+)
+SELECT p_size, COUNT(*) AS n_rows,
+  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+FROM li JOIN part ON li.skew_key = part.p_partkey
+GROUP BY 1
+"""
+
+
+def q174_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: blocked edit-distance matching
+    (q87's ``fuzzy_pairs``) → connected components → canonical id per
+    cluster → cluster-size distribution.  The standard record-linkage
+    pipeline (block → compare → cluster → canonicalize) composed from
+    gated operators; the oracle closes the SAME pair predicate with a
+    recursive CTE (q83's transitive-truth pattern), so the distributed
+    components must agree with exact closure."""
+    from etl_opensky_spark.functions.dedup import (
+        connected_components,
+        fuzzy_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = fuzzy_pairs(
+        docs,
+        "doc_id",
+        "text",
+        block_col=F.substring_index(F.col("text"), " ", 1),
+        max_distance=8,
+        compare_len=24,
+    )
+    comp = connected_components(pairs, docs.select("doc_id"), "doc_id")
+    clusters = comp.groupBy("component").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return clusters.groupBy("cluster_size").agg(
+        F.count("*").cast("bigint").alias("n_clusters"),
+        F.sum("component").cast("bigint").alias("canonical_id_sum"),
+    )
+
+
+ORACLE_Q174 = """
+WITH RECURSIVE t AS (
+  SELECT doc_id, substr(text, 1, 24) AS cmp, split_part(text, ' ', 1) AS blk
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+  WHERE levenshtein(a.cmp, b.cmp) <= 8
+), edges AS (
+  SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+), reach(a, b) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u WHERE e.v <> r.a
+), comp AS (
+  SELECT d.doc_id,
+    LEAST(d.doc_id,
+          COALESCE((SELECT MIN(b) FROM reach WHERE a = d.doc_id),
+                   d.doc_id)) AS component
+  FROM documents d
+), clusters AS (
+  SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY 1
+)
+SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+  CAST(SUM(component) AS BIGINT) AS canonical_id_sum
+FROM clusters GROUP BY 1
+"""
+
+
+def q175_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version-to-version diff: two committed snapshots
+    (``sources.versioned``) compared by ``cdc.snapshot_diff`` — "what
+    changed between Monday's table and Tuesday's" as a keyed I/U/D
+    delta, computed from the two immutable snapshot directories (ONE
+    full-outer key join, no history log needed).  v2 applies
+    deterministic inserts (1996 orders), updates (+1 custkey on
+    orderkey%3) and deletes (orderkey%7) to v1 = orders-1995."""
+    import shutil
+
+    from etl_opensky_spark.operators.cdc import snapshot_diff
+    from etl_opensky_spark.sources.versioned import (
+        read_version,
+        write_version,
+    )
+
+    base = _gate_tmp("q175_versions", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_orderdate"
+    )
+    v1 = orders.filter(F.year("o_orderdate") == 1995)
+    v2 = (
+        v1.filter(F.col("o_orderkey") % 7 != 0)
+        .withColumn(
+            "o_custkey",
+            F.when(
+                F.col("o_orderkey") % 3 == 0, F.col("o_custkey") + 1
+            ).otherwise(F.col("o_custkey")),
+        )
+        .unionByName(orders.filter(F.year("o_orderdate") == 1996))
+    )
+    write_version(v1, base)
+    write_version(v2, base)
+
+    diff = snapshot_diff(
+        read_version(spark, base, as_of=1),
+        read_version(spark, base, as_of=2),
+        ["o_orderkey"],
+    )
+    return diff.groupBy("op").agg(
+        F.count("*").alias("n"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+    )
+
+
+ORACLE_Q175 = """
+WITH v1 AS (
+  SELECT o_orderkey FROM orders WHERE year(o_orderdate) = 1995
+)
+SELECT 'I' AS op, COUNT(*) AS n,
+  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+FROM orders WHERE year(o_orderdate) = 1996
+UNION ALL
+SELECT 'D', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
+FROM v1 WHERE o_orderkey % 7 = 0
+UNION ALL
+SELECT 'U', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
+FROM v1 WHERE o_orderkey % 7 != 0 AND o_orderkey % 3 = 0
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -7332,6 +7496,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q170_keyed_purge": q170_keyed_purge,
     "q171_curation_pipeline": q171_curation_pipeline,
     "q172_ivm_retractions": q172_ivm_retractions,
+    "q173_partial_salted_join": q173_partial_salted_join,
+    "q174_entity_resolution": q174_entity_resolution,
+    "q175_version_diff": q175_version_diff,
 }
 
 ORACLES: dict[str, str] = {
@@ -7506,6 +7673,9 @@ ORACLES: dict[str, str] = {
     "q170_keyed_purge": ORACLE_Q170,
     "q171_curation_pipeline": ORACLE_Q171,
     "q172_ivm_retractions": ORACLE_Q172,
+    "q173_partial_salted_join": ORACLE_Q173,
+    "q174_entity_resolution": ORACLE_Q174,
+    "q175_version_diff": ORACLE_Q175,
 }
 
 

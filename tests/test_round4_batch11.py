@@ -165,3 +165,73 @@ def test_apply_agg_delta_drops_emptied_groups(spark):
     )
     got = rows(apply_agg_delta(state, changelog))
     assert got == [("b", 2, 10)]
+
+
+# --- partial salted join -----------------------------------------------------
+
+
+def test_partial_salted_join_equals_plain_join(spark):
+    from etl_opensky_spark.operators.joins import partial_salted_join
+
+    big = spark.createDataFrame(
+        [(1 if i % 10 < 8 else i % 50, i) for i in range(2000)], ["k", "v"]
+    )
+    small = spark.createDataFrame([(k, f"d{k}") for k in range(50)], ["sk", "d"])
+    got = rows(
+        partial_salted_join(big, small, "k", "sk", salt_buckets=4)
+        .select("k", "v", "d")
+    )
+    want = rows(
+        big.join(small, big["k"] == small["sk"]).select("k", "v", "d")
+    )
+    assert got == want
+
+
+def test_partial_salted_join_salts_only_hot_keys(spark):
+    """The hot key's rows spread across salt buckets; the small side is
+    replicated ONLY for hot keys (cold replication would multiply the
+    plan's small-side row count)."""
+    from etl_opensky_spark.operators.joins import partial_salted_join
+
+    big = spark.createDataFrame(
+        [(1 if i % 2 == 0 else i % 100, i) for i in range(2000)], ["k", "v"]
+    )
+    small = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(100)], ["sk", "d"]
+    )
+    out = partial_salted_join(big, small, "k", "sk", salt_buckets=4)
+    out.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # hot branch present (salted union with cold branch)
+    assert "Union" in plan
+    # and results still correct
+    assert out.count() == big.join(small, big["k"] == small["sk"]).count()
+
+
+def test_partial_salted_join_no_hot_keys_is_plain(spark):
+    from etl_opensky_spark.operators.joins import partial_salted_join
+
+    big = spark.createDataFrame([(i % 100, i) for i in range(1000)], ["k", "v"])
+    small = spark.createDataFrame([(k, k) for k in range(100)], ["sk", "d"])
+    out = partial_salted_join(
+        big, small, "k", "sk", salt_buckets=4, hot_share_pct=5.0
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan  # uniform keys -> single plain join
+    assert out.count() == 1000
+
+
+def test_partial_salted_left_join_preserves_null_and_unmatched(spark):
+    from etl_opensky_spark.operators.joins import partial_salted_join
+
+    big = spark.createDataFrame(
+        [(1, 1), (1, 2), (1, 3), (None, 4), (99, 5)],
+        "k int, v int",
+    )
+    small = spark.createDataFrame([(1, "one")], ["sk", "d"])
+    out = partial_salted_join(
+        big, small, "k", "sk", how="left", salt_buckets=2,
+        hot_share_pct=10.0,
+    )
+    got = rows(out.select("v", "d"))
+    assert got == [(1, "one"), (2, "one"), (3, "one"), (4, None), (5, None)]
