@@ -196,6 +196,9 @@ BENCH_QUERIES = [
     "q173_partial_salted_join",
     "q174_entity_resolution",
     "q175_version_diff",
+    "q176_variant_extract",
+    "q177_recursive_cte",
+    "q178_udtf_tokens",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

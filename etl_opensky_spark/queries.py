@@ -7323,6 +7323,165 @@ FROM v1 WHERE o_orderkey % 7 != 0 AND o_orderkey % 3 = 0
 """
 
 
+def q176_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured processing via the VARIANT type (Spark 4's
+    ``parse_json``/``variant_get`` — the open-format answer to schema-
+    on-read): unlike q158's ``from_json`` (a DECLARED schema), VARIANT
+    keeps the full value binary-encoded and shreds on access — the
+    right shape when the JSON schema drifts per row.  Extraction stays
+    JVM-side (no UDF)."""
+    ev = _events(spark, sf_dir)
+    parsed = ev.select(
+        "event_type",
+        F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+ORACLE_Q176 = """
+SELECT event_type, COUNT(*) AS n_events,
+  CAST(SUM(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k,
+  MIN(CAST(props->>'$.k' AS INTEGER)) AS min_k,
+  MAX(CAST(props->>'$.k' AS INTEGER)) AS max_k
+FROM events GROUP BY 1
+"""
+
+
+#: q177 runs the IDENTICAL SQL text on both engines — recursive CTEs
+#: landed in Spark 4.0, so the strongest parity check is no translation
+#: at all.  Binary-tree ancestor walk: every part key halves until 1;
+#: per-depth population proves every recursion step agrees.
+RECURSIVE_SQL_Q177 = """
+WITH RECURSIVE walk(node, cur, depth) AS (
+  SELECT p_partkey, p_partkey, 0 FROM part
+  UNION ALL
+  SELECT node, CAST(FLOOR(cur / 2) AS BIGINT), depth + 1
+  FROM walk WHERE cur > 1
+)
+SELECT depth AS root_depth, COUNT(*) AS n_parts,
+  CAST(SUM(node) AS BIGINT) AS key_sum
+FROM walk WHERE cur = 1 GROUP BY 1
+"""
+
+
+def q177_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE parity gate: Spark 4.0's ``WITH RECURSIVE``
+    running the BYTE-IDENTICAL query text DuckDB runs as the oracle
+    (hierarchy walk to the root over a derived binary tree; depth ~
+    log2(keys)).  ``CAST(FLOOR(cur / 2))`` instead of integer division
+    because ``/`` on ints is double in BOTH engines — the one shared
+    spelling (SCALE.md div-semantics note)."""
+    spark.read.parquet(f"{sf_dir}/part.parquet").createOrReplaceTempView(
+        "part"
+    )
+    return spark.sql(RECURSIVE_SQL_Q177)
+
+
+ORACLE_Q177 = RECURSIVE_SQL_Q177
+
+
+def q178_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (Spark 4, Arrow-batched): a table function
+    exploding text into (word, position) rows via SQL ``LATERAL`` —
+    the §2.13 UDF-surface extension for logic that genuinely needs
+    Python row generation.  Deliberately NOT the hot path (the engine's
+    tokenizers are Column expressions); the gate pins the UDTF
+    machinery itself: lateral correlation, batching, ordinal
+    faithfulness."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word string, pos int", useArrow=True)
+    class SplitWords:
+        def eval(self, text: str):
+            for i, w in enumerate((text or "").split()):
+                yield w, i
+
+    spark.udtf.register("q178_split_words", SplitWords)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("q178_docs")
+    out = spark.sql(
+        """
+        SELECT s.word, COUNT(*) AS n, MIN(d.doc_id) AS first_doc,
+          CAST(SUM(s.pos) AS BIGINT) AS pos_sum
+        FROM q178_docs d, LATERAL q178_split_words(d.text) s
+        WHERE length(s.word) >= 5
+        GROUP BY s.word
+        """
+    )
+    return out
+
+
+ORACLE_Q178 = """
+WITH toklists AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ts
+  FROM documents
+), toks AS (
+  SELECT doc_id, ts[CAST(i AS INTEGER)] AS word, CAST(i AS INTEGER) - 1 AS pos
+  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM toklists)
+)
+SELECT word, COUNT(*) AS n, MIN(doc_id) AS first_doc,
+  CAST(SUM(pos) AS BIGINT) AS pos_sum
+FROM toks WHERE length(word) >= 5
+GROUP BY word
+"""
+
+
+def q179_stream_tws_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming running totals on ``transformWithStateInPandas``
+    (Spark 4's typed-state successor to ``applyInPandasWithState``) —
+    same semantics as q60, same batch oracle: the API migration must
+    be result-invisible.  ValueState handle, Update mode, availableNow
+    replay to a memory sink.
+
+    NOT in the driver catalog: the TWS Python runner needs protobuf,
+    which is broken in this container (``google.protobuf.descriptor``
+    ImportError) — the same env-blocked class as the kafka broker and
+    media codecs.  The operator + this gate stay ready; the unit test
+    skips unless protobuf imports."""
+    from etl_opensky_spark.streaming.stateful import running_totals_tws
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    on_disk_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = _ensure_ltz(
+        spark.readStream.schema(on_disk_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    scaled = stream.select(
+        "user_id",
+        F.floor(F.col("value").cast("double") * 1e6)
+        .cast("double")
+        .alias("value"),
+    )
+    totals = running_totals_tws(scaled, key_col="user_id", value_col="value")
+    name = "stream_tws_totals"
+    q = (
+        totals.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name)
+    return out.groupBy("user_id").agg(
+        F.max("n").alias("n"), F.max_by("total", "n").alias("total")
+    )
+
+
+ORACLE_Q179 = """
+SELECT user_id, COUNT(*) AS n,
+  CAST(SUM(CAST(FLOOR(CAST(value AS DOUBLE) * 1e6) AS BIGINT)) AS DOUBLE) AS total
+FROM events GROUP BY user_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -7499,6 +7658,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q173_partial_salted_join": q173_partial_salted_join,
     "q174_entity_resolution": q174_entity_resolution,
     "q175_version_diff": q175_version_diff,
+    "q176_variant_extract": q176_variant_extract,
+    "q177_recursive_cte": q177_recursive_cte,
+    "q178_udtf_tokens": q178_udtf_tokens,
 }
 
 ORACLES: dict[str, str] = {
@@ -7676,6 +7838,9 @@ ORACLES: dict[str, str] = {
     "q173_partial_salted_join": ORACLE_Q173,
     "q174_entity_resolution": ORACLE_Q174,
     "q175_version_diff": ORACLE_Q175,
+    "q176_variant_extract": ORACLE_Q176,
+    "q177_recursive_cte": ORACLE_Q177,
+    "q178_udtf_tokens": ORACLE_Q178,
 }
 
 

@@ -51,3 +51,56 @@ def running_totals(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def running_totals_tws(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key running (n, total) on the ``transformWithStateInPandas``
+    API (Spark 4's successor to ``applyInPandasWithState``): typed
+    ValueState handles, explicit processor lifecycle, per-state TTL
+    support, multiple named state variables per key.
+
+    Same semantics as :func:`running_totals` — the two are gated
+    against the SAME batch oracle (q60 vs q176), pinning that the API
+    migration preserves results.  State remains keyed/partitioned by
+    the state store: memory scales with distinct keys per executor.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    key_type = dict(stream.dtypes)[key_col]
+    output_schema = f"{key_col} {key_type}, n long, total double"
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n long, total double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (
+                self._state.get() if self._state.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf[value_col].fillna(0.0).sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {key_col: [key[0]], "n": [n], "total": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=output_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -235,3 +235,57 @@ def test_partial_salted_left_join_preserves_null_and_unmatched(spark):
     )
     got = rows(out.select("v", "d"))
     assert got == [(1, "one"), (2, "one"), (3, "one"), (4, None), (5, None)]
+
+
+# --- Spark 4 surfaces: variant, recursive CTE, UDTF, TWS ---------------------
+
+
+def test_recursive_cte_runs_in_spark(spark):
+    got = spark.sql(
+        "WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL SELECT n + 1 FROM t "
+        "WHERE n < 10) SELECT CAST(SUM(n) AS BIGINT) AS s FROM t"
+    ).collect()
+    assert got[0].s == 55
+
+
+def test_variant_get_typed_extraction(spark):
+    df = spark.createDataFrame(
+        [('{"a": 1, "b": {"c": "x"}}',), ('{"a": 7}',), ("{}",)], ["j"]
+    )
+    out = df.select(
+        F.expr("variant_get(parse_json(j), '$.a', 'int')").alias("a"),
+        F.expr("variant_get(parse_json(j), '$.b.c', 'string')").alias("c"),
+    ).collect()
+    assert [(r.a, r.c) for r in out] == [(1, "x"), (7, None), (None, None)]
+
+
+def test_tws_running_totals_or_env_blocked(spark, tmp_path):
+    """transformWithStateInPandas needs protobuf; in this container the
+    import is broken, so the operator is env-gated (like kafka/codecs).
+    When the env supports it, the operator must match the batch
+    aggregate."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from etl_opensky_spark.streaming.stateful import running_totals_tws
+
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(1, 10.0), (1, 5.0), (2, 7.0)], "user_id long, value double"
+    ).write.parquet(src)
+    stream = spark.readStream.schema("user_id long, value double").parquet(src)
+    totals = running_totals_tws(stream)
+    q = (
+        totals.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("tws_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.user_id: (r.n, r.total)
+        for r in spark.sql(
+            "SELECT user_id, max(n) AS n, max_by(total, n) AS total "
+            "FROM tws_test GROUP BY user_id"
+        ).collect()
+    }
+    assert got == {1: (2, 15.0), 2: (1, 7.0)}
