@@ -199,6 +199,8 @@ BENCH_QUERIES = [
     "q176_variant_extract",
     "q177_recursive_cte",
     "q178_udtf_tokens",
+    "q180_range_interval_window",
+    "q181_map_functions",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

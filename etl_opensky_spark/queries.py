@@ -7482,6 +7482,101 @@ FROM events GROUP BY user_id
 """
 
 
+def q180_range_interval_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-based window frames (``RANGE BETWEEN INTERVAL ... DAYS
+    PRECEDING``): the trailing-7-day sum per event type over a GAPPY
+    daily series — where ROWS frames (q47) silently go wrong (they
+    count rows, not days).  One window shuffle on (type), exact
+    integer sums."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 1_000_000).cast("bigint")).alias("v")
+    )
+    daily.createOrReplaceTempView("q180_daily")
+    return spark.sql(
+        """
+        SELECT event_type, day,
+          CAST(SUM(v) OVER (
+            PARTITION BY event_type ORDER BY day
+            RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW
+          ) AS BIGINT) AS v_7d,
+          CAST(COUNT(v) OVER (
+            PARTITION BY event_type ORDER BY day
+            RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW
+          ) AS BIGINT) AS days_present_7d
+        FROM q180_daily
+        """
+    )
+
+
+ORACLE_Q180 = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+    CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day,
+  CAST(SUM(v) OVER (
+    PARTITION BY event_type ORDER BY day
+    RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW
+  ) AS BIGINT) AS v_7d,
+  CAST(COUNT(v) OVER (
+    PARTITION BY event_type ORDER BY day
+    RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW
+  ) AS BIGINT) AS days_present_7d
+FROM daily
+"""
+
+
+def q181_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-typed column machinery: per-user maps of event-type counts
+    built with ``map_from_entries`` over ``collect_list``, transformed
+    with ``transform_values`` / filtered with ``map_filter`` /
+    summarized with ``map_keys``/``cardinality`` — then EXPLODED back
+    to rows for the cross-engine compare (maps are unordered; rows are
+    the portable form).  One aggregate shuffle; map ops are per-row
+    expressions."""
+    ev = _events(spark, sf_dir)
+    per_user = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("c")
+    )
+    maps = per_user.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "c")))
+        ).alias("m")
+    )
+    enriched = maps.select(
+        "user_id",
+        F.map_filter(
+            F.transform_values(F.col("m"), lambda k, v: v * 2),
+            lambda k, v: v >= 10,
+        ).alias("m2"),
+        F.cardinality("m").alias("n_types"),
+    )
+    return enriched.select(
+        "user_id",
+        "n_types",
+        F.explode_outer("m2").alias("event_type", "doubled"),
+    )
+
+
+ORACLE_Q181 = """
+WITH per_user AS (
+  SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2
+), n AS (
+  SELECT user_id, COUNT(*) AS n_types FROM per_user GROUP BY 1
+), kept AS (
+  SELECT user_id, event_type, c * 2 AS doubled
+  FROM per_user WHERE c * 2 >= 10
+)
+SELECT n.user_id, CAST(n.n_types AS INTEGER) AS n_types,
+  kept.event_type, CAST(kept.doubled AS BIGINT) AS doubled
+FROM n LEFT JOIN kept USING (user_id)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -7661,6 +7756,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q176_variant_extract": q176_variant_extract,
     "q177_recursive_cte": q177_recursive_cte,
     "q178_udtf_tokens": q178_udtf_tokens,
+    "q180_range_interval_window": q180_range_interval_window,
+    "q181_map_functions": q181_map_functions,
 }
 
 ORACLES: dict[str, str] = {
@@ -7841,6 +7938,8 @@ ORACLES: dict[str, str] = {
     "q176_variant_extract": ORACLE_Q176,
     "q177_recursive_cte": ORACLE_Q177,
     "q178_udtf_tokens": ORACLE_Q178,
+    "q180_range_interval_window": ORACLE_Q180,
+    "q181_map_functions": ORACLE_Q181,
 }
 
 

@@ -289,3 +289,51 @@ def test_tws_running_totals_or_env_blocked(spark, tmp_path):
         ).collect()
     }
     assert got == {1: (2, 15.0), 2: (1, 7.0)}
+
+
+# --- plan linting ------------------------------------------------------------
+
+
+def test_plan_warnings_flags_cartesian_and_single_partition(spark):
+    from etl_opensky_spark.plans.lint import plan_warnings
+
+    a = spark.range(10)
+    b = spark.range(10).withColumnRenamed("id", "id2")
+    cross = a.crossJoin(b)
+    assert any("cartesian" in w or "nested-loop" in w
+               for w in plan_warnings(cross))
+
+    from pyspark.sql import Window
+    global_rank = spark.range(100).withColumn(
+        "r", F.row_number().over(Window.orderBy("id"))
+    )
+    assert any(
+        "single-partition" in w for w in plan_warnings(global_rank)
+    )
+
+
+def test_plan_warnings_flags_row_udf_but_not_arrow(spark):
+    from pyspark.sql.functions import pandas_udf, udf
+
+    from etl_opensky_spark.plans.lint import plan_warnings
+
+    df = spark.range(50).select(F.col("id").cast("double").alias("x"))
+    slow = df.select(udf(lambda v: v + 1, "double")("x").alias("y"))
+    assert any("python-row-udf" in w for w in plan_warnings(slow))
+
+    fast = pandas_udf(lambda v: v + 1, "double")  # Arrow-batched
+    assert not any(
+        "python-row-udf" in w for w in plan_warnings(df.select(fast("x")))
+    )
+
+
+def test_plan_warnings_clean_on_good_plan(spark):
+    from etl_opensky_spark.plans.lint import plan_warnings
+
+    df = (
+        spark.range(1000)
+        .select((F.col("id") % 10).alias("k"), F.col("id").alias("v"))
+        .groupBy("k")
+        .agg(F.sum("v").alias("s"))
+    )
+    assert plan_warnings(df) == []
