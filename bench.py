@@ -201,6 +201,7 @@ BENCH_QUERIES = [
     "q178_udtf_tokens",
     "q180_range_interval_window",
     "q181_map_functions",
+    "q182_bad_records",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

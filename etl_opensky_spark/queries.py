@@ -7577,6 +7577,56 @@ FROM n LEFT JOIN kept USING (user_id)
 """
 
 
+def q182_bad_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parser-level bad-record quarantine (``sources.files.
+    read_jsonl_with_quarantine``): a JSONL landing file with
+    deterministically corrupted lines (events with ``event_id % 13 =
+    0`` lose their closing brace) read in PERMISSIVE mode with a
+    corrupt-record channel — good rows aggregate, bad lines are
+    counted, nothing silently drops.  Detection is by the corrupt
+    COLUMN, never by parsed-field null-ness (the PERMISSIVE all-null-
+    struct trap)."""
+    import shutil
+
+    from etl_opensky_spark.sources.files import read_jsonl_with_quarantine
+
+    base = _gate_tmp("q182_jsonl", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    ev = _events(spark, sf_dir)
+    lines = ev.select(
+        F.when(
+            F.col("event_id") % 13 == 0,
+            F.expr("substring(props, 1, length(props) - 1)"),  # break it
+        )
+        .otherwise(F.col("props"))
+        .alias("value")
+    )
+    lines.write.mode("overwrite").text(base)
+
+    good, bad = read_jsonl_with_quarantine(spark, base, "k INT")
+    g = good.agg(
+        F.lit("good").alias("channel"),
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("k").cast("bigint").alias("k_sum"),
+    )
+    b = bad.agg(
+        F.lit("bad").alias("channel"),
+        F.count("raw_line").cast("bigint").alias("n"),
+        F.lit(None).cast("bigint").alias("k_sum"),
+    )
+    return g.unionByName(b)
+
+
+ORACLE_Q182 = """
+SELECT 'good' AS channel, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS k_sum
+FROM events WHERE event_id % 13 != 0
+UNION ALL
+SELECT 'bad', CAST(COUNT(*) AS BIGINT), NULL
+FROM events WHERE event_id % 13 = 0
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -7758,6 +7808,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q178_udtf_tokens": q178_udtf_tokens,
     "q180_range_interval_window": q180_range_interval_window,
     "q181_map_functions": q181_map_functions,
+    "q182_bad_records": q182_bad_records,
 }
 
 ORACLES: dict[str, str] = {
@@ -7940,6 +7991,7 @@ ORACLES: dict[str, str] = {
     "q178_udtf_tokens": ORACLE_Q178,
     "q180_range_interval_window": ORACLE_Q180,
     "q181_map_functions": ORACLE_Q181,
+    "q182_bad_records": ORACLE_Q182,
 }
 
 

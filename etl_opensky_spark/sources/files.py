@@ -93,3 +93,52 @@ def scan_binary_files(
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     return reader.load(path)
+
+
+def read_jsonl_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: str | T.StructType,
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """JSONL ingest with a bad-record channel: returns ``(good, bad)``.
+
+    PERMISSIVE mode + ``columnNameOfCorruptRecord``: a malformed line
+    yields a row with every schema field NULL and the RAW LINE in the
+    corrupt column — so nothing is silently dropped (DROPMALFORMED) and
+    one bad line doesn't kill the job (FAILFAST).  ``bad`` carries the
+    raw lines for triage/replay, ``good`` drops the channel column —
+    the same quarantine contract as ``operators.quality.validate_rules``
+    but at the PARSER level, where schema rules can't see yet.
+
+    Detection uses the corrupt column, NOT null-ness of parsed fields
+    (a VALID row of nulls must not be quarantined) — the ``from_json``
+    PERMISSIVE trap documented in the verify notes.  Caveat: Spark
+    populates the corrupt column only when the parse FAILS; a well-
+    formed object with extra/missing keys parses clean.
+
+    Scale: plain distributed text read; the split is two filters over
+    one scan.
+    """
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    full = schema.add(T.StructField(corrupt_col, T.StringType(), True))
+    # .cache() is Spark's DOCUMENTED requirement here: any query whose
+    # column pruning reduces the scan to the corrupt column alone is
+    # rejected (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN —
+    # the parser can't know a row is corrupt without parsing the data
+    # columns).  At lake scale, materialize the split to storage instead
+    # of caching: write `bad` to the quarantine path first, then stream
+    # `good` onward — same one-parse guarantee without pinning memory.
+    df = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+        .cache()
+    )
+    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.filter(F.col(corrupt_col).isNotNull()).withColumnRenamed(
+        corrupt_col, "raw_line"
+    )
+    return good, bad

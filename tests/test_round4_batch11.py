@@ -337,3 +337,22 @@ def test_plan_warnings_clean_on_good_plan(spark):
         .agg(F.sum("v").alias("s"))
     )
     assert plan_warnings(df) == []
+
+
+# --- bad-record quarantine ---------------------------------------------------
+
+
+def test_jsonl_quarantine_routes_without_dropping(spark, tmp_path):
+    from etl_opensky_spark.sources.files import read_jsonl_with_quarantine
+
+    p = str(tmp_path / "in")
+    lines = ['{"k": 1}', '{"k": 2}', "{broken", '{"k": null}', "not json"]
+    spark.createDataFrame([(l,) for l in lines], ["value"]).coalesce(
+        1
+    ).write.text(p)
+    good, bad = read_jsonl_with_quarantine(spark, p, "k INT")
+    assert good.count() == 3  # includes the VALID null row
+    assert sorted(r.raw_line for r in bad.collect()) == ["not json", "{broken"]
+    # a valid row whose field is null must NOT be quarantined (the
+    # PERMISSIVE all-null trap)
+    assert good.filter(F.col("k").isNull()).count() == 1
