@@ -202,6 +202,9 @@ BENCH_QUERIES = [
     "q180_range_interval_window",
     "q181_map_functions",
     "q182_bad_records",
+    "q183_exact_auc",
+    "q184_ndcg",
+    "q185_k_anonymity",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

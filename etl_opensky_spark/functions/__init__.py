@@ -46,3 +46,4 @@ from etl_opensky_spark.functions.sampling import negative_samples  # noqa: F401
 from etl_opensky_spark.functions.graph import label_spread  # noqa: F401
 from etl_opensky_spark.functions.cardinality import hll_registers_by  # noqa: F401
 from etl_opensky_spark.functions.linalg import correlation_matrix  # noqa: F401
+from etl_opensky_spark.functions.evaluation import exact_auc, ndcg_at_k  # noqa: F401

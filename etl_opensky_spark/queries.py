@@ -7627,6 +7627,157 @@ FROM events WHERE event_id % 13 = 0
 """
 
 
+def q183_exact_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-correct ROC AUC (``functions.evaluation.exact_auc``,
+    Mann–Whitney rank-sum identity) of 'embedding component 1 predicts
+    label < 5' — eval-harness machinery on the exactness contract:
+    integer rank sums via the distributed-prefix pattern (no global
+    single-task window), ONE final double division."""
+    from etl_opensky_spark.functions.evaluation import exact_auc
+
+    emb = _t(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        F.floor(F.element_at("embedding", 2).cast("double") * 1_000_000)
+        .cast("bigint")
+        .alias("score"),
+        (F.col("label") < 5).alias("pos"),
+    )
+    return exact_auc(scored, "score", "pos")
+
+
+ORACLE_Q183 = """
+WITH scored AS (
+  SELECT CAST(FLOOR(CAST(embedding[2] AS DOUBLE) * 1000000) AS BIGINT) AS score,
+         label < 5 AS pos
+  FROM embeddings
+), s AS (
+  SELECT score, COUNT(*) AS n_all,
+    SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS n_pos
+  FROM scored GROUP BY 1
+), c AS (
+  SELECT *, COALESCE(SUM(n_all) OVER (ORDER BY score
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnt_lt
+  FROM s
+), agg AS (
+  SELECT CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+    CAST(SUM(n_all - n_pos) AS BIGINT) AS n_neg,
+    CAST(SUM(n_pos * (2 * cnt_lt + n_all + 1)) AS BIGINT) AS r2
+  FROM c
+)
+SELECT n_pos, n_neg,
+  CAST(r2 - n_pos * (n_pos + 1) AS BIGINT) AS auc_num,
+  CAST(2 * n_pos * n_neg AS BIGINT) AS auc_den,
+  ROUND(CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
+        / CAST(2 * n_pos * n_neg AS DOUBLE), 6) AS auc
+FROM agg
+"""
+
+
+def q184_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 per nation (``functions.evaluation.ndcg_at_k``):
+    customers ranked by account balance, graded relevance = order
+    count — ranking-quality eval with micro-quantized discount
+    LITERALS (Python-evaluated once, identical in any engine), exact
+    integer DCG/IDCG dot products, one final division."""
+    from etl_opensky_spark.functions.evaluation import ndcg_at_k
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    rel = orders.groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
+    graded = cust.join(
+        rel, cust["c_custkey"] == rel["o_custkey"], "left"
+    ).select(
+        "c_nationkey",
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
+        F.coalesce("n_orders", F.lit(0)).alias("rel"),
+    )
+    return ndcg_at_k(
+        graded, "c_nationkey", "bal_cents", "c_custkey", "rel", k=10
+    )
+
+
+def _oracle_q184() -> str:
+    from etl_opensky_spark.functions.evaluation import (
+        discount_weights_micros,
+    )
+
+    w = discount_weights_micros(10)
+    cases = " ".join(
+        f"WHEN {i + 1} THEN {wi}" for i, wi in enumerate(w)
+    )
+    return f"""
+WITH rel AS (
+  SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY 1
+), graded AS (
+  SELECT c_nationkey, c_custkey,
+    CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS bal_cents,
+    COALESCE(n_orders, 0) AS rel
+  FROM customer LEFT JOIN rel ON c_custkey = o_custkey
+), ranked AS (
+  SELECT c_nationkey, rel,
+    ROW_NUMBER() OVER (PARTITION BY c_nationkey
+      ORDER BY bal_cents DESC, c_custkey) AS ar,
+    ROW_NUMBER() OVER (PARTITION BY c_nationkey
+      ORDER BY rel DESC, c_custkey) AS ir
+  FROM graded
+), dcg AS (
+  SELECT c_nationkey,
+    CAST(SUM(rel * (CASE ar {cases} END)) AS BIGINT) AS dcg_micros
+  FROM ranked WHERE ar <= 10 GROUP BY 1
+), idcg AS (
+  SELECT c_nationkey,
+    CAST(SUM(rel * (CASE ir {cases} END)) AS BIGINT) AS idcg_micros
+  FROM ranked WHERE ir <= 10 GROUP BY 1
+)
+SELECT dcg.c_nationkey, dcg_micros, idcg_micros,
+  ROUND(CAST(dcg_micros AS DOUBLE) / CAST(idcg_micros AS DOUBLE), 6)
+    AS ndcg
+FROM dcg JOIN idcg USING (c_nationkey)
+"""
+
+
+ORACLE_Q184 = _oracle_q184()
+
+
+def q185_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers — the privacy check
+    beside the GDPR purge (q170): group by (priority, year, month),
+    report groups below k=5, rows at risk, and the table's actual
+    k-anonymity (its minimum group size).  One map-side-combined
+    aggregate; the report is category-product sized."""
+    orders = _t(spark, sf_dir, "orders")
+    groups = orders.groupBy(
+        "o_orderpriority",
+        F.year("o_orderdate").cast("int").alias("y"),
+        F.month("o_orderdate").cast("int").alias("m"),
+    ).agg(F.count("*").alias("sz"))
+    return groups.agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.sum(F.when(F.col("sz") < 5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_groups_below_k"),
+        F.sum(F.when(F.col("sz") < 5, F.col("sz")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_at_risk"),
+        F.min("sz").cast("bigint").alias("k_anonymity"),
+    )
+
+
+ORACLE_Q185 = """
+WITH groups AS (
+  SELECT o_orderpriority, year(o_orderdate) AS y, month(o_orderdate) AS m,
+    COUNT(*) AS sz
+  FROM orders GROUP BY 1, 2, 3
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+  CAST(SUM(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_groups_below_k,
+  CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) AS rows_at_risk,
+  CAST(MIN(sz) AS BIGINT) AS k_anonymity
+FROM groups
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -7809,6 +7960,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q180_range_interval_window": q180_range_interval_window,
     "q181_map_functions": q181_map_functions,
     "q182_bad_records": q182_bad_records,
+    "q183_exact_auc": q183_exact_auc,
+    "q184_ndcg": q184_ndcg,
+    "q185_k_anonymity": q185_k_anonymity,
 }
 
 ORACLES: dict[str, str] = {
@@ -7992,6 +8146,9 @@ ORACLES: dict[str, str] = {
     "q180_range_interval_window": ORACLE_Q180,
     "q181_map_functions": ORACLE_Q181,
     "q182_bad_records": ORACLE_Q182,
+    "q183_exact_auc": ORACLE_Q183,
+    "q184_ndcg": ORACLE_Q184,
+    "q185_k_anonymity": ORACLE_Q185,
 }
 
 

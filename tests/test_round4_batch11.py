@@ -356,3 +356,80 @@ def test_jsonl_quarantine_routes_without_dropping(spark, tmp_path):
     # a valid row whose field is null must NOT be quarantined (the
     # PERMISSIVE all-null trap)
     assert good.filter(F.col("k").isNull()).count() == 1
+
+
+# --- evaluation metrics ------------------------------------------------------
+
+
+def test_exact_auc_known_cases(spark):
+    from etl_opensky_spark.functions.evaluation import exact_auc
+
+    # perfect separation -> AUC 1; reversed -> 0; with a tie -> 0.5 rank
+    perf = spark.createDataFrame(
+        [(10, True), (9, True), (2, False), (1, False)], ["s", "p"]
+    )
+    r = exact_auc(perf, "s", "p").collect()[0]
+    assert (r.auc_num, r.auc_den, r.auc) == (8, 8, 1.0)
+
+    rev = spark.createDataFrame(
+        [(1, True), (2, True), (9, False), (10, False)], ["s", "p"]
+    )
+    assert exact_auc(rev, "s", "p").collect()[0].auc == 0.0
+
+    # one positive and one negative tied at the same score -> AUC 0.5
+    tie = spark.createDataFrame([(5, True), (5, False)], ["s", "p"])
+    assert exact_auc(tie, "s", "p").collect()[0].auc == 0.5
+
+
+def test_exact_auc_matches_sklearn_formula_on_random(spark):
+    import numpy as np
+
+    from etl_opensky_spark.functions.evaluation import exact_auc
+
+    rng = np.random.default_rng(5)
+    scores = rng.integers(0, 20, size=200)  # heavy ties
+    labels = rng.integers(0, 2, size=200).astype(bool)
+    df = spark.createDataFrame(
+        [(int(s), bool(p)) for s, p in zip(scores, labels)], ["s", "p"]
+    )
+    got = exact_auc(df, "s", "p").collect()[0]
+    # reference: rank-based AUC with average ranks (scipy-free)
+    order = np.argsort(scores, kind="stable")
+    ranks = np.empty(len(scores), dtype=np.float64)
+    sorted_scores = scores[order]
+    i = 0
+    while i < len(scores):
+        j = i
+        while j < len(scores) and sorted_scores[j] == sorted_scores[i]:
+            j += 1
+        ranks[order[i:j]] = (i + 1 + j) / 2.0
+        i = j
+    p = labels.sum()
+    n = len(labels) - p
+    want = (ranks[labels].sum() - p * (p + 1) / 2) / (p * n)
+    assert got.auc == pytest.approx(want, abs=1e-6)
+
+
+def test_ndcg_perfect_and_inverted(spark):
+    from etl_opensky_spark.functions.evaluation import ndcg_at_k
+
+    # ranking by 'order' equals ranking by relevance -> NDCG 1
+    rows_in = [("q1", i, 100 - i, 100 - i) for i in range(20)]
+    df = spark.createDataFrame(rows_in, ["q", "id", "o", "rel"])
+    r = ndcg_at_k(df, "q", "o", "id", "rel", k=10).collect()[0]
+    assert r.ndcg == 1.0 and r.dcg_micros == r.idcg_micros
+
+    # inverted ranking -> NDCG < 1 (graded tail still carries credit)
+    inv = spark.createDataFrame(
+        [("q1", i, i, 100 - i) for i in range(20)], ["q", "id", "o", "rel"]
+    )
+    assert ndcg_at_k(inv, "q", "o", "id", "rel", k=10).collect()[0].ndcg < 1.0
+
+    # binary relevance with the ONLY relevant item ranked outside top-10
+    # -> DCG@10 is zero
+    binary = spark.createDataFrame(
+        [("q1", i, 100 - i, 1 if i == 19 else 0) for i in range(20)],
+        ["q", "id", "o", "rel"],
+    )
+    r2 = ndcg_at_k(binary, "q", "o", "id", "rel", k=10).collect()[0]
+    assert r2.dcg_micros == 0 and r2.ndcg == 0.0
