@@ -205,6 +205,8 @@ BENCH_QUERIES = [
     "q183_exact_auc",
     "q184_ndcg",
     "q185_k_anonymity",
+    "q186_calibration",
+    "q187_classification_report",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

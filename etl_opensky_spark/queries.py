@@ -7778,6 +7778,121 @@ FROM groups
 """
 
 
+def q186_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins: decile-binned scores vs positive rate
+    — the calibration companion to AUC (q183).  Exact integer bin
+    populations; the observed rate is one division per bin, micro-
+    quantized.  One map-side-combined aggregate over score bins."""
+    emb = _t(spark, sf_dir, "embeddings")
+    score = F.floor(
+        F.element_at("embedding", 2).cast("double") * 1_000_000
+    ).cast("bigint")
+    scored = emb.select(
+        score.alias("score"), (F.col("label") < 5).alias("pos")
+    )
+    lo, hi = -2_000_000, 2_000_000  # clamp hull for equal-width deciles
+    clamped = F.least(F.greatest(F.col("score"), F.lit(lo)), F.lit(hi - 1))
+    bin_id = F.floor((clamped - F.lit(lo)) * 10 / F.lit(hi - lo)).cast("int")
+    return (
+        scored.withColumn("bin", bin_id)
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.when(F.col("pos"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pos"),
+            F.round(
+                F.sum(F.when(F.col("pos"), 1).otherwise(0))
+                * 1_000_000.0
+                / F.count("*")
+            ).cast("bigint").alias("pos_rate_micros"),
+        )
+    )
+
+
+ORACLE_Q186 = """
+WITH scored AS (
+  SELECT CAST(FLOOR(CAST(embedding[2] AS DOUBLE) * 1000000) AS BIGINT) AS score,
+         label < 5 AS pos
+  FROM embeddings
+), b AS (
+  SELECT CAST(FLOOR((LEAST(GREATEST(score, -2000000), 1999999) + 2000000)
+                    * 10 / 4000000) AS INTEGER) AS bin, pos
+  FROM scored
+)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+  CAST(ROUND(SUM(CASE WHEN pos THEN 1 ELSE 0 END) * 1000000.0 / COUNT(*))
+       AS BIGINT) AS pos_rate_micros
+FROM b GROUP BY 1
+"""
+
+
+def q187_classification_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thresholded confusion matrix + precision/recall/F1 — the last
+    piece of the eval harness (AUC q183, calibration q186).  Counts are
+    one conditional-sum aggregate; each ratio is a single division,
+    micro-quantized; F1 from the exact integer counts
+    (``2TP/(2TP+FP+FN)``)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        (
+            F.floor(F.element_at("embedding", 2).cast("double") * 1_000_000)
+            >= 0
+        ).alias("pred"),
+        (F.col("label") < 5).alias("actual"),
+    )
+    agg = scored.agg(
+        F.sum(F.when(F.col("pred") & F.col("actual"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tp"),
+        F.sum(F.when(F.col("pred") & ~F.col("actual"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum(F.when(~F.col("pred") & F.col("actual"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fn"),
+        F.sum(F.when(~F.col("pred") & ~F.col("actual"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tn"),
+    )
+    return agg.select(
+        "tp", "fp", "fn", "tn",
+        F.round(F.col("tp") * 1_000_000.0 / (F.col("tp") + F.col("fp")))
+        .cast("bigint")
+        .alias("precision_micros"),
+        F.round(F.col("tp") * 1_000_000.0 / (F.col("tp") + F.col("fn")))
+        .cast("bigint")
+        .alias("recall_micros"),
+        F.round(
+            2 * F.col("tp") * 1_000_000.0
+            / (2 * F.col("tp") + F.col("fp") + F.col("fn"))
+        ).cast("bigint").alias("f1_micros"),
+    )
+
+
+ORACLE_Q187 = """
+WITH scored AS (
+  SELECT CAST(FLOOR(CAST(embedding[2] AS DOUBLE) * 1000000) AS BIGINT) >= 0
+           AS pred,
+         label < 5 AS actual
+  FROM embeddings
+), agg AS (
+  SELECT
+    CAST(SUM(CASE WHEN pred AND actual THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+    CAST(SUM(CASE WHEN pred AND NOT actual THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+    CAST(SUM(CASE WHEN NOT pred AND actual THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+    CAST(SUM(CASE WHEN NOT pred AND NOT actual THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM scored
+)
+SELECT tp, fp, fn, tn,
+  CAST(ROUND(tp * 1000000.0 / (tp + fp)) AS BIGINT) AS precision_micros,
+  CAST(ROUND(tp * 1000000.0 / (tp + fn)) AS BIGINT) AS recall_micros,
+  CAST(ROUND(2 * tp * 1000000.0 / (2 * tp + fp + fn)) AS BIGINT) AS f1_micros
+FROM agg
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -7963,6 +8078,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q183_exact_auc": q183_exact_auc,
     "q184_ndcg": q184_ndcg,
     "q185_k_anonymity": q185_k_anonymity,
+    "q186_calibration": q186_calibration,
+    "q187_classification_report": q187_classification_report,
 }
 
 ORACLES: dict[str, str] = {
@@ -8149,6 +8266,8 @@ ORACLES: dict[str, str] = {
     "q183_exact_auc": ORACLE_Q183,
     "q184_ndcg": ORACLE_Q184,
     "q185_k_anonymity": ORACLE_Q185,
+    "q186_calibration": ORACLE_Q186,
+    "q187_classification_report": ORACLE_Q187,
 }
 
 
