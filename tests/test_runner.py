@@ -80,3 +80,51 @@ def test_bench_list_covers_every_catalog_query():
     assert len(bench.BENCH_QUERIES) == len(set(bench.BENCH_QUERIES))
     # cooled re-measure targets must exist in the benched catalog
     assert set(bench.COOLED_QUERIES) <= set(bench.BENCH_QUERIES)
+
+
+# --- declarative spec loader -------------------------------------------------
+
+
+def test_spec_compiles_and_runs_in_dependency_order():
+    from etl_opensky_spark.plans.spec import load_pipeline
+
+    ran = []
+    reg = {
+        "a": lambda: ran.append("a"),
+        "b": lambda: ran.append("b"),
+        "c": lambda: ran.append("c"),
+    }
+    spec = {
+        "tasks": [
+            {"name": "fact", "op": "c", "depends_on": ["ext", "dims"]},
+            {"name": "dims", "op": "b", "depends_on": ["ext"]},
+            {"name": "ext", "op": "a"},
+        ]
+    }
+    statuses = load_pipeline(spec, reg).run()
+    assert ran == ["a", "b", "c"]
+    assert all(s is TaskStatus.SUCCESS for s in statuses.values())
+
+
+def test_spec_validation_fails_before_any_run():
+    import pytest as _pytest
+
+    from etl_opensky_spark.plans.spec import load_pipeline
+
+    ran = []
+    reg = {"a": lambda: ran.append("a")}
+    bad_specs = [
+        ({"tasks": []}, "non-empty"),
+        ({"tasks": [{"name": "x", "op": "nope"}]}, "not in registry"),
+        ({"tasks": [{"name": "x", "op": "a", "depends_on": ["ghost"]}]},
+         "unknown dependencies"),
+        ({"tasks": [{"name": "x", "op": "a"}, {"name": "x", "op": "a"}]},
+         "duplicate"),
+        ({"tasks": [{"name": "x", "op": "a", "typo_key": 1}]}, "unknown keys"),
+        ({"tasks": [{"name": "x", "op": "a", "trigger_rule": "sometimes"}]},
+         "trigger_rule"),
+    ]
+    for spec, msg in bad_specs:
+        with _pytest.raises(ValueError, match=msg):
+            load_pipeline(spec, reg)
+    assert ran == []  # nothing ever executed
