@@ -207,6 +207,10 @@ BENCH_QUERIES = [
     "q185_k_anonymity",
     "q186_calibration",
     "q187_classification_report",
+    "q188_geo_nearest",
+    "q189_interval_concurrency",
+    "q190_pipeline_spec",
+    "q191_boilerplate_removal",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

@@ -524,3 +524,82 @@ def hashed_linear_score(col: Column, scale: int = 1000) -> Column:
         lambda acc, x: acc + x,
     )
     return uni_w + bi_w
+
+
+def remove_boilerplate_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 8,
+    min_doc_freq: int = 3,
+) -> DataFrame:
+    """CCNet-style boilerplate removal: drop every fixed-width word
+    chunk that appears in ≥ ``min_doc_freq`` DISTINCT documents, then
+    reassemble each document from its surviving chunks (original
+    order).  Returns ``(id, clean_text, n_chunks, n_removed)``.
+
+    Scale shape (the corpus is the 100 TB input here):
+
+    - chunking is a pure Column expression — ``transform`` over
+      ``sequence`` slicing the word array — so nothing explodes until
+      the chunk level (corpus_words / chunk_words rows, ~1/8 of the
+      token count);
+    - the document-frequency pass is a (chunk-hash → distinct-doc
+      count) aggregate with map-side combine; only hashes, never chunk
+      text, are shuffled;
+    - the boilerplate set (df ≥ threshold) is small by construction —
+      it's the *common* content — and drives a broadcast LEFT ANTI
+      join against the exploded chunks;
+    - reassembly is one groupBy per document with an in-row
+      ``array_sort`` on (position, chunk) structs — no window, no
+      per-doc task.
+
+    Chunks are compared exactly (md5 of the chunk text); the last chunk
+    of a document may be shorter than ``chunk_words``.
+    """
+    arr = F.split(F.col(text_col), " ")
+    nch = F.greatest(
+        F.ceil(F.size(arr) / F.lit(chunk_words)).cast("int"), F.lit(1)
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), nch - 1),
+        lambda i: F.array_join(
+            F.slice(arr, i * chunk_words + 1, chunk_words), " "
+        ),
+    )
+    exploded = df.select(
+        F.col(id_col), F.posexplode(chunks).alias("_cpos", "_chunk")
+    ).withColumn("_h", F.md5(F.col("_chunk")))
+
+    common = (
+        exploded.groupBy("_h")
+        .agg(F.count_distinct(F.col(id_col)).alias("_df"))
+        .filter(F.col("_df") >= min_doc_freq)
+        .select("_h")
+    )
+    kept = exploded.join(F.broadcast(common), "_h", "left_anti")
+
+    n_kept = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_cpos", "_chunk"))),
+                lambda s: s["_chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("_n_kept"),
+    )
+    totals = exploded.groupBy(id_col).agg(
+        F.count("*").alias("n_chunks")
+    )
+    return (
+        totals.join(n_kept, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.col("n_chunks").cast("int").alias("n_chunks"),
+            (F.col("n_chunks") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
+        )
+    )

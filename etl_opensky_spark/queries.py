@@ -7893,6 +7893,240 @@ FROM agg
 """
 
 
+def q188_geo_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-nearest-neighbor spatial join (``operators.geo.
+    grid_nearest_neighbor``): every customer matched to its nearest
+    supplier on a synthetic integer plane (md5-derived coordinates, so
+    both engines compute identical points).  The operator is the
+    grid-bucketed shape — 3×3 cell-ring equi-join + provable-winner
+    filter + bounded brute-force tail — never the |L|×|R| cross join
+    the oracle runs; squared-L2 on integers is bit-exact and ties break
+    on the smallest supplier key."""
+    from etl_opensky_spark.operators.geo import grid_nearest_neighbor
+
+    def coord(tag: str, col: str):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(":", F.lit(tag), F.col(col).cast("string"))
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 4096
+        )
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust"),
+        coord("cx", "c_custkey").alias("x"),
+        coord("cy", "c_custkey").alias("y"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("supp"),
+        coord("sx", "s_suppkey").alias("x"),
+        coord("sy", "s_suppkey").alias("y"),
+    )
+    return grid_nearest_neighbor(
+        cust, supp, "cust", "supp", cell=512
+    )
+
+
+_Q188_LX = (
+    "CAST(CONCAT('0x', substr(md5(CONCAT('cx:', CAST(c_custkey AS VARCHAR)"
+    ")), 1, 12)) AS BIGINT) % 4096"
+)
+_Q188_LY = _Q188_LX.replace("'cx:'", "'cy:'")
+_Q188_RX = (
+    "CAST(CONCAT('0x', substr(md5(CONCAT('sx:', CAST(s_suppkey AS VARCHAR)"
+    ")), 1, 12)) AS BIGINT) % 4096"
+)
+_Q188_RY = _Q188_RX.replace("'sx:'", "'sy:'")
+
+ORACLE_Q188 = f"""
+WITH l AS (
+  SELECT c_custkey AS cust, {_Q188_LX} AS x, {_Q188_LY} AS y FROM customer
+), r AS (
+  SELECT s_suppkey AS supp, {_Q188_RX} AS x, {_Q188_RY} AS y FROM supplier
+), d AS (
+  SELECT l.cust, r.supp,
+    (l.x - r.x) * (l.x - r.x) + (l.y - r.y) * (l.y - r.y) AS d2,
+    row_number() OVER (
+      PARTITION BY l.cust
+      ORDER BY (l.x - r.x) * (l.x - r.x) + (l.y - r.y) * (l.y - r.y), r.supp
+    ) AS rn
+  FROM l CROSS JOIN r
+)
+SELECT cust, supp AS nn_id, d2 FROM d WHERE rn = 1
+"""
+
+
+def q189_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval concurrency (``operators.intervals.
+    interval_concurrency``): how many order→ship intervals were open at
+    once, max/min per month.  The scale shape is ±1 deltas aggregated
+    per date FIRST (map-side combine → a bounded distinct-date table),
+    then one prefix-sum window over that bounded table — never an
+    interval self-join (O(n²) on busy days) and never a window over raw
+    rows.  Reference tie-in: a flight is ``[firstSeen, lastSeen]``
+    (extract_flights.py:45-46); "max airborne at once" is this exact
+    query shape."""
+    from etl_opensky_spark.operators.intervals import interval_concurrency
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    iv = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).select("o_orderdate", "l_shipdate")
+    conc = interval_concurrency(iv, "o_orderdate", "l_shipdate")
+    return conc.groupBy(
+        (F.year("d") * 100 + F.month("d")).cast("long").alias("ym")
+    ).agg(
+        F.max("concurrent").alias("max_concurrent"),
+        F.min("concurrent").alias("min_concurrent"),
+        F.count("*").alias("n_change_dates"),
+    )
+
+
+ORACLE_Q189 = """
+WITH iv AS (
+  SELECT CAST(o_orderdate AS DATE) AS s, CAST(l_shipdate AS DATE) AS e
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), deltas AS (
+  SELECT d, SUM(delta) AS delta FROM (
+    SELECT s AS d, 1 AS delta FROM iv
+    UNION ALL
+    SELECT e + INTERVAL 1 DAY AS d, -1 AS delta FROM iv
+  ) GROUP BY d
+), run AS (
+  SELECT CAST(d AS DATE) AS d,
+    CAST(SUM(delta) OVER (ORDER BY d) AS BIGINT) AS concurrent
+  FROM deltas
+)
+SELECT CAST(YEAR(d) * 100 + MONTH(d) AS BIGINT) AS ym,
+  MAX(concurrent) AS max_concurrent,
+  MIN(concurrent) AS min_concurrent,
+  COUNT(*) AS n_change_dates
+FROM run GROUP BY 1
+"""
+
+
+def q190_pipeline_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative pipeline spec end-to-end (``plans.spec.
+    load_pipeline``): the DAG-as-data counterpart to the reference's
+    code-defined Airflow DAG (flights_daily.py:148-150) — two
+    independent source tasks feed an aggregate task gated by
+    ``none_failed`` (flights_daily.py:113-116 semantics), all declared
+    in a reviewed-like-config dict, validated at load time, executed by
+    the topological runner.  The gate proves the spec path produces the
+    same relational result as running the SQL directly."""
+    from etl_opensky_spark.plans.spec import load_pipeline
+
+    result: dict = {}
+
+    def t_fact() -> None:
+        _t(spark, sf_dir, "lineitem").filter(
+            F.col("l_shipdate") < "1996-01-01"
+        ).createOrReplaceTempView("spec_lineitem")
+
+    def t_dim() -> None:
+        _t(spark, sf_dir, "part").createOrReplaceTempView("spec_part")
+
+    def t_agg() -> None:
+        result["df"] = spark.sql(
+            """
+            SELECT p_brand, COUNT(*) AS n,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+                AS revenue
+            FROM spec_lineitem JOIN spec_part ON l_partkey = p_partkey
+            GROUP BY p_brand
+            """
+        )
+
+    spec = {
+        "tasks": [
+            {"name": "load_fact", "op": "load_fact"},
+            {"name": "load_dim", "op": "load_dim"},
+            {
+                "name": "aggregate",
+                "op": "aggregate",
+                "depends_on": ["load_fact", "load_dim"],
+                "trigger_rule": "none_failed",
+            },
+        ]
+    }
+    load_pipeline(
+        spec,
+        {"load_fact": t_fact, "load_dim": t_dim, "aggregate": t_agg},
+    ).run()
+    return result["df"]
+
+
+ORACLE_Q190 = """
+SELECT p_brand, COUNT(*) AS n,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate < TIMESTAMP '1996-01-01'
+GROUP BY p_brand
+"""
+
+
+def q191_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate removal (``functions.text.
+    remove_boilerplate_chunks``): fixed-width word chunks appearing in
+    ≥3 distinct documents are dropped corpus-wide and each document is
+    reassembled from its surviving chunks.  Chunking never explodes
+    below chunk granularity (pure array-slice expressions), the
+    document-frequency pass shuffles hashes only, and the boilerplate
+    set drives a broadcast anti-join — the within-corpus complement to
+    cross-doc near-dedup (q83) and substring dedup (q99)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = TX.remove_boilerplate_chunks(
+        docs, "doc_id", "text", chunk_words=8, min_doc_freq=3
+    )
+    return out.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        "n_chunks",
+        "n_removed",
+    )
+
+
+ORACLE_Q191 = """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+), ch AS (
+  SELECT doc_id,
+    unnest(range(CAST(GREATEST(CEIL(len(l) / 8.0), 1) AS BIGINT))) AS cpos,
+    l
+  FROM base
+), chunks AS (
+  SELECT doc_id, cpos,
+    array_to_string(l[cpos * 8 + 1 : cpos * 8 + 8], ' ') AS chunk
+  FROM ch
+), common AS (
+  SELECT md5(chunk) AS h FROM chunks
+  GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 3
+), kept AS (
+  SELECT doc_id, cpos, chunk FROM chunks
+  WHERE md5(chunk) NOT IN (SELECT h FROM common)
+), rebuilt AS (
+  SELECT doc_id, string_agg(chunk, ' ' ORDER BY cpos) AS clean_text,
+    COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+), totals AS (
+  SELECT doc_id, COUNT(*) AS n_chunks FROM chunks GROUP BY doc_id
+)
+SELECT t.doc_id, md5(COALESCE(r.clean_text, '')) AS clean_md5,
+  CAST(t.n_chunks AS INTEGER) AS n_chunks,
+  CAST(t.n_chunks - COALESCE(r.n_kept, 0) AS INTEGER) AS n_removed
+FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -8080,6 +8314,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q185_k_anonymity": q185_k_anonymity,
     "q186_calibration": q186_calibration,
     "q187_classification_report": q187_classification_report,
+    "q188_geo_nearest": q188_geo_nearest,
+    "q189_interval_concurrency": q189_interval_concurrency,
+    "q190_pipeline_spec": q190_pipeline_spec,
+    "q191_boilerplate_removal": q191_boilerplate_removal,
 }
 
 ORACLES: dict[str, str] = {
@@ -8268,6 +8506,10 @@ ORACLES: dict[str, str] = {
     "q185_k_anonymity": ORACLE_Q185,
     "q186_calibration": ORACLE_Q186,
     "q187_classification_report": ORACLE_Q187,
+    "q188_geo_nearest": ORACLE_Q188,
+    "q189_interval_concurrency": ORACLE_Q189,
+    "q190_pipeline_spec": ORACLE_Q190,
+    "q191_boilerplate_removal": ORACLE_Q191,
 }
 
 
