@@ -211,6 +211,10 @@ BENCH_QUERIES = [
     "q189_interval_concurrency",
     "q190_pipeline_spec",
     "q191_boilerplate_removal",
+    "q192_xml_roundtrip",
+    "q193_try_arithmetic",
+    "q194_hll_sketch_bound",
+    "q195_training_shards",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

@@ -8127,6 +8127,155 @@ FROM totals t LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
+def q192_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source/sink parity (``sources.files.write_xml/read_xml`` —
+    Spark 4's built-in ``xml`` format, the spark-xml package folded
+    into core): write the nation dim as one element per row, read it
+    back with an ENFORCED schema (the S2/S3 declare-never-infer rule —
+    XML inference is an extra sampling job and a drift hazard), and
+    return the rows.  Widens the serde surface beyond
+    parquet/csv/json/orc/jsonl/binary (q37/q50/q51/q95/q118/q103); the
+    oracle answers from the source table, so any serde loss breaks the
+    hash."""
+    from pyspark.sql import types as T
+
+    from etl_opensky_spark.sources.files import read_xml, write_xml
+
+    nation = _t(spark, sf_dir, "nation")
+    target = _gate_tmp("q192_xml", sf_dir)
+    write_xml(nation, target, row_tag="nation")
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    return read_xml(spark, target, schema, row_tag="nation")
+
+
+ORACLE_Q192 = "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+
+
+def q193_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic surface (``try_divide`` / ``try_cast`` /
+    ``try_add``): malformed casts, zero divisors, and bigint overflow
+    yield NULL instead of killing the job — the data-quality contract a
+    100 TB batch needs (one poison row must not fail a stage).  Sums
+    are exact: the double division is floor-quantized to micros PER ROW
+    (identical IEEE operands → identical double in both engines; floor
+    is rounding-mode-free), then integer-summed."""
+    orders = _t(spark, sf_dir, "orders")
+    bad_str = F.when(
+        F.col("o_custkey") % 3 == 0, F.lit("x")
+    ).otherwise(F.col("o_orderkey").cast("string"))
+    div = F.try_divide(F.col("o_totalprice"), F.col("o_custkey") % 7)
+    enriched = orders.select(
+        div.alias("_div"),
+        bad_str.try_cast("int").alias("_cast"),
+        F.try_add(F.col("o_orderkey"), F.lit(9223372036854775807)).alias(
+            "_over"
+        ),
+    )
+    return enriched.agg(
+        F.count("*").alias("n_rows"),
+        (F.count("*") - F.count("_div")).alias("n_div_null"),
+        F.sum(F.floor(F.col("_div") * 1000000).cast("long")).alias(
+            "div_sum_micros"
+        ),
+        F.sum("_cast").alias("cast_sum"),
+        F.count("_over").alias("n_overflow_nonnull"),
+    )
+
+
+ORACLE_Q193 = """
+WITH t AS (
+  SELECT
+    CASE WHEN o_custkey % 7 = 0 THEN NULL
+         ELSE o_totalprice / (o_custkey % 7) END AS d,
+    TRY_CAST(CASE WHEN o_custkey % 3 = 0 THEN 'x'
+                  ELSE CAST(o_orderkey AS VARCHAR) END AS INTEGER) AS c,
+    o_orderkey
+  FROM orders
+)
+SELECT COUNT(*) AS n_rows,
+  COUNT(*) - COUNT(d) AS n_div_null,
+  CAST(SUM(CAST(FLOOR(d * 1000000) AS BIGINT)) AS BIGINT) AS div_sum_micros,
+  CAST(SUM(c) AS BIGINT) AS cast_sum,
+  CAST(SUM(CASE WHEN o_orderkey <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_overflow_nonnull
+FROM t
+"""
+
+
+def q194_hll_sketch_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's built-in Apache DataSketches HLL surface
+    (``hll_sketch_agg`` / ``hll_sketch_estimate``) — the
+    industry-interchange sketch (binary-compatible across Spark /
+    Druid / Hive / PostgreSQL datasketches extensions), complementing
+    the from-scratch engine-exact registers of q161.  Accuracy-bound
+    gate in the q63/q78 style: per event type, the estimate must land
+    within 5% of the exact distinct-user count (measured error at
+    sf0.1 is 0.4%; lgK=12 gives ~1.6% RSE, so the bound has wide
+    margin) — the oracle recomputes the exact counts and pins
+    ``within_bound`` TRUE."""
+    ev = _events(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias("_est"),
+        F.countDistinct("user_id").alias("n_exact"),
+        F.count("*").alias("n_events"),
+    )
+    return agg.select(
+        "event_type",
+        "n_exact",
+        "n_events",
+        (
+            F.abs(F.col("_est") - F.col("n_exact"))
+            <= 0.05 * F.col("n_exact")
+        ).alias("within_bound"),
+    )
+
+
+ORACLE_Q194 = """
+SELECT event_type,
+  COUNT(DISTINCT user_id) AS n_exact,
+  COUNT(*) AS n_events,
+  TRUE AS within_bound
+FROM events GROUP BY event_type
+"""
+
+
+def q195_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard writer with verifiable manifest (``sources.sinks.
+    write_hash_shards``): the corpus is partitioned into 8 deterministic
+    md5 shards in ONE ``partitionBy`` write pass, and the returned
+    manifest (shard → rows + order-insensitive 60-bit-sum checksum,
+    q168's anti-entropy scheme) is computed from the data AS WRITTEN —
+    the loader-side verification contract.  The oracle recomputes shard
+    assignment and checksums from the source table, so the gate proves
+    the write → read-back → manifest path is lossless and the shard
+    function is engine-replayable."""
+    from etl_opensky_spark.sources.sinks import write_hash_shards
+
+    docs = _t(spark, sf_dir, "documents")
+    target = _gate_tmp("q195_shards", sf_dir)
+    return write_hash_shards(
+        docs, target, "doc_id", 8, hash_cols=["doc_id", "text"]
+    )
+
+
+ORACLE_Q195 = """
+SELECT
+  CAST(CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+    AS BIGINT) % 8 AS INTEGER) AS shard,
+  COUNT(*) AS n_rows,
+  SUM(CAST(CAST(CONCAT('0x', substr(md5(CONCAT_WS('|',
+    CAST(doc_id AS VARCHAR), text)), 1, 15)) AS BIGINT) AS HUGEINT))
+    AS checksum
+FROM documents GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -8318,6 +8467,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q189_interval_concurrency": q189_interval_concurrency,
     "q190_pipeline_spec": q190_pipeline_spec,
     "q191_boilerplate_removal": q191_boilerplate_removal,
+    "q192_xml_roundtrip": q192_xml_roundtrip,
+    "q193_try_arithmetic": q193_try_arithmetic,
+    "q194_hll_sketch_bound": q194_hll_sketch_bound,
+    "q195_training_shards": q195_training_shards,
 }
 
 ORACLES: dict[str, str] = {
@@ -8510,6 +8663,10 @@ ORACLES: dict[str, str] = {
     "q189_interval_concurrency": ORACLE_Q189,
     "q190_pipeline_spec": ORACLE_Q190,
     "q191_boilerplate_removal": ORACLE_Q191,
+    "q192_xml_roundtrip": ORACLE_Q192,
+    "q193_try_arithmetic": ORACLE_Q193,
+    "q194_hll_sketch_bound": ORACLE_Q194,
+    "q195_training_shards": ORACLE_Q195,
 }
 
 

@@ -142,3 +142,28 @@ def read_jsonl_with_quarantine(
         corrupt_col, "raw_line"
     )
     return good, bad
+
+
+def write_xml(
+    df: DataFrame, path: str, row_tag: str = "row", mode: str = "overwrite"
+) -> None:
+    """XML sink (Spark 4 built-in ``xml`` format — the spark-xml
+    package folded into core): one element per row under ``row_tag``.
+    Same distributed writer contract as parquet/csv: one file per
+    task, no driver funnel."""
+    df.write.mode(mode).format("xml").option("rowTag", row_tag).save(path)
+
+
+def read_xml(
+    spark: SparkSession, path: str, schema: T.StructType, row_tag: str = "row"
+) -> DataFrame:
+    """XML source with ENFORCED schema (the S2/S3 rule: declare, never
+    infer — XML inference samples the data and is both a extra job and
+    a drift hazard).  Spark 4 built-in format; reads stay distributed
+    (file-per-task) like every other file source."""
+    return (
+        spark.read.format("xml")
+        .option("rowTag", row_tag)
+        .schema(schema)
+        .load(path)
+    )

@@ -530,3 +530,55 @@ def purge_parquet_keyed(
             os.remove(lock)
         except FileNotFoundError:
             pass
+
+
+def write_hash_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    n_shards: int,
+    hash_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Training-shard writer: one pass partitions the corpus into
+    ``n_shards`` deterministic shards (md5 of the key — reproducible
+    across runs, engines, and partitionings; never ``rand()``) and
+    returns a MANIFEST DataFrame ``(shard, n_rows, checksum)`` computed
+    from the data as written.
+
+    The manifest is the training-job contract: a loader can verify
+    every shard it downloads (row count + order-insensitive 60-bit-sum
+    checksum over ``hash_cols``, the q168 anti-entropy scheme) without
+    re-reading the whole corpus, and shard membership of any row is
+    recomputable from its key alone.
+
+    Scale shape: ONE write pass (``partitionBy(shard)`` → one directory
+    per shard, writers stream), and the manifest aggregate is map-side
+    combinable over the same scan — no global sort, no driver
+    materialization of data.  Shard sizes concentrate at n/n_shards
+    (md5 uniformity); hard per-file row caps, if required, compose via
+    ``maxRecordsPerFile`` on the same writer.
+    """
+    shard = (
+        F.conv(
+            F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % n_shards
+    ).cast("int")
+    sharded = df.withColumn("shard", shard)
+    sharded.write.mode("overwrite").partitionBy("shard").parquet(path)
+
+    back = df.sparkSession.read.parquet(path)
+    cols = list(hash_cols) if hash_cols is not None else [key_col]
+    rowhash = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in cols])),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("decimal(38,0)")
+    return back.groupBy("shard").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(rowhash).alias("checksum"),
+    )
