@@ -567,9 +567,16 @@ def remove_boilerplate_chunks(
             F.slice(arr, i * chunk_words + 1, chunk_words), " "
         ),
     )
-    exploded = df.select(
-        F.col(id_col), F.posexplode(chunks).alias("_cpos", "_chunk")
-    ).withColumn("_h", F.md5(F.col("_chunk")))
+    exploded = (
+        df.select(
+            F.col(id_col), F.posexplode(chunks).alias("_cpos", "_chunk")
+        )
+        .withColumn("_h", F.md5(F.col("_chunk")))
+        # three consumers (df-count pass, anti-join probe, per-doc totals):
+        # without the persist the chunking explode re-runs per consumer
+        # (q112 exchange-reuse lesson)
+        .persist()
+    )
 
     common = (
         exploded.groupBy("_h")

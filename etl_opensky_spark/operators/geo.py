@@ -115,6 +115,13 @@ def grid_nearest_neighbor(
         # deterministic tie-break, one map-side-combinable aggregate.
         .agg(F.min(F.struct("_d2", "_rid")).alias("_m"))
         .select("_lid", F.col("_m._rid").alias("_rid"), F.col("_m._d2").alias("_d2"))
+        # both the sure-winner filter and the fallback's anti-join consume
+        # this; without the persist the 9-way ring join runs TWICE (the
+        # q112 exchange-reuse lesson: Catalyst does not reuse exchanges
+        # across differently-filtered consumers).  |L|-rows × 3 cols —
+        # far smaller than the corpus.  The left input's cell derivation
+        # is recomputed instead (column-pruned scan, no join — cheap).
+        .persist()
     )
 
     # Provably-global winners: best ring candidate strictly inside one
