@@ -448,3 +448,76 @@ def test_dynamic_partition_pruning_fires_on_partitioned_fact(
     )
     plan = joined._jdf.queryExecution().executedPlan().toString().lower()
     assert "dynamicpruning" in plan
+
+
+def test_grid_nn_ring_join_is_equi_join_and_persisted(spark):
+    """The 3x3 ring probe must be a hash equi-join on the cell key
+    (never a cartesian of L x R), and the ring-best table must be
+    persisted so the sure-winner filter and the fallback anti-join
+    don't re-run the ring join."""
+    from etl_opensky_spark.operators.geo import grid_nearest_neighbor
+
+    ldf = spark.createDataFrame(
+        [(i, i * 37 % 500, i * 91 % 500) for i in range(300)],
+        "lid long, x long, y long",
+    )
+    rdf = spark.createDataFrame(
+        [(i, i * 53 % 500, i * 17 % 500) for i in range(40)],
+        "rid long, x long, y long",
+    )
+    out = grid_nearest_neighbor(ldf, rdf, "lid", "rid", cell=120)
+    out.count()
+    plan = physical_plan(out)
+    # the only nested-loop join is the bounded fallback (broadcast of
+    # the unresolved tail), never a CartesianProduct of the inputs
+    assert "CartesianProduct" not in plan
+    assert plan.count("InMemoryTableScan") >= 2  # ring-best reused
+
+
+def test_interval_concurrency_window_is_over_aggregated_dates(spark):
+    """The prefix-sum window must sit ABOVE the per-date aggregate
+    (bounded input), not over raw interval rows."""
+    import datetime
+
+    from etl_opensky_spark.operators.intervals import interval_concurrency
+
+    d = datetime.date
+    iv = spark.createDataFrame(
+        [(d(2020, 1, 1 + i % 20), d(2020, 1, 2 + i % 25)) for i in range(500)],
+        ["s", "e"],
+    )
+    out = interval_concurrency(iv, "s", "e")
+    plan = physical_plan(out)
+    win = plan.find("Window")
+    agg = plan.find("HashAggregate")
+    assert win != -1 and agg != -1
+    assert win < agg  # window consumes the aggregate's (deeper) output
+
+
+def test_boilerplate_common_set_drives_broadcast_anti_join(spark):
+    from etl_opensky_spark.functions.text import remove_boilerplate_chunks
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(16))) for i in range(50)],
+        ["doc_id", "text"],
+    )
+    out = remove_boilerplate_chunks(docs, "doc_id", "text", 4, 3)
+    out.count()
+    plan = physical_plan(out)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hash_shards_manifest_is_one_aggregate_over_readback(spark, tmp_path):
+    """Manifest aggregation reads the written files (partition-pruned
+    schema incl. the shard dir column) with map-side combine — no sort,
+    no window, no collect."""
+    from etl_opensky_spark.sources.sinks import write_hash_shards
+
+    df = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(300)], ["id", "txt"]
+    )
+    manifest = write_hash_shards(df, str(tmp_path / "sh"), "id", 4)
+    plan = physical_plan(manifest)
+    assert "Window" not in plan and "Sort" not in plan.split("Exchange")[0]
+    assert plan.count("HashAggregate") >= 2  # partial + final
