@@ -215,6 +215,10 @@ BENCH_QUERIES = [
     "q193_try_arithmetic",
     "q194_hll_sketch_bound",
     "q195_training_shards",
+    "q196_frequent_pairs",
+    "q197_join_size_estimate",
+    "q198_observed_write",
+    "q199_pseudonymize",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

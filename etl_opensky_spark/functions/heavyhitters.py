@@ -183,3 +183,84 @@ def countmin_estimates(
         .orderBy(F.col("true_cnt").desc(), F.col("item"))
         .limit(top_k)
     )
+
+
+def countmin_join_estimate(
+    df_a: DataFrame,
+    col_a: str,
+    df_b: DataFrame,
+    col_b: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Equi-join cardinality estimation from Count-Min sketches
+    (Cormode & Muthukrishnan 2005, §4.2): ``|A ⋈ B|`` on a key equals
+    the inner product of the two key-frequency vectors, and the
+    sketch estimate is ``min_r Σ_b cellA[r][b]·cellB[r][b]`` — an
+    OVER-estimate always (collisions only add non-negative cross
+    terms).  This is the optimizer's pre-execution join-size probe:
+    two ``depth×width`` sketches meet instead of two tables.
+
+    Returns ONE row ``(true_size, est_size, over_ok)``; the true inner
+    product is computed alongside for the gate (a production caller
+    skips it).
+
+    Scale shape: each side is ONE map-side-combined key-count
+    aggregate (checkpointed — it feeds both its sketch and the truth
+    join); sketch cells are ``depth×width`` rows regardless of corpus
+    size and merge by SUM (mergeable-sketch property); the estimate
+    joins two bounded cell tables on (row, bucket).  md5-salted
+    bucketing keeps both engines bit-equal.
+    """
+    def side(df: DataFrame, col: str, tag: str):
+        counts = (
+            df.select(F.col(col).cast("string").alias("key"))
+            .groupBy("key")
+            .agg(F.count("*").alias(f"cnt_{tag}"))
+            .localCheckpoint()
+        )
+        probes = counts.select(
+            f"cnt_{tag}",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"),
+                            _md5_bucket(F.col("key"), r, width).alias(
+                                "bucket"
+                            ),
+                        )
+                        for r in range(depth)
+                    ]
+                )
+            ).alias("p"),
+        ).select(F.col("p.r").alias("r"), F.col("p.bucket").alias("bucket"), f"cnt_{tag}")
+        cells = probes.groupBy("r", "bucket").agg(
+            F.sum(f"cnt_{tag}").alias(f"cell_{tag}")
+        )
+        return counts, cells
+
+    counts_a, cells_a = side(df_a, col_a, "a")
+    counts_b, cells_b = side(df_b, col_b, "b")
+
+    est = (
+        cells_a.join(cells_b, ["r", "bucket"])
+        .groupBy("r")
+        .agg(
+            F.sum(F.col("cell_a") * F.col("cell_b")).alias("_inner")
+        )
+        .agg(F.min("_inner").alias("est_size"))
+    )
+    true = (
+        counts_a.alias("ca")
+        .join(counts_b.alias("cb"), F.col("ca.key") == F.col("cb.key"))
+        .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("true_size"))
+    )
+    return true.crossJoin(est).select(
+        F.coalesce(F.col("true_size"), F.lit(0)).alias("true_size"),
+        F.coalesce(F.col("est_size"), F.lit(0)).alias("est_size"),
+        (
+            F.coalesce(F.col("est_size"), F.lit(0))
+            >= F.coalesce(F.col("true_size"), F.lit(0))
+        ).alias("over_ok"),
+    )

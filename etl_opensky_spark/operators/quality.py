@@ -18,6 +18,8 @@ is not a positive price) — the semantics dbt's ``not_null`` +
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -180,4 +182,34 @@ def constraint_audit(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    return out
+
+
+def pseudonymize(
+    df: DataFrame, cols: Sequence[str], salt: str
+) -> DataFrame:
+    """Deterministic salted pseudonymization (GDPR Art. 4(5)): each
+    listed column is replaced by ``sha2_256(salt | value)`` — stable
+    within a salt epoch, so joins/groupBys on the pseudonym still work
+    across tables tokenized with the same salt, while the raw value
+    never leaves the cluster.  NULLs stay NULL (a constant
+    hash-of-salt token would leak "this row had a NULL" across
+    columns and make every NULL join-equal).  Rotating the salt
+    re-keys the whole dataset — the revocation story that plain
+    (unsalted) hashing lacks; for lookup-table reversibility use the
+    q170 purge + a guarded mapping table instead.
+
+    Pure Column expressions (JVM sha2, whole-stage codegen) — a
+    map-only pass at any scale, composing with the governance suite:
+    q170 keyed purge, q185 k-anonymity audit, PII redaction
+    (functions/text.py:redact_pii).
+    """
+    out = df
+    for c in cols:
+        tok = F.sha2(
+            F.concat_ws("|", F.lit(salt), F.col(c).cast("string")), 256
+        )
+        out = out.withColumn(
+            c, F.when(F.col(c).isNotNull(), tok)
+        )
     return out

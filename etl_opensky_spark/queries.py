@@ -8276,6 +8276,171 @@ FROM documents GROUP BY 1
 """
 
 
+def q196_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-priori frequent-pair mining (``functions.itemsets.
+    frequent_pairs``): parts co-ordered in the same order, with
+    item-support pruning BEFORE pair generation — the Agrawal–Srikant
+    principle that keeps pair volume quadratic only in frequent items
+    per basket.  The oracle replays the full definition; the operator's
+    pruning must be invisible in the answer (a pair of infrequent
+    items can never reach pair support)."""
+    from etl_opensky_spark.functions.itemsets import frequent_pairs
+
+    li = _t(spark, sf_dir, "lineitem")
+    return frequent_pairs(
+        li,
+        "l_orderkey",
+        "l_partkey",
+        min_item_support=25,
+        min_pair_support=2,
+    )
+
+
+ORACLE_Q196 = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+), freq AS (
+  SELECT item FROM items GROUP BY item HAVING COUNT(*) >= 25
+), fi AS (
+  SELECT basket, item FROM items WHERE item IN (SELECT item FROM freq)
+)
+SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_baskets
+FROM fi a JOIN fi b ON a.basket = b.basket AND a.item < b.item
+GROUP BY 1, 2 HAVING COUNT(*) >= 2
+"""
+
+
+def q197_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-execution join-cardinality estimation from Count-Min
+    sketches (``functions.heavyhitters.countmin_join_estimate``) — the
+    optimizer-side probe: |A ⋈ B| is the inner product of the key
+    frequency vectors, estimated as the min over sketch rows of the
+    cell-wise inner product, an OVER-estimate always.  Two depth×width
+    sketches meet instead of two corpus-sized tables; the gate's
+    oracle replays the sketch bit-exactly (md5 buckets) AND the true
+    inner product, pinning ``over_ok`` deterministically."""
+    from etl_opensky_spark.functions.heavyhitters import (
+        countmin_join_estimate,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    side_a = li.filter(F.col("l_shipdate") < "1995-01-01")
+    side_b = li.filter(F.col("l_shipdate") >= "1997-01-01")
+    return countmin_join_estimate(
+        side_a, "l_partkey", side_b, "l_partkey", depth=4, width=256
+    )
+
+
+ORACLE_Q197 = """
+WITH ca AS (
+  SELECT CAST(l_partkey AS VARCHAR) AS key, COUNT(*) AS cnt_a
+  FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-01-01' GROUP BY 1
+), cb AS (
+  SELECT CAST(l_partkey AS VARCHAR) AS key, COUNT(*) AS cnt_b
+  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01' GROUP BY 1
+), rs AS (
+  SELECT unnest(range(4)) AS r
+), pa AS (
+  SELECT r,
+    CAST(CONCAT('0x', substr(md5(CONCAT_WS(':', key,
+      CAST(r AS VARCHAR))), 1, 8)) AS BIGINT) % 256 AS bucket,
+    cnt_a
+  FROM ca CROSS JOIN rs
+), pb AS (
+  SELECT r,
+    CAST(CONCAT('0x', substr(md5(CONCAT_WS(':', key,
+      CAST(r AS VARCHAR))), 1, 8)) AS BIGINT) % 256 AS bucket,
+    cnt_b
+  FROM cb CROSS JOIN rs
+), cellsa AS (
+  SELECT r, bucket, CAST(SUM(cnt_a) AS BIGINT) AS cell_a
+  FROM pa GROUP BY 1, 2
+), cellsb AS (
+  SELECT r, bucket, CAST(SUM(cnt_b) AS BIGINT) AS cell_b
+  FROM pb GROUP BY 1, 2
+), est AS (
+  SELECT MIN(ip) AS est_size FROM (
+    SELECT r, CAST(SUM(cell_a * cell_b) AS BIGINT) AS ip
+    FROM cellsa JOIN cellsb USING (r, bucket) GROUP BY r
+  )
+), tru AS (
+  SELECT CAST(SUM(cnt_a * cnt_b) AS BIGINT) AS true_size
+  FROM ca JOIN cb USING (key)
+)
+SELECT COALESCE(true_size, 0) AS true_size,
+  CAST(COALESCE(est_size, 0) AS BIGINT) AS est_size,
+  COALESCE(est_size, 0) >= COALESCE(true_size, 0) AS over_ok
+FROM tru CROSS JOIN est
+"""
+
+
+def q198_observed_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-with-observed-metrics (``sources.sinks.
+    write_parquet_observed`` / ``Dataset.observe``): audit metrics are
+    computed ON the write pass — zero extra scan, replacing the
+    reference's triple lineage re-run around a write
+    (extract_flights.py:82-100: count, show, write each re-executed
+    the plan).  The oracle recomputes the same aggregates from the
+    source table, proving the observed numbers describe exactly what
+    was written."""
+    from etl_opensky_spark.sources.sinks import write_parquet_observed
+
+    orders = _t(spark, sf_dir, "orders")
+    target = _gate_tmp("q198_observed", sf_dir)
+    out = write_parquet_observed(
+        orders,
+        target,
+        {
+            "n_rows": F.count(F.lit(1)),
+            "price_cents": F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ),
+            "min_key": F.min("o_orderkey"),
+            "max_key": F.max("o_orderkey"),
+        },
+    )
+    return out.select(
+        F.col("n_rows").cast("long"),
+        F.col("price_cents").cast("long"),
+        F.col("min_key").cast("long"),
+        F.col("max_key").cast("long"),
+    )
+
+
+ORACLE_Q198 = """
+SELECT COUNT(*) AS n_rows,
+  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+    AS price_cents,
+  MIN(o_orderkey) AS min_key,
+  MAX(o_orderkey) AS max_key
+FROM orders
+"""
+
+
+def q199_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic salted pseudonymization (``operators.quality.
+    pseudonymize``): customer names replaced by sha2-256(salt|value) —
+    join-stable within a salt epoch, revocable by salt rotation,
+    NULL-preserving.  Completes the governance suite (q170 purge, q185
+    k-anonymity, PII redaction); the oracle replays the token
+    derivation, proving cross-engine reproducibility of the
+    pseudonym space."""
+    from etl_opensky_spark.operators.quality import pseudonymize
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    return pseudonymize(cust, ["c_name"], salt="pepper-2026")
+
+
+ORACLE_Q199 = """
+SELECT c_custkey,
+  sha256(CONCAT_WS('|', 'pepper-2026', c_name)) AS c_name,
+  c_nationkey
+FROM customer
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -8471,6 +8636,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q193_try_arithmetic": q193_try_arithmetic,
     "q194_hll_sketch_bound": q194_hll_sketch_bound,
     "q195_training_shards": q195_training_shards,
+    "q196_frequent_pairs": q196_frequent_pairs,
+    "q197_join_size_estimate": q197_join_size_estimate,
+    "q198_observed_write": q198_observed_write,
+    "q199_pseudonymize": q199_pseudonymize,
 }
 
 ORACLES: dict[str, str] = {
@@ -8667,6 +8836,10 @@ ORACLES: dict[str, str] = {
     "q193_try_arithmetic": ORACLE_Q193,
     "q194_hll_sketch_bound": ORACLE_Q194,
     "q195_training_shards": ORACLE_Q195,
+    "q196_frequent_pairs": ORACLE_Q196,
+    "q197_join_size_estimate": ORACLE_Q197,
+    "q198_observed_write": ORACLE_Q198,
+    "q199_pseudonymize": ORACLE_Q199,
 }
 
 

@@ -582,3 +582,29 @@ def write_hash_shards(
         F.count("*").alias("n_rows"),
         F.sum(rowhash).alias("checksum"),
     )
+
+
+def write_parquet_observed(
+    df: DataFrame, path: str, metrics: dict[str, F.Column], mode: str = "overwrite"
+) -> DataFrame:
+    """Write with in-flight metrics (``Dataset.observe``): the metric
+    expressions are evaluated ON THE WRITE PASS itself — zero extra
+    scan, unlike the write-then-recount pattern (q37's re-read or the
+    reference's triple lineage re-run, extract_flights.py:82-100 —
+    count, show, write each re-executed the plan).  Returns a one-row
+    DataFrame of the observed metrics, the audit record a load job
+    ships to its manifest/metrics store.
+
+    Only aggregate expressions are allowed (Spark's observe contract);
+    at scale observation is a driver-merged accumulator — no shuffle,
+    no second job.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    names = list(metrics)
+    observed = df.observe(obs, *[metrics[n].alias(n) for n in names])
+    observed.write.mode(mode).parquet(path)
+    got = obs.get
+    spark = df.sparkSession
+    return spark.createDataFrame([tuple(got[n] for n in names)], names)
