@@ -219,6 +219,9 @@ BENCH_QUERIES = [
     "q197_join_size_estimate",
     "q198_observed_write",
     "q199_pseudonymize",
+    "q200_window_suite",
+    "q201_pandas_grouped_agg",
+    "q202_bpe_encode",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

@@ -24,7 +24,9 @@ No per-corpus-row Python ever runs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from etl_opensky_spark.functions.text import bpe_pair_counts, tokenize
@@ -129,3 +131,75 @@ def wordpiece_pieces(
         .agg(F.sum("freq").cast("bigint").alias("n_occurrences"))
         .orderBy(F.col("n_occurrences").desc(), F.col("piece"))
     )
+
+
+def bpe_apply_merges(col: Column, merges: Sequence[tuple[str, str]]) -> Column:
+    """Apply a learned BPE merge list (rank order) to a word — the
+    inference half of byte-pair encoding (Sennrich et al. 2016; the
+    training half's pair-count step is ``text.bpe_pair_counts``).
+
+    One chained ``aggregate`` fold per merge rule, entirely Column
+    expressions: for merge ``(a, b)``, fold left over the token array
+    — if the accumulator's last token is ``a`` and the next is ``b``,
+    replace the tail with ``ab``, else append.  The fold IS the
+    standard left-to-right non-overlapping merge semantics
+    ("aaa" + (a,a) → [aa, a]): once merged, the tail token is ``ab``,
+    which no longer matches ``a``.
+
+    Zero shuffle, zero Python — and the intended call shape is over
+    the DISTINCT-WORD table (Heaps' law, same as the WordPiece path
+    above), never the raw corpus.  Returns ``array<string>`` tokens.
+    """
+    def fold_rule(a: str, b: str):
+        # factory closure, NOT default-arg capture: pyspark's lambda
+        # bridge requires exactly (acc, x) named params (SKILL gotcha)
+        def merge(acc: Column, x: Column) -> Column:
+            return F.when(
+                (F.try_element_at(acc, F.lit(-1)) == F.lit(a))
+                & (x == F.lit(b)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
+                ),
+            ).otherwise(F.concat(acc, F.array(x)))
+
+        return merge
+
+    toks = F.split(col, "")
+    for a, b in merges:
+        toks = F.aggregate(
+            toks, F.array().cast("array<string>"), fold_rule(a, b)
+        )
+    return toks
+
+
+def bpe_oracle_sql(vocab_sql: str, merges: Sequence[tuple[str, str]]) -> str:
+    """DuckDB replay of ``bpe_apply_merges``: a linear CTE chain, one
+    ``list_reduce`` fold per merge (tokens re-wrapped as single-element
+    lists each stage so the accumulator stays LIST(VARCHAR)).  Linear
+    chain — each stage referenced once, so no need for the q113
+    AS MATERIALIZED exponential-inline guard."""
+    sql = f"WITH vocab AS ({vocab_sql}),\n"
+    sql += (
+        "t0 AS (SELECT word, list_transform(range(length(word)),"
+        " i -> [word[i+1]]) AS toks FROM vocab WHERE length(word) > 0)"
+    )
+    prev = "t0"
+    for k, (a, b) in enumerate(merges, start=1):
+        aq, bq, mq = a.replace("'", "''"), b.replace("'", "''"), (a + b).replace("'", "''")
+        wrap = (
+            f"list_transform({prev}.toks, t -> [t])"
+            if k > 1
+            else f"{prev}.toks"
+        )
+        sql += (
+            f",\nt{k} AS (SELECT word, list_reduce({wrap},"
+            f" (acc, x) -> CASE WHEN acc[len(acc)] = '{aq}' AND x[1] = '{bq}'"
+            f" THEN list_append(acc[1:len(acc)-1], '{mq}')"
+            f" ELSE list_concat(acc, x) END) AS toks FROM {prev})"
+        )
+        prev = f"t{k}"
+    sql += (
+        f"\nSELECT word, array_to_string(toks, ' ') AS tokens,"
+        f" CAST(len(toks) AS INTEGER) AS n_tokens FROM {prev}"
+    )
+    return sql

@@ -8441,6 +8441,151 @@ FROM customer
 """
 
 
+SQL_Q200 = """
+WITH base AS (
+  SELECT user_id, event_id, value,
+    CAST(FLOOR(value * 1000000) AS BIGINT) AS vmicro
+  FROM events
+)
+SELECT user_id, event_id,
+  row_number() OVER w AS rn,
+  rank() OVER wv AS rnk,
+  dense_rank() OVER wv AS drnk,
+  CAST(FLOOR(percent_rank() OVER w * 1000000) AS BIGINT) AS prank_micros,
+  CAST(FLOOR(cume_dist() OVER w * 1000000) AS BIGINT) AS cdist_micros,
+  ntile(4) OVER w AS quartile,
+  lag(event_id) OVER w AS prev_event,
+  lead(event_id) OVER w AS next_event,
+  first_value(event_id) OVER w AS first_event,
+  CAST(SUM(vmicro) OVER (PARTITION BY user_id ORDER BY value, event_id
+    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling3_micros
+FROM base
+WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id),
+  wv AS (PARTITION BY user_id ORDER BY CAST(FLOOR(value * 1000) AS BIGINT))
+"""
+
+
+def q200_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function parity suite, BYTE-IDENTICAL SQL on both engines
+    (the q177 same-text pattern): row_number / rank / dense_rank (over
+    a coarse key that FORCES ties, so rank≠dense_rank is actually
+    exercised) / percent_rank / cume_dist / ntile / lag / lead /
+    first_value / a ROWS-frame running sum — every ranking and
+    navigation function SURVEY §2.7 promises beyond the reference's
+    lone ``row_number``.  Ratios are floor-micro quantized (identical
+    IEEE inputs → identical doubles → mode-free floor); one window
+    shuffle per distinct (partition, order) pair."""
+    _events(spark, sf_dir).createOrReplaceTempView("events")
+    return spark.sql(SQL_Q200)
+
+
+ORACLE_Q200 = SQL_Q200
+
+
+def q201_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow grouped-aggregate pandas UDF — the §2.13 surface member
+    between scalar pandas UDFs and applyInPandas: per-group 10%-trimmed
+    sum computed in numpy over the Arrow batch.  Exactness contract:
+    cents are floored PER ELEMENT to int64 before any summation, so
+    the numpy path and the SQL window-trim replay agree bit-for-bit
+    (ties at the trim boundary carry equal values → equal cents —
+    positional vs keyed trimming is sum-invariant)."""
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit GROUPED_AGG eval type: queries.py uses postponed
+    # annotations (PEP 563), which breaks pandas_udf type-hint inference
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def trimmed_cents(v):
+        s = np.sort(v.to_numpy())
+        k = int(len(s) * 0.1)
+        kept = s[k : len(s) - k]
+        return int(np.floor(kept * 100).astype(np.int64).sum())
+
+    # Spark disallows mixing a grouped-agg pandas UDF with built-in
+    # aggregates in one agg (INVALID_PANDAS_UDF_PLACEMENT) — the count
+    # rides as a second pandas aggregate over the same Arrow batch
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def n_rows(v):
+        return len(v)
+
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        trimmed_cents(F.col("value")).alias("trimmed_cents"),
+        n_rows(F.col("value")).alias("n"),
+    )
+
+
+ORACLE_Q201 = """
+WITH r AS (
+  SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+    row_number() OVER (PARTITION BY event_type
+                       ORDER BY value, event_id) AS rn,
+    COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+  CAST(SUM(CASE WHEN rn > CAST(FLOOR(n * 0.1) AS BIGINT)
+                 AND rn <= n - CAST(FLOOR(n * 0.1) AS BIGINT)
+            THEN cents END) AS BIGINT) AS trimmed_cents,
+  CAST(MAX(n) AS BIGINT) AS n
+FROM r GROUP BY event_type
+"""
+
+
+#: fixed rank-ordered merge list for the BPE-apply gate — a Python
+#: literal embedded in BOTH engines (the q184 discount-literal rule);
+#: a real tokenizer ships its learned merges the same way.
+BPE_MERGES = [
+    ("t", "h"),
+    ("th", "e"),
+    ("i", "n"),
+    ("a", "n"),
+    ("e", "r"),
+    ("o", "n"),
+    ("r", "e"),
+    ("a", "t"),
+    ("s", "t"),
+    ("an", "d"),
+]
+
+
+def q202_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge application (``functions.wordpiece.bpe_apply_merges``)
+    — the inference half of byte-pair encoding, closing the tokenizer
+    loop (q104 trains pair counts, q113 applies WordPiece, this
+    applies a rank-ordered BPE merge list).  One expression fold per
+    merge: left-to-right non-overlapping semantics fall out of the
+    fold ("aaa"+(a,a) → [aa, a]).  Runs over the DISTINCT-WORD vocab
+    (Heaps' law — the corpus never re-tokenizes), zero Python, zero
+    shuffle past the vocab distinct; the oracle replays every fold
+    via DuckDB ``list_reduce``."""
+    from etl_opensky_spark.functions.wordpiece import bpe_apply_merges
+
+    vocab = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .distinct()
+    )
+    toks = bpe_apply_merges(F.col("word"), BPE_MERGES)
+    return vocab.select(
+        "word",
+        F.array_join(toks, " ").alias("tokens"),
+        F.size(toks).cast("int").alias("n_tokens"),
+    )
+
+
+def _oracle_q202() -> str:
+    from etl_opensky_spark.functions.wordpiece import bpe_oracle_sql
+
+    vocab_sql = (
+        "SELECT DISTINCT unnest(string_split(text, ' ')) AS word "
+        "FROM documents"
+    )
+    return bpe_oracle_sql(vocab_sql, BPE_MERGES)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -8640,6 +8785,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q197_join_size_estimate": q197_join_size_estimate,
     "q198_observed_write": q198_observed_write,
     "q199_pseudonymize": q199_pseudonymize,
+    "q200_window_suite": q200_window_suite,
+    "q201_pandas_grouped_agg": q201_pandas_grouped_agg,
+    "q202_bpe_encode": q202_bpe_encode,
 }
 
 ORACLES: dict[str, str] = {
@@ -8840,6 +8988,9 @@ ORACLES: dict[str, str] = {
     "q197_join_size_estimate": ORACLE_Q197,
     "q198_observed_write": ORACLE_Q198,
     "q199_pseudonymize": ORACLE_Q199,
+    "q200_window_suite": ORACLE_Q200,
+    "q201_pandas_grouped_agg": ORACLE_Q201,
+    "q202_bpe_encode": _oracle_q202(),
 }
 
 
