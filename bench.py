@@ -222,6 +222,10 @@ BENCH_QUERIES = [
     "q200_window_suite",
     "q201_pandas_grouped_agg",
     "q202_bpe_encode",
+    "q203_approx_percentile_bound",
+    "q204_not_in_null_semantics",
+    "q205_stream_restart_recovery",
+    "q206_dedup_within_watermark",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

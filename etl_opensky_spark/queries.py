@@ -8586,6 +8586,226 @@ def _oracle_q202() -> str:
     return bpe_oracle_sql(vocab_sql, BPE_MERGES)
 
 
+def q203_approx_percentile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in ``percentile_approx`` under its PUBLISHED guarantee —
+    upgrading the q81 sketch family from rows-only to a bound gate (the
+    q194 pattern): Greenwald–Khanna summaries promise the returned
+    value's rank is within ``n/accuracy`` of ``p·n``.  The gate
+    recomputes the estimate's true rank range (count of values
+    strictly-below / at-or-below) in the same query and pins the
+    containment boolean; the oracle replays n and TRUE.  Estimates
+    themselves never cross engines — only the mathematically guaranteed
+    property does."""
+    li = _t(spark, sf_dir, "lineitem")
+    acc = 10_000
+    est = li.groupBy("l_returnflag").agg(
+        F.expr(
+            f"percentile_approx(l_extendedprice, 0.5, {acc})"
+        ).alias("_est"),
+        F.count("*").alias("n"),
+    )
+    ranked = (
+        li.join(F.broadcast(est), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.max("n").alias("n"),
+            F.sum(
+                (F.col("l_extendedprice") < F.col("_est")).cast("long")
+            ).alias("_lt"),
+            F.sum(
+                (F.col("l_extendedprice") <= F.col("_est")).cast("long")
+            ).alias("_le"),
+        )
+    )
+    target = F.col("n") * 0.5
+    eps = F.col("n") / acc
+    return ranked.select(
+        "l_returnflag",
+        "n",
+        (
+            (F.col("_le") >= F.floor(target - eps))
+            & (F.col("_lt") <= F.ceil(target + eps))
+        ).alias("rank_bound_ok"),
+    )
+
+
+ORACLE_Q203 = """
+SELECT l_returnflag, COUNT(*) AS n, TRUE AS rank_bound_ok
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+SQL_Q204 = """
+SELECT
+  (SELECT COUNT(*) FROM orders
+   WHERE o_custkey NOT IN
+     (SELECT c_custkey FROM customer WHERE c_acctbal < 0)) AS not_in_clean,
+  (SELECT COUNT(*) FROM orders
+   WHERE o_custkey NOT IN
+     (SELECT CASE WHEN c_custkey % 100 = 0 THEN NULL ELSE c_custkey END
+      FROM customer WHERE c_acctbal < 0)) AS not_in_with_null,
+  (SELECT COUNT(*) FROM orders o
+   WHERE NOT EXISTS
+     (SELECT 1 FROM customer c
+      WHERE c.c_custkey = o.o_custkey AND c.c_acctbal < 0))
+    AS not_exists_count
+"""
+
+
+def q204_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``NOT IN`` three-valued-logic parity, BYTE-IDENTICAL SQL both
+    engines: a NULL in the subquery makes ``NOT IN`` return UNKNOWN for
+    every probe row (the classic silent-empty-result trap), while
+    ``NOT EXISTS`` is null-insensitive.  Spark plans the nullable case
+    as a null-aware anti join (BroadcastNestedLoopJoin degenerating to
+    a broadcast null-check) — the gate pins that both engines agree on
+    all three counts, documenting the trap the engine's own
+    ``fk_orphans``/left-anti operators avoid by construction."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(SQL_Q204)
+
+
+ORACLE_Q204 = SQL_Q204
+
+
+def q205_stream_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint recovery across a STREAM RESTART — the operational
+    contract q111 doesn't cover: phase 1 streams half the files into a
+    stateful daily aggregate (update mode, foreachBatch keyed upsert
+    into a parquet store), the query STOPS, more files land, and a NEW
+    query started on the SAME checkpoint must resume the aggregation
+    state (not recount phase-1 files, not lose their counts).  The
+    final store equals the full-table daily totals — the oracle; exact
+    integer micros so resumed state is bit-checkable."""
+    import shutil
+
+    from etl_opensky_spark.sources.sinks import merge_parquet_keyed
+
+    landing = _gate_tmp("q205_landing", sf_dir)
+    store = _gate_tmp("q205_store", sf_dir)
+    ckpt = _gate_tmp("q205_ckpt", sf_dir)
+    for p in (landing, store, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        "ts",
+        F.to_date("ts").cast("string").alias("d"),
+        F.floor(F.col("value") * 1000000).cast("long").alias("vmicro"),
+    )
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+
+    schema = spark.read.parquet(landing).schema
+
+    def run_phase() -> int:
+        stream = spark.readStream.schema(schema).parquet(landing)
+        agg = stream.groupBy("d").agg(
+            F.count("*").alias("n"), F.sum("vmicro").alias("sum_micros")
+        )
+
+        def upsert(batch_df: DataFrame, batch_id: int) -> None:
+            merge_parquet_keyed(
+                spark,
+                store,
+                batch_df.withColumn("dd", F.col("d")),
+                ["d"],
+                ["dd"],
+                keys_are_partition_stable=True,
+                lock_timeout_sec=60.0,
+            )
+
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(upsert)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sum(int(p["numInputRows"]) for p in q.recentProgress)
+
+    n_even = ev.filter(F.col("event_id") % 2 == 0).count()
+    run_phase()  # phase 1: even event_ids
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+    phase2_rows = run_phase()  # phase 2: restart from the SAME checkpoint
+    total = ev.count()
+    # the recovery proof: a from-scratch recount would ALSO match the
+    # oracle, so pin that phase 2 read ONLY the new file's rows
+    if phase2_rows != total - n_even:
+        raise AssertionError(
+            f"restart reprocessed data: phase-2 input rows {phase2_rows}, "
+            f"expected {total - n_even}"
+        )
+
+    back = spark.read.parquet(store)
+    return back.select("d", "n", "sum_micros")
+
+
+ORACLE_Q205 = """
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d, COUNT(*) AS n,
+  CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_micros
+FROM events GROUP BY 1
+"""
+
+
+def q206_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` (Spark 3.5+) — the LATE-dup
+    variant q29 can't express: the replayed copy arrives with a
+    DIFFERENT event time (+1 h), which plain key+time dedup would keep;
+    within-watermark dedup drops it while still evicting state at the
+    watermark bound.  Aggregates avoid the which-copy-won
+    nondeterminism (value is copy-invariant; count/ids/value-sum are
+    not)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def src() -> DataFrame:
+        return _ensure_ltz(
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+
+    late_copy = src().withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 1 HOUR")
+    )
+    both = src().unionByName(late_copy)
+    deduped = both.withWatermark("ts", "2 days").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    name = "stream_dedup_ww"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("event_id").alias("n_ids"),
+            F.sum(_dec("value", 6)).cast("double").alias("sum_value"),
+        )
+    )
+
+
+ORACLE_Q206 = """
+SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT event_id) AS n_ids,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -8788,6 +9008,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q200_window_suite": q200_window_suite,
     "q201_pandas_grouped_agg": q201_pandas_grouped_agg,
     "q202_bpe_encode": q202_bpe_encode,
+    "q203_approx_percentile_bound": q203_approx_percentile_bound,
+    "q204_not_in_null_semantics": q204_not_in_null_semantics,
+    "q205_stream_restart_recovery": q205_stream_restart_recovery,
+    "q206_dedup_within_watermark": q206_dedup_within_watermark,
 }
 
 ORACLES: dict[str, str] = {
@@ -8991,6 +9215,10 @@ ORACLES: dict[str, str] = {
     "q200_window_suite": ORACLE_Q200,
     "q201_pandas_grouped_agg": ORACLE_Q201,
     "q202_bpe_encode": _oracle_q202(),
+    "q203_approx_percentile_bound": ORACLE_Q203,
+    "q204_not_in_null_semantics": ORACLE_Q204,
+    "q205_stream_restart_recovery": ORACLE_Q205,
+    "q206_dedup_within_watermark": ORACLE_Q206,
 }
 
 
