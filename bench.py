@@ -226,6 +226,8 @@ BENCH_QUERIES = [
     "q204_not_in_null_semantics",
     "q205_stream_restart_recovery",
     "q206_dedup_within_watermark",
+    "q207_scalar_pandas_udf",
+    "q208_parameterized_sql",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

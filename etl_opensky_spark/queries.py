@@ -8806,6 +8806,75 @@ FROM events GROUP BY event_type
 """
 
 
+def q207_scalar_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar (Series→Series) pandas UDF — the last §2.13 Arrow-surface
+    member (scalar here; grouped-agg q201, grouped-map in
+    operators/grouped.py, mapInPandas in multimodal/ivf, UDTF q178):
+    vectorized string stats over the Arrow batch, integer-exact so the
+    SQL replay matches bit-for-bit.  Deliberately NOT the hot path —
+    the engine's own text stats are Column expressions (functions/
+    text.py); the gate pins the scalar-UDF machinery: batching, null
+    passthrough, multiple UDFs in one projection."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit SCALAR eval type: PEP-563 string annotations in this
+    # module break type-hint inference (same note as q201)
+    @pandas_udf("int", PandasUDFType.SCALAR)
+    def n_words(v):
+        return (v.str.count(" ") + 1).astype("int32")
+
+    @pandas_udf("int", PandasUDFType.SCALAR)
+    def n_a(v):
+        return v.str.count("a").astype("int32")
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        n_words(F.col("text")).alias("n_words"),
+        n_a(F.col("text")).alias("n_a"),
+    )
+
+
+ORACLE_Q207 = """
+SELECT doc_id,
+  CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS INTEGER)
+    AS n_words,
+  CAST(LENGTH(text) - LENGTH(REPLACE(text, 'a', '')) AS INTEGER) AS n_a
+FROM documents
+"""
+
+
+def q208_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL (Spark 3.4+ ``spark.sql(..., args=...)``) —
+    the injection-safe surface for templated dashboards/jobs, replacing
+    string interpolation (the reference interpolates dates into SQL,
+    load_dim_dates.py:22-23).  Parameters bind as typed literals in
+    the plan, so constant folding and pushdown still fire; the oracle
+    is the same query with the literals inlined."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS total_price
+        FROM orders
+        WHERE o_totalprice > :cut AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"cut": 150000.0, "status": "O"},
+    )
+
+
+ORACLE_Q208 = """
+SELECT o_orderpriority, COUNT(*) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+WHERE o_totalprice > 150000.0 AND o_orderstatus = 'O'
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -9012,6 +9081,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q204_not_in_null_semantics": q204_not_in_null_semantics,
     "q205_stream_restart_recovery": q205_stream_restart_recovery,
     "q206_dedup_within_watermark": q206_dedup_within_watermark,
+    "q207_scalar_pandas_udf": q207_scalar_pandas_udf,
+    "q208_parameterized_sql": q208_parameterized_sql,
 }
 
 ORACLES: dict[str, str] = {
@@ -9219,6 +9290,8 @@ ORACLES: dict[str, str] = {
     "q204_not_in_null_semantics": ORACLE_Q204,
     "q205_stream_restart_recovery": ORACLE_Q205,
     "q206_dedup_within_watermark": ORACLE_Q206,
+    "q207_scalar_pandas_udf": ORACLE_Q207,
+    "q208_parameterized_sql": ORACLE_Q208,
 }
 
 
