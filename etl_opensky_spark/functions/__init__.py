@@ -47,3 +47,13 @@ from etl_opensky_spark.functions.graph import label_spread  # noqa: F401
 from etl_opensky_spark.functions.cardinality import hll_registers_by  # noqa: F401
 from etl_opensky_spark.functions.linalg import correlation_matrix  # noqa: F401
 from etl_opensky_spark.functions.evaluation import exact_auc, ndcg_at_k  # noqa: F401
+from etl_opensky_spark.functions.itemsets import frequent_pairs  # noqa: F401
+from etl_opensky_spark.functions.heavyhitters import (  # noqa: F401
+    countmin_join_estimate,
+)
+from etl_opensky_spark.functions.text import (  # noqa: F401
+    remove_boilerplate_chunks,
+)
+from etl_opensky_spark.functions.wordpiece import (  # noqa: F401
+    bpe_apply_merges,
+)

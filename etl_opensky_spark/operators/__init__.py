@@ -61,3 +61,8 @@ from etl_opensky_spark.operators.layout import (  # noqa: F401
 from etl_opensky_spark.operators.reshape import ewma_pow2  # noqa: F401
 from etl_opensky_spark.operators.aggregates import apply_agg_delta  # noqa: F401
 from etl_opensky_spark.operators.joins import partial_salted_join  # noqa: F401
+from etl_opensky_spark.operators.geo import grid_nearest_neighbor  # noqa: F401
+from etl_opensky_spark.operators.intervals import (  # noqa: F401
+    interval_concurrency,
+)
+from etl_opensky_spark.operators.quality import pseudonymize  # noqa: F401

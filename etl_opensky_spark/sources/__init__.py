@@ -10,3 +10,8 @@ from etl_opensky_spark.sources.sinks import (  # noqa: F401
     write_table,
 )
 from etl_opensky_spark.sources.rest import RestSource  # noqa: F401
+from etl_opensky_spark.sources.files import read_xml, write_xml  # noqa: F401
+from etl_opensky_spark.sources.sinks import (  # noqa: F401
+    write_hash_shards,
+    write_parquet_observed,
+)
