@@ -739,14 +739,11 @@ def embedding_dup_pairs(
     if hyperplanes is None:
         if not exact:
             return embedding_dup_pairs_multi(df, id_col, vec_col, threshold)
-        n = df.count()
-        if n > max_exact_rows:
-            raise ValueError(
-                f"embedding_dup_pairs(exact=True) on {n} rows would collect "
-                f"an O(n*dim) matrix onto the driver (limit {max_exact_rows}); "
-                "use the LSH mode (default, or pass hyperplanes=) at scale"
-            )
-        return _exact_pairs_matmul(df, id_col, vec_col, threshold)
+        # the row-count guard is fused into the matrix collect (limit
+        # max+1): one job instead of a count job followed by a collect
+        return _exact_pairs_matmul(
+            df, id_col, vec_col, threshold, max_exact_rows
+        )
 
     # probe the (fixed) dimension once: the pair-verify dot product is the
     # hot loop, and the unrolled codegen form needs dim at plan time
@@ -790,7 +787,11 @@ def embedding_dup_pairs(
 
 
 def _exact_pairs_matmul(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    max_exact_rows: int = MAX_EXACT_ROWS,
 ) -> DataFrame:
     """Exact all-pairs cosine >= threshold via distributed blocked matmul.
 
@@ -808,7 +809,13 @@ def _exact_pairs_matmul(
 
     spark = df.sparkSession
     side = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-    rows = side.collect()
+    rows = side.limit(max_exact_rows + 1).collect()
+    if len(rows) > max_exact_rows:
+        raise ValueError(
+            f"embedding_dup_pairs(exact=True) on > {max_exact_rows} rows "
+            f"would collect an O(n*dim) matrix onto the driver; "
+            "use the LSH mode (default, or pass hyperplanes=) at scale"
+        )
     if not rows:
         return spark.createDataFrame(
             [], f"id_a {dict(df.dtypes)[id_col]}, id_b {dict(df.dtypes)[id_col]}"
@@ -842,9 +849,14 @@ def _exact_pairs_matmul(
             keep = a_ids < b_ids
             yield pd.DataFrame({"id_a": a_ids[keep], "id_b": b_ids[keep]})
 
-    return side.repartition(
-        spark.sparkContext.defaultParallelism
-    ).mapInPandas(gen, f"id_a {id_type}, id_b {id_type}")
+    # size the row blocks: ≥64 rows of work per task, capped at the core
+    # count — a blanket repartition(cores) schedules 32 near-empty tasks
+    # for a 1k-row gate input (pure overhead) and still under-splits a
+    # 100k-row one
+    n_parts = max(1, min(spark.sparkContext.defaultParallelism, len(rows) // 64))
+    return side.repartition(n_parts).mapInPandas(
+        gen, f"id_a {id_type}, id_b {id_type}"
+    )
 
 
 def embedding_dup_pairs_multi(
@@ -898,16 +910,19 @@ def dedup_embedding(
     """
     verified = embedding_dup_pairs(
         df, id_col, vec_col, threshold, hyperplanes, exact=exact
-    ).persist()
+    )
     if transitive:
+        # two consumers (count + components) — persist pays for itself
+        verified = verified.persist()
         n_pairs = verified.count()
         losers = _transitive_losers(df, verified, id_col, n_pairs)
-    else:
-        losers = verified.select(F.col("id_b").alias(id_col)).distinct()
-    # loser list scales with the duplicate count — strategy stays with AQE
-    out = df.join(losers, on=id_col, how="left_anti")
-    verified.unpersist()
-    return out
+        out = df.join(losers, on=id_col, how="left_anti")
+        verified.unpersist()
+        return out
+    # greedy mode: ONE consumer — persisting would only add a
+    # materialization pass (measured on the q42 gate)
+    losers = verified.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
 
 
 def hamming64(a: Column, b: Column) -> Column:
