@@ -228,6 +228,9 @@ BENCH_QUERIES = [
     "q206_dedup_within_watermark",
     "q207_scalar_pandas_udf",
     "q208_parameterized_sql",
+    "q209_bottomk_sample",
+    "q210_filtered_aggregates",
+    "q211_bag_set_ops",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

@@ -407,3 +407,24 @@ def negative_samples(
     return cands.join(valid_ids, "neg_id", "left_semi").select(
         id_col, "slot", "neg_id"
     )
+
+
+def bottom_k_sample(df: DataFrame, key_col: str, k: int) -> DataFrame:
+    """Bottom-k consistent sample: the ``k`` rows whose md5(key) hashes
+    smallest — a deterministic uniform sample (the hash is the "random"
+    tag, reproducible across runs/engines/partitionings) with the
+    bottom-k sketch's MERGEABLE property: bottom-k(A ∪ B) =
+    bottom-k(bottom-k(A) ∪ bottom-k(B)), so per-shard or per-day
+    samples compose without resampling, and the k-th smallest hash is
+    a distinct-count estimator (Bar-Yossef et al. 2002).
+
+    Plans as TakeOrdered — each partition keeps its local k, the driver
+    merges — never a global sort; ties (duplicate keys) break on the
+    key itself."""
+    hk = F.md5(F.col(key_col).cast("string"))
+    return (
+        df.withColumn("_hk", hk)
+        .orderBy("_hk", key_col)
+        .limit(k)
+        .drop("_hk")
+    )

@@ -8875,6 +8875,95 @@ GROUP BY o_orderpriority
 """
 
 
+def q209_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k consistent sample (``functions.sampling.
+    bottom_k_sample``): the k rows with the smallest md5(key) — a
+    deterministic, partitioning-invariant uniform sample with the
+    MERGEABLE property plain ``rand()`` sampling lacks: bottom-k of a
+    union is the bottom-k of the merged bottom-k's, so per-partition /
+    per-day samples compose without resampling (and the k-th hash
+    doubles as a distinct-count estimator).  Plans as TakeOrdered
+    (per-partition partial top-k), never a global sort."""
+    from etl_opensky_spark.functions.sampling import bottom_k_sample
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type")
+    return bottom_k_sample(ev, "event_id", k=100)
+
+
+ORACLE_Q209 = """
+SELECT event_id, event_type FROM events
+ORDER BY md5(CAST(event_id AS VARCHAR)), event_id LIMIT 100
+"""
+
+
+SQL_Q210 = """
+SELECT o_orderpriority,
+  COUNT(*) AS n,
+  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+    FILTER (WHERE o_totalprice > 100000) AS DOUBLE) AS big_price,
+  COUNT(DISTINCT o_custkey) FILTER (WHERE o_orderstatus = 'O')
+    AS open_custs
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q210_filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL ``FILTER (WHERE ...)`` aggregate-modifier parity,
+    byte-identical text both engines — the standard (SQL:2003) spelling
+    of conditional aggregation that replaces the when/otherwise-inside-
+    sum idiom; all four shapes in ONE scan (plain, filtered count,
+    filtered decimal sum, filtered distinct count)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(SQL_Q210)
+
+
+ORACLE_Q210 = SQL_Q210
+
+
+def q211_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL — BAG semantics (multiplicity
+    min(mA,mB) and mA−mB), the multiset complement to q152's distinct
+    set operators.  Value sums over the bags (not just counts) pin the
+    multiplicity arithmetic; Spark plans both as hash aggregates over
+    (row, count) — no sort, no explosion."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_shipdate") < "1996-01-01").select("l_suppkey")
+    b = li.filter(F.col("l_returnflag") == "R").select("l_suppkey")
+    inter = a.intersectAll(b)
+    diff = a.exceptAll(b)
+    return (
+        inter.agg(
+            F.count("*").alias("n_intersect_all"),
+            F.sum("l_suppkey").alias("sum_intersect"),
+        )
+        .crossJoin(
+            diff.agg(
+                F.count("*").alias("n_except_all"),
+                F.sum("l_suppkey").alias("sum_except"),
+            )
+        )
+    )
+
+
+ORACLE_Q211 = """
+WITH a AS (
+  SELECT l_suppkey FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'
+), b AS (
+  SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+), i AS (
+  SELECT l_suppkey FROM a INTERSECT ALL SELECT l_suppkey FROM b
+), e AS (
+  SELECT l_suppkey FROM a EXCEPT ALL SELECT l_suppkey FROM b
+)
+SELECT
+  (SELECT COUNT(*) FROM i) AS n_intersect_all,
+  (SELECT CAST(SUM(l_suppkey) AS BIGINT) FROM i) AS sum_intersect,
+  (SELECT COUNT(*) FROM e) AS n_except_all,
+  (SELECT CAST(SUM(l_suppkey) AS BIGINT) FROM e) AS sum_except
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -9083,6 +9172,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q206_dedup_within_watermark": q206_dedup_within_watermark,
     "q207_scalar_pandas_udf": q207_scalar_pandas_udf,
     "q208_parameterized_sql": q208_parameterized_sql,
+    "q209_bottomk_sample": q209_bottomk_sample,
+    "q210_filtered_aggregates": q210_filtered_aggregates,
+    "q211_bag_set_ops": q211_bag_set_ops,
 }
 
 ORACLES: dict[str, str] = {
@@ -9292,6 +9384,9 @@ ORACLES: dict[str, str] = {
     "q206_dedup_within_watermark": ORACLE_Q206,
     "q207_scalar_pandas_udf": ORACLE_Q207,
     "q208_parameterized_sql": ORACLE_Q208,
+    "q209_bottomk_sample": ORACLE_Q209,
+    "q210_filtered_aggregates": ORACLE_Q210,
+    "q211_bag_set_ops": ORACLE_Q211,
 }
 
 

@@ -69,3 +69,36 @@ def test_try_arithmetic_null_channels(spark):
     )
     [r] = df.collect()
     assert (r["d"], r["c"], r["o"]) == (None, None, None)
+
+
+def test_bottom_k_sample_is_mergeable_and_deterministic(spark):
+    from etl_opensky_spark.functions.sampling import bottom_k_sample
+
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(500)], ["id", "v"])
+    s1 = sorted(r["id"] for r in bottom_k_sample(df, "id", 20).collect())
+    s2 = sorted(
+        r["id"]
+        for r in bottom_k_sample(df.repartition(7), "id", 20).collect()
+    )
+    assert s1 == s2  # partitioning-invariant
+
+    # mergeability: bottom-k of union == bottom-k of merged bottom-k's
+    a = df.filter(F.col("id") < 250)
+    b = df.filter(F.col("id") >= 250)
+    merged = bottom_k_sample(
+        bottom_k_sample(a, "id", 20).unionByName(
+            bottom_k_sample(b, "id", 20)
+        ),
+        "id",
+        20,
+    )
+    assert sorted(r["id"] for r in merged.collect()) == s1
+
+
+def test_bottom_k_sample_plans_as_take_ordered(spark):
+    from etl_opensky_spark.functions.sampling import bottom_k_sample
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], ["id"]).repartition(8)
+    out = bottom_k_sample(df, "id", 10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrdered" in plan  # partial per-partition top-k, no global sort
