@@ -231,6 +231,9 @@ BENCH_QUERIES = [
     "q209_bottomk_sample",
     "q210_filtered_aggregates",
     "q211_bag_set_ops",
+    "q212_sql_unpivot",
+    "q213_group_by_all",
+    "q214_dedup_keep_best",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

@@ -8964,6 +8964,99 @@ SELECT
 """
 
 
+def q212_sql_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL ``UNPIVOT`` surface (Spark 3.4+ native syntax) — the SQL
+    spelling of the R1 melt operator (q08 gates ``DataFrame.melt``;
+    the reference's airline-codes unpivot is
+    load_dim_aircrafts.py:218-223).  Engines differ in UNPIVOT syntax
+    (DuckDB's ``UNPIVOT ... INTO NAME/VALUE``), so the oracle is the
+    portable UNION ALL expansion rather than same-text; NULL values are
+    dropped by UNPIVOT in both spellings — pinned by the gate."""
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part_up")
+    return spark.sql(
+        """
+        SELECT p_partkey, attr, val FROM part_up
+        UNPIVOT (val FOR attr IN (p_brand, p_type, p_name))
+        """
+    )
+
+
+ORACLE_Q212 = """
+SELECT p_partkey, attr, val FROM (
+  SELECT p_partkey, 'p_brand' AS attr, p_brand AS val FROM part
+  UNION ALL
+  SELECT p_partkey, 'p_type', p_type FROM part
+  UNION ALL
+  SELECT p_partkey, 'p_name', p_name FROM part
+) WHERE val IS NOT NULL
+"""
+
+
+SQL_Q213 = """
+SELECT o_orderstatus, o_orderpriority,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY ALL
+"""
+
+
+def q213_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` parity, byte-identical SQL — both engines infer
+    the grouping keys from the non-aggregate select items; pins that
+    the inference picks the SAME keys (a silent-wrong-answer hazard if
+    an engine mis-classifies an expression as aggregate vs grouping)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(SQL_Q213)
+
+
+ORACLE_Q213 = SQL_Q213
+
+
+def q214_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship-by-quality dedup: within each duplicate cluster
+    (md5 of the first-8-word prefix — the blocking fingerprint that
+    actually clusters this corpus's tail-perturbed near-dups: 500 docs
+    → 476 clusters at sf0.01), keep the HIGHEST-quality row (longest
+    text, ties → smallest doc_id) instead of q171's earliest-wins —
+    the curation policy real pipelines want (the dup copy with the
+    least truncation survives).  One max_by aggregate per fingerprint
+    (map-side combinable, struct-ordered tie-break); no window, no
+    self-join."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 8), " ")
+    )
+    best = (
+        docs.select(
+            fp.alias("_fp"),
+            F.struct(
+                F.length("text").alias("q"),
+                (-F.col("doc_id")).alias("negid"),
+                F.col("doc_id").alias("doc_id"),
+            ).alias("_cand"),
+        )
+        .groupBy("_fp")
+        .agg(F.max("_cand").alias("_w"))
+        .select(F.col("_w.doc_id").alias("doc_id"))
+    )
+    kept = docs.join(best, "doc_id", "left_semi")
+    return kept.select("doc_id", "lang", F.length("text").alias("n_chars"))
+
+
+ORACLE_Q214 = """
+WITH ranked AS (
+  SELECT doc_id, lang, LENGTH(text) AS n_chars,
+    row_number() OVER (
+      PARTITION BY md5(array_to_string(string_split(text, ' ')[1:8], ' '))
+      ORDER BY LENGTH(text) DESC, doc_id ASC
+    ) AS rn
+  FROM documents
+)
+SELECT doc_id, lang, n_chars FROM ranked WHERE rn = 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -9175,6 +9268,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q209_bottomk_sample": q209_bottomk_sample,
     "q210_filtered_aggregates": q210_filtered_aggregates,
     "q211_bag_set_ops": q211_bag_set_ops,
+    "q212_sql_unpivot": q212_sql_unpivot,
+    "q213_group_by_all": q213_group_by_all,
+    "q214_dedup_keep_best": q214_dedup_keep_best,
 }
 
 ORACLES: dict[str, str] = {
@@ -9387,6 +9483,9 @@ ORACLES: dict[str, str] = {
     "q209_bottomk_sample": ORACLE_Q209,
     "q210_filtered_aggregates": ORACLE_Q210,
     "q211_bag_set_ops": ORACLE_Q211,
+    "q212_sql_unpivot": ORACLE_Q212,
+    "q213_group_by_all": ORACLE_Q213,
+    "q214_dedup_keep_best": ORACLE_Q214,
 }
 
 
