@@ -234,6 +234,7 @@ BENCH_QUERIES = [
     "q212_sql_unpivot",
     "q213_group_by_all",
     "q214_dedup_keep_best",
+    "q215_incremental_dedup",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

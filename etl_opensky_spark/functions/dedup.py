@@ -1282,3 +1282,163 @@ def prefix_jaccard_pairs(
         .select("id_a", "id_b", "n_common", "size_a", "size_b")
     )
     return out
+
+
+def _md5_int(col: Column) -> Column:
+    """60-bit integer from md5 — the engine-portable hash row (DuckDB
+    replay: CAST(CONCAT('0x', substr(md5(x),1,15)) AS BIGINT))."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def md5_minhash_bands(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH band table ``(id, band, bh)`` from an md5-based MinHash —
+    unlike the xxhash64 signatures of ``minhash_signature`` (faster,
+    JVM-only), every hash here is SQL-replayable in any engine, which
+    is what lets the INCREMENTAL dedup gate (q215) verify the whole
+    index→probe→verify pipeline against an oracle.
+
+    Docs with fewer than ``shingle_n`` tokens produce no bands (and so
+    can never be dup candidates) — pinned behavior."""
+    from etl_opensky_spark.functions.text import word_shingles
+
+    rows = num_hashes // num_bands
+    assert rows * num_bands == num_hashes
+    sh = word_shingles(F.col(text_col), shingle_n)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                sh,
+                lambda s: _md5_int(
+                    F.concat_ws(":", i.cast("string"), s)
+                ),
+            )
+        ),
+    )
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(num_bands - 1)),
+        lambda b: _md5_int(
+            F.concat_ws(
+                ":",
+                b.cast("string"),
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(F.col("_sig"), b * rows + 1, rows),
+                        lambda x: x.cast("string"),
+                    ),
+                ),
+            )
+        ),
+    )
+    return (
+        df.filter(F.size(sh) > 0)
+        .select(F.col(id_col), sig.alias("_sig"))
+        .select(F.col(id_col), F.posexplode(bands).alias("band", "bh"))
+    )
+
+
+def build_dedup_index(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    **band_params,
+) -> None:
+    """Persist the corpus's LSH band index — built ONCE, reused by
+    every incoming batch (``dedup_batch_against_index``).  At 100 TB
+    this is the difference between re-scanning the corpus per daily
+    batch and touching only index rows + candidate documents."""
+    md5_minhash_bands(corpus, id_col, text_col, **band_params).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def dedup_batch_against_index(
+    spark,
+    batch: DataFrame,
+    corpus: DataFrame,
+    index_path: str,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    t_num: int = 1,
+    t_den: int = 2,
+    **band_params,
+) -> DataFrame:
+    """Incremental dedup: drop batch docs that near-duplicate (Jaccard
+    ≥ t_num/t_den on word shingles) ANY corpus doc, using the
+    PERSISTED corpus band index — the daily-ingest dedup shape.
+
+    Cost model: batch-side banding is O(batch); the probe is an
+    equi-join on (band, hash) against the index; exact verification
+    touches only CANDIDATE corpus docs (semi-join pruned) — the corpus
+    is never rescanned.  The Jaccard test is pure integer arithmetic
+    (``(t_den+t_num)·i ≥ t_num·(sa+sb)``), so the decision is bit-exact
+    in any engine; candidate recall is the LSH banding's, by
+    construction (the q215 oracle replays the same bands, so the gate
+    is exact end-to-end)."""
+    from etl_opensky_spark.functions.text import word_shingles
+
+    idx = spark.read.parquet(index_path)
+    probes = md5_minhash_bands(
+        batch, id_col, text_col, shingle_n=shingle_n, **band_params
+    )
+    cand = (
+        probes.select(F.col(id_col).alias("_bid"), "band", "bh")
+        .join(
+            idx.select(F.col(id_col).alias("_cid"), "band", "bh"),
+            ["band", "bh"],
+        )
+        .select("_bid", "_cid")
+        .distinct()
+        # feeds three joins below (batch grams, corpus-gram semi-prune,
+        # pair verify) — q112 exchange-reuse lesson
+        .persist()
+    )
+
+    def grams(df: DataFrame, alias: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(alias),
+            F.explode(
+                F.array_distinct(word_shingles(F.col(text_col), shingle_n))
+            ).alias("_g"),
+        )
+
+    bg = grams(batch, "_bid")
+    cg = grams(
+        corpus.join(
+            cand.select(F.col("_cid").alias(id_col)).distinct(),
+            id_col,
+            "left_semi",
+        ),
+        "_cid",
+    )
+    bsz = bg.groupBy("_bid").agg(F.count("*").alias("_sa"))
+    csz = cg.groupBy("_cid").agg(F.count("*").alias("_sb"))
+    inter = (
+        cand.join(bg, "_bid")
+        .join(cg, ["_cid", "_g"])
+        .groupBy("_bid", "_cid")
+        .agg(F.count("*").alias("_i"))
+    )
+    dups = (
+        inter.join(bsz, "_bid")
+        .join(csz, "_cid")
+        .filter(
+            (t_den + t_num) * F.col("_i")
+            >= t_num * (F.col("_sa") + F.col("_sb"))
+        )
+        .select(F.col("_bid").alias(id_col))
+        .distinct()
+    )
+    out = batch.join(dups, id_col, "left_anti")
+    cand.unpersist()
+    return out

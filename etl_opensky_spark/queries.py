@@ -9057,6 +9057,79 @@ SELECT doc_id, lang, n_chars FROM ranked WHERE rn = 1
 """
 
 
+def q215_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup against a persisted corpus index — the
+    daily-ingest shape none of q63/q83 cover: the corpus's LSH band
+    index is built ONCE (``dedup.build_dedup_index`` → parquet), and
+    each incoming batch (10% of docs by ``doc_id % 10 = 7``) is
+    banded, probed against the index, and exact-verified ONLY against
+    candidate corpus docs (semi-join pruned) — the corpus is never
+    rescanned per batch.  All hashing is md5 (SQL-replayable), and the
+    Jaccard ≥ 1/2 verify is pure integer arithmetic (3·i ≥ sa+sb), so
+    the oracle replays the ENTIRE index→probe→verify pipeline
+    bit-exactly — candidate recall included."""
+    from etl_opensky_spark.functions.dedup import (
+        build_dedup_index,
+        dedup_batch_against_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 7)
+    batch = docs.filter(F.col("doc_id") % 10 == 7)
+    index_path = _gate_tmp("q215_index", sf_dir)
+    build_dedup_index(corpus, "doc_id", "text", index_path)
+    kept = dedup_batch_against_index(
+        spark, batch, corpus, index_path, "doc_id", "text"
+    )
+    return kept.select("doc_id", "lang", "n_chars")
+
+
+ORACLE_Q215 = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, unnest(
+    CASE WHEN len(ts) < 3 THEN []::VARCHAR[]
+         ELSE list_transform(range(1, len(ts) - 1),
+                             i -> array_to_string(ts[i:i+2], ' ')) END) AS g
+  FROM toks
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id
+), mh AS (
+  SELECT doc_id, h,
+    MIN(CAST(CONCAT('0x', substr(md5(CONCAT_WS(':', CAST(h AS VARCHAR), g)),
+      1, 15)) AS BIGINT)) AS v
+  FROM grams CROSS JOIN (SELECT unnest(range(16)) AS h)
+  GROUP BY doc_id, h
+), bands AS (
+  SELECT doc_id, CAST(h // 4 AS INTEGER) AS band,
+    CAST(CONCAT('0x', substr(md5(CONCAT_WS(':', CAST(h // 4 AS VARCHAR),
+      string_agg(CAST(v AS VARCHAR), ',' ORDER BY h))), 1, 15)) AS BIGINT)
+      AS bh
+  FROM mh GROUP BY doc_id, h // 4
+), cand AS (
+  SELECT DISTINCT b.doc_id AS bid, c.doc_id AS cid
+  FROM bands b JOIN bands c ON b.band = c.band AND b.bh = c.bh
+  WHERE b.doc_id % 10 = 7 AND c.doc_id % 10 <> 7
+), inter AS (
+  SELECT cand.bid, cand.cid, COUNT(*) AS i
+  FROM cand
+  JOIN grams ga ON ga.doc_id = cand.bid
+  JOIN grams gb ON gb.doc_id = cand.cid AND gb.g = ga.g
+  GROUP BY cand.bid, cand.cid
+), dups AS (
+  SELECT DISTINCT inter.bid
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = inter.bid
+  JOIN sizes sb ON sb.doc_id = inter.cid
+  WHERE 3 * inter.i >= sa.sz + sb.sz
+)
+SELECT doc_id, lang, n_chars FROM documents
+WHERE doc_id % 10 = 7 AND doc_id NOT IN (SELECT bid FROM dups)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -9271,6 +9344,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q212_sql_unpivot": q212_sql_unpivot,
     "q213_group_by_all": q213_group_by_all,
     "q214_dedup_keep_best": q214_dedup_keep_best,
+    "q215_incremental_dedup": q215_incremental_dedup,
 }
 
 ORACLES: dict[str, str] = {
@@ -9486,6 +9560,7 @@ ORACLES: dict[str, str] = {
     "q212_sql_unpivot": ORACLE_Q212,
     "q213_group_by_all": ORACLE_Q213,
     "q214_dedup_keep_best": ORACLE_Q214,
+    "q215_incremental_dedup": ORACLE_Q215,
 }
 
 

@@ -184,3 +184,62 @@ def test_boilerplate_removal_preserves_chunk_order(spark):
         docs, "doc_id", "text", chunk_words=4, min_doc_freq=2
     ).collect()
     assert r["clean_text"] == text and r["n_chunks"] == 5
+
+
+# ------------------------------------------- incremental dedup (q215)
+
+
+def test_incremental_dedup_drops_near_dups_keeps_novel(spark, tmp_path):
+    from etl_opensky_spark.functions.dedup import (
+        build_dedup_index,
+        dedup_batch_against_index,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely different corpus text about spark plans"),
+         (3, "short")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            (100, base + " tail"),          # near-dup of doc 1
+            (101, "novel content that matches nothing in the corpus at all"),
+            (102, "xy"),                    # < shingle_n tokens: no bands
+        ],
+        ["doc_id", "text"],
+    )
+    idx = str(tmp_path / "idx")
+    build_dedup_index(corpus, "doc_id", "text", idx)
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_batch_against_index(
+            spark, batch, corpus, idx, "doc_id", "text"
+        ).collect()
+    )
+    assert kept == [101, 102]
+
+
+def test_incremental_dedup_index_reused_across_batches(spark, tmp_path):
+    """Two different batches probe the SAME persisted index — the
+    index is built once (the incremental contract)."""
+    from etl_opensky_spark.functions.dedup import (
+        build_dedup_index,
+        dedup_batch_against_index,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    idx = str(tmp_path / "idx")
+    build_dedup_index(corpus, "doc_id", "text", idx)
+    b1 = spark.createDataFrame([(10, text)], ["doc_id", "text"])
+    b2 = spark.createDataFrame(
+        [(20, "unrelated words only here nothing shared with the corpus")],
+        ["doc_id", "text"],
+    )
+    assert dedup_batch_against_index(
+        spark, b1, corpus, idx, "doc_id", "text"
+    ).count() == 0
+    assert dedup_batch_against_index(
+        spark, b2, corpus, idx, "doc_id", "text"
+    ).count() == 1
