@@ -235,6 +235,10 @@ BENCH_QUERIES = [
     "q213_group_by_all",
     "q214_dedup_keep_best",
     "q215_incremental_dedup",
+    "q216_expectations_spec",
+    "q217_late_dimension_drain",
+    "q218_linear_attribution",
+    "q219_business_days",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

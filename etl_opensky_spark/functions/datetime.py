@@ -40,3 +40,39 @@ def calendar_attrs(date_col: Column) -> dict[str, Column]:
         "week_of_year": F.weekofyear(date_col).cast("byte"),
         "day_of_week": F.dayofweek(date_col).cast("byte"),
     }
+
+
+def business_days_between(start: Column, end: Column) -> Column:
+    """Weekdays (Mon–Fri) in the half-open date range ``(start, end]``,
+    CLOSED FORM — no per-row date explosion, pure integer arithmetic,
+    so it is exact and engine-portable.
+
+    Portability note (the reason this exists): engines disagree on
+    weekday numbering — Spark ``dayofweek`` is 1=Sunday, DuckDB
+    ``dayofweek`` is 0=Sunday, ISO ``weekday`` differs again.  This
+    formula never asks the engine for a weekday: it counts from the
+    epoch (1970-01-01 was a THURSDAY), with ``g(n)`` = weekdays among
+    epoch days [0, n) = ``5·(n div 7) + c[n mod 7]`` where
+    ``c = [0,1,2,2,2,3,4]`` (Thu,Fri,Sat,Sun,Mon,Tue,Wed prefix
+    counts).  Result = g(end_days+1) − g(start_days+1).
+    """
+    epoch = F.lit("1970-01-01").cast("date")
+
+    def g(days: Column) -> Column:
+        n = days + 1  # [0, n) covers through the given day
+        r = n % 7
+        c = (
+            F.when(r == 1, 1)
+            .when(r == 2, 2)
+            .when(r == 3, 2)
+            .when(r == 4, 2)
+            .when(r == 5, 3)
+            .when(r == 6, 4)
+            .otherwise(0)
+        )
+        return 5 * F.floor(n / 7).cast("long") + c
+
+    return (
+        g(F.datediff(F.to_date(end), epoch))
+        - g(F.datediff(F.to_date(start), epoch))
+    ).cast("long")

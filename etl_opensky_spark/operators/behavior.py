@@ -144,3 +144,60 @@ def last_touch_attribution(
         )
         .drop("_touch")
     )
+
+
+def linear_attribution(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    channel_col: str,
+    id_col: str,
+    conversion_value: str,
+) -> DataFrame:
+    """Multi-touch LINEAR attribution — every pre-conversion touch
+    shares the credit equally (vs ``last_touch_attribution``'s
+    winner-takes-all): for a user with n touches before their FIRST
+    conversion, each touch gets ``1_000_000 // n`` micro-credits and
+    the remainder goes to the EARLIEST touch — integer arithmetic, so
+    per-channel sums are exact in any engine.
+
+    Shape: one window per user for the conversion cut (bounded by the
+    user key), one count + rank window over the touch set, then a
+    map-side-combinable per-channel sum.  Touches tie-break on
+    (ts, id) — fully deterministic."""
+    w_user = Window.partitionBy(user_col)
+    conv = (
+        events.filter(F.col(channel_col) == conversion_value)
+        .groupBy(user_col)
+        .agg(
+            F.min(F.struct(F.col(ts_col), F.col(id_col))).alias("_conv")
+        )
+    )
+    touches = (
+        events.filter(F.col(channel_col) != conversion_value)
+        .join(conv, user_col)
+        .filter(
+            F.struct(F.col(ts_col), F.col(id_col)) < F.col("_conv")
+        )
+    )
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    credited = (
+        touches.withColumn("_pos", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(w_user))
+        .withColumn(
+            "credit_micros",
+            # JVM integer `div`, not `/`-then-cast: float division can
+            # land a hair above/below the integer and truncate
+            # differently than the oracle's `//` (both args positive,
+            # so div==floor-div — the graph.py div-semantics note)
+            F.expr("1000000 div _n").cast("long")
+            + F.when(
+                F.col("_pos") == 1, F.lit(1_000_000) % F.col("_n")
+            ).otherwise(0),
+        )
+    )
+    return credited.groupBy(F.col(channel_col).alias("channel")).agg(
+        F.count("*").alias("n_touches"),
+        F.count_distinct(F.col(user_col)).alias("n_users"),
+        F.sum("credit_micros").alias("credit_micros"),
+    )

@@ -213,3 +213,73 @@ def pseudonymize(
             c, F.when(F.col(c).isNotNull(), tok)
         )
     return out
+
+
+#: declarative expectation ops — the rules-as-data counterpart to the
+#: plans/spec.py DAG-as-data loader: expectations reviewed like config,
+#: compiled to Column predicates, validated at LOAD time
+_EXPECTATION_OPS = {
+    "not_null", "gt", "ge", "lt", "le", "in", "max_length", "between"
+}
+
+
+def load_expectations(spec: list) -> dict[str, Column]:
+    """Compile a list of expectation dicts into the ``rules`` mapping
+    ``validate_rules``/``constraint_audit`` consume.  Structural
+    problems (unknown op, missing keys, duplicate names) fail HERE —
+    before any data is read — mirroring ``plans.spec.load_pipeline``.
+
+    Supported ops: ``not_null``; ``gt/ge/lt/le value``; ``in values``;
+    ``max_length value``; ``between lo hi``.
+    """
+    rules: dict[str, Column] = {}
+    for ex in spec:
+        unknown = set(ex) - {"name", "column", "op", "value", "values", "lo", "hi"}
+        if unknown:
+            raise ValueError(f"expectation {ex.get('name')!r}: unknown keys {sorted(unknown)}")
+        name, col, op = ex.get("name"), ex.get("column"), ex.get("op")
+        if not name or not col or op not in _EXPECTATION_OPS:
+            raise ValueError(
+                f"expectation needs name/column and op in "
+                f"{sorted(_EXPECTATION_OPS)}: {ex!r}"
+            )
+        if name in rules:
+            raise ValueError(f"duplicate expectation name {name!r}")
+        c = F.col(col)
+        if op == "not_null":
+            rules[name] = c.isNotNull()
+        elif op == "gt":
+            rules[name] = c > ex["value"]
+        elif op == "ge":
+            rules[name] = c >= ex["value"]
+        elif op == "lt":
+            rules[name] = c < ex["value"]
+        elif op == "le":
+            rules[name] = c <= ex["value"]
+        elif op == "in":
+            rules[name] = c.isin(list(ex["values"]))
+        elif op == "max_length":
+            rules[name] = F.length(c) <= ex["value"]
+        elif op == "between":
+            rules[name] = c.between(ex["lo"], ex["hi"])
+    if not rules:
+        raise ValueError("empty expectation spec")
+    return rules
+
+
+def split_by_fk(
+    fact: DataFrame, dim: DataFrame, fact_key: str, dim_key: str
+) -> tuple[DataFrame, DataFrame]:
+    """Late-arriving-dimension split: ``(loadable, parked)`` — facts
+    whose FK resolves load now; the rest PARK for a later drain once
+    the dimension catches up (the operational fix for the reference's
+    hard assert at load_dim_aircrafts.py:251, which fails the whole
+    load on one orphan).  Both halves are key-partitioned semi/anti
+    joins — no row ever inspected twice."""
+    loadable = fact.join(
+        dim.select(F.col(dim_key).alias(fact_key)), fact_key, "left_semi"
+    )
+    parked = fact.join(
+        dim.select(F.col(dim_key).alias(fact_key)), fact_key, "left_anti"
+    )
+    return loadable, parked

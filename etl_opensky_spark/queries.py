@@ -9130,6 +9130,199 @@ WHERE doc_id % 10 = 7 AND doc_id NOT IN (SELECT bid FROM dups)
 """
 
 
+def q216_expectations_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectations-as-DATA (``quality.load_expectations``): the rule
+    suite arrives as a reviewed-like-config list of dicts (the
+    Great-Expectations/dbt-tests shape), is validated STRUCTURALLY at
+    load time (unknown op/keys, duplicates — before any data is read,
+    mirroring plans/spec.py), compiles to Column predicates, and runs
+    as ONE conditional-sum scan.  Output: per-rule violation counts +
+    the clean-row count."""
+    from etl_opensky_spark.operators.quality import (
+        load_expectations,
+        tag_rules,
+    )
+
+    spec = [
+        {"name": "positive_price", "column": "o_totalprice", "op": "gt",
+         "value": 0},
+        {"name": "known_status", "column": "o_orderstatus", "op": "in",
+         "values": ["O", "F", "P"]},
+        {"name": "price_cap", "column": "o_totalprice", "op": "lt",
+         "value": 400_000},
+        {"name": "priority_len", "column": "o_orderpriority",
+         "op": "max_length", "value": 15},
+        {"name": "key_range", "column": "o_orderkey", "op": "between",
+         "lo": 0, "hi": 1_000_000_000_000},
+    ]
+    rules = load_expectations(spec)
+    tagged = tag_rules(_t(spark, sf_dir, "orders"), rules)
+    aggs = [
+        F.sum(
+            F.array_contains("failed_rules", name).cast("long")
+        ).alias(name)
+        for name in rules
+    ] + [
+        F.sum((F.size("failed_rules") == 0).cast("long")).alias("_clean")
+    ]
+    wide = tagged.agg(*aggs)
+    names = list(rules) + ["_clean"]
+    stack = ", ".join(f"'{n}', `{n}`" for n in names)
+    return wide.selectExpr(
+        f"stack({len(names)}, {stack}) AS (rule, n)"
+    )
+
+
+ORACLE_Q216 = """
+SELECT 'positive_price' AS rule,
+  COUNT(*) FILTER (WHERE NOT COALESCE(o_totalprice > 0, FALSE)) AS n
+FROM orders
+UNION ALL SELECT 'known_status',
+  COUNT(*) FILTER (WHERE NOT COALESCE(o_orderstatus IN ('O','F','P'), FALSE))
+FROM orders
+UNION ALL SELECT 'price_cap',
+  COUNT(*) FILTER (WHERE NOT COALESCE(o_totalprice < 400000, FALSE))
+FROM orders
+UNION ALL SELECT 'priority_len',
+  COUNT(*) FILTER (WHERE NOT COALESCE(LENGTH(o_orderpriority) <= 15, FALSE))
+FROM orders
+UNION ALL SELECT 'key_range',
+  COUNT(*) FILTER (WHERE NOT COALESCE(o_orderkey BETWEEN 0 AND 1000000000000,
+                                      FALSE))
+FROM orders
+UNION ALL SELECT '_clean',
+  COUNT(*) FILTER (WHERE COALESCE(o_totalprice > 0, FALSE)
+    AND COALESCE(o_orderstatus IN ('O','F','P'), FALSE)
+    AND COALESCE(o_totalprice < 400000, FALSE)
+    AND COALESCE(LENGTH(o_orderpriority) <= 15, FALSE)
+    AND COALESCE(o_orderkey BETWEEN 0 AND 1000000000000, FALSE))
+FROM orders
+"""
+
+
+def q217_late_dimension_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arriving-dimension park & drain (``quality.split_by_fk``):
+    phase 1 loads facts against a PARTIAL dimension (75% of customers
+    arrived) and PARKS the orphans instead of failing the whole load
+    (the reference hard-asserts and dies, load_dim_aircrafts.py:251);
+    phase 2 drains the parking lot once the dimension catches up.  The
+    invariant the gate pins: park-then-drain ≡ a single load against
+    the complete dimension (the inner-join oracle)."""
+    from etl_opensky_spark.operators.quality import split_by_fk
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    dim_v1 = customer.filter(F.col("c_custkey") % 4 != 0)
+    load1, parked = split_by_fk(orders, dim_v1, "o_custkey", "c_custkey")
+    load2, _still = split_by_fk(parked, customer, "o_custkey", "c_custkey")
+    loaded = load1.unionByName(load2)
+    enriched = loaded.join(
+        customer, loaded.o_custkey == customer.c_custkey
+    )
+    return enriched.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+    )
+
+
+ORACLE_Q217 = """
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q218_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch LINEAR attribution (``behavior.linear_attribution``)
+    — every touch before the user's FIRST purchase shares the credit
+    equally, vs q145's last-touch winner-takes-all.  Credits are
+    integer micros with the remainder pinned to the earliest touch
+    (JVM ``div``, not float-divide-then-cast — the graph.py
+    div-semantics rule), so per-channel sums are exact in both
+    engines."""
+    from etl_opensky_spark.operators.behavior import linear_attribution
+
+    ev = _events(spark, sf_dir)
+    return linear_attribution(
+        ev, "user_id", "ts", "event_type", "event_id", "purchase"
+    )
+
+
+ORACLE_Q218 = """
+WITH conv AS (
+  SELECT user_id, ts AS cts, event_id AS cid FROM (
+    SELECT user_id, ts, event_id,
+      row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events WHERE event_type = 'purchase') WHERE rn = 1
+), touches AS (
+  SELECT e.user_id, e.event_type, e.ts, e.event_id
+  FROM events e JOIN conv c ON e.user_id = c.user_id
+  WHERE e.event_type <> 'purchase'
+    AND (e.ts < c.cts OR (e.ts = c.cts AND e.event_id < c.cid))
+), ranked AS (
+  SELECT user_id, event_type,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos,
+    COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM touches
+)
+SELECT event_type AS channel, COUNT(*) AS n_touches,
+  COUNT(DISTINCT user_id) AS n_users,
+  CAST(SUM(1000000 // n
+    + CASE WHEN pos = 1 THEN 1000000 % n ELSE 0 END) AS BIGINT)
+    AS credit_micros
+FROM ranked GROUP BY event_type
+"""
+
+
+def q219_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business-day arithmetic parity (``functions.datetime.
+    business_days_between``): weekdays between order and ship dates,
+    CLOSED FORM from epoch-day counts — the formula never asks either
+    engine for a weekday number, because engines disagree on weekday
+    numbering (Spark dayofweek 1=Sunday, DuckDB 0=Sunday, ISO differs
+    again): the classic silent-off-by-one-day trap, pinned here by
+    pure integer arithmetic both engines replay identically."""
+    from etl_opensky_spark.functions.datetime import business_days_between
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    bd = business_days_between(F.col("o_orderdate"), F.col("l_shipdate"))
+    return j.select("o_orderpriority", bd.alias("bd")).groupBy(
+        "o_orderpriority"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("bd").alias("total_bdays"),
+        F.min("bd").alias("min_bdays"),
+        F.max("bd").alias("max_bdays"),
+    )
+
+
+_Q219_G = (
+    "(5 * (({d} + 1) // 7) + CASE ({d} + 1) % 7 WHEN 1 THEN 1 WHEN 2 THEN 2 "
+    "WHEN 3 THEN 2 WHEN 4 THEN 2 WHEN 5 THEN 3 WHEN 6 THEN 4 ELSE 0 END)"
+)
+
+ORACLE_Q219 = f"""
+WITH j AS (
+  SELECT o_orderpriority,
+    (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS sd,
+    (CAST(l_shipdate AS DATE) - DATE '1970-01-01') AS ed
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), b AS (
+  SELECT o_orderpriority,
+    {_Q219_G.format(d="ed")} - {_Q219_G.format(d="sd")} AS bd
+  FROM j
+)
+SELECT o_orderpriority, COUNT(*) AS n,
+  CAST(SUM(bd) AS BIGINT) AS total_bdays,
+  CAST(MIN(bd) AS BIGINT) AS min_bdays,
+  CAST(MAX(bd) AS BIGINT) AS max_bdays
+FROM b GROUP BY o_orderpriority
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -9345,6 +9538,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q213_group_by_all": q213_group_by_all,
     "q214_dedup_keep_best": q214_dedup_keep_best,
     "q215_incremental_dedup": q215_incremental_dedup,
+    "q216_expectations_spec": q216_expectations_spec,
+    "q217_late_dimension_drain": q217_late_dimension_drain,
+    "q218_linear_attribution": q218_linear_attribution,
+    "q219_business_days": q219_business_days,
 }
 
 ORACLES: dict[str, str] = {
@@ -9561,6 +9758,10 @@ ORACLES: dict[str, str] = {
     "q213_group_by_all": ORACLE_Q213,
     "q214_dedup_keep_best": ORACLE_Q214,
     "q215_incremental_dedup": ORACLE_Q215,
+    "q216_expectations_spec": ORACLE_Q216,
+    "q217_late_dimension_drain": ORACLE_Q217,
+    "q218_linear_attribution": ORACLE_Q218,
+    "q219_business_days": ORACLE_Q219,
 }
 
 

@@ -1,0 +1,118 @@
+"""Batch-25: expectations-as-data, late-dim park/drain, linear
+attribution, business-day arithmetic."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_load_expectations_rejects_bad_specs(spark):
+    from etl_opensky_spark.operators.quality import load_expectations
+
+    with pytest.raises(ValueError, match="unknown keys"):
+        load_expectations([{"name": "x", "column": "c", "op": "gt",
+                            "value": 0, "typo": 1}])
+    with pytest.raises(ValueError, match="op in"):
+        load_expectations([{"name": "x", "column": "c", "op": "nope"}])
+    with pytest.raises(ValueError, match="duplicate"):
+        load_expectations([
+            {"name": "x", "column": "c", "op": "not_null"},
+            {"name": "x", "column": "d", "op": "not_null"},
+        ])
+    with pytest.raises(ValueError, match="empty"):
+        load_expectations([])
+
+
+def test_load_expectations_compiles_and_validates(spark):
+    from etl_opensky_spark.operators.quality import (
+        load_expectations,
+        validate_rules,
+    )
+
+    rules = load_expectations([
+        {"name": "pos", "column": "v", "op": "gt", "value": 0},
+        {"name": "short", "column": "s", "op": "max_length", "value": 3},
+    ])
+    df = spark.createDataFrame(
+        [(1, "ab"), (-1, "ab"), (2, "toolong"), (None, None)], ["v", "s"]
+    )
+    valid, quar = validate_rules(df, rules)
+    assert valid.count() == 1
+    failed = {
+        tuple(r["failed_rules"]) for r in quar.collect()
+    }
+    assert ("pos",) in failed and ("short",) in failed
+    assert ("pos", "short") in failed  # NULL row fails both
+
+
+def test_split_by_fk_partitions_the_fact(spark):
+    from etl_opensky_spark.operators.quality import split_by_fk
+
+    fact = spark.createDataFrame([(i, i % 5) for i in range(20)], ["id", "fk"])
+    dim = spark.createDataFrame([(0,), (1,), (2,)], ["pk"])
+    loadable, parked = split_by_fk(fact, dim, "fk", "pk")
+    assert loadable.count() + parked.count() == 20
+    assert parked.select("fk").distinct().count() == 2  # fks 3, 4
+
+
+def test_linear_attribution_exact_credits(spark):
+    from etl_opensky_spark.operators.behavior import linear_attribution
+
+    t = datetime.datetime
+    ev = spark.createDataFrame(
+        [
+            # user 1: three touches then purchase -> 333334/333333/333333
+            (1, t(2020, 1, 1), 1, "view"),
+            (1, t(2020, 1, 2), 2, "click"),
+            (1, t(2020, 1, 3), 3, "view"),
+            (1, t(2020, 1, 4), 4, "purchase"),
+            (1, t(2020, 1, 5), 5, "view"),       # post-conversion: ignored
+            # user 2: no purchase -> excluded entirely
+            (2, t(2020, 1, 1), 6, "click"),
+            # user 3: purchase with no prior touches -> nothing credited
+            (3, t(2020, 1, 1), 7, "purchase"),
+        ],
+        ["user_id", "ts", "event_id", "event_type"],
+    )
+    out = {
+        r["channel"]: (r["n_touches"], r["credit_micros"])
+        for r in linear_attribution(
+            ev, "user_id", "ts", "event_type", "event_id", "purchase"
+        ).collect()
+    }
+    assert out["view"] == (2, 333334 + 333333)  # earliest touch gets remainder
+    assert out["click"] == (1, 333333)
+    assert sum(c for _, c in out.values()) == 1_000_000
+
+
+def test_business_days_between_matches_python_model(spark):
+    from etl_opensky_spark.functions.datetime import business_days_between
+
+    d = datetime.date
+    cases = []
+    start = d(2019, 12, 25)
+    for i in range(40):
+        for j in range(0, 15, 3):
+            a = start + datetime.timedelta(days=i)
+            cases.append((a, a + datetime.timedelta(days=j)))
+    df = spark.createDataFrame(cases, ["a", "b"])
+    got = {
+        (r["a"], r["b"]): r["bd"]
+        for r in df.select(
+            "a", "b", business_days_between(F.col("a"), F.col("b")).alias("bd")
+        ).collect()
+    }
+
+    def model(a, b):
+        n, cur = 0, a
+        while cur < b:
+            cur += datetime.timedelta(days=1)
+            if cur.weekday() < 5:  # Mon-Fri
+                n += 1
+        return n
+
+    for (a, b), v in got.items():
+        assert v == model(a, b), (a, b, v, model(a, b))
