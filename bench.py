@@ -239,6 +239,9 @@ BENCH_QUERIES = [
     "q217_late_dimension_drain",
     "q218_linear_attribution",
     "q219_business_days",
+    "q220_federated_union",
+    "q221_rename_detection",
+    "q222_regex_suite",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

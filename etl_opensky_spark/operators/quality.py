@@ -283,3 +283,43 @@ def split_by_fk(
         dim.select(F.col(dim_key).alias(fact_key)), fact_key, "left_anti"
     )
     return loadable, parked
+
+
+def column_checksums(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Order-insensitive per-COLUMN content checksums: one row per
+    column, ``(col, checksum, n_nonnull)`` — DECIMAL(38) sums of
+    60-bit md5 row hashes (the q168 anti-entropy scheme, transposed to
+    columns).  ONE scan computes every column's checksum (conditional
+    aggregates, no shuffle beyond the final 1-row agg)."""
+    aggs = []
+    for c in cols:
+        h = F.conv(
+            F.substring(F.md5(F.col(c).cast("string")), 1, 15), 16, 10
+        ).cast("decimal(38,0)")
+        aggs.append(F.sum(h).alias(f"_cs_{c}"))
+        aggs.append(F.count(F.col(c)).alias(f"_n_{c}"))
+    wide = df.agg(*aggs)
+    stack = ", ".join(f"'{c}', `_cs_{c}`, `_n_{c}`" for c in cols)
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack}) AS (col, checksum, n_nonnull)"
+    )
+
+
+def detect_renames(
+    old_df: DataFrame, new_df: DataFrame, cols_old: Sequence[str],
+    cols_new: Sequence[str],
+) -> DataFrame:
+    """Schema-drift rename mapper: pair columns of two table versions
+    whose CONTENT checksums match but whose names differ — the
+    auto-mapping step when an upstream renames fields without notice
+    (the reference's JSON dims do exactly this kind of drift,
+    SURVEY §7.3-5).  Cost: one checksum scan per side (bounded
+    column-count outputs), then a tiny join — never a row-level
+    compare."""
+    a = column_checksums(old_df, cols_old).withColumnRenamed("col", "old_col")
+    b = column_checksums(new_df, cols_new).withColumnRenamed("col", "new_col")
+    return (
+        a.join(b, ["checksum", "n_nonnull"])
+        .filter(F.col("old_col") != F.col("new_col"))
+        .select("old_col", "new_col", "n_nonnull")
+    )

@@ -9323,6 +9323,127 @@ FROM b GROUP BY o_orderpriority
 """
 
 
+def q220_federated_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Federated multi-format union — the lake reality where one
+    logical table lives across formats: orders is split into three
+    disjoint slices written as PARQUET, CSV, and JSONL, each read back
+    with its ENFORCED schema (the S2/S3 rule) and unioned by name; the
+    aggregate must reconstruct the source table exactly, proving all
+    three serde paths and the union compose losslessly.  Each reader
+    stays a distributed file scan; unionByName is plan glue, not a
+    shuffle."""
+    import shutil
+
+    base = _gate_tmp("q220_fed", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders")
+    s0 = orders.filter(F.col("o_orderkey") % 3 == 0)
+    s1 = orders.filter(F.col("o_orderkey") % 3 == 1)
+    s2 = orders.filter(F.col("o_orderkey") % 3 == 2)
+    s0.write.mode("overwrite").parquet(f"{base}/pq")
+    s1.write.mode("overwrite").option("header", True).csv(f"{base}/csv")
+    s2.write.mode("overwrite").json(f"{base}/jsonl")
+
+    schema = orders.schema
+    back = (
+        spark.read.parquet(f"{base}/pq")
+        .unionByName(
+            spark.read.schema(schema)
+            .option("header", True)
+            .csv(f"{base}/csv")
+        )
+        .unionByName(spark.read.schema(schema).json(f"{base}/jsonl"))
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.count_distinct("o_custkey").alias("n_custs"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+ORACLE_Q220 = """
+SELECT o_orderstatus, COUNT(*) AS n,
+  COUNT(DISTINCT o_custkey) AS n_custs,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def q221_rename_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift rename mapper (``quality.detect_renames``): a new
+    table version arrives with two columns silently renamed
+    (``o_totalprice``→``price_amount``, ``o_orderpriority``→
+    ``priority``); content checksums (per-column order-insensitive
+    md5 sums, ONE scan per side) pair old↔new names without any
+    row-level compare.  The oracle recomputes both sides' checksums
+    from the registered table and derives the same pairs."""
+    from etl_opensky_spark.operators.quality import detect_renames
+
+    orders = _t(spark, sf_dir, "orders")
+    v2 = orders.withColumnsRenamed(
+        {"o_totalprice": "price_amount", "o_orderpriority": "priority"}
+    )
+    out = detect_renames(
+        orders,
+        v2,
+        ["o_custkey", "o_totalprice", "o_orderpriority"],
+        ["o_custkey", "price_amount", "priority"],
+    )
+    return out.select("old_col", "new_col", F.col("n_nonnull").cast("long"))
+
+
+ORACLE_Q221 = """
+WITH cs AS (
+  SELECT 'o_totalprice' AS col,
+    SUM(CAST(CAST(CONCAT('0x', substr(md5(CAST(o_totalprice AS VARCHAR)),
+      1, 15)) AS BIGINT) AS HUGEINT)) AS checksum,
+    COUNT(o_totalprice) AS n FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority',
+    SUM(CAST(CAST(CONCAT('0x', substr(md5(o_orderpriority), 1, 15))
+      AS BIGINT) AS HUGEINT)), COUNT(o_orderpriority) FROM orders
+)
+SELECT a.col AS old_col,
+  CASE a.col WHEN 'o_totalprice' THEN 'price_amount'
+             ELSE 'priority' END AS new_col,
+  CAST(a.n AS BIGINT) AS n_nonnull
+FROM cs a
+"""
+
+
+def q222_regex_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex parity on the dialect-safe subset: Spark compiles Java
+    regex, DuckDB compiles RE2 — they agree on literal classes,
+    quantifiers, and anchors, and DIVERGE on backrefs/lookaround
+    (RE2 rejects them) and default replace semantics (Spark
+    ``regexp_replace`` is global; DuckDB needs the ``'g'`` flag —
+    encoded in the oracle).  extract / global-replace / match-flag /
+    split-count in one narrow pass."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", "ba[a-z]*", 0).alias("first_ba"),
+        F.md5(F.regexp_replace("text", "[aeiou]", "")).alias(
+            "devoweled_md5"
+        ),
+        F.col("text").rlike("(^| )table( |$)").alias("has_table"),
+        F.size(F.split("text", "[ ]+")).cast("int").alias("n_split"),
+    )
+
+
+ORACLE_Q222 = """
+SELECT doc_id,
+  COALESCE(regexp_extract(text, 'ba[a-z]*'), '') AS first_ba,
+  md5(regexp_replace(text, '[aeiou]', '', 'g')) AS devoweled_md5,
+  regexp_matches(text, '(^| )table( |$)') AS has_table,
+  CAST(len(regexp_split_to_array(text, '[ ]+')) AS INTEGER) AS n_split
+FROM documents
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -9542,6 +9663,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q217_late_dimension_drain": q217_late_dimension_drain,
     "q218_linear_attribution": q218_linear_attribution,
     "q219_business_days": q219_business_days,
+    "q220_federated_union": q220_federated_union,
+    "q221_rename_detection": q221_rename_detection,
+    "q222_regex_suite": q222_regex_suite,
 }
 
 ORACLES: dict[str, str] = {
@@ -9762,6 +9886,9 @@ ORACLES: dict[str, str] = {
     "q217_late_dimension_drain": ORACLE_Q217,
     "q218_linear_attribution": ORACLE_Q218,
     "q219_business_days": ORACLE_Q219,
+    "q220_federated_union": ORACLE_Q220,
+    "q221_rename_detection": ORACLE_Q221,
+    "q222_regex_suite": ORACLE_Q222,
 }
 
 

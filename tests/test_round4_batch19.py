@@ -116,3 +116,24 @@ def test_business_days_between_matches_python_model(spark):
 
     for (a, b), v in got.items():
         assert v == model(a, b), (a, b, v, model(a, b))
+
+
+def test_detect_renames_pairs_by_content_not_name(spark):
+    from etl_opensky_spark.operators.quality import detect_renames
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], ["id", "name", "price"]
+    )
+    new = old.withColumnsRenamed({"price": "amount"})
+    out = detect_renames(
+        old, new, ["id", "name", "price"], ["id", "name", "amount"]
+    ).collect()
+    assert [(r["old_col"], r["new_col"]) for r in out] == [("price", "amount")]
+
+
+def test_detect_renames_no_false_pairs_on_distinct_content(spark):
+    from etl_opensky_spark.operators.quality import detect_renames
+
+    old = spark.createDataFrame([(1, 2)], ["a", "b"])
+    new = spark.createDataFrame([(3, 4)], ["c", "d"])
+    assert detect_renames(old, new, ["a", "b"], ["c", "d"]).count() == 0
