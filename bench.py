@@ -242,6 +242,7 @@ BENCH_QUERIES = [
     "q220_federated_union",
     "q221_rename_detection",
     "q222_regex_suite",
+    "q223_grouped_trend",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

@@ -617,3 +617,63 @@ def apply_agg_delta(
         .alias(sum_col),
     )
     return merged.filter(F.col(cnt_col) > 0)
+
+
+def grouped_linear_trend(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: Column,
+    y_col: Column,
+) -> DataFrame:
+    """Per-group OLS trend line (slope/intercept) in ONE aggregate pass
+    — the trend/drift probe over a star schema ("is revenue trending
+    up per segment?").
+
+    Exactness contract: ``x`` and ``y`` must be INTEGER expressions
+    (epoch days, cents, micros).  All five sufficient statistics
+    (n, Σx, Σy, Σxy, Σx²) are then exact DECIMAL(38) sums; slope =
+    (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) is formed from two exact decimals
+    converted ONCE to double (identical IEEE value in any engine) and
+    floor-quantized to micros — the engine-portable rounding.  Groups
+    with a degenerate x (den = 0) report NULL slope.
+    """
+    x = x_col.cast("decimal(38,0)")
+    y = y_col.cast("decimal(38,0)")
+    stats = df.groupBy(*group_cols).agg(
+        F.count("*").cast("decimal(38,0)").alias("_n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * y).cast("decimal(38,0)").alias("_sxy"),
+        F.sum(x * x).cast("decimal(38,0)").alias("_sxx"),
+    )
+    num = (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast(
+        "decimal(38,0)"
+    )
+    den = (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast(
+        "decimal(38,0)"
+    )
+    slope = F.when(
+        den != 0,
+        F.floor(
+            num.cast("double") / den.cast("double") * 1_000_000
+        ).cast("long"),
+    )
+    # intercept = (Σy − slope·Σx)/n, from the same exact stats
+    intercept = F.when(
+        den != 0,
+        F.floor(
+            (
+                F.col("_sy").cast("double")
+                - (num.cast("double") / den.cast("double"))
+                * F.col("_sx").cast("double")
+            )
+            / F.col("_n").cast("double")
+            * 1_000_000
+        ).cast("long"),
+    )
+    return stats.select(
+        *group_cols,
+        F.col("_n").cast("long").alias("n"),
+        slope.alias("slope_micros"),
+        intercept.alias("intercept_micros"),
+    )

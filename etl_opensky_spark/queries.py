@@ -9444,6 +9444,53 @@ FROM documents
 """
 
 
+def q223_grouped_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend (``aggregates.grouped_linear_trend``):
+    price-vs-time slope per order priority in ONE aggregate pass.  The
+    five sufficient statistics are exact DECIMAL(38) integer sums
+    (x = epoch days, y = cents); the slope/intercept form converts the
+    exact decimals to double ONCE — identical IEEE value in both
+    engines — and floor-quantizes, with the oracle replaying the SAME
+    expression order (quantization order matters: (num/den)·1e6, not
+    num·1e6/den)."""
+    from etl_opensky_spark.operators.aggregates import grouped_linear_trend
+
+    orders = _t(spark, sf_dir, "orders")
+    x = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    y = F.round(F.col("o_totalprice") * 100).cast("long")
+    return grouped_linear_trend(orders, ["o_orderpriority"], x, y)
+
+
+ORACLE_Q223 = """
+WITH s AS (
+  SELECT o_orderpriority,
+    CAST(COUNT(*) AS HUGEINT) AS n,
+    CAST(SUM(CAST(d AS HUGEINT)) AS HUGEINT) AS sx,
+    CAST(SUM(CAST(c AS HUGEINT)) AS HUGEINT) AS sy,
+    CAST(SUM(CAST(d AS HUGEINT) * CAST(c AS HUGEINT)) AS HUGEINT) AS sxy,
+    CAST(SUM(CAST(d AS HUGEINT) * CAST(d AS HUGEINT)) AS HUGEINT) AS sxx
+  FROM (
+    SELECT o_orderpriority,
+      (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS d,
+      CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+    FROM orders
+  ) GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+  CASE WHEN (n * sxx - sx * sx) <> 0 THEN
+    CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000) AS BIGINT)
+  END AS slope_micros,
+  CASE WHEN (n * sxx - sx * sx) <> 0 THEN
+    CAST(FLOOR((CAST(sy AS DOUBLE)
+      - (CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+      / CAST(n AS DOUBLE) * 1000000) AS BIGINT)
+  END AS intercept_micros
+FROM s
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -9666,6 +9713,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q220_federated_union": q220_federated_union,
     "q221_rename_detection": q221_rename_detection,
     "q222_regex_suite": q222_regex_suite,
+    "q223_grouped_trend": q223_grouped_trend,
 }
 
 ORACLES: dict[str, str] = {
@@ -9889,6 +9937,7 @@ ORACLES: dict[str, str] = {
     "q220_federated_union": ORACLE_Q220,
     "q221_rename_detection": ORACLE_Q221,
     "q222_regex_suite": ORACLE_Q222,
+    "q223_grouped_trend": ORACLE_Q223,
 }
 
 

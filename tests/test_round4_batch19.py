@@ -137,3 +137,28 @@ def test_detect_renames_no_false_pairs_on_distinct_content(spark):
     old = spark.createDataFrame([(1, 2)], ["a", "b"])
     new = spark.createDataFrame([(3, 4)], ["c", "d"])
     assert detect_renames(old, new, ["a", "b"], ["c", "d"]).count() == 0
+
+
+def test_grouped_linear_trend_matches_numpy(spark):
+    import numpy as np
+
+    from etl_opensky_spark.operators.aggregates import grouped_linear_trend
+
+    xs = list(range(30))
+    ys = [3 * x + 7 + (x % 5) for x in xs]  # near-linear with noise
+    df = spark.createDataFrame(
+        [("g", x, y) for x, y in zip(xs, ys)], ["g", "x", "y"]
+    )
+    [r] = grouped_linear_trend(df, ["g"], F.col("x"), F.col("y")).collect()
+    slope, intercept = np.polyfit(xs, ys, 1)
+    assert abs(r["slope_micros"] / 1e6 - slope) < 1e-5
+    assert abs(r["intercept_micros"] / 1e6 - intercept) < 1e-5
+    assert r["n"] == 30
+
+
+def test_grouped_linear_trend_degenerate_x_is_null(spark):
+    from etl_opensky_spark.operators.aggregates import grouped_linear_trend
+
+    df = spark.createDataFrame([("g", 5, 1), ("g", 5, 9)], ["g", "x", "y"])
+    [r] = grouped_linear_trend(df, ["g"], F.col("x"), F.col("y")).collect()
+    assert r["slope_micros"] is None and r["intercept_micros"] is None
