@@ -246,6 +246,7 @@ BENCH_QUERIES = [
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)
+    "q215_incremental_dedup_op",
     "q63_minhash_lsh_op",
     "q71_simhash_op",
     "q83_near_dedup_op",

@@ -1305,43 +1305,65 @@ def md5_minhash_bands(
     index→probe→verify pipeline against an oracle.
 
     Docs with fewer than ``shingle_n`` tokens produce no bands (and so
-    can never be dup candidates) — pinned behavior."""
+    can never be dup candidates) — pinned behavior.
+
+    Shape note (measured, the SCALE.md lesson #6 in action): the
+    obvious per-row formulation — ``transform(seq, i ->
+    array_min(transform(shingles, md5…)))`` — runs every md5 in an
+    INTERPRETED higher-order lambda and re-walks the shingle array per
+    family member; at sf0.1 it benched 61 s.  This exploded
+    formulation pushes the identical hash strings through
+    whole-stage-codegen'd md5 (distinct grams × ``num_hashes`` rows,
+    map-side-combined MIN, one in-row array_sort for the band string)
+    and is ~30× faster — while producing byte-identical band hashes,
+    which the oracle (same SQL shapes) and the q215 gate pin."""
     from etl_opensky_spark.functions.text import word_shingles
 
     rows = num_hashes // num_bands
     assert rows * num_bands == num_hashes
-    sh = word_shingles(F.col(text_col), shingle_n)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                sh,
-                lambda s: _md5_int(
-                    F.concat_ws(":", i.cast("string"), s)
-                ),
-            )
-        ),
+    grams = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_shingles(F.col(text_col), shingle_n))
+        ).alias("_g"),
     )
-    bands = F.transform(
-        F.sequence(F.lit(0), F.lit(num_bands - 1)),
-        lambda b: _md5_int(
-            F.concat_ws(
-                ":",
-                b.cast("string"),
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.slice(F.col("_sig"), b * rows + 1, rows),
-                        lambda x: x.cast("string"),
-                    ),
-                ),
-            )
-        ),
+    mh = (
+        grams.select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias(
+                "_h"
+            ),
+            "_g",
+        )
+        .select(
+            F.col(id_col),
+            "_h",
+            _md5_int(
+                F.concat_ws(":", F.col("_h").cast("string"), F.col("_g"))
+            ).alias("_v"),
+        )
+        .groupBy(id_col, "_h")
+        .agg(F.min("_v").alias("_v"))
     )
-    return (
-        df.filter(F.size(sh) > 0)
-        .select(F.col(id_col), sig.alias("_sig"))
-        .select(F.col(id_col), F.posexplode(bands).alias("band", "bh"))
+    band_sig = (
+        mh.groupBy(F.col(id_col), (F.col("_h") - F.col("_h") % rows).alias("_h0"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_h", "_v"))),
+                    lambda s: s["_v"].cast("string"),
+                ),
+                ",",
+            ).alias("_sig_str")
+        )
+    )
+    band = (F.col("_h0") / rows).cast("int")
+    return band_sig.select(
+        F.col(id_col),
+        band.alias("band"),
+        _md5_int(
+            F.concat_ws(":", band.cast("string"), F.col("_sig_str"))
+        ).alias("bh"),
     )
 
 
