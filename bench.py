@@ -243,6 +243,7 @@ BENCH_QUERIES = [
     "q221_rename_detection",
     "q222_regex_suite",
     "q223_grouped_trend",
+    "q224_linear_interpolation",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

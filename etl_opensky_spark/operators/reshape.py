@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -171,4 +171,58 @@ def ewma_pow2(
             F.sum(F.col("_v") * weight).alias("ewma_num"),
             F.sum(weight).alias("weight_den"),
         )
+    )
+
+
+def interpolate_linear(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Linear interpolation of NULL gaps in a keyed ordered series —
+    the smooth counterpart to ``fill_time_gaps``'s LOCF: a missing
+    point between two known neighbors gets
+    ``prev + floor((next − prev)·(t − t_prev) / (t_next − t_prev))``
+    (integer inputs → the one floor, on a double formed from exact
+    ints, is the only rounding — engine-portable).  Points before the
+    first / after the last known value stay NULL (no extrapolation).
+
+    ``order_col`` and ``value_col`` must be integer expressions (epoch
+    days, micros).  Shape: two frame-bounded windows per key partition
+    (carry-forward and carry-backward of the last/next known (t, v)
+    struct) — bounded per-key state, no self-join, no explode.
+    """
+    w_back = (
+        Window.partitionBy(*key_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy(*key_cols)
+        .orderBy(order_col)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    known = F.when(
+        F.col(value_col).isNotNull(),
+        F.struct(F.col(order_col).alias("t"), F.col(value_col).alias("v")),
+    )
+    out = (
+        df.withColumn("_prev", F.last(known, ignorenulls=True).over(w_back))
+        .withColumn("_next", F.first(known, ignorenulls=True).over(w_fwd))
+    )
+    pv, pt = F.col("_prev.v"), F.col("_prev.t")
+    nv, nt = F.col("_next.v"), F.col("_next.t")
+    interp = F.when(F.col(value_col).isNotNull(), F.col(value_col)).otherwise(
+        F.when(
+            F.col("_prev").isNotNull() & F.col("_next").isNotNull(),
+            pv
+            + F.floor(
+                ((nv - pv) * (F.col(order_col) - pt)).cast("double")
+                / (nt - pt)
+            ).cast("long"),
+        )
+    )
+    return out.withColumn(f"{value_col}_interp", interp).drop(
+        "_prev", "_next"
     )

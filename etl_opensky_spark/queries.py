@@ -9491,6 +9491,72 @@ FROM s
 """
 
 
+def q224_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear gap interpolation (``reshape.interpolate_linear``) — the
+    smooth counterpart to q141's LOCF gap fill: daily per-type value
+    sums with every third day BLANKED are reconstructed by integer
+    linear interpolation between known neighbors (one floor on a
+    double formed from exact ints — the only rounding; no
+    extrapolation past the ends).  Two frame-bounded windows per key,
+    bounded per-key state."""
+    from etl_opensky_spark.operators.reshape import interpolate_linear
+
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.to_date("ts"), F.lit("1970-01-01").cast("date")
+        ).alias("d"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 1000000).cast("long")).alias("_vm")
+    )
+    gappy = daily.withColumn(
+        "vm", F.when(F.col("d") % 3 != 0, F.col("_vm"))
+    ).drop("_vm")
+    out = interpolate_linear(gappy, ["event_type"], "d", "vm")
+    return out.select(
+        "event_type",
+        "d",
+        "vm",
+        F.col("vm_interp").cast("long").alias("vm_interp"),
+    )
+
+
+ORACLE_Q224 = """
+WITH daily AS (
+  SELECT event_type,
+    (CAST(ts AS DATE) - DATE '1970-01-01') AS d,
+    CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT) AS full_vm
+  FROM events GROUP BY 1, 2
+), gappy AS (
+  SELECT event_type, d,
+    CASE WHEN d % 3 <> 0 THEN full_vm END AS vm
+  FROM daily
+), ctx AS (
+  SELECT event_type, d, vm,
+    last_value(CASE WHEN vm IS NOT NULL THEN d END IGNORE NULLS)
+      OVER w_back AS pt,
+    last_value(vm IGNORE NULLS) OVER w_back AS pv,
+    first_value(CASE WHEN vm IS NOT NULL THEN d END IGNORE NULLS)
+      OVER w_fwd AS nt,
+    first_value(vm IGNORE NULLS) OVER w_fwd AS nv
+  FROM gappy
+  WINDOW w_back AS (PARTITION BY event_type ORDER BY d
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+  w_fwd AS (PARTITION BY event_type ORDER BY d
+    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, d, vm,
+  CASE WHEN vm IS NOT NULL THEN vm
+       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+         pv + CAST(FLOOR(CAST((nv - pv) * (d - pt) AS DOUBLE) / (nt - pt))
+                   AS BIGINT)
+  END AS vm_interp
+FROM ctx
+"""
+
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -9714,6 +9780,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q221_rename_detection": q221_rename_detection,
     "q222_regex_suite": q222_regex_suite,
     "q223_grouped_trend": q223_grouped_trend,
+    "q224_linear_interpolation": q224_linear_interpolation,
 }
 
 ORACLES: dict[str, str] = {
@@ -9938,6 +10005,7 @@ ORACLES: dict[str, str] = {
     "q221_rename_detection": ORACLE_Q221,
     "q222_regex_suite": ORACLE_Q222,
     "q223_grouped_trend": ORACLE_Q223,
+    "q224_linear_interpolation": ORACLE_Q224,
 }
 
 

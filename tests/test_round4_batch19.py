@@ -162,3 +162,30 @@ def test_grouped_linear_trend_degenerate_x_is_null(spark):
     df = spark.createDataFrame([("g", 5, 1), ("g", 5, 9)], ["g", "x", "y"])
     [r] = grouped_linear_trend(df, ["g"], F.col("x"), F.col("y")).collect()
     assert r["slope_micros"] is None and r["intercept_micros"] is None
+
+
+def test_interpolate_linear_exact_and_no_extrapolation(spark):
+    from etl_opensky_spark.operators.reshape import interpolate_linear
+
+    df = spark.createDataFrame(
+        [
+            ("a", 0, None),   # before first known: stays NULL
+            ("a", 1, 10),
+            ("a", 2, None),   # 10 + (40-10)*1/3 = 20
+            ("a", 3, None),   # 10 + (40-10)*2/3 = 30
+            ("a", 4, 40),
+            ("a", 6, None),   # after last known: stays NULL
+            ("b", 1, 5),
+            ("b", 3, None),   # 5 + (6-5)*2/4 = 5 (floor of 0.5)
+            ("b", 5, 6),
+        ],
+        "k string, t int, v long",
+    )
+    got = {
+        (r["k"], r["t"]): r["v_interp"]
+        for r in interpolate_linear(df, ["k"], "t", "v").collect()
+    }
+    assert got[("a", 0)] is None and got[("a", 6)] is None
+    assert got[("a", 2)] == 20 and got[("a", 3)] == 30
+    assert got[("a", 1)] == 10 and got[("a", 4)] == 40  # knowns untouched
+    assert got[("b", 3)] == 5  # floor semantics
