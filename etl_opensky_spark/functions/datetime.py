@@ -55,12 +55,18 @@ def business_days_between(start: Column, end: Column) -> Column:
     epoch days [0, n) = ``5·(n div 7) + c[n mod 7]`` where
     ``c = [0,1,2,2,2,3,4]`` (Thu,Fri,Sat,Sun,Mon,Tue,Wed prefix
     counts).  Result = g(end_days+1) − g(start_days+1).
+
+    Pre-epoch safety: the decomposition ``n = 7·q + r`` must use FLOOR
+    division and FLOOR mod (r ∈ [0,7)) or every branch misses for
+    negative ``n`` — Spark's ``%`` is truncated (sign of dividend), so
+    ``pmod`` is mandatory here, and ``q`` is derived as ``(n − r) / 7``
+    which is exact integer arithmetic under floor-mod.
     """
     epoch = F.lit("1970-01-01").cast("date")
 
     def g(days: Column) -> Column:
-        n = days + 1  # [0, n) covers through the given day
-        r = n % 7
+        n = (days + 1).cast("long")  # [0, n) covers through the given day
+        r = F.pmod(n, F.lit(7))  # floor-mod: r in [0,7) even for n < 0
         c = (
             F.when(r == 1, 1)
             .when(r == 2, 2)
@@ -70,7 +76,7 @@ def business_days_between(start: Column, end: Column) -> Column:
             .when(r == 6, 4)
             .otherwise(0)
         )
-        return 5 * F.floor(n / 7).cast("long") + c
+        return 5 * ((n - r) / 7).cast("long") + c
 
     return (
         g(F.datediff(F.to_date(end), epoch))

@@ -1422,8 +1422,12 @@ def dedup_batch_against_index(
         .select("_bid", "_cid")
         .distinct()
         # feeds three joins below (batch grams, corpus-gram semi-prune,
-        # pair verify) — q112 exchange-reuse lesson
-        .persist()
+        # pair verify) — q112 exchange-reuse lesson.  Materialized EAGERLY
+        # via localCheckpoint: a lazy persist()+unpersist() pair around a
+        # returned lazy DataFrame never caches (ADVICE r4), and the
+        # truncated lineage means the band-probe join runs exactly once;
+        # storage is released when the checkpointed RDD is GC'd.
+        .localCheckpoint(eager=True)
     )
 
     def grams(df: DataFrame, alias: str) -> DataFrame:
@@ -1461,6 +1465,4 @@ def dedup_batch_against_index(
         .select(F.col("_bid").alias(id_col))
         .distinct()
     )
-    out = batch.join(dups, id_col, "left_anti")
-    cand.unpersist()
-    return out
+    return batch.join(dups, id_col, "left_anti")

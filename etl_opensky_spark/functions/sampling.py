@@ -419,12 +419,18 @@ def bottom_k_sample(df: DataFrame, key_col: str, k: int) -> DataFrame:
     a distinct-count estimator (Bar-Yossef et al. 2002).
 
     Plans as TakeOrdered — each partition keeps its local k, the driver
-    merges — never a global sort; ties (duplicate keys) break on the
-    key itself."""
+    merges — never a global sort.  Ties break on the key itself, then on
+    an ``xxhash64`` of the FULL row: without the last tiebreak, duplicate
+    keys with differing payload columns would make which physical row
+    survives the ``limit(k)`` cut depend on partitioning (ADVICE r4) —
+    with it the result is partitioning-invariant even for non-unique
+    keys (up to fully-identical rows, which are interchangeable)."""
     hk = F.md5(F.col(key_col).cast("string"))
+    row_tb = F.xxhash64(*[F.col(c) for c in df.columns])
     return (
         df.withColumn("_hk", hk)
-        .orderBy("_hk", key_col)
+        .withColumn("_tb", row_tb)
+        .orderBy("_hk", key_col, "_tb")
         .limit(k)
-        .drop("_hk")
+        .drop("_hk", "_tb")
     )

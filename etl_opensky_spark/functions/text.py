@@ -455,7 +455,7 @@ def tfidf_top_terms(
     ).filter(F.col("term") != "")
     doc_tf = toks.groupBy(id_col, "term").agg(
         F.count("*").alias("tf")
-    ).persist()
+    ).localCheckpoint(eager=True)  # released on RDD GC, unlike a bare persist
     df_tbl = doc_tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = docs.select(id_col).distinct().count()  # one scalar job
     idf = df_tbl.filter(F.col("df") >= min_df).select(
@@ -573,9 +573,12 @@ def remove_boilerplate_chunks(
         )
         .withColumn("_h", F.md5(F.col("_chunk")))
         # three consumers (df-count pass, anti-join probe, per-doc totals):
-        # without the persist the chunking explode re-runs per consumer
-        # (q112 exchange-reuse lesson)
-        .persist()
+        # without materialization the chunking explode re-runs per consumer
+        # (q112 exchange-reuse lesson).  Eager localCheckpoint, not persist:
+        # a lazy persist on a returned-DataFrame subtree has no release
+        # path in a long-lived session (ADVICE r4); checkpoint storage
+        # frees on RDD GC.
+        .localCheckpoint(eager=True)
     )
 
     common = (

@@ -121,7 +121,10 @@ def grid_nearest_neighbor(
         # across differently-filtered consumers).  |L|-rows × 3 cols —
         # far smaller than the corpus.  The left input's cell derivation
         # is recomputed instead (column-pruned scan, no join — cheap).
-        .persist()
+        # Eager localCheckpoint, not persist: a lazy persist on a
+        # returned-DataFrame subtree has no release path in a long-lived
+        # session (ADVICE r4); checkpoint storage frees on RDD GC.
+        .localCheckpoint(eager=True)
     )
 
     # Provably-global winners: best ring candidate strictly inside one

@@ -9299,8 +9299,12 @@ def q219_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Floor-mod / floor-div decomposition so the closed form also holds for
+# pre-1970 dates (negative epoch-day counts): r = ((n%7)+7)%7 ∈ [0,7),
+# q = (n − r)/7 exact — mirrors functions/datetime.py:business_days_between.
 _Q219_G = (
-    "(5 * (({d} + 1) // 7) + CASE ({d} + 1) % 7 WHEN 1 THEN 1 WHEN 2 THEN 2 "
+    "(5 * ((({d} + 1) - ((({d} + 1) % 7 + 7) % 7)) // 7)"
+    " + CASE (({d} + 1) % 7 + 7) % 7 WHEN 1 THEN 1 WHEN 2 THEN 2 "
     "WHEN 3 THEN 2 WHEN 4 THEN 2 WHEN 5 THEN 3 WHEN 6 THEN 4 ELSE 0 END)"
 )
 

@@ -118,6 +118,41 @@ def test_business_days_between_matches_python_model(spark):
         assert v == model(a, b), (a, b, v, model(a, b))
 
 
+def test_business_days_between_pre_epoch(spark):
+    """Negative epoch-day counts: Spark's truncated % would make every
+    CASE branch miss (ADVICE r4 medium) — pmod/floor-div must hold."""
+    from etl_opensky_spark.functions.datetime import business_days_between
+
+    d = datetime.date
+    cases = [
+        (d(1969, 12, 1), d(1969, 12, 31)),   # fully pre-epoch (correct: 22)
+        (d(1969, 12, 25), d(1970, 1, 8)),    # straddles the epoch (correct: 10)
+        (d(1969, 12, 31), d(1970, 1, 1)),    # single day across the boundary
+        (d(1900, 1, 1), d(1900, 2, 1)),      # deep pre-epoch month
+        (d(1969, 1, 1), d(1971, 1, 1)),      # two years across
+    ]
+    df = spark.createDataFrame(cases, ["a", "b"])
+    got = {
+        (r["a"], r["b"]): r["bd"]
+        for r in df.select(
+            "a", "b", business_days_between(F.col("a"), F.col("b")).alias("bd")
+        ).collect()
+    }
+
+    def model(a, b):
+        n, cur = 0, a
+        while cur < b:
+            cur += datetime.timedelta(days=1)
+            if cur.weekday() < 5:
+                n += 1
+        return n
+
+    for (a, b), v in got.items():
+        assert v == model(a, b), (a, b, v, model(a, b))
+    assert got[(d(1969, 12, 1), d(1969, 12, 31))] == 22
+    assert got[(d(1969, 12, 25), d(1970, 1, 8))] == 10
+
+
 def test_detect_renames_pairs_by_content_not_name(spark):
     from etl_opensky_spark.operators.quality import detect_renames
 
