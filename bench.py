@@ -244,6 +244,7 @@ BENCH_QUERIES = [
     "q222_regex_suite",
     "q223_grouped_trend",
     "q224_linear_interpolation",
+    "q225_bpe_train",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)
@@ -252,6 +253,14 @@ BENCH_QUERIES = [
     "q71_simhash_op",
     "q83_near_dedup_op",
     "q99_substring_dedup_op",
+    # round-5 additions (VERDICT r4 #5): the remaining accuracy-bound
+    # gates, timed in production configuration (full corpus / partial
+    # probe / iterated clustering) instead of oracle-replayable shape
+    "q24_ngram_jaccard_op",
+    "q35_ann_ivf_op",
+    "q91_semdedup_op",
+    "q114_ppjoin_op",
+    "q174_entity_resolution_op",
 ]
 
 #: queries whose recorded numbers have drifted under bench-VM scheduling

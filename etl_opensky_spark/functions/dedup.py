@@ -1203,6 +1203,7 @@ def prefix_jaccard_pairs(
     text_col: str,
     threshold_num: int,
     threshold_den: int,
+    gram_n: int = 1,
 ) -> DataFrame:
     """All document pairs with token-SET Jaccard >= num/den, found via
     PREFIX FILTERING (PPJoin family, Xiao et al. 2008) — provably
@@ -1221,16 +1222,34 @@ def prefix_jaccard_pairs(
 
     Scale shape: token explode → df aggregate (word-count); per-doc
     ``array_sort(collect_list(struct(df, tok)))`` (state bounded by doc
-    length); prefix explode; equi-join on token; intersection counts
-    computed ONLY for candidate pairs (two joins against the token
-    table, both key-partitioned).  Returns
+    length); prefix explode; equi-join on token; then verification
+    IN-ROW — candidate pairs join the two docs' sorted token ARRAYS
+    (row count stays |candidates| through both joins) and overlap =
+    ``size(array_intersect(...))``, a codegen'd per-row set op.  The
+    alternative (re-joining candidates through the exploded token
+    table) multiplies |candidates| by tokens-per-doc BEFORE matching
+    the second id — measured 26x-super-linear at the round-5 sf1
+    rehearsal (109 s vs 11 s for this shape).  Returns
     ``(id_a, id_b, n_common, size_a, size_b)``.
+
+    ``gram_n > 1`` builds the sets from word n-GRAMS instead of
+    unigrams — the deployment configuration when the token universe is
+    small relative to the corpus: prefix filtering prunes by token
+    RARITY, so with every unigram near-ubiquitous (e.g. a 31-word
+    vocabulary, every long doc holding the identical token set) the
+    prefix join degenerates to all-pairs — measured as a >25-minute
+    sf0.1 blowup in the round-5 scale rehearsal.  n-gram universes grow
+    combinatorially, keeping document frequencies low and prefixes
+    selective; exact/near duplicates still share almost all grams, so
+    the same rational-threshold Jaccard semantics apply unchanged.
     """
-    toks = F.array_distinct(
-        F.filter(tokenize(F.col(text_col)), lambda x: x != F.lit(""))
+    base = (
+        word_shingles(F.col(text_col), gram_n)
+        if gram_n > 1
+        else tokenize(F.col(text_col))
     )
+    toks = F.array_distinct(F.filter(base, lambda x: x != F.lit("")))
     dt = df.select(F.col(id_col).alias("_id"), F.explode(toks).alias("tok"))
-    sizes = dt.groupBy("_id").agg(F.count("*").alias("n"))
     dfreq = dt.groupBy("tok").agg(F.count("*").alias("_df"))
     ordered = (
         dt.join(dfreq, "tok")
@@ -1259,20 +1278,33 @@ def prefix_jaccard_pairs(
         )
         .distinct()
     )
-    inter = (
-        cand.join(dt.select(F.col("_id").alias("id_a"), "tok"), "id_a")
-        .join(dt.select(F.col("_id").alias("id_b"), "tok"), ["id_b", "tok"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_common"))
+    # per-doc sorted token array for the in-row verify (reuses the
+    # rarest-first _ord state — no second pass over the corpus)
+    arrs = ordered.select(
+        "_id",
+        F.transform(F.col("_ord"), lambda s: s["tok"]).alias("_toks"),
+        "n",
     )
     out = (
-        inter.join(
-            sizes.select(F.col("_id").alias("id_a"), F.col("n").alias("size_a")),
+        cand.join(
+            arrs.select(
+                F.col("_id").alias("id_a"),
+                F.col("_toks").alias("_ta"),
+                F.col("n").alias("size_a"),
+            ),
             "id_a",
         )
         .join(
-            sizes.select(F.col("_id").alias("id_b"), F.col("n").alias("size_b")),
+            arrs.select(
+                F.col("_id").alias("id_b"),
+                F.col("_toks").alias("_tb"),
+                F.col("n").alias("size_b"),
+            ),
             "id_b",
+        )
+        .withColumn(
+            "n_common",
+            F.size(F.array_intersect("_ta", "_tb")).cast("long"),
         )
         .filter(
             F.col("n_common") * threshold_den

@@ -1,0 +1,117 @@
+"""BPE training loop (wordpiece.bpe_train, VERDICT r4 #6): the merge
+list must equal a driver-side reference trainer on the same corpus, the
+train→apply round trip must be consistent, and ties must break
+deterministically."""
+
+from __future__ import annotations
+
+import collections
+
+from pyspark.sql import functions as F
+
+from etl_opensky_spark.functions.wordpiece import (
+    bpe_apply_merges,
+    bpe_train,
+)
+
+
+def _reference_train(texts, n_merges):
+    """Plain-Python Sennrich trainer: same tokenize (lower/trim/split),
+    same argmax order (count desc, then (a, b) lexicographic), same
+    left-to-right non-overlapping merge."""
+    freq = collections.Counter()
+    for t in texts:
+        for w in t.strip().lower().split():
+            if w:
+                freq[w] += 1
+    toks = {w: [c for c in w] for w in freq}
+    merges = []
+    for _ in range(n_merges):
+        counts = collections.Counter()
+        for w, ts in toks.items():
+            for i in range(len(ts) - 1):
+                counts[(ts[i], ts[i + 1])] += freq[w]
+        if not counts:
+            break
+        (a, b), n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((a, b, n))
+        for w, ts in toks.items():
+            out, i = [], 0
+            while i < len(ts):
+                if i + 1 < len(ts) and ts[i] == a and ts[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(ts[i])
+                    i += 1
+            toks[w] = out
+    return merges
+
+
+def test_bpe_train_matches_reference(spark):
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "wider wide wide widest",
+        "low new wide",
+    ]
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                 ["doc_id", "text"])
+    got = bpe_train(docs, "text", n_merges=8)
+    want = _reference_train(texts, 8)
+    assert got == want
+
+
+def test_bpe_train_then_apply_consistent(spark):
+    """Round trip: applying the learned merges must reproduce exactly
+    the token state the trainer ended on (shared fold semantics)."""
+    texts = ["aaa aab aba abab", "baba aa ab ab"]
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                 ["doc_id", "text"])
+    merges = bpe_train(docs, "text", n_merges=4)
+    pairs = [(a, b) for a, b, _n in merges]
+
+    # reference trainer's final tokenization
+    ref = _reference_train(texts, 4)
+    assert [(a, b) for a, b, _n in ref] == pairs
+
+    words = (
+        docs.select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    applied = {
+        r["w"]: r["toks"]
+        for r in words.select(
+            "w", bpe_apply_merges(F.col("w"), pairs).alias("toks")
+        ).collect()
+    }
+
+    # drive the python reference forward to its final state for comparison
+    import collections as _c
+    freq = _c.Counter(
+        w for t in texts for w in t.strip().lower().split() if w
+    )
+    toks = {w: [c for c in w] for w in freq}
+    for a, b in pairs:
+        for w, ts in toks.items():
+            out, i = [], 0
+            while i < len(ts):
+                if i + 1 < len(ts) and ts[i] == a and ts[i + 1] == b:
+                    out.append(a + b); i += 2
+                else:
+                    out.append(ts[i]); i += 1
+            toks[w] = out
+    assert applied == toks
+
+
+def test_bpe_train_exhausts_gracefully(spark):
+    """Single-char vocabulary with one pair: training past exhaustion
+    stops early instead of looping or erroring."""
+    docs = spark.createDataFrame([(0, "ab ab a b")], ["doc_id", "text"])
+    merges = bpe_train(docs, "text", n_merges=10)
+    # after merging (a,b) the only words are ["ab"], ["a"], ["b"] — no
+    # adjacent pairs remain anywhere
+    assert merges == [("a", "b", 2)]

@@ -1,0 +1,139 @@
+"""Scale rehearsal (VERDICT r4 next-round item 1): measure how the heavy
+operator family actually GROWS from sf0.1 (driver bench scale) to sf1
+(10x, self-generated via tools/gen_scale_data.py), plus the Zipf-skewed
+hot-key variant.
+
+For each query: t(sf0.1) and t(sf1) -> scaling exponent
+    e = log10(t_sf1 / t_sf0.1)
+e ~= 1.0 is linear scaling, < 1 means fixed costs still dominate at sf1,
+> 1 is super-linear — the thing this rehearsal exists to catch.
+
+Protocol: one trivial warm-up per dir; each query timed TWICE per dir and
+the MIN kept (the VM's scheduling noise is one-sided — see docs/NOTES_r4
+thermal notes); sf0.1 first, then sf1, then zipf, single sweep.
+
+Writes BENCH_sf1.json at the repo root and prints a table.
+
+Usage: python tools/bench_scale.py [--quick]   (--quick: 1 rep)
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_SMALL = "/root/testdata/sf0.1"
+SF_BIG = "scaledata/sf1"
+SF_ZIPF = "scaledata/sf1zipf"
+
+#: the heavy family (VERDICT r4: "bench the op-only paths of the heavy
+#: family ... at sf0.1 vs sf1") + a scan-agg baseline for context.
+SCALE_QUERIES = [
+    "q01_pricing_summary",       # scan-agg baseline (lineitem 600k -> 6.1M)
+    "q21_sessionize",            # per-user session windows (events 100k -> 1M)
+    "q33_asof_join",             # as-of join
+    "q167_rolling_distinct",     # 7-day HLL register merges
+    "q42_embedding_dedup",       # cosine near-dup (embeddings 2k -> 20k)
+    "q63_minhash_lsh_op",        # minhash signature + LSH banding
+    "q71_simhash_op",            # vectorized simhash fingerprints
+    "q83_near_dedup_op",         # full near-dedup pipeline w/ components
+    "q99_substring_dedup_op",    # substring-window dup pairs
+    "q24_ngram_jaccard_op",      # inverted-index jaccard w/ df pruning
+    "q35_ann_ivf_op",            # IVF train + assign + 1-probe topk
+    "q91_semdedup_op",           # kmeans x3 + per-cluster cosine dedup
+    "q114_ppjoin_op",            # prefix-filtered set-similarity join
+    "q174_entity_resolution_op", # blocked fuzzy match + components
+    "q215_incremental_dedup_op", # batch-vs-index probe (steady state)
+]
+
+#: hot-key rehearsal: queries keyed on events.user_id or documents
+#: gram/band keys — the ones a Zipf head could break.
+ZIPF_QUERIES = [
+    "q17_events_daily",
+    "q21_sessionize",
+    "q167_rolling_distinct",
+    "q63_minhash_lsh_op",
+    "q83_near_dedup_op",
+    "q24_ngram_jaccard_op",
+    "q215_incremental_dedup_op",
+]
+
+
+def bench_dir(spark, catalog, names, sf_dir, reps, label):
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()  # warm footer cache
+    out = {}
+    for name in names:
+        best, rows = None, None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            rows = catalog[name](spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = {"sec": round(best, 3), "rows": rows}
+        print(f"# {label} {name}: {best:.3f}s ({rows} rows)", file=sys.stderr)
+    return out
+
+
+def main() -> None:
+    reps = 1 if "--quick" in sys.argv else 2
+
+    from etl_opensky_spark.queries import BENCH_ONLY_QUERIES, QUERIES
+    from etl_opensky_spark.session import get_spark
+
+    catalog = {**QUERIES, **BENCH_ONLY_QUERIES}
+    spark = get_spark("bench-scale")
+
+    small = bench_dir(spark, catalog, SCALE_QUERIES, SF_SMALL, reps, "sf0.1")
+    big = bench_dir(spark, catalog, SCALE_QUERIES, SF_BIG, reps, "sf1")
+    zipf = bench_dir(spark, catalog, ZIPF_QUERIES, SF_ZIPF, reps, "sf1zipf")
+
+    table = {}
+    for name in SCALE_QUERIES:
+        t0, t1 = small[name]["sec"], big[name]["sec"]
+        ratio = t1 / t0 if t0 > 0 else float("inf")
+        table[name] = {
+            "sf0.1_sec": t0,
+            "sf1_sec": t1,
+            "ratio": round(ratio, 2),
+            "exponent": round(math.log10(ratio), 2) if ratio > 0 else None,
+            "sf0.1_rows": small[name]["rows"],
+            "sf1_rows": big[name]["rows"],
+        }
+    for name in ZIPF_QUERIES:
+        table.setdefault(name, {})
+        table[name]["sf1zipf_sec"] = zipf[name]["sec"]
+        if "sf1_sec" in table[name] and table[name]["sf1_sec"] > 0:
+            table[name]["zipf_vs_uniform"] = round(
+                zipf[name]["sec"] / table[name]["sf1_sec"], 2
+            )
+
+    result = {
+        "metric": "scale_rehearsal_sf0.1_to_sf1",
+        "unit": "sec",
+        "reps": reps,
+        "data": "sf1 = 10x sf0.1 via tools/gen_scale_data.py (seed 42); "
+                "sf1zipf = Zipf(1.3) user skew + hot near-dup doc clusters",
+        "queries": table,
+    }
+    with open("BENCH_sf1.json", "w") as fh:
+        json.dump(result, fh, indent=1)
+    print(json.dumps(result))
+
+    print(f"\n{'query':32} {'sf0.1':>8} {'sf1':>8} {'ratio':>6} {'exp':>5} "
+          f"{'zipf':>8}", file=sys.stderr)
+    for name, r in table.items():
+        print(
+            f"{name:32} {r.get('sf0.1_sec', float('nan')):>8} "
+            f"{r.get('sf1_sec', float('nan')):>8} {r.get('ratio', ''):>6} "
+            f"{r.get('exponent', ''):>5} {r.get('sf1zipf_sec', ''):>8}",
+            file=sys.stderr,
+        )
+
+
+if __name__ == "__main__":
+    main()
