@@ -34,7 +34,19 @@ def plan_warnings(df: DataFrame, max_scan_columns: int = 24) -> list[str]:
     """Return a list of human-readable scale hazards in ``df``'s plan
     (empty = clean).  ``max_scan_columns`` tunes the full-width-scan
     heuristic."""
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    spark = df.sparkSession
+    # ReadSchema is truncated at spark.sql.maxMetadataStringLength (100)
+    # WITHOUT a closing '>', which silently corrupts schema-width parsing
+    # (a cross-line regex match counted other operators' text as columns
+    # — the round-5 q131 false positive).  Render untruncated, restore.
+    key = "spark.sql.maxMetadataStringLength"
+    prev = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "100000")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        if prev is not None:
+            spark.conf.set(key, prev)
     warnings: list[str] = []
 
     if "CartesianProduct" in plan:
@@ -54,7 +66,7 @@ def plan_warnings(df: DataFrame, max_scan_columns: int = 24) -> list[str]:
             "python-row-udf: row-at-a-time Python in the plan; use "
             "built-in Column functions or an Arrow pandas_udf/mapInPandas"
         )
-    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+    for m in re.finditer(r"ReadSchema: struct<([^>\n]*)>", plan):
         ncols = m.group(1).count(",") + 1 if m.group(1) else 0
         if ncols > max_scan_columns:
             warnings.append(
@@ -69,10 +81,19 @@ def plan_warnings(df: DataFrame, max_scan_columns: int = 24) -> list[str]:
             "no-partition-filters: scanning 100+ partitions of a "
             "partitioned source with no partition predicate"
         )
-    if "Exchange SinglePartition" in plan:
+    for m in re.finditer(r"Exchange SinglePartition.*", plan):
+        # a SinglePartition exchange fed by PARTIAL aggregates moves one
+        # pre-combined row per upstream partition — the inherently
+        # bounded final stage of every scalar aggregate, not a hazard.
+        # Look at the next few tree lines for the exchange's child.
+        tail = plan[m.end():].split("\n", 4)[1:4]
+        child = " ".join(tail)
+        if "partial_" in child or "ObjectHashAggregate" in child and "partial" in child:
+            continue
         warnings.append(
             "single-partition-exchange: a global sort/window/limit pulls "
             "ALL rows into one task; add PARTITION BY or use "
             "TakeOrdered-style top-k"
         )
+        break
     return warnings

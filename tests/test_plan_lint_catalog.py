@@ -33,7 +33,36 @@ SF_DIR = "/root/testdata/sf0.001"
 CATALOG = {**QUERIES, **BENCH_ONLY_QUERIES}
 
 #: query -> {warning-kind prefixes allowed}, with the boundedness reason.
-ALLOW: dict[str, set[str]] = {}
+#: Curated from the round-5 full sweep (35 raw flags -> 15 after the
+#: linter learned that a SinglePartition exchange fed by PARTIAL
+#: aggregates is the bounded final stage of a scalar aggregate, and that
+#: truncated ReadSchema strings must not be parsed cross-line).
+BNLJ = {"broadcast-nested-loop"}
+ALLOW: dict[str, set[str]] = {
+    # global row_number is this gate's POINT: bit-compatible surrogate
+    # keys in the reference's mode; the engine default (xxhash64) is the
+    # scale path and plans shuffle-free.
+    "q10_surrogate_key": {"single-partition-exchange"},
+    # scalar-subquery joins: the broadcast side is ONE row (a global
+    # aggregate) — the nested loop runs once per stream row against a
+    # single value.
+    "q125_nation_balance_share": BNLJ,
+    "q127_rich_inactive_customers": BNLJ,
+    "q126_top_quarter_suppliers": BNLJ,
+    "q150_skew_report": BNLJ,
+    "q166_chi2_independence": BNLJ,
+    "q197_join_size_estimate": BNLJ,
+    "q211_bag_set_ops": BNLJ,
+    "q97_heavy_hitters": BNLJ,
+    "q149_psi_drift": BNLJ,
+    # bounded broadcast lists: query points / centroids / interval or
+    # threshold tables of fixed small size by construction.
+    "q107_quantized_ann": BNLJ,   # 5 query vectors broadcast
+    "q86_knn_classify": BNLJ,     # 5 query vectors broadcast
+    "q121_scd2_asof": BNLJ,       # as-of range probe vs broadcast history
+    "q140_triangle_count": BNLJ,  # degree-ordered wedge close, bounded
+    "q188_geo_nearest": BNLJ,     # documented bounded leftover fallback
+}
 
 
 def _kinds(warnings: list[str]) -> set[str]:

@@ -47,19 +47,21 @@ def test_versioned_snapshot_pinned_across_commits(spark, tmp_path):
 
 
 def test_versioned_torn_manifest_never_observed(spark, tmp_path):
-    """An orphan data directory without a manifest flip is invisible."""
+    """An orphan data directory without a commit file is invisible
+    (protocol now commit-log-based — see tests/test_versioned_lake.py
+    for the full crash-injection suite)."""
     from etl_opensky_spark.sources.versioned import (
         read_version,
+        table_history,
         write_version,
     )
 
     base = str(tmp_path / "tbl")
     write_version(spark.range(4), base)
-    # simulate a crash after data write, before manifest commit
-    spark.range(999).write.parquet(os.path.join(base, "v=2"))
+    # simulate a crash after data write, before the commit-file create
+    spark.range(999).write.parquet(os.path.join(base, "data-orphan"))
     assert read_version(spark, base).count() == 4
-    man = json.load(open(os.path.join(base, "_manifest.json")))
-    assert man["versions"] == [1]
+    assert table_history(base) == [1]
 
 
 def test_purge_deletes_only_matched_keys_and_reports_count(spark, tmp_path):
@@ -260,10 +262,14 @@ def test_variant_get_typed_extraction(spark):
 
 
 def test_tws_running_totals_or_env_blocked(spark, tmp_path):
-    """transformWithStateInPandas needs protobuf; in this container the
-    import is broken, so the operator is env-gated (like kafka/codecs).
-    When the env supports it, the operator must match the batch
-    aggregate."""
+    """transformWithStateInPandas needs a protobuf RUNTIME (pyspark's
+    generated StateMessage_pb2 pins >= 6.33); this container has none —
+    not even a pure-Python one — and installs are prohibited, so the
+    operator is env-gated (root-cause investigation recorded in
+    docs/NOTES_r5.md: the pure-python-implementation env var selects an
+    implementation inside an installed package, it cannot replace the
+    package).  When the env supports it, the operator must match the
+    batch aggregate."""
     pytest.importorskip("google.protobuf.descriptor")
     from etl_opensky_spark.streaming.stateful import running_totals_tws
 
