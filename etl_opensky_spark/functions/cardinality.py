@@ -67,11 +67,20 @@ def hll_registers(
     rank_field = F.conv(
         F.substring(h, hexdigits + 1, RANK_BITS // 4), 16, 10
     ).cast("bigint")
-    rho = F.when(rank_field == 0, F.lit(RANK_BITS + 1)).otherwise(
-        F.lit(RANK_BITS) - floor_log2(rank_field)
+    # TWO projections, deliberately: floor_log2 references its input in
+    # 51 comparison terms, and inlining the md5+conv chain into each
+    # term makes interpreted evaluation (the columnar-cache/RDD path,
+    # where codegen + subexpression elimination don't apply) recompute
+    # the hash 51x per row — measured 40 s vs 0.6 s on 1 M rows at the
+    # round-5 sf1 rehearsal.  Project the rank ONCE; the compare chain
+    # then reads a bound column.  CollapseProject keeps the split (it
+    # does not duplicate non-cheap aliases referenced multiple times).
+    pre = df.select(bucket.alias("bucket"), rank_field.alias("_rank"))
+    rho = F.when(F.col("_rank") == 0, F.lit(RANK_BITS + 1)).otherwise(
+        F.lit(RANK_BITS) - floor_log2(F.col("_rank"))
     )
     return (
-        df.select(bucket.alias("bucket"), rho.alias("rho"))
+        pre.select("bucket", rho.alias("rho"))
         .groupBy("bucket")
         .agg(F.max("rho").alias("register"))
     )
@@ -127,11 +136,15 @@ def hll_registers_by(
     rank_field = F.conv(
         F.substring(h, hexdigits + 1, RANK_BITS // 4), 16, 10
     ).cast("bigint")
-    rho = F.when(rank_field == 0, F.lit(RANK_BITS + 1)).otherwise(
-        F.lit(RANK_BITS) - floor_log2(rank_field)
+    # two projections: see hll_registers — inlining the md5+conv chain
+    # into floor_log2's 51 terms makes interpreted paths recompute the
+    # hash 51x per row (40 s -> 1 s on 1 M rows, round-5 rehearsal)
+    pre = df.select(*key_cols, bucket.alias("bucket"), rank_field.alias("_rank"))
+    rho = F.when(F.col("_rank") == 0, F.lit(RANK_BITS + 1)).otherwise(
+        F.lit(RANK_BITS) - floor_log2(F.col("_rank"))
     )
     return (
-        df.select(*key_cols, bucket.alias("bucket"), rho.alias("rho"))
+        pre.select(*key_cols, "bucket", rho.alias("rho"))
         .groupBy(*key_cols, "bucket")
         .agg(F.max("rho").alias("register"))
     )

@@ -90,36 +90,38 @@ def minhash_signature(
 ) -> DataFrame:
     """(id, signature array<long>) — MinHash over word ``shingle_n``-grams.
 
-    Computed entirely PER ROW (no explode, no groupBy, NO SHUFFLE):
-    embarrassingly parallel, the shape that survives 100 TB.  Single-pass
-    fold: each shingle is string-hashed ONCE (xxhash64), then re-hashed
-    per family member as a cheap fixed-width hash xxhash64(h, i) — a
-    running element-wise min over a ``num_hashes``-wide accumulator.
-    (A naive ``transform(seq, i -> array_min(...))`` re-evaluates the
-    shingle array per family member — Catalyst does no CSE across lambda
-    boundaries — and is ~40x slower.)  Docs with fewer than ``shingle_n``
-    tokens get a NULL signature: a shared sentinel signature would make
-    every pair of short docs collide in every LSH band as a false 1.0
-    near-duplicate.  ``minhash_lsh_pairs`` skips NULL signatures.
+    EXPLODED CODEGEN shape (the q215 lesson, applied here in round 5):
+    shingles explode to (id, xxhash64(shingle)) rows — one codegen'd
+    string hash each — then ``num_hashes`` UNROLLED ``min(xxhash64(h, i))``
+    aggregates (plain column expressions, whole-stage codegen, map-side
+    combined) build the signature in ONE narrow shuffle of
+    (id × num_hashes longs) pre-combined rows.  The previous per-row
+    ``aggregate``/``zip_with``/``transform`` fold kept the pipeline
+    shuffle-free but ran ~shingles × num_hashes INTERPRETED lambda evals
+    per doc (SCALE.md lesson 6) — measured 5.7 s → 44 s sf0.1 → sf1; the
+    exploded shape moves the same hash count into codegen.  Signatures
+    are BIT-IDENTICAL (same xxhash64(h, i) family, min order-free).
+
+    Docs with fewer than ``shingle_n`` tokens get a NULL signature (no
+    shingle rows → left-join miss): a shared sentinel signature would
+    make every pair of short docs collide in every LSH band as a false
+    1.0 near-duplicate.  ``minhash_lsh_pairs`` skips NULL signatures.
     """
-    shingle_hashes = F.transform(
-        word_shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)
+    grams = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("_g"),
+    ).select(id_col, F.xxhash64(F.col("_g")).alias("_h"))
+    mins = [
+        F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"_m{i}")
+        for i in range(num_hashes)
+    ]
+    sigs = grams.groupBy(id_col).agg(*mins)
+    signature = F.array(*[F.col(f"_m{i}") for i in range(num_hashes)])
+    return df.select(F.col(id_col)).join(
+        sigs.select(F.col(id_col), signature.alias("signature")),
+        id_col,
+        "left",
     )
-    init = F.array_repeat(F.lit(2**63 - 1).cast("long"), num_hashes)
-    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    sig = F.aggregate(
-        shingle_hashes,
-        init,
-        lambda acc, h: F.zip_with(
-            acc,
-            F.transform(seeds, lambda i: F.xxhash64(h, i)),
-            lambda a, b: F.least(a, b),
-        ),
-    )
-    # guard on the (cheap) token count, not the hash array — re-referencing
-    # shingle_hashes would recompute every hash just for the size check
-    has_shingles = F.size(tokenize(F.col(text_col))) >= shingle_n
-    return df.select(F.col(id_col), F.when(has_shingles, sig).alias("signature"))
 
 
 def minhash_lsh_pairs(
@@ -263,14 +265,17 @@ def minhash_signature_vectorized(
     hashLong(h) -> hashInt(i); both scalar paths are reimplemented
     exactly (equivalence pinned by tests).  Narrow map, no shuffle.
 
-    MEASURED: at num_hashes=32 the expression fold WINS (0.37 s vs
-    3.6 s at sf0.1 — the Arrow transfer of token-hash arrays dominates;
-    unlike simhash's 64-wide ±1 fold, the 32-wide min fold codegens
-    tightly), so :func:`minhash_signature` stays the default in every
-    consumer.  This path is kept for wide-signature regimes (hundreds
-    of permutations amortize the transfer) and as the bit-exact numpy
-    XxHash64 foundation (``xxh64_long_np`` / ``xxh64_int_np``) other
-    Arrow operators can build on.
+    MEASURED (updated round 5): the ranking is now exploded-codegen
+    (``minhash_signature``, 3.3 s at sf1) > this Arrow path > the old
+    per-row ``aggregate``/``zip_with`` fold (44 s at sf1 — the fold is
+    INTERPRETED per element, so its "no shuffle" virtue was paid for
+    ~shingles × num_hashes times per row; the r3-era 0.37 s-vs-3.6 s
+    measurement that crowned it only held at sf0.1 where the
+    interpreter tax was under the noise floor).  This path is kept for
+    wide-signature regimes (hundreds of permutations amortize the
+    transfer) and as the bit-exact numpy XxHash64 foundation
+    (``xxh64_long_np`` / ``xxh64_int_np``) other Arrow operators can
+    build on.
     """
     import numpy as np
     import pandas as pd

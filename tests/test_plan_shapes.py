@@ -61,10 +61,16 @@ def test_lookup_dim_broadcasts(spark):
     assert "BroadcastHashJoin" in physical_plan(out)
 
 
-def test_minhash_signature_no_shuffle(spark):
+def test_minhash_signature_partial_agg_codegen_shape(spark):
+    """Round-5 shape: exploded shingles through codegen'd xxhash64 into
+    num_hashes UNROLLED min aggregates — the shuffle carries ONE
+    pre-combined row per (doc, partition) (partial_min present), and no
+    interpreted higher-order fold remains in the plan."""
     docs = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
     plan = physical_plan(minhash_signature(docs, "doc_id", "text"))
-    assert "Exchange" not in plan
+    assert "partial_min" in plan          # map-side combine
+    assert "aggregate(" not in plan       # no interpreted lambda fold
+    assert "xxhash64" in plan
 
 
 def test_simhash_no_shuffle(spark):
@@ -471,7 +477,11 @@ def test_grid_nn_ring_join_is_equi_join_and_persisted(spark):
     # the only nested-loop join is the bounded fallback (broadcast of
     # the unresolved tail), never a CartesianProduct of the inputs
     assert "CartesianProduct" not in plan
-    assert plan.count("InMemoryTableScan") >= 2  # ring-best reused
+    # ring-best is materialized ONCE (eager localCheckpoint since the
+    # ADVICE-r4 leak fix — shows as checkpoint-RDD scans, not
+    # InMemoryTableScan) and consumed by both the sure-winner filter
+    # and the fallback anti-join without re-running the ring join
+    assert plan.count("Scan ExistingRDD") >= 2
 
 
 def test_interval_concurrency_window_is_over_aggregated_dates(spark):
