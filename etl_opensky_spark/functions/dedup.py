@@ -635,32 +635,41 @@ def dedup_near(
     doc per component.  Docs too short to shingle are always kept (no
     signature, never candidates).
 
-    Exact-duplicate PRE-COLLAPSE (the hot-cluster skew shield, round-5
+    SIGNATURE-level PRE-COLLAPSE (the hot-cluster skew shield, round-5
     Zipf rehearsal: a 1,618-copy template put 1.3 M candidate pairs into
-    one LSH band bucket — 60 s vs 3.8 s uniform): identical texts have
-    identical signatures, are always verified pairs, and always share a
-    component whose min id is the min id of some exact group — so
-    running LSH over ONE representative (min id) per distinct text and
-    dropping the other exact copies directly is provably
-    result-identical while turning an E-copy cluster's O(E²) candidates
-    into zero.  The collapse itself is one hash-groupBy on the text.
-    Only shingle-eligible docs collapse (shorter docs never had
-    signatures, so ALL their copies were always kept — preserved)."""
-    wc = F.size(F.filter(tokenize(F.col(text_col)), lambda x: x != F.lit("")))
-    eligible = df.select(id_col, text_col).filter(F.lit(shingle_n) <= wc)
-    groups = eligible.groupBy(text_col).agg(
-        F.min(id_col).alias("_rep"), F.count("*").alias("_copies")
-    )
-    reps = groups.select(F.col("_rep").alias(id_col), text_col)
+    one LSH band bucket — 60 s vs 3.8 s uniform): docs with IDENTICAL
+    signatures estimate Jaccard 1.0 ≥ any threshold, share every band,
+    and therefore always verify as pairs and share a component whose
+    min id is the min id of their signature group — so banding runs
+    over ONE representative (min id) per distinct signature and the
+    other members are dropped directly: provably result-identical while
+    turning an E-copy cluster's O(E²) candidates into zero.  The
+    collapse is one groupBy over the already-persisted signature table
+    (one 32-long row per doc — no extra corpus scan; collapsing on raw
+    TEXT instead was measured to cost two more corpus-shaped shuffles).
+    Docs too short to shingle have NULL signatures, never collapse, and
+    are always kept — preserved."""
+    sigs_all = minhash_signature(
+        df, id_col, text_col, num_hashes, shingle_n
+    ).persist()
+    valid = sigs_all.filter(F.col("signature").isNotNull())
+    rep = valid.groupBy("signature").agg(F.min(id_col).alias(id_col))
     exact_losers = (
-        eligible.join(groups.select(text_col, "_rep"), text_col)
+        valid.join(
+            rep.select(
+                F.col("signature"), F.col(id_col).alias("_rep")
+            ),
+            "signature",
+        )
         .filter(F.col(id_col) != F.col("_rep"))
         .select(id_col)
+        # duplicate-count-sized; materialized NOW while the signature
+        # cache is hot — it is consumed by the final anti-join AFTER the
+        # unpersists below, which would otherwise recompute signatures
+        .localCheckpoint(eager=True)
     )
 
-    sigs = minhash_signature(
-        reps, id_col, text_col, num_hashes, shingle_n
-    ).persist()
+    sigs = rep.select(id_col, "signature").persist()
     candidates = minhash_lsh_pairs(sigs, id_col, num_bands)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("_sa"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("_sb"))
@@ -678,10 +687,11 @@ def dedup_near(
     # heavily duplicated corpus it is a large fraction of the input, and a
     # forced broadcast would OOM exactly when dedup matters most.  AQE
     # still broadcasts when the list is actually small.
-    losers = _transitive_losers(reps, verified, id_col, n_pairs).unionByName(
+    losers = _transitive_losers(df, verified, id_col, n_pairs).unionByName(
         exact_losers
     )
     out = df.join(losers, on=id_col, how="left_anti")
+    sigs_all.unpersist()
     sigs.unpersist()
     verified.unpersist()
     return out

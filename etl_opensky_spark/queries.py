@@ -9615,6 +9615,105 @@ def _oracle_q225() -> str:
     return bpe_train_oracle_sql(n_merges=6)
 
 
+def q226_lake_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-lake LIFECYCLE gate (sources.versioned, VERDICT r4 #2):
+    one oracle-checked query drives the full ACID protocol — v1 initial
+    partitioned write, v2 keyed MERGE (update ×2 price + status 'U' on
+    %5 keys, INSERT the %7-absent keys back, and every %10 key MOVES to
+    priority '0-MOVED'), v3 keyed PURGE of %9 keys — then reads ALL
+    THREE snapshots via time travel and aggregates each.  Snapshot
+    isolation is the testable claim: v1/v2 aggregates must be unchanged
+    by later commits, and the oracle replays each state relationally
+    from the source table."""
+    import shutil
+
+    from etl_opensky_spark.sources.versioned import (
+        merge_versioned,
+        purge_versioned,
+        read_version,
+        write_version,
+    )
+
+    base = _gate_tmp("q226_lifecycle", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    v1 = orders.filter(F.col("o_orderkey") % 7 != 0)
+    write_version(v1, base, partition_by=["prio"])
+
+    updates = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("price") * 2).alias("price"),
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit("0-MOVED"))
+        .otherwise(F.col("prio"))
+        .alias("prio"),
+    )
+    merge_versioned(spark, base, updates, ["o_orderkey"], ["prio"])
+
+    purge_versioned(
+        spark,
+        base,
+        orders.filter(F.col("o_orderkey") % 9 == 0).select("o_orderkey"),
+        ["o_orderkey"],
+        partition_by=["prio"],
+    )
+
+    snaps = [
+        read_version(spark, base, as_of=v)
+        .groupBy("prio")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("price")).cast("double").alias("total_price"),
+        )
+        .select(F.lit(v).cast("int").alias("version"), "prio", "n", "total_price")
+        for v in (1, 2, 3)
+    ]
+    out = snaps[0]
+    for s in snaps[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+ORACLE_Q226 = """
+WITH src AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice AS price,
+         o_orderpriority AS prio
+  FROM orders
+), v1 AS (
+  SELECT * FROM src WHERE o_orderkey % 7 <> 0
+), upd AS (
+  SELECT o_orderkey, 'U' AS o_orderstatus, price * 2 AS price,
+         CASE WHEN o_orderkey % 10 = 0 THEN '0-MOVED' ELSE prio END AS prio
+  FROM src WHERE o_orderkey % 5 = 0
+), v2 AS (
+  SELECT * FROM v1 t
+  WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = t.o_orderkey)
+  UNION ALL
+  SELECT * FROM upd
+), v3 AS (
+  SELECT * FROM v2 WHERE o_orderkey % 9 <> 0
+), agg AS (
+  SELECT 1 AS version, prio, COUNT(*) AS n,
+    CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+  FROM v1 GROUP BY prio
+  UNION ALL
+  SELECT 2, prio, COUNT(*),
+    CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE)
+  FROM v2 GROUP BY prio
+  UNION ALL
+  SELECT 3, prio, COUNT(*),
+    CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE)
+  FROM v3 GROUP BY prio
+)
+SELECT version, prio, n, total_price FROM agg
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -9840,6 +9939,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q223_grouped_trend": q223_grouped_trend,
     "q224_linear_interpolation": q224_linear_interpolation,
     "q225_bpe_train": q225_bpe_train,
+    "q226_lake_lifecycle": q226_lake_lifecycle,
 }
 
 ORACLES: dict[str, str] = {
@@ -10066,6 +10166,7 @@ ORACLES: dict[str, str] = {
     "q223_grouped_trend": ORACLE_Q223,
     "q224_linear_interpolation": ORACLE_Q224,
     "q225_bpe_train": _oracle_q225(),
+    "q226_lake_lifecycle": ORACLE_Q226,
 }
 
 

@@ -284,10 +284,13 @@ class ConcurrentMergeError(RuntimeError):
 
 
 def _hive_dir(cols: Sequence[str], values) -> str:
-    """Hive partition-directory suffix ``col1=v1/col2=v2`` (values come
-    from this engine's own writes: ints/plain strings; exotic characters
-    needing Hive's %-escaping are out of scope and rejected upstream)."""
-    return "/".join(f"{c}={v}" for c, v in zip(cols, values))
+    """Hive partition-directory suffix ``col1=v1/col2=v2`` — shares the
+    versioned module's rejection of characters Spark would %-escape in
+    directory names (a raw-suffix mismatch there silently corrupts
+    copy-on-write partition accounting)."""
+    from etl_opensky_spark.sources.versioned import _hive_dir as _vh
+
+    return _vh(cols, values)
 
 
 def merge_parquet_keyed(

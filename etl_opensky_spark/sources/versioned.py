@@ -122,9 +122,28 @@ def _new_data_dir(base: str) -> tuple[str, str]:
     return name, os.path.join(base, name)
 
 
+#: characters Spark %-escapes in partition directory names
+#: (ExternalCatalogUtils.escapePathName charset; spaces are NOT escaped
+#: — verified empirically).  Values containing these would make the raw
+#: suffix built below mismatch the on-disk directory and silently
+#: corrupt copy-on-write partition accounting — reject them instead.
+_ESCAPED_CHARS = set('"#%\'*/:=?\\{[]^\x7f') | {chr(c) for c in range(0x20)}
+
+
 def _hive_dir(cols: Sequence[str], values) -> str:
     """Hive partition suffix ``c1=v1/c2=v2`` (values from this engine's
-    own writes: ints/plain strings; %-escaping out of scope)."""
+    own writes: ints/plain strings incl. spaces; characters Spark would
+    %-escape are rejected — see ``_ESCAPED_CHARS``)."""
+    for c, v in zip(cols, values):
+        s = str(v)
+        bad = sorted(set(s) & _ESCAPED_CHARS)
+        if bad:
+            raise ValueError(
+                f"versioned: partition value {s!r} for column {c!r} "
+                f"contains characters Spark %-escapes in directory names "
+                f"({bad}); such values are out of scope for the raw-path "
+                "commit protocol — pre-sanitize the partition column"
+            )
     return "/".join(f"{c}={v}" for c, v in zip(cols, values))
 
 
