@@ -49,6 +49,7 @@ import os
 import shutil
 import uuid
 from collections.abc import Sequence
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -318,25 +319,38 @@ def merge_versioned(
     keys = list(keys)
     part_cols = list(partition_by)
 
-    dup = updates.groupBy(*keys).count().filter(F.col("count") > 1)
-    if dup.limit(1).count() > 0:
-        raise ValueError(
-            f"merge_versioned: updates contain duplicate keys on {keys}"
-        )
+    # materialize updates ONCE, then validate key-uniqueness and null
+    # partition values in a SINGLE aggregation over the checkpointed
+    # rows (separate probe jobs per rule made the per-micro-batch cost
+    # of streaming upserts measurable — q205/q111)
+    upd = updates.localCheckpoint()
+    aggs = [
+        F.count("*").alias("_n"),
+        F.count_distinct(*[F.col(k) for k in keys]).alias("_nk"),
+    ]
     if part_cols:
-        n_null = updates.filter(
-            " OR ".join(f"{c} IS NULL" for c in part_cols)
-        ).limit(1).count()
-        if n_null:
-            raise ValueError(
-                "merge_versioned: null partition values are not supported"
-            )
+        any_null = reduce(
+            lambda a, b: a | b, [F.col(c).isNull() for c in part_cols]
+        )
+        aggs.append(
+            F.sum(F.when(any_null, 1).otherwise(0)).alias("_nulls")
+        )
+    checks = upd.agg(*aggs).first()
+    if checks["_n"] != checks["_nk"]:
+        raise ValueError(
+            f"merge_versioned: updates contain duplicate keys (or null "
+            f"key values) on {keys}"
+        )
+    if part_cols and checks["_nulls"]:
+        raise ValueError(
+            "merge_versioned: null partition values are not supported"
+        )
 
     os.makedirs(base, exist_ok=True)
     cur = _current(base)
     if cur is None:
         name, data_dir = _new_data_dir(base)
-        w = updates.write.mode("errorifexists")
+        w = upd.write.mode("errorifexists")
         if part_cols:
             w = w.partitionBy(*part_cols)
         w.parquet(data_dir)
@@ -350,12 +364,11 @@ def merge_versioned(
     version = cur["version"] + 1
     parent_dir = os.path.join(base, cur["dir"])
     target = spark.read.parquet(parent_dir)
-    if set(updates.columns) != set(target.columns):
+    if set(upd.columns) != set(target.columns):
         raise ValueError(
-            f"merge_versioned: updates columns {sorted(updates.columns)} "
+            f"merge_versioned: updates columns {sorted(upd.columns)} "
             f"!= target columns {sorted(target.columns)}"
         )
-    upd = updates.localCheckpoint()  # one computation; reused below
     if part_cols:
         _assert_partitioned(parent_dir, part_cols)  # fail before staging IO
 
