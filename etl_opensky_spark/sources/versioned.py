@@ -265,6 +265,26 @@ def table_history(base: str) -> list[int]:
     return [c["version"] for c in _read_log(base)]
 
 
+def vacuum_versions(base: str, keep_last: int = 1) -> list[int]:
+    """Retention VACUUM: drop all but the newest ``keep_last`` committed
+    snapshots (commit file + data directory).  Hardlinked inodes shared
+    with retained snapshots survive the directory removal — deleting an
+    old snapshot never touches a newer one's data, which is the whole
+    point of the copy-on-write layout.  Time travel to a vacuumed
+    version subsequently raises (by design: retention is the trade).
+    Must not run concurrently with writers — same caveat as
+    :func:`vacuum_orphans` and every table format's VACUUM.
+    Returns the dropped version numbers."""
+    if keep_last < 1:
+        raise ValueError("vacuum_versions: keep_last must be >= 1")
+    log = _read_log(base)
+    drop = log[:-keep_last]
+    for entry in drop:
+        os.remove(_commit_path(base, entry["version"]))
+        shutil.rmtree(os.path.join(base, entry["dir"]), ignore_errors=True)
+    return [c["version"] for c in drop]
+
+
 def vacuum_orphans(base: str) -> list[str]:
     """Remove crash debris: data directories no commit file references
     and leftover staging directories.  Must not run concurrently with an

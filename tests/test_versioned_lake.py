@@ -310,3 +310,29 @@ def test_commit_file_is_json_with_version_and_dir(spark, tmp_path):
         c = json.load(fh)
     assert c["version"] == 1 and c["dir"].startswith("data-")
     assert os.path.isdir(os.path.join(base, c["dir"]))
+
+
+def test_vacuum_versions_retention_keeps_current_whole(spark, tmp_path):
+    """Dropping old snapshots must not disturb the current one even
+    though its untouched partitions are HARDLINKS into the dropped
+    directories' inodes — the copy-on-write guarantee under VACUUM."""
+    from etl_opensky_spark.sources.versioned import vacuum_versions
+
+    base = str(tmp_path / "lake")
+    merge_versioned(
+        spark, base, _df(spark, [(i, "a", 2000 + i % 3) for i in range(9)]),
+        ["id"], ["y"],
+    )
+    merge_versioned(spark, base, _df(spark, [(0, "B", 2000)]), ["id"], ["y"])
+    merge_versioned(spark, base, _df(spark, [(1, "C", 2001)]), ["id"], ["y"])
+    assert table_history(base) == [1, 2, 3]
+
+    dropped = vacuum_versions(base, keep_last=1)
+    assert dropped == [1, 2]
+    assert table_history(base) == [3]
+    # current snapshot fully readable: 9 rows, with both merges applied
+    got = dict((r[0], r[1]) for r in _read(spark, base))
+    assert len(got) == 9 and got[0] == "B" and got[1] == "C"
+    # time travel to a vacuumed version now raises, by design
+    with pytest.raises(ValueError):
+        read_version(spark, base, as_of=1)
