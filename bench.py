@@ -246,6 +246,7 @@ BENCH_QUERIES = [
     "q224_linear_interpolation",
     "q225_bpe_train",
     "q226_lake_lifecycle",
+    "q227_sequential_index_dedup",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

@@ -1455,6 +1455,28 @@ def build_dedup_index(
     ).parquet(path)
 
 
+def append_to_dedup_index(
+    kept: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    **band_params,
+) -> None:
+    """Index MAINTENANCE: append the surviving batch docs' band rows to
+    the persisted LSH index, so the NEXT batch dedups against
+    corpus ∪ every previously-kept doc — the missing piece between
+    :func:`build_dedup_index` (one-time build) and
+    :func:`dedup_batch_against_index` (per-batch probe) that makes the
+    incremental pipeline self-sustaining.  Cost is O(batch) banding +
+    an append write; the corpus index is never rebuilt.  Callers MUST
+    materialize the kept set (``localCheckpoint``) BEFORE appending —
+    a lazy kept evaluated after the append would see its own band rows
+    and self-match."""
+    md5_minhash_bands(kept, id_col, text_col, **band_params).write.mode(
+        "append"
+    ).parquet(path)
+
+
 def dedup_batch_against_index(
     spark,
     batch: DataFrame,

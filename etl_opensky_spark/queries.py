@@ -9615,6 +9615,117 @@ def _oracle_q225() -> str:
     return bpe_train_oracle_sql(n_merges=6)
 
 
+def q227_sequential_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENTIAL incremental dedup with index MAINTENANCE — the full
+    daily-ingest loop q215 only half-covers: three successive batches
+    (doc_id %10 = 7, 8, 9) each probe the persisted LSH index, and the
+    SURVIVORS' band rows are APPENDED to the index
+    (``dedup.append_to_dedup_index``) before the next batch arrives —
+    so batch 2 dedups against corpus ∪ kept₁, batch 3 against
+    corpus ∪ kept₁ ∪ kept₂.  Each kept set is materialized
+    (localCheckpoint) BEFORE its append — a lazy result evaluated after
+    the append would see its own band rows and self-match.  The oracle
+    unrolls the whole three-stage recursion: the same md5 band +
+    integer-Jaccard pipeline per stage, each stage's candidate corpus
+    extended by the previous stages' survivors (AS MATERIALIZED per the
+    q113 lesson — bands/grams feed every stage)."""
+    import shutil
+
+    from etl_opensky_spark.functions.dedup import (
+        append_to_dedup_index,
+        build_dedup_index,
+        dedup_batch_against_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 <= 6)
+    index_path = _gate_tmp("q227_index", sf_dir)
+    shutil.rmtree(index_path, ignore_errors=True)
+    build_dedup_index(corpus, "doc_id", "text", index_path)
+
+    kept_all = None
+    for m in (7, 8, 9):
+        batch = docs.filter(F.col("doc_id") % 10 == m)
+        kept = dedup_batch_against_index(
+            spark, batch, corpus, index_path, "doc_id", "text"
+        ).localCheckpoint()  # decisions pinned BEFORE the index mutates
+        append_to_dedup_index(kept, "doc_id", "text", index_path)
+        corpus = corpus.unionByName(kept)
+        kept_all = kept if kept_all is None else kept_all.unionByName(kept)
+    return kept_all.select("doc_id", "lang", "n_chars")
+
+
+def _oracle_q227() -> str:
+    # shared band/gram machinery identical to ORACLE_Q215; one
+    # (cand/inter/dups/kept) block per batch, each stage's corpus =
+    # base corpus ∪ previous stages' kept ids
+    head = r"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+  FROM documents
+), grams AS MATERIALIZED (
+  SELECT DISTINCT doc_id, unnest(
+    CASE WHEN len(ts) < 3 THEN []::VARCHAR[]
+         ELSE list_transform(range(1, len(ts) - 1),
+                             i -> array_to_string(ts[i:i+2], ' ')) END) AS g
+  FROM toks
+), sizes AS MATERIALIZED (
+  SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id
+), mh AS MATERIALIZED (
+  SELECT doc_id, h,
+    MIN(CAST(CONCAT('0x', substr(md5(CONCAT_WS(':', CAST(h AS VARCHAR), g)),
+      1, 15)) AS BIGINT)) AS v
+  FROM grams CROSS JOIN (SELECT unnest(range(16)) AS h)
+  GROUP BY doc_id, h
+), bands AS MATERIALIZED (
+  SELECT doc_id, CAST(h // 4 AS INTEGER) AS band,
+    CAST(CONCAT('0x', substr(md5(CONCAT_WS(':', CAST(h // 4 AS VARCHAR),
+      string_agg(CAST(v AS VARCHAR), ',' ORDER BY h))), 1, 15)) AS BIGINT)
+      AS bh
+  FROM mh GROUP BY doc_id, h // 4
+)"""
+    stages = ""
+    prev_kept: list[str] = []
+    for k, m in enumerate((7, 8, 9), start=1):
+        in_corpus = "c.doc_id % 10 <= 6"
+        for p in prev_kept:
+            in_corpus += f" OR c.doc_id IN (SELECT doc_id FROM {p})"
+        stages += f""",
+cand{k} AS (
+  SELECT DISTINCT b.doc_id AS bid, c.doc_id AS cid
+  FROM bands b JOIN bands c ON b.band = c.band AND b.bh = c.bh
+  WHERE b.doc_id % 10 = {m} AND ({in_corpus})
+), inter{k} AS (
+  SELECT cand{k}.bid, cand{k}.cid, COUNT(*) AS i
+  FROM cand{k}
+  JOIN grams ga ON ga.doc_id = cand{k}.bid
+  JOIN grams gb ON gb.doc_id = cand{k}.cid AND gb.g = ga.g
+  GROUP BY cand{k}.bid, cand{k}.cid
+), dups{k} AS (
+  SELECT DISTINCT inter{k}.bid
+  FROM inter{k}
+  JOIN sizes sa ON sa.doc_id = inter{k}.bid
+  JOIN sizes sb ON sb.doc_id = inter{k}.cid
+  WHERE 3 * inter{k}.i >= sa.sz + sb.sz
+), kept{k} AS MATERIALIZED (
+  SELECT doc_id FROM documents
+  WHERE doc_id % 10 = {m}
+    AND doc_id NOT IN (SELECT bid FROM dups{k})
+)"""
+        prev_kept.append(f"kept{k}")
+    union = " UNION ALL ".join(
+        f"SELECT doc_id FROM kept{k}" for k in range(1, 4)
+    )
+    return (
+        head
+        + stages
+        + f"""
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN ({union}) kept ON d.doc_id = kept.doc_id
+"""
+    )
+
+
 def q226_lake_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Versioned-lake LIFECYCLE gate (sources.versioned, VERDICT r4 #2):
     one oracle-checked query drives the full ACID protocol — v1 initial
@@ -9940,6 +10051,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q224_linear_interpolation": q224_linear_interpolation,
     "q225_bpe_train": q225_bpe_train,
     "q226_lake_lifecycle": q226_lake_lifecycle,
+    "q227_sequential_index_dedup": q227_sequential_index_dedup,
 }
 
 ORACLES: dict[str, str] = {
@@ -10167,6 +10279,7 @@ ORACLES: dict[str, str] = {
     "q224_linear_interpolation": ORACLE_Q224,
     "q225_bpe_train": _oracle_q225(),
     "q226_lake_lifecycle": ORACLE_Q226,
+    "q227_sequential_index_dedup": _oracle_q227(),
 }
 
 
