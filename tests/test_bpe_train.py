@@ -107,6 +107,34 @@ def test_bpe_train_then_apply_consistent(spark):
     assert applied == toks
 
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+words = st.text("abc", min_size=1, max_size=6)
+corpora = st.lists(
+    st.lists(words, min_size=1, max_size=8).map(" ".join),
+    min_size=1,
+    max_size=5,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=corpora)
+def test_bpe_train_property_matches_reference(spark, texts):
+    """Property: on arbitrary small corpora over a 3-char alphabet
+    (maximal tie pressure), the distributed trainer's merge list —
+    pairs, order, AND counts — equals the plain-Python Sennrich
+    reference with the same (count desc, pair asc) tie order."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    assert bpe_train(docs, "text", 5) == _reference_train(texts, 5)
+
+
 def test_bpe_train_exhausts_gracefully(spark):
     """Single-char vocabulary with one pair: training past exhaustion
     stops early instead of looping or erroring."""
