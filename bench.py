@@ -247,6 +247,11 @@ BENCH_QUERIES = [
     "q225_bpe_train",
     "q226_lake_lifecycle",
     "q227_sequential_index_dedup",
+    "q228_data_skipping",
+    "q229_shortest_paths",
+    "q230_time_weighted_average",
+    "q231_silhouette",
+    "q232_privacy_audit",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

@@ -291,3 +291,67 @@ def semdedup(
         F.count("*").alias("n_members"),
         F.count_if(F.col("_drop").isNull()).alias("n_kept"),
     )
+
+
+def simplified_silhouette(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-point SIMPLIFIED silhouette: cohesion/separation measured
+    against cluster CENTROIDS instead of all co-members — the
+    linear-time formulation (one pass vs the O(n^2) pairwise classic)
+    and the only silhouette that survives 100 TB: exact pairwise
+    silhouette is an all-pairs self-join, centroid silhouette is one
+    aggregate + one broadcast join.
+
+    ``a = ||x - c_own||``, ``b = min over other labels ||x - c_l||``,
+    ``s = (b - a) / max(a, b)`` (0 when both are 0, null for a single
+    cluster).
+
+    Spark shape: quantized vectors (micro-units, same as
+    :func:`kmeans`) are pos-exploded once; centroids are an
+    (n x dim)-row map-side-combined aggregate with floor(sum/count)
+    integer division; the point-to-every-centroid distances come from
+    ONE broadcast join of the exploded points against the (labels x
+    dim)-row centroid table, aggregated back per (point, label).  All
+    distance arithmetic is exact integers; the final sqrt/divide are
+    single IEEE double ops, so a SQL oracle replays bit-identically.
+
+    Returns ``(id_col, label_col, a_sq, b_sq, silhouette)``.
+    """
+    ex = emb.select(
+        F.col(id_col),
+        F.col(label_col),
+        F.posexplode(_quantize(emb, vec_col)).alias("_pos", "_q"),
+    )
+    cent = (
+        ex.groupBy(F.col(label_col).alias("_clabel"), "_pos")
+        .agg(F.sum("_q").alias("_s"), F.count("*").alias("_n"))
+        .select("_clabel", "_pos", F.expr("_s div _n").alias("_c"))
+    )
+    diff = F.col("_q") - F.col("_c")
+    d = (
+        ex.join(F.broadcast(cent), "_pos")
+        .groupBy(id_col, label_col, "_clabel")
+        .agg(F.sum(diff * diff).alias("_d2"))
+    )
+    per_point = d.groupBy(id_col, label_col).agg(
+        F.min(
+            F.when(F.col("_clabel") == F.col(label_col), F.col("_d2"))
+        ).alias("a_sq"),
+        F.min(
+            F.when(F.col("_clabel") != F.col(label_col), F.col("_d2"))
+        ).alias("b_sq"),
+    )
+    a = F.sqrt(F.col("a_sq").cast("double"))
+    b = F.sqrt(F.col("b_sq").cast("double"))
+    s = F.when(F.col("b_sq").isNull(), F.lit(None).cast("double")).otherwise(
+        F.when(F.greatest(a, b) > 0, (b - a) / F.greatest(a, b)).otherwise(
+            F.lit(0.0)
+        )
+    )
+    return per_point.select(
+        id_col, label_col, "a_sq", "b_sq", s.alias("silhouette")
+    )

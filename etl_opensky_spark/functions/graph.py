@@ -321,3 +321,100 @@ def label_spread_oracle_sql(
         ",\n".join(parts)
         + f"\nSELECT n AS node, l AS label FROM l{n_rounds}"
     )
+
+
+def shortest_paths(
+    edges: DataFrame,
+    source,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    n_rounds: int = 4,
+) -> DataFrame:
+    """Single-source shortest paths: ``n_rounds`` of distributed
+    Bellman-Ford relaxation over an edge list (directed; ``weight=None``
+    means hop count, i.e. BFS levels).
+
+    Returns ``(node, dist)`` for every node reachable within
+    ``n_rounds`` hops, with ``dist`` the exact integer minimum path
+    weight.  Spark-first shape (same as :func:`pagerank`): each round
+    is ONE equi-join of the current tentative-distance table with the
+    localCheckpoint-ed edge list on the source endpoint plus a
+    map-side-combined ``min`` aggregation — the shuffle moves one long
+    per (reducer, node), never the edges, and nothing iterates on the
+    driver.  The distance table is localCheckpoint-ed per round so
+    lineage stays flat (k-means / star-contraction pattern).
+
+    Weights must be non-negative non-null integers (enforced inline on
+    the weight expression, like :func:`pagerank`): pure integer add/min
+    arithmetic means any engine reproduces bit-identical distances, so
+    a DuckDB oracle can unroll the recursion
+    (:func:`shortest_paths_oracle_sql`).
+
+    At 100 TB: rounds are bounded by the graph diameter of interest;
+    each round's join keys on the relaxation frontier which AQE
+    broadcasts while small.  For huge frontiers this is textbook
+    in-core Bellman-Ford — one shuffle per round, state = one row per
+    reached node, never per path.
+    """
+    if weight is not None:
+        raw_w = F.col(weight).cast("long")
+        w = F.when(raw_w >= 0, raw_w).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"shortest_paths: weight column '{weight}' must "
+                        "be non-negative and non-null, got "
+                    ),
+                    F.coalesce(raw_w.cast("string"), F.lit("NULL")),
+                )
+            ).cast("long")
+        )
+    else:
+        w = F.lit(1).cast("long")
+    e = edges.select(
+        F.col(src).alias("_src"), F.col(dst).alias("_dst"), w.alias("_w")
+    ).localCheckpoint()
+    # one-row seed frame, typed from the edge schema so the per-round
+    # join never needs an implicit cast
+    dist = edges.sparkSession.range(1).select(
+        F.lit(source).cast(e.schema["_src"].dataType).alias("node"),
+        F.lit(0).cast("long").alias("dist"),
+    )
+    for _ in range(n_rounds):
+        relaxed = e.join(dist, e["_src"] == dist["node"]).select(
+            F.col("_dst").alias("node"),
+            (F.col("dist") + F.col("_w")).alias("dist"),
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return dist
+
+
+def shortest_paths_oracle_sql(
+    edges_cte: str, source_sql: str, n_rounds: int = 4
+) -> str:
+    """Unrolled ANSI-SQL replay of :func:`shortest_paths` (the
+    q98/q88 unrolled-recursion oracle pattern): ``edges_cte`` must
+    produce ``(src, dst, w)``; ``source_sql`` is a scalar SQL
+    expression for the source node value."""
+    parts = [
+        f"WITH edges AS ({edges_cte})",
+        f"d0 AS (SELECT {source_sql} AS node, CAST(0 AS BIGINT) AS dist)",
+    ]
+    for r in range(n_rounds):
+        parts.append(
+            f"d{r + 1} AS (SELECT node, MIN(dist) AS dist FROM ("
+            f"SELECT node, dist FROM d{r} UNION ALL "
+            f"SELECT e.dst AS node, d{r}.dist + e.w AS dist"
+            f" FROM d{r} JOIN edges e ON e.src = d{r}.node"
+            f") GROUP BY node)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT node, CAST(dist AS BIGINT) AS dist FROM d{n_rounds}"
+    )

@@ -677,3 +677,58 @@ def grouped_linear_trend(
         slope.alias("slope_micros"),
         intercept.alias("intercept_micros"),
     )
+
+
+def time_weighted_average(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    end_expr: Column,
+    order_tiebreak: str | None = None,
+    value_scale: int = 2,
+) -> DataFrame:
+    """Time-weighted average per key of a STEP function: each sample's
+    value holds from its timestamp until the key's next sample; the
+    last sample holds until ``end_expr`` (a per-row Column, e.g. end of
+    the sample's day).  This is the TWAP / sensor-mean primitive that a
+    plain ``avg`` gets wrong whenever sampling is irregular.
+
+    One partitioned window (shuffle on ``keys``) computes each sample's
+    holding duration via ``lead``; one map-side-combined aggregate
+    folds ``value x seconds``.  No global sort, no driver loop — scales
+    with key count like any windowed aggregate.
+
+    Determinism (oracle-exact): values are fixed to
+    ``DECIMAL(18, value_scale)`` so the weighted sum is exact integer
+    arithmetic; the single decimal->double conversion and one IEEE
+    divide happen identically in any engine.  Pass ``order_tiebreak``
+    (a unique column) so equal timestamps order identically everywhere
+    — with equal ``ts`` the earlier-ordered sample holds for 0 seconds.
+
+    Returns one row per key: ``n_samples``, ``total_seconds``,
+    ``twa`` (double; null for a key whose total duration is 0).
+    """
+    keys = list(keys)
+    order = [F.col(ts_col)] + (
+        [F.col(order_tiebreak)] if order_tiebreak else []
+    )
+    w = Window.partitionBy(*keys).orderBy(*order)
+    holds_until = F.coalesce(F.lead(F.col(ts_col)).over(w), end_expr)
+    dur = (
+        F.unix_timestamp(holds_until) - F.unix_timestamp(F.col(ts_col))
+    ).cast("long")
+    vdec = F.col(value_col).cast(f"decimal(18,{value_scale})")
+    stepped = df.select(
+        *keys, dur.alias("_dur"), vdec.alias("_v")
+    ).withColumn("_wv", F.col("_v") * F.col("_dur"))
+    out = stepped.groupBy(*keys).agg(
+        F.count("*").cast("long").alias("n_samples"),
+        F.sum("_dur").cast("long").alias("total_seconds"),
+        F.sum("_wv").alias("_swv"),
+    )
+    twa = F.when(
+        F.col("total_seconds") > 0,
+        F.col("_swv").cast("double") / F.col("total_seconds").cast("double"),
+    )
+    return out.select(*keys, "n_samples", "total_seconds", twa.alias("twa"))

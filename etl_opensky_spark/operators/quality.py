@@ -323,3 +323,77 @@ def detect_renames(
         .filter(F.col("old_col") != F.col("new_col"))
         .select("old_col", "new_col", "n_nonnull")
     )
+
+
+def diversity_closeness_audit(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+) -> DataFrame:
+    """l-diversity + t-closeness audit per quasi-identifier group —
+    the two disclosure checks k-anonymity (q185) cannot see: a group
+    can be large (k fine) yet reveal its sensitive attribute because
+    every member shares one value (l = 1) or because its value
+    DISTRIBUTION diverges from the table's (t-closeness).
+
+    Per group this reports ``n`` (group size, = k contribution),
+    ``l_distinct`` (distinct sensitive values), and the total
+    variation distance ``tvd = 1/2 sum_v |p_group(v) - p_global(v)|``
+    computed EXACTLY in integers over a common denominator::
+
+        tvd_num = sum_{v in group} |cnt_gv*N - cnt_v*n_g|
+                  + n_g * (N - sum_{v in group} cnt_v)   # absent values
+        tvd     = tvd_num / (2 * n_g * N)                # one IEEE divide
+
+    (the absent-value tail folds to a closed form because global
+    frequencies sum to N — no group x all-values materialization).
+
+    Spark shape: one groupBy per granularity — (quasi x sensitive),
+    the global sensitive histogram (broadcast: |values| rows), and the
+    1-row total crossJoined in.  Everything is map-side-combined
+    aggregates and broadcast joins; nothing is per-row Python and the
+    widest intermediate is one row per observed (group, value) pair.
+    Integer bound: ``cnt * N < 2^63`` holds through ~3e9 rows; beyond
+    that swap the products to DECIMAL(38,0).
+    """
+    from pyspark.sql import Window
+
+    quasi = list(quasi_cols)
+    gv = df.groupBy(*quasi, sensitive_col).agg(F.count("*").alias("_cgv"))
+    # group size via a window over the already-collapsed (group, value)
+    # counts — |groups x values| rows, not the input
+    ng = F.sum("_cgv").over(Window.partitionBy(*quasi))
+    glob = df.groupBy(sensitive_col).agg(F.count("*").alias("_cv"))
+    tot = df.agg(F.count("*").alias("_N"))
+    out = (
+        gv.withColumn("_ng", ng)
+        .join(F.broadcast(glob), sensitive_col)
+        .crossJoin(F.broadcast(tot))
+        .groupBy(*quasi)
+        .agg(
+            F.max("_ng").cast("long").alias("n"),
+            F.count("*").cast("long").alias("l_distinct"),
+            F.sum(
+                F.abs(
+                    F.col("_cgv") * F.col("_N") - F.col("_cv") * F.col("_ng")
+                )
+            )
+            .cast("long")
+            .alias("_sum_abs"),
+            F.sum("_cv").cast("long").alias("_present_glob"),
+            F.max("_N").cast("long").alias("_N"),
+        )
+    )
+    tvd_num = (
+        F.col("_sum_abs") + F.col("n") * (F.col("_N") - F.col("_present_glob"))
+    ).cast("long")
+    return out.select(
+        *quasi,
+        "n",
+        "l_distinct",
+        tvd_num.alias("tvd_num"),
+        (
+            tvd_num.cast("double")
+            / (F.lit(2).cast("long") * F.col("n") * F.col("_N")).cast("double")
+        ).alias("tvd"),
+    )

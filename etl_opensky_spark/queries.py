@@ -9825,6 +9825,243 @@ SELECT version, prio, n, total_price FROM agg
 """
 
 
+def q228_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest data skipping on the versioned lake
+    (``versioned.write_version stats_cols`` + ``read_version where=``):
+    orders are range-clustered on ``o_orderkey`` into 16 files whose
+    per-file footer min/max land in the COMMIT MANIFEST; the selective
+    read then plans from the manifest and scans only the 2-3
+    intersecting files — the Delta-style stats-in-log design, which at
+    100 TB is the difference between scanning 10^5 files and scanning
+    the handful a point query touches.  Skipping is a superset
+    guarantee (the exact filter still applies); the pytest side
+    additionally asserts the pruned file count.  The oracle replays the
+    filter + aggregate over the registered table."""
+    import shutil
+
+    from etl_opensky_spark.sources.versioned import read_version, write_version
+
+    base = _gate_tmp("q228_skiplake", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders")
+    clustered = orders.repartitionByRange(16, "o_orderkey")
+    write_version(clustered, base, stats_cols=["o_orderkey"])
+    # scale-relative range (~1/6 of the keyspace) so the gate prunes —
+    # and returns rows — at every SF; one driver scalar, same subqueries
+    # in the oracle
+    mx = orders.agg(F.max("o_orderkey")).first()[0]
+    lo, hi = mx // 6, mx // 3
+    pruned = read_version(spark, base, where={"o_orderkey": (lo, hi)})
+    return (
+        pruned.filter(
+            (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") <= hi)
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+        )
+    )
+
+
+ORACLE_Q228 = """
+SELECT o_orderpriority, COUNT(*) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+WHERE o_orderkey BETWEEN (SELECT MAX(o_orderkey) // 6 FROM orders)
+                     AND (SELECT MAX(o_orderkey) // 3 FROM orders)
+GROUP BY o_orderpriority
+"""
+
+
+def q229_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source shortest paths (``graph.shortest_paths`` — 4
+    rounds of distributed Bellman-Ford) over the event-type transition
+    graph, edge cost = ``1e6 div transition_count`` so frequent
+    transitions are cheap ("most-traveled route" distances).  All
+    integer add/min arithmetic → the oracle unrolls the identical
+    relaxation recursion in SQL and hash-matches exactly (q98/q88
+    pattern).  The source is the lexicographically smallest edge
+    source — one driver scalar, same subquery in the oracle."""
+    from etl_opensky_spark.functions.graph import shortest_paths
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = ev.withColumn("_next", F.lead("event_type").over(w))
+    edges = (
+        nxt.filter(
+            F.col("_next").isNotNull() & (F.col("_next") != F.col("event_type"))
+        )
+        .groupBy(
+            F.col("event_type").alias("src"), F.col("_next").alias("dst")
+        )
+        .agg(F.expr("1000000 div count(*)").alias("cost"))
+        .localCheckpoint()  # reused as weight table and for the source scalar
+    )
+    source = edges.agg(F.min("src")).first()[0]
+    out = shortest_paths(edges, source, weight="cost", n_rounds=4)
+    return out.select(F.col("node").alias("event_type"), "dist")
+
+
+def _oracle_q229() -> str:
+    from etl_opensky_spark.functions.graph import shortest_paths_oracle_sql
+
+    edges_cte = """
+    SELECT event_type AS src, next_type AS dst,
+           1000000 // COUNT(*) AS w FROM (
+      SELECT event_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events) t
+    WHERE next_type IS NOT NULL AND next_type <> event_type
+    GROUP BY src, dst
+    """
+    sql = shortest_paths_oracle_sql(
+        edges_cte, "(SELECT MIN(src) FROM edges)", n_rounds=4
+    )
+    return sql.replace(
+        "SELECT node, CAST(dist AS BIGINT) AS dist",
+        "SELECT node AS event_type, CAST(dist AS BIGINT) AS dist",
+    )
+
+
+def q230_time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (``aggregates.time_weighted_average``):
+    per (user, day), the step-function mean of ``value`` where each
+    event's value holds until the user's next event that day (the last
+    until midnight) — the TWAP / sensor-mean primitive that plain
+    ``avg`` gets wrong under irregular sampling.  Durations are
+    unix-second differences (timezone cancels), the weighted sum is
+    exact DECIMAL, and the single decimal→double + IEEE divide is
+    replayed identically by the oracle."""
+    from etl_opensky_spark.operators.aggregates import time_weighted_average
+
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    out = time_weighted_average(
+        ev,
+        ["user_id", "day"],
+        "ts",
+        "value",
+        end_expr=F.to_timestamp(F.date_add(F.col("day"), 1)),
+        order_tiebreak="event_id",
+        value_scale=6,
+    )
+    return out
+
+
+ORACLE_Q230 = """
+WITH s AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+    CAST(value AS DECIMAL(18,6)) AS v,
+    CAST(floor(epoch(COALESCE(
+      LEAD(ts) OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                     ORDER BY ts, event_id),
+      CAST(CAST(ts AS DATE) + INTERVAL 1 DAY AS TIMESTAMP))))
+      - floor(epoch(ts)) AS BIGINT) AS dur
+  FROM events
+)
+SELECT user_id, day,
+  CAST(COUNT(*) AS BIGINT) AS n_samples,
+  CAST(SUM(dur) AS BIGINT) AS total_seconds,
+  CASE WHEN SUM(dur) > 0 THEN
+    CAST(SUM(v * dur) AS DOUBLE) / CAST(SUM(dur) AS DOUBLE)
+  END AS twa
+FROM s GROUP BY user_id, day
+"""
+
+
+def q231_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-point SIMPLIFIED silhouette
+    (``clustering.simplified_silhouette``) of the embeddings table's
+    given ``label`` assignment: cohesion/separation against cluster
+    centroids — the linear-time silhouette (vs the O(n^2) pairwise
+    classic) and the only one that survives 100 TB.  Quantized integer
+    centroid/distance arithmetic (q88 pattern) + single IEEE
+    sqrt/divide → hash-exact against the relational replay."""
+    from etl_opensky_spark.functions.clustering import simplified_silhouette
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return simplified_silhouette(emb)
+
+
+ORACLE_Q231 = """
+WITH v AS (
+  SELECT vec_id, label,
+    generate_subscripts(embedding, 1) - 1 AS pos,
+    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS q
+  FROM embeddings
+), cent AS (
+  SELECT label AS clabel, pos, SUM(q) // COUNT(*) AS c
+  FROM v GROUP BY 1, 2
+), d AS (
+  SELECT v.vec_id, v.label, cent.clabel,
+    SUM((v.q - cent.c) * (v.q - cent.c)) AS d2
+  FROM v JOIN cent ON v.pos = cent.pos
+  GROUP BY 1, 2, 3
+), pp AS (
+  SELECT vec_id, label,
+    MIN(CASE WHEN clabel = label THEN d2 END) AS a_sq,
+    MIN(CASE WHEN clabel <> label THEN d2 END) AS b_sq
+  FROM d GROUP BY 1, 2
+)
+SELECT vec_id, label,
+  CAST(a_sq AS BIGINT) AS a_sq, CAST(b_sq AS BIGINT) AS b_sq,
+  CASE WHEN b_sq IS NULL THEN NULL
+    WHEN GREATEST(sqrt(CAST(a_sq AS DOUBLE)), sqrt(CAST(b_sq AS DOUBLE))) > 0
+    THEN (sqrt(CAST(b_sq AS DOUBLE)) - sqrt(CAST(a_sq AS DOUBLE)))
+         / GREATEST(sqrt(CAST(a_sq AS DOUBLE)), sqrt(CAST(b_sq AS DOUBLE)))
+    ELSE 0.0 END AS silhouette
+FROM pp
+"""
+
+
+def q232_privacy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity + t-closeness audit
+    (``quality.diversity_closeness_audit``) per (priority, year) quasi-
+    group with ``o_orderstatus`` sensitive — the two disclosure checks
+    k-anonymity (q185) cannot see: a large group with ONE sensitive
+    value (l = 1) or a skewed value DISTRIBUTION (t-closeness) still
+    leaks.  TVD is computed exactly in integers over a common
+    denominator (absent values fold to a closed form), one IEEE divide
+    at the end."""
+    from etl_opensky_spark.operators.quality import diversity_closeness_audit
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.year("o_orderdate").cast("int").alias("y"),
+        "o_orderstatus",
+    )
+    return diversity_closeness_audit(orders, ["prio", "y"], "o_orderstatus")
+
+
+ORACLE_Q232 = """
+WITH gv AS (
+  SELECT o_orderpriority AS prio, CAST(year(o_orderdate) AS INTEGER) AS y,
+    o_orderstatus AS v, CAST(COUNT(*) AS BIGINT) AS cgv
+  FROM orders GROUP BY 1, 2, 3
+), g AS (
+  SELECT prio, y, v, cgv,
+    CAST(SUM(cgv) OVER (PARTITION BY prio, y) AS BIGINT) AS ng
+  FROM gv
+), gtab AS (
+  SELECT o_orderstatus AS v, CAST(COUNT(*) AS BIGINT) AS cv
+  FROM orders GROUP BY 1
+), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS ntot FROM orders),
+agg AS (
+  SELECT prio, y, MAX(ng) AS n, CAST(COUNT(*) AS BIGINT) AS l_distinct,
+    CAST(SUM(ABS(cgv * ntot - cv * ng)) AS BIGINT) AS sum_abs,
+    CAST(SUM(cv) AS BIGINT) AS present, MAX(ntot) AS ntot
+  FROM g JOIN gtab USING (v) CROSS JOIN tot
+  GROUP BY 1, 2
+)
+SELECT prio, y, n, l_distinct,
+  CAST(sum_abs + n * (ntot - present) AS BIGINT) AS tvd_num,
+  CAST(sum_abs + n * (ntot - present) AS DOUBLE)
+    / CAST(2 * n * ntot AS DOUBLE) AS tvd
+FROM agg
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -10052,6 +10289,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q225_bpe_train": q225_bpe_train,
     "q226_lake_lifecycle": q226_lake_lifecycle,
     "q227_sequential_index_dedup": q227_sequential_index_dedup,
+    "q228_data_skipping": q228_data_skipping,
+    "q229_shortest_paths": q229_shortest_paths,
+    "q230_time_weighted_average": q230_time_weighted_average,
+    "q231_silhouette": q231_silhouette,
+    "q232_privacy_audit": q232_privacy_audit,
 }
 
 ORACLES: dict[str, str] = {
@@ -10280,6 +10522,11 @@ ORACLES: dict[str, str] = {
     "q225_bpe_train": _oracle_q225(),
     "q226_lake_lifecycle": ORACLE_Q226,
     "q227_sequential_index_dedup": _oracle_q227(),
+    "q228_data_skipping": ORACLE_Q228,
+    "q229_shortest_paths": _oracle_q229(),
+    "q230_time_weighted_average": ORACLE_Q230,
+    "q231_silhouette": ORACLE_Q231,
+    "q232_privacy_audit": ORACLE_Q232,
 }
 
 

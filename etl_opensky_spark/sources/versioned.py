@@ -95,17 +95,26 @@ def _current(base: str) -> dict | None:
     return log[-1] if log else None
 
 
-def _commit(base: str, version: int, data_dir_name: str, op: str) -> None:
+def _commit(
+    base: str,
+    version: int,
+    data_dir_name: str,
+    op: str,
+    extra: dict | None = None,
+) -> None:
     """The atomic commit point: O_EXCL create of the commit file.  Raises
-    :class:`ConcurrentCommitError` if another writer won this version."""
+    :class:`ConcurrentCommitError` if another writer won this version.
+    ``extra`` carries optional manifest metadata (file stats for data
+    skipping)."""
     os.makedirs(_commits_dir(base), exist_ok=True)
     hook = _test_hooks.get("before_commit")
     if hook is not None:
         hook()
-    payload = json.dumps(
-        {"version": version, "dir": data_dir_name, "op": op,
-         "parent": version - 1}
-    )
+    doc = {"version": version, "dir": data_dir_name, "op": op,
+           "parent": version - 1}
+    if extra:
+        doc.update(extra)
+    payload = json.dumps(doc)
     try:
         fd = os.open(
             _commit_path(base, version), os.O_CREAT | os.O_EXCL | os.O_WRONLY
@@ -212,16 +221,170 @@ def _snapshot_from_parent(
                 os.rename(stg, tgt)
 
 
+# --- file statistics for manifest data skipping (q228) -------------------
+
+
+def _json_stat(v):
+    """Parquet footer min/max → JSON-storable value.  Numbers and
+    strings pass through; dates/timestamps become ISO strings (ISO
+    order == chronological order, so range pruning over the string
+    form stays correct)."""
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None  # undecodable binary stats: store nothing (kept)
+    return str(v)  # date / datetime / Decimal → ISO / canonical string
+
+
+def _harvest_file_stats(
+    spark: SparkSession, data_dir: str, stats_cols: Sequence[str]
+) -> dict:
+    """Per-file min/max/null-count for ``stats_cols``, read from parquet
+    FOOTERS only — no data pages are touched, so cost is O(#files)
+    metadata reads.  The harvest is DISTRIBUTED (an RDD over the file
+    list, pyarrow on the executors): at 100 TB / ~10^5 files the driver
+    never opens a footer; it only collects one small stats row per
+    file.  Returns ``{relpath: {col: {"min","max","nulls","rows"}}}``.
+    A column missing from a file's footer stats maps to ``None``
+    (reader must keep the file)."""
+    cols = list(stats_cols)
+    files: list[str] = []
+    for root, _dirs, names in os.walk(data_dir):
+        for n in names:
+            if n.endswith(".parquet"):
+                files.append(os.path.join(root, n))
+    if not files:
+        return {}
+
+    def _footers(paths):
+        import pyarrow.parquet as pq
+
+        for path in paths:
+            md = pq.ParquetFile(path).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            per_col = {}
+            for c in cols:
+                if c not in idx:  # partition column: not in the file
+                    continue
+                mn = mx = None
+                nulls = 0
+                rows = 0
+                ok = True
+                for rg in range(md.num_row_groups):
+                    col = md.row_group(rg).column(idx[c])
+                    st = col.statistics
+                    rows += md.row_group(rg).num_rows
+                    if st is None or not st.has_min_max:
+                        # all-null row group still prunable if null_count
+                        # is known and equals num_values... keep simple:
+                        # footer without min/max => no stats for the file
+                        if st is not None and st.null_count == md.row_group(
+                            rg
+                        ).num_rows:
+                            nulls += st.null_count
+                            continue
+                        ok = False
+                        break
+                    nulls += st.null_count or 0
+                    if mn is None or st.min < mn:
+                        mn = st.min
+                    if mx is None or st.max > mx:
+                        mx = st.max
+                per_col[c] = (
+                    {"min": mn, "max": mx, "nulls": nulls, "rows": rows}
+                    if ok
+                    else None
+                )
+            yield path, per_col
+    n_slices = min(len(files), 32)
+    harvested = (
+        spark.sparkContext.parallelize(files, n_slices)
+        .mapPartitions(_footers)
+        .collect()
+    )
+    out = {}
+    for path, per_col in harvested:
+        rel = os.path.relpath(path, data_dir)
+        out[rel] = {
+            c: (
+                None
+                if s is None
+                else {
+                    "min": _json_stat(s["min"]),
+                    "max": _json_stat(s["max"]),
+                    "nulls": s["nulls"],
+                    "rows": s["rows"],
+                }
+            )
+            for c, s in per_col.items()
+        }
+    return out
+
+
+def _file_matches(per_col: dict, where: dict) -> bool:
+    """True if the file can hold rows satisfying every range predicate
+    in ``where`` (``{col: (lo, hi)}``, either bound None = unbounded).
+    Conservative: missing/unusable stats keep the file.  Null rows
+    never satisfy a range predicate (SQL semantics), so an all-null
+    file is skippable."""
+    for c, (lo, hi) in where.items():
+        s = per_col.get(c)
+        if s is None:
+            if c in per_col:
+                continue  # explicit None: stats unusable, keep
+            continue  # partition col or unharvested: keep
+        if s["min"] is None and s["max"] is None:
+            if s["rows"] and s["nulls"] == s["rows"]:
+                return False  # all null: no row can match
+            continue
+        if lo is not None and s["max"] is not None and s["max"] < lo:
+            return False
+        if hi is not None and s["min"] is not None and s["min"] > hi:
+            return False
+    return True
+
+
+def prune_files(
+    base: str, where: dict, as_of: int | None = None
+) -> tuple[list[str], int]:
+    """Manifest-level data skipping: resolve the snapshot, keep only
+    the files whose footer-stat ranges can intersect ``where``
+    (``{col: (lo, hi)}``).  Returns ``(kept relative paths, total file
+    count)`` — PLANNING-TIME metadata work only; no Spark job runs."""
+    entry = _resolve(base, as_of)
+    stats = entry.get("stats")
+    if stats is None:
+        raise ValueError(
+            "prune_files: snapshot was not written with stats_cols — "
+            "no manifest stats to prune on"
+        )
+    kept = [
+        rel for rel, per_col in stats.items() if _file_matches(per_col, where)
+    ]
+    return kept, len(stats)
+
+
 # --- public API: plain versioned writes + time travel (q169) -------------
 
 
 def write_version(
-    df: DataFrame, base: str, partition_by: Sequence[str] = ()
+    df: DataFrame,
+    base: str,
+    partition_by: Sequence[str] = (),
+    stats_cols: Sequence[str] = (),
 ) -> int:
     """Commit ``df`` as the next full snapshot of the table at ``base``.
     Data lands in a fresh immutable directory BEFORE the commit file
     appears — a crash in between leaves an invisible orphan, never a
-    torn table.  Returns the committed version number."""
+    torn table.  ``stats_cols`` records per-file min/max/null-count in
+    the commit manifest (footer harvest, no data read) enabling
+    :func:`read_version` ``where=`` data skipping — the Delta-style
+    stats-in-log design: at 100 TB the reader plans from the manifest
+    and scans only intersecting files.  Returns the committed version
+    number."""
     os.makedirs(base, exist_ok=True)
     cur = _current(base)
     version = (cur["version"] if cur else 0) + 1
@@ -230,34 +393,67 @@ def write_version(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(data_dir)
+    extra = None
+    if stats_cols:
+        extra = {
+            "stats_cols": list(stats_cols),
+            "stats": _harvest_file_stats(
+                df.sparkSession, data_dir, stats_cols
+            ),
+        }
     try:
-        _commit(base, version, name, "write")
+        _commit(base, version, name, "write", extra=extra)
     except ConcurrentCommitError:
         shutil.rmtree(data_dir, ignore_errors=True)
         raise
     return version
 
 
-def read_version(
-    spark: SparkSession, base: str, as_of: int | None = None
-) -> DataFrame:
-    """Snapshot read: the current version, or time-travel to ``as_of``.
-    Resolves the log once — the returned DataFrame is pinned to one
-    immutable directory regardless of later commits."""
+def _resolve(base: str, as_of: int | None) -> dict:
+    """Pin one commit entry: the tip, or time-travel to ``as_of``."""
     log = _read_log(base)
     versions = [c["version"] for c in log]
     if not log:
         raise ValueError(f"no committed versions at {base}")
     if as_of is None:
-        entry = log[-1]
-    else:
-        if as_of not in versions:
-            raise ValueError(
-                f"version {as_of} not committed at {base}; "
-                f"available: {versions}"
-            )
-        entry = log[versions.index(as_of)]
-    return spark.read.parquet(os.path.join(base, entry["dir"]))
+        return log[-1]
+    if as_of not in versions:
+        raise ValueError(
+            f"version {as_of} not committed at {base}; "
+            f"available: {versions}"
+        )
+    return log[versions.index(as_of)]
+
+
+def read_version(
+    spark: SparkSession,
+    base: str,
+    as_of: int | None = None,
+    where: dict | None = None,
+) -> DataFrame:
+    """Snapshot read: the current version, or time-travel to ``as_of``.
+    Resolves the log once — the returned DataFrame is pinned to one
+    immutable directory regardless of later commits.
+
+    ``where`` (``{col: (lo, hi)}``, either bound None) applies MANIFEST
+    data skipping: only files whose recorded footer-stat range can
+    intersect every bound are scanned (requires the snapshot written
+    with ``stats_cols``).  Skipping is a superset guarantee — the
+    caller still applies the exact row filter; what it buys is the
+    scan reading 1 file instead of 10^5 when the predicate is
+    selective and the layout is clustered (pair with
+    ``repartitionByRange`` or the z-order writer in
+    ``operators.layout``)."""
+    entry = _resolve(base, as_of)
+    data_dir = os.path.join(base, entry["dir"])
+    if not where:
+        return spark.read.parquet(data_dir)
+    kept, _total = prune_files(base, where, as_of=entry["version"])
+    if not kept:
+        return spark.read.parquet(data_dir).filter(F.lit(False))
+    return spark.read.option("basePath", data_dir).parquet(
+        *[os.path.join(data_dir, rel) for rel in kept]
+    )
 
 
 def table_history(base: str) -> list[int]:

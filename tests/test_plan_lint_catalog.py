@@ -55,6 +55,7 @@ ALLOW: dict[str, set[str]] = {
     "q211_bag_set_ops": BNLJ,
     "q97_heavy_hitters": BNLJ,
     "q149_psi_drift": BNLJ,
+    "q232_privacy_audit": BNLJ,  # 1-row global-total crossJoin
     # bounded broadcast lists: query points / centroids / interval or
     # threshold tables of fixed small size by construction.
     "q107_quantized_ann": BNLJ,   # 5 query vectors broadcast

@@ -1,0 +1,310 @@
+"""Round-5 batch 2: manifest data skipping, Bellman-Ford shortest
+paths, time-weighted average, simplified silhouette, and the
+l-diversity / t-closeness privacy audit (q228-q232)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# --- manifest data skipping (q228) ---------------------------------------
+
+
+def _mk_lake(spark, tmp_path, partitioned=False):
+    from etl_opensky_spark.sources.versioned import write_version
+
+    base = str(tmp_path / "lake")
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 3).alias("v"),
+        (F.col("id") % 4).cast("int").alias("p"),
+    )
+    df = df.repartitionByRange(10, "k")
+    write_version(
+        df,
+        base,
+        partition_by=["p"] if partitioned else (),
+        stats_cols=["k"],
+    )
+    return base
+
+
+def test_prune_files_subset_and_superset_contract(spark, tmp_path):
+    from etl_opensky_spark.sources.versioned import prune_files, read_version
+
+    base = _mk_lake(spark, tmp_path)
+    kept, total = prune_files(base, {"k": (2_000, 2_500)})
+    assert 0 < len(kept) < total
+    pruned = read_version(spark, base, where={"k": (2_000, 2_500)})
+    # superset guarantee: every predicate row present, exact filter closes it
+    flt = (F.col("k") >= 2_000) & (F.col("k") <= 2_500)
+    full = read_version(spark, base).filter(flt)
+    got = pruned.filter(flt)
+    assert got.count() == full.count() == 501
+    assert (
+        got.agg(F.sum("v")).first()[0] == full.agg(F.sum("v")).first()[0]
+    )
+
+
+def test_prune_open_bounds_and_empty_range(spark, tmp_path):
+    from etl_opensky_spark.sources.versioned import prune_files, read_version
+
+    base = _mk_lake(spark, tmp_path)
+    kept_hi, total = prune_files(base, {"k": (9_500, None)})
+    assert 0 < len(kept_hi) < total
+    # a range beyond the data prunes everything and reads empty
+    kept_none, _ = prune_files(base, {"k": (50_000, None)})
+    assert kept_none == []
+    empty = read_version(spark, base, where={"k": (50_000, None)})
+    assert empty.count() == 0
+    assert set(empty.columns) == {"k", "v", "p"}  # schema intact
+
+
+def test_prune_partitioned_keeps_partition_columns(spark, tmp_path):
+    from etl_opensky_spark.sources.versioned import read_version
+
+    base = _mk_lake(spark, tmp_path, partitioned=True)
+    pruned = read_version(spark, base, where={"k": (100, 200)}).filter(
+        (F.col("k") >= 100) & (F.col("k") <= 200)
+    )
+    rows = pruned.select("k", "p").collect()
+    assert len(rows) == 101
+    assert all(r["p"] == r["k"] % 4 for r in rows)  # basePath kept p
+
+
+def test_prune_requires_stats(spark, tmp_path):
+    from etl_opensky_spark.sources.versioned import prune_files, write_version
+
+    base = str(tmp_path / "nostats")
+    write_version(spark.range(10).select(F.col("id").alias("k")), base)
+    with pytest.raises(ValueError, match="stats_cols"):
+        prune_files(base, {"k": (0, 5)})
+
+
+def test_stats_skip_all_null_file_and_keep_mixed(spark, tmp_path):
+    from etl_opensky_spark.sources.versioned import prune_files, write_version
+
+    base = str(tmp_path / "nulls")
+    # file 0: all-null k; file 1: k in [0, 9]
+    nulls = spark.range(5).select(
+        F.lit(None).cast("long").alias("k"), F.lit(1).alias("v")
+    )
+    vals = spark.range(10).select(F.col("id").alias("k"), F.lit(2).alias("v"))
+    df = nulls.unionByName(vals).repartitionByRange(
+        2, F.col("k").isNull().cast("int")
+    )
+    write_version(df, base, stats_cols=["k"])
+    kept, total = prune_files(base, {"k": (0, 100)})
+    # the all-null file cannot satisfy a range predicate -> skipped
+    assert total == 2 and len(kept) == 1
+
+
+def test_stats_survive_time_travel(spark, tmp_path):
+    from etl_opensky_spark.sources.versioned import prune_files, write_version
+
+    base = str(tmp_path / "tt")
+    v1 = spark.range(100).select(F.col("id").alias("k"))
+    write_version(v1.repartitionByRange(4, "k"), base, stats_cols=["k"])
+    v2 = spark.range(100, 200).select(F.col("id").alias("k"))
+    write_version(v2.repartitionByRange(4, "k"), base, stats_cols=["k"])
+    kept1, _ = prune_files(base, {"k": (0, 10)}, as_of=1)
+    kept2, _ = prune_files(base, {"k": (0, 10)}, as_of=2)
+    assert len(kept1) >= 1 and kept2 == []  # v2 holds no k<=10
+
+
+# --- Bellman-Ford shortest paths (q229) ----------------------------------
+
+
+def test_shortest_paths_weighted_vs_networkx_free_reference(spark):
+    from etl_opensky_spark.functions.graph import shortest_paths
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", 4),
+            ("a", "c", 1),
+            ("c", "b", 1),
+            ("b", "d", 1),
+            ("c", "d", 10),
+            ("e", "a", 1),  # e unreachable FROM a
+        ],
+        "src string, dst string, w int",
+    )
+    got = {
+        r["node"]: r["dist"]
+        for r in shortest_paths(edges, "a", weight="w", n_rounds=4).collect()
+    }
+    assert got == {"a": 0, "b": 2, "c": 1, "d": 3}  # e absent: unreachable
+
+
+def test_shortest_paths_hop_count_and_round_bound(spark):
+    from etl_opensky_spark.functions.graph import shortest_paths
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "src int, dst int"
+    )
+    got2 = {
+        r["node"]: r["dist"]
+        for r in shortest_paths(chain, 0, n_rounds=2).collect()
+    }
+    assert got2 == {0: 0, 1: 1, 2: 2}  # rounds bound the reach
+    got6 = {
+        r["node"]: r["dist"]
+        for r in shortest_paths(chain, 0, n_rounds=6).collect()
+    }
+    assert got6 == {i: i for i in range(7)}
+
+
+def test_shortest_paths_negative_weight_raises(spark):
+    from etl_opensky_spark.functions.graph import shortest_paths
+
+    edges = spark.createDataFrame(
+        [("a", "b", -1)], "src string, dst string, w int"
+    )
+    with pytest.raises(Exception, match="non-negative"):
+        shortest_paths(edges, "a", weight="w", n_rounds=1).collect()
+
+
+# --- time-weighted average (q230) ----------------------------------------
+
+
+def test_twa_step_function_hand_example(spark):
+    from etl_opensky_spark.operators.aggregates import time_weighted_average
+
+    df = spark.createDataFrame(
+        [
+            # key k1: value 10 holds 60s, value 20 holds 40s -> twa 14.0
+            ("k1", "2024-01-01 00:00:00", 10.0, 1),
+            ("k1", "2024-01-01 00:01:00", 20.0, 2),
+            # key k2: single sample holding to the end -> twa = value
+            ("k2", "2024-01-01 00:00:50", 7.5, 3),
+        ],
+        "k string, ts string, value double, id int",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    end = F.to_timestamp(F.lit("2024-01-01 00:01:40"))
+    out = {
+        r["k"]: r
+        for r in time_weighted_average(
+            df, ["k"], "ts", "value", end, order_tiebreak="id"
+        ).collect()
+    }
+    assert out["k1"]["total_seconds"] == 100
+    assert math.isclose(out["k1"]["twa"], (10 * 60 + 20 * 40) / 100)
+    assert out["k2"]["total_seconds"] == 50
+    assert math.isclose(out["k2"]["twa"], 7.5)
+
+
+def test_twa_equal_timestamps_zero_duration_deterministic(spark):
+    from etl_opensky_spark.operators.aggregates import time_weighted_average
+
+    df = spark.createDataFrame(
+        [
+            ("k", "2024-01-01 00:00:00", 100.0, 1),  # 0s: same ts as id=2
+            ("k", "2024-01-01 00:00:00", 1.0, 2),  # holds the 10s
+        ],
+        "k string, ts string, value double, id int",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    end = F.to_timestamp(F.lit("2024-01-01 00:00:10"))
+    row = time_weighted_average(
+        df, ["k"], "ts", "value", end, order_tiebreak="id"
+    ).first()
+    assert row["total_seconds"] == 10 and math.isclose(row["twa"], 1.0)
+
+
+def test_twa_zero_total_duration_null(spark):
+    from etl_opensky_spark.operators.aggregates import time_weighted_average
+
+    df = spark.createDataFrame(
+        [("k", "2024-01-01 00:00:00", 5.0, 1)],
+        "k string, ts string, value double, id int",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    end = F.to_timestamp(F.lit("2024-01-01 00:00:00"))  # zero-length span
+    row = time_weighted_average(
+        df, ["k"], "ts", "value", end, order_tiebreak="id"
+    ).first()
+    assert row["total_seconds"] == 0 and row["twa"] is None
+
+
+# --- simplified silhouette (q231) ----------------------------------------
+
+
+def test_silhouette_separated_clusters_near_one(spark):
+    from etl_opensky_spark.functions.clustering import simplified_silhouette
+
+    rows = [
+        (1, [0.0, 0.0], 0),
+        (2, [0.0, 0.1], 0),
+        (3, [10.0, 10.0], 1),
+        (4, [10.0, 10.1], 1),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = simplified_silhouette(emb).collect()
+    assert all(r["silhouette"] > 0.98 for r in out)
+    # a_sq is the distance to the OWN centroid: tight clusters -> tiny
+    assert all(r["a_sq"] < r["b_sq"] for r in out)
+
+
+def test_silhouette_single_cluster_null(spark):
+    from etl_opensky_spark.functions.clustering import simplified_silhouette
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 2.0], 7), (2, [3.0, 4.0], 7)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = simplified_silhouette(emb).collect()
+    assert all(r["b_sq"] is None and r["silhouette"] is None for r in out)
+
+
+def test_silhouette_point_on_centroid_zero_case(spark):
+    from etl_opensky_spark.functions.clustering import simplified_silhouette
+
+    # two clusters with IDENTICAL centroids: a == b -> max(a,b) can be 0
+    emb = spark.createDataFrame(
+        [(1, [1.0, 1.0], 0), (2, [1.0, 1.0], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = simplified_silhouette(emb).collect()
+    assert all(r["silhouette"] == 0.0 for r in out)
+
+
+# --- l-diversity / t-closeness audit (q232) ------------------------------
+
+
+def test_audit_homogeneous_group_l1_and_tvd(spark):
+    from etl_opensky_spark.operators.quality import diversity_closeness_audit
+
+    # group g1: 2 rows all "x"; group g2: 1 "x" + 1 "y".  Global: 3 x, 1 y.
+    df = spark.createDataFrame(
+        [("g1", "x"), ("g1", "x"), ("g2", "x"), ("g2", "y")],
+        "g string, s string",
+    )
+    out = {
+        r["g"]: r for r in diversity_closeness_audit(df, ["g"], "s").collect()
+    }
+    assert out["g1"]["l_distinct"] == 1 and out["g2"]["l_distinct"] == 2
+    # g1: p_g = {x:1}, p_glob = {x: 3/4, y: 1/4} -> tvd = 1/4
+    assert math.isclose(out["g1"]["tvd"], 0.25)
+    # g2: p_g = {x: 1/2, y: 1/2} -> tvd = |1/2-3/4|/2 + |1/2-1/4|/2 = 1/4
+    assert math.isclose(out["g2"]["tvd"], 0.25)
+    # exact integer numerators: tvd = tvd_num / (2 * n_g * N)
+    assert out["g1"]["tvd_num"] == 2 * 2 * 4 * 0.25
+    assert out["g2"]["tvd_num"] == 2 * 2 * 4 * 0.25
+
+
+def test_audit_absent_value_tail(spark):
+    from etl_opensky_spark.operators.quality import diversity_closeness_audit
+
+    # group g1 never sees value "z" that dominates globally
+    df = spark.createDataFrame(
+        [("g1", "x")] + [("g2", "z")] * 9, "g string, s string"
+    )
+    out = {
+        r["g"]: r for r in diversity_closeness_audit(df, ["g"], "s").collect()
+    }
+    # g1: p_g={x:1}, glob={x:.1, z:.9} -> tvd = (|1-.1| + |0-.9|)/2 = 0.9
+    assert math.isclose(out["g1"]["tvd"], 0.9)
+    assert out["g1"]["n"] == 1 and out["g1"]["l_distinct"] == 1
