@@ -252,6 +252,8 @@ BENCH_QUERIES = [
     "q230_time_weighted_average",
     "q231_silhouette",
     "q232_privacy_audit",
+    "q233_zorder_skipping",
+    "q234_target_encoding",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

@@ -732,3 +732,52 @@ def time_weighted_average(
         F.col("_swv").cast("double") / F.col("total_seconds").cast("double"),
     )
     return out.select(*keys, "n_samples", "total_seconds", twa.alias("twa"))
+
+
+def target_encode_loo(
+    df: DataFrame,
+    category_col: str,
+    target_col: str,
+    smoothing: float = 20.0,
+    out_col: str = "te",
+    target_scale: int = 2,
+) -> DataFrame:
+    """Leave-one-out target encoding with additive smoothing — the
+    category-to-number feature transform used where one-hot explodes
+    (high-cardinality categorical features for model training)::
+
+        te(row) = (S_cat - y_row + prior * m) / (n_cat - 1 + m)
+
+    Leave-one-out (excluding the row's own target from its category
+    statistic) is what prevents the encoded feature from leaking the
+    label; ``m`` (smoothing) shrinks rare categories toward the global
+    ``prior`` mean.  A singleton category encodes to ~prior.
+
+    Spark shape: one map-side-combined aggregate per category, one
+    1-row global aggregate, then an equi-join back (AQE broadcasts the
+    category table while it fits — high-cardinality categories shuffle
+    on the category key, which is exactly right at scale).  No window
+    over the raw rows, no per-row Python.
+
+    Determinism: category sums are exact DECIMAL; the conversion to
+    double and the IEEE multiply/divide chain is pinned in one
+    expression order, so a SQL oracle replays it bit-for-bit.  Appends
+    ``out_col`` to ``df``'s columns.
+    """
+    ydec = F.col(target_col).cast(f"decimal(18,{target_scale})")
+    cat = df.groupBy(category_col).agg(
+        F.sum(ydec).alias("_s"), F.count("*").alias("_n")
+    )
+    tot = df.agg(
+        (F.sum(ydec).cast("double") / F.count("*")).alias("_prior")
+    )
+    m = F.lit(float(smoothing))
+    enc = (
+        ((F.col("_s") - ydec).cast("double") + F.col("_prior") * m)
+        / ((F.col("_n") - F.lit(1)).cast("double") + m)
+    )
+    return (
+        df.join(cat, category_col)
+        .crossJoin(F.broadcast(tot))
+        .select(*df.columns, enc.alias(out_col))
+    )

@@ -10062,6 +10062,117 @@ FROM agg
 """
 
 
+def q233_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order + manifest data skipping COMPOSED (``layout.zorder_value``
+    feeding ``versioned`` stats-in-log): orders are Morton-clustered on
+    (custkey, order-date-day) into 16 files, per-file min/max for BOTH
+    source columns land in the commit manifest, and a 2-D box predicate
+    prunes files on both dimensions at planning time — the point of
+    Z-ordering: a file's envelope is tight in EVERY interleaved column,
+    so multi-column point/box queries skip most of a 100 TB table no
+    matter which dimension they constrain.  The pytest side asserts the
+    2-D prune beats either 1-D prune; the oracle replays the box
+    filter + aggregate relationally."""
+    import shutil
+
+    from etl_opensky_spark.operators.layout import zorder_value
+    from etl_opensky_spark.sources.versioned import read_version, write_version
+
+    base = _gate_tmp("q233_zorderlake", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date")
+        ).alias("day_nr"),
+    )
+    clustered = (
+        orders.withColumn(
+            "_z", zorder_value(F.col("o_custkey"), F.col("day_nr"))
+        )
+        .repartitionByRange(16, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+    write_version(clustered, base, stats_cols=["o_custkey", "day_nr"])
+    mx = orders.agg(
+        F.max("o_custkey").alias("mc"), F.max("day_nr").alias("md")
+    ).first()
+    c_lo, c_hi = mx["mc"] // 4, mx["mc"] // 2
+    d_lo, d_hi = mx["md"] // 4, mx["md"] // 2
+    pruned = read_version(
+        spark,
+        base,
+        where={"o_custkey": (c_lo, c_hi), "day_nr": (d_lo, d_hi)},
+    )
+    return (
+        pruned.filter(
+            F.col("o_custkey").between(c_lo, c_hi)
+            & F.col("day_nr").between(d_lo, d_hi)
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+        )
+    )
+
+
+ORACLE_Q233 = """
+WITH src AS (
+  SELECT o_orderpriority, o_custkey, o_totalprice,
+    (CAST(o_orderdate AS DATE) - DATE '1992-01-01') AS day_nr
+  FROM orders
+), b AS (
+  SELECT MAX(o_custkey) // 4 AS c_lo, MAX(o_custkey) // 2 AS c_hi,
+         MAX(day_nr) // 4 AS d_lo, MAX(day_nr) // 2 AS d_hi
+  FROM src
+)
+SELECT o_orderpriority, COUNT(*) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM src, b
+WHERE o_custkey BETWEEN c_lo AND c_hi AND day_nr BETWEEN d_lo AND d_hi
+GROUP BY o_orderpriority
+"""
+
+
+def q234_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding with additive smoothing
+    (``aggregates.target_encode_loo``) — the high-cardinality
+    categorical feature transform for model training: encode
+    ``l_returnflag`` by the smoothed mean of ``l_quantity`` EXCLUDING
+    each row's own label (the leakage guard).  Category sums are exact
+    DECIMAL; the double conversion + IEEE multiply/divide chain is
+    pinned in one expression order the oracle replays bit-for-bit."""
+    from etl_opensky_spark.operators.aggregates import target_encode_loo
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    out = target_encode_loo(li, "l_returnflag", "l_quantity", smoothing=20.0)
+    return out.select("l_orderkey", "l_linenumber", "l_returnflag", "te")
+
+
+ORACLE_Q234 = """
+WITH cat AS (
+  SELECT l_returnflag, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS s,
+         COUNT(*) AS n
+  FROM lineitem GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+    AS prior
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber, l_returnflag,
+  (CAST(s - CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) + prior * 20.0)
+    / (CAST(n - 1 AS DOUBLE) + 20.0) AS te
+FROM lineitem JOIN cat USING (l_returnflag) CROSS JOIN tot
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -10294,6 +10405,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q230_time_weighted_average": q230_time_weighted_average,
     "q231_silhouette": q231_silhouette,
     "q232_privacy_audit": q232_privacy_audit,
+    "q233_zorder_skipping": q233_zorder_skipping,
+    "q234_target_encoding": q234_target_encoding,
 }
 
 ORACLES: dict[str, str] = {
@@ -10527,6 +10640,8 @@ ORACLES: dict[str, str] = {
     "q230_time_weighted_average": ORACLE_Q230,
     "q231_silhouette": ORACLE_Q231,
     "q232_privacy_audit": ORACLE_Q232,
+    "q233_zorder_skipping": ORACLE_Q233,
+    "q234_target_encoding": ORACLE_Q234,
 }
 
 

@@ -56,6 +56,7 @@ ALLOW: dict[str, set[str]] = {
     "q97_heavy_hitters": BNLJ,
     "q149_psi_drift": BNLJ,
     "q232_privacy_audit": BNLJ,  # 1-row global-total crossJoin
+    "q234_target_encoding": BNLJ,  # 1-row global-prior crossJoin
     # bounded broadcast lists: query points / centroids / interval or
     # threshold tables of fixed small size by construction.
     "q107_quantized_ann": BNLJ,   # 5 query vectors broadcast

@@ -308,3 +308,82 @@ def test_audit_absent_value_tail(spark):
     # g1: p_g={x:1}, glob={x:.1, z:.9} -> tvd = (|1-.1| + |0-.9|)/2 = 0.9
     assert math.isclose(out["g1"]["tvd"], 0.9)
     assert out["g1"]["n"] == 1 and out["g1"]["l_distinct"] == 1
+
+
+# --- z-order + 2-D manifest skipping (q233) -------------------------------
+
+
+def test_zorder_two_dim_prune_beats_either_one_dim(spark, tmp_path):
+    from etl_opensky_spark.operators.layout import zorder_value
+    from etl_opensky_spark.sources.versioned import prune_files, write_version
+
+    base = str(tmp_path / "zlake")
+    n = 4096
+    df = spark.range(n).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / F.lit(64)).cast("long").alias("y"),
+        F.col("id").alias("v"),
+    )
+    z = (
+        df.withColumn("_z", zorder_value(F.col("x"), F.col("y")))
+        .repartitionByRange(16, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+    write_version(z, base, stats_cols=["x", "y"])
+    box = {"x": (10, 20), "y": (10, 20)}
+    kept_2d, total = prune_files(base, box)
+    kept_x, _ = prune_files(base, {"x": box["x"]})
+    kept_y, _ = prune_files(base, {"y": box["y"]})
+    # the whole point of Morton clustering: the 2-D box prunes MORE
+    # than either single-dimension predicate alone
+    assert len(kept_2d) < total
+    assert len(kept_2d) <= min(len(kept_x), len(kept_y))
+    # and the kept files still cover every matching row
+    from etl_opensky_spark.sources.versioned import read_version
+
+    flt = F.col("x").between(10, 20) & F.col("y").between(10, 20)
+    assert (
+        read_version(spark, base, where=box).filter(flt).count()
+        == df.filter(flt).count()
+    )
+
+
+# --- leave-one-out target encoding (q234) ---------------------------------
+
+
+def test_target_encode_loo_hand_example(spark):
+    from etl_opensky_spark.operators.aggregates import target_encode_loo
+
+    # category "a": targets 1, 3 (sum 4); global mean = (1+3+10)/3
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 3.0), (3, "b", 10.0)],
+        "id int, cat string, y double",
+    )
+    out = {
+        r["id"]: r["te"]
+        for r in target_encode_loo(
+            df, "cat", "y", smoothing=2.0, target_scale=2
+        ).collect()
+    }
+    prior = (1 + 3 + 10) / 3
+    # id=1: (4-1 + prior*2)/(2-1+2); id=2: (4-3 + prior*2)/3
+    assert abs(out[1] - (3 + prior * 2) / 3) < 1e-12
+    assert abs(out[2] - (1 + prior * 2) / 3) < 1e-12
+    # singleton category: (0 + prior*2)/(0+2) = prior
+    assert abs(out[3] - prior) < 1e-12
+
+
+def test_target_encode_no_self_leakage(spark):
+    from etl_opensky_spark.operators.aggregates import target_encode_loo
+
+    # two rows, same category, wildly different targets: with m=0 each
+    # row's encoding is exactly the OTHER row's target
+    df = spark.createDataFrame(
+        [(1, "a", 0.0), (2, "a", 100.0)], "id int, cat string, y double"
+    )
+    out = {
+        r["id"]: r["te"]
+        for r in target_encode_loo(df, "cat", "y", smoothing=0.0).collect()
+    }
+    assert out[1] == 100.0 and out[2] == 0.0
