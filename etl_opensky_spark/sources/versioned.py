@@ -228,7 +228,13 @@ def _json_stat(v):
     """Parquet footer min/max → JSON-storable value.  Numbers and
     strings pass through; dates/timestamps become ISO strings (ISO
     order == chronological order, so range pruning over the string
-    form stays correct)."""
+    form stays correct).  DECIMAL stats are deliberately DROPPED
+    (``None`` = "no stats, keep the file"): their canonical string
+    form orders lexicographically, not numerically ("9.5" > "10.2"),
+    and a float() round could move a bound past a real row — either
+    way a WRONG skip, which is a correctness bug, not a missed
+    optimization.  Callers wanting decimal skipping should scale to
+    integers upstream."""
     if v is None or isinstance(v, (int, float, str, bool)):
         return v
     if isinstance(v, bytes):
@@ -236,7 +242,14 @@ def _json_stat(v):
             return v.decode("utf-8")
         except UnicodeDecodeError:
             return None  # undecodable binary stats: store nothing (kept)
-    return str(v)  # date / datetime / Decimal → ISO / canonical string
+    import datetime
+    import decimal
+
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()  # ISO order == chronological order
+    if isinstance(v, decimal.Decimal):
+        return None
+    return None  # unknown footer type: keep the file
 
 
 def _harvest_file_stats(
@@ -289,10 +302,17 @@ def _harvest_file_stats(
                         ok = False
                         break
                     nulls += st.null_count or 0
-                    if mn is None or st.min < mn:
-                        mn = st.min
-                    if mx is None or st.max > mx:
-                        mx = st.max
+                    try:
+                        st_min, st_max = st.min, st.max
+                    except Exception:
+                        # pyarrow cannot extract stats for some types
+                        # (e.g. DECIMAL) -> no stats, keep the file
+                        ok = False
+                        break
+                    if mn is None or st_min < mn:
+                        mn = st_min
+                    if mx is None or st_max > mx:
+                        mx = st_max
                 per_col[c] = (
                     {"min": mn, "max": mx, "nulls": nulls, "rows": rows}
                     if ok
@@ -324,6 +344,18 @@ def _harvest_file_stats(
     return out
 
 
+def _stats_extra(
+    spark: SparkSession, data_dir: str, stats_cols: Sequence[str]
+) -> dict | None:
+    """Commit-metadata block for ``stats_cols`` (None when unused)."""
+    if not stats_cols:
+        return None
+    return {
+        "stats_cols": list(stats_cols),
+        "stats": _harvest_file_stats(spark, data_dir, stats_cols),
+    }
+
+
 def _file_matches(per_col: dict, where: dict) -> bool:
     """True if the file can hold rows satisfying every range predicate
     in ``where`` (``{col: (lo, hi)}``, either bound None = unbounded).
@@ -340,10 +372,19 @@ def _file_matches(per_col: dict, where: dict) -> bool:
             if s["rows"] and s["nulls"] == s["rows"]:
                 return False  # all null: no row can match
             continue
-        if lo is not None and s["max"] is not None and s["max"] < lo:
-            return False
-        if hi is not None and s["min"] is not None and s["min"] > hi:
-            return False
+        try:
+            if lo is not None and s["max"] is not None and s["max"] < lo:
+                return False
+            if hi is not None and s["min"] is not None and s["min"] > hi:
+                return False
+        except TypeError:
+            raise ValueError(
+                f"data-skipping predicate for column {c!r} compares "
+                f"{type(lo if lo is not None else hi).__name__} bounds "
+                f"against {type(s['min'] if s['min'] is not None else s['max']).__name__} "
+                "file stats — pass bounds of the column's stored stat type "
+                "(ints/floats/strings; dates as ISO strings)"
+            ) from None
     return True
 
 
@@ -512,8 +553,13 @@ def merge_versioned(
     keys: Sequence[str],
     partition_by: Sequence[str] = (),
     keys_are_partition_stable: bool = False,
+    stats_cols: Sequence[str] = (),
 ) -> int:
     """Keyed MERGE (upsert) committing a new snapshot atomically.
+    ``stats_cols`` re-harvests per-file footer stats into this commit
+    (O(#files) footer reads, distributed; hardlinked files share inodes
+    with the parent so the footers are page-cache hits) — keeps
+    ``read_version where=`` data skipping live across upserts.
 
     Semantics of ``MERGE INTO target USING updates ON keys WHEN MATCHED
     THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`` — same contract
@@ -571,7 +617,8 @@ def merge_versioned(
             w = w.partitionBy(*part_cols)
         w.parquet(data_dir)
         try:
-            _commit(base, 1, name, "merge")
+            _commit(base, 1, name, "merge", extra=_stats_extra(
+                spark, data_dir, stats_cols))
         except ConcurrentCommitError:
             shutil.rmtree(data_dir, ignore_errors=True)
             raise
@@ -630,7 +677,8 @@ def merge_versioned(
             _snapshot_from_parent(
                 parent_dir, data_dir, part_cols, affected_suffixes, staging
             )
-        _commit(base, version, name, "merge")
+        _commit(base, version, name, "merge", extra=_stats_extra(
+            spark, data_dir, stats_cols))
     except ConcurrentCommitError:
         shutil.rmtree(data_dir, ignore_errors=True)
         raise
@@ -645,6 +693,7 @@ def purge_versioned(
     delete_keys: DataFrame,
     keys: Sequence[str],
     partition_by: Sequence[str] = (),
+    stats_cols: Sequence[str] = (),
 ) -> tuple[int, int]:
     """Keyed DELETE committing a new snapshot atomically (the GDPR /
     tombstone primitive) — same copy-on-write + single-commit protocol
@@ -693,7 +742,8 @@ def purge_versioned(
             _snapshot_from_parent(
                 parent_dir, data_dir, part_cols, affected_suffixes, staging
             )
-        _commit(base, version, name, "purge")
+        _commit(base, version, name, "purge", extra=_stats_extra(
+            spark, data_dir, stats_cols))
     except ConcurrentCommitError:
         shutil.rmtree(data_dir, ignore_errors=True)
         raise
@@ -707,13 +757,34 @@ def compact_versioned(
     base: str,
     partition_by: Sequence[str] = (),
     target_rows_per_file: int = 1_000_000,
+    zorder_by: Sequence[str] = (),
+    stats_cols: Sequence[str] = (),
 ) -> int:
     """Small-file compaction committing a new snapshot atomically
     (OPTIMIZE): rewrites every partition into ~``target_rows_per_file``-
     row files.  Layout-only — rows identical in/out; readers of the old
     snapshot are undisturbed, and a crash leaves only orphan debris.
-    Returns the committed version."""
+
+    ``zorder_by=(x, y)`` is OPTIMIZE ZORDER: the rewrite Morton-
+    clusters rows on the two columns (range partition + sort on the
+    interleaved key), so every output file gets a tight min/max
+    envelope in BOTH dimensions; pair with ``stats_cols`` to record
+    those envelopes in the commit manifest and 2-D box reads prune at
+    planning time (``read_version where=``).  Unpartitioned tables
+    only — hive partitioning is already the coarse clustering.
+
+    ``stats_cols`` re-harvests footer stats into this commit (footer
+    reads only, distributed over the file list).  Returns the
+    committed version."""
     part_cols = list(partition_by)
+    if zorder_by and part_cols:
+        raise ValueError(
+            "compact_versioned: zorder_by applies to unpartitioned "
+            "tables; drop partition_by or z-order within an upstream "
+            "write instead"
+        )
+    if zorder_by and len(zorder_by) != 2:
+        raise ValueError("compact_versioned: zorder_by needs exactly 2 cols")
     cur = _current(base)
     if cur is None:
         raise ValueError(f"no committed versions at {base}")
@@ -721,7 +792,23 @@ def compact_versioned(
     df = spark.read.parquet(os.path.join(base, cur["dir"]))
     name, data_dir = _new_data_dir(base)
     try:
-        if not part_cols:
+        if zorder_by:
+            from etl_opensky_spark.operators.layout import zorder_value
+
+            total = df.count()
+            n_files = max(1, -(-total // target_rows_per_file))
+            (
+                df.withColumn(
+                    "_z",
+                    zorder_value(F.col(zorder_by[0]), F.col(zorder_by[1])),
+                )
+                .repartitionByRange(n_files, "_z")
+                .sortWithinPartitions("_z")
+                .drop("_z")
+                .write.mode("errorifexists")
+                .parquet(data_dir)
+            )
+        elif not part_cols:
             total = df.count()
             n_files = max(1, -(-total // target_rows_per_file))
             df.repartition(n_files).write.mode("errorifexists").parquet(
@@ -752,7 +839,13 @@ def compact_versioned(
                 .partitionBy(*part_cols)
                 .parquet(data_dir)
             )
-        _commit(base, version, name, "compact")
+        extra = None
+        if stats_cols:
+            extra = {
+                "stats_cols": list(stats_cols),
+                "stats": _harvest_file_stats(spark, data_dir, stats_cols),
+            }
+        _commit(base, version, name, "compact", extra=extra)
     except ConcurrentCommitError:
         shutil.rmtree(data_dir, ignore_errors=True)
         raise

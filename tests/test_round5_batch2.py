@@ -387,3 +387,125 @@ def test_target_encode_no_self_leakage(spark):
         for r in target_encode_loo(df, "cat", "y", smoothing=0.0).collect()
     }
     assert out[1] == 100.0 and out[2] == 0.0
+
+
+# --- OPTIMIZE ZORDER + stats through merge/compact ------------------------
+
+
+def test_compact_zorder_rows_identical_and_2d_prune(spark, tmp_path):
+    from etl_opensky_spark.sources.versioned import (
+        compact_versioned,
+        prune_files,
+        read_version,
+        write_version,
+    )
+
+    base = str(tmp_path / "opt")
+    n = 4096
+    df = spark.range(n).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / F.lit(64)).cast("long").alias("y"),
+        F.col("id").alias("v"),
+    )
+    # v1: random-ish layout (hash repartition) -> wide envelopes
+    write_version(df.repartition(16), base, stats_cols=["x", "y"])
+    kept_before, total_before = prune_files(base, {"x": (10, 20), "y": (10, 20)})
+    # OPTIMIZE ZORDER
+    v = compact_versioned(
+        spark,
+        base,
+        target_rows_per_file=n // 16,
+        zorder_by=("x", "y"),
+        stats_cols=["x", "y"],
+    )
+    assert v == 2
+    kept_after, _ = prune_files(base, {"x": (10, 20), "y": (10, 20)})
+    assert len(kept_after) < len(kept_before) == total_before  # hash layout prunes nothing
+    # layout-only: rows identical
+    a = sorted(read_version(spark, base, as_of=1).collect())
+    b = sorted(read_version(spark, base, as_of=2).collect())
+    assert a == b
+    # pruned read still complete
+    flt = F.col("x").between(10, 20) & F.col("y").between(10, 20)
+    assert (
+        read_version(spark, base, where={"x": (10, 20), "y": (10, 20)})
+        .filter(flt)
+        .count()
+        == df.filter(flt).count()
+    )
+
+
+def test_compact_zorder_rejects_partitioned_and_bad_arity(spark, tmp_path):
+    from etl_opensky_spark.sources.versioned import (
+        compact_versioned,
+        write_version,
+    )
+
+    base = str(tmp_path / "optbad")
+    df = spark.range(100).select(
+        F.col("id").alias("x"), (F.col("id") % 3).alias("p")
+    )
+    write_version(df, base, partition_by=["p"])
+    with pytest.raises(ValueError, match="unpartitioned"):
+        compact_versioned(spark, base, partition_by=["p"], zorder_by=("x", "p"))
+    base2 = str(tmp_path / "optbad2")
+    write_version(df, base2)
+    with pytest.raises(ValueError, match="exactly 2"):
+        compact_versioned(spark, base2, zorder_by=("x",))
+
+
+def test_merge_refreshes_stats_for_skipping(spark, tmp_path):
+    from etl_opensky_spark.sources.versioned import (
+        merge_versioned,
+        prune_files,
+        read_version,
+        write_version,
+    )
+
+    base = str(tmp_path / "mstats")
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    write_version(df.repartitionByRange(4, "k"), base, stats_cols=["k"])
+    upd = spark.range(2000, 2100).select(
+        F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+    )
+    v = merge_versioned(spark, base, upd, ["k"], stats_cols=["k"])
+    assert v == 2
+    kept, total = prune_files(base, {"k": (2000, 2100)})
+    assert 0 < len(kept) < total
+    got = read_version(spark, base, where={"k": (2000, 2100)}).filter(
+        F.col("k") >= 2000
+    )
+    assert got.count() == 100 and got.agg(F.sum("v")).first()[0] == -100
+
+
+def test_decimal_stats_are_dropped_not_misordered(spark, tmp_path):
+    from etl_opensky_spark.sources.versioned import (
+        prune_files,
+        read_version,
+        write_version,
+    )
+
+    base = str(tmp_path / "dec")
+    # decimal values whose STRING order differs from numeric order
+    df = spark.range(1, 30).select(
+        (F.col("id") / F.lit(2)).cast("decimal(10,2)").alias("d"),
+        F.col("id").alias("k"),
+    )
+    write_version(df.repartitionByRange(3, "d"), base, stats_cols=["d"])
+    # stats for the decimal column are absent -> every file kept (never
+    # a wrong skip), and the read stays complete
+    kept, total = prune_files(base, {"d": (1, 5)})
+    assert len(kept) == total
+    assert read_version(spark, base, where={"d": (1, 5)}).count() == 29
+
+
+def test_mismatched_bound_type_raises_clearly(spark, tmp_path):
+    from etl_opensky_spark.sources.versioned import prune_files, write_version
+
+    base = str(tmp_path / "mismatch")
+    df = spark.range(100).select(F.col("id").cast("string").alias("s"))
+    write_version(df.repartitionByRange(2, "s"), base, stats_cols=["s"])
+    with pytest.raises(ValueError, match="stored stat type"):
+        prune_files(base, {"s": (10, 50)})  # int bounds vs string stats
