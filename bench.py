@@ -254,6 +254,7 @@ BENCH_QUERIES = [
     "q232_privacy_audit",
     "q233_zorder_skipping",
     "q234_target_encoding",
+    "q235_asof_forward",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

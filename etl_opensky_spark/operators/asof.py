@@ -44,10 +44,22 @@ def asof_join(
     value_cols: Sequence[str] | None = None,
     suffix: str = "_asof",
     salt_buckets: int = 1,
+    direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
     """Left as-of join: latest right values with ``right.on <= left.on``
     per ``by`` group.  Right rows at the exact same ``on`` instant match
     (<=, like DuckDB ASOF and pandas merge_asof defaults).
+
+    ``direction='forward'`` flips the inequality (EARLIEST right with
+    ``right.on >= left.on`` — "next reading after the event"), matching
+    pandas ``merge_asof(direction=...)``.  ``tolerance`` bounds the
+    match distance in ``on`` units (seconds for timestamps): a carried
+    match farther than ``tolerance`` is nulled out, row-wholesale.  The
+    tolerance check compares the double cast of ``on`` (exact for
+    timestamps and integers below 2^53).  Forward + ``salt_buckets>1``
+    raises (the seam injection is backward-shaped; negate the axis
+    upstream if a hot forward join needs salting).
 
     ``value_cols``: right columns to attach (default: all non-key columns),
     each renamed ``<col><suffix>``.  All attached values come from the
@@ -69,14 +81,30 @@ def asof_join(
     coarsely — ordering within the window is still exact).
     """
     by = list(by)
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join: unknown direction {direction!r}")
+    if direction == "forward" and salt_buckets > 1:
+        raise ValueError(
+            "asof_join: forward direction does not compose with "
+            "salt_buckets (backward-shaped seam injection) — negate the "
+            "time axis upstream instead"
+        )
     if value_cols is None:
         value_cols = [c for c in right.columns if c != on and c not in by]
     value_cols = list(value_cols)
 
     # the whole right payload rides in one struct: the struct itself is
     # non-null on every right row (even when all fields are NULL), so
-    # last(ignorenulls) picks the latest right ROW, not per-column values
-    payload_type = right.select(*[F.col(c) for c in value_cols]).schema
+    # last(ignorenulls) picks the latest right ROW, not per-column values.
+    # `_asof_on` rides along for the tolerance check.
+    payload_type = right.select(
+        *[F.col(c) for c in value_cols],
+        *(
+            [F.col(on).cast("double").alias("_asof_on")]
+            if tolerance is not None
+            else []
+        ),
+    ).schema
 
     # tag=0 sorts right rows before left rows at equal timestamps, so an
     # exact-timestamp right row is visible to the left row (<= semantics)
@@ -84,7 +112,14 @@ def asof_join(
         *by,
         F.col(on).alias("_on"),
         F.lit(0).alias("_tag"),
-        F.struct(*[F.col(c) for c in value_cols]).alias("_rp"),
+        F.struct(
+            *[F.col(c) for c in value_cols],
+            *(
+                [F.col(on).cast("double").alias("_asof_on")]
+                if tolerance is not None
+                else []
+            ),
+        ).alias("_rp"),
         *[
             F.lit(None).cast(dict(left.dtypes)[c]).alias(f"_l_{c}")
             for c in left.columns
@@ -102,7 +137,7 @@ def asof_join(
 
     if salt_buckets > 1:
         filled = _salted_fill(unioned, by, left, salt_buckets)
-    else:
+    elif direction == "backward":
         w = (
             Window.partitionBy(*by)
             .orderBy("_on", "_tag")
@@ -111,10 +146,33 @@ def asof_join(
         filled = unioned.select(
             *by,
             "_tag",
+            "_on",
             *[F.col(f"_l_{c}") for c in left.columns if c not in by],
             F.last("_rp", ignorenulls=True).over(w).alias("_rp"),
         )
+    else:  # forward: EARLIEST right at-or-after; left sorts first at ties
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col("_on"), F.col("_tag").desc())
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        filled = unioned.select(
+            *by,
+            "_tag",
+            "_on",
+            *[F.col(f"_l_{c}") for c in left.columns if c not in by],
+            F.first("_rp", ignorenulls=True).over(w).alias("_rp"),
+        )
     out = filled.filter(F.col("_tag") == 1).drop("_tag")
+    if tolerance is not None:
+        dist = F.col("_on").cast("double") - F.col("_rp").getField("_asof_on")
+        if direction == "forward":
+            dist = -dist
+        out = out.withColumn(
+            "_rp",
+            F.when(dist <= F.lit(float(tolerance)), F.col("_rp")),
+        )
+    out = out.drop("_on")
     for c in left.columns:
         if c not in by:
             out = out.withColumnRenamed(f"_l_{c}", c)
@@ -195,6 +253,7 @@ def _salted_fill(
     return salted.select(
         *by,
         "_tag",
+        "_on",
         *[F.col(f"_l_{c}") for c in left.columns if c not in by],
         F.last("_rp", ignorenulls=True).over(w).alias("_rp"),
     )

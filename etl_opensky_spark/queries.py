@@ -10173,6 +10173,56 @@ FROM lineitem JOIN cat USING (l_returnflag) CROSS JOIN tot
 """
 
 
+def q235_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with tolerance (``operators.asof.asof_join
+    direction='forward'`` — pandas merge_asof parity, completing q33's
+    backward default): for every click, the user's NEXT purchase within
+    one hour, or NULL.  The earliest-at-or-after row is the minimum
+    over all matches, so "first, then tolerance-null" equals "first
+    within tolerance" — the oracle replays it as a min_by over the
+    tolerance-bounded join.  The purchase side is deduped to one row
+    per (user, ts) so the earliest match is unique and both engines
+    pick the same row."""
+    from etl_opensky_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("pid"))
+    )
+    out = asof_join(
+        clicks,
+        purch,
+        on="ts",
+        by=["user_id"],
+        value_cols=["pid"],
+        direction="forward",
+        tolerance=3600.0,
+    )
+    return out.select(
+        "event_id", "user_id", F.col("pid_asof").alias("next_purchase_id")
+    )
+
+
+ORACLE_Q235 = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), purch AS (
+  SELECT user_id, ts, MIN(event_id) AS pid
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT c.event_id, c.user_id, min_by(p.pid, p.ts) AS next_purchase_id
+FROM clicks c LEFT JOIN purch p
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+  AND epoch(p.ts) - epoch(c.ts) <= 3600.0
+GROUP BY c.event_id, c.user_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -10407,6 +10457,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q232_privacy_audit": q232_privacy_audit,
     "q233_zorder_skipping": q233_zorder_skipping,
     "q234_target_encoding": q234_target_encoding,
+    "q235_asof_forward": q235_asof_forward,
 }
 
 ORACLES: dict[str, str] = {
@@ -10642,6 +10693,7 @@ ORACLES: dict[str, str] = {
     "q232_privacy_audit": ORACLE_Q232,
     "q233_zorder_skipping": ORACLE_Q233,
     "q234_target_encoding": ORACLE_Q234,
+    "q235_asof_forward": ORACLE_Q235,
 }
 
 

@@ -509,3 +509,66 @@ def test_mismatched_bound_type_raises_clearly(spark, tmp_path):
     write_version(df.repartitionByRange(2, "s"), base, stats_cols=["s"])
     with pytest.raises(ValueError, match="stored stat type"):
         prune_files(base, {"s": (10, 50)})  # int bounds vs string stats
+
+
+# --- as-of join: forward direction + tolerance (q235) ---------------------
+
+
+def _asof_frames(spark):
+    left = spark.createDataFrame(
+        [("u", 10), ("u", 25), ("u", 50)], "k string, t int"
+    )
+    right = spark.createDataFrame(
+        [("u", 5, "a"), ("u", 25, "b"), ("u", 40, "c")],
+        "k string, t int, v string",
+    )
+    return left, right
+
+
+def test_asof_forward_and_tolerance_matrix(spark):
+    from etl_opensky_spark.operators.asof import asof_join
+
+    left, right = _asof_frames(spark)
+
+    def got(**kw):
+        return {
+            r["t"]: r["v_asof"]
+            for r in asof_join(left, right, "t", ["k"], **kw).collect()
+        }
+
+    assert got() == {10: "a", 25: "b", 50: "c"}  # backward default
+    # forward: earliest at-or-after (25 matches itself); none after 50
+    assert got(direction="forward") == {10: "b", 25: "b", 50: None}
+    # backward tolerance: 10-5=5 ok, 25-25=0 ok, 50-40=10 ok at tol=10
+    assert got(tolerance=10) == {10: "a", 25: "b", 50: "c"}
+    assert got(tolerance=4) == {10: None, 25: "b", 50: None}
+    # forward tolerance: 25-10=15 > 10 -> null
+    assert got(direction="forward", tolerance=10) == {
+        10: None,
+        25: "b",
+        50: None,
+    }
+    # salted backward path carries the tolerance too
+    assert got(salt_buckets=2, tolerance=4) == {10: None, 25: "b", 50: None}
+
+
+def test_asof_forward_salted_raises_and_bad_direction(spark):
+    from etl_opensky_spark.operators.asof import asof_join
+
+    left, right = _asof_frames(spark)
+    with pytest.raises(ValueError, match="salt_buckets"):
+        asof_join(left, right, "t", ["k"], direction="forward", salt_buckets=2)
+    with pytest.raises(ValueError, match="unknown direction"):
+        asof_join(left, right, "t", ["k"], direction="nearest")
+
+
+def test_asof_tolerance_row_wholesale_null(spark):
+    from etl_opensky_spark.operators.asof import asof_join
+
+    # beyond tolerance: EVERY attached column nulls, not just some
+    left = spark.createDataFrame([("u", 100)], "k string, t int")
+    right = spark.createDataFrame(
+        [("u", 1, "x", 7)], "k string, t int, v string, w int"
+    )
+    row = asof_join(left, right, "t", ["k"], tolerance=5).first()
+    assert row["v_asof"] is None and row["w_asof"] is None

@@ -49,6 +49,13 @@ SCALE_QUERIES = [
     "q114_ppjoin_op",            # prefix-filtered set-similarity join
     "q174_entity_resolution_op", # blocked fuzzy match + components
     "q215_incremental_dedup_op", # batch-vs-index probe (steady state)
+    # round-5 session-2 additions
+    "q229_shortest_paths",       # 4-round Bellman-Ford over transitions
+    "q230_time_weighted_average",# per-(user,day) step integral windows
+    "q231_silhouette",           # centroid silhouette (points x labels x dims)
+    "q234_target_encoding",      # LOO encode join-back over lineitem
+    "q228_data_skipping",        # lake write + manifest prune + agg (sink gate)
+    "q233_zorder_skipping",      # z-clustered lake write + 2-D prune (sink gate)
 ]
 
 #: hot-key rehearsal: queries keyed on events.user_id or documents
@@ -61,6 +68,8 @@ ZIPF_QUERIES = [
     "q83_near_dedup_op",
     "q24_ngram_jaccard_op",
     "q215_incremental_dedup_op",
+    "q229_shortest_paths",
+    "q230_time_weighted_average",
 ]
 
 
