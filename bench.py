@@ -255,6 +255,8 @@ BENCH_QUERIES = [
     "q233_zorder_skipping",
     "q234_target_encoding",
     "q235_asof_forward",
+    "q236_binary_hamming",
+    "q237_absence_pattern",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

@@ -287,3 +287,93 @@ def quantized_topk(
             F.col("_eid").isNotNull().alias("in_exact_topk"),
         )
     )
+
+
+def binary_quantize_words(
+    vec_col: Column, dim: int, bits_per_word: int = 32
+) -> list[Column]:
+    """1-bit (sign) embedding quantization, packed into BIGINT words —
+    the vector-DB binary-quantization pattern: 64 floats become two
+    longs (32x smaller), and distance becomes XOR + popcount, which at
+    100 TB turns an ANN pre-filter pass into pure integer codegen with
+    no array traffic at compare time.
+
+    Bit i of word w is ``1`` iff ``vec[w*bits_per_word + i] > 0`` —
+    integer-exact, so the packing (and every downstream Hamming
+    distance) is deterministic and SQL-replayable bit-for-bit.  32 bits
+    per word keeps every shift below the BIGINT sign bit, sidestepping
+    engine-specific overflow behavior at bit 63.
+    """
+    words = []
+    for w0 in range(0, dim, bits_per_word):
+        word: Column = F.lit(0).cast("long")
+        for i in range(w0, min(w0 + bits_per_word, dim)):
+            bit = (
+                F.when(F.element_at(vec_col, i + 1) > 0, F.lit(1))
+                .otherwise(F.lit(0))
+                .cast("long")
+            )
+            word = word + bit * F.lit(1 << (i - w0)).cast("long")
+        words.append(word)
+    return words
+
+
+def hamming_words(a: Sequence[Column], b: Sequence[Column]) -> Column:
+    """Hamming distance between two packed-word lists: sum of
+    ``bit_count(xor)`` per word — pure JVM integer expressions."""
+    total: Column | None = None
+    for x, y in zip(a, b):
+        t = F.bit_count(x.bitwiseXOR(y))
+        total = t if total is None else total + t
+    assert total is not None
+    return total.cast("long")
+
+
+def binary_hamming_topk(
+    embeddings: DataFrame,
+    n_queries: int,
+    k: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-``k`` nearest rows by HAMMING distance over sign-bit packed
+    vectors, for the ``n_queries`` smallest ids as query points (q86 /
+    q107 pattern — queries come from the data, so an oracle can derive
+    the identical set).
+
+    Plan: pack once (narrow projection), broadcast the tiny query-pack
+    table, one nested-loop pass of integer XOR/popcount per (row,
+    query), then a per-query top-k window (shuffle keyed on qid —
+    ``n_queries`` partitions of heap-k work).  Ties break on id.
+    Returns ``(qid, vec_id, hamming)``.
+    """
+    from pyspark.sql import Window
+
+    words = binary_quantize_words(F.col(vec_col), dim)
+    packed = embeddings.select(
+        F.col(id_col),
+        *[w.alias(f"_w{i}") for i, w in enumerate(words)],
+    )
+    nw = len(words)
+    queries = (
+        packed.filter(F.col(id_col) < n_queries)
+        .select(
+            F.col(id_col).alias("qid"),
+            *[F.col(f"_w{i}").alias(f"_q{i}") for i in range(nw)],
+        )
+    )
+    dist = packed.crossJoin(F.broadcast(queries)).select(
+        "qid",
+        F.col(id_col),
+        hamming_words(
+            [F.col(f"_w{i}") for i in range(nw)],
+            [F.col(f"_q{i}") for i in range(nw)],
+        ).alias("hamming"),
+    )
+    w = Window.partitionBy("qid").orderBy("hamming", id_col)
+    return (
+        dist.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -10223,6 +10223,126 @@ GROUP BY c.event_id, c.user_id
 """
 
 
+def q236_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary embedding quantization + Hamming top-k
+    (``similarity.binary_quantize_words`` — the vector-DB 1-bit
+    pattern): 64 floats pack to two sign-bit BIGINTs (32x smaller) and
+    candidate distance becomes XOR + popcount, pure integer codegen.
+    Top-10 per query for the 5 smallest-id query vectors; every packed
+    bit and distance is integer-exact, so the ORACLE replays the whole
+    pipeline (pack, XOR, popcount, ranked cut) bit-for-bit — unlike the
+    recall-bound ANN gates, this one hash-matches."""
+    from etl_opensky_spark.functions.similarity import binary_hamming_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return binary_hamming_topk(emb, n_queries=5, k=10, dim=64)
+
+
+def _oracle_q236(dim: int = 64, bits_per_word: int = 32) -> str:
+    word_exprs = []
+    for w0 in range(0, dim, bits_per_word):
+        terms = [
+            f"(CASE WHEN embedding[{i + 1}] > 0 THEN 1 ELSE 0 END)"
+            f" * {1 << (i - w0)}"
+            for i in range(w0, min(w0 + bits_per_word, dim))
+        ]
+        word_exprs.append("CAST(" + " + ".join(terms) + " AS BIGINT)")
+    nw = len(word_exprs)
+    packed_cols = ", ".join(
+        f"{e} AS w{i}" for i, e in enumerate(word_exprs)
+    )
+    q_cols = ", ".join(f"w{i} AS q{i}" for i in range(nw))
+    ham = " + ".join(
+        f"bit_count(xor(p.w{i}, q.q{i}))" for i in range(nw)
+    )
+    return f"""
+WITH packed AS (SELECT vec_id, {packed_cols} FROM embeddings),
+q AS (SELECT vec_id AS qid, {q_cols} FROM packed WHERE vec_id < 5),
+d AS (
+  SELECT q.qid, p.vec_id, CAST({ham} AS BIGINT) AS hamming
+  FROM packed p CROSS JOIN q
+), r AS (
+  SELECT qid, vec_id, hamming,
+    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY hamming, vec_id) AS rn
+  FROM d
+)
+SELECT qid, vec_id, hamming FROM r WHERE rn <= 10
+"""
+
+
+def q237_absence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP ABSENCE pattern (the MATCH_RECOGNIZE shape Spark lacks):
+    signups that convert to a purchase within 2 hours with NO error
+    event in between — "A then B within t, no C between".  Composed
+    from two FORWARD as-of joins (q235 machinery): next purchase
+    (tolerance 2 h) and next error per signup; clean conversion iff a
+    purchase matched and the earliest error-at-or-after either does not
+    exist or lands strictly after it.  An error at the purchase instant
+    blocks (inclusive window) — pinned by the oracle, which replays
+    both "next" lookups as tolerance-bounded min_by joins."""
+    from etl_opensky_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("pid"))
+    )
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .select("user_id", "ts")
+        .distinct()
+        .withColumn("ets", F.col("ts"))
+    )
+    with_p = asof_join(
+        signups, purch, on="ts", by=["user_id"],
+        value_cols=["pid", "ts"], direction="forward", tolerance=7200.0,
+    ).withColumnsRenamed({"pid_asof": "pid", "ts_asof": "p_ts"})
+    with_pe = asof_join(
+        with_p, errors, on="ts", by=["user_id"],
+        value_cols=["ets"], direction="forward",
+    )
+    clean = F.col("pid").isNotNull() & (
+        F.col("ets_asof").isNull() | (F.col("ets_asof") > F.col("p_ts"))
+    )
+    return with_pe.select(
+        "event_id",
+        "user_id",
+        F.when(clean, F.col("pid")).alias("purchase_id"),
+    )
+
+
+ORACLE_Q237 = """
+WITH signups AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'
+), purch AS (
+  SELECT user_id, ts, MIN(event_id) AS pid
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+), errors AS (
+  SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'error'
+), with_p AS (
+  SELECT s.event_id, s.user_id, s.ts,
+    min_by(p.pid, p.ts) AS pid, MIN(p.ts) AS p_ts
+  FROM signups s LEFT JOIN purch p
+    ON p.user_id = s.user_id AND p.ts >= s.ts
+    AND epoch(p.ts) - epoch(s.ts) <= 7200.0
+  GROUP BY 1, 2, 3
+), with_pe AS (
+  SELECT w.event_id, w.user_id, w.pid, w.p_ts, MIN(e.ts) AS e_ts
+  FROM with_p w LEFT JOIN errors e
+    ON e.user_id = w.user_id AND e.ts >= w.ts
+  GROUP BY 1, 2, 3, 4
+)
+SELECT event_id, user_id,
+  CASE WHEN pid IS NOT NULL AND (e_ts IS NULL OR e_ts > p_ts)
+       THEN pid END AS purchase_id
+FROM with_pe
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -10458,6 +10578,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q233_zorder_skipping": q233_zorder_skipping,
     "q234_target_encoding": q234_target_encoding,
     "q235_asof_forward": q235_asof_forward,
+    "q236_binary_hamming": q236_binary_hamming,
+    "q237_absence_pattern": q237_absence_pattern,
 }
 
 ORACLES: dict[str, str] = {
@@ -10694,6 +10816,8 @@ ORACLES: dict[str, str] = {
     "q233_zorder_skipping": ORACLE_Q233,
     "q234_target_encoding": ORACLE_Q234,
     "q235_asof_forward": ORACLE_Q235,
+    "q236_binary_hamming": _oracle_q236(),
+    "q237_absence_pattern": ORACLE_Q237,
 }
 
 

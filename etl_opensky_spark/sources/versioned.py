@@ -850,3 +850,39 @@ def compact_versioned(
         shutil.rmtree(data_dir, ignore_errors=True)
         raise
     return version
+
+
+def clone_versioned(
+    src_base: str, dst_base: str, as_of: int | None = None
+) -> int:
+    """ZERO-COPY shallow clone (Delta SHALLOW CLONE): materialize one
+    committed snapshot of ``src_base`` as version 1 of a NEW table at
+    ``dst_base`` by hardlinking every file — O(#files) metadata ops, no
+    data movement, and the clone carries the source's manifest stats so
+    data skipping works immediately.
+
+    The clone is fully independent afterwards: merges/purges on either
+    table copy-on-write NEW files (hardlinked inodes are never written
+    in place), and vacuuming the source only unlinks names — shared
+    inodes survive while the clone references them.  The dev/test-
+    against-prod-data primitive.
+    """
+    entry = _resolve(src_base, as_of)
+    if os.path.isdir(_commits_dir(dst_base)) and _read_log(dst_base):
+        raise ValueError(
+            f"clone_versioned: {dst_base} already has commits — clone "
+            "targets a fresh path"
+        )
+    os.makedirs(dst_base, exist_ok=True)
+    name, data_dir = _new_data_dir(dst_base)
+    _link_tree(os.path.join(src_base, entry["dir"]), data_dir)
+    extra = None
+    if "stats" in entry:
+        extra = {"stats_cols": entry.get("stats_cols"),
+                 "stats": entry["stats"]}
+    try:
+        _commit(dst_base, 1, name, "clone", extra=extra)
+    except ConcurrentCommitError:
+        shutil.rmtree(data_dir, ignore_errors=True)
+        raise
+    return 1

@@ -61,6 +61,7 @@ ALLOW: dict[str, set[str]] = {
     # threshold tables of fixed small size by construction.
     "q107_quantized_ann": BNLJ,   # 5 query vectors broadcast
     "q86_knn_classify": BNLJ,     # 5 query vectors broadcast
+    "q236_binary_hamming": BNLJ,  # 5 packed query rows broadcast
     "q121_scd2_asof": BNLJ,       # as-of range probe vs broadcast history
     "q140_triangle_count": BNLJ,  # degree-ordered wedge close, bounded
     "q188_geo_nearest": BNLJ,     # documented bounded leftover fallback

@@ -572,3 +572,84 @@ def test_asof_tolerance_row_wholesale_null(spark):
     )
     row = asof_join(left, right, "t", ["k"], tolerance=5).first()
     assert row["v_asof"] is None and row["w_asof"] is None
+
+
+# --- shallow clone (zero-copy) --------------------------------------------
+
+
+def test_clone_reads_equal_and_shares_inodes(spark, tmp_path):
+    import os
+
+    from etl_opensky_spark.sources.versioned import (
+        clone_versioned,
+        read_version,
+        write_version,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    df = spark.range(1000).select(F.col("id").alias("k"))
+    write_version(df.repartitionByRange(4, "k"), src, stats_cols=["k"])
+    assert clone_versioned(src, dst) == 1
+    assert sorted(read_version(spark, dst).collect()) == sorted(
+        read_version(spark, src).collect()
+    )
+
+    def inodes(base):
+        out = set()
+        for root, _d, files in os.walk(base):
+            for f in files:
+                if f.endswith(".parquet"):
+                    out.add(os.stat(os.path.join(root, f)).st_ino)
+        return out
+
+    assert inodes(src) == inodes(dst)  # zero-copy: same inodes
+
+
+def test_clone_carries_stats_and_evolves_independently(spark, tmp_path):
+    from etl_opensky_spark.sources.versioned import (
+        clone_versioned,
+        merge_versioned,
+        prune_files,
+        read_version,
+        vacuum_versions,
+        write_version,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), F.lit(0).cast("long").alias("v")
+    )
+    write_version(df.repartitionByRange(4, "k"), src, stats_cols=["k"])
+    clone_versioned(src, dst)
+    kept, total = prune_files(dst, {"k": (0, 100)})
+    assert 0 < len(kept) < total  # stats traveled with the clone
+
+    # mutate the CLONE; source unchanged
+    upd = spark.range(10).select(
+        F.col("id").alias("k"), F.lit(9).cast("long").alias("v")
+    )
+    merge_versioned(spark, dst, upd, ["k"])
+    assert read_version(spark, src).agg(F.sum("v")).first()[0] == 0
+    assert read_version(spark, dst).agg(F.sum("v")).first()[0] == 90
+
+    # vacuum + mutate SOURCE: clone's hardlinked inodes survive
+    write_version(df.filter(F.col("k") < 10), src)
+    vacuum_versions(src, keep_last=1)
+    assert read_version(spark, dst, as_of=1).count() == 1000
+
+
+def test_clone_refuses_existing_target(spark, tmp_path):
+    from etl_opensky_spark.sources.versioned import (
+        clone_versioned,
+        write_version,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    df = spark.range(10).select(F.col("id").alias("k"))
+    write_version(df, src)
+    write_version(df, dst)
+    with pytest.raises(ValueError, match="already has commits"):
+        clone_versioned(src, dst)
