@@ -257,6 +257,8 @@ BENCH_QUERIES = [
     "q235_asof_forward",
     "q236_binary_hamming",
     "q237_absence_pattern",
+    "q238_copurchase_similarity",
+    "q239_yoy_growth",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

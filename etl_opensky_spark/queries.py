@@ -10343,6 +10343,138 @@ FROM with_pe
 """
 
 
+def q238_copurchase_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-purchase similarity (market-basket recommender
+    block): baskets are orders, co-count pairs come from ONE self-join
+    keyed on the basket id (bounded by basket size, never item
+    popularity — each order contributes C(items,2) pairs), cosine =
+    co / sqrt(n_i * n_j) with the sqrt over an exact integer product,
+    and the top-3 neighbors per item cut by a (cosine, id)-ordered
+    window.  Pairs below 2 co-occurrences are pruned BEFORE the
+    per-item ranking — the support threshold that keeps the pair table
+    ~corpus-sized at 100 TB (A-priori bound, same as q196)."""
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    n_items = baskets.groupBy("l_partkey").agg(F.count("*").alias("n"))
+    a = baskets.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("i")
+    )
+    b = baskets.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("j")
+    )
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.count("*").alias("co"))
+        .filter(F.col("co") >= 2)
+    )
+    both = pairs.unionByName(
+        pairs.select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "co"
+        )
+    )
+    scored = (
+        both.join(n_items.select(F.col("l_partkey").alias("i"),
+                                 F.col("n").alias("ni")), "i")
+        .join(n_items.select(F.col("l_partkey").alias("j"),
+                             F.col("n").alias("nj")), "j")
+        .select(
+            "i",
+            "j",
+            "co",
+            (
+                F.col("co").cast("double")
+                / F.sqrt((F.col("ni") * F.col("nj")).cast("double"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("i").orderBy(
+        F.col("cosine").desc(), F.col("j")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("i", "j", F.col("co").cast("long").alias("co"), "cosine")
+    )
+
+
+ORACLE_Q238 = """
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), n_items AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n FROM baskets GROUP BY 1
+), pairs AS (
+  SELECT a.l_partkey AS i, b.l_partkey AS j, CAST(COUNT(*) AS BIGINT) AS co
+  FROM baskets a JOIN baskets b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+), both_dir AS (
+  SELECT i, j, co FROM pairs
+  UNION ALL SELECT j AS i, i AS j, co FROM pairs
+), scored AS (
+  SELECT d.i, d.j, d.co,
+    CAST(d.co AS DOUBLE) / sqrt(CAST(ni.n * nj.n AS DOUBLE)) AS cosine
+  FROM both_dir d
+  JOIN n_items ni ON ni.l_partkey = d.i
+  JOIN n_items nj ON nj.l_partkey = d.j
+), ranked AS (
+  SELECT i, j, co, cosine,
+    ROW_NUMBER() OVER (PARTITION BY i ORDER BY cosine DESC, j) AS rn
+  FROM scored
+)
+SELECT i, j, co, cosine FROM ranked WHERE rn <= 3
+"""
+
+
+def q239_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-aligned year-over-year growth: monthly revenue joined
+    to ITSELF shifted 12 months (a calendar-keyed self-join, not
+    ``lag(12)`` — a lag over observed rows silently misaligns the
+    moment one month is missing).  Exact DECIMAL monthly sums; the
+    growth ratio is one double divide + floor-micro quantization with
+    the expression order pinned (q223 rule)."""
+    orders = _t(spark, sf_dir, "orders")
+    rev = orders.groupBy(
+        F.date_trunc("month", F.to_date("o_orderdate")).cast("date").alias("m")
+    ).agg(F.sum(_dec("o_totalprice")).alias("rev"))
+    prev = rev.select(
+        F.add_months(F.col("m"), 12).alias("m"),
+        F.col("rev").alias("prev_rev"),
+    )
+    out = rev.join(prev, "m", "left")
+    growth = F.when(
+        F.col("prev_rev").isNotNull() & (F.col("prev_rev") != 0),
+        F.floor(
+            (F.col("rev") - F.col("prev_rev")).cast("double")
+            / F.col("prev_rev").cast("double")
+            * 1000000
+        ).cast("long"),
+    )
+    return out.select(
+        "m",
+        F.col("rev").cast("double").alias("rev"),
+        F.col("prev_rev").cast("double").alias("prev_rev"),
+        growth.alias("yoy_micros"),
+    )
+
+
+ORACLE_Q239 = """
+WITH rev AS (
+  SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1
+)
+SELECT r.m, CAST(r.rev AS DOUBLE) AS rev,
+  CAST(p.rev AS DOUBLE) AS prev_rev,
+  CASE WHEN p.rev IS NOT NULL AND p.rev <> 0 THEN
+    CAST(FLOOR(CAST(r.rev - p.rev AS DOUBLE) / CAST(p.rev AS DOUBLE)
+               * 1000000) AS BIGINT)
+  END AS yoy_micros
+FROM rev r LEFT JOIN rev p ON p.m + INTERVAL 12 MONTH = r.m
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -10580,6 +10712,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q235_asof_forward": q235_asof_forward,
     "q236_binary_hamming": q236_binary_hamming,
     "q237_absence_pattern": q237_absence_pattern,
+    "q238_copurchase_similarity": q238_copurchase_similarity,
+    "q239_yoy_growth": q239_yoy_growth,
 }
 
 ORACLES: dict[str, str] = {
@@ -10818,6 +10952,8 @@ ORACLES: dict[str, str] = {
     "q235_asof_forward": ORACLE_Q235,
     "q236_binary_hamming": _oracle_q236(),
     "q237_absence_pattern": ORACLE_Q237,
+    "q238_copurchase_similarity": ORACLE_Q238,
+    "q239_yoy_growth": ORACLE_Q239,
 }
 
 
