@@ -259,6 +259,7 @@ BENCH_QUERIES = [
     "q237_absence_pattern",
     "q238_copurchase_similarity",
     "q239_yoy_growth",
+    "q240_schema_evolution_merge",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

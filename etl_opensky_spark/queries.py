@@ -10475,6 +10475,76 @@ FROM rev r LEFT JOIN rev p ON p.m + INTERVAL 12 MONTH = r.m
 """
 
 
+def q240_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE with SCHEMA EVOLUTION on the versioned lake (Delta
+    mergeSchema): v1 is orders partitioned by priority; the v2 upsert
+    carries a NEW ``channel`` column — existing rows read back null for
+    it because the EVOLVED SCHEMA IS RECORDED IN THE COMMIT LOG and
+    untouched hardlinked partitions keep their old-schema files
+    (parquet fills absent columns under the logged read schema).  The
+    gate aggregates the post-merge table per priority; the oracle
+    replays the merge + evolution relationally.  Complements q117
+    (file-level schema evolution on plain parquet reads)."""
+    import shutil
+
+    from etl_opensky_spark.sources.versioned import (
+        merge_versioned,
+        read_version,
+        write_version,
+    )
+
+    base = _gate_tmp("q240_evolake", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    write_version(orders, base, partition_by=["prio"])
+    upd = orders.filter(F.col("o_orderkey") % 4 == 0).select(
+        "o_orderkey",
+        (F.col("price") * 3).alias("price"),
+        "prio",
+        F.when(F.col("o_orderkey") % 8 == 0, F.lit("web"))
+        .otherwise(F.lit("app"))
+        .alias("channel"),
+    )
+    merge_versioned(spark, base, upd, ["o_orderkey"], ["prio"],
+                    merge_schema=True)
+    out = read_version(spark, base)
+    return out.groupBy("prio").agg(
+        F.count("*").alias("n"),
+        F.sum(_dec("price")).cast("double").alias("total_price"),
+        F.count("channel").alias("n_channel"),
+        F.sum(F.when(F.col("channel") == "web", 1).otherwise(0))
+        .cast("long")
+        .alias("n_web"),
+    )
+
+
+ORACLE_Q240 = """
+WITH src AS (
+  SELECT o_orderkey, o_totalprice AS price, o_orderpriority AS prio
+  FROM orders
+), upd AS (
+  SELECT o_orderkey, price * 3 AS price, prio,
+    CASE WHEN o_orderkey % 8 = 0 THEN 'web' ELSE 'app' END AS channel
+  FROM src WHERE o_orderkey % 4 = 0
+), merged AS (
+  SELECT t.o_orderkey, t.price, t.prio, CAST(NULL AS VARCHAR) AS channel
+  FROM src t
+  WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = t.o_orderkey)
+  UNION ALL
+  SELECT o_orderkey, price, prio, channel FROM upd
+)
+SELECT prio, COUNT(*) AS n,
+  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+  CAST(COUNT(channel) AS BIGINT) AS n_channel,
+  CAST(SUM(CASE WHEN channel = 'web' THEN 1 ELSE 0 END) AS BIGINT) AS n_web
+FROM merged GROUP BY prio
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -10714,6 +10784,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q237_absence_pattern": q237_absence_pattern,
     "q238_copurchase_similarity": q238_copurchase_similarity,
     "q239_yoy_growth": q239_yoy_growth,
+    "q240_schema_evolution_merge": q240_schema_evolution_merge,
 }
 
 ORACLES: dict[str, str] = {
@@ -10954,6 +11025,7 @@ ORACLES: dict[str, str] = {
     "q237_absence_pattern": ORACLE_Q237,
     "q238_copurchase_similarity": ORACLE_Q238,
     "q239_yoy_growth": ORACLE_Q239,
+    "q240_schema_evolution_merge": ORACLE_Q240,
 }
 
 

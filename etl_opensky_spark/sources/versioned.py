@@ -466,6 +466,25 @@ def _resolve(base: str, as_of: int | None) -> dict:
     return log[versions.index(as_of)]
 
 
+def _reader(spark: SparkSession, entry: dict):
+    """Parquet reader for one snapshot, honoring a schema recorded in
+    the commit (schema evolution): a merge that ADDED columns hardlinks
+    old-schema partitions untouched, so the logged schema — not a
+    sampled file footer — is the source of truth; parquet fills absent
+    columns with null under an explicit read schema."""
+    r = spark.read
+    sj = entry.get("schema_json")
+    if sj:
+        from pyspark.sql.types import StructType
+
+        r = r.schema(StructType.fromJson(json.loads(sj)))
+    return r
+
+
+def _read_snapshot(spark: SparkSession, base: str, entry: dict) -> DataFrame:
+    return _reader(spark, entry).parquet(os.path.join(base, entry["dir"]))
+
+
 def read_version(
     spark: SparkSession,
     base: str,
@@ -488,11 +507,11 @@ def read_version(
     entry = _resolve(base, as_of)
     data_dir = os.path.join(base, entry["dir"])
     if not where:
-        return spark.read.parquet(data_dir)
+        return _read_snapshot(spark, base, entry)
     kept, _total = prune_files(base, where, as_of=entry["version"])
     if not kept:
-        return spark.read.parquet(data_dir).filter(F.lit(False))
-    return spark.read.option("basePath", data_dir).parquet(
+        return _read_snapshot(spark, base, entry).filter(F.lit(False))
+    return _reader(spark, entry).option("basePath", data_dir).parquet(
         *[os.path.join(data_dir, rel) for rel in kept]
     )
 
@@ -554,8 +573,17 @@ def merge_versioned(
     partition_by: Sequence[str] = (),
     keys_are_partition_stable: bool = False,
     stats_cols: Sequence[str] = (),
+    merge_schema: bool = False,
 ) -> int:
     """Keyed MERGE (upsert) committing a new snapshot atomically.
+
+    ``merge_schema=True`` allows the updates to carry NEW columns
+    (Delta mergeSchema): existing rows read back null for them.  The
+    evolved schema is recorded in the commit log and becomes the read
+    schema — untouched hardlinked partitions keep their old-schema
+    files, and parquet fills the absent columns with null under the
+    logged schema.  Updates may never DROP a target column (that would
+    silently lose data on matched rows).
     ``stats_cols`` re-harvests per-file footer stats into this commit
     (O(#files) footer reads, distributed; hardlinked files share inodes
     with the parent so the footers are page-cache hits) — keeps
@@ -626,12 +654,20 @@ def merge_versioned(
 
     version = cur["version"] + 1
     parent_dir = os.path.join(base, cur["dir"])
-    target = spark.read.parquet(parent_dir)
-    if set(upd.columns) != set(target.columns):
+    target = _read_snapshot(spark, base, cur)
+    new_cols = [c for c in upd.columns if c not in target.columns]
+    missing = sorted(set(target.columns) - set(upd.columns))
+    if missing or (new_cols and not merge_schema):
         raise ValueError(
             f"merge_versioned: updates columns {sorted(upd.columns)} "
             f"!= target columns {sorted(target.columns)}"
+            + (" (pass merge_schema=True to add new columns)"
+               if new_cols and not missing else "")
         )
+    if new_cols:
+        upd_types = dict(upd.dtypes)
+        for c in new_cols:
+            target = target.withColumn(c, F.lit(None).cast(upd_types[c]))
     if part_cols:
         _assert_partitioned(parent_dir, part_cols)  # fail before staging IO
 
@@ -677,8 +713,12 @@ def merge_versioned(
             _snapshot_from_parent(
                 parent_dir, data_dir, part_cols, affected_suffixes, staging
             )
-        _commit(base, version, name, "merge", extra=_stats_extra(
-            spark, data_dir, stats_cols))
+        extra = _stats_extra(spark, data_dir, stats_cols) or {}
+        if new_cols or cur.get("schema_json"):
+            extra["schema_json"] = json.dumps(
+                json.loads(target.schema.json())
+            )
+        _commit(base, version, name, "merge", extra=extra or None)
     except ConcurrentCommitError:
         shutil.rmtree(data_dir, ignore_errors=True)
         raise
@@ -707,7 +747,7 @@ def purge_versioned(
     if cur is None:
         raise ValueError(f"no committed versions at {base}")
     parent_dir = os.path.join(base, cur["dir"])
-    target = spark.read.parquet(parent_dir)
+    target = _read_snapshot(spark, base, cur)
     dk = delete_keys.select(*keys).distinct().localCheckpoint()
     n_deleted = target.join(F.broadcast(dk), on=keys, how="left_semi").count()
     if n_deleted == 0:
@@ -742,8 +782,10 @@ def purge_versioned(
             _snapshot_from_parent(
                 parent_dir, data_dir, part_cols, affected_suffixes, staging
             )
-        _commit(base, version, name, "purge", extra=_stats_extra(
-            spark, data_dir, stats_cols))
+        extra = _stats_extra(spark, data_dir, stats_cols) or {}
+        if cur.get("schema_json"):
+            extra["schema_json"] = cur["schema_json"]
+        _commit(base, version, name, "purge", extra=extra or None)
     except ConcurrentCommitError:
         shutil.rmtree(data_dir, ignore_errors=True)
         raise
@@ -789,7 +831,7 @@ def compact_versioned(
     if cur is None:
         raise ValueError(f"no committed versions at {base}")
     version = cur["version"] + 1
-    df = spark.read.parquet(os.path.join(base, cur["dir"]))
+    df = _read_snapshot(spark, base, cur)
     name, data_dir = _new_data_dir(base)
     try:
         if zorder_by:
@@ -876,12 +918,14 @@ def clone_versioned(
     os.makedirs(dst_base, exist_ok=True)
     name, data_dir = _new_data_dir(dst_base)
     _link_tree(os.path.join(src_base, entry["dir"]), data_dir)
-    extra = None
+    extra = {}
     if "stats" in entry:
         extra = {"stats_cols": entry.get("stats_cols"),
                  "stats": entry["stats"]}
+    if entry.get("schema_json"):
+        extra["schema_json"] = entry["schema_json"]
     try:
-        _commit(dst_base, 1, name, "clone", extra=extra)
+        _commit(dst_base, 1, name, "clone", extra=extra or None)
     except ConcurrentCommitError:
         shutil.rmtree(data_dir, ignore_errors=True)
         raise

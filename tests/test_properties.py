@@ -428,3 +428,81 @@ def test_hll_merge_associative_any_split(spark, ids):
         .agg(F.max("register").alias("register"))
     )
     assert whole == merged
+
+
+# --- as-of join vs pandas merge_asof (round-5: direction + tolerance) -----
+
+_asof_events = st.lists(
+    st.tuples(
+        st.sampled_from(["u1", "u2"]),          # group key
+        st.integers(0, 50),                      # time
+        st.integers(-5, 5),                      # payload
+    ),
+    min_size=0,
+    max_size=10,
+)
+
+
+@SETTINGS
+@given(
+    left_rows=_asof_events,
+    right_rows=_asof_events,
+    direction=st.sampled_from(["backward", "forward"]),
+    tolerance=st.sampled_from([None, 0, 3, 100]),
+)
+def test_asof_join_matches_pandas_merge_asof(
+    spark, left_rows, right_rows, direction, tolerance
+):
+    """asof_join == pandas.merge_asof for every direction/tolerance
+    combination, on right tables with UNIQUE (key, t) — both contracts
+    attach the single nearest right row wholesale (pandas resolves
+    duplicate right timestamps by physical order, which no distributed
+    engine should promise, so dedupe first — the documented contract).
+    """
+    import pandas as pd
+
+    from etl_opensky_spark.operators.asof import asof_join
+
+    # dedupe right on (k, t): keep max payload (deterministic rule)
+    rdedup: dict = {}
+    for k, t, v in right_rows:
+        key = (k, t)
+        if key not in rdedup or v > rdedup[key]:
+            rdedup[key] = v
+    right_list = [(k, t, v) for (k, t), v in sorted(rdedup.items())]
+
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t, _v) in enumerate(left_rows)] or
+        [("u1", 0, 0)],
+        "k string, t long, lid long",
+    )
+    right = spark.createDataFrame(
+        right_list or [("u-absent", 0, 0)], "k string, t long, v long"
+    )
+    got = {
+        (r["k"], r["t"], r["lid"]): r["v_asof"]
+        for r in asof_join(
+            left,
+            right,
+            "t",
+            ["k"],
+            direction=direction,
+            tolerance=tolerance,
+        ).collect()
+    }
+
+    lp = left.toPandas().sort_values("t").reset_index(drop=True)
+    rp = right.toPandas().sort_values("t").reset_index(drop=True)
+    merged = pd.merge_asof(
+        lp,
+        rp,
+        on="t",
+        by="k",
+        direction=direction,
+        tolerance=tolerance if tolerance is None else int(tolerance),
+    )
+    want = {
+        (row.k, row.t, row.lid): (None if pd.isna(row.v) else int(row.v))
+        for row in merged.itertuples()
+    }
+    assert got == want

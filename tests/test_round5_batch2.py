@@ -653,3 +653,70 @@ def test_clone_refuses_existing_target(spark, tmp_path):
     write_version(df, dst)
     with pytest.raises(ValueError, match="already has commits"):
         clone_versioned(src, dst)
+
+
+# --- merge schema evolution (q240) ----------------------------------------
+
+
+def test_merge_schema_evolution_nulls_and_propagation(spark, tmp_path):
+    from etl_opensky_spark.sources.versioned import (
+        merge_versioned,
+        purge_versioned,
+        read_version,
+        write_version,
+    )
+
+    base = str(tmp_path / "evo")
+    df = spark.range(10).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("int").alias("p"),
+        F.lit(1).alias("v"),
+    )
+    write_version(df, base, partition_by=["p"])
+    upd = spark.range(3).select(
+        F.col("id").alias("k"),
+        F.lit(0).cast("int").alias("p"),
+        F.lit(5).alias("v"),
+        F.lit("web").alias("channel"),
+    )
+    # without the flag: rejected
+    with pytest.raises(ValueError, match="merge_schema=True"):
+        merge_versioned(spark, base, upd, ["k"], ["p"])
+    merge_versioned(spark, base, upd, ["k"], ["p"], merge_schema=True)
+    out = read_version(spark, base)
+    got = {r["k"]: r["channel"] for r in out.collect()}
+    assert got[0] == "web" and got[5] is None  # hardlinked old partition
+    # old snapshot unaffected (no channel column at v1)
+    assert "channel" not in read_version(spark, base, as_of=1).columns
+    # subsequent plain merge + purge keep the evolved schema
+    upd2 = spark.range(8, 11).select(
+        F.col("id").alias("k"),
+        F.lit(2).cast("int").alias("p"),
+        F.lit(9).alias("v"),
+        F.lit("app").alias("channel"),
+    )
+    merge_versioned(spark, base, upd2, ["k"], ["p"])
+    purge_versioned(
+        spark, base, spark.range(1).select(F.col("id").alias("k")),
+        ["k"], ["p"],
+    )
+    final = read_version(spark, base)
+    assert set(final.columns) == {"k", "p", "v", "channel"}
+    assert final.count() == 10  # 10 - 1 purged + 1 inserted (k=10)
+
+
+def test_merge_rejects_dropping_columns(spark, tmp_path):
+    from etl_opensky_spark.sources.versioned import (
+        merge_versioned,
+        write_version,
+    )
+
+    base = str(tmp_path / "drop")
+    df = spark.range(5).select(
+        F.col("id").alias("k"), F.lit(1).alias("v"), F.lit(2).alias("w")
+    )
+    write_version(df, base)
+    upd = spark.range(2).select(F.col("id").alias("k"), F.lit(9).alias("v"))
+    # missing column w: always an error, even with merge_schema
+    with pytest.raises(ValueError, match="columns"):
+        merge_versioned(spark, base, upd, ["k"], merge_schema=True)
