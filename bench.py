@@ -260,6 +260,8 @@ BENCH_QUERIES = [
     "q238_copurchase_similarity",
     "q239_yoy_growth",
     "q240_schema_evolution_merge",
+    "q241_stream_outer_join",
+    "q242_sql_pivot",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

@@ -10545,6 +10545,145 @@ FROM merged GROUP BY prio
 """
 
 
+def q241_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join with watermarks (q93's inner
+    sibling — the semantics Structured Streaming holds state for):
+    every purchase emits, matched views attach, and UNMATCHED purchases
+    emit with nulls only after the watermark passes their instant.
+    Purchases newer than ``max_ts - 3h`` can never flush (the 2 h
+    watermark never advances past them in a drained stream), so the
+    gate cuts both engines to the flushable region — watermark - 1 h of
+    margin — making stream output provably equal to the batch LEFT
+    JOIN, nulls included."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def src() -> DataFrame:
+        return _ensure_ltz(
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+
+    views = (
+        src()
+        .filter(F.col("event_type") == "view")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+            F.col("event_id").alias("v_event"),
+        )
+    )
+    purchases = (
+        src()
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_event"),
+        )
+    )
+    joined = purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+        "leftOuter",
+    )
+    name = "q241_stream_outer"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    cutoff = (
+        _events(spark, sf_dir)
+        .agg(F.max("ts") - F.expr("INTERVAL 3 HOURS"))
+        .first()[0]
+    )
+    return (
+        spark.table(name)
+        .filter(F.col("p_ts") <= F.lit(cutoff))
+        .groupBy(F.col("p_user").alias("user_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.count("v_event").cast("long").alias("n_matched"),
+            F.sum(F.col("v_event").isNull().cast("long"))
+            .cast("long")
+            .alias("n_unmatched"),
+        )
+    )
+
+
+ORACLE_Q241 = """
+WITH cut AS (
+  SELECT MAX(ts) - INTERVAL 3 HOUR AS c FROM events
+), p AS (
+  SELECT user_id, ts, event_id FROM events, cut
+  WHERE event_type = 'purchase' AND ts <= cut.c
+), v AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'
+)
+SELECT p.user_id,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COUNT(v.event_id) AS BIGINT) AS n_matched,
+  CAST(SUM(CASE WHEN v.event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_unmatched
+FROM p LEFT JOIN v
+  ON p.user_id = v.user_id
+ AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+GROUP BY p.user_id
+"""
+
+
+def q242_sql_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL ``PIVOT`` clause surface (the SQL spelling of q19's
+    DataFrame pivot): order counts + exact decimal revenue per
+    (year, priority) rotated to one column pair per priority.  Engines
+    differ in PIVOT syntax and output naming (DuckDB pivots dynamically
+    and names columns differently), so the oracle is the portable
+    conditional-aggregation expansion — same equivalence strategy as
+    q212's UNPIVOT gate."""
+    orders = _t(spark, sf_dir, "orders")
+    orders.select(
+        F.year(F.to_date("o_orderdate")).cast("int").alias("y"),
+        F.trim(F.substring("o_orderpriority", 1, 1)).alias("p"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    ).createOrReplaceTempView("q242_src")
+    return spark.sql(
+        """
+        SELECT y,
+          CAST(p1_n AS BIGINT) AS p1_n, CAST(p1_rev AS DOUBLE) AS p1_rev,
+          CAST(p5_n AS BIGINT) AS p5_n, CAST(p5_rev AS DOUBLE) AS p5_rev
+        FROM q242_src
+        PIVOT (
+          COUNT(*) AS n, SUM(price) AS rev
+          FOR p IN ('1' AS p1, '5' AS p5)
+        )
+        """
+    )
+
+
+ORACLE_Q242 = """
+SELECT year(CAST(o_orderdate AS DATE)) AS y,
+  CAST(SUM(CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END)
+    AS BIGINT) AS p1_n,
+  CAST(SUM(CASE WHEN o_orderpriority LIKE '1%'
+    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p1_rev,
+  CAST(SUM(CASE WHEN o_orderpriority LIKE '5%' THEN 1 ELSE 0 END)
+    AS BIGINT) AS p5_n,
+  CAST(SUM(CASE WHEN o_orderpriority LIKE '5%'
+    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p5_rev
+FROM orders GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -10785,6 +10924,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q238_copurchase_similarity": q238_copurchase_similarity,
     "q239_yoy_growth": q239_yoy_growth,
     "q240_schema_evolution_merge": q240_schema_evolution_merge,
+    "q241_stream_outer_join": q241_stream_outer_join,
+    "q242_sql_pivot": q242_sql_pivot,
 }
 
 ORACLES: dict[str, str] = {
@@ -11026,6 +11167,8 @@ ORACLES: dict[str, str] = {
     "q238_copurchase_similarity": ORACLE_Q238,
     "q239_yoy_growth": ORACLE_Q239,
     "q240_schema_evolution_merge": ORACLE_Q240,
+    "q241_stream_outer_join": ORACLE_Q241,
+    "q242_sql_pivot": ORACLE_Q242,
 }
 
 

@@ -930,3 +930,34 @@ def clone_versioned(
         shutil.rmtree(data_dir, ignore_errors=True)
         raise
     return 1
+
+
+def merge_with_retry(
+    spark: SparkSession,
+    base: str,
+    updates: DataFrame,
+    keys: Sequence[str],
+    partition_by: Sequence[str] = (),
+    max_retries: int = 3,
+    **merge_kwargs,
+) -> int:
+    """Optimistic-concurrency RETRY around :func:`merge_versioned`: on
+    :class:`ConcurrentCommitError` the merge re-reads the NEW tip and
+    re-applies — correct for keyed upserts because MERGE is idempotent
+    per key against any parent state (last-writer-wins per key), which
+    is exactly the Delta/Iceberg conflict-resolution contract for
+    non-overlapping logical updates.  Raises after ``max_retries``
+    losses (a pathologically hot log tip deserves a queue, not a spin
+    loop)."""
+    last: ConcurrentCommitError | None = None
+    for _ in range(max_retries + 1):
+        try:
+            return merge_versioned(
+                spark, base, updates, keys, partition_by, **merge_kwargs
+            )
+        except ConcurrentCommitError as e:
+            last = e
+    raise ConcurrentCommitError(
+        f"merge_with_retry: lost the commit race {max_retries + 1} "
+        f"times at {base}"
+    ) from last

@@ -720,3 +720,87 @@ def test_merge_rejects_dropping_columns(spark, tmp_path):
     # missing column w: always an error, even with merge_schema
     with pytest.raises(ValueError, match="columns"):
         merge_versioned(spark, base, upd, ["k"], merge_schema=True)
+
+
+# --- optimistic-concurrency merge retry -----------------------------------
+
+
+def test_merge_with_retry_wins_after_losses(spark, tmp_path):
+    from etl_opensky_spark.sources import versioned as V
+
+    base = str(tmp_path / "retry")
+    df = spark.range(20).select(F.col("id").alias("k"), F.lit(0).alias("v"))
+    V.write_version(df, base)
+    upd = spark.range(5).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+
+    # a rival commits the next TWO versions right before our commit point
+    losses = {"n": 2}
+
+    def rival():
+        if losses["n"] > 0:
+            losses["n"] -= 1
+            cur = V._current(base)
+            name, data_dir = V._new_data_dir(base)
+            import shutil as sh
+
+            sh.copytree(
+                __import__("os").path.join(base, cur["dir"]), data_dir
+            )
+            # commit directly (hook not re-entered: we bypass _commit)
+            import json as j
+            import os as o
+
+            with open(
+                V._commit_path(base, cur["version"] + 1), "x"
+            ) as fh:
+                fh.write(
+                    j.dumps(
+                        {
+                            "version": cur["version"] + 1,
+                            "dir": name,
+                            "op": "write",
+                            "parent": cur["version"],
+                        }
+                    )
+                )
+
+    V._test_hooks["before_commit"] = rival
+    try:
+        v = V.merge_with_retry(spark, base, upd, ["k"], max_retries=3)
+    finally:
+        V._test_hooks.clear()
+    assert v == 4  # v1 + 2 rival wins + our successful retry
+    got = V.read_version(spark, base)
+    assert got.filter(F.col("v") == 1).count() == 5
+
+
+def test_merge_with_retry_gives_up(spark, tmp_path):
+    from etl_opensky_spark.sources import versioned as V
+
+    base = str(tmp_path / "retry2")
+    df = spark.range(5).select(F.col("id").alias("k"), F.lit(0).alias("v"))
+    V.write_version(df, base)
+    upd = spark.range(2).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+
+    def always_rival():
+        cur = V._current(base)
+        import json as j
+
+        with open(V._commit_path(base, cur["version"] + 1), "x") as fh:
+            fh.write(
+                j.dumps(
+                    {
+                        "version": cur["version"] + 1,
+                        "dir": cur["dir"],
+                        "op": "write",
+                        "parent": cur["version"],
+                    }
+                )
+            )
+
+    V._test_hooks["before_commit"] = always_rival
+    try:
+        with pytest.raises(V.ConcurrentCommitError, match="lost the commit"):
+            V.merge_with_retry(spark, base, upd, ["k"], max_retries=2)
+    finally:
+        V._test_hooks.clear()
