@@ -262,6 +262,7 @@ BENCH_QUERIES = [
     "q240_schema_evolution_merge",
     "q241_stream_outer_join",
     "q242_sql_pivot",
+    "q243_bloom_point_lookup",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

@@ -10684,6 +10684,52 @@ FROM orders GROUP BY 1
 """
 
 
+def q243_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file BLOOM index point lookup on the versioned lake
+    (``versioned.write_version bloom_cols`` + ``read_version_eq``):
+    orders land HASH-distributed (unclustered — min/max stats are
+    useless, every file spans the key range) with a sparse bloom
+    sidecar per file; the needle-in-haystack id fetch then scans 1 file
+    instead of 16 (pytest-pinned), with a no-false-negative superset
+    guarantee.  The Delta bloom-index design; at 100 TB it is the
+    difference between a full scan and a handful of reads for id
+    lookups on unclustered columns."""
+    import shutil
+
+    from etl_opensky_spark.sources.versioned import (
+        read_version_eq,
+        write_version,
+    )
+
+    base = _gate_tmp("q243_bloomlake", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders")
+    write_version(
+        orders.repartition(16),
+        base,
+        bloom_cols=["o_orderkey"],
+        bloom_bits=16384,
+    )
+    needle = orders.agg(F.max("o_orderkey")).first()[0]
+    out = read_version_eq(spark, base, "o_orderkey", needle).filter(
+        F.col("o_orderkey") == needle
+    )
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+
+
+ORACLE_Q243 = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+  CAST(o_totalprice AS DOUBLE) AS price
+FROM orders
+WHERE o_orderkey = (SELECT MAX(o_orderkey) FROM orders)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -10926,6 +10972,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q240_schema_evolution_merge": q240_schema_evolution_merge,
     "q241_stream_outer_join": q241_stream_outer_join,
     "q242_sql_pivot": q242_sql_pivot,
+    "q243_bloom_point_lookup": q243_bloom_point_lookup,
 }
 
 ORACLES: dict[str, str] = {
@@ -11169,6 +11216,7 @@ ORACLES: dict[str, str] = {
     "q240_schema_evolution_merge": ORACLE_Q240,
     "q241_stream_outer_join": ORACLE_Q241,
     "q242_sql_pivot": ORACLE_Q242,
+    "q243_bloom_point_lookup": ORACLE_Q243,
 }
 
 

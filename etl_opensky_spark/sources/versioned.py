@@ -416,6 +416,9 @@ def write_version(
     base: str,
     partition_by: Sequence[str] = (),
     stats_cols: Sequence[str] = (),
+    bloom_cols: Sequence[str] = (),
+    bloom_bits: int = 4096,
+    bloom_hashes: int = 4,
 ) -> int:
     """Commit ``df`` as the next full snapshot of the table at ``base``.
     Data lands in a fresh immutable directory BEFORE the commit file
@@ -442,6 +445,10 @@ def write_version(
                 df.sparkSession, data_dir, stats_cols
             ),
         }
+    if bloom_cols:
+        _bloom_build(
+            df.sparkSession, data_dir, bloom_cols, bloom_bits, bloom_hashes
+        )
     try:
         _commit(base, version, name, "write", extra=extra)
     except ConcurrentCommitError:
@@ -961,3 +968,162 @@ def merge_with_retry(
         f"merge_with_retry: lost the commit race {max_retries + 1} "
         f"times at {base}"
     ) from last
+
+
+# --- per-file BLOOM index: point-lookup skipping (q243) -------------------
+#
+# min/max stats prune RANGES on clustered layouts; a point lookup on an
+# UNCLUSTERED high-cardinality column (needle-in-haystack id fetch) gets
+# nothing from them — every file's [min, max] spans the value.  A small
+# per-file Bloom filter answers "can this file contain v?" with no false
+# negatives, which at 100 TB turns an id lookup from a full scan into a
+# handful of file reads.  The bitmap lives in a HIDDEN sidecar
+# (`_bloom.json` inside the snapshot dir): underscore-prefixed files are
+# invisible to parquet scans, travel with hardlink clones, and vacuum
+# with their snapshot.  Production sizing: bits ~ 10x expected distinct
+# values per file for ~1% FPP; the builder is one column-pruned scan
+# with map-side-combined bit_or — fuse into the write at petabyte scale.
+
+BLOOM_SIDECAR = "_bloom.json"
+
+
+def _bloom_build(
+    spark: SparkSession,
+    data_dir: str,
+    bloom_cols: Sequence[str],
+    n_bits: int,
+    n_hashes: int,
+) -> None:
+    """One column-pruned scan per snapshot and column: explode each
+    row's hash positions, aggregate ``bit_or`` per (file, word) —
+    map-side combined, and SPARSE: only words with set bits exist, so
+    the plan and the sidecar scale with occupancy, not with ``n_bits``
+    (a dense unrolled-per-word expression tree OOMs Catalyst past a
+    few hundred words — measured)."""
+    df = spark.read.parquet(data_dir)
+    dtypes = dict(df.dtypes)
+    out: dict = {}
+    for c in bloom_cols:
+        positions = F.array(
+            *[
+                F.pmod(F.xxhash64(F.col(c), F.lit(h)), F.lit(n_bits))
+                for h in range(n_hashes)
+            ]
+        )
+        rows = (
+            df.filter(F.col(c).isNotNull())
+            .select(
+                F.input_file_name().alias("_f"),
+                F.explode(positions).alias("_p"),
+            )
+            .groupBy(
+                "_f", (F.col("_p") / F.lit(64)).cast("int").alias("_w")
+            )
+            .agg(
+                F.bit_or(
+                    F.expr("shiftleft(1L, CAST(_p % 64 AS INT))")
+                ).alias("_bits")
+            )
+            .collect()
+        )
+        files: dict = {}
+        for r in rows:
+            rel = os.path.relpath(
+                r["_f"].replace("file://", "", 1), data_dir
+            )
+            files.setdefault(rel, {})[str(r["_w"])] = r["_bits"]
+        out[c] = {
+            "bits": n_bits,
+            "hashes": n_hashes,
+            "dtype": dtypes[c],
+            "files": files,
+        }
+    with open(os.path.join(data_dir, BLOOM_SIDECAR), "w") as fh:
+        json.dump(out, fh)
+
+
+def _bloom_load(data_dir: str) -> dict | None:
+    path = os.path.join(data_dir, BLOOM_SIDECAR)
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def _bloom_positions(
+    spark: SparkSession, value, dtype: str, n_bits: int, n_hashes: int
+) -> list[int]:
+    """The query value's bit positions — computed with the SAME
+    ``xxhash64`` the builder used (one trivial 1-row job; replicating
+    Spark's xxhash in Python would be a silent-divergence trap)."""
+    row = spark.range(1).select(
+        *[
+            F.pmod(
+                F.xxhash64(F.lit(value).cast(dtype), F.lit(h)),
+                F.lit(n_bits),
+            ).alias(f"p{h}")
+            for h in range(n_hashes)
+        ]
+    ).first()
+    return [row[f"p{h}"] for h in range(n_hashes)]
+
+
+def _bloom_maybe_contains(words: dict, positions: list[int]) -> bool:
+    for pos in positions:
+        word = words.get(str(pos // 64))
+        if word is None:
+            return False  # sparse: absent word = all zero bits
+        if not ((word & 0xFFFFFFFFFFFFFFFF) >> (pos % 64)) & 1:
+            return False
+    return True
+
+
+def prune_files_eq(
+    spark: SparkSession,
+    base: str,
+    col: str,
+    value,
+    as_of: int | None = None,
+) -> tuple[list[str], int]:
+    """Bloom point-lookup pruning: files that can contain
+    ``col = value``.  No false negatives (a kept list is a superset);
+    false-positive rate follows the sidecar's bits-per-key.  Raises if
+    the snapshot has no bloom index for ``col``."""
+    entry = _resolve(base, as_of)
+    data_dir = os.path.join(base, entry["dir"])
+    sidecar = _bloom_load(data_dir)
+    if not sidecar or col not in sidecar:
+        raise ValueError(
+            f"prune_files_eq: snapshot v{entry['version']} has no bloom "
+            f"index for column {col!r} — write with bloom_cols"
+        )
+    idx = sidecar[col]
+    positions = _bloom_positions(
+        spark, value, idx["dtype"], idx["bits"], idx["hashes"]
+    )
+    kept = [
+        rel
+        for rel, words in idx["files"].items()
+        if _bloom_maybe_contains(words, positions)
+    ]
+    return kept, len(idx["files"])
+
+
+def read_version_eq(
+    spark: SparkSession,
+    base: str,
+    col: str,
+    value,
+    as_of: int | None = None,
+) -> DataFrame:
+    """Snapshot read scanning only files whose bloom filter admits
+    ``col = value`` (superset guarantee — apply the exact filter on the
+    result).  The point-lookup sibling of ``read_version(where=)``."""
+    entry = _resolve(base, as_of)
+    data_dir = os.path.join(base, entry["dir"])
+    kept, _total = prune_files_eq(spark, base, col, value, as_of=as_of)
+    if not kept:
+        return _read_snapshot(spark, base, entry).filter(F.lit(False))
+    return _reader(spark, entry).option("basePath", data_dir).parquet(
+        *[os.path.join(data_dir, rel) for rel in kept]
+    )

@@ -804,3 +804,87 @@ def test_merge_with_retry_gives_up(spark, tmp_path):
             V.merge_with_retry(spark, base, upd, ["k"], max_retries=2)
     finally:
         V._test_hooks.clear()
+
+
+# --- bloom point-lookup index (q243) --------------------------------------
+
+
+def test_bloom_prunes_unclustered_point_lookup(spark, tmp_path):
+    from etl_opensky_spark.sources.versioned import (
+        prune_files_eq,
+        read_version_eq,
+        write_version,
+    )
+
+    base = str(tmp_path / "bloom")
+    df = spark.range(5000).select(
+        F.col("id").alias("k"), (F.col("id") * 7).alias("v")
+    ).repartition(8)  # hash layout: min/max spans everything per file
+    write_version(df, base, bloom_cols=["k"], bloom_bits=16384)
+    kept, total = prune_files_eq(spark, base, "k", 1234)
+    assert total == 8 and len(kept) <= 2  # present: its file (+ rare FP)
+    rows = read_version_eq(spark, base, "k", 1234).filter(
+        F.col("k") == 1234
+    ).collect()
+    assert len(rows) == 1 and rows[0]["v"] == 1234 * 7
+    # absent value: no false negatives means kept may be nonzero (FP)
+    # but the read must return nothing after the exact filter
+    kept0, _ = prune_files_eq(spark, base, "k", 10**9)
+    assert len(kept0) <= 1
+    assert (
+        read_version_eq(spark, base, "k", 10**9)
+        .filter(F.col("k") == 10**9)
+        .count()
+        == 0
+    )
+
+
+def test_bloom_no_false_negatives_exhaustive(spark, tmp_path):
+    from etl_opensky_spark.sources.versioned import (
+        prune_files_eq,
+        read_version_eq,
+        write_version,
+    )
+
+    base = str(tmp_path / "bloomfn")
+    df = spark.range(300).select(F.col("id").alias("k")).repartition(4)
+    write_version(df, base, bloom_cols=["k"], bloom_bits=8192)
+    # EVERY present key must be found — zero false negatives
+    for k in range(0, 300, 17):
+        got = read_version_eq(spark, base, "k", k).filter(
+            F.col("k") == k
+        )
+        assert got.count() == 1, f"false negative for k={k}"
+
+
+def test_bloom_missing_index_raises(spark, tmp_path):
+    from etl_opensky_spark.sources.versioned import (
+        prune_files_eq,
+        write_version,
+    )
+
+    base = str(tmp_path / "nobloom")
+    write_version(spark.range(10).select(F.col("id").alias("k")), base)
+    with pytest.raises(ValueError, match="no bloom index"):
+        prune_files_eq(spark, base, "k", 1)
+
+
+def test_bloom_string_column(spark, tmp_path):
+    from etl_opensky_spark.sources.versioned import (
+        prune_files_eq,
+        read_version_eq,
+        write_version,
+    )
+
+    base = str(tmp_path / "bloomstr")
+    df = spark.range(2000).select(
+        F.concat(F.lit("user-"), F.col("id")).alias("name"),
+        F.col("id").alias("v"),
+    ).repartition(8)
+    write_version(df, base, bloom_cols=["name"], bloom_bits=32768)
+    kept, total = prune_files_eq(spark, base, "name", "user-777")
+    assert total == 8 and len(kept) <= 2
+    rows = read_version_eq(spark, base, "name", "user-777").filter(
+        F.col("name") == "user-777"
+    ).collect()
+    assert len(rows) == 1 and rows[0]["v"] == 777
