@@ -263,6 +263,9 @@ BENCH_QUERIES = [
     "q241_stream_outer_join",
     "q242_sql_pivot",
     "q243_bloom_point_lookup",
+    "q244_point_in_time_features",
+    "q245_kn_perplexity",
+    "q246_embedding_drift",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

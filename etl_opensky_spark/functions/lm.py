@@ -195,3 +195,90 @@ def pmi_collocations(
             ).cast("bigint").alias("pmi_micros"),
         )
     )
+
+
+def discounted_bigram_nll_scores(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    discount_quarters: int = 3,
+) -> DataFrame:
+    """Score held-out documents under an INTERPOLATED ABSOLUTE-
+    DISCOUNTING bigram LM (the Kneser–Ney family — the smoothing that
+    actually ships in KenLM/CCNet, vs :func:`bigram_nll_scores`'s
+    add-one baseline) with a true train/eval split::
+
+        P(w|v) = max(c(vw) - d, 0)/c(v) + d·N1+(v·)/c(v) · Pcont(w)
+        Pcont(w) = (N1+(·w) + 1) / (N1+(··) + V)        # add-1 floor
+        unseen context v  ->  P(w|v) = Pcont(w)
+
+    with ``d = discount_quarters/4`` (default 0.75) kept RATIONAL: the
+    discounted numerators are exact integers in quarter-units
+    (``max(4c-3, 0)`` over ``4·c(v)``), so the only floating point is
+    two divides, one multiply-add, and the final ``ln`` — each in ONE
+    pinned expression order, micro-quantized per bigram type (q106
+    pattern) so per-doc sums are exact integers any engine reproduces.
+
+    All model state is vocabulary-shaped aggregate tables (bigram types,
+    context totals, continuation counts) flowing through equi-joins —
+    the word-count scale family.  Two driver scalars (distinct-bigram
+    and vocab counts) ride as literals.  Returns
+    ``(id_col, n_bigrams, nll_micros)`` over ``eval_docs``.
+    """
+    d = discount_quarters
+    tbg = (
+        _doc_bigrams(train_docs, id_col, text_col)
+        .groupBy("w1", "w2")
+        .agg(F.sum("n_occ").alias("c12"))
+        .localCheckpoint()
+    )
+    ctx = tbg.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count("*").alias("n1v")
+    )
+    cont = tbg.groupBy("w2").agg(F.count("*").alias("n1w"))
+    n1pp = tbg.count()
+    toks = train_docs.select(
+        F.explode(
+            F.filter(tokenize(F.col(text_col)), lambda x: x != F.lit(""))
+        ).alias("w")
+    )
+    vocab = toks.distinct().count()
+    denom = float(n1pp + vocab)
+
+    ev = _doc_bigrams(eval_docs, id_col, text_col)
+    types = ev.select("w1", "w2").distinct()
+    joined = (
+        types.join(tbg, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .join(cont, "w2", "left")
+    )
+    pcont = (F.coalesce(F.col("n1w"), F.lit(0)) + F.lit(1)).cast(
+        "double"
+    ) / F.lit(denom)
+    term1 = (
+        F.greatest(
+            F.lit(4) * F.coalesce(F.col("c12"), F.lit(0)) - F.lit(d),
+            F.lit(0),
+        ).cast("double")
+        / (F.lit(4) * F.col("c1")).cast("double")
+    )
+    lam = (F.lit(d) * F.col("n1v")).cast("double") / (
+        F.lit(4) * F.col("c1")
+    ).cast("double")
+    p = F.when(F.col("c1").isNotNull(), term1 + lam * pcont).otherwise(pcont)
+    nll = joined.select(
+        "w1",
+        "w2",
+        F.round(-F.log(p) * 1_000_000.0).cast("bigint").alias("nll_mu"),
+    )
+    return (
+        ev.join(nll, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.sum("n_occ").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("n_occ") * F.col("nll_mu"))
+            .cast("bigint")
+            .alias("nll_micros"),
+        )
+    )

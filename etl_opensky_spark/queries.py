@@ -10730,6 +10730,198 @@ WHERE o_orderkey = (SELECT MAX(o_orderkey) FROM orders)
 """
 
 
+def q245_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out perplexity under an interpolated ABSOLUTE-DISCOUNTING
+    bigram LM (``lm.discounted_bigram_nll_scores`` — the Kneser–Ney
+    smoothing family that ships in KenLM/CCNet, beyond q106's add-one
+    baseline): train on even doc_ids, score odd doc_ids, discount
+    d = 3/4 kept RATIONAL so the only floats are two divides + one
+    multiply-add + ln per bigram type, micro-quantized once.  The
+    oracle replays the full train/eval pipeline."""
+    from etl_opensky_spark.functions.lm import discounted_bigram_nll_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return discounted_bigram_nll_scores(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "doc_id",
+        "text",
+    )
+
+
+ORACLE_Q245 = """
+WITH toklists AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                x -> x <> '') AS ts
+  FROM documents
+), train_bg AS (
+  SELECT ts[CAST(i AS INTEGER)] AS w1, ts[CAST(i AS INTEGER) + 1] AS w2,
+         CAST(COUNT(*) AS BIGINT) AS c12
+  FROM (SELECT ts, unnest(range(1, len(ts))) AS i
+        FROM toklists WHERE doc_id % 2 = 0 AND len(ts) >= 2)
+  GROUP BY w1, w2
+), ctx AS (
+  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+         CAST(COUNT(*) AS BIGINT) AS n1v
+  FROM train_bg GROUP BY w1
+), cont AS (
+  SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1w FROM train_bg GROUP BY w2
+), scal AS (
+  SELECT (SELECT COUNT(*) FROM train_bg)
+       + (SELECT COUNT(DISTINCT w) FROM (
+            SELECT unnest(ts) AS w FROM toklists WHERE doc_id % 2 = 0))
+       AS denom
+), ev AS (
+  SELECT doc_id, ts[CAST(i AS INTEGER)] AS w1,
+         ts[CAST(i AS INTEGER) + 1] AS w2, COUNT(*) AS n_occ
+  FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
+        FROM toklists WHERE doc_id % 2 = 1 AND len(ts) >= 2)
+  GROUP BY doc_id, w1, w2
+), types AS (
+  SELECT DISTINCT w1, w2 FROM ev
+), nll AS (
+  SELECT t.w1, t.w2,
+    CAST(round(-ln(
+      CASE WHEN ctx.c1 IS NOT NULL THEN
+        CAST(GREATEST(4 * COALESCE(b.c12, 0) - 3, 0) AS DOUBLE)
+          / CAST(4 * ctx.c1 AS DOUBLE)
+        + (CAST(3 * ctx.n1v AS DOUBLE) / CAST(4 * ctx.c1 AS DOUBLE))
+          * (CAST(COALESCE(cont.n1w, 0) + 1 AS DOUBLE)
+             / CAST(scal.denom AS DOUBLE))
+      ELSE
+        CAST(COALESCE(cont.n1w, 0) + 1 AS DOUBLE)
+          / CAST(scal.denom AS DOUBLE)
+      END) * 1000000.0) AS BIGINT) AS nll_mu
+  FROM types t
+  LEFT JOIN train_bg b ON b.w1 = t.w1 AND b.w2 = t.w2
+  LEFT JOIN ctx ON ctx.w1 = t.w1
+  LEFT JOIN cont ON cont.w2 = t.w2
+  CROSS JOIN scal
+)
+SELECT doc_id, CAST(SUM(n_occ) AS BIGINT) AS n_bigrams,
+  CAST(SUM(n_occ * nll_mu) AS BIGINT) AS nll_micros
+FROM ev JOIN nll USING (w1, w2)
+GROUP BY doc_id
+"""
+
+
+def q244_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct TRAINING-SET ASSEMBLY (the feature-store
+    join): every purchase gets (a) the user's cumulative event count /
+    value BEFORE the purchase's day — a daily state table made
+    available from the NEXT midnight, attached by backward as-of join,
+    so the purchase's own day can never leak in — and (b) seconds since
+    the user's latest signup at-or-before the purchase instant.  As-of
+    staleness is CORRECT here because both features are cumulative
+    state (an inactive gap carries the same value forward).  The oracle
+    replays both lookups as correlated point-in-time aggregates."""
+    from etl_opensky_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    day_nr = F.datediff(
+        F.to_date("ts"), F.lit("1970-01-01").cast("date")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", day_nr.alias("day_nr")
+    )
+    daily = ev.groupBy("user_id", day_nr.alias("day_nr")).agg(
+        F.count("*").alias("_n"), F.sum(_dec("value", 6)).alias("_v")
+    )
+    w = Window.partitionBy("user_id").orderBy("day_nr")
+    cum = daily.select(
+        "user_id",
+        (F.col("day_nr") + 1).alias("day_nr"),  # available from next day
+        F.sum("_n").over(w).alias("cn"),
+        F.sum("_v").over(w).alias("cv"),
+    )
+    f1 = asof_join(
+        purchases, cum, on="day_nr", by=["user_id"], value_cols=["cn", "cv"]
+    )
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .select("user_id", "ts")
+        .distinct()
+        .withColumn("sts", F.col("ts"))
+    )
+    f2 = asof_join(f1, signups, on="ts", by=["user_id"], value_cols=["sts"])
+    return f2.select(
+        "event_id",
+        "user_id",
+        F.coalesce(F.col("cn_asof"), F.lit(0)).cast("long").alias(
+            "cum_n_before"
+        ),
+        F.coalesce(F.col("cv_asof"), F.lit(0).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("cum_val_before"),
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp(F.col("sts_asof"))
+        ).cast("long").alias("secs_since_signup"),
+    )
+
+
+ORACLE_Q244 = """
+WITH p AS (
+  SELECT event_id, user_id, ts, CAST(ts AS DATE) AS d
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM events e
+    WHERE e.user_id = p.user_id AND CAST(e.ts AS DATE) < p.d)
+    AS cum_n_before,
+  CAST((SELECT COALESCE(SUM(CAST(e.value AS DECIMAL(18,6))), 0)
+    FROM events e
+    WHERE e.user_id = p.user_id AND CAST(e.ts AS DATE) < p.d) AS DOUBLE)
+    AS cum_val_before,
+  (SELECT CAST(floor(epoch(p.ts)) - floor(epoch(MAX(e.ts))) AS BIGINT)
+    FROM events e
+    WHERE e.user_id = p.user_id AND e.event_type = 'signup'
+      AND e.ts <= p.ts)
+    AS secs_since_signup
+FROM p
+"""
+
+
+def q246_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space DRIFT between two populations
+    (``drift.embedding_mean_shift``): linear-kernel MMD^2 =
+    ``||mean_A - mean_B||^2`` — no pairwise kernel matrix, one
+    aggregate pass, the formulation that survives 100 TB.  Split =
+    even/odd vec_id; exact integer numerator over the common
+    denominator (DECIMAL(38) squares), single decimal→double rounding
+    replayed by the oracle."""
+    from etl_opensky_spark.functions.drift import embedding_mean_shift
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_mean_shift(emb, F.col("vec_id") % 2 == 0)
+
+
+ORACLE_Q246 = """
+WITH v AS (
+  SELECT vec_id % 2 = 0 AS a,
+    generate_subscripts(embedding, 1) AS pos,
+    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS q
+  FROM embeddings
+), sums AS (
+  SELECT pos,
+    CAST(SUM(CASE WHEN a THEN q END) AS BIGINT) AS sa,
+    CAST(SUM(CASE WHEN NOT a THEN q END) AS BIGINT) AS sb,
+    CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+    CAST(SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS nb
+  FROM v GROUP BY pos
+), agg AS (
+  SELECT MAX(na) AS n_a, MAX(nb) AS n_b,
+    SUM(CAST(sa * nb - sb * na AS HUGEINT)
+        * CAST(sa * nb - sb * na AS HUGEINT)) AS num
+  FROM sums
+)
+SELECT n_a, n_b, CAST(num AS DOUBLE) AS mmd_num,
+  CAST(num AS DOUBLE) / CAST(n_a * n_b AS DOUBLE)
+    / CAST(n_a * n_b AS DOUBLE) / 1e12 AS mmd
+FROM agg
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -10973,6 +11165,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q241_stream_outer_join": q241_stream_outer_join,
     "q242_sql_pivot": q242_sql_pivot,
     "q243_bloom_point_lookup": q243_bloom_point_lookup,
+    "q245_kn_perplexity": q245_kn_perplexity,
+    "q244_point_in_time_features": q244_point_in_time_features,
+    "q246_embedding_drift": q246_embedding_drift,
 }
 
 ORACLES: dict[str, str] = {
@@ -11217,6 +11412,9 @@ ORACLES: dict[str, str] = {
     "q241_stream_outer_join": ORACLE_Q241,
     "q242_sql_pivot": ORACLE_Q242,
     "q243_bloom_point_lookup": ORACLE_Q243,
+    "q245_kn_perplexity": ORACLE_Q245,
+    "q244_point_in_time_features": ORACLE_Q244,
+    "q246_embedding_drift": ORACLE_Q246,
 }
 
 
