@@ -266,6 +266,8 @@ BENCH_QUERIES = [
     "q244_point_in_time_features",
     "q245_kn_perplexity",
     "q246_embedding_drift",
+    "q247_ab_test",
+    "q248_stl_decomposition",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

@@ -10922,6 +10922,190 @@ FROM agg
 """
 
 
+def q247_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users assigned to arms by the
+    deterministic md5 bucket (q41's replayable split — never
+    ``rand()``), conversion = has a purchase, then the two-proportion
+    z-test computed in ONE pass: exact integer counts, pooled-variance
+    z with every float op in pinned IEEE order, floor-micro quantized
+    (q223 rule), significance at |z| > 1.96.  The analytics shape every
+    experimentation platform runs — counts distribute, the test is a
+    1-row reduction."""
+    from etl_opensky_spark.functions.sampling import hash_bucket
+
+    ev = _events(spark, sf_dir)
+    users = (
+        ev.groupBy("user_id")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                )
+                >= 15
+            )
+            .cast("int")
+            .alias("conv")
+        )
+        .withColumn("arm", hash_bucket(F.col("user_id"), 2))
+    )
+    agg = users.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("c_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("c_b"),
+    )
+    pa = F.col("c_a").cast("double") / F.col("n_a").cast("double")
+    pb = F.col("c_b").cast("double") / F.col("n_b").cast("double")
+    pp = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    se = F.sqrt(
+        pp
+        * (F.lit(1.0) - pp)
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    z = F.when(se > 0, (pb - pa) / se)
+    lift = F.when(F.col("c_a") > 0, pb / pa - F.lit(1.0))
+    return agg.select(
+        "n_a",
+        "n_b",
+        "c_a",
+        "c_b",
+        F.floor(lift * 1000000).cast("long").alias("lift_micros"),
+        F.floor(z * 1000000).cast("long").alias("z_micros"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )
+
+
+ORACLE_Q247 = """
+WITH users AS (
+  SELECT user_id,
+    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 15
+      AS INTEGER) AS conv,
+    CAST(CONCAT('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 4))
+      AS INTEGER) % 2 AS arm
+  FROM events GROUP BY user_id
+), agg AS (
+  SELECT
+    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS c_a,
+    CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS c_b
+  FROM users
+)
+, terms AS (
+  SELECT n_a, n_b, c_a, c_b,
+    CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+    CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+    sqrt(
+      (CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+      * (1.0 - CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+      * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) AS se
+  FROM agg
+)
+SELECT n_a, n_b, c_a, c_b,
+  CASE WHEN c_a > 0 THEN
+    CAST(FLOOR((pb / pa - 1.0) * 1000000) AS BIGINT) END AS lift_micros,
+  CASE WHEN se > 0 THEN
+    CAST(FLOOR((pb - pa) / se * 1000000) AS BIGINT) END AS z_micros,
+  CASE WHEN se > 0 THEN ABS((pb - pa) / se) > 1.96 END AS significant
+FROM terms
+"""
+
+
+def q248_stl_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-style additive decomposition of daily revenue: TREND =
+    centered ±3-day calendar moving average (RANGE window over the
+    epoch-day number, so missing days shrink the window instead of
+    misaligning it), SEASONAL = per-weekday mean deviation
+    (weekday = ``day_nr % 7`` — epoch-day arithmetic, never an
+    engine's ``dayofweek`` numbering, the q219 lesson), REMAINDER =
+    what's left.  Deviations floor-quantize to micros ONCE so the
+    seasonal means are exact integer division and the whole
+    decomposition hash-matches.  The daily series is calendar-bounded
+    (~2.4 k rows), so the global RANGE window is a bounded single
+    partition by construction."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+        ).alias("day_nr")
+    ).agg(F.sum(_dec("o_totalprice")).alias("_rev"))
+    w = Window.orderBy("day_nr").rangeBetween(-3, 3)
+    with_trend = daily.select(
+        "day_nr",
+        F.col("_rev").cast("double").alias("rev"),
+        (
+            F.sum("_rev").over(w).cast("double")
+            / F.count("*").over(w).cast("double")
+        ).alias("trend"),
+    ).withColumn(
+        "dev_micros",
+        F.floor((F.col("rev") - F.col("trend")) * 1000000).cast("long"),
+    )
+    wd = with_trend.withColumn("weekday", (F.col("day_nr") % 7).cast("int"))
+    seasonal = wd.groupBy("weekday").agg(
+        F.expr(
+            "CAST((sum(dev_micros) - pmod(sum(dev_micros), count(*)))"
+            " div count(*) AS BIGINT)"
+        ).alias("seasonal_micros")
+    )
+    return (
+        wd.join(F.broadcast(seasonal), "weekday")
+        .select(
+            "day_nr",
+            "weekday",
+            "rev",
+            "trend",
+            "dev_micros",
+            "seasonal_micros",
+            (F.col("dev_micros") - F.col("seasonal_micros"))
+            .cast("long")
+            .alias("remainder_micros"),
+        )
+    )
+
+
+ORACLE_Q248 = """
+WITH daily AS (
+  SELECT (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS day_nr,
+    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+  FROM orders GROUP BY 1
+), t AS (
+  SELECT day_nr, CAST(rev_dec AS DOUBLE) AS rev,
+    CAST(SUM(rev_dec) OVER w AS DOUBLE)
+      / CAST(COUNT(*) OVER w AS DOUBLE) AS trend
+  FROM daily
+  WINDOW w AS (ORDER BY day_nr RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), d AS (
+  SELECT day_nr, CAST(day_nr % 7 AS INTEGER) AS weekday, rev, trend,
+    CAST(FLOOR((rev - trend) * 1000000) AS BIGINT) AS dev_micros
+  FROM t
+), s AS (
+  SELECT weekday,
+    CAST((SUM(dev_micros)
+          - ((SUM(dev_micros) % COUNT(*)) + COUNT(*)) % COUNT(*))
+         // COUNT(*) AS BIGINT) AS seasonal_micros
+  FROM d GROUP BY weekday
+)
+SELECT d.day_nr, d.weekday, d.rev, d.trend, d.dev_micros,
+  s.seasonal_micros,
+  CAST(d.dev_micros - s.seasonal_micros AS BIGINT) AS remainder_micros
+FROM d JOIN s USING (weekday)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -11168,6 +11352,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q245_kn_perplexity": q245_kn_perplexity,
     "q244_point_in_time_features": q244_point_in_time_features,
     "q246_embedding_drift": q246_embedding_drift,
+    "q247_ab_test": q247_ab_test,
+    "q248_stl_decomposition": q248_stl_decomposition,
 }
 
 ORACLES: dict[str, str] = {
@@ -11415,6 +11601,8 @@ ORACLES: dict[str, str] = {
     "q245_kn_perplexity": ORACLE_Q245,
     "q244_point_in_time_features": ORACLE_Q244,
     "q246_embedding_drift": ORACLE_Q246,
+    "q247_ab_test": ORACLE_Q247,
+    "q248_stl_decomposition": ORACLE_Q248,
 }
 
 

@@ -43,6 +43,9 @@ ALLOW: dict[str, set[str]] = {
     # keys in the reference's mode; the engine default (xxhash64) is the
     # scale path and plans shuffle-free.
     "q10_surrogate_key": {"single-partition-exchange"},
+    # global centered-MA window over the DAILY series: calendar-bounded
+    # (~2.4k rows/7 years) single partition by construction
+    "q248_stl_decomposition": {"single-partition-exchange"},
     # scalar-subquery joins: the broadcast side is ONE row (a global
     # aggregate) — the nested loop runs once per stream row against a
     # single value.
