@@ -1560,3 +1560,80 @@ def dedup_batch_against_index(
         .distinct()
     )
     return batch.join(dups, id_col, "left_anti")
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC n-gram containment pairs — the snippet-in-document
+    detector symmetric Jaccard misses: a 50-gram snippet fully pasted
+    into a 5,000-gram page has Jaccard ~0.01 but containment 1.0.
+    ``containment = |A ∩ B| / min(|A|, |B|)``; the smaller set is the
+    CONTAINED side (ties: the lower id).
+
+    Same inverted-index candidate machinery as
+    :func:`ngram_jaccard_pairs` (shared-gram equi-join, optional
+    ``max_df`` stop-gram pruning under which the score becomes a lower
+    bound — set sizes still count pruned grams, intersections can't).
+    The score is emitted as exact integer micros
+    (``floor(1e6 * i / smin)`` by integer division), so the whole pair
+    table hash-matches a relational replay.
+
+    Returns ``(contained_id, container_id, containment_micros)``.
+    """
+    grams_col = (
+        tokenize(F.col(text_col))
+        if n == 1
+        else word_shingles(F.col(text_col), n)
+    )
+    grams = df.select(
+        F.col(id_col), F.explode(grams_col).alias("_g")
+    ).distinct()
+    sizes = grams.groupBy(id_col).agg(F.count("*").alias("_sz"))
+    if max_df is not None:
+        rare = (
+            grams.groupBy("_g")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("_g")
+        )
+        grams = grams.join(rare, "_g", "left_semi")
+    a = grams.select(F.col(id_col).alias("id_a"), "_g")
+    b = grams.select(F.col(id_col).alias("id_b"), "_g")
+    inter = (
+        a.join(b, "_g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_i"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("_sz").alias("_sza"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("_sz").alias("_szb"))
+    smin = F.least(F.col("_sza"), F.col("_szb"))
+    scored = (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn(
+            "containment_micros",
+            F.expr("CAST((1000000 * _i) div least(_sza, _szb) AS BIGINT)"),
+        )
+        .filter(
+            F.col("containment_micros")
+            >= F.lit(int(round(threshold * 1_000_000)))
+        )
+    )
+    contained = F.when(F.col("_szb") < F.col("_sza"), F.col("id_b")).otherwise(
+        F.col("id_a")
+    )
+    container = F.when(F.col("_szb") < F.col("_sza"), F.col("id_a")).otherwise(
+        F.col("id_b")
+    )
+    return scored.select(
+        contained.alias("contained_id"),
+        container.alias("container_id"),
+        "containment_micros",
+    )

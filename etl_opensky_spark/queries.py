@@ -11106,6 +11106,56 @@ FROM d JOIN s USING (weekday)
 """
 
 
+def q249_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment dedup (``dedup.containment_pairs``) — the
+    snippet-in-document detector symmetric Jaccard (q24/q69) misses: a
+    short passage pasted into a much larger page scores Jaccard ~0 but
+    containment ~1.  3-gram sets, score = |A∩B|/min(|A|,|B|) in exact
+    integer micros, smaller set is the contained side.  The oracle
+    replays the identical inverted-index candidate join and integer
+    arithmetic."""
+    from etl_opensky_spark.functions.dedup import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return containment_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5
+    )
+
+
+ORACLE_Q249 = """
+WITH toklists AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                x -> x <> '') AS ts
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id,
+    ts[CAST(i AS INTEGER)] || ' ' || ts[CAST(i AS INTEGER) + 1] || ' '
+      || ts[CAST(i AS INTEGER) + 2] AS g
+  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
+        FROM toklists WHERE len(ts) >= 3)
+), sizes AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM grams GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    CAST(COUNT(*) AS BIGINT) AS i
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), scored AS (
+  SELECT id_a, id_b, sa.sz AS sza, sb.sz AS szb,
+    CAST((1000000 * i) // LEAST(sa.sz, sb.sz) AS BIGINT)
+      AS containment_micros
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+)
+SELECT CASE WHEN szb < sza THEN id_b ELSE id_a END AS contained_id,
+       CASE WHEN szb < sza THEN id_a ELSE id_b END AS container_id,
+       containment_micros
+FROM scored WHERE containment_micros >= 500000
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -11354,6 +11404,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q246_embedding_drift": q246_embedding_drift,
     "q247_ab_test": q247_ab_test,
     "q248_stl_decomposition": q248_stl_decomposition,
+    "q249_containment_dedup": q249_containment_dedup,
 }
 
 ORACLES: dict[str, str] = {
@@ -11603,6 +11654,7 @@ ORACLES: dict[str, str] = {
     "q246_embedding_drift": ORACLE_Q246,
     "q247_ab_test": ORACLE_Q247,
     "q248_stl_decomposition": ORACLE_Q248,
+    "q249_containment_dedup": ORACLE_Q249,
 }
 
 
