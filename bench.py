@@ -269,6 +269,7 @@ BENCH_QUERIES = [
     "q247_ab_test",
     "q248_stl_decomposition",
     "q249_containment_dedup",
+    "q250_temporal_reachability",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

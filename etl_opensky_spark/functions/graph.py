@@ -418,3 +418,79 @@ def shortest_paths_oracle_sql(
         ",\n".join(parts)
         + f"\nSELECT node, CAST(dist AS BIGINT) AS dist FROM d{n_rounds}"
     )
+
+
+def temporal_reachability(
+    edges: DataFrame,
+    source,
+    src: str = "src",
+    dst: str = "dst",
+    ts: str = "ts",
+    start_ts: int = 0,
+    n_rounds: int = 4,
+) -> DataFrame:
+    """Earliest-arrival TIME-RESPECTING reachability: a node is reached
+    only through edges whose timestamp is AT OR AFTER the arrival time
+    at their source — the temporal-graph semantics (information/contagion
+    flow) where static reachability (:func:`shortest_paths`) over-counts
+    paths that go "back in time".
+
+    ``edges`` carries one row per TIMED edge (parallel edges expected);
+    ``ts`` is an integer time (epoch seconds).  Per round: one equi-join
+    of the arrival table with the localCheckpoint-ed edge list on the
+    source endpoint, a time-respecting filter ``e.ts >= arrival(v)``,
+    and a map-side-combined ``min`` — the same one-shuffle-per-round
+    shape as :func:`shortest_paths`, state = one row per reached node.
+    Pure integer min arithmetic → unrolled SQL replay
+    (:func:`temporal_reachability_oracle_sql`).
+
+    Returns ``(node, arrival)`` for nodes reachable within
+    ``n_rounds`` hops; the source has ``arrival = start_ts``.
+    """
+    e = edges.select(
+        F.col(src).alias("_src"),
+        F.col(dst).alias("_dst"),
+        F.col(ts).cast("long").alias("_ts"),
+    ).localCheckpoint()
+    arr = edges.sparkSession.range(1).select(
+        F.lit(source).cast(e.schema["_src"].dataType).alias("node"),
+        F.lit(start_ts).cast("long").alias("arrival"),
+    )
+    for _ in range(n_rounds):
+        relaxed = (
+            e.join(arr, e["_src"] == arr["node"])
+            .filter(F.col("_ts") >= F.col("arrival"))
+            .select(F.col("_dst").alias("node"), F.col("_ts").alias("arrival"))
+        )
+        arr = (
+            arr.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("arrival").alias("arrival"))
+            .localCheckpoint()
+        )
+    return arr
+
+
+def temporal_reachability_oracle_sql(
+    edges_cte: str, source_sql: str, start_ts: int = 0, n_rounds: int = 4
+) -> str:
+    """Unrolled ANSI-SQL replay of :func:`temporal_reachability`:
+    ``edges_cte`` must produce ``(src, dst, ts)``."""
+    parts = [
+        f"WITH edges AS ({edges_cte})",
+        f"a0 AS (SELECT {source_sql} AS node,"
+        f" CAST({start_ts} AS BIGINT) AS arrival)",
+    ]
+    for r in range(n_rounds):
+        parts.append(
+            f"a{r + 1} AS (SELECT node, MIN(arrival) AS arrival FROM ("
+            f"SELECT node, arrival FROM a{r} UNION ALL "
+            f"SELECT e.dst AS node, CAST(e.ts AS BIGINT) AS arrival"
+            f" FROM a{r} JOIN edges e ON e.src = a{r}.node"
+            f" AND e.ts >= a{r}.arrival"
+            f") GROUP BY node)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT node, CAST(arrival AS BIGINT) AS arrival FROM a{n_rounds}"
+    )

@@ -11156,6 +11156,64 @@ FROM scored WHERE containment_micros >= 500000
 """
 
 
+def q250_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-RESPECTING earliest-arrival reachability
+    (``graph.temporal_reachability``) over the timed event-type
+    transition graph: an edge is usable only at-or-after the arrival
+    time at its source — temporal-graph semantics (information flow)
+    where static reachability over-counts back-in-time paths.  One row
+    per TIMED edge (parallel edges kept); exact integer epoch-second
+    min-arithmetic unrolled by the oracle (q229 pattern)."""
+    from etl_opensky_spark.functions.graph import temporal_reachability
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = ev.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("_next"),
+        F.unix_timestamp(F.lead("ts").over(w)).alias("_next_ts"),
+    )
+    edges = (
+        nxt.filter(
+            F.col("_next").isNotNull() & (F.col("_next") != F.col("event_type"))
+        )
+        .select(
+            F.col("event_type").alias("src"),
+            F.col("_next").alias("dst"),
+            F.col("_next_ts").alias("ets"),
+        )
+        .localCheckpoint()
+    )
+    source = edges.agg(F.min("src")).first()[0]
+    out = temporal_reachability(
+        edges, source, ts="ets", start_ts=0, n_rounds=4
+    )
+    return out.select(F.col("node").alias("event_type"), "arrival")
+
+
+def _oracle_q250() -> str:
+    from etl_opensky_spark.functions.graph import temporal_reachability_oracle_sql
+
+    edges_cte = """
+    SELECT event_type AS src, next_type AS dst,
+           CAST(floor(epoch(next_ts)) AS BIGINT) AS ts FROM (
+      SELECT event_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type,
+             LEAD(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+      FROM events) t
+    WHERE next_type IS NOT NULL AND next_type <> event_type
+    """
+    sql = temporal_reachability_oracle_sql(
+        edges_cte, "(SELECT MIN(src) FROM edges)", start_ts=0, n_rounds=4
+    )
+    return sql.replace(
+        "SELECT node, CAST(arrival AS BIGINT) AS arrival",
+        "SELECT node AS event_type, CAST(arrival AS BIGINT) AS arrival",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -11405,6 +11463,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q247_ab_test": q247_ab_test,
     "q248_stl_decomposition": q248_stl_decomposition,
     "q249_containment_dedup": q249_containment_dedup,
+    "q250_temporal_reachability": q250_temporal_reachability,
 }
 
 ORACLES: dict[str, str] = {
@@ -11655,6 +11714,7 @@ ORACLES: dict[str, str] = {
     "q247_ab_test": ORACLE_Q247,
     "q248_stl_decomposition": ORACLE_Q248,
     "q249_containment_dedup": ORACLE_Q249,
+    "q250_temporal_reachability": _oracle_q250(),
 }
 
 
