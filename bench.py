@@ -270,6 +270,8 @@ BENCH_QUERIES = [
     "q248_stl_decomposition",
     "q249_containment_dedup",
     "q250_temporal_reachability",
+    "q251_medallion_pipeline",
+    "q252_benford_audit",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

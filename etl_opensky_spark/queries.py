@@ -11214,6 +11214,140 @@ def _oracle_q250() -> str:
     )
 
 
+def q251_medallion_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEDALLION (bronze→silver→gold) pipeline capstone on the
+    versioned lake: BRONZE = raw events appended in two daily batches
+    (the second re-delivers an overlapping slice — at-least-once
+    ingest); SILVER = keyed MERGE dedup by event_id (exactly-once
+    materialization) keeping only well-formed rows (value non-null);
+    GOLD = per-(day, event_type) aggregates, committed as its own
+    table.  Every layer is a snapshot-isolated versioned table; the
+    gate reads gold back and the oracle replays the full
+    bronze→silver→gold lineage relationally — duplicates dropped,
+    malformed rows quarantined out, aggregates exact."""
+    import shutil
+
+    from etl_opensky_spark.sources.versioned import (
+        merge_versioned,
+        read_version,
+        write_version,
+    )
+
+    root = _gate_tmp("q251_medallion", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    bronze, silver, gold = (
+        f"{root}/bronze",
+        f"{root}/silver",
+        f"{root}/gold",
+    )
+    ev = _events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    # two at-least-once deliveries with an overlap (event_id % 10 < 3
+    # arrives twice)
+    b1 = ev.filter(F.col("event_id") % 2 == 0)
+    b2 = ev.filter(
+        (F.col("event_id") % 2 == 1) | (F.col("event_id") % 10 < 3)
+    )
+    write_version(b1, bronze)
+    # bronze is append-only: version 2 = union of deliveries
+    write_version(read_version(spark, bronze).unionByName(b2), bronze)
+
+    raw = read_version(spark, bronze)
+    clean = raw.filter(F.col("value").isNotNull()).select(
+        "event_id", "user_id", "ts", "event_type", "value", "day"
+    )
+    # exactly-once silver: first write then keyed self-merge is
+    # idempotent — merge dedups the redelivered overlap by event_id
+    dedup = clean.groupBy("event_id").agg(
+        *[F.min(c).alias(c) for c in clean.columns if c != "event_id"]
+    )
+    write_version(dedup, silver)
+    g = (
+        read_version(spark, silver)
+        .groupBy("day", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("value", 6)).cast("double").alias("total_value"),
+        )
+    )
+    merge_versioned(spark, gold, g, ["day", "event_type"])
+    return read_version(spark, gold)
+
+
+ORACLE_Q251 = """
+WITH clean AS (
+  SELECT DISTINCT event_id, user_id, ts, event_type, value,
+    CAST(ts AS DATE) AS day
+  FROM events WHERE value IS NOT NULL
+)
+SELECT day, event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM clean GROUP BY day, event_type
+"""
+
+
+def q252_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENFORD'S-LAW audit of order totals (the fabricated-numbers
+    detector in financial data quality): leading-digit distribution vs
+    ``log10(1 + 1/d)``, with the chi-square statistic.  Expected
+    probabilities micro-quantized ONCE (log10 is the only
+    transcendental — q106 ln treatment); observed counts exact; the
+    chi-square terms use the pinned quantized p so both engines compute
+    the identical statistic."""
+    orders = _t(spark, sf_dir, "orders")
+    digits = orders.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("d")
+    )
+    n_total = digits.count()
+    obs = digits.groupBy("d").agg(F.count("*").cast("long").alias("n_obs"))
+    p_mu = F.floor(
+        F.log10(F.lit(1.0) + F.lit(1.0) / F.col("d").cast("double"))
+        * 1000000
+    ).cast("long")
+    with_p = obs.withColumn("p_micros", p_mu)
+    exp = F.lit(float(n_total)) * (
+        F.col("p_micros").cast("double") / F.lit(1e6)
+    )
+    dev = F.col("n_obs").cast("double") - exp
+    return with_p.select(
+        "d",
+        "n_obs",
+        "p_micros",
+        F.floor(dev * dev / exp * 1000).cast("long").alias("chi2_millis"),
+    )
+
+
+ORACLE_Q252 = """
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INTEGER) AS d
+  FROM orders
+), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM digits),
+obs AS (
+  SELECT d, CAST(COUNT(*) AS BIGINT) AS n_obs FROM digits GROUP BY d
+), with_p AS (
+  SELECT d, n_obs,
+    CAST(FLOOR(log10(1.0 + 1.0 / CAST(d AS DOUBLE)) * 1000000) AS BIGINT)
+      AS p_micros
+  FROM obs
+)
+SELECT d, n_obs, p_micros,
+  CAST(FLOOR(
+    (CAST(n_obs AS DOUBLE)
+     - CAST(nt AS DOUBLE) * (CAST(p_micros AS DOUBLE) / 1e6))
+    * (CAST(n_obs AS DOUBLE)
+       - CAST(nt AS DOUBLE) * (CAST(p_micros AS DOUBLE) / 1e6))
+    / (CAST(nt AS DOUBLE) * (CAST(p_micros AS DOUBLE) / 1e6))
+    * 1000) AS BIGINT) AS chi2_millis
+FROM with_p CROSS JOIN tot
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -11464,6 +11598,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q248_stl_decomposition": q248_stl_decomposition,
     "q249_containment_dedup": q249_containment_dedup,
     "q250_temporal_reachability": q250_temporal_reachability,
+    "q251_medallion_pipeline": q251_medallion_pipeline,
+    "q252_benford_audit": q252_benford_audit,
 }
 
 ORACLES: dict[str, str] = {
@@ -11715,6 +11851,8 @@ ORACLES: dict[str, str] = {
     "q248_stl_decomposition": ORACLE_Q248,
     "q249_containment_dedup": ORACLE_Q249,
     "q250_temporal_reachability": _oracle_q250(),
+    "q251_medallion_pipeline": ORACLE_Q251,
+    "q252_benford_audit": ORACLE_Q252,
 }
 
 
