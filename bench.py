@@ -272,6 +272,7 @@ BENCH_QUERIES = [
     "q250_temporal_reachability",
     "q251_medallion_pipeline",
     "q252_benford_audit",
+    "q253_collation",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

@@ -11348,6 +11348,60 @@ FROM with_p CROSS JOIN tot
 """
 
 
+def q253_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 COLLATION surface (``UTF8_LCASE``): grouping and
+    equality over a deliberately case-mangled priority column using a
+    collated comparison — the engine-level spelling of
+    case-insensitive semantics (vs scattering ``lower()`` through every
+    expression).  The grouped key is re-emitted through ``lower()``
+    because a collated group's REPRESENTATIVE (which case variant
+    surfaces) is engine/partitioning-dependent — only the lowered form
+    is deterministic.  The oracle replays with ``lower()`` (DuckDB has
+    no UTF8_LCASE collation), pinning that the two spellings agree."""
+    orders = _t(spark, sf_dir, "orders")
+    mixed = F.when(
+        F.col("o_orderkey") % 2 == 0, F.lower(F.col("o_orderpriority"))
+    ).otherwise(F.col("o_orderpriority"))
+    src = orders.select(
+        mixed.alias("prio_mixed"),
+        F.col("o_totalprice").alias("price"),
+    )
+    coll = F.collate(F.col("prio_mixed"), "UTF8_LCASE")
+    return (
+        src.groupBy(coll.alias("_k"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("price")).cast("double").alias("total_price"),
+            F.sum(
+                F.when(coll == F.lit("1-urgent"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_urgent_ci"),
+        )
+        .select(
+            F.lower(F.col("_k")).alias("prio"),
+            "n",
+            "total_price",
+            "n_urgent_ci",
+        )
+    )
+
+
+ORACLE_Q253 = """
+WITH src AS (
+  SELECT CASE WHEN o_orderkey % 2 = 0 THEN lower(o_orderpriority)
+              ELSE o_orderpriority END AS prio_mixed,
+    o_totalprice AS price
+  FROM orders
+)
+SELECT lower(prio_mixed) AS prio, COUNT(*) AS n,
+  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+  CAST(SUM(CASE WHEN lower(prio_mixed) = '1-urgent' THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_urgent_ci
+FROM src GROUP BY lower(prio_mixed)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -11600,6 +11654,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q250_temporal_reachability": q250_temporal_reachability,
     "q251_medallion_pipeline": q251_medallion_pipeline,
     "q252_benford_audit": q252_benford_audit,
+    "q253_collation": q253_collation,
 }
 
 ORACLES: dict[str, str] = {
@@ -11853,6 +11908,7 @@ ORACLES: dict[str, str] = {
     "q250_temporal_reachability": _oracle_q250(),
     "q251_medallion_pipeline": ORACLE_Q251,
     "q252_benford_audit": ORACLE_Q252,
+    "q253_collation": ORACLE_Q253,
 }
 
 

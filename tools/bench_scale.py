@@ -56,6 +56,10 @@ SCALE_QUERIES = [
     "q234_target_encoding",      # LOO encode join-back over lineitem
     "q228_data_skipping",        # lake write + manifest prune + agg (sink gate)
     "q233_zorder_skipping",      # z-clustered lake write + 2-D prune (sink gate)
+    "q238_copurchase_similarity",# basket self-join + support prune + top-3
+    "q245_kn_perplexity",        # discounted LM train/eval pipeline
+    "q249_containment_dedup",    # asymmetric 3-gram containment pairs
+    "q243_bloom_point_lookup",   # bloom build + needle read (sink gate)
 ]
 
 #: hot-key rehearsal: queries keyed on events.user_id or documents
