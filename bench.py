@@ -273,6 +273,8 @@ BENCH_QUERIES = [
     "q251_medallion_pipeline",
     "q252_benford_audit",
     "q253_collation",
+    "q254_weighted_median",
+    "q255_clamped_balance",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

@@ -11402,6 +11402,130 @@ FROM src GROUP BY lower(prio_mixed)
 """
 
 
+def q254_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED median per group (price weighted by quantity — the
+    "median dollar" not the "median line"): order by value inside each
+    group, cumulative integer weight, first row whose running weight
+    reaches half the total (lower weighted median; ties on value break
+    by key for a total order).  All integer comparisons — ``2*cum >=
+    total`` avoids the half-total division entirely.  One partitioned
+    window + one aggregate; no global sort."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("long")
+    pr = F.round(F.col("l_extendedprice") * 100).cast("long")
+    src = li.join(
+        _t(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+        ),
+        "l_orderkey",
+    ).select(
+        F.col("o_orderpriority").alias("prio"),
+        pr.alias("cents"),
+        qty.alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    win = Window.partitionBy("prio").orderBy(
+        "cents", "l_orderkey", "l_linenumber"
+    )
+    tot = Window.partitionBy("prio")
+    cum = src.select(
+        "prio",
+        "cents",
+        F.sum("w").over(win).alias("_cum"),
+        F.sum("w").over(tot).alias("_tot"),
+    )
+    return (
+        cum.filter(F.lit(2) * F.col("_cum") >= F.col("_tot"))
+        .groupBy("prio")
+        .agg(
+            F.min("cents").cast("long").alias("weighted_median_cents"),
+            F.max("_tot").cast("long").alias("total_weight"),
+        )
+    )
+
+
+ORACLE_Q254 = """
+WITH src AS (
+  SELECT o.o_orderpriority AS prio,
+    CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents,
+    CAST(l.l_quantity AS BIGINT) AS w,
+    l.l_orderkey, l.l_linenumber
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+), cum AS (
+  SELECT prio, cents,
+    SUM(w) OVER (PARTITION BY prio
+                 ORDER BY cents, l_orderkey, l_linenumber
+                 ROWS UNBOUNDED PRECEDING) AS c,
+    SUM(w) OVER (PARTITION BY prio) AS t
+  FROM src
+)
+SELECT prio, CAST(MIN(cents) AS BIGINT) AS weighted_median_cents,
+  CAST(MAX(t) AS BIGINT) AS total_weight
+FROM cum WHERE 2 * c >= t GROUP BY prio
+"""
+
+
+def q255_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clamp-at-zero RUNNING BALANCE (inventory/credit semantics: the
+    balance can never go negative, a draw against empty stock is lost)
+    — NOT a plain window sum, but expressible without recursion via the
+    prefix-min identity::
+
+        clamped(t) = prefix(t) - min(0, min_{s<=t} prefix(s))
+
+    which is exact for a single lower barrier at 0 — so the whole
+    computation stays two frame-bounded window passes per key instead
+    of a per-row sequential loop.  Deltas are integer cents
+    (value - 50, so draws really happen); everything integer, oracle
+    replays the identity."""
+    ev = _events(spark, sf_dir)
+    delta = F.round((F.col("value") - 50) * 100).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pref = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(delta).over(w).alias("_prefix"),
+    )
+    runmin = F.min("_prefix").over(
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        pref.select(
+            "user_id",
+            "event_id",
+            "_prefix",
+            (
+                F.col("_prefix") - F.least(F.lit(0).cast("long"), runmin)
+            ).alias("balance_cents"),
+        )
+        .withColumnRenamed("_prefix", "prefix_cents")
+    )
+
+
+ORACLE_Q255 = """
+WITH pref AS (
+  SELECT user_id, event_id, ts,
+    SUM(CAST(round((value - 50) * 100) AS BIGINT)) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS UNBOUNDED PRECEDING) AS prefix_cents
+  FROM events
+)
+SELECT user_id, event_id, prefix_cents,
+  prefix_cents - LEAST(CAST(0 AS BIGINT), MIN(prefix_cents) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS UNBOUNDED PRECEDING)) AS balance_cents
+FROM pref
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -11655,6 +11779,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q251_medallion_pipeline": q251_medallion_pipeline,
     "q252_benford_audit": q252_benford_audit,
     "q253_collation": q253_collation,
+    "q254_weighted_median": q254_weighted_median,
+    "q255_clamped_balance": q255_clamped_balance,
 }
 
 ORACLES: dict[str, str] = {
@@ -11909,6 +12035,8 @@ ORACLES: dict[str, str] = {
     "q251_medallion_pipeline": ORACLE_Q251,
     "q252_benford_audit": ORACLE_Q252,
     "q253_collation": ORACLE_Q253,
+    "q254_weighted_median": ORACLE_Q254,
+    "q255_clamped_balance": ORACLE_Q255,
 }
 
 

@@ -888,3 +888,41 @@ def test_bloom_string_column(spark, tmp_path):
         F.col("name") == "user-777"
     ).collect()
     assert len(rows) == 1 and rows[0]["v"] == 777
+
+
+# --- clamped running balance identity (q255) ------------------------------
+
+
+def test_clamped_balance_identity_vs_sequential(spark):
+    """The prefix-min identity must equal the literal sequential
+    recurrence b_t = max(0, b_{t-1} + d_t) on adversarial deltas."""
+    deltas = [5, -10, 3, -2, 10, -30, 1, 0, -1, 100, -50, -60, 7]
+    rows = [("k", i, float(d + 50)) for i, d in enumerate(deltas)]
+    df = spark.createDataFrame(rows, "user_id string, event_id long, value double")
+    df = df.withColumn(
+        "ts", F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+        + F.make_interval(secs=F.col("event_id").cast("double"))
+    )
+    from pyspark.sql import Window
+
+    delta = F.round((F.col("value") - 50) * 100).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pref = df.select(
+        "user_id", "event_id", "ts", F.sum(delta).over(w).alias("p")
+    )
+    runmin = F.min("p").over(w)
+    got = {
+        r["event_id"]: r["b"]
+        for r in pref.select(
+            "event_id",
+            (F.col("p") - F.least(F.lit(0).cast("long"), runmin)).alias("b"),
+        ).collect()
+    }
+    b = 0
+    for i, d in enumerate(deltas):
+        b = max(0, b + d * 100)
+        assert got[i] == b, (i, got[i], b)
