@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 HASH_BUCKETS = 10_000
@@ -433,4 +433,60 @@ def bottom_k_sample(df: DataFrame, key_col: str, k: int) -> DataFrame:
         .orderBy("_hk", key_col, "_tb")
         .limit(k)
         .drop("_hk", "_tb")
+    )
+
+
+def proportional_allocation(
+    df: DataFrame,
+    strata_cols: list[str],
+    budget: int,
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of an integer sample
+    ``budget`` across strata — THE quota step of stratified sampling
+    and dataset-mixture construction: every stratum gets
+    ``floor(budget·n_i/N)`` rows, and the ``budget − Σ floor`` leftover
+    seats go to the strata with the largest remainders (ties broken on
+    the stratum key, ascending — fully deterministic).  Guarantees
+    ``Σ alloc = budget`` exactly and ``|alloc_i − budget·n_i/N| < 1``,
+    which float-rounding per-stratum quotas do not.
+
+    All arithmetic is exact integers (``div``/``%`` on
+    ``budget·n_i``); no float quota ever exists, so a SQL oracle
+    replays the allocation bit-for-bit.
+
+    Scale shape: one map-side-combined count aggregate over the corpus;
+    everything after runs on the STRATA table, which is bounded by the
+    key cardinality (orders of magnitude below the corpus) — the
+    single-partition rank window over it is bounded by construction.
+
+    Returns one row per stratum: ``(*strata_cols, n, base, alloc)``.
+    """
+    strata = df.groupBy(*strata_cols).agg(F.count("*").alias("n"))
+    tot = strata.agg(
+        F.sum("n").alias("_N"), F.sum(F.lit(0)).alias("_zero")
+    ).select("_N")
+    b = (
+        strata.crossJoin(F.broadcast(tot))
+        .withColumn("_share", F.lit(int(budget)) * F.col("n"))
+        .withColumn("base", F.expr("_share div _N").cast("long"))
+        .withColumn("_rem", F.col("_share") % F.col("_N"))
+    )
+    leftover = b.agg(
+        (F.lit(int(budget)) - F.sum("base")).alias("_left")
+    )
+    w = Window.orderBy(
+        F.col("_rem").desc(), *[F.col(c).asc() for c in strata_cols]
+    )
+    return (
+        b.withColumn("_rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(leftover))
+        .select(
+            *strata_cols,
+            "n",
+            "base",
+            (
+                F.col("base")
+                + F.when(F.col("_rk") <= F.col("_left"), 1).otherwise(0)
+            ).cast("long").alias("alloc"),
+        )
     )

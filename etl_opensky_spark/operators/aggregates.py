@@ -781,3 +781,84 @@ def target_encode_loo(
         .crossJoin(F.broadcast(tot))
         .select(*df.columns, enc.alias(out_col))
     )
+
+
+def gini_coefficient(
+    df: DataFrame,
+    value_col: str,
+    num_buckets: int = 32,
+) -> DataFrame:
+    """Exact Gini coefficient of ``value_col`` (non-negative integers) —
+    the one-number skew diagnostic: 0 = perfectly even, → 1 = one key
+    owns everything.  The operational use is partition-skew triage: run
+    it over per-key counts before a big join/groupBy and the answer
+    tells you whether to salt.
+
+    Identity (ascending sort, 1-based ranks)::
+
+        G = (2·Σ i·x_i − (n+1)·Σ x) / (n·Σ x)
+
+    Tied values make the rank assignment ambiguous but NOT the sum: a
+    tie group of c copies of v always receives the same rank set
+    {p+1..p+c} whatever its internal order, contributing
+    ``v·(c·p + c(c+1)/2)`` — so the whole statistic is computed from
+    the DISTINCT-value count table (the ``drift.ks_statistic`` /
+    ``equal_frequency_bins`` distributed-prefix shape: range partitions
+    over the value, bounded per-partition windows, one count per
+    partition prefix-summed on the driver).  Everything is exact
+    integer arithmetic; the single final division is the only double
+    op, so a SQL oracle replays it bit-for-bit.
+
+    Returns a 1-row frame ``(n, total, gini_num, gini_den, gini)``
+    with ``gini = gini_num / gini_den``.  Integer bound: requires
+    ``2·n·max(x)·n`` within int64 — counts-of-counts workloads are
+    orders of magnitude inside it.
+    """
+    counts = (
+        df.select(F.col(value_col).cast("long").alias("_v"))
+        .groupBy("_v")
+        .agg(F.count("*").alias("_c"))
+    )
+    ranged = (
+        counts.repartitionByRange(num_buckets, F.col("_v"))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    per_part = (
+        ranged.groupBy("_pid").agg(F.sum("_c").alias("_s")).collect()
+    )
+    offsets = []
+    run = 0
+    for row in sorted(per_part, key=lambda r: r["_pid"]):
+        offsets.append((row["_pid"], run))
+        run += row["_s"]
+    spark = df.sparkSession
+    off = spark.createDataFrame(offsets, schema="_pid int, _off bigint")
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        ranged.join(F.broadcast(off), "_pid")
+        .withColumn("_cum", F.sum("_c").over(w) + F.col("_off"))
+    )
+    # 2·Σ ranks·v for the tie group ending at _cum: ranks are
+    # (_cum-_c+1).._cum, so 2·Σranks = _c·(2·_cum - _c + 1).
+    grp = F.col("_v") * F.col("_c") * (
+        F.lit(2) * F.col("_cum") - F.col("_c") + F.lit(1)
+    )
+    agg = cum.agg(
+        F.sum(grp).alias("_s1"),
+        F.sum(F.col("_v") * F.col("_c")).alias("_t"),
+        F.sum("_c").alias("_n"),
+    )
+    num = F.col("_s1") - (F.col("_n") + F.lit(1)) * F.col("_t")
+    den = F.col("_n") * F.col("_t")
+    return agg.select(
+        F.col("_n").alias("n"),
+        F.col("_t").alias("total"),
+        num.cast("long").alias("gini_num"),
+        den.cast("long").alias("gini_den"),
+        (num.cast("double") / den.cast("double")).alias("gini"),
+    )

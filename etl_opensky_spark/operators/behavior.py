@@ -201,3 +201,67 @@ def linear_attribution(
         F.count_distinct(F.col(user_col)).alias("n_users"),
         F.sum("credit_micros").alias("credit_micros"),
     )
+
+
+def time_decay_score(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+    half_life_days: int = 7,
+    max_halvings: int = 40,
+) -> DataFrame:
+    """Recency-weighted engagement score per user: each event
+    contributes ``value · 2^(−k)`` where ``k = age_days div
+    half_life_days`` — a STAIRCASE half-life decay, deliberately
+    quantized to whole half-life steps so every weight is a dyadic
+    rational and the aggregate is EXACT (continuous ``exp(−λ·age)``
+    weights force float sums whose value depends on reduction order —
+    not reproducible across engines or partitionings).
+
+    The anchor is the stream's max timestamp (one scalar aggregate,
+    broadcast); ages are non-negative.  Each term is scaled by
+    ``2^max_halvings`` so it is an integer —
+    ``cents · 2^(max_halvings−k)`` — and summed in DECIMAL(38,0)
+    (int64 would overflow at ~1000 events/user · 2^40 · 10^4 cents);
+    events older than ``max_halvings`` half-lives contribute exactly 0
+    (their true weight is < 2^−40 ≈ 10^−12 of a fresh event).  The
+    caller divides by ``2^max_halvings`` if a float score is wanted;
+    the scaled DECIMAL is the exact, mergeable representation (two
+    runs' scores add).
+
+    Returns ``(user, n_events, score_scaled)`` with ``score_scaled =
+    Σ cents·2^(max_halvings−k)`` exact.
+    """
+    anchor = events.agg(
+        F.max(F.col(ts_col)).alias("_anchor")
+    )
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    base = events.crossJoin(F.broadcast(anchor)).withColumn(
+        "_k",
+        F.expr(
+            f"((unix_timestamp(_anchor) - unix_timestamp({ts_col})) "
+            f"div 86400) div {int(half_life_days)}"
+        ),
+    )
+    pow2 = F.expr(
+        f"shiftleft(cast(1 as bigint), cast({int(max_halvings)} - _k as int))"
+    )
+    term = (
+        F.when(
+            F.col("_k") > F.lit(int(max_halvings)),
+            F.lit(0).cast("decimal(38,0)"),
+        )
+        .otherwise(
+            (
+                cents.cast("decimal(20,0)") * pow2.cast("decimal(20,0)")
+            ).cast("decimal(38,0)")
+        )
+    )
+    return (
+        base.groupBy(F.col(user_col).alias("user"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(term).cast("decimal(38,0)").alias("score_scaled"),
+        )
+    )

@@ -11526,6 +11526,101 @@ FROM pref
 """
 
 
+def q256_gini_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini coefficient of the per-user event-count distribution
+    (``operators.aggregates.gini_coefficient``) — the skew diagnostic a
+    partitioning decision (salt or not?) reads.  Rank sums run on the
+    distinct-count table via the distributed-prefix pattern (never a
+    global single-task window); everything is integer-exact, the single
+    final division is the only double op, round(9) pins both engines."""
+    from etl_opensky_spark.operators.aggregates import gini_coefficient
+
+    ev = _events(spark, sf_dir)
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("x"))
+    g = gini_coefficient(counts, "x")
+    return g.select(
+        "n", "total", "gini_num", "gini_den",
+        F.round("gini", 9).alias("gini"),
+    )
+
+
+ORACLE_Q256 = """
+WITH c AS (SELECT user_id, COUNT(*) AS x FROM events GROUP BY user_id),
+r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS i FROM c),
+a AS (SELECT COUNT(*) AS cnt, SUM(x) AS t, SUM(2*i*x) AS s1 FROM r)
+SELECT CAST(cnt AS BIGINT) AS n, CAST(t AS BIGINT) AS total,
+  CAST(s1 - (cnt+1)*t AS BIGINT) AS gini_num,
+  CAST(cnt*t AS BIGINT) AS gini_den,
+  ROUND(CAST(s1 - (cnt+1)*t AS DOUBLE) / CAST(cnt*t AS DOUBLE), 9) AS gini
+FROM a
+"""
+
+
+def q257_quota_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a 500-doc sample
+    budget across (lang, source) strata
+    (``functions.sampling.proportional_allocation``): floor quotas plus
+    leftover seats to the largest remainders, ties on the stratum key.
+    Σ alloc = budget exactly; all integer arithmetic (no float quota
+    ever exists).  The rank window runs on the aggregated strata table
+    — bounded by key cardinality, never corpus-sized."""
+    from etl_opensky_spark.functions.sampling import proportional_allocation
+
+    docs = _t(spark, sf_dir, "documents")
+    return proportional_allocation(docs, ["lang", "source"], budget=500)
+
+
+ORACLE_Q257 = """
+WITH s AS (SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY 1, 2),
+t AS (SELECT SUM(n) AS nn FROM s),
+b AS (SELECT lang, source, n, (500*n) // nn AS base, (500*n) % nn AS rem
+      FROM s, t),
+l AS (SELECT 500 - SUM(base) AS leftover FROM b),
+r AS (SELECT b.*, ROW_NUMBER() OVER (ORDER BY rem DESC, lang, source) AS rk
+      FROM b)
+SELECT lang, source, CAST(n AS BIGINT) AS n, CAST(base AS BIGINT) AS base,
+  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM r, l
+"""
+
+
+def q258_time_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted engagement score per user
+    (``operators.behavior.time_decay_score``): staircase half-life decay
+    quantized to whole 7-day steps so every weight is a dyadic rational
+    — the score is an EXACT integer (scaled by 2^40, summed in
+    DECIMAL(38,0)), reproducible across engines and partitionings where
+    continuous exp-decay float sums are not.  Oracle replays the ladder
+    with BIGINT shifts; DuckDB's fractional ``epoch()`` is floored to
+    match Spark's ``unix_timestamp`` (the q230 lesson)."""
+    from etl_opensky_spark.operators.behavior import time_decay_score
+
+    ev = _events(spark, sf_dir)
+    out = time_decay_score(
+        ev, "user_id", "ts", "value", half_life_days=7, max_halvings=40
+    )
+    return out.select(
+        F.col("user").alias("user_id"), "n_events", "score_scaled"
+    )
+
+
+ORACLE_Q258 = """
+WITH a AS (SELECT max(ts) AS anchor FROM events),
+k AS (
+  SELECT user_id,
+    ((CAST(floor(epoch(a.anchor)) AS BIGINT)
+      - CAST(floor(epoch(ts)) AS BIGINT)) // 86400) // 7 AS kk,
+    CAST(round(value*100) AS BIGINT) AS cents
+  FROM events, a
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+  SUM(CASE WHEN kk > 40 THEN 0
+      ELSE cents * (CAST(1 AS BIGINT) << CAST(40 - kk AS INTEGER)) END)
+    AS score_scaled
+FROM k GROUP BY user_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -11781,6 +11876,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q253_collation": q253_collation,
     "q254_weighted_median": q254_weighted_median,
     "q255_clamped_balance": q255_clamped_balance,
+    "q256_gini_skew": q256_gini_skew,
+    "q257_quota_allocation": q257_quota_allocation,
+    "q258_time_decay_score": q258_time_decay_score,
 }
 
 ORACLES: dict[str, str] = {
@@ -12037,6 +12135,9 @@ ORACLES: dict[str, str] = {
     "q253_collation": ORACLE_Q253,
     "q254_weighted_median": ORACLE_Q254,
     "q255_clamped_balance": ORACLE_Q255,
+    "q256_gini_skew": ORACLE_Q256,
+    "q257_quota_allocation": ORACLE_Q257,
+    "q258_time_decay_score": ORACLE_Q258,
 }
 
 

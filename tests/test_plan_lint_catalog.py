@@ -68,6 +68,11 @@ ALLOW: dict[str, set[str]] = {
     "q121_scd2_asof": BNLJ,       # as-of range probe vs broadcast history
     "q140_triangle_count": BNLJ,  # degree-ordered wedge close, bounded
     "q188_geo_nearest": BNLJ,     # documented bounded leftover fallback
+    # Hamilton apportionment: 1-row total/leftover crossJoins + a rank
+    # window over the AGGREGATED strata table (bounded by key
+    # cardinality, never corpus-sized — see proportional_allocation).
+    "q257_quota_allocation": BNLJ | {"single-partition-exchange"},
+    "q258_time_decay_score": BNLJ,  # 1-row max-ts anchor crossJoin
 }
 
 
