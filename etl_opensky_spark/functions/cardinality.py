@@ -86,7 +86,9 @@ def hll_registers(
     )
 
 
-def hll_estimate(registers: DataFrame, b: int = 8) -> DataFrame:
+def hll_estimate(
+    registers: DataFrame, b: int = 8, correct_sparse: bool = False
+) -> DataFrame:
     """Raw HLL estimate from a register table: ``alpha_m * m^2 / Z``
     with ``Z = sum over ALL m buckets of 2^-register`` (absent buckets
     contribute ``2^0 = 1``).  The sum is carried exactly as
@@ -111,12 +113,24 @@ def hll_estimate(registers: DataFrame, b: int = 8) -> DataFrame:
         + (F.lit(m) - F.col("n_buckets")).cast("bigint")
         * F.lit(1 << denom_pow).cast("bigint")
     )
+    raw = F.lit(alpha * m * m * scale) / z_num.cast("double")
+    est = raw
+    if correct_sparse:
+        # Flajolet et al.'s small-range correction: the raw estimator
+        # biases high when most registers are still zero — below
+        # 2.5·m switch to linear counting, m·ln(m/V) with V = count of
+        # zero registers (bucket rows are only materialized for
+        # non-zero registers, so V = m − n_buckets).  Off by default:
+        # existing bound gates pin the raw estimator's behavior.
+        v = (F.lit(m) - F.col("n_buckets")).cast("double")
+        est = F.when(
+            (raw <= F.lit(2.5 * m)) & (v > 0),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+        ).otherwise(raw)
     return agg.select(
         F.lit(m).alias("m"),
         z_num.alias("z_num_times_2p53"),
-        (F.lit(alpha * m * m * scale) / z_num.cast("double")).alias(
-            "estimate"
-        ),
+        est.alias("estimate"),
     )
 
 
@@ -148,3 +162,19 @@ def hll_registers_by(
         .groupBy(*key_cols, "bucket")
         .agg(F.max("rho").alias("register"))
     )
+
+
+def hll_merge(*register_tables: DataFrame) -> DataFrame:
+    """Union HLL sketches: registers merge by per-bucket MAX — the
+    mergeability that makes HLL the 100 TB distinct-count answer
+    (per-shard/per-day sketches compose without re-reading data).
+    Feed the result to ``hll_estimate`` for ``|A ∪ B ∪ …|``; with the
+    per-set estimates, inclusion-exclusion gives an intersection
+    estimate ``|A∩B| ≈ est(A) + est(B) − est(A∪B)`` whose error is
+    governed by the UNION's scale (document that to callers: a tiny
+    true intersection under two huge sets is below the sketch's noise
+    floor)."""
+    out = register_tables[0]
+    for t in register_tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("bucket").agg(F.max("register").alias("register"))

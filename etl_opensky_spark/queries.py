@@ -11621,6 +11621,177 @@ FROM k GROUP BY user_id
 """
 
 
+def q259_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa (``functions.evaluation.cohens_kappa``) between the
+    corpus's stored ``lang`` labels and the stopword-hit ``lang_id``
+    heuristic — chance-corrected annotator/classifier agreement, the
+    label-quality gate of an annotation pipeline.  Cleared of
+    denominators the statistic is exact integers; the oracle replays
+    the q23 lang-id CASE plus the marginal-product identity."""
+    from etl_opensky_spark.functions.evaluation import cohens_kappa
+
+    docs = _t(spark, sf_dir, "documents")
+    pred = docs.select(
+        F.col("lang").alias("gold"),
+        TX.lang_id(F.col("text")).alias("pred"),
+    )
+    out = cohens_kappa(pred, "gold", "pred")
+    return out.select(
+        "n", "agree", "pe_num", "kappa_num", "kappa_den",
+        F.round("kappa", 9).alias("kappa"),
+    )
+
+
+ORACLE_Q259 = f"""
+WITH toks AS (
+  SELECT lang, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+), hits AS (
+  SELECT lang,
+    len(list_filter(t, x -> x IN ({_SW['de']}))) AS h_de,
+    len(list_filter(t, x -> x IN ({_SW['en']}))) AS h_en,
+    len(list_filter(t, x -> x IN ({_SW['es']}))) AS h_es,
+    len(list_filter(t, x -> x IN ({_SW['fr']}))) AS h_fr
+  FROM toks
+), pred AS (
+  SELECT lang AS a,
+    CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+         WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+         WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+         WHEN h_es >= h_fr THEN 'es'
+         ELSE 'fr' END AS b
+  FROM hits
+), base AS (
+  SELECT COUNT(*) AS nn,
+    SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS agree
+  FROM pred
+), ma AS (SELECT a AS lbl, COUNT(*) AS ca FROM pred GROUP BY a),
+mb AS (SELECT b AS lbl, COUNT(*) AS cb FROM pred GROUP BY b),
+pe AS (SELECT COALESCE(SUM(ca*cb), 0) AS pe_num FROM ma JOIN mb USING (lbl))
+SELECT CAST(nn AS BIGINT) AS n, CAST(agree AS BIGINT) AS agree,
+  CAST(pe_num AS BIGINT) AS pe_num,
+  CAST(nn*agree - pe_num AS BIGINT) AS kappa_num,
+  CAST(nn*nn - pe_num AS BIGINT) AS kappa_den,
+  CASE WHEN nn*nn - pe_num <> 0
+       THEN ROUND(CAST(nn*agree - pe_num AS DOUBLE)
+                  / CAST(nn*nn - pe_num AS DOUBLE), 9) END AS kappa
+FROM base, pe
+"""
+
+
+def q260_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy-bound gate for HLL set algebra
+    (``functions.cardinality.hll_merge``): distinct click-users (A) and
+    purchase-users (B) are sketched separately, the union is a
+    register-max merge, and the INTERSECTION is inclusion-exclusion
+    ``est(A)+est(B)−est(A∪B)``.  DuckDB supplies the exact four
+    cardinalities; the sketch must land within the documented error —
+    union inside 20% (b=8 ⇒ σ≈6.5%), intersection inside 30% OF THE
+    UNION (inclusion-exclusion error is governed by the union's scale,
+    not the intersection's — the docstring caveat, here as a gate).
+    At 100 TB only the fixed 2^b-row register tables ever move."""
+    from etl_opensky_spark.functions.cardinality import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    ev = _events(spark, sf_dir)
+    a = ev.filter(F.col("event_type") == "click").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    ra, rb = hll_registers(a, "user_id"), hll_registers(b, "user_id")
+    est_a = hll_estimate(ra, correct_sparse=True).head()["estimate"]
+    est_b = hll_estimate(rb, correct_sparse=True).head()["estimate"]
+    est_u = hll_estimate(hll_merge(ra, rb), correct_sparse=True).head()[
+        "estimate"
+    ]
+    est_i = est_a + est_b - est_u
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("_ca"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("_cb"),
+    )
+    exact = per_user.agg(
+        F.sum("_ca").alias("n_a"),
+        F.sum("_cb").alias("n_b"),
+        F.sum(F.least(F.col("_ca") + F.col("_cb"), F.lit(1))).alias(
+            "n_union"
+        ),
+        F.sum(F.col("_ca") * F.col("_cb")).alias("n_inter"),
+    )
+    return exact.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("n_union").cast("long").alias("n_union"),
+        F.col("n_inter").cast("long").alias("n_inter"),
+        (
+            F.abs(F.lit(est_u) - F.col("n_union"))
+            <= 0.20 * F.col("n_union")
+        ).alias("union_within"),
+        (
+            F.abs(F.lit(est_i) - F.col("n_inter"))
+            <= 0.30 * F.col("n_union")
+        ).alias("inter_within"),
+    )
+
+
+ORACLE_Q260 = """
+WITH pu AS (
+  SELECT user_id,
+    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cb
+  FROM events GROUP BY user_id
+)
+SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b,
+  CAST(SUM(LEAST(ca + cb, 1)) AS BIGINT) AS n_union,
+  CAST(SUM(ca * cb) AS BIGINT) AS n_inter,
+  TRUE AS union_within, TRUE AS inter_within
+FROM pu
+"""
+
+
+def q261_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram table
+    (``functions.evaluation.calibration_table``): scores (value/100)
+    cut into 10 equi-width bins, per-bin observed event rate vs claimed
+    confidence.  Bucket index is an integer floor, per-bin sums are
+    exact integers (milli-quantized scores), rate/confidence are single
+    divisions — the oracle replays every column bit-for-bit."""
+    from etl_opensky_spark.functions.evaluation import calibration_table
+
+    ev = _events(spark, sf_dir)
+    scored = ev.select(
+        (F.col("value") / 100).alias("score"),
+        F.col("event_type").isin("purchase", "signup").alias("label"),
+    )
+    out = calibration_table(scored, "score", "label", bins=10)
+    return out.select(
+        "bin", "n", "n_pos", "sum_score_milli",
+        F.round("rate", 9).alias("rate"),
+        F.round("confidence", 9).alias("confidence"),
+    )
+
+
+ORACLE_Q261 = """
+WITH s AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR((value/100)*10) AS INTEGER), 0), 9)
+      AS bin,
+    CASE WHEN event_type IN ('purchase', 'signup') THEN 1 ELSE 0 END AS p,
+    CAST(round((value/100)*1000) AS BIGINT) AS milli
+  FROM events
+)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(p) AS BIGINT) AS n_pos,
+  CAST(SUM(milli) AS BIGINT) AS sum_score_milli,
+  ROUND(CAST(SUM(p) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9) AS rate,
+  ROUND(CAST(SUM(milli) AS DOUBLE) / CAST(COUNT(*)*1000 AS DOUBLE), 9)
+    AS confidence
+FROM s GROUP BY bin
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -11879,6 +12050,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q256_gini_skew": q256_gini_skew,
     "q257_quota_allocation": q257_quota_allocation,
     "q258_time_decay_score": q258_time_decay_score,
+    "q259_rater_agreement": q259_rater_agreement,
+    "q260_hll_intersection": q260_hll_intersection,
+    "q261_calibration": q261_calibration,
 }
 
 ORACLES: dict[str, str] = {
@@ -12138,6 +12312,9 @@ ORACLES: dict[str, str] = {
     "q256_gini_skew": ORACLE_Q256,
     "q257_quota_allocation": ORACLE_Q257,
     "q258_time_decay_score": ORACLE_Q258,
+    "q259_rater_agreement": ORACLE_Q259,
+    "q260_hll_intersection": ORACLE_Q260,
+    "q261_calibration": ORACLE_Q261,
 }
 
 

@@ -73,6 +73,7 @@ ALLOW: dict[str, set[str]] = {
     # cardinality, never corpus-sized — see proportional_allocation).
     "q257_quota_allocation": BNLJ | {"single-partition-exchange"},
     "q258_time_decay_score": BNLJ,  # 1-row max-ts anchor crossJoin
+    "q259_rater_agreement": BNLJ,   # 1-row chance-agreement crossJoin
 }
 
 
