@@ -494,3 +494,90 @@ def temporal_reachability_oracle_sql(
         ",\n".join(parts)
         + f"\nSELECT node, CAST(arrival AS BIGINT) AS arrival FROM a{n_rounds}"
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-core peeling on the undirected simple graph: repeatedly delete
+    nodes of degree < k (``rounds`` synchronous peels) — the standard
+    "dense substructure" filter (spam/bot rings, tightly-coupled
+    supplier-part clusters, community nuclei).
+
+    Each round is two bounded passes — a degree aggregate over the
+    current edge set and two SEMI joins to drop edges touching peeled
+    nodes — so one round costs two shuffles regardless of graph size;
+    ``localCheckpoint`` cuts lineage per round (the iterative-loop
+    Catalyst-OOM lesson).  A FIXED round count keeps the operator
+    deterministic and oracle-replayable (unrolled CTEs); callers
+    wanting the fixpoint iterate until the edge count stops moving
+    (O(peel-depth) rounds, bounded by max degeneracy).
+
+    Returns the surviving nodes with their degree in the peeled graph:
+    ``(node, deg)`` after ``rounds`` peels — degrees may still dip
+    below k if the fixpoint wasn't reached yet.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _deg(es: DataFrame) -> DataFrame:
+        return (
+            es.select(F.col("u").alias("node"))
+            .unionAll(es.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+
+    for _ in range(rounds):
+        alive = _deg(e).filter(F.col("deg") >= k).select("node")
+        e = (
+            e.join(
+                alive.select(F.col("node").alias("u")), "u", "left_semi"
+            )
+            .join(
+                alive.select(F.col("node").alias("v")), "v", "left_semi"
+            )
+            .localCheckpoint()
+        )
+    return _deg(e)
+
+
+def k_core_oracle_sql(
+    edges_sql: str, k_expr: str, rounds: int
+) -> str:
+    """Unrolled-CTE replay of ``k_core`` for a DuckDB oracle:
+    ``edges_sql`` must yield columns (u, v) already canonicalized
+    (u < v, distinct); ``k_expr`` is a scalar SQL expression for k."""
+    parts = [f"e0 AS ({edges_sql})", f"kk AS (SELECT ({k_expr}) AS k)"]
+    for r in range(rounds):
+        parts.append(
+            f"d{r} AS (SELECT node, COUNT(*) AS deg FROM ("
+            f"SELECT u AS node FROM e{r} UNION ALL SELECT v FROM e{r}"
+            f") GROUP BY node)"
+        )
+        parts.append(
+            f"a{r} AS (SELECT node FROM d{r}, kk WHERE deg >= kk.k)"
+        )
+        parts.append(
+            f"e{r + 1} AS (SELECT e.u, e.v FROM e{r} e "
+            f"WHERE e.u IN (SELECT node FROM a{r}) "
+            f"AND e.v IN (SELECT node FROM a{r}))"
+        )
+    n = rounds
+    return (
+        "WITH " + ",\n".join(parts) + f"\n"
+        f"SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM ("
+        f"SELECT u AS node FROM e{n} UNION ALL SELECT v FROM e{n}"
+        f") GROUP BY node"
+    )

@@ -462,12 +462,24 @@ def proportional_allocation(
     Returns one row per stratum: ``(*strata_cols, n, base, alloc)``.
     """
     strata = df.groupBy(*strata_cols).agg(F.count("*").alias("n"))
-    tot = strata.agg(
-        F.sum("n").alias("_N"), F.sum(F.lit(0)).alias("_zero")
-    ).select("_N")
+    return _hamilton_allocate(strata, strata_cols, "n", budget, extra=["n"])
+
+
+def _hamilton_allocate(
+    strata: DataFrame,
+    strata_cols: list[str],
+    weight_col: str,
+    budget: int,
+    extra: list[str],
+) -> DataFrame:
+    """Largest-remainder core over an already-aggregated strata frame:
+    integer floor quotas on ``weight_col``, leftover seats by remainder
+    rank (ties on the stratum key).  ``extra`` names the columns to
+    carry through beside ``base``/``alloc``."""
+    tot = strata.agg(F.sum(weight_col).alias("_N"))
     b = (
         strata.crossJoin(F.broadcast(tot))
-        .withColumn("_share", F.lit(int(budget)) * F.col("n"))
+        .withColumn("_share", F.lit(int(budget)) * F.col(weight_col))
         .withColumn("base", F.expr("_share div _N").cast("long"))
         .withColumn("_rem", F.col("_share") % F.col("_N"))
     )
@@ -482,11 +494,51 @@ def proportional_allocation(
         .crossJoin(F.broadcast(leftover))
         .select(
             *strata_cols,
-            "n",
+            *extra,
             "base",
             (
                 F.col("base")
                 + F.when(F.col("_rk") <= F.col("_left"), 1).otherwise(0)
             ).cast("long").alias("alloc"),
         )
+    )
+
+
+def temperature_allocation(
+    df: DataFrame,
+    strata_cols: list[str],
+    budget: int,
+    alpha_halves: int = 1,
+) -> DataFrame:
+    """Temperature-flattened mixture allocation — the multilingual /
+    multi-domain rebalancing step (mC4, XLM-R): stratum weights
+    ``n_i^α`` instead of ``n_i``, so rare strata are upsampled relative
+    to their share (α < 1 flattens, α = 1 is proportional).
+
+    ``α = alpha_halves / 2`` — α is restricted to half-integers on
+    purpose: ``n^(k/2) = n^⌊k/2⌋ · sqrt(n)^(k mod 2)`` needs only
+    integer powers and ONE IEEE ``sqrt`` (correctly rounded by spec in
+    every engine), where an arbitrary ``pow`` is not cross-engine
+    reproducible.  The weight is micro-quantized ONCE
+    (``round(10^6 · n^α)``), then the allocation is the exact-integer
+    Hamilton apportionment (``proportional_allocation``) over those
+    integer weights — Σ alloc = budget exactly.
+
+    Returns ``(*strata_cols, n, weight_micros, base, alloc)``.
+    """
+    if alpha_halves < 1:
+        raise ValueError("alpha_halves must be >= 1")
+    strata = df.groupBy(*strata_cols).agg(F.count("*").alias("n"))
+    nd = F.col("n").cast("double")
+    wf = F.lit(1.0)
+    for _ in range(alpha_halves // 2):
+        wf = wf * nd
+    if alpha_halves % 2:
+        wf = wf * F.sqrt(nd)
+    strata = strata.withColumn(
+        "weight_micros", F.round(wf * 1_000_000).cast("long")
+    )
+    return _hamilton_allocate(
+        strata, strata_cols, "weight_micros", budget,
+        extra=["n", "weight_micros"],
     )

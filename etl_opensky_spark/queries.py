@@ -11792,6 +11792,109 @@ FROM s GROUP BY bin
 """
 
 
+def q262_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened language-mixture allocation
+    (``functions.sampling.temperature_allocation``, α = 1/2): rare
+    languages are upsampled relative to their corpus share — the
+    mC4/XLM-R rebalancing step.  α is a half-integer so the only float
+    op is one IEEE ``sqrt`` (correctly rounded by spec in both
+    engines), micro-quantized once; the allocation itself is the exact
+    Hamilton apportionment on integer weights, Σ alloc = 1000."""
+    from etl_opensky_spark.functions.sampling import temperature_allocation
+
+    docs = _t(spark, sf_dir, "documents")
+    return temperature_allocation(
+        docs, ["lang"], budget=1000, alpha_halves=1
+    )
+
+
+ORACLE_Q262 = """
+WITH s AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+w AS (SELECT lang, n,
+        CAST(round(1000000 * (1.0 * sqrt(CAST(n AS DOUBLE)))) AS BIGINT)
+          AS wm
+      FROM s),
+t AS (SELECT SUM(wm) AS tw FROM w),
+b AS (SELECT lang, n, wm, (1000*wm) // tw AS base, (1000*wm) % tw AS rem
+      FROM w, t),
+l AS (SELECT 1000 - SUM(base) AS leftover FROM b),
+r AS (SELECT b.*, ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rk FROM b)
+SELECT lang, CAST(n AS BIGINT) AS n, wm AS weight_micros,
+  CAST(base AS BIGINT) AS base,
+  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM r, l
+"""
+
+
+def q263_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink/source gate (``sources.files.write_orc``/``read_orc``,
+    the q37/q50 roundtrip pattern for the third columnar format):
+    supplier is written to ORC (zstd), read back, and aggregated — the
+    oracle runs the same aggregate on the ORIGINAL table, so any
+    roundtrip loss (types, doubles, nulls) hash-mismatches."""
+    from etl_opensky_spark.sources.files import read_orc, write_orc
+
+    supp = _t(spark, sf_dir, "supplier")
+    target = _gate_tmp("q263_orc", sf_dir)
+    write_orc(supp, target)
+    back = read_orc(spark, target)
+    return back.groupBy(
+        F.col("s_nationkey").cast("long").alias("nation")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("s_acctbal") * 100).cast("long"))
+        .cast("long")
+        .alias("bal_cents"),
+    )
+
+
+ORACLE_Q263 = """
+SELECT CAST(s_nationkey AS BIGINT) AS nation,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+FROM supplier GROUP BY s_nationkey
+"""
+
+
+def q264_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (``functions.graph.k_core``) of the bipartite
+    supplier-part graph (distinct lineitem pairs; part ids offset so
+    the node space is disjoint): three synchronous peels at k = the
+    average part degree (corpus-relative, so the gate stays meaningful
+    at every SF).  The oracle unrolls the identical peel rounds as
+    CTEs (``k_core_oracle_sql``); per-round degree aggregates + semi
+    joins are the whole cost — no windows, no driver loops."""
+    from etl_opensky_spark.functions.graph import k_core
+
+    li = _t(spark, sf_dir, "lineitem")
+    e = (
+        li.select(
+            F.col("l_suppkey").alias("src"),
+            (F.col("l_partkey") + F.lit(10_000_000)).alias("dst"),
+        )
+        .distinct()
+    )
+    stats = e.agg(
+        F.count("*").alias("_m"), F.count_distinct("dst").alias("_p")
+    ).head()
+    k = max(2, stats["_m"] // stats["_p"])
+    return k_core(e, k=k, rounds=3).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("deg").cast("long").alias("deg"),
+    )
+
+
+from etl_opensky_spark.functions.graph import k_core_oracle_sql as _kcsql
+
+ORACLE_Q264 = _kcsql(
+    "SELECT DISTINCT l_suppkey AS u, l_partkey + 10000000 AS v "
+    "FROM lineitem",
+    "GREATEST(2, (SELECT COUNT(*) FROM e0) "
+    "// (SELECT COUNT(DISTINCT v) FROM e0))",
+    rounds=3,
+)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -12053,6 +12156,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q259_rater_agreement": q259_rater_agreement,
     "q260_hll_intersection": q260_hll_intersection,
     "q261_calibration": q261_calibration,
+    "q262_temperature_mixture": q262_temperature_mixture,
+    "q263_orc_roundtrip": q263_orc_roundtrip,
+    "q264_k_core": q264_k_core,
 }
 
 ORACLES: dict[str, str] = {
@@ -12315,6 +12421,9 @@ ORACLES: dict[str, str] = {
     "q259_rater_agreement": ORACLE_Q259,
     "q260_hll_intersection": ORACLE_Q260,
     "q261_calibration": ORACLE_Q261,
+    "q262_temperature_mixture": ORACLE_Q262,
+    "q263_orc_roundtrip": ORACLE_Q263,
+    "q264_k_core": ORACLE_Q264,
 }
 
 

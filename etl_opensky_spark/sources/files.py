@@ -167,3 +167,29 @@ def read_xml(
         .schema(schema)
         .load(path)
     )
+
+
+def write_orc(
+    df: DataFrame, path: str, mode: str = "overwrite",
+    compression: str = "zstd",
+) -> None:
+    """ORC sink (Spark-native columnar format beside parquet — the
+    interchange surface Hive/Trino shops ask for first).  Same
+    distributed writer contract as every file sink here: one file per
+    task, no driver funnel; zstd by default (ORC's best
+    size/speed point on modern Spark)."""
+    df.write.mode(mode).option("compression", compression).orc(path)
+
+
+def read_orc(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """ORC source.  Schema optional: unlike CSV/JSON/XML, ORC embeds a
+    typed schema (no inference job, no drift hazard) — pass one only to
+    enforce a projection/cast contract on foreign files.  Predicate
+    pushdown and column pruning reach the ORC reader exactly as for
+    parquet scans."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)

@@ -74,6 +74,9 @@ ALLOW: dict[str, set[str]] = {
     "q257_quota_allocation": BNLJ | {"single-partition-exchange"},
     "q258_time_decay_score": BNLJ,  # 1-row max-ts anchor crossJoin
     "q259_rater_agreement": BNLJ,   # 1-row chance-agreement crossJoin
+    # same Hamilton-core shape as q257: 1-row total/leftover crossJoins
+    # + rank window over the aggregated strata table (key-cardinality)
+    "q262_temperature_mixture": BNLJ | {"single-partition-exchange"},
 }
 
 
