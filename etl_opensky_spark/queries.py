@@ -11827,11 +11827,12 @@ FROM r, l
 
 
 def q263_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ORC sink/source gate (``sources.files.write_orc``/``read_orc``,
-    the q37/q50 roundtrip pattern for the third columnar format):
-    supplier is written to ORC (zstd), read back, and aggregated — the
-    oracle runs the same aggregate on the ORIGINAL table, so any
-    roundtrip loss (types, doubles, nulls) hash-mismatches."""
+    """ORC LIBRARY-API gate: q95 already pins the inline
+    ``.write.orc``/``.read.orc`` roundtrip; this gates the official
+    ``sources.files.write_orc``/``read_orc`` wrappers — the zstd
+    compression default and the optional enforced-schema read path —
+    on a different table (supplier).  Oracle aggregates the ORIGINAL
+    table, so any wrapper-introduced loss hash-mismatches."""
     from etl_opensky_spark.sources.files import read_orc, write_orc
 
     supp = _t(spark, sf_dir, "supplier")

@@ -60,6 +60,9 @@ SCALE_QUERIES = [
     "q245_kn_perplexity",        # discounted LM train/eval pipeline
     "q249_containment_dedup",    # asymmetric 3-gram containment pairs
     "q243_bloom_point_lookup",   # bloom build + needle read (sink gate)
+    # round-5 session-3 additions
+    "q264_k_core",               # 3-round peel over supplier-part edges
+    "q256_gini_skew",            # distributed-prefix rank sums
 ]
 
 #: hot-key rehearsal: queries keyed on events.user_id or documents
