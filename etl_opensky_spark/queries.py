@@ -11896,6 +11896,106 @@ ORACLE_Q264 = _kcsql(
 )
 
 
+def q265_rename_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-mapping RENAME lifecycle gate
+    (``sources.versioned.rename_column``): v1 partitioned write with
+    manifest stats → v2 metadata-only rename (amount → amount_usd;
+    zero data movement, physical names frozen) → v3 keyed MERGE under
+    the NEW logical name (rewritten partitions keep physical names, the
+    mapping carries) — then reads the tip under the new name, time
+    travels to v1 under the OLD name, and runs a stats-pruned read
+    whose bounds use the renamed key column (pruning translates
+    logical → physical).  The oracle replays all three states
+    relationally from the source table."""
+    import shutil
+
+    from etl_opensky_spark.sources.versioned import (
+        merge_versioned,
+        read_version,
+        rename_column,
+        write_version,
+    )
+
+    base = _gate_tmp("q265_rename", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("amount"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    write_version(
+        orders, base, partition_by=["prio"], stats_cols=["o_orderkey"]
+    )
+    rename_column(spark, base, {"amount": "amount_usd"})
+    upd = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        (F.col("amount") * 2).alias("amount_usd"),
+        "prio",
+    )
+    merge_versioned(
+        spark, base, upd, ["o_orderkey"], ["prio"],
+        stats_cols=["o_orderkey"],
+    )
+    tip = (
+        read_version(spark, base)
+        .groupBy("prio")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("amount_usd")).cast("double").alias("total_usd"),
+        )
+    )
+    v1 = (
+        read_version(spark, base, as_of=1)
+        .groupBy("prio")
+        .agg(F.sum(_dec("amount")).cast("double").alias("total_v1"))
+    )
+    low = (
+        read_version(spark, base, where={"o_orderkey": (None, 1000)})
+        .filter(F.col("o_orderkey") <= 1000)
+        .groupBy("prio")
+        .agg(F.count("*").alias("_nl"))
+    )
+    return (
+        tip.join(v1, "prio")
+        .join(low, "prio", "left")
+        .select(
+            "prio",
+            "n",
+            "total_usd",
+            "total_v1",
+            F.coalesce(F.col("_nl"), F.lit(0)).cast("long").alias("n_low"),
+        )
+    )
+
+
+ORACLE_Q265 = """
+WITH src AS (
+  SELECT o_orderkey, o_totalprice AS amount, o_orderpriority AS prio
+  FROM orders
+), final AS (
+  SELECT o_orderkey,
+    CASE WHEN o_orderkey % 7 = 0 THEN amount * 2 ELSE amount END
+      AS amount_usd,
+    prio
+  FROM src
+), tip AS (
+  SELECT prio, COUNT(*) AS n,
+    CAST(SUM(CAST(amount_usd AS DECIMAL(18,2))) AS DOUBLE) AS total_usd
+  FROM final GROUP BY prio
+), v1 AS (
+  SELECT prio,
+    CAST(SUM(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total_v1
+  FROM src GROUP BY prio
+), low AS (
+  SELECT prio, COUNT(*) AS nl FROM final
+  WHERE o_orderkey <= 1000 GROUP BY prio
+)
+SELECT t.prio, n, total_usd, total_v1,
+  CAST(COALESCE(nl, 0) AS BIGINT) AS n_low
+FROM tip t JOIN v1 USING (prio) LEFT JOIN low USING (prio)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -12160,6 +12260,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q262_temperature_mixture": q262_temperature_mixture,
     "q263_orc_roundtrip": q263_orc_roundtrip,
     "q264_k_core": q264_k_core,
+    "q265_rename_lifecycle": q265_rename_lifecycle,
 }
 
 ORACLES: dict[str, str] = {
@@ -12425,6 +12526,7 @@ ORACLES: dict[str, str] = {
     "q262_temperature_mixture": ORACLE_Q262,
     "q263_orc_roundtrip": ORACLE_Q263,
     "q264_k_core": ORACLE_Q264,
+    "q265_rename_lifecycle": ORACLE_Q265,
 }
 
 

@@ -95,6 +95,32 @@ def _current(base: str) -> dict | None:
     return log[-1] if log else None
 
 
+def _col_mapping(entry: dict) -> dict:
+    """logical -> physical column mapping recorded by
+    :func:`rename_column` (empty when logical and file names agree).
+    Physical names are frozen at first write — a rename is pure
+    metadata, so hardlinked files never need rewriting (the Delta
+    column-mapping design)."""
+    return dict(entry.get("column_mapping") or {})
+
+
+def _apply_mapping(df: DataFrame, entry: dict) -> DataFrame:
+    """Physical file columns -> the snapshot's LOGICAL view, in
+    logical-schema order.  No-op without a mapping."""
+    mapping = _col_mapping(entry)
+    if not mapping:
+        return df
+    from pyspark.sql.types import StructType
+
+    logical = StructType.fromJson(json.loads(entry["schema_json"]))
+    return df.select(
+        *[
+            F.col(mapping.get(f.name, f.name)).alias(f.name)
+            for f in logical.fields
+        ]
+    )
+
+
 def _commit(
     base: str,
     version: int,
@@ -396,6 +422,9 @@ def prune_files(
     (``{col: (lo, hi)}``).  Returns ``(kept relative paths, total file
     count)`` — PLANNING-TIME metadata work only; no Spark job runs."""
     entry = _resolve(base, as_of)
+    mapping = _col_mapping(entry)
+    if mapping:
+        where = {mapping.get(c, c): b for c, b in where.items()}
     stats = entry.get("stats")
     if stats is None:
         raise ValueError(
@@ -482,14 +511,32 @@ def _reader(spark: SparkSession, entry: dict):
     r = spark.read
     sj = entry.get("schema_json")
     if sj:
-        from pyspark.sql.types import StructType
+        from pyspark.sql.types import StructField, StructType
 
-        r = r.schema(StructType.fromJson(json.loads(sj)))
+        st = StructType.fromJson(json.loads(sj))
+        mapping = _col_mapping(entry)
+        if mapping:
+            # the logged schema is LOGICAL; files carry physical names
+            st = StructType(
+                [
+                    StructField(
+                        mapping.get(f.name, f.name),
+                        f.dataType,
+                        f.nullable,
+                        f.metadata,
+                    )
+                    for f in st.fields
+                ]
+            )
+        r = r.schema(st)
     return r
 
 
 def _read_snapshot(spark: SparkSession, base: str, entry: dict) -> DataFrame:
-    return _reader(spark, entry).parquet(os.path.join(base, entry["dir"]))
+    return _apply_mapping(
+        _reader(spark, entry).parquet(os.path.join(base, entry["dir"])),
+        entry,
+    )
 
 
 def read_version(
@@ -518,8 +565,11 @@ def read_version(
     kept, _total = prune_files(base, where, as_of=entry["version"])
     if not kept:
         return _read_snapshot(spark, base, entry).filter(F.lit(False))
-    return _reader(spark, entry).option("basePath", data_dir).parquet(
-        *[os.path.join(data_dir, rel) for rel in kept]
+    return _apply_mapping(
+        _reader(spark, entry).option("basePath", data_dir).parquet(
+            *[os.path.join(data_dir, rel) for rel in kept]
+        ),
+        entry,
     )
 
 
@@ -661,6 +711,7 @@ def merge_versioned(
 
     version = cur["version"] + 1
     parent_dir = os.path.join(base, cur["dir"])
+    mapping = _col_mapping(cur)
     target = _read_snapshot(spark, base, cur)
     new_cols = [c for c in upd.columns if c not in target.columns]
     missing = sorted(set(target.columns) - set(upd.columns))
@@ -714,17 +765,38 @@ def merge_versioned(
                 .unionByName(upd)
                 .select(*target.columns)
             )
+            if mapping:
+                # hardlinked partitions keep the frozen physical names,
+                # so rewritten partitions must too — write under the
+                # mapping's physical names and carry it forward
+                reconciled = reconciled.select(
+                    *[
+                        F.col(c).alias(mapping.get(c, c))
+                        for c in reconciled.columns
+                    ]
+                )
             reconciled.write.mode("errorifexists").partitionBy(
                 *part_cols
             ).parquet(staging)
             _snapshot_from_parent(
                 parent_dir, data_dir, part_cols, affected_suffixes, staging
             )
-        extra = _stats_extra(spark, data_dir, stats_cols) or {}
+        # the unpartitioned branch is a full rewrite under LOGICAL names,
+        # which clears any column mapping; the partitioned branch keeps
+        # physical names in every file and must carry the mapping
+        carry_mapping = mapping if part_cols else {}
+        phys_stats = (
+            [mapping.get(c, c) for c in stats_cols]
+            if carry_mapping
+            else list(stats_cols)
+        )
+        extra = _stats_extra(spark, data_dir, phys_stats) or {}
         if new_cols or cur.get("schema_json"):
             extra["schema_json"] = json.dumps(
                 json.loads(target.schema.json())
             )
+        if carry_mapping:
+            extra["column_mapping"] = carry_mapping
         _commit(base, version, name, "merge", extra=extra or None)
     except ConcurrentCommitError:
         shutil.rmtree(data_dir, ignore_errors=True)
@@ -761,6 +833,7 @@ def purge_versioned(
         return cur["version"], 0
 
     version = cur["version"] + 1
+    mapping = _col_mapping(cur)
     staging = os.path.join(base, f"_staging-{uuid.uuid4().hex[:12]}")
     name, data_dir = _new_data_dir(base)
     try:
@@ -783,15 +856,27 @@ def purge_versioned(
                 .join(F.broadcast(dk), on=keys, how="left_anti")
                 .select(*target.columns)
             )
+            if mapping:
+                kept = kept.select(
+                    *[F.col(c).alias(mapping.get(c, c)) for c in kept.columns]
+                )
             kept.write.mode("errorifexists").partitionBy(*part_cols).parquet(
                 staging
             )
             _snapshot_from_parent(
                 parent_dir, data_dir, part_cols, affected_suffixes, staging
             )
-        extra = _stats_extra(spark, data_dir, stats_cols) or {}
+        carry_mapping = mapping if part_cols else {}
+        phys_stats = (
+            [mapping.get(c, c) for c in stats_cols]
+            if carry_mapping
+            else list(stats_cols)
+        )
+        extra = _stats_extra(spark, data_dir, phys_stats) or {}
         if cur.get("schema_json"):
             extra["schema_json"] = cur["schema_json"]
+        if carry_mapping:
+            extra["column_mapping"] = carry_mapping
         _commit(base, version, name, "purge", extra=extra or None)
     except ConcurrentCommitError:
         shutil.rmtree(data_dir, ignore_errors=True)
@@ -931,12 +1016,120 @@ def clone_versioned(
                  "stats": entry["stats"]}
     if entry.get("schema_json"):
         extra["schema_json"] = entry["schema_json"]
+    if entry.get("column_mapping"):
+        extra["column_mapping"] = entry["column_mapping"]
     try:
         _commit(dst_base, 1, name, "clone", extra=extra or None)
     except ConcurrentCommitError:
         shutil.rmtree(data_dir, ignore_errors=True)
         raise
     return 1
+
+
+def _partition_cols_of(data_dir: str) -> list[str]:
+    """Hive partition column names of a snapshot directory, outermost
+    first (empty for unpartitioned layouts) — read from the directory
+    shape, since the commit log stores data layout, not write params."""
+    cols: list[str] = []
+    cur = data_dir
+    while True:
+        subs = [
+            d for d in os.listdir(cur)
+            if "=" in d and os.path.isdir(os.path.join(cur, d))
+        ]
+        if not subs:
+            return cols
+        cols.append(subs[0].split("=", 1)[0])
+        cur = os.path.join(cur, subs[0])
+
+
+def rename_column(
+    spark: SparkSession, base: str, renames: dict
+) -> int:
+    """Metadata-only column RENAME committing a new snapshot (Delta
+    column mapping): every data file is hardlinked from the parent
+    unchanged — physical column names are FROZEN at first write and the
+    commit records a logical→physical mapping plus the renamed logical
+    schema.  O(#files) metadata, zero data movement, fully
+    time-travelable (old versions keep the old names).
+
+    Reads resolve the mapping transparently (``read_version``,
+    ``read_version_eq``, manifest/bloom pruning accept logical names);
+    ``merge_versioned``/``purge_versioned`` keep writing rewritten
+    partitions under the frozen physical names and carry the mapping
+    forward, so hardlinked and rewritten files always agree.  A FULL
+    rewrite (unpartitioned merge/purge, or ``compact_versioned``)
+    materializes logical names and clears the mapping — the OPTIMIZE
+    path to retire it.
+
+    Partition columns cannot be renamed (the directory layout IS their
+    physical name — that rewrite is what this operation exists to
+    avoid); target names must not collide.  ``renames`` maps
+    ``{old_logical: new_logical}``.  Returns the committed version.
+    """
+    cur = _current(base)
+    if cur is None:
+        raise ValueError(f"no committed versions at {base}")
+    parent_dir = os.path.join(base, cur["dir"])
+    logical = _read_snapshot(spark, base, cur).schema
+    cols = [f.name for f in logical.fields]
+    part_cols = set(_partition_cols_of(parent_dir))
+    for old_name, new_name in renames.items():
+        if old_name not in cols:
+            raise ValueError(
+                f"rename_column: {old_name!r} not in columns {cols}"
+            )
+        if old_name in part_cols:
+            raise ValueError(
+                f"rename_column: {old_name!r} is a partition column — "
+                "its physical name is the directory layout; renaming "
+                "it means rewriting the table (compact into a new "
+                "layout instead)"
+            )
+        if not new_name or not isinstance(new_name, str):
+            raise ValueError(
+                f"rename_column: bad target name {new_name!r}"
+            )
+    new_names = [renames.get(c, c) for c in cols]
+    if len(set(new_names)) != len(new_names):
+        raise ValueError(
+            f"rename_column: target names collide: {sorted(new_names)}"
+        )
+    mapping = _col_mapping(cur)
+    new_mapping = {}
+    for c in cols:
+        phys = mapping.get(c, c)
+        lname = renames.get(c, c)
+        if lname != phys:
+            new_mapping[lname] = phys
+    from pyspark.sql.types import StructField, StructType
+
+    new_schema = StructType(
+        [
+            StructField(
+                renames.get(f.name, f.name),
+                f.dataType,
+                f.nullable,
+                f.metadata,
+            )
+            for f in logical.fields
+        ]
+    )
+    version = cur["version"] + 1
+    name, data_dir = _new_data_dir(base)
+    _link_tree(parent_dir, data_dir)
+    extra: dict = {"schema_json": json.dumps(json.loads(new_schema.json()))}
+    if new_mapping:
+        extra["column_mapping"] = new_mapping
+    if "stats" in cur:
+        extra["stats_cols"] = cur.get("stats_cols")
+        extra["stats"] = cur["stats"]
+    try:
+        _commit(base, version, name, "rename", extra=extra)
+    except ConcurrentCommitError:
+        shutil.rmtree(data_dir, ignore_errors=True)
+        raise
+    return version
 
 
 def merge_with_retry(
@@ -1090,6 +1283,7 @@ def prune_files_eq(
     false-positive rate follows the sidecar's bits-per-key.  Raises if
     the snapshot has no bloom index for ``col``."""
     entry = _resolve(base, as_of)
+    col = _col_mapping(entry).get(col, col)
     data_dir = os.path.join(base, entry["dir"])
     sidecar = _bloom_load(data_dir)
     if not sidecar or col not in sidecar:
@@ -1124,6 +1318,9 @@ def read_version_eq(
     kept, _total = prune_files_eq(spark, base, col, value, as_of=as_of)
     if not kept:
         return _read_snapshot(spark, base, entry).filter(F.lit(False))
-    return _reader(spark, entry).option("basePath", data_dir).parquet(
-        *[os.path.join(data_dir, rel) for rel in kept]
+    return _apply_mapping(
+        _reader(spark, entry).option("basePath", data_dir).parquet(
+            *[os.path.join(data_dir, rel) for rel in kept]
+        ),
+        entry,
     )

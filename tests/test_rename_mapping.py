@@ -1,0 +1,197 @@
+"""Column mapping for the versioned lake (sources.versioned.
+rename_column): metadata-only renames over frozen physical names —
+hardlink proof, time travel, merge/purge carry-through, full-rewrite
+mapping retirement, stats/bloom pruning under logical names."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_opensky_spark.sources.versioned import (
+    clone_versioned,
+    compact_versioned,
+    merge_versioned,
+    prune_files,
+    purge_versioned,
+    read_version,
+    rename_column,
+    write_version,
+)
+
+SCHEMA = "id long, val string, y int"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _mk(spark, tmp_path, partitioned=True, stats=False):
+    base = str(tmp_path / "lake")
+    write_version(
+        _df(spark, [(1, "a", 1), (2, "b", 1), (3, "c", 2)]),
+        base,
+        partition_by=["y"] if partitioned else (),
+        stats_cols=["id"] if stats else (),
+    )
+    return base
+
+
+def _inodes(base: str) -> set[int]:
+    out = set()
+    for root, _dirs, files in os.walk(base):
+        for f in files:
+            if f.endswith(".parquet"):
+                out.add(os.stat(os.path.join(root, f)).st_ino)
+    return out
+
+
+def test_rename_is_metadata_only_and_time_travels(spark, tmp_path):
+    base = _mk(spark, tmp_path)
+    before = _inodes(base)
+    v = rename_column(spark, base, {"val": "payload"})
+    assert v == 2
+    # zero data movement: every parquet inode is shared with v1
+    assert _inodes(base) == before
+    now = read_version(spark, base)
+    assert set(now.columns) == {"id", "payload", "y"}
+    assert sorted((r["id"], r["payload"]) for r in now.collect()) == [
+        (1, "a"), (2, "b"), (3, "c")
+    ]
+    # old version still reads under the old name
+    old = read_version(spark, base, as_of=1)
+    assert set(old.columns) == {"id", "val", "y"}
+
+
+def test_rename_rejects_partition_column_and_collisions(spark, tmp_path):
+    base = _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="partition column"):
+        rename_column(spark, base, {"y": "year"})
+    with pytest.raises(ValueError, match="collide"):
+        rename_column(spark, base, {"val": "id"})
+    with pytest.raises(ValueError, match="not in columns"):
+        rename_column(spark, base, {"nope": "x"})
+
+
+def test_merge_after_rename_keeps_physical_names(spark, tmp_path):
+    base = _mk(spark, tmp_path)
+    rename_column(spark, base, {"val": "payload"})
+    upd = spark.createDataFrame(
+        [(2, "B", 1), (4, "d", 2)], "id long, payload string, y int"
+    )
+    merge_versioned(spark, base, upd, keys=["id"], partition_by=["y"])
+    now = read_version(spark, base)
+    assert sorted((r["id"], r["payload"]) for r in now.collect()) == [
+        (1, "a"), (2, "B"), (3, "c"), (4, "d")
+    ]
+    # the rewritten partition's files are physically named 'val': read
+    # one raw file from the tip snapshot and check its columns
+    from etl_opensky_spark.sources.versioned import _current
+
+    tip = os.path.join(base, _current(base)["dir"])
+    raw = spark.read.parquet(tip)
+    assert "val" in raw.columns and "payload" not in raw.columns
+    # untouched partition y=... from v1 still hardlink-shared
+    assert len(_inodes(base)) > 0
+
+
+def test_purge_after_rename(spark, tmp_path):
+    base = _mk(spark, tmp_path)
+    rename_column(spark, base, {"val": "payload"})
+    _v, n = purge_versioned(
+        spark,
+        base,
+        spark.createDataFrame([(1,)], "id long"),
+        keys=["id"],
+        partition_by=["y"],
+    )
+    assert n == 1
+    now = read_version(spark, base)
+    assert sorted(r["id"] for r in now.collect()) == [2, 3]
+    assert "payload" in now.columns
+
+
+def test_compact_materializes_logical_names_and_clears_mapping(
+    spark, tmp_path
+):
+    base = _mk(spark, tmp_path, partitioned=False)
+    rename_column(spark, base, {"val": "payload"})
+    compact_versioned(spark, base)
+    from etl_opensky_spark.sources.versioned import _current
+
+    entry = _current(base)
+    assert "column_mapping" not in entry
+    tip = os.path.join(base, entry["dir"])
+    raw = spark.read.parquet(tip)
+    assert "payload" in raw.columns and "val" not in raw.columns
+    assert sorted(
+        r["payload"] for r in read_version(spark, base).collect()
+    ) == ["a", "b", "c"]
+
+
+def test_chained_renames_compose_to_original_physical(spark, tmp_path):
+    base = _mk(spark, tmp_path)
+    rename_column(spark, base, {"val": "v2"})
+    rename_column(spark, base, {"v2": "v3"})
+    from etl_opensky_spark.sources.versioned import _current
+
+    assert _current(base)["column_mapping"] == {"v3": "val"}
+    assert sorted(
+        r["v3"] for r in read_version(spark, base).collect()
+    ) == ["a", "b", "c"]
+    # rename back to the physical name: mapping empties out
+    rename_column(spark, base, {"v3": "val"})
+    assert "column_mapping" not in _current(base) or not _current(base)[
+        "column_mapping"
+    ]
+    assert sorted(
+        r["val"] for r in read_version(spark, base).collect()
+    ) == ["a", "b", "c"]
+
+
+def test_stats_pruning_accepts_logical_names(spark, tmp_path):
+    base = str(tmp_path / "lake")
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).repartitionByRange(8, "k")
+    write_version(df, base, stats_cols=["k"])
+    rename_column(spark, base, {"k": "key"})
+    kept, total = prune_files(base, {"key": (10, 20)})
+    assert 0 < len(kept) < total
+    got = read_version(spark, base, where={"key": (10, 20)})
+    assert "key" in got.columns
+    rows = got.filter(
+        (F.col("key") >= 10) & (F.col("key") <= 20)
+    ).count()
+    assert rows == 11
+
+
+def test_clone_carries_mapping(spark, tmp_path):
+    base = _mk(spark, tmp_path)
+    rename_column(spark, base, {"val": "payload"})
+    dst = str(tmp_path / "clone")
+    clone_versioned(base, dst)
+    got = read_version(spark, dst)
+    assert "payload" in got.columns
+    assert sorted(r["payload"] for r in got.collect()) == ["a", "b", "c"]
+
+
+def test_merge_schema_evolution_after_rename(spark, tmp_path):
+    base = _mk(spark, tmp_path)
+    rename_column(spark, base, {"val": "payload"})
+    upd = spark.createDataFrame(
+        [(5, "e", 2, 9.5)],
+        "id long, payload string, y int, score double",
+    )
+    merge_versioned(
+        spark, base, upd, keys=["id"], partition_by=["y"],
+        merge_schema=True,
+    )
+    now = read_version(spark, base)
+    assert set(now.columns) == {"id", "payload", "y", "score"}
+    by_id = {r["id"]: r for r in now.collect()}
+    assert by_id[5]["score"] == 9.5
+    assert by_id[1]["score"] is None  # old hardlinked rows read null
