@@ -27,9 +27,20 @@ SMALL_GRAPH_EDGES = 1_000_000
 
 
 def dedup_exact(
-    df: DataFrame, text_col: str, id_col: str, hot_threshold: int | None = None
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    hot_threshold: int | None = None,
+    keep_by: Column | None = None,
 ) -> DataFrame:
     """Keep one row per exact (canonicalized) text: the min id wins.
+
+    ``keep_by``: policy keeper — the row minimizing ``(keep_by, id)``
+    wins instead of plain min id (prefer the trusted source, keep the
+    longest raw form, keep the highest quality score — pass a NEGATED
+    metric to keep the max).  The id stays the final tiebreak, so the
+    winner is total-order deterministic under any partitioning; both
+    the window path and the hot ``min_by`` path honor it.
 
     Default path: one shuffle on the md5 fingerprint + per-group sort
     (window row_number) — measured ~4x faster cold than the
@@ -46,8 +57,13 @@ def dedup_exact(
     BEFORE the shuffle — and only the cold tail pays the window.  The hot
     set is <= n/hot_threshold fingerprints, so its broadcast is bounded.
     """
+    order = (
+        [keep_by, F.col(id_col)] if keep_by is not None else [F.col(id_col)]
+    )
     if hot_threshold is None:
-        w = Window.partitionBy(fingerprint_md5(F.col(text_col))).orderBy(id_col)
+        w = Window.partitionBy(fingerprint_md5(F.col(text_col))).orderBy(
+            *order
+        )
         return (
             df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
@@ -64,7 +80,7 @@ def dedup_exact(
     flagged = dfp.join(
         F.broadcast(hot.withColumn("_is_hot", F.lit(True))), "_fp", "left"
     )
-    w = Window.partitionBy("_fp").orderBy(id_col)
+    w = Window.partitionBy("_fp").orderBy(*order)
     cold_kept = (
         flagged.filter(F.col("_is_hot").isNull())
         .withColumn("_rn", F.row_number().over(w))
@@ -75,7 +91,7 @@ def dedup_exact(
     hot_kept = (
         flagged.filter(F.col("_is_hot").isNotNull())
         .groupBy("_fp")
-        .agg(F.min_by(payload, F.col(id_col)).alias("_row"))
+        .agg(F.min_by(payload, F.struct(*order)).alias("_row"))
         .select("_row.*")
     )
     return cold_kept.unionByName(hot_kept)

@@ -11996,6 +11996,51 @@ FROM tip t JOIN v1 USING (prio) LEFT JOIN low USING (prio)
 """
 
 
+def q266_quality_keeper_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLICY-KEEPER exact dedup (``dedup_exact(keep_by=)``): q07 keeps
+    the min id per canonical text; real pipelines keep the PREFERRED
+    copy.  The synthetic corpus has no exact dups, so the gate
+    constructs the mirror-crawl scenario: every %3 doc arrives AGAIN
+    from a 'mirror' source, re-id'd high and case-mangled (identical
+    under canonicalization).  Keeper = alphabetically-first source, id
+    tiebreak — 'mirror' sorts before 'srcN', so for dup groups the
+    HIGHER id wins, which is exactly what the min-id rule cannot
+    express; the oracle replays the (source, id) keeper over the same
+    canonical fingerprint."""
+    docs = _t(spark, sf_dir, "documents")
+    mirror = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.upper(F.col("text")).alias("text"),
+        "lang",
+        F.lit("mirror").alias("source"),
+        "n_chars",
+    )
+    both = docs.unionByName(mirror)
+    kept = dedup_exact(
+        both, "text", "doc_id", keep_by=F.col("source")
+    )
+    return kept.select("doc_id", "lang", "source")
+
+
+ORACLE_Q266 = """
+WITH b AS (
+  SELECT doc_id + 1000000 AS doc_id, upper(text) AS text, lang,
+    'mirror' AS source
+  FROM documents WHERE doc_id % 3 = 0
+), u AS (
+  SELECT doc_id, text, lang, source FROM documents
+  UNION ALL SELECT doc_id, text, lang, source FROM b
+), r AS (
+  SELECT doc_id, lang, source,
+    ROW_NUMBER() OVER (
+      PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+      ORDER BY source, doc_id) AS rn
+  FROM u
+)
+SELECT doc_id, lang, source FROM r WHERE rn = 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -12261,6 +12306,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q263_orc_roundtrip": q263_orc_roundtrip,
     "q264_k_core": q264_k_core,
     "q265_rename_lifecycle": q265_rename_lifecycle,
+    "q266_quality_keeper_dedup": q266_quality_keeper_dedup,
 }
 
 ORACLES: dict[str, str] = {
@@ -12527,6 +12573,7 @@ ORACLES: dict[str, str] = {
     "q263_orc_roundtrip": ORACLE_Q263,
     "q264_k_core": ORACLE_Q264,
     "q265_rename_lifecycle": ORACLE_Q265,
+    "q266_quality_keeper_dedup": ORACLE_Q266,
 }
 
 
