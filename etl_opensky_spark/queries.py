@@ -12041,6 +12041,76 @@ SELECT doc_id, lang, source FROM r WHERE rn = 1
 """
 
 
+def q267_restore_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE gate (``sources.versioned.restore_version``): v1 write →
+    v2 bad merge (×2 price on %5 keys) → v3 RESTORE to v1 (zero-copy,
+    append-only — v2 stays readable) → v4 good merge (+10 on %3 keys).
+    The tip must show the good merge applied to the ROLLED-BACK state
+    (no %5 doubling), while time travel to v2 still shows the bad
+    merge.  Oracle replays both states relationally."""
+    import shutil
+
+    from etl_opensky_spark.sources.versioned import (
+        merge_versioned,
+        read_version,
+        restore_version,
+        write_version,
+    )
+
+    base = _gate_tmp("q267_restore", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    write_version(orders, base, partition_by=["prio"])
+    bad = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey", (F.col("price") * 2).alias("price"), "prio"
+    )
+    merge_versioned(spark, base, bad, ["o_orderkey"], ["prio"])
+    restore_version(base, 1)
+    good = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", (F.col("price") + 10).alias("price"), "prio"
+    )
+    merge_versioned(spark, base, good, ["o_orderkey"], ["prio"])
+    tip = (
+        read_version(spark, base)
+        .groupBy("prio")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("price")).cast("double").alias("total_tip"),
+        )
+    )
+    v2 = (
+        read_version(spark, base, as_of=2)
+        .groupBy("prio")
+        .agg(F.sum(_dec("price")).cast("double").alias("total_bad"))
+    )
+    return tip.join(v2, "prio").select(
+        "prio", "n", "total_tip", "total_bad"
+    )
+
+
+ORACLE_Q267 = """
+WITH src AS (
+  SELECT o_orderkey AS k, o_totalprice AS price, o_orderpriority AS prio
+  FROM orders
+), tip AS (
+  SELECT prio, COUNT(*) AS n,
+    CAST(SUM(CAST(CASE WHEN k % 3 = 0 THEN price + 10 ELSE price END
+             AS DECIMAL(18,2))) AS DOUBLE) AS total_tip
+  FROM src GROUP BY prio
+), bad AS (
+  SELECT prio,
+    CAST(SUM(CAST(CASE WHEN k % 5 = 0 THEN price * 2 ELSE price END
+             AS DECIMAL(18,2))) AS DOUBLE) AS total_bad
+  FROM src GROUP BY prio
+)
+SELECT t.prio, n, total_tip, total_bad FROM tip t JOIN bad USING (prio)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -12307,6 +12377,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q264_k_core": q264_k_core,
     "q265_rename_lifecycle": q265_rename_lifecycle,
     "q266_quality_keeper_dedup": q266_quality_keeper_dedup,
+    "q267_restore_rollback": q267_restore_rollback,
 }
 
 ORACLES: dict[str, str] = {
@@ -12574,6 +12645,7 @@ ORACLES: dict[str, str] = {
     "q264_k_core": ORACLE_Q264,
     "q265_rename_lifecycle": ORACLE_Q265,
     "q266_quality_keeper_dedup": ORACLE_Q266,
+    "q267_restore_rollback": ORACLE_Q267,
 }
 
 

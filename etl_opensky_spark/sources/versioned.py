@@ -578,6 +578,52 @@ def table_history(base: str) -> list[int]:
     return [c["version"] for c in _read_log(base)]
 
 
+def describe_history(base: str) -> list[dict]:
+    """DESCRIBE HISTORY: one dict per commit, oldest first — version,
+    operation, parent, and which metadata riders the commit carries
+    (schema evolution, column mapping, manifest stats).  Pure log read;
+    no Spark job."""
+    out = []
+    for c in _read_log(base):
+        out.append(
+            {
+                "version": c["version"],
+                "op": c.get("op"),
+                "parent": c.get("parent"),
+                "has_schema": bool(c.get("schema_json")),
+                "has_mapping": bool(c.get("column_mapping")),
+                "has_stats": "stats" in c,
+                "dir": c["dir"],
+            }
+        )
+    return out
+
+
+def restore_version(base: str, to_version: int) -> int:
+    """RESTORE: commit a NEW version whose content is an old snapshot
+    (Delta RESTORE semantics — history is append-only, a restore never
+    deletes the versions after ``to_version``; readers pinned to them
+    are undisturbed and the operation itself is time-travelable).
+    Zero-copy: the old snapshot's files are hardlinked, all its
+    metadata riders (schema, mapping, stats) travel with it.  The
+    rollback primitive after a bad merge.  Returns the new version."""
+    entry = _resolve(base, to_version)
+    cur = _current(base)
+    version = cur["version"] + 1
+    name, data_dir = _new_data_dir(base)
+    _link_tree(os.path.join(base, entry["dir"]), data_dir)
+    extra: dict = {"restored_from": to_version}
+    for key in ("schema_json", "column_mapping", "stats_cols", "stats"):
+        if entry.get(key) is not None and key in entry:
+            extra[key] = entry[key]
+    try:
+        _commit(base, version, name, "restore", extra=extra)
+    except ConcurrentCommitError:
+        shutil.rmtree(data_dir, ignore_errors=True)
+        raise
+    return version
+
+
 def vacuum_versions(base: str, keep_last: int = 1) -> list[int]:
     """Retention VACUUM: drop all but the newest ``keep_last`` committed
     snapshots (commit file + data directory).  Hardlinked inodes shared

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from etl_opensky_spark.sources.versioned import (
     clone_versioned,
+    vacuum_versions,
     compact_versioned,
     merge_versioned,
     prune_files,
@@ -195,3 +196,86 @@ def test_merge_schema_evolution_after_rename(spark, tmp_path):
     by_id = {r["id"]: r for r in now.collect()}
     assert by_id[5]["score"] == 9.5
     assert by_id[1]["score"] is None  # old hardlinked rows read null
+
+
+# --- describe_history / restore_version -------------------------------------
+
+
+def test_restore_rolls_back_content_append_only(spark, tmp_path):
+    from etl_opensky_spark.sources.versioned import (
+        describe_history,
+        restore_version,
+    )
+
+    base = _mk(spark, tmp_path)
+    merge_versioned(
+        spark,
+        base,
+        spark.createDataFrame([(1, "MUT", 1)], SCHEMA),
+        keys=["id"],
+        partition_by=["y"],
+    )
+    assert read_version(spark, base).filter(
+        F.col("val") == "MUT"
+    ).count() == 1
+    v = restore_version(base, 1)
+    assert v == 3
+    # tip content == v1 content
+    tip = sorted(tuple(r) for r in read_version(spark, base).collect())
+    v1 = sorted(
+        tuple(r) for r in read_version(spark, base, as_of=1).collect()
+    )
+    assert tip == v1
+    # history is append-only: v2 still readable with its mutation
+    assert read_version(spark, base, as_of=2).filter(
+        F.col("val") == "MUT"
+    ).count() == 1
+    hist = describe_history(base)
+    assert [h["op"] for h in hist] == ["write", "merge", "restore"]
+    assert hist[-1]["version"] == 3
+
+
+def test_restore_carries_mapping_and_stats(spark, tmp_path):
+    from etl_opensky_spark.sources.versioned import (
+        restore_version,
+    )
+
+    base = _mk(spark, tmp_path, stats=True)
+    rename_column(spark, base, {"val": "payload"})
+    merge_versioned(
+        spark,
+        base,
+        spark.createDataFrame(
+            [(9, "z", 1)], "id long, payload string, y int"
+        ),
+        keys=["id"],
+        partition_by=["y"],
+        stats_cols=["id"],
+    )
+    restore_version(base, 2)  # rename snapshot, pre-merge
+    now = read_version(spark, base)
+    assert "payload" in now.columns
+    assert sorted(r["id"] for r in now.collect()) == [1, 2, 3]
+    # stats travel: logical-name pruning still plans
+    kept, total = prune_files(base, {"id": (1, 1)})
+    assert len(kept) <= total
+
+
+def test_restore_survives_vacuum_of_source_version(spark, tmp_path):
+    from etl_opensky_spark.sources.versioned import (
+        restore_version,
+        vacuum_versions,
+    )
+
+    base = _mk(spark, tmp_path)
+    merge_versioned(
+        spark,
+        base,
+        spark.createDataFrame([(4, "d", 2)], SCHEMA),
+        keys=["id"],
+        partition_by=["y"],
+    )
+    restore_version(base, 1)
+    vacuum_versions(base, keep_last=1)  # drops v1/v2 dirs, keeps v3
+    tip = read_version(spark, base)
+    assert sorted(r["id"] for r in tip.collect()) == [1, 2, 3]
