@@ -12111,6 +12111,74 @@ SELECT t.prio, n, total_tip, total_bad FROM tip t JOIN bad USING (prio)
 """
 
 
+def q268_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK-constraint gate (``sources.versioned.add_constraint``):
+    write → ADD CONSTRAINT (price > 0, validated against existing rows)
+    → a poisoned merge (negated prices on %11 keys) must be REJECTED
+    before any data stages (history unchanged — the atomicity claim) →
+    a clean merge lands.  Output = final state per priority plus the
+    observed rejection; the oracle replays the final state (clean merge
+    only — the poisoned one must have left no trace)."""
+    import shutil
+
+    from etl_opensky_spark.sources.versioned import (
+        ConstraintViolationError,
+        add_constraint,
+        merge_versioned,
+        read_version,
+        table_history,
+        write_version,
+    )
+
+    base = _gate_tmp("q268_constraints", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    write_version(orders, base, partition_by=["prio"])
+    add_constraint(spark, base, "price_positive", "price > 0")
+    poisoned = orders.filter(F.col("o_orderkey") % 11 == 0).select(
+        "o_orderkey", (-F.col("price")).alias("price"), "prio"
+    )
+    rejected = False
+    try:
+        merge_versioned(spark, base, poisoned, ["o_orderkey"], ["prio"])
+    except ConstraintViolationError:
+        rejected = True
+    history_clean = table_history(base) == [1, 2]
+    clean = orders.filter(F.col("o_orderkey") % 11 == 0).select(
+        "o_orderkey", (F.col("price") + 5).alias("price"), "prio"
+    )
+    merge_versioned(spark, base, clean, ["o_orderkey"], ["prio"])
+    return (
+        read_version(spark, base)
+        .groupBy("prio")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("price")).cast("double").alias("total_price"),
+        )
+        .select(
+            "prio",
+            "n",
+            "total_price",
+            F.lit(rejected).alias("poison_rejected"),
+            F.lit(history_clean).alias("no_partial_commit"),
+        )
+    )
+
+
+ORACLE_Q268 = """
+SELECT o_orderpriority AS prio, COUNT(*) AS n,
+  CAST(SUM(CAST(CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 5
+                     ELSE o_totalprice END AS DECIMAL(18,2)))
+       AS DOUBLE) AS total_price,
+  TRUE AS poison_rejected, TRUE AS no_partial_commit
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -12378,6 +12446,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q265_rename_lifecycle": q265_rename_lifecycle,
     "q266_quality_keeper_dedup": q266_quality_keeper_dedup,
     "q267_restore_rollback": q267_restore_rollback,
+    "q268_check_constraints": q268_check_constraints,
 }
 
 ORACLES: dict[str, str] = {
@@ -12646,6 +12715,7 @@ ORACLES: dict[str, str] = {
     "q265_rename_lifecycle": ORACLE_Q265,
     "q266_quality_keeper_dedup": ORACLE_Q266,
     "q267_restore_rollback": ORACLE_Q267,
+    "q268_check_constraints": ORACLE_Q268,
 }
 
 

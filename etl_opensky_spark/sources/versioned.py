@@ -46,6 +46,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import uuid
 from collections.abc import Sequence
@@ -60,6 +61,10 @@ COMMITS = "_commits"
 #: the crash-injection property tests to simulate a writer dying between
 #: staging and commit.  Never set outside tests.
 _test_hooks: dict = {}
+
+
+class ConstraintViolationError(ValueError):
+    """A write/merge contained rows failing a table CHECK constraint."""
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -460,13 +465,15 @@ def write_version(
     number."""
     os.makedirs(base, exist_ok=True)
     cur = _current(base)
+    cons = dict((cur or {}).get("constraints") or {})
+    _check_constraints(df, cons)  # reject BEFORE any data stages
     version = (cur["version"] if cur else 0) + 1
     name, data_dir = _new_data_dir(base)
     w = df.write.mode("errorifexists")
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(data_dir)
-    extra = None
+    extra = {}
     if stats_cols:
         extra = {
             "stats_cols": list(stats_cols),
@@ -474,12 +481,14 @@ def write_version(
                 df.sparkSession, data_dir, stats_cols
             ),
         }
+    if cons:
+        extra["constraints"] = cons
     if bloom_cols:
         _bloom_build(
             df.sparkSession, data_dir, bloom_cols, bloom_bits, bloom_hashes
         )
     try:
-        _commit(base, version, name, "write", extra=extra)
+        _commit(base, version, name, "write", extra=extra or None)
     except ConcurrentCommitError:
         shutil.rmtree(data_dir, ignore_errors=True)
         raise
@@ -613,7 +622,9 @@ def restore_version(base: str, to_version: int) -> int:
     name, data_dir = _new_data_dir(base)
     _link_tree(os.path.join(base, entry["dir"]), data_dir)
     extra: dict = {"restored_from": to_version}
-    for key in ("schema_json", "column_mapping", "stats_cols", "stats"):
+    for key in (
+        "schema_json", "column_mapping", "stats_cols", "stats", "constraints"
+    ):
         if entry.get(key) is not None and key in entry:
             extra[key] = entry[key]
     try:
@@ -758,6 +769,8 @@ def merge_versioned(
     version = cur["version"] + 1
     parent_dir = os.path.join(base, cur["dir"])
     mapping = _col_mapping(cur)
+    cons = dict(cur.get("constraints") or {})
+    _check_constraints(upd, cons)  # reject BEFORE any data stages
     target = _read_snapshot(spark, base, cur)
     new_cols = [c for c in upd.columns if c not in target.columns]
     missing = sorted(set(target.columns) - set(upd.columns))
@@ -843,6 +856,8 @@ def merge_versioned(
             )
         if carry_mapping:
             extra["column_mapping"] = carry_mapping
+        if cons:
+            extra["constraints"] = cons
         _commit(base, version, name, "merge", extra=extra or None)
     except ConcurrentCommitError:
         shutil.rmtree(data_dir, ignore_errors=True)
@@ -923,6 +938,8 @@ def purge_versioned(
             extra["schema_json"] = cur["schema_json"]
         if carry_mapping:
             extra["column_mapping"] = carry_mapping
+        if cur.get("constraints"):
+            extra["constraints"] = cur["constraints"]
         _commit(base, version, name, "purge", extra=extra or None)
     except ConcurrentCommitError:
         shutil.rmtree(data_dir, ignore_errors=True)
@@ -1019,13 +1036,15 @@ def compact_versioned(
                 .partitionBy(*part_cols)
                 .parquet(data_dir)
             )
-        extra = None
+        extra = {}
         if stats_cols:
             extra = {
                 "stats_cols": list(stats_cols),
                 "stats": _harvest_file_stats(spark, data_dir, stats_cols),
             }
-        _commit(base, version, name, "compact", extra=extra)
+        if cur.get("constraints"):
+            extra["constraints"] = cur["constraints"]
+        _commit(base, version, name, "compact", extra=extra or None)
     except ConcurrentCommitError:
         shutil.rmtree(data_dir, ignore_errors=True)
         raise
@@ -1064,12 +1083,101 @@ def clone_versioned(
         extra["schema_json"] = entry["schema_json"]
     if entry.get("column_mapping"):
         extra["column_mapping"] = entry["column_mapping"]
+    if entry.get("constraints"):
+        extra["constraints"] = entry["constraints"]
     try:
         _commit(dst_base, 1, name, "clone", extra=extra or None)
     except ConcurrentCommitError:
         shutil.rmtree(data_dir, ignore_errors=True)
         raise
     return 1
+
+
+def _check_constraints(df: DataFrame, cons: dict) -> None:
+    """One aggregate pass over ``df`` evaluating every CHECK constraint
+    (SQL semantics: a row violates only when the expression is FALSE —
+    NULL passes, as in ANSI CHECK).  Raises
+    :class:`ConstraintViolationError` naming each violated constraint
+    with its row count."""
+    if not cons:
+        return
+    items = sorted(cons.items())
+    aggs = [
+        F.sum(
+            F.expr(f"CASE WHEN ({e}) IS FALSE THEN 1 ELSE 0 END")
+        ).alias(f"_v{i}")
+        for i, (_n, e) in enumerate(items)
+    ]
+    row = df.agg(*aggs).first()
+    bad = [
+        f"{n} [{e}]: {row[f'_v{i}']} rows"
+        for i, (n, e) in enumerate(items)
+        if (row[f"_v{i}"] or 0) > 0
+    ]
+    if bad:
+        raise ConstraintViolationError(
+            "CHECK constraint violated: " + "; ".join(bad)
+        )
+
+
+def add_constraint(
+    spark: SparkSession, base: str, name: str, expr: str
+) -> int:
+    """Add a persistent CHECK constraint (Delta ``ADD CONSTRAINT``
+    semantics): the CURRENT snapshot must already satisfy it (one
+    aggregate pass — rejected otherwise), then a metadata-only commit
+    records it and EVERY subsequent ``write_version``/``merge_versioned``
+    validates incoming rows against it before staging any data.
+    Constraints ride the log through purge/compact/rename/clone/
+    restore.  ``expr`` is a SQL boolean over logical column names; NULL
+    passes (ANSI CHECK).  Returns the committed version."""
+    cur = _current(base)
+    if cur is None:
+        raise ValueError(f"no committed versions at {base}")
+    cons = dict(cur.get("constraints") or {})
+    if name in cons:
+        raise ValueError(f"constraint {name!r} already exists: {cons[name]}")
+    _check_constraints(_read_snapshot(spark, base, cur), {name: expr})
+    cons[name] = expr
+    version = cur["version"] + 1
+    dname, data_dir = _new_data_dir(base)
+    _link_tree(os.path.join(base, cur["dir"]), data_dir)
+    extra: dict = {"constraints": cons}
+    for key in ("schema_json", "column_mapping", "stats_cols", "stats"):
+        if key in cur and cur.get(key) is not None:
+            extra[key] = cur[key]
+    try:
+        _commit(base, version, dname, "add_constraint", extra=extra)
+    except ConcurrentCommitError:
+        shutil.rmtree(data_dir, ignore_errors=True)
+        raise
+    return version
+
+
+def drop_constraint(base: str, name: str) -> int:
+    """Remove a CHECK constraint (metadata-only commit)."""
+    cur = _current(base)
+    if cur is None:
+        raise ValueError(f"no committed versions at {base}")
+    cons = dict(cur.get("constraints") or {})
+    if name not in cons:
+        raise ValueError(f"no constraint {name!r}; have {sorted(cons)}")
+    del cons[name]
+    version = cur["version"] + 1
+    dname, data_dir = _new_data_dir(base)
+    _link_tree(os.path.join(base, cur["dir"]), data_dir)
+    extra: dict = {}
+    if cons:
+        extra["constraints"] = cons
+    for key in ("schema_json", "column_mapping", "stats_cols", "stats"):
+        if key in cur and cur.get(key) is not None:
+            extra[key] = cur[key]
+    try:
+        _commit(base, version, dname, "drop_constraint", extra=extra or None)
+    except ConcurrentCommitError:
+        shutil.rmtree(data_dir, ignore_errors=True)
+        raise
+    return version
 
 
 def _partition_cols_of(data_dir: str) -> list[str]:
@@ -1141,6 +1249,18 @@ def rename_column(
         raise ValueError(
             f"rename_column: target names collide: {sorted(new_names)}"
         )
+    cons = dict(cur.get("constraints") or {})
+    for old_name in renames:
+        hits = [
+            n for n, e in cons.items()
+            if re.search(rf"\b{re.escape(old_name)}\b", e)
+        ]
+        if hits:
+            raise ValueError(
+                f"rename_column: {old_name!r} is referenced by CHECK "
+                f"constraint(s) {sorted(hits)} — drop and re-add them "
+                "under the new name"
+            )
     mapping = _col_mapping(cur)
     new_mapping = {}
     for c in cols:
@@ -1170,6 +1290,8 @@ def rename_column(
     if "stats" in cur:
         extra["stats_cols"] = cur.get("stats_cols")
         extra["stats"] = cur["stats"]
+    if cons:
+        extra["constraints"] = cons
     try:
         _commit(base, version, name, "rename", extra=extra)
     except ConcurrentCommitError:

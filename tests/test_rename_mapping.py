@@ -279,3 +279,104 @@ def test_restore_survives_vacuum_of_source_version(spark, tmp_path):
     vacuum_versions(base, keep_last=1)  # drops v1/v2 dirs, keeps v3
     tip = read_version(spark, base)
     assert sorted(r["id"] for r in tip.collect()) == [1, 2, 3]
+
+
+# --- CHECK constraints ------------------------------------------------------
+
+
+def test_constraint_rejects_bad_merge_before_staging(spark, tmp_path):
+    from etl_opensky_spark.sources.versioned import (
+        ConstraintViolationError,
+        add_constraint,
+    )
+
+    base = _mk(spark, tmp_path)
+    add_constraint(spark, base, "val_nonempty", "length(val) > 0")
+    with pytest.raises(ConstraintViolationError, match="val_nonempty"):
+        merge_versioned(
+            spark,
+            base,
+            spark.createDataFrame([(9, "", 1)], SCHEMA),
+            keys=["id"],
+            partition_by=["y"],
+        )
+    # nothing staged, nothing committed
+    from etl_opensky_spark.sources.versioned import table_history
+
+    assert table_history(base) == [1, 2]
+    ok = merge_versioned(
+        spark,
+        base,
+        spark.createDataFrame([(9, "ok", 1)], SCHEMA),
+        keys=["id"],
+        partition_by=["y"],
+    )
+    assert ok == 3
+
+
+def test_constraint_null_passes_ansi_check(spark, tmp_path):
+    from etl_opensky_spark.sources.versioned import add_constraint
+
+    base = _mk(spark, tmp_path)
+    add_constraint(spark, base, "id_positive", "id > 0")
+    upd = spark.createDataFrame([(7, None, 2)], SCHEMA)
+    merge_versioned(spark, base, upd, keys=["id"], partition_by=["y"])
+    assert read_version(spark, base).count() == 4
+
+
+def test_add_constraint_validates_existing_rows(spark, tmp_path):
+    from etl_opensky_spark.sources.versioned import (
+        ConstraintViolationError,
+        add_constraint,
+    )
+
+    base = _mk(spark, tmp_path)
+    with pytest.raises(ConstraintViolationError):
+        add_constraint(spark, base, "only_a", "val = 'a'")
+
+
+def test_constraint_rides_lifecycle_and_drops(spark, tmp_path):
+    from etl_opensky_spark.sources.versioned import (
+        ConstraintViolationError,
+        add_constraint,
+        drop_constraint,
+        restore_version,
+        write_version as wv,
+    )
+
+    base = _mk(spark, tmp_path)
+    add_constraint(spark, base, "id_positive", "id > 0")
+    # survives purge and restore
+    purge_versioned(
+        spark, base, spark.createDataFrame([(3,)], "id long"),
+        keys=["id"], partition_by=["y"],
+    )
+    restore_version(base, 2)
+    with pytest.raises(ConstraintViolationError):
+        merge_versioned(
+            spark, base,
+            spark.createDataFrame([(-1, "x", 1)], SCHEMA),
+            keys=["id"], partition_by=["y"],
+        )
+    # full-overwrite write_version also validates
+    with pytest.raises(ConstraintViolationError):
+        wv(_df(spark, [(-5, "x", 1)]), base, partition_by=["y"])
+    drop_constraint(base, "id_positive")
+    merge_versioned(
+        spark, base,
+        spark.createDataFrame([(-1, "x", 1)], SCHEMA),
+        keys=["id"], partition_by=["y"],
+    )
+    assert read_version(spark, base).filter(F.col("id") < 0).count() == 1
+
+
+def test_rename_rejects_constrained_column(spark, tmp_path):
+    from etl_opensky_spark.sources.versioned import add_constraint
+
+    base = _mk(spark, tmp_path)
+    add_constraint(spark, base, "val_nonempty", "length(val) > 0")
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        rename_column(spark, base, {"val": "payload"})
+    # unrelated rename still fine (id unconstrained)
+    rename_column(spark, base, {"id": "doc_id"})
+    assert "doc_id" in read_version(spark, base).columns
