@@ -12179,6 +12179,63 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def q269_stream_jitter_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jitter-tolerant streaming dedup
+    (``streaming.daily.dedup_jittered_within_watermark`` —
+    ``dropDuplicatesWithinWatermark``): every event arrives TWICE, the
+    second copy re-stamped +30 s (reprocessing jitter) — (key, ts)
+    dedup (q29) would pass both copies; keying on event_id alone within
+    the watermark emits each exactly once.  The batch oracle is the raw
+    table: 2× in with different timestamps, 1× out."""
+    from etl_opensky_spark.streaming.daily import (
+        dedup_jittered_within_watermark,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def src() -> DataFrame:
+        return _ensure_ltz(
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+
+    jittered = src().withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 30 SECONDS")
+    )
+    deduped = dedup_jittered_within_watermark(
+        src().unionByName(jittered), keys=["event_id"], watermark="2 days"
+    )
+    name = "stream_jitter_dedup"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("event_id").alias("n_ids"),
+            F.sum(_dec("value", 6)).cast("double").alias("sum_value"),
+        )
+    )
+
+
+ORACLE_Q269 = """
+SELECT event_type, COUNT(*) AS n,
+  COUNT(DISTINCT event_id) AS n_ids,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -12447,6 +12504,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q266_quality_keeper_dedup": q266_quality_keeper_dedup,
     "q267_restore_rollback": q267_restore_rollback,
     "q268_check_constraints": q268_check_constraints,
+    "q269_stream_jitter_dedup": q269_stream_jitter_dedup,
 }
 
 ORACLES: dict[str, str] = {
@@ -12716,6 +12774,7 @@ ORACLES: dict[str, str] = {
     "q266_quality_keeper_dedup": ORACLE_Q266,
     "q267_restore_rollback": ORACLE_Q267,
     "q268_check_constraints": ORACLE_Q268,
+    "q269_stream_jitter_dedup": ORACLE_Q269,
 }
 
 

@@ -52,6 +52,25 @@ def dedup_within_watermark(
     )
 
 
+def dedup_jittered_within_watermark(
+    stream: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Spark 3.5+ ``dropDuplicatesWithinWatermark``: dedup on the
+    BUSINESS KEY ALONE even when duplicate deliveries carry DIFFERENT
+    event-time values (reprocessing jitter, clock-skewed producers,
+    retry pipelines that re-stamp) — the case ``dedup_within_watermark``
+    (keyed on ``(keys, ts)``) cannot catch, because the jittered copy
+    is a different row under that key.  Per-key state is dropped once
+    the watermark passes the first-seen event time plus the gap, so
+    state stays bounded exactly as in the strict variant."""
+    return stream.withWatermark(
+        ts_col, watermark
+    ).dropDuplicatesWithinWatermark(list(keys))
+
+
 def append_missing_sink(
     stream: DataFrame,
     target_path: str,

@@ -159,3 +159,40 @@ def test_kafka_stream_raises_clear_error_without_connector(spark):
 
     with _pytest.raises(RuntimeError, match="kafka connector unavailable"):
         kafka_stream(spark, "localhost:9092", "topic")
+
+
+def test_jittered_duplicates_caught_only_by_watermark_keyed_dedup(
+    spark, tmp_path
+):
+    from etl_opensky_spark.streaming.daily import (
+        dedup_jittered_within_watermark,
+    )
+
+    path = str(tmp_path / "jitter")
+    rows = [
+        (1, "2024-01-01 01:00:00", "click"),
+        (1, "2024-01-01 01:00:30", "click"),  # same key, re-stamped +30s
+        (2, "2024-01-01 02:00:00", "view"),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string"
+    ).select(
+        "event_id", F.col("ts").cast("timestamp"), "event_type"
+    ).write.mode("overwrite").parquet(path)
+
+    stream = file_stream(spark, path, SCHEMA)
+    run_to_memory(
+        dedup_within_watermark(stream, keys=["event_id"]), "strict_d", "append"
+    )
+    # strict (key, ts) dedup passes BOTH jittered copies
+    assert spark.table("strict_d").filter(F.col("event_id") == 1).count() == 2
+
+    stream2 = file_stream(spark, path, SCHEMA)
+    run_to_memory(
+        dedup_jittered_within_watermark(stream2, keys=["event_id"]),
+        "jitter_d",
+        "append",
+    )
+    got = spark.table("jitter_d")
+    assert got.filter(F.col("event_id") == 1).count() == 1
+    assert got.count() == 2
