@@ -275,6 +275,21 @@ BENCH_QUERIES = [
     "q253_collation",
     "q254_weighted_median",
     "q255_clamped_balance",
+    # round-5 session-3 additions
+    "q256_gini_skew",
+    "q257_quota_allocation",
+    "q258_time_decay_score",
+    "q259_rater_agreement",
+    "q260_hll_intersection",
+    "q261_calibration",
+    "q262_temperature_mixture",
+    "q263_orc_roundtrip",
+    "q264_k_core",
+    "q265_rename_lifecycle",
+    "q266_quality_keeper_dedup",
+    "q267_restore_rollback",
+    "q268_check_constraints",
+    "q269_stream_jitter_dedup",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)
