@@ -172,3 +172,68 @@ def correlation_matrix(
     return out.select(
         "i", "j", F.round(corr, decimals).alias("corr")
     )
+
+
+def top_eigenvalue(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    scale: float = QUANT_SCALE,
+    iters: int = 200,
+):
+    """Largest eigenvalue of the corpus SAMPLE-COVARIANCE matrix — the
+    PCA-readiness number (top principal variance; the whitening /
+    dimensionality budget starts here).
+
+    Split exactly like ``correlation_matrix``: the DISTRIBUTED work is
+    the exact-integer moment passes (``gram_upper_triangle`` +
+    ``moment_sums`` — one Arrow pass, d²-sized shuffles, corpus-size
+    independent state); the eigensolve is driver-side power iteration
+    on the d×d integer numerator matrix ``A_ij = n·s_ij − s_i·s_j``
+    (covariance = A / (n(n−1)·scale²)) — O(d²·iters) driver
+    arithmetic, no corpus data on the driver.
+
+    Returns a dict with exact python-int invariants for gating:
+    ``n``, ``trace_num`` (= Σ A_ii), ``maxdiag_num`` (= max A_ii), and
+    the float ``eig_cov`` (top eigenvalue of the covariance) plus
+    ``eig_num`` (same, in A-numerator units).  For any PSD matrix
+    ``max_i A_ii ≤ λ_max(A) ≤ trace(A)`` — the oracle-checkable
+    sandwich."""
+    import numpy as np
+
+    gram = {
+        (r["i"], r["j"]): int(r["s_ij"])
+        for r in gram_upper_triangle(embeddings, vec_col, scale).collect()
+    }
+    mom = moment_sums(embeddings, vec_col, scale).collect()
+    s = {r["i"]: int(r["s_i"]) for r in mom}
+    n = int(mom[0]["n"])
+    d = max(s) + 1
+    a = [
+        [
+            n * gram[(min(i, j), max(i, j))] - s[i] * s[j]
+            for j in range(d)
+        ]
+        for i in range(d)
+    ]
+    trace_num = sum(a[i][i] for i in range(d))
+    maxdiag_num = max(a[i][i] for i in range(d))
+    mat = np.array(a, dtype=np.float64)
+    nrm = np.linalg.norm(mat) or 1.0
+    mat /= nrm  # scale into float range; eigenvalue scales back
+    v = np.ones(d) / np.sqrt(d)
+    for _ in range(iters):
+        w = mat @ v
+        norm = np.linalg.norm(w)
+        if norm == 0:
+            break
+        v = w / norm
+    eig_num = float(v @ (mat @ v)) * nrm
+    den = n * (n - 1) * scale * scale
+    return {
+        "n": n,
+        "dim": d,
+        "trace_num": trace_num,
+        "maxdiag_num": maxdiag_num,
+        "eig_num": eig_num,
+        "eig_cov": eig_num / den,
+    }

@@ -12236,6 +12236,65 @@ FROM events GROUP BY event_type
 """
 
 
+def q270_top_eigenvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top covariance eigenvalue, bound-gated
+    (``functions.linalg.top_eigenvalue``): distributed exact-integer
+    moment passes + driver-side power iteration on the d×d numerator
+    matrix.  The gate pins the EXACT integer invariants (n, trace and
+    max-diagonal of the centered numerator matrix — DuckDB recomputes
+    them from raw vectors) and the PSD sandwich
+    ``maxdiag ≤ λ̂ ≤ trace`` on the float eigenvalue."""
+    from decimal import Decimal
+
+    from etl_opensky_spark.functions.linalg import top_eigenvalue
+
+    emb = _t(spark, sf_dir, "embeddings")
+    r = top_eigenvalue(emb)
+    tol = 1e-6
+    within = (
+        r["maxdiag_num"] * (1 - tol) <= r["eig_num"]
+        <= r["trace_num"] * (1 + tol)
+    )
+    return spark.createDataFrame(
+        [
+            (
+                r["n"],
+                r["dim"],
+                Decimal(r["trace_num"]),
+                Decimal(r["maxdiag_num"]),
+                bool(within),
+            )
+        ],
+        "n bigint, dim int, trace_num decimal(38,0), "
+        "maxdiag_num decimal(38,0), eig_within boolean",
+    )
+
+
+ORACLE_Q270 = """
+WITH comp AS (
+  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i, embedding
+  FROM embeddings
+), q AS (
+  SELECT vec_id, CAST(i AS INTEGER) - 1 AS i,
+    CAST(FLOOR(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000000)
+      AS BIGINT) AS qv
+  FROM comp
+), m AS (
+  SELECT i, SUM(CAST(qv AS HUGEINT)) AS s_i,
+    SUM(CAST(qv AS HUGEINT) * qv) AS s_ii
+  FROM q GROUP BY i
+), nr AS (SELECT COUNT(*) AS n FROM embeddings),
+a AS (
+  SELECT i, (SELECT n FROM nr) * s_ii - s_i * s_i AS a_ii FROM m
+)
+SELECT (SELECT n FROM nr) AS n,
+  CAST((SELECT COUNT(*) FROM m) AS INTEGER) AS dim,
+  SUM(a_ii) AS trace_num, MAX(a_ii) AS maxdiag_num,
+  TRUE AS eig_within
+FROM a
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -12505,6 +12564,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q267_restore_rollback": q267_restore_rollback,
     "q268_check_constraints": q268_check_constraints,
     "q269_stream_jitter_dedup": q269_stream_jitter_dedup,
+    "q270_top_eigenvalue": q270_top_eigenvalue,
 }
 
 ORACLES: dict[str, str] = {
@@ -12775,6 +12835,7 @@ ORACLES: dict[str, str] = {
     "q267_restore_rollback": ORACLE_Q267,
     "q268_check_constraints": ORACLE_Q268,
     "q269_stream_jitter_dedup": ORACLE_Q269,
+    "q270_top_eigenvalue": ORACLE_Q270,
 }
 
 

@@ -202,3 +202,26 @@ def test_keep_by_hot_path_agrees_with_window_path(spark):
     assert cold == hot
     # min (source, id): src7 first appears at doc_id 2
     assert [r[0] for r in cold] == [2, 100]
+
+
+# --- top_eigenvalue (q270) --------------------------------------------------
+
+
+def test_top_eigenvalue_matches_numpy_on_known_data(spark):
+    import numpy as np
+
+    from etl_opensky_spark.functions.linalg import top_eigenvalue
+
+    rng = [(i, [float(i % 5), float((i * 3) % 7), 0.5]) for i in range(60)]
+    df = spark.createDataFrame(rng, "vec_id long, embedding array<float>")
+    r = top_eigenvalue(df)
+    mat = np.array([v for _, v in rng])
+    q = np.floor(mat.astype(np.float64) * 1e6)
+    n = len(rng)
+    a = n * (q.T @ q) - np.outer(q.sum(0), q.sum(0))
+    ref = np.linalg.eigvalsh(a).max()
+    assert r["dim"] == 3 and r["n"] == n
+    assert r["eig_num"] == pytest.approx(ref, rel=1e-9)
+    assert r["maxdiag_num"] <= r["eig_num"] <= r["trace_num"]
+    # constant third component: its diagonal contributes 0 variance
+    assert a[2, 2] == 0
