@@ -291,6 +291,7 @@ BENCH_QUERIES = [
     "q268_check_constraints",
     "q269_stream_jitter_dedup",
     "q270_top_eigenvalue",
+    "q271_observe_metrics",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

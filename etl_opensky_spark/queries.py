@@ -12295,6 +12295,57 @@ FROM a
 """
 
 
+def q271_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``df.observe()`` gate — Spark's zero-cost pipeline-metrics API
+    (named aggregate expressions evaluated DURING another action, no
+    second scan): a filtered write-shaped pass over lineitem is
+    observed with row counts and exact DECIMAL sums; the observed
+    metrics come back through the Observation handle and must equal
+    the oracle's direct aggregates.  The operational point is data-
+    quality counters piggybacking on production jobs — audit numbers
+    with zero extra passes."""
+    from pyspark.sql import Observation
+
+    li = _t(spark, sf_dir, "lineitem")
+    obs = Observation("q271")
+    observed = li.filter(F.col("l_quantity") < 40).observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("total_price"),
+        # DISTINCT aggregates are rejected in observed metrics
+        # (INVALID_OBSERVED_METRICS) — the API contract worth pinning
+        F.sum(F.round(F.col("l_quantity")).cast("long")).alias("sum_qty"),
+        F.max("l_linenumber").cast("long").alias("max_line"),
+    )
+    # the observed action: a count-shaped consumption of the frame
+    n_consumed = observed.count()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                float(m["total_price"]),
+                int(m["sum_qty"]),
+                int(m["max_line"]),
+                int(n_consumed) == int(m["n_rows"]),
+            )
+        ],
+        "n_rows bigint, total_price double, sum_qty bigint, "
+        "max_line bigint, counts_agree boolean",
+    )
+
+
+ORACLE_Q271 = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+    AS total_price,
+  CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+  CAST(MAX(l_linenumber) AS BIGINT) AS max_line,
+  TRUE AS counts_agree
+FROM lineitem WHERE l_quantity < 40
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -12565,6 +12616,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q268_check_constraints": q268_check_constraints,
     "q269_stream_jitter_dedup": q269_stream_jitter_dedup,
     "q270_top_eigenvalue": q270_top_eigenvalue,
+    "q271_observe_metrics": q271_observe_metrics,
 }
 
 ORACLES: dict[str, str] = {
@@ -12836,6 +12888,7 @@ ORACLES: dict[str, str] = {
     "q268_check_constraints": ORACLE_Q268,
     "q269_stream_jitter_dedup": ORACLE_Q269,
     "q270_top_eigenvalue": ORACLE_Q270,
+    "q271_observe_metrics": ORACLE_Q271,
 }
 
 
