@@ -292,6 +292,9 @@ BENCH_QUERIES = [
     "q269_stream_jitter_dedup",
     "q270_top_eigenvalue",
     "q271_observe_metrics",
+    "q272_approx_quantile",
+    "q273_freq_items",
+    "q274_pandas_api",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

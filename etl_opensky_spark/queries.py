@@ -12346,6 +12346,124 @@ FROM lineitem WHERE l_quantity < 40
 """
 
 
+def q272_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``df.stat.approxQuantile`` bound gate (Greenwald–Khanna): for
+    each requested quantile q with relativeError ε, the returned value
+    must have rank inside ``[(q−ε)n, (q+ε)n]`` — the documented GK
+    contract, valid under ANY partition layout.  The rank window of
+    each returned value is measured exactly with two conditional
+    counts (ties widen the admissible window); DuckDB supplies n and
+    TRUE.  At 100 TB the sketch is the only fixed-state plan — exact
+    percentiles need the distributed-prefix machinery (q76)."""
+    ev = _events(spark, sf_dir)
+    cents = ev.select(
+        F.round(F.col("value") * 100).cast("long").alias("c")
+    )
+    eps = 0.01
+    qs = [0.25, 0.5, 0.75]
+    approx = cents.approxQuantile("c", qs, eps)
+    aggs = []
+    for i, a in enumerate(approx):
+        aggs.append(
+            F.sum(F.when(F.col("c") < a, 1).otherwise(0)).alias(f"_lt{i}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col("c") <= a, 1).otherwise(0)).alias(f"_le{i}")
+        )
+    aggs.append(F.count("*").alias("_n"))
+    row = cents.agg(*aggs).first()
+    n = row["_n"]
+    flags = []
+    for i, q in enumerate(qs):
+        lo, hi = (q - eps) * n, (q + eps) * n
+        flags.append(row[f"_lt{i}"] < hi and row[f"_le{i}"] >= lo)
+    return spark.createDataFrame(
+        [(int(n), *[bool(f) for f in flags])],
+        "n bigint, q25_within boolean, q50_within boolean, "
+        "q75_within boolean",
+    )
+
+
+ORACLE_Q272 = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n, TRUE AS q25_within,
+  TRUE AS q50_within, TRUE AS q75_within
+FROM events
+"""
+
+
+def q273_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``df.stat.freqItems`` superset gate: the single-pass
+    Karp–Shenker–Papadimitriou sketch must return EVERY item whose
+    true frequency exceeds the support threshold (false positives
+    allowed, false negatives never — the documented contract).  The
+    exact frequent set is recomputed relationally and hash-compared
+    (DuckDB replays it); the inclusion check is the boolean."""
+    ev = _events(spark, sf_dir)
+    support = 0.25
+    returned = set(
+        ev.stat.freqItems(["event_type"], support).first()[0]
+    )
+    total = ev.count()
+    exact = (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") * 4 > F.lit(total))
+    )
+    return exact.select(
+        "event_type",
+        "cnt",
+        F.col("event_type").isin(*returned).alias("in_sketch"),
+    )
+
+
+ORACLE_Q273 = """
+SELECT event_type, COUNT(*) AS cnt, TRUE AS in_sketch
+FROM events GROUP BY event_type
+HAVING COUNT(*) * 4 > (SELECT COUNT(*) FROM events)
+"""
+
+
+def q274_pandas_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas-API-on-Spark gate (``pyspark.pandas``): the same query a
+    pandas user writes (``groupby().agg`` over a derived column) runs
+    through the ps layer — which compiles to the SAME Catalyst plans —
+    and must hash-match the SQL oracle.  Integer cents keep the sums
+    exact; ``to_spark()`` hands the result back to the DataFrame
+    world.  The fourth API surface beside SQL / DataFrame / streaming."""
+    import pyspark.pandas as ps
+
+    ev = _events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
+    psdf = ev.select(
+        "event_type",
+        cents.alias("c_n"),
+        cents.alias("c_sum"),
+        cents.alias("c_max"),
+    ).pandas_api()
+    # SeriesGroupBy.agg(list) is not implemented in the ps layer (an
+    # API-coverage gap worth knowing); per-column agg dicts are
+    agg = (
+        psdf.groupby("event_type")
+        .agg({"c_n": "count", "c_sum": "sum", "c_max": "max"})
+        .reset_index()
+    )
+    out = agg.to_spark()
+    return out.select(
+        "event_type",
+        F.col("c_n").cast("long").alias("n"),
+        F.col("c_sum").cast("long").alias("sum_cents"),
+        F.col("c_max").cast("long").alias("max_cents"),
+    )
+
+
+ORACLE_Q274 = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+  CAST(MAX(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_cents
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -12617,6 +12735,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q269_stream_jitter_dedup": q269_stream_jitter_dedup,
     "q270_top_eigenvalue": q270_top_eigenvalue,
     "q271_observe_metrics": q271_observe_metrics,
+    "q272_approx_quantile": q272_approx_quantile,
+    "q273_freq_items": q273_freq_items,
+    "q274_pandas_api": q274_pandas_api,
 }
 
 ORACLES: dict[str, str] = {
@@ -12889,6 +13010,9 @@ ORACLES: dict[str, str] = {
     "q269_stream_jitter_dedup": ORACLE_Q269,
     "q270_top_eigenvalue": ORACLE_Q270,
     "q271_observe_metrics": ORACLE_Q271,
+    "q272_approx_quantile": ORACLE_Q272,
+    "q273_freq_items": ORACLE_Q273,
+    "q274_pandas_api": ORACLE_Q274,
 }
 
 
