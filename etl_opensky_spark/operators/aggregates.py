@@ -860,5 +860,10 @@ def gini_coefficient(
         F.col("_t").alias("total"),
         num.cast("long").alias("gini_num"),
         den.cast("long").alias("gini_den"),
-        (num.cast("double") / den.cast("double")).alias("gini"),
+        # NULL (not a division error) when every value is 0: an all-zero
+        # distribution has no defined inequality — ANSI mode would throw
+        # (hypothesis-found edge)
+        F.when(
+            den != 0, num.cast("double") / den.cast("double")
+        ).alias("gini"),
     )
