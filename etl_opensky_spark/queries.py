@@ -12464,6 +12464,43 @@ FROM events GROUP BY event_type
 """
 
 
+def q275_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``WITH RECURSIVE`` engine surface (new in Spark 4): per-user
+    ancestor chain over the implicit binary-heap hierarchy
+    ``parent(n) = n div 2`` down to the root — the org-chart/BOM
+    traversal shape that previously required the iterative-DataFrame
+    loop (``functions.graph``).  Exact integer arithmetic; chain depth
+    is log2(max id) ≈ 20, far under Spark's recursion level limit.
+    DuckDB replays the identical recursion with its own ``//``."""
+    ev = _events(spark, sf_dir)
+    ev.select("user_id").distinct().createOrReplaceTempView("q275_users")
+    return spark.sql(
+        """
+        WITH RECURSIVE anc AS (
+          SELECT user_id, user_id AS node FROM q275_users
+          UNION ALL
+          SELECT user_id, node div 2 AS node FROM anc WHERE node > 1
+        )
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS chain_len,
+          CAST(MIN(node) AS BIGINT) AS root
+        FROM anc GROUP BY user_id
+        """
+    )
+
+
+ORACLE_Q275 = """
+WITH RECURSIVE anc AS (
+  SELECT user_id, user_id AS node
+  FROM (SELECT DISTINCT user_id FROM events)
+  UNION ALL
+  SELECT user_id, node // 2 AS node FROM anc WHERE node > 1
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS chain_len,
+  CAST(MIN(node) AS BIGINT) AS root
+FROM anc GROUP BY user_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -12738,6 +12775,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q272_approx_quantile": q272_approx_quantile,
     "q273_freq_items": q273_freq_items,
     "q274_pandas_api": q274_pandas_api,
+    "q275_recursive_cte": q275_recursive_cte,
 }
 
 ORACLES: dict[str, str] = {
@@ -13013,6 +13051,7 @@ ORACLES: dict[str, str] = {
     "q272_approx_quantile": ORACLE_Q272,
     "q273_freq_items": ORACLE_Q273,
     "q274_pandas_api": ORACLE_Q274,
+    "q275_recursive_cte": ORACLE_Q275,
 }
 
 
