@@ -296,6 +296,7 @@ BENCH_QUERIES = [
     "q273_freq_items",
     "q274_pandas_api",
     "q275_recursive_cte",
+    "q276_copy_into",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

@@ -12501,6 +12501,80 @@ FROM anc GROUP BY user_id
 """
 
 
+def q276_copy_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY INTO gate (``sources.versioned.copy_into`` — file-level
+    idempotent ingest): two landing files ingest as v1, a re-run is a
+    NO-OP (file identity, no commit), a late third file — which
+    re-delivers the %7 ROWS in a new file — lands alone as v2 and its
+    rows are KEPT (file-level dedup is by file, not content; row dedup
+    is merge's job).  Oracle replays the final content: every order
+    once plus the %7 orders again."""
+    import glob
+    import os
+    import shutil
+
+    from etl_opensky_spark.sources.versioned import copy_into, read_version
+
+    landing = _gate_tmp("q276_landing", sf_dir)
+    lake = _gate_tmp("q276_lake", sf_dir)
+    shutil.rmtree(landing, ignore_errors=True)
+    shutil.rmtree(lake, ignore_errors=True)
+    os.makedirs(landing, exist_ok=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    parts = {
+        "even.parquet": orders.filter(F.col("o_orderkey") % 2 == 0),
+        "odd.parquet": orders.filter(F.col("o_orderkey") % 2 == 1),
+    }
+    for fname, df in parts.items():
+        stage = os.path.join(landing, "_stage")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        src = glob.glob(os.path.join(stage, "*.parquet"))[0]
+        shutil.copy(src, os.path.join(landing, fname))
+    shutil.rmtree(os.path.join(landing, "_stage"), ignore_errors=True)
+    v1, n1 = copy_into(spark, lake, landing)
+    v2, n2 = copy_into(spark, lake, landing)  # must be a no-op
+    stage = os.path.join(landing, "_stage")
+    orders.filter(F.col("o_orderkey") % 7 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    src = glob.glob(os.path.join(stage, "*.parquet"))[0]
+    shutil.copy(src, os.path.join(landing, "late.parquet"))
+    shutil.rmtree(stage, ignore_errors=True)
+    v3, n3 = copy_into(spark, lake, landing)
+    ok = (
+        (v1, n1) == (1, 2) and (v2, n2) == (1, 0) and (v3, n3) == (2, 1)
+    )
+    return (
+        read_version(spark, lake)
+        .groupBy("prio")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("price")).cast("double").alias("total_price"),
+        )
+        .select("prio", "n", "total_price", F.lit(ok).alias("protocol_ok"))
+    )
+
+
+ORACLE_Q276 = """
+WITH src AS (
+  SELECT o_orderkey AS k, o_totalprice AS price, o_orderpriority AS prio
+  FROM orders
+), final AS (
+  SELECT k, price, prio FROM src
+  UNION ALL
+  SELECT k, price, prio FROM src WHERE k % 7 = 0
+)
+SELECT prio, COUNT(*) AS n,
+  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+  TRUE AS protocol_ok
+FROM final GROUP BY prio
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -12776,6 +12850,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q273_freq_items": q273_freq_items,
     "q274_pandas_api": q274_pandas_api,
     "q275_recursive_cte": q275_recursive_cte,
+    "q276_copy_into": q276_copy_into,
 }
 
 ORACLES: dict[str, str] = {
@@ -13052,6 +13127,7 @@ ORACLES: dict[str, str] = {
     "q273_freq_items": ORACLE_Q273,
     "q274_pandas_api": ORACLE_Q274,
     "q275_recursive_cte": ORACLE_Q275,
+    "q276_copy_into": ORACLE_Q276,
 }
 
 

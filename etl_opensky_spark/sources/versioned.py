@@ -623,7 +623,8 @@ def restore_version(base: str, to_version: int) -> int:
     _link_tree(os.path.join(base, entry["dir"]), data_dir)
     extra: dict = {"restored_from": to_version}
     for key in (
-        "schema_json", "column_mapping", "stats_cols", "stats", "constraints"
+        "schema_json", "column_mapping", "stats_cols", "stats",
+        "constraints", "ingested_files",
     ):
         if entry.get(key) is not None and key in entry:
             extra[key] = entry[key]
@@ -858,6 +859,8 @@ def merge_versioned(
             extra["column_mapping"] = carry_mapping
         if cons:
             extra["constraints"] = cons
+        if cur.get("ingested_files"):
+            extra["ingested_files"] = cur["ingested_files"]
         _commit(base, version, name, "merge", extra=extra or None)
     except ConcurrentCommitError:
         shutil.rmtree(data_dir, ignore_errors=True)
@@ -940,6 +943,8 @@ def purge_versioned(
             extra["column_mapping"] = carry_mapping
         if cur.get("constraints"):
             extra["constraints"] = cur["constraints"]
+        if cur.get("ingested_files"):
+            extra["ingested_files"] = cur["ingested_files"]
         _commit(base, version, name, "purge", extra=extra or None)
     except ConcurrentCommitError:
         shutil.rmtree(data_dir, ignore_errors=True)
@@ -1044,6 +1049,8 @@ def compact_versioned(
             }
         if cur.get("constraints"):
             extra["constraints"] = cur["constraints"]
+        if cur.get("ingested_files"):
+            extra["ingested_files"] = cur["ingested_files"]
         _commit(base, version, name, "compact", extra=extra or None)
     except ConcurrentCommitError:
         shutil.rmtree(data_dir, ignore_errors=True)
@@ -1085,6 +1092,8 @@ def clone_versioned(
         extra["column_mapping"] = entry["column_mapping"]
     if entry.get("constraints"):
         extra["constraints"] = entry["constraints"]
+    if entry.get("ingested_files"):
+        extra["ingested_files"] = entry["ingested_files"]
     try:
         _commit(dst_base, 1, name, "clone", extra=extra or None)
     except ConcurrentCommitError:
@@ -1143,7 +1152,10 @@ def add_constraint(
     dname, data_dir = _new_data_dir(base)
     _link_tree(os.path.join(base, cur["dir"]), data_dir)
     extra: dict = {"constraints": cons}
-    for key in ("schema_json", "column_mapping", "stats_cols", "stats"):
+    for key in (
+        "schema_json", "column_mapping", "stats_cols", "stats",
+        "ingested_files",
+    ):
         if key in cur and cur.get(key) is not None:
             extra[key] = cur[key]
     try:
@@ -1169,7 +1181,10 @@ def drop_constraint(base: str, name: str) -> int:
     extra: dict = {}
     if cons:
         extra["constraints"] = cons
-    for key in ("schema_json", "column_mapping", "stats_cols", "stats"):
+    for key in (
+        "schema_json", "column_mapping", "stats_cols", "stats",
+        "ingested_files",
+    ):
         if key in cur and cur.get(key) is not None:
             extra[key] = cur[key]
     try:
@@ -1292,12 +1307,103 @@ def rename_column(
         extra["stats"] = cur["stats"]
     if cons:
         extra["constraints"] = cons
+    if cur.get("ingested_files"):
+        extra["ingested_files"] = cur["ingested_files"]
     try:
         _commit(base, version, name, "rename", extra=extra)
     except ConcurrentCommitError:
         shutil.rmtree(data_dir, ignore_errors=True)
         raise
     return version
+
+
+def copy_into(
+    spark: SparkSession,
+    base: str,
+    src_dir: str,
+    pattern: str = ".parquet",
+    stats_cols: Sequence[str] = (),
+) -> tuple[int, int]:
+    """Idempotent FILE-LEVEL ingest (Delta ``COPY INTO`` / Auto-Loader
+    semantics, batch form): every source file is ingested EXACTLY ONCE
+    — the commit log records which file names each snapshot has
+    absorbed, re-running skips them, and a partially-failed run leaves
+    only invisible orphans (the commit is still the single atomic
+    point).  The landing-zone pattern without keys: dedup is by FILE
+    IDENTITY, not row content, so duplicate rows ACROSS files are kept
+    (that's ``merge_versioned``'s job).
+
+    New rows are appended zero-copy: the parent snapshot is hardlinked
+    and the new batch's parquet parts land beside it under unique
+    names.  CHECK constraints validate the incoming batch BEFORE any
+    staging; a column-mapped table writes the batch under the frozen
+    physical names.  Unpartitioned tables only (a partitioned landing
+    zone should land partition-shaped via ``merge_versioned``).
+
+    Driver-side directory listing — at real scale feed this from a
+    notification queue or a distributed listing job; the log protocol
+    is unchanged.  Returns ``(version, n_new_files)``; re-runs with no
+    new files commit nothing.
+    """
+    names = sorted(
+        f for f in os.listdir(src_dir)
+        if f.endswith(pattern) and not f.startswith(("_", "."))
+    )
+    cur = _current(base)
+    seen: set[str] = set()
+    if cur is not None:
+        seen = set(cur.get("ingested_files") or [])
+        if _partition_cols_of(os.path.join(base, cur["dir"])):
+            raise ValueError("copy_into: unpartitioned tables only")
+    new_files = [f for f in names if f not in seen]
+    if not new_files:
+        return (cur["version"] if cur else 0), 0
+    batch = spark.read.parquet(
+        *[os.path.join(src_dir, f) for f in new_files]
+    )
+    cons = dict((cur or {}).get("constraints") or {})
+    _check_constraints(batch, cons)
+    mapping = _col_mapping(cur) if cur else {}
+    if mapping:
+        batch = batch.select(
+            *[F.col(c).alias(mapping.get(c, c)) for c in batch.columns]
+        )
+    os.makedirs(base, exist_ok=True)
+    version = (cur["version"] if cur else 0) + 1
+    dname, data_dir = _new_data_dir(base)
+    staging = os.path.join(base, f"_staging-{uuid.uuid4().hex[:12]}")
+    try:
+        batch.write.mode("errorifexists").parquet(staging)
+        if cur is not None:
+            _link_tree(os.path.join(base, cur["dir"]), data_dir)
+        else:
+            os.makedirs(data_dir, exist_ok=True)
+        tag = uuid.uuid4().hex[:8]
+        for f in os.listdir(staging):
+            if f.endswith(".parquet"):
+                os.link(
+                    os.path.join(staging, f),
+                    os.path.join(data_dir, f"ing-{tag}-{f}"),
+                )
+        extra: dict = {
+            "ingested_files": sorted(seen | set(new_files)),
+        }
+        st = _stats_extra(spark, data_dir, stats_cols)
+        if st:
+            extra.update(st)
+        if cur:
+            for key in (
+                "schema_json", "column_mapping", "constraints"
+            ):
+                if cur.get(key):
+                    extra[key] = cur[key]
+        _commit(base, version, dname, "copy_into", extra=extra)
+    except ConcurrentCommitError:
+        shutil.rmtree(data_dir, ignore_errors=True)
+        raise
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return version, len(new_files)
 
 
 def merge_with_retry(

@@ -380,3 +380,86 @@ def test_rename_rejects_constrained_column(spark, tmp_path):
     # unrelated rename still fine (id unconstrained)
     rename_column(spark, base, {"id": "doc_id"})
     assert "doc_id" in read_version(spark, base).columns
+
+
+# --- copy_into (file-level idempotent ingest) -------------------------------
+
+
+def _landing(spark, tmp_path, n_files=2):
+    src = str(tmp_path / "landing")
+    import os
+
+    os.makedirs(src, exist_ok=True)
+    for i in range(n_files):
+        spark.createDataFrame(
+            [(i * 10 + j, f"r{i}-{j}") for j in range(3)],
+            "id long, val string",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"stage{i}")
+        )
+        import glob, shutil
+
+        part = glob.glob(str(tmp_path / f"stage{i}" / "*.parquet"))[0]
+        shutil.copy(part, os.path.join(src, f"batch{i}.parquet"))
+    return src
+
+
+def test_copy_into_is_file_idempotent(spark, tmp_path):
+    from etl_opensky_spark.sources.versioned import copy_into
+
+    src = _landing(spark, tmp_path)
+    base = str(tmp_path / "lake")
+    v1, n1 = copy_into(spark, base, src)
+    assert (v1, n1) == (1, 2)
+    assert read_version(spark, base).count() == 6
+    # re-run: nothing new, nothing committed
+    v2, n2 = copy_into(spark, base, src)
+    assert (v2, n2) == (1, 0)
+    assert read_version(spark, base).count() == 6
+    # a late file lands alone
+    import os, shutil, glob
+
+    spark.createDataFrame([(99, "late")], "id long, val string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(tmp_path / "stage_late"))
+    part = glob.glob(str(tmp_path / "stage_late" / "*.parquet"))[0]
+    shutil.copy(part, os.path.join(src, "batch_late.parquet"))
+    v3, n3 = copy_into(spark, base, src)
+    assert (v3, n3) == (2, 1)
+    assert read_version(spark, base).count() == 7
+    # old snapshot isolation
+    assert read_version(spark, base, as_of=1).count() == 6
+
+
+def test_copy_into_respects_constraints_and_rename(spark, tmp_path):
+    from etl_opensky_spark.sources.versioned import (
+        ConstraintViolationError,
+        add_constraint,
+        copy_into,
+    )
+
+    src = _landing(spark, tmp_path)
+    base = str(tmp_path / "lake")
+    copy_into(spark, base, src)
+    add_constraint(spark, base, "id_small", "id < 50")
+    rename_column(spark, base, {"val": "payload"})
+    import glob, os, shutil
+
+    spark.createDataFrame([(99, "big")], "id long, val string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(tmp_path / "bad"))
+    part = glob.glob(str(tmp_path / "bad" / "*.parquet"))[0]
+    shutil.copy(part, os.path.join(src, "bad.parquet"))
+    with pytest.raises(ConstraintViolationError):
+        copy_into(spark, base, src)
+    os.remove(os.path.join(src, "bad.parquet"))
+    spark.createDataFrame([(42, "ok")], "id long, val string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(tmp_path / "good"))
+    part = glob.glob(str(tmp_path / "good" / "*.parquet"))[0]
+    shutil.copy(part, os.path.join(src, "good.parquet"))
+    v, n = copy_into(spark, base, src)
+    assert n == 1
+    got = read_version(spark, base)
+    assert "payload" in got.columns
+    assert got.filter(F.col("id") == 42).count() == 1
