@@ -12575,6 +12575,74 @@ FROM final GROUP BY prio
 """
 
 
+def q277_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE gate
+    (``sources.versioned.purge_versioned_mor`` — deletion-vector
+    semantics): %9 keys are deleted as a TOMBSTONE commit (O(deleted
+    keys), every data file hardlinked — nothing rewritten), then a
+    keyed MERGE doubles %5 prices touching only its own partitions —
+    the hardlinked rest still physically holds the deleted rows and
+    the carried tombstones must keep them invisible.  Tip and the
+    pre-delete v1 are both read; the oracle replays each state."""
+    import shutil
+
+    from etl_opensky_spark.sources.versioned import (
+        merge_versioned,
+        purge_versioned_mor,
+        read_version,
+        write_version,
+    )
+
+    base = _gate_tmp("q277_mor", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    write_version(orders, base, partition_by=["prio"])
+    purge_versioned_mor(
+        spark,
+        base,
+        orders.filter(F.col("o_orderkey") % 9 == 0).select("o_orderkey"),
+        ["o_orderkey"],
+    )
+    upd = orders.filter(
+        (F.col("o_orderkey") % 5 == 0) & (F.col("o_orderkey") % 9 != 0)
+    ).select("o_orderkey", (F.col("price") * 2).alias("price"), "prio")
+    merge_versioned(spark, base, upd, ["o_orderkey"], ["prio"])
+    tip = (
+        read_version(spark, base)
+        .groupBy("prio")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("price")).cast("double").alias("total_tip"),
+        )
+    )
+    v1 = (
+        read_version(spark, base, as_of=1)
+        .groupBy("prio")
+        .agg(F.count("*").alias("n_v1"))
+    )
+    return tip.join(v1, "prio").select(
+        "prio", "n", "total_tip", "n_v1"
+    )
+
+
+ORACLE_Q277 = """
+WITH src AS (
+  SELECT o_orderkey AS k, o_totalprice AS price, o_orderpriority AS prio
+  FROM orders
+), tip AS (
+  SELECT prio, COUNT(*) AS n,
+    CAST(SUM(CAST(CASE WHEN k % 5 = 0 THEN price * 2 ELSE price END
+             AS DECIMAL(18,2))) AS DOUBLE) AS total_tip
+  FROM src WHERE k % 9 <> 0 GROUP BY prio
+), v1 AS (SELECT prio, COUNT(*) AS n_v1 FROM src GROUP BY prio)
+SELECT t.prio, n, total_tip, n_v1 FROM tip t JOIN v1 USING (prio)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -12851,6 +12919,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q274_pandas_api": q274_pandas_api,
     "q275_recursive_cte": q275_recursive_cte,
     "q276_copy_into": q276_copy_into,
+    "q277_mor_delete": q277_mor_delete,
 }
 
 ORACLES: dict[str, str] = {
@@ -13128,6 +13197,7 @@ ORACLES: dict[str, str] = {
     "q274_pandas_api": ORACLE_Q274,
     "q275_recursive_cte": ORACLE_Q275,
     "q276_copy_into": ORACLE_Q276,
+    "q277_mor_delete": ORACLE_Q277,
 }
 
 

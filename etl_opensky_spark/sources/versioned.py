@@ -296,9 +296,14 @@ def _harvest_file_stats(
     (reader must keep the file)."""
     cols = list(stats_cols)
     files: list[str] = []
-    for root, _dirs, names in os.walk(data_dir):
+    for root, dirs, names in os.walk(data_dir):
+        # hidden dirs (tombstone sidecars etc.) follow Spark's
+        # underscore convention: invisible to the scan, so they must be
+        # invisible to the stats manifest too — a harvested tombstone
+        # file would be served back as DATA by a pruned read
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         for n in names:
-            if n.endswith(".parquet"):
+            if n.endswith(".parquet") and not n.startswith(("_", ".")):
                 files.append(os.path.join(root, n))
     if not files:
         return {}
@@ -541,10 +546,35 @@ def _reader(spark: SparkSession, entry: dict):
     return r
 
 
+def _apply_tombstones(
+    spark: SparkSession, base: str, entry: dict, df: DataFrame
+) -> DataFrame:
+    """Merge-on-read DELETE: anti-join away every key recorded in the
+    snapshot's tombstone sidecars (``purge_versioned_mor``).  Applied
+    AFTER column mapping, so tombstone keys are logical names.  No-op
+    without tombstones."""
+    tombs = entry.get("tombstones") or []
+    for t in tombs:
+        keys_df = spark.read.parquet(
+            os.path.join(base, entry["dir"], t["dir"])
+        )
+        # positional rename: the sidecar's column ORDER is the key
+        # order at write time, but a later rename_column may have
+        # re-labeled the logical names the rider now carries
+        keys_df = keys_df.toDF(*t["keys"])
+        df = df.join(F.broadcast(keys_df), on=t["keys"], how="left_anti")
+    return df
+
+
 def _read_snapshot(spark: SparkSession, base: str, entry: dict) -> DataFrame:
-    return _apply_mapping(
-        _reader(spark, entry).parquet(os.path.join(base, entry["dir"])),
+    return _apply_tombstones(
+        spark,
+        base,
         entry,
+        _apply_mapping(
+            _reader(spark, entry).parquet(os.path.join(base, entry["dir"])),
+            entry,
+        ),
     )
 
 
@@ -574,11 +604,16 @@ def read_version(
     kept, _total = prune_files(base, where, as_of=entry["version"])
     if not kept:
         return _read_snapshot(spark, base, entry).filter(F.lit(False))
-    return _apply_mapping(
-        _reader(spark, entry).option("basePath", data_dir).parquet(
-            *[os.path.join(data_dir, rel) for rel in kept]
-        ),
+    return _apply_tombstones(
+        spark,
+        base,
         entry,
+        _apply_mapping(
+            _reader(spark, entry).option("basePath", data_dir).parquet(
+                *[os.path.join(data_dir, rel) for rel in kept]
+            ),
+            entry,
+        ),
     )
 
 
@@ -624,7 +659,7 @@ def restore_version(base: str, to_version: int) -> int:
     extra: dict = {"restored_from": to_version}
     for key in (
         "schema_json", "column_mapping", "stats_cols", "stats",
-        "constraints", "ingested_files",
+        "constraints", "ingested_files", "tombstones",
     ):
         if entry.get(key) is not None and key in entry:
             extra[key] = entry[key]
@@ -841,6 +876,14 @@ def merge_versioned(
             _snapshot_from_parent(
                 parent_dir, data_dir, part_cols, affected_suffixes, staging
             )
+            # hardlinked partitions still hold MOR-deleted rows: the
+            # tombstone sidecars (and their rider) must travel or those
+            # rows would silently resurface
+            for t in cur.get("tombstones") or []:
+                _link_tree(
+                    os.path.join(parent_dir, t["dir"]),
+                    os.path.join(data_dir, t["dir"]),
+                )
         # the unpartitioned branch is a full rewrite under LOGICAL names,
         # which clears any column mapping; the partitioned branch keeps
         # physical names in every file and must carry the mapping
@@ -861,6 +904,8 @@ def merge_versioned(
             extra["constraints"] = cons
         if cur.get("ingested_files"):
             extra["ingested_files"] = cur["ingested_files"]
+        if part_cols and cur.get("tombstones"):
+            extra["tombstones"] = cur["tombstones"]
         _commit(base, version, name, "merge", extra=extra or None)
     except ConcurrentCommitError:
         shutil.rmtree(data_dir, ignore_errors=True)
@@ -930,6 +975,11 @@ def purge_versioned(
             _snapshot_from_parent(
                 parent_dir, data_dir, part_cols, affected_suffixes, staging
             )
+            for t in cur.get("tombstones") or []:
+                _link_tree(
+                    os.path.join(parent_dir, t["dir"]),
+                    os.path.join(data_dir, t["dir"]),
+                )
         carry_mapping = mapping if part_cols else {}
         phys_stats = (
             [mapping.get(c, c) for c in stats_cols]
@@ -945,12 +995,67 @@ def purge_versioned(
             extra["constraints"] = cur["constraints"]
         if cur.get("ingested_files"):
             extra["ingested_files"] = cur["ingested_files"]
+        if part_cols and cur.get("tombstones"):
+            extra["tombstones"] = cur["tombstones"]
         _commit(base, version, name, "purge", extra=extra or None)
     except ConcurrentCommitError:
         shutil.rmtree(data_dir, ignore_errors=True)
         raise
     finally:
         shutil.rmtree(staging, ignore_errors=True)
+    return version, n_deleted
+
+
+def purge_versioned_mor(
+    spark: SparkSession,
+    base: str,
+    delete_keys: DataFrame,
+    keys: Sequence[str],
+) -> tuple[int, int]:
+    """Merge-on-read DELETE (Delta deletion-vector semantics): instead
+    of rewriting every partition holding a matched key
+    (:func:`purge_versioned`'s copy-on-write), the commit records the
+    deleted KEYS as a hidden tombstone sidecar inside the (fully
+    hardlinked) snapshot and every reader anti-joins them away —
+    commit cost is O(deleted keys + #files metadata), independent of
+    how much data the keys touch.  The write-fast/read-tax trade:
+    stacked tombstones add one broadcast anti-join per MOR purge, and
+    ``compact_versioned`` (or any full-rewrite op) MATERIALIZES them
+    back to zero.  Tombstone keys are logical names (applied after
+    column mapping); underscore-prefixed sidecar dirs are invisible to
+    the parquet scan.  Returns ``(version, n_deleted)``; a no-match
+    delete commits nothing."""
+    keys = list(keys)
+    cur = _current(base)
+    if cur is None:
+        raise ValueError(f"no committed versions at {base}")
+    parent_dir = os.path.join(base, cur["dir"])
+    target = _read_snapshot(spark, base, cur)
+    dk = delete_keys.select(*keys).distinct().localCheckpoint()
+    n_deleted = target.join(F.broadcast(dk), on=keys, how="left_semi").count()
+    if n_deleted == 0:
+        return cur["version"], 0
+    version = cur["version"] + 1
+    name, data_dir = _new_data_dir(base)
+    try:
+        _link_tree(parent_dir, data_dir)
+        tomb_name = f"_tomb-{uuid.uuid4().hex[:12]}"
+        dk.coalesce(1).write.mode("errorifexists").parquet(
+            os.path.join(data_dir, tomb_name)
+        )
+        tombs = list(cur.get("tombstones") or [])
+        tombs.append({"dir": tomb_name, "keys": keys})
+        extra: dict = {"tombstones": tombs}
+        for key in (
+            "schema_json", "column_mapping", "stats_cols", "stats",
+            "constraints", "ingested_files",
+        ):
+            if cur.get(key) is not None and key in cur:
+                extra[key] = cur[key]
+        _commit(base, version, name, "purge_mor", extra=extra)
+    except ConcurrentCommitError:
+        shutil.rmtree(data_dir, ignore_errors=True)
+        raise
     return version, n_deleted
 
 
@@ -1094,6 +1199,8 @@ def clone_versioned(
         extra["constraints"] = entry["constraints"]
     if entry.get("ingested_files"):
         extra["ingested_files"] = entry["ingested_files"]
+    if entry.get("tombstones"):
+        extra["tombstones"] = entry["tombstones"]
     try:
         _commit(dst_base, 1, name, "clone", extra=extra or None)
     except ConcurrentCommitError:
@@ -1154,7 +1261,7 @@ def add_constraint(
     extra: dict = {"constraints": cons}
     for key in (
         "schema_json", "column_mapping", "stats_cols", "stats",
-        "ingested_files",
+        "ingested_files", "tombstones",
     ):
         if key in cur and cur.get(key) is not None:
             extra[key] = cur[key]
@@ -1183,7 +1290,7 @@ def drop_constraint(base: str, name: str) -> int:
         extra["constraints"] = cons
     for key in (
         "schema_json", "column_mapping", "stats_cols", "stats",
-        "ingested_files",
+        "ingested_files", "tombstones",
     ):
         if key in cur and cur.get(key) is not None:
             extra[key] = cur[key]
@@ -1309,6 +1416,13 @@ def rename_column(
         extra["constraints"] = cons
     if cur.get("ingested_files"):
         extra["ingested_files"] = cur["ingested_files"]
+    if cur.get("tombstones"):
+        # tombstone key labels are logical names: re-label them with the
+        # rename (sidecar files are positional, so data stays untouched)
+        extra["tombstones"] = [
+            {**t, "keys": [renames.get(k, k) for k in t["keys"]]}
+            for t in cur["tombstones"]
+        ]
     try:
         _commit(base, version, name, "rename", extra=extra)
     except ConcurrentCommitError:
@@ -1393,7 +1507,8 @@ def copy_into(
             extra.update(st)
         if cur:
             for key in (
-                "schema_json", "column_mapping", "constraints"
+                "schema_json", "column_mapping", "constraints",
+                "tombstones",
             ):
                 if cur.get(key):
                     extra[key] = cur[key]
@@ -1592,9 +1707,14 @@ def read_version_eq(
     kept, _total = prune_files_eq(spark, base, col, value, as_of=as_of)
     if not kept:
         return _read_snapshot(spark, base, entry).filter(F.lit(False))
-    return _apply_mapping(
-        _reader(spark, entry).option("basePath", data_dir).parquet(
-            *[os.path.join(data_dir, rel) for rel in kept]
-        ),
+    return _apply_tombstones(
+        spark,
+        base,
         entry,
+        _apply_mapping(
+            _reader(spark, entry).option("basePath", data_dir).parquet(
+                *[os.path.join(data_dir, rel) for rel in kept]
+            ),
+            entry,
+        ),
     )

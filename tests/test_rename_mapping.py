@@ -463,3 +463,96 @@ def test_copy_into_respects_constraints_and_rename(spark, tmp_path):
     got = read_version(spark, base)
     assert "payload" in got.columns
     assert got.filter(F.col("id") == 42).count() == 1
+
+
+# --- merge-on-read deletes (deletion vectors) -------------------------------
+
+
+def test_mor_delete_is_metadata_cheap_and_correct(spark, tmp_path):
+    from etl_opensky_spark.sources.versioned import purge_versioned_mor
+
+    base = _mk(spark, tmp_path)
+    before = _inodes(base)
+    v, n = purge_versioned_mor(
+        spark, base, spark.createDataFrame([(1,), (3,)], "id long"), ["id"]
+    )
+    assert (v, n) == (2, 2)
+    # every DATA inode hardlink-shared: nothing was rewritten
+    after = {
+        os.stat(os.path.join(r, f)).st_ino
+        for r, ds, fs in os.walk(base)
+        for f in fs
+        if f.endswith(".parquet") and "_tomb" not in r
+    }
+    assert before <= after
+    assert sorted(r["id"] for r in read_version(spark, base).collect()) == [2]
+    # time travel: pre-delete snapshot intact
+    assert read_version(spark, base, as_of=1).count() == 3
+    # no-match delete commits nothing
+    v2, n2 = purge_versioned_mor(
+        spark, base, spark.createDataFrame([(99,)], "id long"), ["id"]
+    )
+    assert (v2, n2) == (2, 0)
+
+
+def test_mor_tombstones_stack_and_compact_materializes(spark, tmp_path):
+    from etl_opensky_spark.sources.versioned import (
+        _current,
+        purge_versioned_mor,
+    )
+
+    base = _mk(spark, tmp_path, partitioned=False)
+    purge_versioned_mor(
+        spark, base, spark.createDataFrame([(1,)], "id long"), ["id"]
+    )
+    purge_versioned_mor(
+        spark, base, spark.createDataFrame([(2,)], "id long"), ["id"]
+    )
+    assert len(_current(base)["tombstones"]) == 2
+    assert read_version(spark, base).count() == 1
+    compact_versioned(spark, base)
+    entry = _current(base)
+    assert "tombstones" not in entry
+    assert read_version(spark, base).count() == 1
+    # the materialized snapshot has no hidden sidecars
+    tip = os.path.join(base, entry["dir"])
+    assert not [d for d in os.listdir(tip) if d.startswith("_tomb")]
+
+
+def test_mor_survives_partitioned_merge_without_resurrection(spark, tmp_path):
+    from etl_opensky_spark.sources.versioned import purge_versioned_mor
+
+    base = _mk(spark, tmp_path)  # partitions y=1 (ids 1,2), y=2 (id 3)
+    purge_versioned_mor(
+        spark, base, spark.createDataFrame([(3,)], "id long"), ["id"]
+    )
+    # merge touches ONLY partition y=1; y=2 stays hardlinked with the
+    # deleted row physically present — the tombstone must still apply
+    merge_versioned(
+        spark,
+        base,
+        spark.createDataFrame([(2, "B", 1)], SCHEMA),
+        keys=["id"],
+        partition_by=["y"],
+    )
+    got = sorted(r["id"] for r in read_version(spark, base).collect())
+    assert got == [1, 2]  # id 3 must NOT resurface
+
+
+def test_mor_composes_with_rename_and_stats(spark, tmp_path):
+    from etl_opensky_spark.sources.versioned import purge_versioned_mor
+
+    base = str(tmp_path / "lake")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).repartitionByRange(4, "k")
+    write_version(df, base, stats_cols=["k"])
+    purge_versioned_mor(
+        spark, base, spark.createDataFrame([(5,), (50,)], "k long"), ["k"]
+    )
+    rename_column(spark, base, {"k": "key"})
+    got = read_version(spark, base, where={"key": (0, 10)})
+    vals = sorted(
+        r["key"] for r in got.filter(F.col("key") <= 10).collect()
+    )
+    assert vals == [0, 1, 2, 3, 4, 6, 7, 8, 9, 10]  # 5 tombstoned
