@@ -12643,6 +12643,86 @@ SELECT t.prio, n, total_tip, n_v1 FROM tip t JOIN v1 USING (prio)
 """
 
 
+def q278_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED gate (``sources.versioned.table_changes``):
+    a keyed MERGE (updates %7 prices + inserts %13 clones) then a
+    merge-on-read DELETE (%11) commit against the lake, and the feed
+    since v1 must reconstruct every row-level change — update
+    pre/post-image pairs, inserts, and tombstone deletes whose
+    preimage reflects the POST-merge state they erased.  The diff is
+    recovered post-hoc from hardlink identity (only rewritten files
+    are read; Delta emits the same surface from write-time change
+    files).  Reference parity: the reference has no CDC surface
+    (extract_flights.py:80-92 re-appends whole daily partitions);
+    this is the primitive that would make its consumers incremental.
+    The oracle replays all four change classes relationally."""
+    import shutil
+
+    from etl_opensky_spark.sources.versioned import (
+        merge_versioned,
+        purge_versioned_mor,
+        table_changes,
+        write_version,
+    )
+
+    base = _gate_tmp("q278_cdf", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    write_version(orders, base, partition_by=["prio"])
+    upd = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey", (F.col("price") * 2).alias("price"), "prio"
+    )
+    ins = orders.filter(F.col("o_orderkey") % 13 == 0).select(
+        (F.col("o_orderkey") + 1000000000).alias("o_orderkey"),
+        (F.col("price") + 1).alias("price"),
+        "prio",
+    )
+    merge_versioned(spark, base, upd.unionByName(ins), ["o_orderkey"],
+                    ["prio"])
+    purge_versioned_mor(
+        spark,
+        base,
+        orders.filter(F.col("o_orderkey") % 11 == 0).select("o_orderkey"),
+        ["o_orderkey"],
+    )
+    return (
+        table_changes(spark, base, ["o_orderkey"], 1)
+        .groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("price")).cast("double").alias("total"),
+            F.sum("o_orderkey").alias("key_sum"),
+        )
+    )
+
+
+ORACLE_Q278 = """
+WITH src AS (
+  SELECT o_orderkey AS k, o_totalprice AS price, o_orderpriority AS prio
+  FROM orders
+), post AS (
+  SELECT k, CASE WHEN k % 7 = 0 THEN price * 2 ELSE price END AS price
+  FROM src
+), changes AS (
+      SELECT 'update_preimage' AS t, price, k FROM src WHERE k % 7 = 0
+  UNION ALL
+      SELECT 'update_postimage', price * 2, k FROM src WHERE k % 7 = 0
+  UNION ALL
+      SELECT 'insert', price + 1, k + 1000000000 FROM src WHERE k % 13 = 0
+  UNION ALL
+      SELECT 'delete', price, k FROM post WHERE k % 11 = 0
+)
+SELECT t AS change_type, COUNT(*) AS n,
+  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total,
+  CAST(SUM(k) AS BIGINT) AS key_sum
+FROM changes GROUP BY t
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -12920,6 +13000,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q275_recursive_cte": q275_recursive_cte,
     "q276_copy_into": q276_copy_into,
     "q277_mor_delete": q277_mor_delete,
+    "q278_change_feed": q278_change_feed,
 }
 
 ORACLES: dict[str, str] = {
@@ -13198,6 +13279,7 @@ ORACLES: dict[str, str] = {
     "q275_recursive_cte": ORACLE_Q275,
     "q276_copy_into": ORACLE_Q276,
     "q277_mor_delete": ORACLE_Q277,
+    "q278_change_feed": ORACLE_Q278,
 }
 
 

@@ -458,8 +458,14 @@ def write_version(
     bloom_cols: Sequence[str] = (),
     bloom_bits: int = 4096,
     bloom_hashes: int = 4,
+    user_meta: dict | None = None,
 ) -> int:
     """Commit ``df`` as the next full snapshot of the table at ``base``.
+    ``user_meta`` is an arbitrary JSON-serializable annotation stored in
+    THIS commit only (Delta ``userMetadata`` parity) — read back via
+    :func:`describe_history`/the commit entry; incremental consumers use
+    it to record transactionally-consistent cursor state (see
+    ``operators.materialized``).
     Data lands in a fresh immutable directory BEFORE the commit file
     appears — a crash in between leaves an invisible orphan, never a
     torn table.  ``stats_cols`` records per-file min/max/null-count in
@@ -492,6 +498,8 @@ def write_version(
         _bloom_build(
             df.sparkSession, data_dir, bloom_cols, bloom_bits, bloom_hashes
         )
+    if user_meta is not None:
+        extra["user_meta"] = dict(user_meta)
     try:
         _commit(base, version, name, "write", extra=extra or None)
     except ConcurrentCommitError:
@@ -724,8 +732,11 @@ def merge_versioned(
     keys_are_partition_stable: bool = False,
     stats_cols: Sequence[str] = (),
     merge_schema: bool = False,
+    user_meta: dict | None = None,
 ) -> int:
     """Keyed MERGE (upsert) committing a new snapshot atomically.
+    ``user_meta`` annotates THIS commit (Delta ``userMetadata`` parity;
+    see :func:`write_version`).
 
     ``merge_schema=True`` allows the updates to carry NEW columns
     (Delta mergeSchema): existing rows read back null for them.  The
@@ -795,8 +806,10 @@ def merge_versioned(
             w = w.partitionBy(*part_cols)
         w.parquet(data_dir)
         try:
-            _commit(base, 1, name, "merge", extra=_stats_extra(
-                spark, data_dir, stats_cols))
+            extra0 = _stats_extra(spark, data_dir, stats_cols) or {}
+            if user_meta is not None:
+                extra0["user_meta"] = dict(user_meta)
+            _commit(base, 1, name, "merge", extra=extra0 or None)
         except ConcurrentCommitError:
             shutil.rmtree(data_dir, ignore_errors=True)
             raise
@@ -906,6 +919,8 @@ def merge_versioned(
             extra["ingested_files"] = cur["ingested_files"]
         if part_cols and cur.get("tombstones"):
             extra["tombstones"] = cur["tombstones"]
+        if user_meta is not None:
+            extra["user_meta"] = dict(user_meta)
         _commit(base, version, name, "merge", extra=extra or None)
     except ConcurrentCommitError:
         shutil.rmtree(data_dir, ignore_errors=True)
@@ -1718,3 +1733,270 @@ def read_version_eq(
             entry,
         ),
     )
+
+
+# --- change data feed --------------------------------------------------------
+
+
+def _snapshot_files(snapshot_dir: str) -> dict[tuple[str, int], str]:
+    """Data files of one snapshot as ``{(relpath, inode): abspath}``.
+    Hidden sidecars (tombstones, bloom) are excluded, mirroring the
+    parquet scan.  The inode is the file's IDENTITY under the
+    copy-on-write layout: a hardlink carried from the parent shares it,
+    a rewritten partition gets fresh inodes — so set difference on this
+    key IS the commit's physical change list, for free."""
+    out: dict[tuple[str, int], str] = {}
+    for root, dirs, names in os.walk(snapshot_dir):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for n in names:
+            if n.endswith(".parquet") and not n.startswith(("_", ".")):
+                p = os.path.join(root, n)
+                rel = os.path.relpath(p, snapshot_dir)
+                out[(rel, os.stat(p).st_ino)] = p
+    return out
+
+
+def _snapshot_schema(spark: SparkSession, base: str, entry: dict):
+    """LOGICAL schema of one snapshot: the logged one if the commit
+    recorded it (schema evolution / renames), else the parquet footer
+    schema of the snapshot itself."""
+    from pyspark.sql.types import StructType
+
+    sj = entry.get("schema_json")
+    if sj:
+        return StructType.fromJson(json.loads(sj))
+    return spark.read.parquet(os.path.join(base, entry["dir"])).schema
+
+
+def _align_to(df: DataFrame, src_entry: dict, dst_entry: dict, dst_schema):
+    """Re-label a frame read under ``src_entry``'s LOGICAL names into
+    ``dst_entry``'s logical view, joining the two eras through the
+    FROZEN physical names (rename_column never rewrites files, so the
+    physical name is the column's identity across renames).  Columns
+    the destination added later read as typed nulls."""
+    src_map = _col_mapping(src_entry)   # src logical -> physical
+    dst_map = _col_mapping(dst_entry)   # dst logical -> physical
+    phys_to_src = {p: l for l, p in src_map.items()}
+    cols = []
+    for f in dst_schema.fields:
+        phys = dst_map.get(f.name, f.name)
+        src_name = phys_to_src.get(phys, phys)
+        if src_name in df.columns:
+            cols.append(F.col(src_name).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)
+
+
+def _read_file_subset(
+    spark: SparkSession, base: str, entry: dict, paths: list[str]
+) -> DataFrame:
+    """Read an explicit file subset of one snapshot under its logical
+    view, tombstones applied — the same shape as a pruned
+    :func:`read_version`."""
+    data_dir = os.path.join(base, entry["dir"])
+    return _apply_tombstones(
+        spark,
+        base,
+        entry,
+        _apply_mapping(
+            _reader(spark, entry)
+            .option("basePath", data_dir)
+            .parquet(*paths),
+            entry,
+        ),
+    )
+
+
+def _step_changes(
+    spark: SparkSession,
+    base: str,
+    parent: dict,
+    child: dict,
+    keys: Sequence[str],
+    tip_entry: dict,
+    tip_schema,
+) -> DataFrame | None:
+    """Row-level changes introduced by ONE commit (``parent`` ->
+    ``child``), aligned to the tip's logical schema.  Returns None when
+    the commit is provably change-free."""
+    if child.get("op") in (
+        "compact", "rename", "add_constraint", "drop_constraint",
+    ):
+        # row-preserving by construction: compaction/z-order rewrites
+        # the same rows; the others are metadata-only commits
+        return None
+    pdir = os.path.join(base, parent["dir"])
+    cdir = os.path.join(base, child["dir"])
+    pfiles = _snapshot_files(pdir)
+    cfiles = _snapshot_files(cdir)
+    removed = [p for k, p in pfiles.items() if k not in cfiles]
+    added = [p for k, p in cfiles.items() if k not in pfiles]
+
+    val_cols = [f.name for f in tip_schema.fields if f.name not in keys]
+
+    def tip_view(df: DataFrame, entry: dict) -> DataFrame:
+        return _align_to(df, entry, tip_entry, tip_schema)
+
+    old = new = None
+    if removed:
+        old = tip_view(_read_file_subset(spark, base, parent, removed),
+                       parent)
+    if added:
+        new = tip_view(_read_file_subset(spark, base, child, added), child)
+
+    # a MOR delete adds no files: its changes are the NEW tombstones,
+    # resolved against the parent snapshot they logically erase
+    parent_tomb_dirs = {t["dir"] for t in parent.get("tombstones") or []}
+    fresh_tombs = [
+        t for t in child.get("tombstones") or []
+        if t["dir"] not in parent_tomb_dirs
+    ]
+    if fresh_tombs:
+        child_map = _col_mapping(child)
+        phys_to_tip = {p: l for l, p in _col_mapping(tip_entry).items()}
+    for t in fresh_tombs:
+        tkeys = spark.read.parquet(
+            os.path.join(cdir, t["dir"])
+        ).toDF(*t["keys"])
+        # tombstone key labels are child-era logical names; re-label to
+        # the tip era through the frozen physical identity
+        tip_keys = [
+            phys_to_tip.get(child_map.get(k, k), child_map.get(k, k))
+            for k in t["keys"]
+        ]
+        key_schema = type(tip_schema)(
+            [f for f in tip_schema.fields if f.name in tip_keys]
+        )
+        tkeys = _align_to(tkeys, child, tip_entry, key_schema)
+        erased = tip_view(
+            _read_snapshot(spark, base, parent), parent
+        ).join(F.broadcast(tkeys.distinct()), on=tip_keys, how="inner")
+        old = erased if old is None else old.unionByName(erased)
+
+    if old is None and new is None:
+        return None
+    if old is None:
+        old = new.filter(F.lit(False))
+    if new is None:
+        new = old.filter(F.lit(False))
+
+    key_list = list(keys)
+    if val_cols:
+        o = old.select(
+            *key_list,
+            F.struct(*[F.col(c) for c in val_cols]).alias("_old"),
+        )
+        n = new.select(
+            *key_list,
+            F.struct(*[F.col(c) for c in val_cols]).alias("_new"),
+        )
+    else:
+        o = old.select(*key_list, F.lit(1).alias("_old"))
+        n = new.select(*key_list, F.lit(1).alias("_new"))
+    o = o.withColumn("_in_old", F.lit(True))
+    n = n.withColumn("_in_new", F.lit(True))
+    j = o.join(n, on=key_list, how="full_outer")
+
+    pair = F.when(
+        F.col("_in_new").isNull(),
+        F.array(F.struct(F.lit("delete").alias("_ct"),
+                         F.col("_old").alias("_img"))),
+    ).when(
+        F.col("_in_old").isNull(),
+        F.array(F.struct(F.lit("insert").alias("_ct"),
+                         F.col("_new").alias("_img"))),
+    ).when(
+        ~F.col("_old").eqNullSafe(F.col("_new")),
+        F.array(
+            F.struct(F.lit("update_preimage").alias("_ct"),
+                     F.col("_old").alias("_img")),
+            F.struct(F.lit("update_postimage").alias("_ct"),
+                     F.col("_new").alias("_img")),
+        ),
+    ).otherwise(F.array())  # row landed in a rewritten file, unchanged
+    j = j.select(*key_list, F.explode(pair).alias("_chg"))
+    out_cols = [F.col(c) for c in key_list]
+    for c in val_cols:
+        out_cols.append(F.col("_chg._img." + c).alias(c))
+    out_cols.append(F.col("_chg._ct").alias("_change_type"))
+    out_cols.append(F.lit(child["version"]).alias("_commit_version"))
+    return j.select(*out_cols)
+
+
+def table_changes(
+    spark: SparkSession,
+    base: str,
+    keys: Sequence[str],
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """CHANGE DATA FEED: every row-level change committed AFTER
+    ``from_version`` up to and including ``to_version`` (default: the
+    tip), one row per change with ``_change_type`` in {insert, delete,
+    update_preimage, update_postimage} and ``_commit_version`` — Delta
+    Lake's ``table_changes`` surface, recovered POST-HOC from the
+    copy-on-write snapshot layout instead of write-time change files.
+
+    Scale shape: the per-commit diff lists files by (relpath, inode) —
+    hardlinks carried from the parent cancel out, so the diff READS
+    ONLY REWRITTEN PARTITIONS plus tombstone sidecars, never the whole
+    table.  Rows that were rewritten but not modified (partition
+    copy-on-write includes neighbors of a changed row) cancel in a
+    keyed null-safe full-outer diff.  Row-preserving commits
+    (compaction, z-order) and metadata-only commits (rename,
+    constraints) are skipped outright.  ``keys`` must be a logical
+    primary key under the TIP's column names; all output uses the tip
+    schema (columns added later read as null in earlier preimages).
+
+    Cost: O(rewritten files in range + tombstone keys), one shuffle per
+    commit step (the keyed diff join).  Reference parity: the reference
+    has no CDC surface at all (its extract_flights.py re-appends whole
+    daily partitions); this is the missing primitive that makes
+    downstream incremental consumers possible."""
+    log = _read_log(base)
+    if not log:
+        raise ValueError(f"no committed versions at {base}")
+    versions = {c["version"]: c for c in log}
+    tip = to_version if to_version is not None else log[-1]["version"]
+    if from_version not in versions:
+        raise ValueError(
+            f"from_version {from_version} not available at {base} "
+            f"(vacuumed or never committed); available: {sorted(versions)}"
+        )
+    if tip not in versions:
+        raise ValueError(f"to_version {tip} not committed at {base}")
+    if tip < from_version:
+        raise ValueError("to_version must be >= from_version")
+    tip_entry = versions[tip]
+    tip_schema = _snapshot_schema(spark, base, tip_entry)
+    missing = [k for k in keys if k not in [f.name for f in tip_schema]]
+    if missing:
+        raise ValueError(f"keys {missing} not in tip schema")
+    steps = []
+    for v in range(from_version + 1, tip + 1):
+        if v not in versions or (v - 1) not in versions:
+            raise ValueError(
+                f"version {v} or its parent was vacuumed; change feed "
+                f"needs every commit in ({from_version}, {tip}]"
+            )
+        step = _step_changes(
+            spark, base, versions[v - 1], versions[v], keys,
+            tip_entry, tip_schema,
+        )
+        if step is not None:
+            steps.append(step)
+    if not steps:
+        key_list = list(keys)
+        val_cols = [f.name for f in tip_schema.fields
+                    if f.name not in key_list]
+        empty = _read_snapshot(spark, base, tip_entry)
+        empty = _align_to(empty, tip_entry, tip_entry, tip_schema)
+        return (
+            empty.select(
+                *key_list, *val_cols,
+                F.lit("insert").alias("_change_type"),
+                F.lit(0).cast("int").alias("_commit_version"),
+            ).filter(F.lit(False))
+        )
+    return reduce(lambda a, b: a.unionByName(b), steps)
