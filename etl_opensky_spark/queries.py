@@ -12723,6 +12723,90 @@ FROM changes GROUP BY t
 """
 
 
+def q279_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL MATERIALIZED VIEW gate
+    (``operators.materialized``): a per-priority COUNT/SUM view is
+    built once, then the source takes a keyed MERGE (updates %7 +
+    inserts %13) and a merge-on-read DELETE (%11), and TWO
+    change-feed-driven refreshes (cursor advancing transactionally via
+    commit ``user_meta``) must land the view EXACTLY on the recompute
+    — decimals make the fold bit-exact.  Refresh reads only the feed
+    (rewritten files + tombstones), never the source table: the
+    incremental replacement for the reference's nightly re-aggregation
+    (load_fct_flights.py).  The oracle recomputes the final state."""
+    import shutil
+
+    from etl_opensky_spark.operators.materialized import (
+        create_aggregate_mv,
+        read_aggregate_mv,
+        refresh_aggregate_mv,
+    )
+    from etl_opensky_spark.sources.versioned import (
+        merge_versioned,
+        purge_versioned_mor,
+        write_version,
+    )
+
+    src = _gate_tmp("q279_mv_src", sf_dir)
+    mv = _gate_tmp("q279_mv_view", sf_dir)
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(mv, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        _dec("o_totalprice").alias("price"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    write_version(orders, src, partition_by=["prio"])
+    create_aggregate_mv(
+        spark, src, mv, ["prio"], ["price"], source_keys=["o_orderkey"],
+        partition_by=["prio"],
+    )
+    upd = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        (F.col("price") * 2).cast("decimal(18,2)").alias("price"),
+        "prio",
+    )
+    ins = orders.filter(F.col("o_orderkey") % 13 == 0).select(
+        (F.col("o_orderkey") + 1000000000).alias("o_orderkey"),
+        (F.col("price") + 1).cast("decimal(18,2)").alias("price"),
+        "prio",
+    )
+    merge_versioned(spark, src, upd.unionByName(ins), ["o_orderkey"],
+                    ["prio"])
+    refresh_aggregate_mv(spark, src, mv)  # cursor: v1 -> v2
+    purge_versioned_mor(
+        spark,
+        src,
+        orders.filter(F.col("o_orderkey") % 11 == 0).select("o_orderkey"),
+        ["o_orderkey"],
+    )
+    refresh_aggregate_mv(spark, src, mv)  # cursor: v2 -> v3
+    return read_aggregate_mv(spark, mv).select(
+        "prio", "n", F.col("sum_price").cast("double").alias("total")
+    )
+
+
+ORACLE_Q279 = """
+WITH src AS (
+  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+         o_orderpriority AS prio
+  FROM orders
+), post AS (
+  SELECT k, CASE WHEN k % 7 = 0
+                 THEN CAST(price * 2 AS DECIMAL(18,2)) ELSE price END
+            AS price, prio
+  FROM src
+), final AS (
+      SELECT k, price, prio FROM post WHERE k % 11 <> 0
+  UNION ALL
+      SELECT k + 1000000000, CAST(price + 1 AS DECIMAL(18,2)), prio
+      FROM src WHERE k % 13 = 0
+)
+SELECT prio, COUNT(*) AS n, CAST(SUM(price) AS DOUBLE) AS total
+FROM final GROUP BY prio
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -13001,6 +13085,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q276_copy_into": q276_copy_into,
     "q277_mor_delete": q277_mor_delete,
     "q278_change_feed": q278_change_feed,
+    "q279_incremental_mv": q279_incremental_mv,
 }
 
 ORACLES: dict[str, str] = {
@@ -13280,6 +13365,7 @@ ORACLES: dict[str, str] = {
     "q276_copy_into": ORACLE_Q276,
     "q277_mor_delete": ORACLE_Q277,
     "q278_change_feed": ORACLE_Q278,
+    "q279_incremental_mv": ORACLE_Q279,
 }
 
 

@@ -1,0 +1,163 @@
+"""Incremental aggregate MV maintenance (operators/materialized.py).
+
+Every test's invariant is the same: after any commit sequence on the
+source, `refresh` must land the MV EXACTLY on the recompute — including
+group births, group deaths (n -> 0), and repeated refreshes advancing
+the cursor transactionally.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_opensky_spark.operators.materialized import (
+    create_aggregate_mv,
+    read_aggregate_mv,
+    refresh_aggregate_mv,
+)
+from etl_opensky_spark.sources.versioned import (
+    _current,
+    merge_versioned,
+    purge_versioned_mor,
+    read_version,
+    write_version,
+)
+
+
+def _src_df(spark, rows):
+    from decimal import Decimal
+
+    rows = [(i, g, Decimal(str(a))) for i, g, a in rows]
+    return spark.createDataFrame(rows, "id long, grp string, amt decimal(10,2)")
+
+
+def _recompute(spark, src_base):
+    return {
+        (r["grp"], r["n"], str(r["sum_amt"]))
+        for r in read_version(spark, src_base)
+        .groupBy("grp")
+        .agg(F.count("*").alias("n"), F.sum("amt").alias("sum_amt"))
+        .collect()
+    }
+
+
+def _mv_state(spark, mv_base):
+    return {
+        (r["grp"], r["n"], str(r["sum_amt"]))
+        for r in read_aggregate_mv(spark, mv_base).collect()
+    }
+
+
+@pytest.fixture()
+def bases(spark, tmp_path):
+    src = str(tmp_path / "src")
+    mv = str(tmp_path / "mv")
+    write_version(
+        _src_df(
+            spark,
+            [(1, "a", 10.00), (2, "a", 20.00), (3, "b", 5.00)],
+        ),
+        src,
+    )
+    create_aggregate_mv(
+        spark, src, mv, ["grp"], ["amt"], source_keys=["id"]
+    )
+    return src, mv
+
+
+def test_create_matches_recompute(spark, bases):
+    src, mv = bases
+    assert _mv_state(spark, mv) == _recompute(spark, src)
+
+
+def test_refresh_folds_updates_inserts_deletes(spark, bases):
+    src, mv = bases
+    merge_versioned(
+        spark,
+        src,
+        _src_df(spark, [(2, "a", 25.00), (4, "c", 7.00)]),
+        ["id"],
+    )  # update id2, birth group c
+    purge_versioned_mor(
+        spark, src, spark.createDataFrame([(3,)], "id long"), ["id"]
+    )  # kill group b entirely
+    v, reflected = refresh_aggregate_mv(spark, src, mv)
+    assert reflected == _current(src)["version"]
+    assert _mv_state(spark, mv) == _recompute(spark, src)
+    # the dead group survives physically as n=0 but is filtered
+    raw = {
+        r["grp"]: r["n"]
+        for r in read_version(spark, mv).collect()
+    }
+    assert raw["b"] == 0
+
+
+def test_repeated_refresh_is_cursor_exact(spark, bases):
+    src, mv = bases
+    for i, rows in enumerate(
+        [[(1, "a", 11.00)], [(5, "d", 3.00)], [(1, "a", 12.50)]]
+    ):
+        merge_versioned(spark, src, _src_df(spark, rows), ["id"])
+        refresh_aggregate_mv(spark, src, mv)
+        assert _mv_state(spark, mv) == _recompute(spark, src)
+    # group reborn after death
+    purge_versioned_mor(
+        spark, src, spark.createDataFrame([(5,)], "id long"), ["id"]
+    )
+    refresh_aggregate_mv(spark, src, mv)
+    merge_versioned(spark, src, _src_df(spark, [(6, "d", 9.00)]), ["id"])
+    refresh_aggregate_mv(spark, src, mv)
+    assert _mv_state(spark, mv) == _recompute(spark, src)
+
+
+def test_noop_refresh_commits_nothing(spark, bases):
+    src, mv = bases
+    v0 = _current(mv)["version"]
+    v, reflected = refresh_aggregate_mv(spark, src, mv)
+    assert v == v0 and reflected == _current(src)["version"]
+
+
+def test_partitioned_mv_rewrites_only_affected_groups(spark, bases, tmp_path):
+    src, _ = bases
+    mv = str(tmp_path / "mv_part")
+    create_aggregate_mv(
+        spark, src, mv, ["grp"], ["amt"], source_keys=["id"],
+        partition_by=["grp"],
+    )
+    merge_versioned(spark, src, _src_df(spark, [(1, "a", 99.00)]), ["id"])
+    refresh_aggregate_mv(spark, src, mv)
+    assert _mv_state(spark, mv) == _recompute(spark, src)
+    # group b's partition must be hardlinked, not rewritten
+    import os
+
+    from etl_opensky_spark.sources.versioned import (
+        _read_log,
+        _snapshot_files,
+    )
+
+    log = _read_log(mv)
+    v1 = _snapshot_files(os.path.join(mv, log[0]["dir"]))
+    v2 = _snapshot_files(os.path.join(mv, log[-1]["dir"]))
+    shared = set(v1) & set(v2)
+    assert any(rel.startswith("grp=b") for rel, _ in shared)
+    assert not any(rel.startswith("grp=a") for rel, _ in shared)
+
+
+def test_foreign_tip_commit_rejected(spark, bases):
+    src, mv = bases
+    merge_versioned(
+        spark,
+        mv,
+        read_version(spark, mv),  # a commit WITHOUT the cursor meta
+        ["grp"],
+    )
+    with pytest.raises(ValueError, match="refresh cursor"):
+        refresh_aggregate_mv(spark, src, mv)
+
+
+def test_bad_partition_by_rejected(spark, bases, tmp_path):
+    src, _ = bases
+    with pytest.raises(ValueError, match="group columns"):
+        create_aggregate_mv(
+            spark, src, str(tmp_path / "x"), ["grp"], ["amt"],
+            source_keys=["id"], partition_by=["amt"],
+        )
