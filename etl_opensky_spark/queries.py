@@ -12807,6 +12807,102 @@ FROM final GROUP BY prio
 """
 
 
+def q280_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization gate (``functions.urls`` — the crawl-dedup
+    front door: CCNet/RefinedWeb canonicalize URLs before any content
+    hashing).  Messy URLs are synthesized per doc_id from a fixed spec
+    (case noise, www, cdn subdomains, co.uk suffixes, trailing slash,
+    tracking params, unsorted params, fragments); the Spark side must
+    PARSE and canonicalize them (parse_url + array builtins, one
+    codegen projection), while the oracle CONSTRUCTS the expected
+    canonical form from the same spec — two independent derivations.
+    Output: per registered domain (eTLD+1, multi-label-suffix aware),
+    doc count, distinct canonical URLs, distinct raw URLs."""
+    from etl_opensky_spark.functions.urls import (
+        canonicalize_url,
+        url_registered_domain,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    sfx = F.when(k % 4 == 0, ".co.uk").otherwise(".com")
+    host = F.concat(
+        F.when(k % 3 == 0, F.concat(F.lit("WWW."), F.col("source")))
+        .when(k % 5 == 0, F.concat(F.lit("cdn."), F.col("source")))
+        .otherwise(F.col("source")),
+        sfx,
+    )
+    scheme = F.when(k % 3 == 0, "HTTP://").otherwise("http://")
+    path = F.concat(
+        F.lit("/docs/"), (k % 50).cast("string"),
+        F.when(k % 7 == 0, "/").otherwise(""),
+    )
+    query = (
+        F.when(
+            k % 2 == 0,
+            F.concat(F.lit("?utm_source=feed&b="), (k % 5).cast("string"),
+                     F.lit("&a=1")),
+        )
+        .when(k % 5 == 0,
+              F.concat(F.lit("?a=1&b="), (k % 5).cast("string")))
+        .otherwise("")
+    )
+    frag = F.when(k % 11 == 0, "#frag").otherwise("")
+    urls = d.select(
+        F.concat(scheme, host, path, query, frag).alias("url")
+    )
+    return (
+        urls.select(
+            "url",
+            url_registered_domain(F.col("url")).alias("domain"),
+            canonicalize_url(F.col("url")).alias("canon"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("canon").alias("n_canonical"),
+            F.count_distinct("url").alias("n_raw"),
+        )
+    )
+
+
+ORACLE_Q280 = """
+WITH spec AS (
+  SELECT doc_id AS k, source,
+    CASE WHEN doc_id % 4 = 0 THEN '.co.uk' ELSE '.com' END AS sfx
+  FROM documents
+), built AS (
+  SELECT
+    -- the raw URL exactly as the Spark side synthesizes it
+    (CASE WHEN k % 3 = 0 THEN 'HTTP://' ELSE 'http://' END)
+    || (CASE WHEN k % 3 = 0 THEN 'WWW.' || source
+             WHEN k % 5 = 0 THEN 'cdn.' || source
+             ELSE source END) || sfx
+    || '/docs/' || (k % 50)
+    || (CASE WHEN k % 7 = 0 THEN '/' ELSE '' END)
+    || (CASE WHEN k % 2 = 0 THEN '?utm_source=feed&b=' || (k % 5) || '&a=1'
+             WHEN k % 5 = 0 THEN '?a=1&b=' || (k % 5)
+             ELSE '' END)
+    || (CASE WHEN k % 11 = 0 THEN '#frag' ELSE '' END) AS url,
+    -- the canonical form CONSTRUCTED from the spec (www dropped,
+    -- lowercase, no trailing slash, tracking params gone, params sorted)
+    'http://'
+    || (CASE WHEN k % 3 <> 0 AND k % 5 = 0 THEN 'cdn.' || source
+             ELSE source END) || sfx
+    || '/docs/' || (k % 50)
+    || (CASE WHEN k % 2 = 0 OR k % 5 = 0
+             THEN '?a=1&b=' || (k % 5) ELSE '' END) AS canon,
+    -- eTLD+1: co.uk is a public suffix, so source rides along
+    source || sfx AS domain
+  FROM spec
+)
+SELECT domain, COUNT(*) AS n_docs,
+       COUNT(DISTINCT canon) AS n_canonical,
+       COUNT(DISTINCT url) AS n_raw
+FROM built GROUP BY domain
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -13086,6 +13182,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q277_mor_delete": q277_mor_delete,
     "q278_change_feed": q278_change_feed,
     "q279_incremental_mv": q279_incremental_mv,
+    "q280_url_canonical": q280_url_canonical,
 }
 
 ORACLES: dict[str, str] = {
@@ -13366,6 +13463,7 @@ ORACLES: dict[str, str] = {
     "q277_mor_delete": ORACLE_Q277,
     "q278_change_feed": ORACLE_Q278,
     "q279_incremental_mv": ORACLE_Q279,
+    "q280_url_canonical": ORACLE_Q280,
 }
 
 
