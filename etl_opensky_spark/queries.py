@@ -12903,6 +12903,99 @@ FROM built GROUP BY domain
 """
 
 
+def q281_cdc_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC REPLICATION gate (``operators.replication``): a replica is
+    seeded from the source tip, then the source takes a keyed MERGE
+    (updates %7 + inserts %13) and a merge-on-read DELETE (%11) with
+    ONE SYNC CYCLE AFTER EACH — each cycle ships only the change feed,
+    reduced to one final disposition per key, applied as MERGE + MOR
+    delete with the cursor riding the last commit.  The result reads
+    the REPLICA (tip per-priority rollup + its own time-travel back to
+    the seed), so every number proves the sync; the oracle recomputes
+    both states from the op spec."""
+    import shutil
+
+    from etl_opensky_spark.operators.replication import replicate_versioned
+    from etl_opensky_spark.sources.versioned import (
+        merge_versioned,
+        purge_versioned_mor,
+        read_version,
+        write_version,
+    )
+
+    src = _gate_tmp("q281_cdc_src", sf_dir)
+    dst = _gate_tmp("q281_cdc_dst", sf_dir)
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(dst, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        _dec("o_totalprice").alias("price"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    write_version(orders, src, partition_by=["prio"])
+    replicate_versioned(spark, src, dst, ["o_orderkey"],
+                        partition_by=["prio"])  # seed
+    upd = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        (F.col("price") * 2).cast("decimal(18,2)").alias("price"),
+        "prio",
+    )
+    ins = orders.filter(F.col("o_orderkey") % 13 == 0).select(
+        (F.col("o_orderkey") + 1000000000).alias("o_orderkey"),
+        (F.col("price") + 1).cast("decimal(18,2)").alias("price"),
+        "prio",
+    )
+    merge_versioned(spark, src, upd.unionByName(ins), ["o_orderkey"],
+                    ["prio"])
+    replicate_versioned(spark, src, dst, ["o_orderkey"],
+                        partition_by=["prio"])  # cycle 1
+    purge_versioned_mor(
+        spark,
+        src,
+        orders.filter(F.col("o_orderkey") % 11 == 0).select("o_orderkey"),
+        ["o_orderkey"],
+    )
+    replicate_versioned(spark, src, dst, ["o_orderkey"],
+                        partition_by=["prio"])  # cycle 2
+    tip = (
+        read_version(spark, dst)
+        .groupBy("prio")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("price").cast("double").alias("total"),
+        )
+    )
+    seed = (
+        read_version(spark, dst, as_of=1)
+        .groupBy("prio")
+        .agg(F.count("*").alias("n_seed"))
+    )
+    return tip.join(seed, "prio").select("prio", "n", "total", "n_seed")
+
+
+ORACLE_Q281 = """
+WITH src AS (
+  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+         o_orderpriority AS prio
+  FROM orders
+), post AS (
+  SELECT k, CASE WHEN k % 7 = 0
+                 THEN CAST(price * 2 AS DECIMAL(18,2)) ELSE price END
+            AS price, prio
+  FROM src
+), final AS (
+      SELECT k, price, prio FROM post WHERE k % 11 <> 0
+  UNION ALL
+      SELECT k + 1000000000, CAST(price + 1 AS DECIMAL(18,2)), prio
+      FROM src WHERE k % 13 = 0
+), tip AS (
+  SELECT prio, COUNT(*) AS n, CAST(SUM(price) AS DOUBLE) AS total
+  FROM final GROUP BY prio
+), seed AS (SELECT prio, COUNT(*) AS n_seed FROM src GROUP BY prio)
+SELECT t.prio, n, total, n_seed FROM tip t JOIN seed USING (prio)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -13183,6 +13276,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q278_change_feed": q278_change_feed,
     "q279_incremental_mv": q279_incremental_mv,
     "q280_url_canonical": q280_url_canonical,
+    "q281_cdc_replication": q281_cdc_replication,
 }
 
 ORACLES: dict[str, str] = {
@@ -13464,6 +13558,7 @@ ORACLES: dict[str, str] = {
     "q278_change_feed": ORACLE_Q278,
     "q279_incremental_mv": ORACLE_Q279,
     "q280_url_canonical": ORACLE_Q280,
+    "q281_cdc_replication": ORACLE_Q281,
 }
 
 

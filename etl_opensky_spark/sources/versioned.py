@@ -1026,6 +1026,7 @@ def purge_versioned_mor(
     base: str,
     delete_keys: DataFrame,
     keys: Sequence[str],
+    user_meta: dict | None = None,
 ) -> tuple[int, int]:
     """Merge-on-read DELETE (Delta deletion-vector semantics): instead
     of rewriting every partition holding a matched key
@@ -1067,6 +1068,8 @@ def purge_versioned_mor(
         ):
             if cur.get(key) is not None and key in cur:
                 extra[key] = cur[key]
+        if user_meta is not None:
+            extra["user_meta"] = dict(user_meta)
         _commit(base, version, name, "purge_mor", extra=extra)
     except ConcurrentCommitError:
         shutil.rmtree(data_dir, ignore_errors=True)
@@ -1282,6 +1285,33 @@ def add_constraint(
             extra[key] = cur[key]
     try:
         _commit(base, version, dname, "add_constraint", extra=extra)
+    except ConcurrentCommitError:
+        shutil.rmtree(data_dir, ignore_errors=True)
+        raise
+    return version
+
+
+def annotate_version(base: str, user_meta: dict) -> int:
+    """Metadata-only commit attaching ``user_meta`` to a new version —
+    the same hardlinked-snapshot shape as constraint commits.  Used by
+    incremental consumers (``operators.replication``) to advance a
+    cursor when a sync cycle moved no data; generally: any bookkeeping
+    that must be atomic with the table's history."""
+    cur = _current(base)
+    if cur is None:
+        raise ValueError(f"no committed versions at {base}")
+    version = cur["version"] + 1
+    dname, data_dir = _new_data_dir(base)
+    _link_tree(os.path.join(base, cur["dir"]), data_dir)
+    extra: dict = {"user_meta": dict(user_meta)}
+    for key in (
+        "schema_json", "column_mapping", "stats_cols", "stats",
+        "constraints", "ingested_files", "tombstones",
+    ):
+        if key in cur and cur.get(key) is not None:
+            extra[key] = cur[key]
+    try:
+        _commit(base, version, dname, "annotate", extra=extra)
     except ConcurrentCommitError:
         shutil.rmtree(data_dir, ignore_errors=True)
         raise
@@ -1822,6 +1852,7 @@ def _step_changes(
     the commit is provably change-free."""
     if child.get("op") in (
         "compact", "rename", "add_constraint", "drop_constraint",
+        "annotate",
     ):
         # row-preserving by construction: compaction/z-order rewrites
         # the same rows; the others are metadata-only commits
