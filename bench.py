@@ -302,6 +302,7 @@ BENCH_QUERIES = [
     "q279_incremental_mv",
     "q280_url_canonical",
     "q281_cdc_replication",
+    "q282_metadata_aggregate",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

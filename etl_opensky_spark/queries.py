@@ -12996,6 +12996,70 @@ SELECT t.prio, n, total, n_seed FROM tip t JOIN seed USING (prio)
 """
 
 
+def q282_metadata_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-ONLY AGGREGATION gate
+    (``sources.versioned.metadata_aggregate`` — the Delta metadata-
+    query optimization): COUNT(*) / COUNT(col) / MIN / MAX answered
+    purely from the commit manifest's per-file footer stats — zero
+    data pages read, zero Spark jobs (the function takes no session),
+    O(#files) driver-side folding.  At 100 TB this turns a full-scan
+    aggregate into a commit-log read.  A merge commit is folded in too
+    (stats re-harvested), and the oracle computes the same aggregates
+    the hard way."""
+    import shutil
+
+    from etl_opensky_spark.sources.versioned import (
+        merge_versioned,
+        metadata_aggregate,
+        write_version,
+    )
+
+    base = _gate_tmp("q282_meta", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    write_version(orders, base, stats_cols=["o_orderkey", "price"])
+    upd = orders.filter(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_orderkey") + 1000000000).alias("o_orderkey"),
+        (F.col("price") + 50000).alias("price"),
+        "prio",
+    )
+    merge_versioned(spark, base, upd, ["o_orderkey"],
+                    stats_cols=["o_orderkey", "price"])
+    agg = metadata_aggregate(base, ["o_orderkey", "price"])
+    return spark.createDataFrame(
+        [(
+            agg["rows"],
+            agg["o_orderkey"]["count"],
+            agg["o_orderkey"]["min"],
+            agg["o_orderkey"]["max"],
+            agg["price"]["count"],
+            float(agg["price"]["min"]),
+            float(agg["price"]["max"]),
+        )],
+        "n_rows long, k_count long, k_min long, k_max long, "
+        "p_count long, p_min double, p_max double",
+    )
+
+
+ORACLE_Q282 = """
+WITH final AS (
+  SELECT o_orderkey AS k, o_totalprice AS price FROM orders
+  UNION ALL
+  SELECT o_orderkey + 1000000000, o_totalprice + 50000 FROM orders
+  WHERE o_orderkey % 97 = 0
+)
+SELECT COUNT(*) AS n_rows,
+       COUNT(k) AS k_count, MIN(k) AS k_min, MAX(k) AS k_max,
+       COUNT(price) AS p_count,
+       MIN(price) AS p_min, MAX(price) AS p_max
+FROM final
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -13277,6 +13341,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q279_incremental_mv": q279_incremental_mv,
     "q280_url_canonical": q280_url_canonical,
     "q281_cdc_replication": q281_cdc_replication,
+    "q282_metadata_aggregate": q282_metadata_aggregate,
 }
 
 ORACLES: dict[str, str] = {
@@ -13559,6 +13624,7 @@ ORACLES: dict[str, str] = {
     "q279_incremental_mv": ORACLE_Q279,
     "q280_url_canonical": ORACLE_Q280,
     "q281_cdc_replication": ORACLE_Q281,
+    "q282_metadata_aggregate": ORACLE_Q282,
 }
 
 

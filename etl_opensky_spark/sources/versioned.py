@@ -2031,3 +2031,69 @@ def table_changes(
             ).filter(F.lit(False))
         )
     return reduce(lambda a, b: a.unionByName(b), steps)
+
+
+def metadata_aggregate(
+    base: str, cols: Sequence[str], as_of: int | None = None
+) -> dict:
+    """COUNT(*)/COUNT(col)/MIN/MAX answered PURELY FROM THE MANIFEST —
+    zero data pages, zero Spark jobs (note: no SparkSession parameter;
+    it's O(#files) dict folding on the driver).  The Delta metadata-
+    query optimization: at 100 TB a ``SELECT count(*), max(ts)`` is a
+    commit-log read, not a scan.
+
+    Returns ``{"rows": N, <col>: {"count": n_non_null, "min": .., "max"
+    : ..}}``.  Exactness is REFUSED (ValueError) rather than
+    approximated whenever the manifest cannot prove the answer: no
+    harvested stats, a file whose footer lacked stats for the column,
+    or MOR tombstones (physically-present deleted rows are inside the
+    per-file counts — compact first, or scan).  Min/max come back in
+    the stats' JSON form (dates/timestamps as ISO strings — ISO order
+    is chronological, castable by the caller)."""
+    entry = _resolve(base, as_of)
+    if entry.get("tombstones"):
+        raise ValueError(
+            "metadata_aggregate: snapshot carries MOR tombstones; "
+            "file stats include deleted rows — compact_versioned first"
+        )
+    stats = entry.get("stats")
+    if not stats:
+        raise ValueError(
+            "metadata_aggregate: no harvested stats in this commit "
+            "(write with stats_cols=...)"
+        )
+    mapping = _col_mapping(entry)  # logical -> physical
+    out: dict = {}
+    rows_total = 0
+    for rel, per_col in stats.items():
+        file_rows = None
+        for s in per_col.values():
+            if s is not None:
+                file_rows = s["rows"]
+                break
+        if file_rows is None:
+            raise ValueError(
+                f"metadata_aggregate: {rel} has no usable column stats; "
+                "row count not provable from the manifest"
+            )
+        rows_total += file_rows
+    out["rows"] = rows_total
+    for c in cols:
+        phys = mapping.get(c, c)
+        mn = mx = None
+        n_nulls = 0
+        for rel, per_col in stats.items():
+            s = per_col.get(phys)
+            if s is None:
+                raise ValueError(
+                    f"metadata_aggregate: no stats for column {c!r} in "
+                    f"{rel} (partition columns and stats-less footers "
+                    "are not provable)"
+                )
+            n_nulls += s["nulls"]
+            if s["min"] is not None and (mn is None or s["min"] < mn):
+                mn = s["min"]
+            if s["max"] is not None and (mx is None or s["max"] > mx):
+                mx = s["max"]
+        out[c] = {"count": rows_total - n_nulls, "min": mn, "max": mx}
+    return out
