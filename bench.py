@@ -303,6 +303,8 @@ BENCH_QUERIES = [
     "q280_url_canonical",
     "q281_cdc_replication",
     "q282_metadata_aggregate",
+    "q283_variant_extraction",
+    "q284_sql_programmability",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

@@ -13060,6 +13060,128 @@ FROM final
 """
 
 
+def q283_variant_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT semi-structured parity gate (Spark 4's ``parse_json`` /
+    ``variant_get`` — the open-format answer to schemaless JSON
+    columns: parse once into the binary variant encoding, then typed
+    path extraction stays JVM-side and shreddable, never a per-query
+    re-parse of the string).  Rich JSON is synthesized per event
+    (nested object, array indexing, a key absent on %7 rows → typed
+    NULL, heterogeneous leaf types), extracted through variant paths,
+    and rolled up; DuckDB replays with its native JSON path functions
+    — two engines' JSON semantics against one spec."""
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "event_type")
+    j = F.concat(
+        F.lit('{"u":{"id":'),
+        F.col("user_id").cast("string"),
+        F.lit(',"tier":"'),
+        F.when(F.col("user_id") % 3 == 0, "gold")
+        .when(F.col("user_id") % 3 == 1, "silver")
+        .otherwise("bronze"),
+        F.lit('"},"tags":['),
+        (F.col("event_id") % 10).cast("string"),
+        F.lit(","),
+        (F.col("event_id") % 7).cast("string"),
+        F.lit("]"),
+        F.when(
+            F.col("event_id") % 7 != 0,
+            F.concat(F.lit(',"note":"n_'), F.col("event_type"),
+                     F.lit('"')),
+        ).otherwise(""),
+        F.lit("}"),
+    )
+    v = ev.select(F.parse_json(j).alias("v"))
+    flat = v.select(
+        F.variant_get(F.col("v"), "$.u.tier", "string").alias("tier"),
+        F.variant_get(F.col("v"), "$.u.id", "long").alias("uid"),
+        F.variant_get(F.col("v"), "$.tags[0]", "long").alias("tag0"),
+        F.variant_get(F.col("v"), "$.tags[1]", "long").alias("tag1"),
+        F.variant_get(F.col("v"), "$.note", "string").alias("note"),
+    )
+    return flat.groupBy("tier").agg(
+        F.count("*").alias("n"),
+        F.sum("uid").alias("uid_sum"),
+        F.sum(F.col("tag0") * 100 + F.col("tag1")).alias("tag_sum"),
+        F.count("note").alias("n_notes"),
+        F.count_distinct("note").alias("d_notes"),
+    )
+
+
+ORACLE_Q283 = """
+WITH built AS (
+  SELECT '{"u":{"id":' || user_id || ',"tier":"'
+    || (CASE WHEN user_id % 3 = 0 THEN 'gold'
+             WHEN user_id % 3 = 1 THEN 'silver' ELSE 'bronze' END)
+    || '"},"tags":[' || (event_id % 10) || ',' || (event_id % 7) || ']'
+    || (CASE WHEN event_id % 7 <> 0
+             THEN ',"note":"n_' || event_type || '"' ELSE '' END)
+    || '}' AS j
+  FROM events
+), flat AS (
+  SELECT json_extract_string(j, '$.u.tier') AS tier,
+         CAST(json_extract(j, '$.u.id') AS BIGINT) AS uid,
+         CAST(json_extract(j, '$.tags[0]') AS BIGINT) AS tag0,
+         CAST(json_extract(j, '$.tags[1]') AS BIGINT) AS tag1,
+         json_extract_string(j, '$.note') AS note
+  FROM built
+)
+SELECT tier, COUNT(*) AS n, CAST(SUM(uid) AS BIGINT) AS uid_sum,
+       CAST(SUM(tag0 * 100 + tag1) AS BIGINT) AS tag_sum,
+       COUNT(note) AS n_notes, COUNT(DISTINCT note) AS d_notes
+FROM flat GROUP BY tier
+"""
+
+
+def q284_sql_programmability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PROGRAMMABILITY parity gate (Spark 4 surfaces): a scalar SQL
+    UDF (``CREATE TEMPORARY FUNCTION … RETURN``), a second UDF COMPOSED
+    on the first, and a session variable (``DECLARE``/``SET VAR``) used
+    in the WHERE clause.  SQL UDFs inline into the plan (Catalyst
+    substitutes the body — no black-box function boundary, predicates
+    still push), so this costs nothing at scale; the gate proves the
+    semantics.  Decimal arithmetic avoids division so both engines are
+    rounding-mode-independent; the oracle inlines everything."""
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        _dec("o_totalprice").alias("price"),
+    )
+    orders.createOrReplaceTempView("q284_orders")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION q284_taxed(p DECIMAL(18,2)) "
+        "RETURNS DECIMAL(18,2) RETURN CAST(p * 2 + 50 AS DECIMAL(18,2))"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION q284_band(p DECIMAL(18,2)) "
+        "RETURNS STRING RETURN CASE WHEN q284_taxed(p) > 400000 THEN "
+        "'high' WHEN q284_taxed(p) > 200000 THEN 'mid' ELSE 'low' END"
+    )
+    spark.sql("DECLARE OR REPLACE VARIABLE q284_mod INT DEFAULT 2")
+    spark.sql("SET VAR q284_mod = 3")
+    return spark.sql(
+        """
+        SELECT q284_band(price) AS band, COUNT(*) AS n,
+               CAST(SUM(q284_taxed(price)) AS DOUBLE) AS total
+        FROM q284_orders WHERE k % q284_mod = 0
+        GROUP BY band
+        """
+    )
+
+
+ORACLE_Q284 = """
+WITH src AS (
+  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders
+), t AS (
+  SELECT CAST(price * 2 + 50 AS DECIMAL(18,2)) AS tx
+  FROM src WHERE k % 3 = 0
+)
+SELECT CASE WHEN tx > 400000 THEN 'high'
+            WHEN tx > 200000 THEN 'mid' ELSE 'low' END AS band,
+       COUNT(*) AS n, CAST(SUM(tx) AS DOUBLE) AS total
+FROM t GROUP BY band
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -13342,6 +13464,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q280_url_canonical": q280_url_canonical,
     "q281_cdc_replication": q281_cdc_replication,
     "q282_metadata_aggregate": q282_metadata_aggregate,
+    "q283_variant_extraction": q283_variant_extraction,
+    "q284_sql_programmability": q284_sql_programmability,
 }
 
 ORACLES: dict[str, str] = {
@@ -13625,6 +13749,8 @@ ORACLES: dict[str, str] = {
     "q280_url_canonical": ORACLE_Q280,
     "q281_cdc_replication": ORACLE_Q281,
     "q282_metadata_aggregate": ORACLE_Q282,
+    "q283_variant_extraction": ORACLE_Q283,
+    "q284_sql_programmability": ORACLE_Q284,
 }
 
 
