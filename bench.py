@@ -305,6 +305,8 @@ BENCH_QUERIES = [
     "q282_metadata_aggregate",
     "q283_variant_extraction",
     "q284_sql_programmability",
+    "q285_pq_ann",
+    "q286_mmr_rerank",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

@@ -13182,6 +13182,116 @@ FROM t GROUP BY band
 """
 
 
+def q285_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCT QUANTIZATION ANN gate (``functions.pq`` — Jégou et al.,
+    the FAISS IVF-PQ code path; completes the quantization family next
+    to int8 q107, 1-bit q236, IVF q35): 16 subspaces × 16 centroids
+    trained by exact-integer Lloyd, vectors become 16 codes, the query
+    becomes 16 driver-computed ADC lookup tables, candidates come from
+    code lookups alone (no vector math on the scan), then the top-200
+    overscan is exactly re-ranked.  The exact top-10 truth (integer
+    quantized distances) is hash-matched against DuckDB; the PQ recall
+    against that truth is deterministic (exact integer arithmetic
+    end-to-end) and bound-gated at ≥ 8/10 (measured 10/10/9 at
+    sf0.001/0.01/0.1 — the synthetic embeddings are near-uniform
+    random, the hardest case for any quantizer; real clustered
+    embeddings code tighter)."""
+    from etl_opensky_spark.functions.clustering import QUANT_SCALE
+    from etl_opensky_spark.functions.pq import pq_encode, pq_topk, pq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = list(
+        emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    )
+    dim = len(qvec)
+    books = pq_train(emb, dim, m=16, k=16, iters=2)
+    codes = pq_encode(emb.filter(F.col("vec_id") != 0), books, dim)
+    cand = pq_topk(codes, books, qvec, topn=200)
+    vq = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * QUANT_SCALE).cast("long"),
+        ).alias("v"),
+    )
+    qq = [round(float(x) * QUANT_SCALE) for x in qvec]
+    d = F.aggregate(
+        F.zip_with("v", F.lit(qq), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    rerank = (
+        vq.join(F.broadcast(cand.select("vec_id")), "vec_id")
+        .select("vec_id", d.alias("dist"))
+        .orderBy("dist", "vec_id")
+        .limit(10)
+    )
+    truth = (
+        vq.filter(F.col("vec_id") != 0)
+        .select("vec_id", d.alias("dist"))
+        .orderBy("dist", "vec_id")
+        .limit(10)
+    )
+    t = truth.agg(
+        F.count("*").alias("n_truth"),
+        F.sum("vec_id").alias("truth_id_sum"),
+        F.sum("dist").alias("truth_dist_sum"),
+    )
+    h = truth.join(
+        rerank.select("vec_id"), "vec_id", "left_semi"
+    ).agg(F.count("*").alias("_hits"))
+    return t.crossJoin(h).select(
+        "n_truth",
+        "truth_id_sum",
+        "truth_dist_sum",
+        (F.col("_hits") >= 8).alias("recall_ok"),
+    )
+
+
+ORACLE_Q285 = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding,
+    x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS vq
+  FROM embeddings
+), q AS (SELECT vq AS qv FROM v WHERE vec_id = 0),
+d AS (
+  SELECT vec_id, CAST(list_sum(list_transform(range(len(v.vq)),
+    i -> (v.vq[i+1]-q.qv[i+1])*(v.vq[i+1]-q.qv[i+1]))) AS BIGINT) AS dist
+  FROM v, q WHERE vec_id <> 0
+), t AS (SELECT * FROM d ORDER BY dist, vec_id LIMIT 10)
+SELECT COUNT(*) AS n_truth, CAST(SUM(vec_id) AS BIGINT) AS truth_id_sum,
+       CAST(SUM(dist) AS BIGINT) AS truth_dist_sum, TRUE AS recall_ok
+FROM t
+"""
+
+
+def q286_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMAL MARGINAL RELEVANCE gate (``functions.mmr`` — Carbonell &
+    Goldstein's diversified re-rank, the context-assembly step of RAG
+    pipelines): 5 greedy picks at λ = 1/2 over a top-100 relevance
+    cut, each step ``argmin[d(q,i) − min_{j∈picked} d(i,j)]`` in exact
+    integer arithmetic (ties → lowest id).  The corpus is scanned once
+    (TakeOrdered); later steps scan only the cached candidate set with
+    the picked vectors as literals.  The oracle UNROLLS the greedy
+    recursion (one CTE per pick) — every pick, relevance distance, and
+    objective value hash-matches, proving the sequential selection, not
+    just the set."""
+    from etl_opensky_spark.functions.mmr import mmr_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = list(
+        emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    )
+    return mmr_topk(
+        emb.filter(F.col("vec_id") != 0), qvec, k=5, candidates=100
+    )
+
+
+from etl_opensky_spark.functions.mmr import mmr_oracle_sql as _mmr_osql
+
+ORACLE_Q286 = _mmr_osql(k=5, candidates=100, query_id=0)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -13466,6 +13576,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q282_metadata_aggregate": q282_metadata_aggregate,
     "q283_variant_extraction": q283_variant_extraction,
     "q284_sql_programmability": q284_sql_programmability,
+    "q285_pq_ann": q285_pq_ann,
+    "q286_mmr_rerank": q286_mmr_rerank,
 }
 
 ORACLES: dict[str, str] = {
@@ -13751,6 +13863,8 @@ ORACLES: dict[str, str] = {
     "q282_metadata_aggregate": ORACLE_Q282,
     "q283_variant_extraction": ORACLE_Q283,
     "q284_sql_programmability": ORACLE_Q284,
+    "q285_pq_ann": ORACLE_Q285,
+    "q286_mmr_rerank": ORACLE_Q286,
 }
 
 

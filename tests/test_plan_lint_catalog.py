@@ -77,6 +77,9 @@ ALLOW: dict[str, set[str]] = {
     # same Hamilton-core shape as q257: 1-row total/leftover crossJoins
     # + rank window over the aggregated strata table (key-cardinality)
     "q262_temperature_mixture": BNLJ | {"single-partition-exchange"},
+    # 1-row truth-aggregate × 1-row hits-aggregate crossJoin (the gate
+    # surface itself); the PQ scan and re-rank sides are equi/broadcast
+    "q285_pq_ann": BNLJ,
 }
 
 
