@@ -9,20 +9,24 @@ CODES — per row the approximate distance is ``m`` table lookups
 product.  Memory per vector drops from ``4·dim`` bytes to ``m`` code
 bytes (Jégou et al., PAMI 2011 — the workhorse inside FAISS' IVF-PQ).
 
-Spark-first shape, same contract as ``functions.clustering``:
+Spark-first shape, same determinism contract as
+``functions.clustering`` (micro-quantized integers end-to-end, ties to
+the lowest centroid id, so codes/recall are identical on any engine or
+partitioning):
 
-- training = ``m`` independent Lloyd loops over SLICES of the vector
-  (one shuffle per iteration each; the sliced frame is checkpointed
-  once); centroids are driver scalars (k·dim/m ints per subspace);
-- encoding is a pure Column expression (argmin over literal centroid
-  arrays — no shuffle, no Python);
+- assignment = EXPLODE each vector into its m subvectors and
+  broadcast-join the (m·k)-row centroid table: ONE ``zip_with``
+  distance lambda in the whole plan, evaluated per (row, centroid)
+  pair.  The first version inlined m·k = 256 per-centroid distance
+  expressions instead — 5.5 s of py4j expression BUILDING plus a
+  codegen-hostile tree per iteration (measured 25 s/train at 2 k rows;
+  this shape is ~2 s, bit-identical output).  SCALE.md lesson 8 again:
+  the cost was never the data, it was the expression tree.
+- training = 1 seed collect + (2 shuffles of n·m pair rows + 1 small
+  collect) per Lloyd iteration, ALL subspaces together;
 - ADC lookup tables are computed ON THE DRIVER from the query alone
   (m·k ints) and embedded as literals: the scan does ``m``
-  ``element_at`` calls per row inside codegen;
-- floats are micro-quantized once (``QUANT_SCALE``), every distance is
-  an exact integer — deterministic across engines and partitionings,
-  so recall against the exact top-k is a REPRODUCIBLE number a gate
-  can pin (q285).
+  ``element_at`` calls per row.
 """
 
 from __future__ import annotations
@@ -32,7 +36,6 @@ from pyspark.sql import functions as F
 
 from etl_opensky_spark.functions.clustering import (
     QUANT_SCALE,
-    _assign,
     _quantize,
 )
 
@@ -53,6 +56,61 @@ def _subspace_bounds(dim: int, m: int) -> list[tuple[int, int]]:
     return out
 
 
+def _subvectors(vq: DataFrame, bounds) -> DataFrame:
+    """``(_id, _j, _sv)``: one row per (vector, subspace) — m slice
+    expressions total, exploded."""
+    return vq.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("_j"),
+                        F.slice("_fullq", start, length).alias("_sv"),
+                    )
+                    for j, (start, length) in enumerate(bounds)
+                ]
+            )
+        ).alias("_s"),
+    ).select("_id", F.col("_s._j").alias("_j"), F.col("_s._sv").alias("_sv"))
+
+
+def _centroid_df(spark, books: Codebooks) -> DataFrame:
+    rows = [
+        (j, cid, cvec)
+        for j, cents in enumerate(books)
+        for cid, cvec in cents
+    ]
+    return spark.createDataFrame(
+        rows, "_j int, _cid int, _cv array<long>"
+    )
+
+
+_PAIR_DIST = lambda: F.aggregate(  # noqa: E731 — the ONE distance lambda
+    F.zip_with("_sv", "_cv", lambda a, b: (a - b) * (a - b)),
+    F.lit(0).cast("long"),
+    lambda acc, x: acc + x,
+)
+
+
+def _assign_codes(vq: DataFrame, books: Codebooks, bounds) -> DataFrame:
+    """``(_id, _j, _cid, _sv)``: nearest centroid per (vector,
+    subspace); ties to the lowest cid via min(struct(dist, cid))."""
+    spark = vq.sparkSession
+    pairs = _subvectors(vq, bounds).join(
+        F.broadcast(_centroid_df(spark, books)), "_j"
+    )
+    return (
+        pairs.withColumn("_d", _PAIR_DIST())
+        .groupBy("_id", "_j")
+        .agg(
+            F.min(F.struct("_d", "_cid")).alias("_best"),
+            F.first("_sv").alias("_sv"),  # constant within the group
+        )
+        .select("_id", "_j", F.col("_best._cid").alias("_cid"), "_sv")
+    )
+
+
 def pq_train(
     emb: DataFrame,
     dim: int,
@@ -63,71 +121,45 @@ def pq_train(
     iters: int = 2,
 ) -> Codebooks:
     """Train ``m`` subspace codebooks of ``k`` centroids each
-    (deterministic seeds: the first ``k`` vectors by id, exactly the
+    (deterministic seeds: the first ``k`` vectors by id, the
     ``clustering.kmeans`` contract).  Returns driver-side integer
-    centroids in quantized units.  Cost: m·iters update shuffles over
-    an ``n × dim/m`` sliced frame; the full vectors are exchanged
-    never, and empty clusters are dropped (never reseeded)."""
+    centroids in quantized units.  All subspaces train in the same
+    jobs; empty clusters are dropped (never reseeded)."""
+    bounds = _subspace_bounds(dim, m)
     vq = emb.select(
         F.col(id_col).alias("_id"), _quantize(emb, vec_col).alias("_fullq")
     ).localCheckpoint(eager=False)
-    books: Codebooks = []
-    for start, length in _subspace_bounds(dim, m):
-        sub = vq.select(
-            "_id", F.slice("_fullq", start, length).alias("_vq")
-        )
-        seeds = sub.orderBy("_id").limit(k).collect()
-        cents = [(i + 1, list(r["_vq"])) for i, r in enumerate(seeds)]
-        for _ in range(iters):
-            rows = (
-                _assign(sub, cents)
-                .select("_cid", F.posexplode("_vq").alias("_pos", "_val"))
-                .groupBy("_cid", "_pos")
-                .agg(F.sum("_val").alias("_s"), F.count("*").alias("_n"))
-                .select(
-                    "_cid", "_pos",
-                    F.floor(F.col("_s") / F.col("_n")).cast("long")
-                    .alias("_c"),
-                )
-                .collect()
+    seed_rows = vq.orderBy("_id").limit(k).collect()
+    books: Codebooks = [
+        [
+            (i + 1, list(r["_fullq"])[start - 1 : start - 1 + length])
+            for i, r in enumerate(seed_rows)
+        ]
+        for (start, length) in bounds
+    ]
+    for _ in range(iters):
+        rows = (
+            _assign_codes(vq, books, bounds)
+            .select("_j", "_cid", F.posexplode("_sv").alias("_sp", "_val"))
+            .groupBy("_j", "_cid", "_sp")
+            .agg(F.sum("_val").alias("_s"), F.count("*").alias("_n"))
+            .select(
+                "_j", "_cid", "_sp",
+                F.floor(F.col("_s") / F.col("_n")).cast("long").alias("_c"),
             )
-            by_cid: dict[int, dict[int, int]] = {}
-            for r in rows:
-                by_cid.setdefault(r["_cid"], {})[r["_pos"]] = r["_c"]
-            cents = [
+            .collect()
+        )
+        by_sub: list[dict[int, dict[int, int]]] = [{} for _ in range(m)]
+        for r in rows:
+            by_sub[r["_j"]].setdefault(r["_cid"], {})[r["_sp"]] = r["_c"]
+        books = [
+            [
                 (cid, [comps[p] for p in sorted(comps)])
                 for cid, comps in sorted(by_cid.items())
             ]
-        books.append(cents)
+            for by_cid in by_sub
+        ]
     return books
-
-
-def _code_expr(books: Codebooks, bounds) -> list:
-    """Per-subspace nearest-centroid code as pure Column expressions
-    over the quantized full vector ``_fullq``."""
-    exprs = []
-    for (start, length), cents in zip(bounds, books):
-        sub = F.slice("_fullq", start, length)
-        dists = F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        sub, F.lit(cq), lambda a, b: (a - b) * (a - b)
-                    ),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x,
-                )
-                for _, cq in cents
-            ]
-        )
-        cid_lit = F.lit([cid for cid, _ in cents])
-        exprs.append(
-            F.element_at(
-                cid_lit,
-                F.array_position(dists, F.array_min(dists)).cast("int"),
-            )
-        )
-    return exprs
 
 
 def pq_encode(
@@ -137,15 +169,23 @@ def pq_encode(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """One code (1..k) per subspace per row — ``(id, codes array<int>)``.
-    Ties break to the lowest centroid id (first minimal slot), matching
-    training assignment."""
+    """One code (1..k) per subspace per row — ``(id, codes array<int>)``
+    with codes ordered by subspace.  Ties break to the lowest centroid
+    id, matching training assignment."""
     bounds = _subspace_bounds(dim, len(books))
     vq = emb.select(
-        F.col(id_col), _quantize(emb, vec_col).alias("_fullq")
+        F.col(id_col).alias("_id"), _quantize(emb, vec_col).alias("_fullq")
     )
-    return vq.select(
-        id_col, F.array(*_code_expr(books, bounds)).alias("codes")
+    assigned = _assign_codes(vq, books, bounds)
+    return (
+        assigned.groupBy("_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_j", "_cid"))),
+                lambda s: s["_cid"],
+            ).alias("codes")
+        )
+        .select(F.col("_id").alias(id_col), "codes")
     )
 
 
@@ -162,9 +202,7 @@ def pq_topk(
     ``m`` ``element_at`` lookups + a sum per row — no vector math
     touches the data.  Deterministic ties: (distance, id) ascending."""
     qq = [round(x * QUANT_SCALE) for x in query]
-    bounds = _subspace_bounds(
-        len(qq), len(books)
-    )
+    bounds = _subspace_bounds(len(qq), len(books))
     adc = F.lit(0).cast("long")
     for j, ((start, length), cents) in enumerate(zip(bounds, books)):
         qsub = qq[start - 1 : start - 1 + length]

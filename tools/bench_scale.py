@@ -136,6 +136,18 @@ def main() -> None:
                 "sf1zipf = Zipf(1.3) user skew + hot near-dup doc clusters",
         "queries": table,
     }
+    # MERGE into the existing artifact: bench_mv_scale.py (and future
+    # experiment tools) park results under other top-level keys —
+    # overwriting the file would silently drop their evidence
+    if os.path.exists("BENCH_sf1.json"):
+        with open("BENCH_sf1.json") as fh:
+            prior = json.load(fh)
+        for key, val in prior.items():
+            if key not in result and key != "queries":
+                result[key] = val
+        prior_q = prior.get("queries") or {}
+        for qname, row in prior_q.items():
+            result["queries"].setdefault(qname, row)
     with open("BENCH_sf1.json", "w") as fh:
         json.dump(result, fh, indent=1)
     print(json.dumps(result))
