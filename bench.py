@@ -307,6 +307,7 @@ BENCH_QUERIES = [
     "q284_sql_programmability",
     "q285_pq_ann",
     "q286_mmr_rerank",
+    "q287_webdataset_roundtrip",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

@@ -13292,6 +13292,52 @@ from etl_opensky_spark.functions.mmr import mmr_oracle_sql as _mmr_osql
 ORACLE_Q286 = _mmr_osql(k=5, candidates=100, query_id=0)
 
 
+def q287_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEBDATASET export/import gate (``sources.webdataset`` — the tar
+    shard format training dataloaders stream): the documents table is
+    exported as 8 deterministic tar shards (hash-sharded on doc_id,
+    key-sorted inside each shard, write-to-temp + atomic rename so
+    retries can't tear a shard), read back through the binaryFile +
+    Arrow tar parser, relationally reassembled, and rolled up per
+    language with an order-independent md5 content checksum — the
+    oracle computes the same rollup on the ORIGINAL table, so any byte
+    lost or duplicated in the tar round trip breaks the hash."""
+    import shutil
+
+    from etl_opensky_spark.sources.webdataset import (
+        read_webdataset,
+        reassemble_strings,
+        write_webdataset,
+    )
+
+    out = _gate_tmp("q287_wds", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    write_webdataset(docs, out, "doc_id", shards=8)
+    back = reassemble_strings(
+        read_webdataset(spark, out), ["text", "lang"], key_col="doc_id"
+    )
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum(F.length("text")).alias("chars"),
+        F.sum(
+            F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10)
+            .cast("long")
+        ).alias("text_checksum"),
+        F.sum(F.col("doc_id").cast("long")).alias("key_sum"),
+    )
+
+
+ORACLE_Q287 = """
+SELECT lang, COUNT(*) AS n,
+       CAST(SUM(length(text)) AS BIGINT) AS chars,
+       CAST(SUM(CAST(CONCAT('0x', substr(md5(text), 1, 8)) AS BIGINT))
+            AS BIGINT) AS text_checksum,
+       CAST(SUM(doc_id) AS BIGINT) AS key_sum
+FROM documents GROUP BY lang
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -13578,6 +13624,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q284_sql_programmability": q284_sql_programmability,
     "q285_pq_ann": q285_pq_ann,
     "q286_mmr_rerank": q286_mmr_rerank,
+    "q287_webdataset_roundtrip": q287_webdataset_roundtrip,
 }
 
 ORACLES: dict[str, str] = {
@@ -13865,6 +13912,7 @@ ORACLES: dict[str, str] = {
     "q284_sql_programmability": ORACLE_Q284,
     "q285_pq_ann": ORACLE_Q285,
     "q286_mmr_rerank": ORACLE_Q286,
+    "q287_webdataset_roundtrip": ORACLE_Q287,
 }
 
 
