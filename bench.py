@@ -308,6 +308,7 @@ BENCH_QUERIES = [
     "q285_pq_ann",
     "q286_mmr_rerank",
     "q287_webdataset_roundtrip",
+    "q288_identity_columns",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

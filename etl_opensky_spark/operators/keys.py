@@ -45,3 +45,44 @@ def date_dim_id(col: Column) -> Column:
         (F.year(col) * F.lit(10000) + F.month(col) * F.lit(100) + F.dayofmonth(col))
         .cast("int")
     )
+
+
+def assign_identity(df: DataFrame, start: int, out_col: str) -> DataFrame:
+    """Dense identity assignment: every row gets a UNIQUE id and the ids
+    are EXACTLY the range ``[start, start + count(df))`` — Delta's
+    ``GENERATED ALWAYS AS IDENTITY`` contract (uniqueness + a provable
+    range; WHICH row gets which id depends on physical partitioning, a
+    promise Delta doesn't make either — use ``surrogate_key`` when the
+    id must be a function of the data).
+
+    Zero shuffles: the frame is checkpointed to pin its partitioning,
+    per-partition counts come back as driver scalars (one cheap agg),
+    and the id is ``partition_offset + local_counter`` where the local
+    counter is decoded from ``monotonically_increasing_id`` (counter in
+    the low 33 bits, partition in the high bits — contiguous from 0
+    within each partition by construction).  The lake integration
+    (``write_version(identity_col=)``, ``copy_into``,
+    ``merge_versioned``) persists the high-water mark in the commit log
+    so every append continues where the last one stopped."""
+    pinned = df.localCheckpoint(eager=False)
+    counts = (
+        pinned.groupBy(F.spark_partition_id().alias("_pid"))
+        .count()
+        .collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = start
+    for r in sorted(counts, key=lambda r: r["_pid"]):
+        offsets[r["_pid"]] = acc
+        acc += r["count"]
+    if not offsets:
+        return pinned.withColumn(out_col, F.lit(None).cast("long"))
+    off_map = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    mid = F.monotonically_increasing_id()
+    local = mid.bitwiseAND(F.lit((1 << 33) - 1))
+    return pinned.withColumn(
+        out_col,
+        (off_map[F.spark_partition_id()] + local).cast("long"),
+    )

@@ -13338,6 +13338,76 @@ FROM documents GROUP BY lang
 """
 
 
+def q288_identity_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED IDENTITY gate (``keys.assign_identity`` + the lake's
+    high-water-mark rider — Delta ``GENERATED ALWAYS AS IDENTITY``):
+    a write, a ``COPY INTO`` landing batch, and a keyed MERGE
+    (updates keep their ids, inserts mint fresh ones) must together
+    produce ids that are EXACTLY the dense range [1, N] — assignment is
+    shuffle-free (partition offsets + the monotonic local counter), so
+    which row gets which id is partitioning-dependent, but uniqueness,
+    the bounds, and therefore SUM(ids) = N(N+1)/2 are provable — which
+    is precisely what the oracle replays from counts, alongside the
+    price rollup pinning the data itself."""
+    import shutil
+
+    from etl_opensky_spark.sources.versioned import (
+        copy_into,
+        merge_versioned,
+        read_version,
+        write_version,
+    )
+
+    base = _gate_tmp("q288_ident", sf_dir)
+    landing = _gate_tmp("q288_ident_landing", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    shutil.rmtree(landing, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        _dec("o_totalprice").alias("price"),
+    )
+    write_version(
+        orders.filter(F.col("k") % 3 == 0), base, identity_col="row_id"
+    )
+    orders.filter(F.col("k") % 3 == 1).coalesce(2).write.mode(
+        "overwrite"
+    ).parquet(landing)
+    copy_into(spark, base, landing)
+    upd = orders.filter(F.col("k") % 15 == 0).select(
+        "k", (F.col("price") * 2).cast("decimal(18,2)").alias("price")
+    )
+    ins = orders.filter(F.col("k") % 3 == 2).select("k", "price")
+    merge_versioned(spark, base, upd.unionByName(ins), ["k"])
+    t = read_version(spark, base)
+    return t.agg(
+        F.count("*").alias("n"),
+        F.count_distinct("row_id").alias("d_ids"),
+        F.min("row_id").alias("min_id"),
+        F.max("row_id").alias("max_id"),
+        F.sum("row_id").alias("id_sum"),
+        F.sum("price").cast("double").alias("price_total"),
+    )
+
+
+ORACLE_Q288 = """
+WITH src AS (
+  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders
+), final AS (
+  SELECT k, CASE WHEN k % 15 = 0
+                 THEN CAST(price * 2 AS DECIMAL(18,2)) ELSE price END
+         AS price
+  FROM src WHERE k % 3 = 0
+  UNION ALL SELECT k, price FROM src WHERE k % 3 = 1
+  UNION ALL SELECT k, price FROM src WHERE k % 3 = 2
+), n AS (SELECT COUNT(*) AS n FROM final)
+SELECT n.n AS n, n.n AS d_ids, 1 AS min_id, n.n AS max_id,
+       CAST(n.n * (n.n + 1) / 2 AS BIGINT) AS id_sum,
+       (SELECT CAST(SUM(price) AS DOUBLE) FROM final) AS price_total
+FROM n
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -13625,6 +13695,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q285_pq_ann": q285_pq_ann,
     "q286_mmr_rerank": q286_mmr_rerank,
     "q287_webdataset_roundtrip": q287_webdataset_roundtrip,
+    "q288_identity_columns": q288_identity_columns,
 }
 
 ORACLES: dict[str, str] = {
@@ -13913,6 +13984,7 @@ ORACLES: dict[str, str] = {
     "q285_pq_ann": ORACLE_Q285,
     "q286_mmr_rerank": ORACLE_Q286,
     "q287_webdataset_roundtrip": ORACLE_Q287,
+    "q288_identity_columns": ORACLE_Q288,
 }
 
 

@@ -459,6 +459,8 @@ def write_version(
     bloom_bits: int = 4096,
     bloom_hashes: int = 4,
     user_meta: dict | None = None,
+    identity_col: str | None = None,
+    identity_start: int = 1,
 ) -> int:
     """Commit ``df`` as the next full snapshot of the table at ``base``.
     ``user_meta`` is an arbitrary JSON-serializable annotation stored in
@@ -477,6 +479,22 @@ def write_version(
     os.makedirs(base, exist_ok=True)
     cur = _current(base)
     cons = dict((cur or {}).get("constraints") or {})
+    identity_rider = None
+    if identity_col is not None:
+        # GENERATED ALWAYS AS IDENTITY: the engine mints the ids —
+        # caller-supplied values would break the dense-range guarantee
+        if identity_col in df.columns:
+            raise ValueError(
+                f"write_version: identity column {identity_col!r} is "
+                "GENERATED ALWAYS — the incoming frame must not carry it"
+            )
+        from etl_opensky_spark.operators.keys import assign_identity
+
+        n_in = df.count()
+        df = assign_identity(df, identity_start, identity_col)
+        identity_rider = {
+            "col": identity_col, "next": identity_start + n_in,
+        }
     _check_constraints(df, cons)  # reject BEFORE any data stages
     version = (cur["version"] if cur else 0) + 1
     name, data_dir = _new_data_dir(base)
@@ -500,6 +518,8 @@ def write_version(
         )
     if user_meta is not None:
         extra["user_meta"] = dict(user_meta)
+    if identity_rider is not None:
+        extra["identity"] = identity_rider
     try:
         _commit(base, version, name, "write", extra=extra or None)
     except ConcurrentCommitError:
@@ -667,7 +687,7 @@ def restore_version(base: str, to_version: int) -> int:
     extra: dict = {"restored_from": to_version}
     for key in (
         "schema_json", "column_mapping", "stats_cols", "stats",
-        "constraints", "ingested_files", "tombstones",
+        "constraints", "ingested_files", "tombstones", "identity",
     ):
         if entry.get(key) is not None and key in entry:
             extra[key] = entry[key]
@@ -819,8 +839,34 @@ def merge_versioned(
     parent_dir = os.path.join(base, cur["dir"])
     mapping = _col_mapping(cur)
     cons = dict(cur.get("constraints") or {})
-    _check_constraints(upd, cons)  # reject BEFORE any data stages
     target = _read_snapshot(spark, base, cur)
+    ident = dict(cur.get("identity") or {}) or None
+    if ident is not None and ident["col"] in upd.columns:
+        raise ValueError(
+            f"merge_versioned: identity column {ident['col']!r} is "
+            "GENERATED ALWAYS — updates must not carry it"
+        )
+    if ident is not None:
+        # GENERATED IDENTITY through MERGE: matched rows KEEP their id
+        # (fetched by key from the target), not-matched rows mint fresh
+        # ids from the high-water mark — then the merge proceeds with
+        # the full column set as usual
+        idc = ident["col"]
+        if idc in keys:
+            raise ValueError(
+                "merge_versioned: cannot merge ON the generated identity "
+                f"column {idc!r} without supplying its values"
+            )
+        tgt_ids = target.select(*keys, idc)
+        from etl_opensky_spark.operators.keys import assign_identity
+
+        matched = upd.join(tgt_ids, on=keys, how="inner")
+        fresh = upd.join(tgt_ids.select(*keys), on=keys, how="left_anti")
+        n_new = fresh.count()
+        fresh = assign_identity(fresh, ident["next"], idc)
+        upd = matched.unionByName(fresh).localCheckpoint()
+        ident["next"] += n_new
+    _check_constraints(upd, cons)  # reject BEFORE any data stages
     new_cols = [c for c in upd.columns if c not in target.columns]
     missing = sorted(set(target.columns) - set(upd.columns))
     if missing or (new_cols and not merge_schema):
@@ -917,6 +963,8 @@ def merge_versioned(
             extra["constraints"] = cons
         if cur.get("ingested_files"):
             extra["ingested_files"] = cur["ingested_files"]
+        if ident is not None:
+            extra["identity"] = ident  # carries the advanced high-water mark
         if part_cols and cur.get("tombstones"):
             extra["tombstones"] = cur["tombstones"]
         if user_meta is not None:
@@ -1010,6 +1058,8 @@ def purge_versioned(
             extra["constraints"] = cur["constraints"]
         if cur.get("ingested_files"):
             extra["ingested_files"] = cur["ingested_files"]
+        if cur.get("identity"):
+            extra.setdefault("identity", cur["identity"])
         if part_cols and cur.get("tombstones"):
             extra["tombstones"] = cur["tombstones"]
         _commit(base, version, name, "purge", extra=extra or None)
@@ -1064,7 +1114,7 @@ def purge_versioned_mor(
         extra: dict = {"tombstones": tombs}
         for key in (
             "schema_json", "column_mapping", "stats_cols", "stats",
-            "constraints", "ingested_files",
+            "constraints", "ingested_files", "identity",
         ):
             if cur.get(key) is not None and key in cur:
                 extra[key] = cur[key]
@@ -1174,6 +1224,8 @@ def compact_versioned(
             extra["constraints"] = cur["constraints"]
         if cur.get("ingested_files"):
             extra["ingested_files"] = cur["ingested_files"]
+        if cur.get("identity"):
+            extra.setdefault("identity", cur["identity"])
         _commit(base, version, name, "compact", extra=extra or None)
     except ConcurrentCommitError:
         shutil.rmtree(data_dir, ignore_errors=True)
@@ -1217,6 +1269,8 @@ def clone_versioned(
         extra["constraints"] = entry["constraints"]
     if entry.get("ingested_files"):
         extra["ingested_files"] = entry["ingested_files"]
+    if entry.get("identity"):
+        extra["identity"] = entry["identity"]
     if entry.get("tombstones"):
         extra["tombstones"] = entry["tombstones"]
     try:
@@ -1279,7 +1333,7 @@ def add_constraint(
     extra: dict = {"constraints": cons}
     for key in (
         "schema_json", "column_mapping", "stats_cols", "stats",
-        "ingested_files", "tombstones",
+        "ingested_files", "tombstones", "identity",
     ):
         if key in cur and cur.get(key) is not None:
             extra[key] = cur[key]
@@ -1306,7 +1360,7 @@ def annotate_version(base: str, user_meta: dict) -> int:
     extra: dict = {"user_meta": dict(user_meta)}
     for key in (
         "schema_json", "column_mapping", "stats_cols", "stats",
-        "constraints", "ingested_files", "tombstones",
+        "constraints", "ingested_files", "tombstones", "identity",
     ):
         if key in cur and cur.get(key) is not None:
             extra[key] = cur[key]
@@ -1335,7 +1389,7 @@ def drop_constraint(base: str, name: str) -> int:
         extra["constraints"] = cons
     for key in (
         "schema_json", "column_mapping", "stats_cols", "stats",
-        "ingested_files", "tombstones",
+        "ingested_files", "tombstones", "identity",
     ):
         if key in cur and cur.get(key) is not None:
             extra[key] = cur[key]
@@ -1461,6 +1515,10 @@ def rename_column(
         extra["constraints"] = cons
     if cur.get("ingested_files"):
         extra["ingested_files"] = cur["ingested_files"]
+    if cur.get("identity"):
+        # the rider names the LOGICAL column: re-label with the rename
+        ic = cur["identity"]
+        extra["identity"] = {**ic, "col": renames.get(ic["col"], ic["col"])}
     if cur.get("tombstones"):
         # tombstone key labels are logical names: re-label them with the
         # rename (sidecar files are positional, so data stays untouched)
@@ -1520,6 +1578,22 @@ def copy_into(
     batch = spark.read.parquet(
         *[os.path.join(src_dir, f) for f in new_files]
     )
+    identity_rider = dict((cur or {}).get("identity") or {}) or None
+    if identity_rider:
+        # landing files never carry the generated column: mint ids
+        # continuing from the table's high-water mark
+        if identity_rider["col"] in batch.columns:
+            raise ValueError(
+                f"copy_into: identity column {identity_rider['col']!r} "
+                "is GENERATED ALWAYS — landing files must not carry it"
+            )
+        from etl_opensky_spark.operators.keys import assign_identity
+
+        n_batch = batch.count()
+        batch = assign_identity(
+            batch, identity_rider["next"], identity_rider["col"]
+        )
+        identity_rider["next"] += n_batch
     cons = dict((cur or {}).get("constraints") or {})
     _check_constraints(batch, cons)
     mapping = _col_mapping(cur) if cur else {}
@@ -1557,6 +1631,8 @@ def copy_into(
             ):
                 if cur.get(key):
                     extra[key] = cur[key]
+        if identity_rider:
+            extra["identity"] = identity_rider
         _commit(base, version, dname, "copy_into", extra=extra)
     except ConcurrentCommitError:
         shutil.rmtree(data_dir, ignore_errors=True)
