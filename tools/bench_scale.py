@@ -63,6 +63,11 @@ SCALE_QUERIES = [
     # round-5 session-3 additions
     "q264_k_core",               # 3-round peel over supplier-part edges
     "q256_gini_skew",            # distributed-prefix rank sums
+    # round-5 session-4 additions
+    "q280_url_canonical",        # parse_url canonicalization projection
+    "q285_pq_ann",               # PQ train + ADC probe + exact re-rank
+    "q286_mmr_rerank",           # greedy diversified top-k (5 picks)
+    "q287_webdataset_roundtrip", # tar-shard export + Arrow tar re-read
 ]
 
 #: hot-key rehearsal: queries keyed on events.user_id or documents
