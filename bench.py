@@ -309,6 +309,7 @@ BENCH_QUERIES = [
     "q286_mmr_rerank",
     "q287_webdataset_roundtrip",
     "q288_identity_columns",
+    "q289_streamable_feed",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

