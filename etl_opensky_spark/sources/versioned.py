@@ -51,9 +51,12 @@ import shutil
 import uuid
 from collections.abc import Sequence
 from functools import reduce
+from urllib.parse import quote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from etl_opensky_spark.sources.fs import get_fs
 
 COMMITS = "_commits"
 
@@ -109,9 +112,13 @@ def _col_mapping(entry: dict) -> dict:
     return dict(entry.get("column_mapping") or {})
 
 
-def _apply_mapping(df: DataFrame, entry: dict) -> DataFrame:
+def _apply_mapping(
+    df: DataFrame, entry: dict, keep: Sequence[str] = ()
+) -> DataFrame:
     """Physical file columns -> the snapshot's LOGICAL view, in
-    logical-schema order.  No-op without a mapping."""
+    logical-schema order.  No-op without a mapping.  ``keep`` names
+    engine-internal columns (file-provenance for scoped tombstones)
+    that must survive the projection."""
     mapping = _col_mapping(entry)
     if not mapping:
         return df
@@ -122,7 +129,8 @@ def _apply_mapping(df: DataFrame, entry: dict) -> DataFrame:
         *[
             F.col(mapping.get(f.name, f.name)).alias(f.name)
             for f in logical.fields
-        ]
+        ],
+        *[F.col(c) for c in keep],
     )
 
 
@@ -133,7 +141,8 @@ def _commit(
     op: str,
     extra: dict | None = None,
 ) -> None:
-    """The atomic commit point: O_EXCL create of the commit file.  Raises
+    """The atomic commit point: ``put_if_absent`` of the commit file
+    through the :mod:`sources.fs` seam (``O_EXCL`` locally).  Raises
     :class:`ConcurrentCommitError` if another writer won this version.
     ``extra`` carries optional manifest metadata (file stats for data
     skipping)."""
@@ -147,15 +156,13 @@ def _commit(
         doc.update(extra)
     payload = json.dumps(doc)
     try:
-        fd = os.open(
-            _commit_path(base, version), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+        get_fs().put_if_absent(
+            _commit_path(base, version), payload.encode()
         )
     except FileExistsError:
         raise ConcurrentCommitError(
             f"version {version} at {base} was committed by another writer"
         ) from None
-    with os.fdopen(fd, "w") as fh:
-        fh.write(payload)
 
 
 def _new_data_dir(base: str) -> tuple[str, str]:
@@ -189,18 +196,11 @@ def _hive_dir(cols: Sequence[str], values) -> str:
 
 
 def _link_tree(src: str, dst: str) -> None:
-    """Replicate ``src`` under ``dst`` with hardlinks (copy fallback for
-    cross-device moves) — metadata-only snapshot reuse."""
-    for root, _dirs, files in os.walk(src):
-        rel = os.path.relpath(root, src)
-        out = os.path.join(dst, rel) if rel != "." else dst
-        os.makedirs(out, exist_ok=True)
-        for f in files:
-            s, d = os.path.join(root, f), os.path.join(out, f)
-            try:
-                os.link(s, d)
-            except OSError:
-                shutil.copy2(s, d)
+    """Replicate ``src`` under ``dst`` without copying data —
+    metadata-only snapshot reuse, via the filesystem seam
+    (``sources.fs``: hardlinks locally; manifest re-reference or
+    server-side copy on an object store)."""
+    get_fs().link_tree(src, dst)
 
 
 def _assert_partitioned(parent_dir: str, part_cols: Sequence[str]) -> None:
@@ -479,7 +479,24 @@ def write_version(
     os.makedirs(base, exist_ok=True)
     cur = _current(base)
     cons = dict((cur or {}).get("constraints") or {})
+    cur_ident = dict((cur or {}).get("identity") or {}) or None
+    if cur_ident is not None:
+        # the identity rider is a TABLE property, not a per-commit one:
+        # a full overwrite keeps GENERATED ALWAYS enforcement and the
+        # monotone high-water mark (ids already emitted downstream must
+        # never be re-minted for different rows)
+        if identity_col is None:
+            identity_col = cur_ident["col"]
+            identity_start = cur_ident["next"]
+        elif identity_col == cur_ident["col"]:
+            identity_start = max(identity_start, cur_ident["next"])
     identity_rider = None
+    if cons or identity_col is not None:
+        # pin ONE materialization: the constraint check, the identity
+        # row count, and the parquet write must all observe the same
+        # rows — a non-deterministic source (rand(), re-read mutable
+        # input) could otherwise pass the check yet commit violations
+        df = df.localCheckpoint()
     if identity_col is not None:
         # GENERATED ALWAYS AS IDENTITY: the engine mints the ids —
         # caller-supplied values would break the dense-range guarantee
@@ -574,14 +591,69 @@ def _reader(spark: SparkSession, entry: dict):
     return r
 
 
+#: engine-internal file-provenance column used to scope tombstones to
+#: the files that existed at delete time; never visible to callers
+_REL_COL = "_vtomb_rel__"
+#: name of the hidden JSON file inside a tombstone sidecar dir listing
+#: the snapshot-relative data-file paths the delete applies to
+#: (underscore prefix keeps it invisible to the parquet scan; it
+#: hardlink-travels with the sidecar through every copy-on-write commit)
+TOMB_SCOPE = "_scope.json"
+
+
+def _rel_path_col(entry: dict):
+    """Snapshot-relative path of each row's source file, derived from
+    the scan's ``_metadata.file_path``.  The snapshot dir name is a
+    uuid (``data-<hex12>``) so splitting on it is unambiguous; rel
+    paths are stable across commits because ``_link_tree`` preserves
+    directory structure — the same physical file keeps the same rel
+    path in every snapshot that hardlinks it."""
+    return F.substring_index(
+        F.col("_metadata.file_path"), entry["dir"] + "/", -1
+    )
+
+
+#: characters a Java URI leaves unescaped in a path segment (pchar set
+#: + '/'); everything else — notably SPACE and a literal '%' in a Hive-
+#: escaped partition dir — appears %XX-encoded in ``_metadata.file_path``
+_URI_PCHAR_SAFE = "/!$&'()*+,;=:@-._~"
+
+
+def _tomb_scope_files(base: str, entry: dict, t: dict) -> list[str]:
+    """Scope list for one tombstone, re-encoded to match the URI form
+    ``_metadata.file_path`` reports.  The sidecar stores the RAW on-disk
+    relative paths (ground truth, portable); Spark's file provenance is
+    the Hadoop Path URI — ``p=4-NOT SPECIFIED/x.parquet`` surfaces as
+    ``p=4-NOT%20SPECIFIED/x.parquet`` — so the join keys must be
+    encoded identically or rows in any partition whose value contains
+    an escaped character silently fall out of scope (and their deletes
+    silently un-apply)."""
+    with open(
+        os.path.join(base, entry["dir"], t["dir"], TOMB_SCOPE)
+    ) as fh:
+        return [quote(p, safe=_URI_PCHAR_SAFE) for p in json.load(fh)]
+
+
 def _apply_tombstones(
     spark: SparkSession, base: str, entry: dict, df: DataFrame
 ) -> DataFrame:
-    """Merge-on-read DELETE: anti-join away every key recorded in the
-    snapshot's tombstone sidecars (``purge_versioned_mor``).  Applied
-    AFTER column mapping, so tombstone keys are logical names.  No-op
-    without tombstones."""
+    """Merge-on-read DELETE: remove every (key, file) the snapshot's
+    tombstone sidecars record (``purge_versioned_mor``).  Applied AFTER
+    column mapping, so tombstone keys are logical names.  No-op without
+    tombstones.
+
+    Scoped tombstones (``t["scoped"]``) apply ONLY to rows read from
+    the data files that existed when the delete committed (the file
+    list rides in the sidecar's ``_scope.json``) — Delta deletion
+    vectors are file/row-position scoped for exactly this reason: a
+    row with the same key written AFTER the delete (merge re-insert,
+    ``copy_into`` append) lands in a new file outside every existing
+    scope and stays visible.  The membership tests are two broadcast
+    hash joins per tombstone (keys, then file list) — map-side only,
+    no shuffle.  Legacy unscoped sidecars (no ``_scope.json``) keep
+    the original whole-table anti-join."""
     tombs = entry.get("tombstones") or []
+    scoped_any = any(t.get("scoped") for t in tombs)
     for t in tombs:
         keys_df = spark.read.parquet(
             os.path.join(base, entry["dir"], t["dir"])
@@ -590,20 +662,60 @@ def _apply_tombstones(
         # order at write time, but a later rename_column may have
         # re-labeled the logical names the rider now carries
         keys_df = keys_df.toDF(*t["keys"])
-        df = df.join(F.broadcast(keys_df), on=t["keys"], how="left_anti")
+        if not t.get("scoped"):
+            df = df.join(F.broadcast(keys_df), on=t["keys"], how="left_anti")
+            continue
+        files = _tomb_scope_files(base, entry, t)
+        fdf = spark.createDataFrame(
+            [(p,) for p in files], f"{_REL_COL} string"
+        ).withColumn("_vtomb_scope__", F.lit(True))
+        hit = keys_df.withColumn("_vtomb_hit__", F.lit(True))
+        df = (
+            df.join(F.broadcast(hit), on=t["keys"], how="left")
+            .join(F.broadcast(fdf), on=_REL_COL, how="left")
+            .filter(
+                ~(
+                    F.col("_vtomb_hit__").isNotNull()
+                    & F.col("_vtomb_scope__").isNotNull()
+                )
+            )
+            .drop("_vtomb_hit__", "_vtomb_scope__")
+        )
+    if scoped_any:
+        df = df.drop(_REL_COL)
     return df
 
 
-def _read_snapshot(spark: SparkSession, base: str, entry: dict) -> DataFrame:
+def _open_snapshot(
+    spark: SparkSession,
+    base: str,
+    entry: dict,
+    paths: list[str] | None = None,
+) -> DataFrame:
+    """The one snapshot-open path: scan (optionally an explicit file
+    subset under ``basePath``), attach file provenance when any
+    tombstone is file-scoped, resolve column mapping, apply
+    tombstones."""
+    data_dir = os.path.join(base, entry["dir"])
+    r = _reader(spark, entry)
+    if paths is not None:
+        df = r.option("basePath", data_dir).parquet(*paths)
+    else:
+        df = r.parquet(data_dir)
+    tombs = entry.get("tombstones") or []
+    keep: list[str] = []
+    if any(t.get("scoped") for t in tombs):
+        # _metadata resolves only on the scan node — materialize the
+        # provenance column before any projection
+        df = df.withColumn(_REL_COL, _rel_path_col(entry))
+        keep = [_REL_COL]
     return _apply_tombstones(
-        spark,
-        base,
-        entry,
-        _apply_mapping(
-            _reader(spark, entry).parquet(os.path.join(base, entry["dir"])),
-            entry,
-        ),
+        spark, base, entry, _apply_mapping(df, entry, keep=keep)
     )
+
+
+def _read_snapshot(spark: SparkSession, base: str, entry: dict) -> DataFrame:
+    return _open_snapshot(spark, base, entry)
 
 
 def read_version(
@@ -632,16 +744,9 @@ def read_version(
     kept, _total = prune_files(base, where, as_of=entry["version"])
     if not kept:
         return _read_snapshot(spark, base, entry).filter(F.lit(False))
-    return _apply_tombstones(
-        spark,
-        base,
-        entry,
-        _apply_mapping(
-            _reader(spark, entry).option("basePath", data_dir).parquet(
-                *[os.path.join(data_dir, rel) for rel in kept]
-            ),
-            entry,
-        ),
+    return _open_snapshot(
+        spark, base, entry,
+        paths=[os.path.join(data_dir, rel) for rel in kept],
     )
 
 
@@ -691,6 +796,17 @@ def restore_version(base: str, to_version: int) -> int:
     ):
         if entry.get(key) is not None and key in entry:
             extra[key] = entry[key]
+    # IDENTITY high-water marks are monotone ACROSS history (Delta
+    # semantics): restoring old CONTENT must not roll 'next' backwards,
+    # or ids minted after the restore duplicate ids already emitted to
+    # downstream consumers (change feed, replicas) for different rows
+    if extra.get("identity") and (cur.get("identity") or {}).get("next"):
+        extra["identity"] = {
+            **extra["identity"],
+            "next": max(
+                extra["identity"]["next"], cur["identity"]["next"]
+            ),
+        }
     try:
         _commit(base, version, name, "restore", extra=extra)
     except ConcurrentCommitError:
@@ -1109,8 +1225,18 @@ def purge_versioned_mor(
         dk.coalesce(1).write.mode("errorifexists").parquet(
             os.path.join(data_dir, tomb_name)
         )
+        # file-scope the delete to the data files that exist NOW (Delta
+        # deletion-vector semantics): rows with the same key written by
+        # a LATER merge/copy_into land in new files outside this scope
+        # and must stay visible.  The list rides inside the sidecar so
+        # it hardlink-travels with every copy-on-write commit.
+        scope = sorted(rel for rel, _ino in _snapshot_files(parent_dir))
+        with open(
+            os.path.join(data_dir, tomb_name, TOMB_SCOPE), "w"
+        ) as fh:
+            json.dump(scope, fh)
         tombs = list(cur.get("tombstones") or [])
-        tombs.append({"dir": tomb_name, "keys": keys})
+        tombs.append({"dir": tomb_name, "keys": keys, "scoped": True})
         extra: dict = {"tombstones": tombs}
         for key in (
             "schema_json", "column_mapping", "stats_cols", "stats",
@@ -1614,14 +1740,18 @@ def copy_into(
         tag = uuid.uuid4().hex[:8]
         for f in os.listdir(staging):
             if f.endswith(".parquet"):
-                os.link(
+                get_fs().link_file(
                     os.path.join(staging, f),
                     os.path.join(data_dir, f"ing-{tag}-{f}"),
                 )
         extra: dict = {
             "ingested_files": sorted(seen | set(new_files)),
         }
-        st = _stats_extra(spark, data_dir, stats_cols)
+        # a column-mapped table's files carry the frozen PHYSICAL names:
+        # harvest footer stats under those (matching merge/purge), or
+        # the stats manifest silently comes back empty for mapped cols
+        phys_stats = [mapping.get(c, c) for c in stats_cols]
+        st = _stats_extra(spark, data_dir, phys_stats)
         if st:
             extra.update(st)
         if cur:
@@ -1828,16 +1958,9 @@ def read_version_eq(
     kept, _total = prune_files_eq(spark, base, col, value, as_of=as_of)
     if not kept:
         return _read_snapshot(spark, base, entry).filter(F.lit(False))
-    return _apply_tombstones(
-        spark,
-        base,
-        entry,
-        _apply_mapping(
-            _reader(spark, entry).option("basePath", data_dir).parquet(
-                *[os.path.join(data_dir, rel) for rel in kept]
-            ),
-            entry,
-        ),
+    return _open_snapshot(
+        spark, base, entry,
+        paths=[os.path.join(data_dir, rel) for rel in kept],
     )
 
 
@@ -1900,18 +2023,7 @@ def _read_file_subset(
     """Read an explicit file subset of one snapshot under its logical
     view, tombstones applied — the same shape as a pruned
     :func:`read_version`."""
-    data_dir = os.path.join(base, entry["dir"])
-    return _apply_tombstones(
-        spark,
-        base,
-        entry,
-        _apply_mapping(
-            _reader(spark, entry)
-            .option("basePath", data_dir)
-            .parquet(*paths),
-            entry,
-        ),
-    )
+    return _open_snapshot(spark, base, entry, paths=paths)
 
 
 def _step_changes(
@@ -2226,6 +2338,6 @@ def materialize_change_feed(
         tmp = os.path.join(out_dir, f"_tmp-{uuid.uuid4().hex[:8]}")
         ch.write.mode("errorifexists").parquet(tmp)
         n = spark.read.parquet(tmp).count()
-        os.replace(tmp, final)
+        get_fs().replace(tmp, final)
         n_rows += n
     return len(todo), n_rows
