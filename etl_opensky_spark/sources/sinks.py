@@ -14,7 +14,7 @@ readable by any engine with no manifest resolution, but their commit is a
 sequence of per-partition directory renames with a crash window between the
 first and last rename, serialized by a lock sentinel.  The ATOMIC path is
 ``sources.versioned``: immutable snapshot directories + a single
-manifest-file commit (one O_EXCL create), optimistic writer concurrency,
+manifest-file commit (one ``put_if_absent``), optimistic writer concurrency,
 snapshot-isolated readers, time travel — ``merge_versioned`` /
 ``purge_versioned`` / ``compact_versioned`` have the same call shapes and
 are what the q102/q110/q111/q170/q205 gates exercise.  Keep the in-place
@@ -27,6 +27,8 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from etl_opensky_spark.sources.fs import get_fs
 
 
 def write_parquet_partitioned(
@@ -367,8 +369,7 @@ def merge_parquet_keyed(
     deadline = _time.monotonic() + lock_timeout_sec
     while True:
         try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.close(fd)
+            get_fs().put_if_absent(lock, b"")
             break
         except FileExistsError:
             if _time.monotonic() >= deadline:
@@ -483,8 +484,7 @@ def purge_parquet_keyed(
     deadline = _time.monotonic() + lock_timeout_sec
     while True:
         try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.close(fd)
+            get_fs().put_if_absent(lock, b"")
             break
         except FileExistsError:
             if _time.monotonic() >= deadline:

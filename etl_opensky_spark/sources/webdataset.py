@@ -40,6 +40,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from etl_opensky_spark.sources.fs import get_fs
+
 
 def _entry_bytes(value, dtype: str) -> bytes:
     if value is None:
@@ -104,7 +106,11 @@ def write_webdataset(
             writers[shard] = (tmp, final, tf, cnt + 1)
         for shard, (tmp, final, tf, cnt) in writers.items():
             tf.close()
-            os.replace(tmp, final)  # atomic: retries can't tear a shard
+            # atomic publish: retries can't tear a shard (fs seam —
+            # resolved INSIDE the task, so executors get the default
+            # local backend; an object-store backend writes the final
+            # key directly)
+            get_fs().replace(tmp, final)
             yield (shard, final, cnt)
 
     spark = df.sparkSession
