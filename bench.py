@@ -310,6 +310,7 @@ BENCH_QUERIES = [
     "q287_webdataset_roundtrip",
     "q288_identity_columns",
     "q289_streamable_feed",
+    "q290_stream_merge_lake",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)
@@ -333,7 +334,14 @@ BENCH_QUERIES = [
 #: the full sweep these get a SECOND, cooled sample (the sweep itself is
 #: the cache warm-up) reported under "queries_cooled" — the number to
 #: read for regression judgment.  Methodology: docs/NOTES_r4.md.
-COOLED_QUERIES = ["q42_embedding_dedup"]
+COOLED_QUERIES = [
+    "q42_embedding_dedup",
+    # VERDICT r5 #6: every entry that has moved >1.5x round-over-round
+    # under VM scheduling noise gets a cooled second sample too
+    "q83_near_dedup_op",
+    "q238_copurchase_similarity",
+    "q240_schema_evolution_merge",
+]
 
 
 def _time_one(spark, fn, name, sf_dir, timings, errors) -> None:

@@ -1088,13 +1088,30 @@ def decontaminate(
     )
 
 
+def _resolve_max_df(df: DataFrame, max_df: int | str | None) -> int | None:
+    """Resolve the ``max_df`` knob shared by the inverted-index pair
+    ops: ``"auto"`` (the DEFAULT) is corpus-relative — 5 % of the
+    corpus, floor 2 — the configuration the corpus-scale gate (q24)
+    proved out.  Costs one column-pruned ``count()`` action (parquet
+    row-group counts; one cheap pass even at corpus scale) — callers
+    that already know the corpus size pass the int directly.
+    ``None`` opts OUT of pruning entirely: without a cap the self-join
+    is quadratic in the hottest gram's document frequency (a
+    stop-trigram touches ~every web doc), so uncapped runs are for
+    bounded truth-gate corpora only — which is why unsafe is the
+    opt-in, not the default (ADVICE r5)."""
+    if max_df == "auto":
+        return max(int(0.05 * df.count()), 2)
+    return max_df
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n: int = 1,
     threshold: float = 0.8,
-    max_df: int | None = None,
+    max_df: int | str | None = "auto",
 ) -> DataFrame:
     """Exact n-gram-set Jaccard similarity pairs (id_a < id_b, jaccard).
 
@@ -1105,8 +1122,11 @@ def ngram_jaccard_pairs(
     ``max_df`` caps a gram's document frequency before the self-join: a
     gram in d docs contributes d² candidate rows, so corpus-scale runs
     MUST prune stop-gram hot keys (jaccard then becomes a lower bound —
-    set sizes still count pruned grams, intersections can't).
+    set sizes still count pruned grams, intersections can't).  Default
+    ``"auto"`` = 5 % of the corpus, floor 2 (:func:`_resolve_max_df`);
+    ``None`` disables pruning (exact scores, truth-gate corpora only).
     """
+    max_df = _resolve_max_df(df, max_df)
     grams_col = (
         tokenize(F.col(text_col)) if n == 1 else word_shingles(F.col(text_col), n)
     )
@@ -1584,7 +1604,7 @@ def containment_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
-    max_df: int | None = None,
+    max_df: int | str | None = "auto",
 ) -> DataFrame:
     """ASYMMETRIC n-gram containment pairs — the snippet-in-document
     detector symmetric Jaccard misses: a 50-gram snippet fully pasted
@@ -1593,15 +1613,19 @@ def containment_pairs(
     CONTAINED side (ties: the lower id).
 
     Same inverted-index candidate machinery as
-    :func:`ngram_jaccard_pairs` (shared-gram equi-join, optional
-    ``max_df`` stop-gram pruning under which the score becomes a lower
+    :func:`ngram_jaccard_pairs` (shared-gram equi-join, ``max_df``
+    stop-gram pruning under which the score becomes a lower
     bound — set sizes still count pruned grams, intersections can't).
+    Default ``"auto"`` = 5 % of the corpus, floor 2
+    (:func:`_resolve_max_df`); ``None`` disables pruning (exact
+    scores, truth-gate corpora only).
     The score is emitted as exact integer micros
     (``floor(1e6 * i / smin)`` by integer division), so the whole pair
     table hash-matches a relational replay.
 
     Returns ``(contained_id, container_id, containment_micros)``.
     """
+    max_df = _resolve_max_df(df, max_df)
     grams_col = (
         tokenize(F.col(text_col))
         if n == 1

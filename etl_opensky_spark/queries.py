@@ -636,7 +636,11 @@ FROM hits
 def q69_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact unigram-set Jaccard near-dup pairs on a doc subset."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=1, threshold=0.5)
+    # max_df=None: exact scores on a bounded 100-doc subset (the
+    # corpus-relative default is the production path — q24)
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=1, threshold=0.5, max_df=None
+    )
     return pairs.select(
         "id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard")
     )
@@ -1201,7 +1205,7 @@ def q83_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = dedup_near(docs, "doc_id", "text", threshold=0.5)
     est_counts = est.groupBy("lang").agg(F.count("*").alias("_est_n"))
     exact_pairs = ngram_jaccard_pairs(
-        docs, "doc_id", "text", n=3, threshold=0.5
+        docs, "doc_id", "text", n=3, threshold=0.5, max_df=None
     ).select("id_a", "id_b")
     losers = _transitive_losers(docs, exact_pairs, "doc_id", exact_pairs.count())
     exact_counts = (
@@ -2379,11 +2383,9 @@ def q24_ngram_jaccard_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     set sizes, so jaccard is a documented LOWER BOUND; the oracle
     replicates the identical pruning."""
     docs = _t(spark, sf_dir, "documents").repartition(32)
-    n_docs = docs.count()
-    max_df = max(int(0.05 * n_docs), 2)
-    pairs = ngram_jaccard_pairs(
-        docs, "doc_id", "text", n=3, threshold=0.2, max_df=max_df
-    )
+    # max_df omitted: the corpus-relative 5%-floor-2 rule this gate
+    # proved out IS the op default now (ADVICE r5 watch-item #1)
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
     return pairs.select(
         "id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard")
     )
@@ -11111,9 +11113,11 @@ def q249_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     snippet-in-document detector symmetric Jaccard (q24/q69) misses: a
     short passage pasted into a much larger page scores Jaccard ~0 but
     containment ~1.  3-gram sets, score = |A∩B|/min(|A|,|B|) in exact
-    integer micros, smaller set is the contained side.  The oracle
-    replays the identical inverted-index candidate join and integer
-    arithmetic."""
+    integer micros, smaller set is the contained side.  Runs the op's
+    DEFAULT configuration — corpus-relative ``max_df`` stop-gram
+    pruning (5 % floor 2), under which the score is a documented lower
+    bound; the oracle replays the identical pruning, candidate join,
+    and integer arithmetic."""
     from etl_opensky_spark.functions.dedup import containment_pairs
 
     docs = _t(spark, sf_dir, "documents")
@@ -11136,10 +11140,17 @@ WITH toklists AS (
         FROM toklists WHERE len(ts) >= 3)
 ), sizes AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM grams GROUP BY 1
+), cap AS (
+  SELECT GREATEST(CAST(FLOOR(0.05 * COUNT(*)) AS BIGINT), 2) AS max_df
+  FROM documents
+), kept AS (
+  SELECT doc_id, g FROM grams
+  WHERE g IN (SELECT g FROM grams GROUP BY g
+              HAVING COUNT(*) <= (SELECT max_df FROM cap))
 ), inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
     CAST(COUNT(*) AS BIGINT) AS i
-  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ), scored AS (
   SELECT id_a, id_b, sa.sz AS sza, sb.sz AS szb,
@@ -13492,6 +13503,102 @@ FROM changes GROUP BY t
 """
 
 
+def q290_stream_merge_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-ONCE STREAMING INGEST into the versioned lake
+    (``streaming.lake.merge_stream_sink`` — Delta ``txnAppId`` /
+    ``txnVersion`` idempotent writes over ``foreachBatch``): orders
+    stream in as two crash-interrupted halves (two ``availableNow``
+    runs over ONE checkpoint: evens first, then updates %10 + the odd
+    inserts), each micro-batch landing as one keyed MERGE commit with
+    the per-stream txn cursor in ``user_meta``; a third, DELIBERATELY
+    REPLAYED delivery of the last micro-batch (same batch_id — what
+    at-least-once ``foreachBatch`` does after a crash between sink
+    action and checkpoint commit) must be a commit-level no-op.  The
+    gate hash-pins the final table against the batch-MERGE oracle AND
+    pins history: exactly 2 commits, cursor at batch 1 — a replay that
+    re-merged would show 3 commits and double the change feed.
+
+    The reference's core invariant, streamed (reference:
+    src/jobs/extract_flights.py:80-92 — idempotent re-runnable daily
+    ingest)."""
+    import shutil
+
+    from etl_opensky_spark.sources.versioned import _read_log, read_version
+    from etl_opensky_spark.streaming.lake import (
+        last_txn_batch,
+        make_merge_batch,
+        merge_stream_sink,
+    )
+
+    base = _gate_tmp("q290_stream_lake", sf_dir)
+    landing = _gate_tmp("q290_stream_landing", sf_dir)
+    ckpt = _gate_tmp("q290_stream_ckpt", sf_dir)
+    for d in (base, landing, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        _dec("o_totalprice").alias("price"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    half1 = orders.filter(F.col("k") % 2 == 0)
+    half2 = orders.filter(F.col("k") % 10 == 0).select(
+        "k",
+        (F.col("price") * 2).cast("decimal(18,2)").alias("price"),
+        "prio",
+    ).unionByName(orders.filter(F.col("k") % 2 == 1))
+    half1.coalesce(1).write.parquet(f"{landing}/h=0")
+    schema = half1.schema
+
+    def run_available_now():
+        q = merge_stream_sink(
+            spark.readStream.schema(schema).parquet(f"{landing}/h=*"),
+            base,
+            ["k"],
+            ckpt,
+            app_id="q290",
+            partition_by=["prio"],
+        )
+        q.awaitTermination()
+
+    run_available_now()  # batch 0: evens inserted
+    half2.coalesce(1).write.parquet(f"{landing}/h=1")
+    run_available_now()  # batch 1: updates %10 + odd inserts
+    # crash-replay of batch 1: must not commit, must not touch the feed
+    make_merge_batch(base, ["k"], app_id="q290", partition_by=["prio"])(
+        spark.read.parquet(f"{landing}/h=1"), 1
+    )
+    t = read_version(spark, base)
+    return t.agg(
+        F.count("*").alias("n"),
+        F.sum("k").alias("key_sum"),
+        F.sum("price").cast("double").alias("price_total"),
+        F.count_distinct("prio").alias("n_prio"),
+    ).select(
+        "*",
+        F.lit(len(_read_log(base))).alias("n_commits"),
+        F.lit(last_txn_batch(base, "q290")).alias("last_batch"),
+    )
+
+
+ORACLE_Q290 = """
+WITH src AS (
+  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+         o_orderpriority AS prio
+  FROM orders
+), final AS (
+  SELECT k, CASE WHEN k % 10 = 0
+                 THEN CAST(price * 2 AS DECIMAL(18,2)) ELSE price END
+         AS price, prio
+  FROM src
+)
+SELECT COUNT(*) AS n, SUM(k) AS key_sum,
+  CAST(SUM(price) AS DOUBLE) AS price_total,
+  COUNT(DISTINCT prio) AS n_prio,
+  2 AS n_commits, 1 AS last_batch
+FROM final
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -13781,6 +13888,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q287_webdataset_roundtrip": q287_webdataset_roundtrip,
     "q288_identity_columns": q288_identity_columns,
     "q289_streamable_feed": q289_streamable_feed,
+    "q290_stream_merge_lake": q290_stream_merge_lake,
 }
 
 ORACLES: dict[str, str] = {
@@ -14071,6 +14179,7 @@ ORACLES: dict[str, str] = {
     "q287_webdataset_roundtrip": ORACLE_Q287,
     "q288_identity_columns": ORACLE_Q288,
     "q289_streamable_feed": ORACLE_Q289,
+    "q290_stream_merge_lake": ORACLE_Q290,
 }
 
 
@@ -14166,10 +14275,8 @@ def q24_ngram_jaccard_op(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    n_docs = docs.count()
     return ngram_jaccard_pairs(
-        docs, "doc_id", "text", n=3, threshold=0.2,
-        max_df=max(int(0.05 * n_docs), 2),
+        docs, "doc_id", "text", n=3, threshold=0.2
     ).select("id_a", "id_b")
 
 

@@ -179,7 +179,9 @@ def test_simhash_vectorized_partition_invariant(spark, docs):
 def test_ngram_jaccard_pairs(spark, docs):
     pairs = {
         (r["id_a"], r["id_b"]): r["jaccard"]
-        for r in ngram_jaccard_pairs(docs, "doc_id", "text", n=1, threshold=0.5).collect()
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=1, threshold=0.5, max_df=None
+        ).collect()
     }
     assert pairs[(1, 4)] == 1.0
     assert 0.5 <= pairs[(1, 2)] < 1.0  # 8 shared words of 9
@@ -333,8 +335,25 @@ def test_ngram_jaccard_max_df_prunes_hot_grams(spark, docs):
     assert none.count() == 0
     # generous cap keeps exact results identical to the unpruned run
     capped = ngram_jaccard_pairs(docs, "doc_id", "text", n=1, threshold=0.5, max_df=100)
-    full = ngram_jaccard_pairs(docs, "doc_id", "text", n=1, threshold=0.5)
+    full = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=1, threshold=0.5, max_df=None
+    )
     assert sorted(map(tuple, capped.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_ngram_jaccard_auto_default_is_corpus_relative(spark, docs):
+    """The DEFAULT is safe: auto = max(int(0.05 * n_docs), 2) — on this
+    tiny corpus that is max_df=2, so any gram in 3+ docs is pruned and
+    scores are lower bounds; explicit int replicates it exactly."""
+    n = docs.count()
+    auto = ngram_jaccard_pairs(docs, "doc_id", "text", n=1, threshold=0.0)
+    explicit = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=1, threshold=0.0,
+        max_df=max(int(0.05 * n), 2),
+    )
+    assert sorted(map(tuple, auto.collect())) == sorted(
+        map(tuple, explicit.collect())
+    )
 
 
 def test_minhash_short_docs_no_false_pairs(spark):
