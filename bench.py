@@ -311,6 +311,7 @@ BENCH_QUERIES = [
     "q288_identity_columns",
     "q289_streamable_feed",
     "q290_stream_merge_lake",
+    "q291_png_decode",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

@@ -1,10 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary + typed
 metadata.
 
-The container has no image/audio codecs, so the DECODE step is stubbed
-behind deterministic fakes / ``NotImplementedError`` — but everything
-Spark-side is real and tested: the schema contract, the Arrow-batched
-``mapInPandas`` signature, batch shapes, and partition behavior.
+IMAGE decode is REAL in every environment: ``with_available_codecs()``
+registers the pure-stdlib PNG decoder (``functions.png`` — zlib
+inflate + unfilter, oracle-gated in q291), with Pillow overriding it
+where importable.  Audio/video decode still needs a codec library the
+container lacks, so those stay behind deterministic-fake /
+``NotImplementedError`` guards — while everything Spark-side is real
+and tested: the schema contract, the Arrow-batched ``mapInPandas``
+signature, batch shapes, and partition behavior.
 
 Decoder injection is official API: :class:`DecoderRegistry` maps
 ``media_type -> decoder``; ``extract_features(..., registry=...)``
@@ -156,9 +160,15 @@ def with_available_codecs(
 ) -> DecoderRegistry:
     """Copy of ``registry`` (default: DEFAULT_REGISTRY) upgraded with a
     real decoder for every codec library importable in this environment
-    (Pillow → image, soundfile → audio).  In a codec-less container this
-    returns an unchanged copy — the deterministic fakes stay."""
+    (Pillow → image, soundfile → audio).  Images always get at least
+    the pure-stdlib PNG decoder (``functions.png`` — zlib + unfilter,
+    no codec library needed), so ``image`` is REAL in every container;
+    Pillow, when importable, overrides it with the multi-format path.
+    Audio/video keep their guards where no codec imports."""
     reg = (registry or DEFAULT_REGISTRY).copy()
+    from etl_opensky_spark.functions.png import png_image_decode
+
+    reg.register("image", png_image_decode)
     try:
         import PIL.Image  # noqa: F401
 

@@ -280,8 +280,8 @@ def test_decoder_registry_injection(spark, docs):
         extract_features(media, registry=empty).collect()
     # default registry keeps the historical FAKE_DECODERS-backed behavior
     assert DEFAULT_REGISTRY.media_types() == ["audio", "image", "video"]
-    # no codecs in this container: upgrade is an unchanged copy, and
-    # mutating the copy never touches the default
+    # the upgraded copy swaps in the stdlib PNG decoder for images
+    # (same media types), and mutating it never touches the default
     up = with_available_codecs()
     assert up.media_types() == DEFAULT_REGISTRY.media_types()
     up.register("image", _constant_decoder)
