@@ -13684,6 +13684,107 @@ FROM buckets LEFT JOIN hist USING (media_id, bucket)
 """
 
 
+def q292_stream_cdc_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CDC REPLICATION gate (``streaming.lake.cdc_stream_sink``
+    — the streaming form of ``operators.replication``): a source lake
+    evolves through insert / update / MOR-delete commits, its
+    materialized change feed (q289's on-disk CDF layout) is tailed as a
+    genuine Structured Streaming file source across TWO availableNow
+    runs over one checkpoint, and each micro-batch lands on the replica
+    as at most two exactly-once commits (keyed MERGE + MOR DELETE) with
+    a PER-STEP transaction cursor — a crash between the two steps
+    resumes at the delete without re-merging.  A deliberately REPLAYED
+    delivery of the final batch must be a commit-level no-op.  The gate
+    hash-pins the replica's final content against the oracle's replay
+    of the source transforms AND pins replica history: exactly 2
+    commits, one per stream window."""
+    import shutil
+
+    from etl_opensky_spark.sources.versioned import (
+        _read_log,
+        materialize_change_feed,
+        merge_versioned,
+        purge_versioned_mor,
+        read_version,
+        write_version,
+    )
+    from etl_opensky_spark.streaming.lake import (
+        cdc_stream_sink,
+        make_cdc_apply_batch,
+    )
+
+    src = _gate_tmp("q292_cdc_src", sf_dir)
+    feed = _gate_tmp("q292_cdc_feed", sf_dir)
+    dst = _gate_tmp("q292_cdc_dst", sf_dir)
+    ckpt = _gate_tmp("q292_cdc_ckpt", sf_dir)
+    for d in (src, feed, dst, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), _dec("o_totalprice").alias("price")
+    )
+    # v1 empty seed (a feed carries commits AFTER v1), v2 inserts the
+    # evens, v3 updates %10 and inserts the odds, v4 MOR-deletes %9
+    write_version(orders.filter(F.lit(False)), src)
+    merge_versioned(spark, src, orders.filter(F.col("k") % 2 == 0), ["k"])
+    upd = orders.filter(F.col("k") % 10 == 0).select(
+        "k", (F.col("price") * 2).cast("decimal(18,2)").alias("price")
+    )
+    merge_versioned(
+        spark, src,
+        upd.unionByName(orders.filter(F.col("k") % 2 == 1)),
+        ["k"],
+    )
+    materialize_change_feed(spark, src, feed, ["k"])
+    schema = spark.read.parquet(feed).schema
+
+    def run():
+        q = cdc_stream_sink(
+            spark.readStream.schema(schema)
+            .option("basePath", feed)
+            .parquet(feed + "/commit=*"),
+            dst,
+            ["k"],
+            ckpt,
+            app_id="q292",
+        )
+        q.awaitTermination()
+
+    run()  # window 1: inserts + updates -> one MERGE commit
+    purge_versioned_mor(
+        spark, src, orders.filter(F.col("k") % 9 == 0).select("k"), ["k"]
+    )
+    materialize_change_feed(spark, src, feed, ["k"])
+    run()  # window 2: deletes -> one MOR-delete commit
+    # crash-replay of the final batch: commit-level no-op
+    make_cdc_apply_batch(dst, ["k"], app_id="q292")(
+        spark.read.option("basePath", feed).parquet(feed + "/commit=4"), 1
+    )
+    t = read_version(spark, dst)
+    return t.agg(
+        F.count("*").alias("n"),
+        F.sum("k").alias("key_sum"),
+        F.sum("price").cast("double").alias("price_total"),
+    ).select(
+        "*", F.lit(len(_read_log(dst))).alias("n_commits")
+    )
+
+
+ORACLE_Q292 = """
+WITH src AS (
+  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders
+), final AS (
+  SELECT k, CASE WHEN k % 10 = 0
+                 THEN CAST(price * 2 AS DECIMAL(18,2)) ELSE price END
+         AS price
+  FROM src WHERE k % 9 <> 0
+)
+SELECT COUNT(*) AS n, SUM(k) AS key_sum,
+  CAST(SUM(price) AS DOUBLE) AS price_total, 2 AS n_commits
+FROM final
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -13975,6 +14076,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q289_streamable_feed": q289_streamable_feed,
     "q290_stream_merge_lake": q290_stream_merge_lake,
     "q291_png_decode": q291_png_decode,
+    "q292_stream_cdc_replica": q292_stream_cdc_replica,
 }
 
 ORACLES: dict[str, str] = {
@@ -14267,6 +14369,7 @@ ORACLES: dict[str, str] = {
     "q289_streamable_feed": ORACLE_Q289,
     "q290_stream_merge_lake": ORACLE_Q290,
     "q291_png_decode": ORACLE_Q291,
+    "q292_stream_cdc_replica": ORACLE_Q292,
 }
 
 

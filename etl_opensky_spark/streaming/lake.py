@@ -37,19 +37,29 @@ from pyspark.sql import functions as F
 from etl_opensky_spark.sources.versioned import (
     _read_log,
     merge_with_retry,
+    purge_versioned_mor,
+    read_version,
 )
 
 _TXN_KEY = "stream_txn"
 
 
-def last_txn_batch(base: str, app_id: str) -> int:
-    """Newest committed micro-batch id for ``app_id`` at ``base``, or
-    ``-1`` if the stream has never committed there."""
+def _txn_meta(base: str, app_id: str) -> dict | None:
+    """Newest ``stream_txn`` commit metadata for ``app_id`` at ``base``
+    (or None).  Foreign commits — other streams, manual merges,
+    compaction — are skipped, so streams compose on one table."""
     for entry in reversed(_read_log(base)):
         meta = (entry.get("user_meta") or {}).get(_TXN_KEY)
         if meta and meta.get("app_id") == app_id:
-            return int(meta["batch_id"])
-    return -1
+            return meta
+    return None
+
+
+def last_txn_batch(base: str, app_id: str) -> int:
+    """Newest committed micro-batch id for ``app_id`` at ``base``, or
+    ``-1`` if the stream has never committed there."""
+    meta = _txn_meta(base, app_id)
+    return int(meta["batch_id"]) if meta else -1
 
 
 def make_merge_batch(
@@ -109,6 +119,143 @@ def make_merge_batch(
         )
 
     return write_batch
+
+
+#: change-feed row types that carry a post-state to upsert
+CDC_UPSERT_TYPES = ("insert", "update_postimage")
+
+
+def make_cdc_apply_batch(
+    base: str,
+    keys: Sequence[str],
+    app_id: str,
+    partition_by: Sequence[str] = (),
+    type_col: str = "_change_type",
+    version_col: str = "_commit_version",
+    **merge_kwargs,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` body applying CHANGE-FEED rows (the
+    ``table_changes`` /  ``materialize_change_feed`` surface: insert /
+    update_preimage / update_postimage / delete) to a versioned replica
+    — the streaming form of ``operators.replication``, with the txn
+    cursor upgraded to PER-STEP granularity.
+
+    A CDC batch can need TWO lake commits (a keyed MERGE for upserts,
+    a MOR DELETE for deletes).  A crash between them must not replay
+    the merge: each commit's cursor records ``(batch_id, step, final)``
+    so the replay resumes at the first un-committed step — upserts
+    merge once, deletes purge once, history and the replica's own
+    change feed see each change exactly once.
+
+    Within-batch reduction mirrors ``replicate_versioned``: the newest
+    commit wins per key (``version_col`` descending, post-image over
+    pre-image), a key updated five times then deleted is just deleted,
+    and deletes are left-semi-restricted to keys the replica holds.
+    Pre-image rows are informational only.  A key deleted then
+    re-inserted in LATER batches stays correct because MOR tombstones
+    are file-scoped (deletion-vector semantics).
+    """
+    keys = list(keys)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        meta = _txn_meta(base, app_id)
+        committed_step = 0
+        if meta is not None:
+            if int(meta["batch_id"]) > int(batch_id):
+                return  # stale replay of an older, fully-applied batch
+            if int(meta["batch_id"]) == int(batch_id):
+                if meta.get("final", True):
+                    return  # fully-applied replay
+                committed_step = int(meta.get("step", 0))
+        spark = batch_df.sparkSession
+        w = Window.partitionBy(*keys).orderBy(
+            F.col(version_col).desc(),
+            F.when(F.col(type_col) == "update_preimage", 1)
+            .otherwise(0)
+            .asc(),
+        )
+        final = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .localCheckpoint()  # both branches + both counts consume it
+        )
+        drop_cols = [
+            c
+            for c in (type_col, version_col, "commit")
+            if c in final.columns
+        ]
+        upserts = final.filter(F.col(type_col).isin(*CDC_UPSERT_TYPES)).drop(
+            *drop_cols
+        )
+        deletes = (
+            final.filter(F.col(type_col) == "delete")
+            .select(*keys)
+            .join(
+                read_version(spark, base).select(*keys)
+                if _read_log(base)
+                else upserts.select(*keys).filter(F.lit(False)),
+                on=keys,
+                how="left_semi",
+            )
+        )
+        steps: list[tuple[str, DataFrame]] = []
+        if not upserts.isEmpty():
+            steps.append(("merge", upserts))
+        if not deletes.isEmpty():
+            steps.append(("delete", deletes))
+        if not steps:
+            return  # nothing to commit; replaying is free
+        for i, (kind, df) in enumerate(steps, start=1):
+            if i <= committed_step:
+                continue  # this step's commit survived the crash
+            step_meta = {
+                _TXN_KEY: {
+                    "app_id": app_id,
+                    "batch_id": int(batch_id),
+                    "step": i,
+                    "final": i == len(steps),
+                }
+            }
+            if kind == "merge":
+                merge_with_retry(
+                    spark,
+                    base,
+                    df,
+                    keys=keys,
+                    partition_by=partition_by,
+                    user_meta=step_meta,
+                    **merge_kwargs,
+                )
+            else:
+                purge_versioned_mor(
+                    spark, base, df, keys, user_meta=step_meta
+                )
+
+    return apply_batch
+
+
+def cdc_stream_sink(
+    stream: DataFrame,
+    base: str,
+    keys: Sequence[str],
+    checkpoint_dir: str,
+    app_id: str,
+    partition_by: Sequence[str] = (),
+    available_now: bool = True,
+    **merge_kwargs,
+):
+    """Tail a change feed (e.g. ``readStream`` over a
+    ``materialize_change_feed`` directory) and apply it to the replica
+    at ``base`` exactly once — streaming table replication."""
+    writer = stream.writeStream.foreachBatch(
+        make_cdc_apply_batch(
+            base, keys, app_id, partition_by=partition_by, **merge_kwargs
+        )
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def merge_stream_sink(

@@ -233,6 +233,35 @@ def test_make_hyperplanes_deterministic(spark):
     assert make_hyperplanes(4, 3, seed=1) != make_hyperplanes(4, 3, seed=2)
 
 
+def test_lsh_topk_tables_recall_dominates_single(spark, vectors):
+    """Multi-table LSH: the candidate set is the UNION over tables, so
+    L tables never recall less than any one of them, a single-table
+    call reproduces lsh_topk probe 0, and results subset brute force."""
+    from etl_opensky_spark.functions.similarity import (
+        lsh_topk_tables,
+        make_hyperplane_tables,
+    )
+
+    emb = vectors.filter(F.col("vec_id") != 0)
+    q = [1.0, 0.0, 0.0]
+    tables = make_hyperplane_tables(3, 2, n_tables=4, seed=7)
+    single = {
+        r["vec_id"]
+        for r in lsh_topk(emb, q, tables[0], k=10).collect()
+    }
+    single_via_tables = {
+        r["vec_id"]
+        for r in lsh_topk_tables(emb, q, tables[:1], k=10).collect()
+    }
+    assert single_via_tables == single
+    multi = {
+        r["vec_id"] for r in lsh_topk_tables(emb, q, tables, k=10).collect()
+    }
+    assert single <= multi  # union of partitions only adds candidates
+    exact = {r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()}
+    assert multi <= exact
+
+
 # --- multimodal --------------------------------------------------------------
 
 

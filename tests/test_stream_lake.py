@@ -175,6 +175,186 @@ def test_two_half_stream_matches_batch_merge(spark, tmp_path):
     )
 
 
+# --- CDC apply: stream a change feed into a replica --------------------------
+
+
+def _feed(spark, rows):
+    """(id, v, change_type, commit_version) feed rows."""
+    return spark.createDataFrame(
+        rows, "id int, v string, _change_type string, _commit_version int"
+    )
+
+
+def test_cdc_apply_basic(spark, tmp_path):
+    from etl_opensky_spark.streaming.lake import make_cdc_apply_batch
+
+    base = str(tmp_path / "replica")
+    fn = make_cdc_apply_batch(base, ["id"], app_id="cdc")
+    fn(
+        _feed(spark, [
+            (1, "a", "insert", 1),
+            (2, "b", "insert", 1),
+            (3, "c", "insert", 1),
+        ]),
+        0,
+    )
+    assert _n_commits(base) == 1
+    # batch 1: update 2 (pre+post), delete 3, insert 4 — and a key
+    # churned twice in-window (5 inserted at v2, updated at v3)
+    fn(
+        _feed(spark, [
+            (2, "b", "update_preimage", 2),
+            (2, "b2", "update_postimage", 2),
+            (3, "c", "delete", 2),
+            (4, "d", "insert", 2),
+            (5, "e", "insert", 2),
+            (5, "e", "update_preimage", 3),
+            (5, "e2", "update_postimage", 3),
+        ]),
+        1,
+    )
+    assert _n_commits(base) == 3  # merge + delete
+    assert rows(read_version(spark, base)) == [
+        (1, "a"), (2, "b2"), (4, "d"), (5, "e2"),
+    ]
+    # full replay of the final batch: zero new commits
+    fn(
+        _feed(spark, [
+            (2, "b", "update_preimage", 2),
+            (2, "b2", "update_postimage", 2),
+            (3, "c", "delete", 2),
+            (4, "d", "insert", 2),
+            (5, "e", "insert", 2),
+            (5, "e", "update_preimage", 3),
+            (5, "e2", "update_postimage", 3),
+        ]),
+        1,
+    )
+    assert _n_commits(base) == 3
+
+
+def test_cdc_insert_and_delete_same_window(spark, tmp_path):
+    """A key born and deleted inside one batch never reaches the
+    replica, and the delete step doesn't commit an empty purge."""
+    from etl_opensky_spark.streaming.lake import make_cdc_apply_batch
+
+    base = str(tmp_path / "replica")
+    fn = make_cdc_apply_batch(base, ["id"], app_id="cdc")
+    fn(_feed(spark, [(1, "a", "insert", 1)]), 0)
+    fn(
+        _feed(spark, [
+            (9, "x", "insert", 2),
+            (9, "x", "delete", 3),
+        ]),
+        1,
+    )
+    assert rows(read_version(spark, base)) == [(1, "a")]
+    assert _n_commits(base) == 1  # batch 1 had nothing applicable
+
+
+def test_cdc_crash_between_steps_resumes_at_delete(spark, tmp_path):
+    """Crash AFTER the merge commit but BEFORE the delete commit: the
+    replay must skip the merge (no duplicate feed entries) and apply
+    only the delete."""
+    from etl_opensky_spark.sources import versioned as V
+    from etl_opensky_spark.streaming.lake import make_cdc_apply_batch
+
+    base = str(tmp_path / "replica")
+    fn = make_cdc_apply_batch(base, ["id"], app_id="cdc")
+    fn(
+        _feed(spark, [
+            (1, "a", "insert", 1), (2, "b", "insert", 1),
+        ]),
+        0,
+    )
+    batch1 = [
+        (1, "a2", "update_postimage", 2),
+        (2, "b", "delete", 2),
+    ]
+    calls = {"n": 0}
+
+    def crash_before_second_commit():
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise OSError("injected: crashed before the delete commit")
+
+    V._test_hooks["before_commit"] = crash_before_second_commit
+    try:
+        with pytest.raises(OSError, match="injected"):
+            fn(_feed(spark, batch1), 1)
+    finally:
+        V._test_hooks.clear()
+    # merge landed, delete didn't
+    assert rows(read_version(spark, base)) == [(1, "a2"), (2, "b")]
+    n_after_crash = _n_commits(base)
+    fn(_feed(spark, batch1), 1)  # checkpoint replays batch 1
+    assert rows(read_version(spark, base)) == [(1, "a2")]
+    # exactly ONE new commit (the delete) — the merge was not replayed
+    assert _n_commits(base) == n_after_crash + 1
+    ch = table_changes(spark, base, ["id"], 1, _n_commits(base))
+    assert (
+        ch.filter(F.col("_change_type") == "update_postimage").count() == 1
+    )
+
+
+def test_cdc_stream_end_to_end_replication(spark, tmp_path):
+    """The full loop: source lake -> materialized change feed (file
+    stream) -> cdc_stream_sink replica, across two stream runs with a
+    delete-then-reinsert that exercises file-scoped tombstones."""
+    from etl_opensky_spark.operators.replication import replica_in_sync
+    from etl_opensky_spark.sources.versioned import (
+        materialize_change_feed,
+        merge_versioned,
+        purge_versioned_mor,
+    )
+    from etl_opensky_spark.streaming.lake import cdc_stream_sink
+
+    src = str(tmp_path / "src")
+    feed = str(tmp_path / "feed")
+    dst = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    # v1 is empty: a change feed carries commits AFTER the first
+    # version, so a feed-replicated table starts from an empty seed
+    # and every data row flows through the feed
+    write_version(_df(spark, []), src)
+    merge_versioned(
+        spark, src, _df(spark, [(1, "a"), (2, "b"), (3, "c")]), ["id"]
+    )
+    merge_versioned(
+        spark, src, _df(spark, [(2, "b2"), (4, "d")]), ["id"]
+    )
+    materialize_change_feed(spark, src, feed, ["id"])
+    schema = spark.read.parquet(feed).schema
+
+    def run():
+        q = cdc_stream_sink(
+            spark.readStream.schema(schema)
+            .option("basePath", feed)
+            .parquet(feed + "/commit=*"),
+            dst,
+            ["id"],
+            ckpt,
+            app_id="repl",
+        )
+        q.awaitTermination()
+
+    run()
+    assert replica_in_sync(spark, src, dst, ["id"])
+    # second window: delete 2, re-insert 2 with new value, insert 5
+    purge_versioned_mor(
+        spark, src, spark.createDataFrame([(2,)], "id int"), ["id"]
+    )
+    merge_versioned(
+        spark, src, _df(spark, [(2, "b3"), (5, "e")]), ["id"]
+    )
+    materialize_change_feed(spark, src, feed, ["id"])
+    run()
+    assert replica_in_sync(spark, src, dst, ["id"])
+    assert rows(read_version(spark, dst)) == [
+        (1, "a"), (2, "b3"), (3, "c"), (4, "d"), (5, "e"),
+    ]
+
+
 # --- property: any replay schedule converges ---------------------------------
 
 
