@@ -313,6 +313,7 @@ BENCH_QUERIES = [
     "q290_stream_merge_lake",
     "q291_png_decode",
     "q292_stream_cdc_replica",
+    "q293_python_datasource",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

@@ -13785,6 +13785,56 @@ FROM final
 """
 
 
+def q293_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARK-4 PYTHON DATA SOURCE gate
+    (``sources.webdataset.WebDatasetDataSource`` —
+    ``spark.read.format("webdataset")``): the documents table exported
+    as 8 tar shards is read back through the registered Python data
+    source — one InputPartition PER SHARD (split-level parallelism,
+    streamed tarfile, one-sample peak memory) with shard provenance —
+    reassembled, and rolled up with q287's order-independent checksum;
+    the oracle replays the rollup on the original table and pins the
+    shard fan-out."""
+    import shutil
+
+    from etl_opensky_spark.sources.webdataset import (
+        reassemble_strings,
+        register_webdataset_source,
+        write_webdataset,
+    )
+
+    out = _gate_tmp("q293_wds_ds", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    write_webdataset(docs, out, "doc_id", shards=8)
+    register_webdataset_source(spark)
+    wds = spark.read.format("webdataset").load(out)
+    n_shards = wds.select("shard_path").distinct().count()
+    back = reassemble_strings(
+        wds.select("key", "field", "content"), ["text", "lang"],
+        key_col="doc_id",
+    )
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum(F.length("text")).alias("chars"),
+        F.sum(
+            F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10)
+            .cast("long")
+        ).alias("text_checksum"),
+        F.sum(F.col("doc_id").cast("long")).alias("key_sum"),
+    ).select("*", F.lit(n_shards).alias("n_shards"))
+
+
+ORACLE_Q293 = """
+SELECT lang, COUNT(*) AS n,
+       CAST(SUM(length(text)) AS BIGINT) AS chars,
+       CAST(SUM(CAST(CONCAT('0x', substr(md5(text), 1, 8)) AS BIGINT))
+            AS BIGINT) AS text_checksum,
+       CAST(SUM(doc_id) AS BIGINT) AS key_sum, 8 AS n_shards
+FROM documents GROUP BY lang
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -14077,6 +14127,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q290_stream_merge_lake": q290_stream_merge_lake,
     "q291_png_decode": q291_png_decode,
     "q292_stream_cdc_replica": q292_stream_cdc_replica,
+    "q293_python_datasource": q293_python_datasource,
 }
 
 ORACLES: dict[str, str] = {
@@ -14370,6 +14421,7 @@ ORACLES: dict[str, str] = {
     "q290_stream_merge_lake": ORACLE_Q290,
     "q291_png_decode": ORACLE_Q291,
     "q292_stream_cdc_replica": ORACLE_Q292,
+    "q293_python_datasource": ORACLE_Q293,
 }
 
 

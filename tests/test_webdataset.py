@@ -83,3 +83,42 @@ def test_duplicate_or_null_keys_rejected(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="distinct"):
         write_webdataset(df2, str(tmp_path / "y"), "doc_id")
+
+
+def test_python_datasource_reader_matches_mapinpandas(spark, sample, tmp_path):
+    """The Spark-4 Python DataSource reads the same shards with one
+    task PER SHARD and byte-identical content to the mapInPandas
+    reader, plus shard provenance."""
+    from etl_opensky_spark.sources.webdataset import (
+        read_webdataset,
+        register_webdataset_source,
+    )
+
+    out = str(tmp_path / "wds")
+    paths = write_webdataset(sample, out, "doc_id", shards=3)
+    register_webdataset_source(spark)
+    via_ds = spark.read.format("webdataset").load(out)
+    # split-level parallelism: one input partition per tar shard
+    assert via_ds.rdd.getNumPartitions() == len(paths)
+    assert set(
+        r["shard_path"] for r in via_ds.select("shard_path").distinct().collect()
+    ) == set(paths)
+    a = sorted(
+        tuple(r) for r in via_ds.select("key", "field", "content").collect()
+    )
+    b = sorted(tuple(r) for r in read_webdataset(spark, out).collect())
+    assert a == b
+
+
+def test_python_datasource_empty_dir_raises(spark, tmp_path):
+    from etl_opensky_spark.sources.webdataset import (
+        register_webdataset_source,
+    )
+
+    register_webdataset_source(spark)
+    empty = str(tmp_path / "none")
+    import os
+
+    os.makedirs(empty)
+    with pytest.raises(Exception, match="no .*tar shards"):
+        spark.read.format("webdataset").load(empty).collect()
