@@ -314,6 +314,7 @@ BENCH_QUERIES = [
     "q291_png_decode",
     "q292_stream_cdc_replica",
     "q293_python_datasource",
+    "q294_lakefeed_replication",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

@@ -13835,6 +13835,95 @@ FROM documents GROUP BY lang
 """
 
 
+def q294_lakefeed_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE STREAMING FEED gate (``sources.lakefeed`` — the Spark-4
+    Python streaming data source with COMMIT-VERSION offsets): the
+    source lake evolves (insert evens, update %6, MOR-delete %7), the
+    materialized feed is consumed via
+    ``spark.readStream.format("lakefeed")`` — offsets are
+    ``{"version": v}``, one InputPartition per new commit dir, pyarrow
+    row decode on executors, no file-listing checkpoint growth — into
+    ``cdc_stream_sink`` (per-step exactly-once).  A SECOND stream run
+    over the same checkpoint with no new commits must plan zero new
+    offsets and commit nothing.  Replica content and commit count are
+    oracle-pinned."""
+    import shutil
+
+    from etl_opensky_spark.sources.lakefeed import register_lakefeed_source
+    from etl_opensky_spark.sources.versioned import (
+        _read_log,
+        materialize_change_feed,
+        merge_versioned,
+        purge_versioned_mor,
+        read_version,
+        write_version,
+    )
+    from etl_opensky_spark.streaming.lake import cdc_stream_sink
+
+    src = _gate_tmp("q294_lf_src", sf_dir)
+    feed = _gate_tmp("q294_lf_feed", sf_dir)
+    dst = _gate_tmp("q294_lf_dst", sf_dir)
+    ckpt = _gate_tmp("q294_lf_ckpt", sf_dir)
+    for d in (src, feed, dst, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), _dec("o_totalprice").alias("price")
+    )
+    write_version(orders.filter(F.lit(False)), src)
+    merge_versioned(spark, src, orders.filter(F.col("k") % 2 == 0), ["k"])
+    merge_versioned(
+        spark, src,
+        orders.filter(F.col("k") % 6 == 0).select(
+            "k", (F.col("price") * 3).cast("decimal(18,2)").alias("price")
+        ),
+        ["k"],
+    )
+    materialize_change_feed(spark, src, feed, ["k"])
+    register_lakefeed_source(spark)
+
+    def run():
+        q = cdc_stream_sink(
+            spark.readStream.format("lakefeed").load(feed),
+            dst, ["k"], ckpt, app_id="q294",
+        )
+        q.awaitTermination()
+
+    run()  # window 1: inserts + updates -> one MERGE commit
+    # window 2: a MOR delete on the source; only the NEW commit offset
+    # streams (the checkpoint holds {"version": v}, no file listing)
+    purge_versioned_mor(
+        spark, src,
+        orders.filter((F.col("k") % 7 == 0) & (F.col("k") % 2 == 0))
+        .select("k"),
+        ["k"],
+    )
+    materialize_change_feed(spark, src, feed, ["k"])
+    run()  # -> one MOR-delete commit on the replica
+    run()  # no new offsets: must commit NOTHING
+    t = read_version(spark, dst)
+    return t.agg(
+        F.count("*").alias("n"),
+        F.sum("k").alias("key_sum"),
+        F.sum("price").cast("double").alias("price_total"),
+    ).select("*", F.lit(len(_read_log(dst))).alias("n_commits"))
+
+
+ORACLE_Q294 = """
+WITH src AS (
+  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders WHERE o_orderkey % 2 = 0
+), final AS (
+  SELECT k, CASE WHEN k % 6 = 0
+                 THEN CAST(price * 3 AS DECIMAL(18,2)) ELSE price END
+         AS price
+  FROM src WHERE k % 7 <> 0
+)
+SELECT COUNT(*) AS n, SUM(k) AS key_sum,
+  CAST(SUM(price) AS DOUBLE) AS price_total, 2 AS n_commits
+FROM final
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -14128,6 +14217,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q291_png_decode": q291_png_decode,
     "q292_stream_cdc_replica": q292_stream_cdc_replica,
     "q293_python_datasource": q293_python_datasource,
+    "q294_lakefeed_replication": q294_lakefeed_replication,
 }
 
 ORACLES: dict[str, str] = {
@@ -14422,6 +14512,7 @@ ORACLES: dict[str, str] = {
     "q291_png_decode": ORACLE_Q291,
     "q292_stream_cdc_replica": ORACLE_Q292,
     "q293_python_datasource": ORACLE_Q293,
+    "q294_lakefeed_replication": ORACLE_Q294,
 }
 
 

@@ -1,0 +1,194 @@
+"""``lakefeed`` — a Spark 4 Python STREAMING data source over the
+versioned lake's materialized change feed, with COMMIT-VERSION offsets.
+
+``materialize_change_feed`` publishes each commit's CDF rows as an
+immutable ``commit=<v>/`` parquet directory (atomic rename — q289).
+The built-in file stream can consume that layout, but it tracks
+progress as a file-discovery log: every trigger lists the directory
+tree and the checkpoint grows with file count — at a 100 TB lake's
+feed that listing IS the cost.  Commit versions are the natural
+offset: this source's offset is ``{"version": v}`` (one integer), a
+trigger plans one ``InputPartition`` per NEW commit directory, and a
+replayed batch re-reads exactly the same immutable directories —
+exactly-once composes with the checkpoint for free.
+
+Version numbers may have gaps (metadata-only / row-preserving commits
+materialize nothing); planning uses the directories that exist.
+Executors read their partition's parquet via pyarrow (no nested
+SparkSession), so rows stream without the JVM scan machinery; the
+driver resolves the schema once from any existing commit dir.
+
+Usage::
+
+    register_lakefeed_source(spark)
+    stream = spark.readStream.format("lakefeed").load(feed_dir)
+    # stream -> cdc_stream_sink / windowed aggs / dedup, as any stream
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import SparkSession
+
+_COMMIT_RE = re.compile(r"^commit=(\d+)$")
+
+
+def _commit_versions(path: str) -> list[int]:
+    try:
+        names = os.listdir(path)
+    except FileNotFoundError:
+        return []
+    return sorted(
+        int(m.group(1))
+        for n in names
+        if (m := _COMMIT_RE.match(n)) is not None
+    )
+
+
+def _arrow_to_ddl(schema) -> str:
+    """Minimal arrow->Spark DDL mapping for feed schemas (table columns
+    + CDF metadata).  Extend as feed column types grow."""
+    import pyarrow as pa
+
+    def one(t) -> str:
+        if pa.types.is_int8(t):
+            return "tinyint"
+        if pa.types.is_int16(t):
+            return "smallint"
+        if pa.types.is_int32(t):
+            return "int"
+        if pa.types.is_int64(t):
+            return "bigint"
+        if pa.types.is_float32(t):
+            return "float"
+        if pa.types.is_float64(t):
+            return "double"
+        if pa.types.is_boolean(t):
+            return "boolean"
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            return "string"
+        if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            return "binary"
+        if pa.types.is_decimal(t):
+            return f"decimal({t.precision},{t.scale})"
+        if pa.types.is_date(t):
+            return "date"
+        if pa.types.is_timestamp(t):
+            return "timestamp"
+        if pa.types.is_list(t) or pa.types.is_large_list(t):
+            return f"array<{one(t.value_type)}>"
+        raise ValueError(f"lakefeed: unmapped arrow type {t}")
+
+    cols = ", ".join(f"`{f.name}` {one(f.type)}" for f in schema)
+    return f"{cols}, `commit` int"
+
+
+try:  # pyspark >= 4.0
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    class _CommitPartition(InputPartition):
+        def __init__(self, path: str, version: int, n_cols: int):
+            self.path = path
+            self.version = version
+            self.n_cols = n_cols
+
+    class LakeFeedStreamReader(DataSourceStreamReader):
+        def __init__(self, options: dict):
+            path = options.get("path")
+            if not path:
+                raise ValueError(
+                    "lakefeed: pass the feed directory via .load(dir)"
+                )
+            self._path = path
+            self._n_cols = int(options["_n_cols"])
+
+        def initialOffset(self) -> dict:
+            return {"version": 0}
+
+        def latestOffset(self) -> dict:
+            vs = _commit_versions(self._path)
+            return {"version": vs[-1] if vs else 0}
+
+        def partitions(self, start: dict, end: dict):
+            lo, hi = int(start["version"]), int(end["version"])
+            parts = [
+                _CommitPartition(
+                    os.path.join(self._path, f"commit={v}"), v, self._n_cols
+                )
+                for v in _commit_versions(self._path)
+                if lo < v <= hi
+            ]
+            # an empty microbatch still needs >=1 partition in the API;
+            # a partition for a version with no dir yields nothing
+            return parts or [
+                _CommitPartition(
+                    os.path.join(self._path, f"commit={hi}"), hi, self._n_cols
+                )
+            ]
+
+        def read(self, partition):
+            import pyarrow.parquet as pq
+
+            if not os.path.isdir(partition.path):
+                return
+            table = pq.read_table(partition.path)
+            cols = [c.to_pylist() for c in table.columns]
+            v = partition.version
+            for row in zip(*cols):
+                yield (*row, v)
+
+        def commit(self, end: dict) -> None:
+            pass  # offsets live in the checkpoint; dirs are immutable
+
+    class LakeFeedDataSource(DataSource):
+        """``spark.readStream.format("lakefeed")`` — change-feed
+        commits as a stream with integer version offsets."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "lakefeed"
+
+        def schema(self) -> str:
+            import pyarrow.parquet as pq
+
+            path = self.options.get("path")
+            if not path:
+                raise ValueError(
+                    "lakefeed: pass the feed directory via .load(dir)"
+                )
+            vs = _commit_versions(path)
+            if not vs:
+                raise FileNotFoundError(
+                    f"lakefeed: no commit=<v> dirs under {path} — "
+                    "materialize_change_feed first (the schema is "
+                    "resolved from the feed's own files)"
+                )
+            first = os.path.join(path, f"commit={vs[0]}")
+            fname = next(
+                f for f in sorted(os.listdir(first)) if f.endswith(".parquet")
+            )
+            arrow = pq.read_schema(os.path.join(first, fname))
+            self.options["_n_cols"] = str(len(arrow))
+            return _arrow_to_ddl(arrow)
+
+        def streamReader(self, schema):
+            return LakeFeedStreamReader(self.options)
+
+    HAS_DATASOURCE_API = True
+except ImportError:  # pragma: no cover - pyspark < 4
+    HAS_DATASOURCE_API = False
+
+
+def register_lakefeed_source(spark: SparkSession) -> None:
+    """Register the ``lakefeed`` streaming format on this session."""
+    if not HAS_DATASOURCE_API:  # pragma: no cover - pyspark < 4
+        raise RuntimeError(
+            "lakefeed requires the pyspark-4 Python Data Source API"
+        )
+    spark.dataSource.register(LakeFeedDataSource)

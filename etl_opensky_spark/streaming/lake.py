@@ -188,16 +188,27 @@ def make_cdc_apply_batch(
         upserts = final.filter(F.col(type_col).isin(*CDC_UPSERT_TYPES)).drop(
             *drop_cols
         )
+        # a delete only needs a commit when its key WILL exist on the
+        # replica once the merge step lands: semi-join against existing
+        # keys UNION this batch's upserts, and PIN it (localCheckpoint)
+        # before any commit — lazily evaluating against the tip after
+        # the merge would be replay-order-dependent, and evaluating
+        # against only pre-merge keys drops deletes for keys this same
+        # batch inserts (insert+delete-of-sibling in one feed window)
+        existing = (
+            read_version(spark, base).select(*keys)
+            if _read_log(base)
+            else upserts.select(*keys).filter(F.lit(False))
+        )
         deletes = (
             final.filter(F.col(type_col) == "delete")
             .select(*keys)
             .join(
-                read_version(spark, base).select(*keys)
-                if _read_log(base)
-                else upserts.select(*keys).filter(F.lit(False)),
+                existing.unionByName(upserts.select(*keys)),
                 on=keys,
                 how="left_semi",
             )
+            .localCheckpoint()
         )
         steps: list[tuple[str, DataFrame]] = []
         if not upserts.isEmpty():
