@@ -13924,6 +13924,69 @@ FROM final
 """
 
 
+def q295_lake_datasource_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAKE-AS-DATA-SOURCE gate (``sources.lakesource`` — the Spark-4
+    Python batch source with pushFilters-driven file skipping): orders
+    land in the lake as range-clustered files with per-file min/max in
+    the commit manifest, then ``spark.read.format("versioned")`` plans
+    a filtered read — the pushed range predicate prunes files against
+    the manifest ON THE DRIVER (observable: fewer planned input
+    partitions), every filter is also re-applied by Spark post-scan so
+    results are exact, and a MOR delete + column rename prove full
+    snapshot semantics survive the DS API path.  The oracle replays
+    content; the gate additionally pins that pruning engaged."""
+    import shutil
+
+    from etl_opensky_spark.sources.lakesource import (
+        register_versioned_source,
+    )
+    from etl_opensky_spark.sources.versioned import (
+        purge_versioned_mor,
+        rename_column,
+        write_version,
+    )
+
+    base = _gate_tmp("q295_lakesrc", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        _dec("o_totalprice").alias("price"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    write_version(
+        orders.repartitionByRange(8, "k"), base, stats_cols=("k",)
+    )
+    purge_versioned_mor(
+        spark, base,
+        orders.filter(F.col("k") % 13 == 0).select("k"), ["k"],
+    )
+    rename_column(spark, base, {"k": "okey"})
+    register_versioned_source(spark)
+    full = spark.read.format("versioned").load(base)
+    n_total = full.rdd.getNumPartitions()
+    cut = spark.read.format("versioned").load(base).filter(
+        F.col("okey") < 2000
+    )
+    n_pruned = cut.rdd.getNumPartitions()
+    return cut.agg(
+        F.count("*").alias("n"),
+        F.sum("okey").alias("key_sum"),
+        F.sum("price").cast("double").alias("price_total"),
+    ).select(
+        "*",
+        F.lit(bool(n_pruned < n_total)).alias("files_pruned"),
+        F.lit(bool(n_pruned >= 1)).alias("files_kept"),
+    )
+
+
+ORACLE_Q295 = """
+SELECT COUNT(*) AS n, SUM(o_orderkey) AS key_sum,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_total,
+  TRUE AS files_pruned, TRUE AS files_kept
+FROM orders WHERE o_orderkey < 2000 AND o_orderkey % 13 <> 0
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -14218,6 +14281,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q292_stream_cdc_replica": q292_stream_cdc_replica,
     "q293_python_datasource": q293_python_datasource,
     "q294_lakefeed_replication": q294_lakefeed_replication,
+    "q295_lake_datasource_pushdown": q295_lake_datasource_pushdown,
 }
 
 ORACLES: dict[str, str] = {
@@ -14513,6 +14577,7 @@ ORACLES: dict[str, str] = {
     "q292_stream_cdc_replica": ORACLE_Q292,
     "q293_python_datasource": ORACLE_Q293,
     "q294_lakefeed_replication": ORACLE_Q294,
+    "q295_lake_datasource_pushdown": ORACLE_Q295,
 }
 
 

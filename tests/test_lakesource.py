@@ -1,0 +1,155 @@
+"""``versioned`` batch Python data source (sources/lakesource.py):
+snapshot semantics through the DS API + pushdown-driven file skipping."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_opensky_spark.sources.lakesource import register_versioned_source
+from etl_opensky_spark.sources.versioned import (
+    merge_versioned,
+    purge_versioned_mor,
+    read_version,
+    rename_column,
+    write_version,
+)
+
+from .conftest import rows
+
+
+def _via_ds(spark, base, **options):
+    r = spark.read.format("versioned")
+    for k, v in options.items():
+        r = r.option(k, v)
+    return r.load(base)
+
+
+def test_matches_read_version_with_partitions_and_mor(spark, tmp_path):
+    """Content parity with the Catalyst path across partitioning, a
+    merge, a MOR delete, and a post-delete re-insert (scoped
+    tombstones)."""
+    base = str(tmp_path / "lake")
+    df = spark.createDataFrame(
+        [(1, "p1", "a"), (2, "p1", "b"), (3, "p2", "c"), (4, "p2", "d")],
+        "id int, part string, v string",
+    )
+    write_version(df, base, partition_by=("part",))
+    purge_versioned_mor(
+        spark, base, spark.createDataFrame([(2,)], "id int"), ("id",)
+    )
+    merge_versioned(
+        spark,
+        base,
+        spark.createDataFrame(
+            [(2, "p2", "b-new")], "id int, part string, v string"
+        ),
+        keys=("id",),
+        partition_by=("part",),
+    )
+    register_versioned_source(spark)
+    got = _via_ds(spark, base)
+    want = read_version(spark, base)
+    assert sorted(got.columns) == sorted(want.columns)
+    cols = sorted(got.columns)
+    assert rows(got.select(*cols)) == rows(want.select(*cols))
+
+
+def test_time_travel_option(spark, tmp_path):
+    base = str(tmp_path / "lake")
+    write_version(
+        spark.createDataFrame([(1, "a")], "id int, v string"), base
+    )
+    write_version(
+        spark.createDataFrame([(2, "b")], "id int, v string"), base
+    )
+    register_versioned_source(spark)
+    assert rows(_via_ds(spark, base, asOf=1)) == [(1, "a")]
+    assert rows(_via_ds(spark, base)) == [(2, "b")]
+
+
+def test_column_mapping_rename(spark, tmp_path):
+    base = str(tmp_path / "lake")
+    write_version(
+        spark.createDataFrame([(1, "a")], "id int, v string"), base
+    )
+    rename_column(spark, base, {"id": "ident"})
+    register_versioned_source(spark)
+    got = _via_ds(spark, base)
+    assert set(got.columns) == {"ident", "v"}
+    assert rows(got.select("ident", "v")) == [(1, "a")]
+
+
+def test_schema_evolution_nulls(spark, tmp_path):
+    base = str(tmp_path / "lake")
+    write_version(
+        spark.createDataFrame([(1, "a")], "id int, v string"), base
+    )
+    merge_versioned(
+        spark,
+        base,
+        spark.createDataFrame(
+            [(2, "b", 9.5)], "id int, v string, score double"
+        ),
+        keys=("id",),
+        merge_schema=True,
+    )
+    register_versioned_source(spark)
+    got = rows(_via_ds(spark, base).select("id", "v", "score"))
+    assert got == [(1, "a", None), (2, "b", 9.5)]
+
+
+def test_pushdown_prunes_files_and_partitions(spark, tmp_path):
+    """The pruning proof: range filters on a stats column and equality
+    on a partition column shrink the PLANNED partitions (observable as
+    RDD partition count), while results stay exact because every
+    filter is re-applied by Spark post-scan."""
+    base = str(tmp_path / "lake")
+    df = spark.range(0, 80).select(
+        F.col("id").cast("int").alias("id"),
+        (F.col("id") % 4).cast("int").alias("bucket"),
+        (F.col("id") * 10).cast("long").alias("val"),
+    )
+    # range-partitioned files inside each hive partition -> disjoint
+    # id ranges per file, so min/max skipping has something to bite on
+    write_version(
+        df.repartitionByRange(4, "id"),
+        base,
+        partition_by=("bucket",),
+        stats_cols=("id",),
+    )
+    register_versioned_source(spark)
+    full = _via_ds(spark, base)
+    n_all = full.rdd.getNumPartitions()
+    assert n_all >= 4
+
+    pruned = _via_ds(spark, base).filter(F.col("id") < 10)
+    assert pruned.rdd.getNumPartitions() < n_all  # manifest skipping
+    assert sorted(r["id"] for r in pruned.collect()) == list(range(10))
+
+    one_part = _via_ds(spark, base).filter(F.col("bucket") == 2)
+    assert one_part.rdd.getNumPartitions() < n_all  # dir pruning
+    assert sorted(r["id"] for r in one_part.collect()) == [
+        i for i in range(80) if i % 4 == 2
+    ]
+    # combined: equality on id -> exactly the files covering one value
+    point = _via_ds(spark, base).filter(
+        (F.col("id") == 42) & (F.col("bucket") == 2)
+    )
+    assert point.rdd.getNumPartitions() <= 2
+    assert [(r["id"], r["val"]) for r in point.collect()] == [(42, 420)]
+
+
+def test_filters_never_lose_rows_even_unprunable(spark, tmp_path):
+    """Filters the pruner can't use (e.g. on a stat-less column) still
+    return exact results — Spark re-applies everything."""
+    base = str(tmp_path / "lake")
+    write_version(
+        spark.createDataFrame(
+            [(1, "x"), (2, "y"), (3, "x")], "id int, tag string"
+        ),
+        base,
+    )
+    register_versioned_source(spark)
+    got = _via_ds(spark, base).filter(F.col("tag") == "x")
+    assert sorted(r["id"] for r in got.collect()) == [1, 3]
