@@ -316,6 +316,7 @@ BENCH_QUERIES = [
     "q293_python_datasource",
     "q294_lakefeed_replication",
     "q295_lake_datasource_pushdown",
+    "q296_incremental_optimize",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

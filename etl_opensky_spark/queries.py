@@ -13987,6 +13987,95 @@ FROM orders WHERE o_orderkey < 2000 AND o_orderkey % 13 <> 0
 """
 
 
+def q296_incremental_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL OPTIMIZE gate
+    (``sources.versioned.optimize_small_files`` — Delta OPTIMIZE
+    bin-packing): orders land as a range-clustered bulk plus a COPY
+    INTO batch of deliberately tiny files (the streaming-accretion
+    shape), %11 keys are MOR-deleted, then OPTIMIZE rewrites ONLY the
+    small files — deleted rows physically purged from the packed
+    output, the bulk hardlinked untouched (manifest stats carried by
+    rel path, fresh footer harvest for the packed file), and a second
+    OPTIMIZE must be a commitless no-op.  The oracle replays content;
+    the gate pins the file count drop, the steady state, and that
+    pruning still works post-OPTIMIZE."""
+    import shutil
+
+    from etl_opensky_spark.sources.versioned import (
+        _current,
+        _snapshot_files,
+        copy_into,
+        optimize_small_files,
+        prune_files,
+        purge_versioned_mor,
+        read_version,
+        write_version,
+    )
+
+    base = _gate_tmp("q296_opt", sf_dir)
+    landing = _gate_tmp("q296_opt_landing", sf_dir)
+    for d in (base, landing):
+        shutil.rmtree(d, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), _dec("o_totalprice").alias("price")
+    )
+    write_version(
+        orders.filter(F.col("k") % 5 != 0).repartitionByRange(4, "k"),
+        base,
+        stats_cols=("k",),
+    )
+    orders.filter(F.col("k") % 5 == 0).repartition(8).write.mode(
+        "overwrite"
+    ).parquet(landing)
+    copy_into(spark, base, landing, stats_cols=("k",))
+    purge_versioned_mor(
+        spark, base, orders.filter(F.col("k") % 11 == 0).select("k"), ["k"]
+    )
+
+    def n_files():
+        cur = _current(base)
+        import os as _os
+
+        return len(_snapshot_files(_os.path.join(base, cur["dir"])))
+
+    # corpus-relative target: bulk files (~n/5 rows) must sit ABOVE the
+    # small-file cutoff (target/2 = n/10) at every SF, the landing
+    # files (~n/40) below it
+    target = max(int(orders.count() * 0.2), 4)
+    before = n_files()
+    v1, n_compacted = optimize_small_files(
+        spark, base, target_rows_per_file=target
+    )
+    after = n_files()
+    v2, n2 = optimize_small_files(
+        spark, base, target_rows_per_file=target
+    )
+    kept, total = prune_files(base, {"k": (1, 100)})
+    t = read_version(spark, base)
+    return t.agg(
+        F.count("*").alias("n"),
+        F.sum("k").alias("key_sum"),
+        F.sum("price").cast("double").alias("price_total"),
+    ).select(
+        "*",
+        F.lit(bool(n_compacted >= 8 and after < before)).alias("packed"),
+        F.lit(bool(v2 == v1 and n2 == 0)).alias("steady_state"),
+        F.lit(bool(kept and len(kept) < total)).alias("pruning_live"),
+    )
+
+
+ORACLE_Q296 = """
+WITH src AS (
+  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders
+)
+SELECT COUNT(*) AS n, SUM(k) AS key_sum,
+  CAST(SUM(price) AS DOUBLE) AS price_total,
+  TRUE AS packed, TRUE AS steady_state, TRUE AS pruning_live
+FROM src WHERE k % 11 <> 0
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -14282,6 +14371,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q293_python_datasource": q293_python_datasource,
     "q294_lakefeed_replication": q294_lakefeed_replication,
     "q295_lake_datasource_pushdown": q295_lake_datasource_pushdown,
+    "q296_incremental_optimize": q296_incremental_optimize,
 }
 
 ORACLES: dict[str, str] = {
@@ -14578,6 +14668,7 @@ ORACLES: dict[str, str] = {
     "q293_python_datasource": ORACLE_Q293,
     "q294_lakefeed_replication": ORACLE_Q294,
     "q295_lake_datasource_pushdown": ORACLE_Q295,
+    "q296_incremental_optimize": ORACLE_Q296,
 }
 
 

@@ -284,7 +284,10 @@ def _json_stat(v):
 
 
 def _harvest_file_stats(
-    spark: SparkSession, data_dir: str, stats_cols: Sequence[str]
+    spark: SparkSession,
+    data_dir: str,
+    stats_cols: Sequence[str],
+    only_paths: Sequence[str] | None = None,
 ) -> dict:
     """Per-file min/max/null-count for ``stats_cols``, read from parquet
     FOOTERS only — no data pages are touched, so cost is O(#files)
@@ -295,16 +298,21 @@ def _harvest_file_stats(
     A column missing from a file's footer stats maps to ``None``
     (reader must keep the file)."""
     cols = list(stats_cols)
-    files: list[str] = []
-    for root, dirs, names in os.walk(data_dir):
-        # hidden dirs (tombstone sidecars etc.) follow Spark's
-        # underscore convention: invisible to the scan, so they must be
-        # invisible to the stats manifest too — a harvested tombstone
-        # file would be served back as DATA by a pruned read
-        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
-        for n in names:
-            if n.endswith(".parquet") and not n.startswith(("_", ".")):
-                files.append(os.path.join(root, n))
+    if only_paths is not None:
+        # incremental harvest (OPTIMIZE): footers of the NEW files only
+        files = list(only_paths)
+    else:
+        files = []
+        for root, dirs, names in os.walk(data_dir):
+            # hidden dirs (tombstone sidecars etc.) follow Spark's
+            # underscore convention: invisible to the scan, so they must
+            # be invisible to the stats manifest too — a harvested
+            # tombstone file would be served back as DATA by a pruned
+            # read
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            for n in names:
+                if n.endswith(".parquet") and not n.startswith(("_", ".")):
+                    files.append(os.path.join(root, n))
     if not files:
         return {}
 
@@ -635,7 +643,11 @@ def _tomb_scope_files(base: str, entry: dict, t: dict) -> list[str]:
 
 
 def _apply_tombstones(
-    spark: SparkSession, base: str, entry: dict, df: DataFrame
+    spark: SparkSession,
+    base: str,
+    entry: dict,
+    df: DataFrame,
+    physical: bool = False,
 ) -> DataFrame:
     """Merge-on-read DELETE: remove every (key, file) the snapshot's
     tombstone sidecars record (``purge_versioned_mor``).  Applied AFTER
@@ -654,16 +666,20 @@ def _apply_tombstones(
     the original whole-table anti-join."""
     tombs = entry.get("tombstones") or []
     scoped_any = any(t.get("scoped") for t in tombs)
+    mapping = _col_mapping(entry) if physical else {}
     for t in tombs:
         keys_df = spark.read.parquet(
             os.path.join(base, entry["dir"], t["dir"])
         )
         # positional rename: the sidecar's column ORDER is the key
         # order at write time, but a later rename_column may have
-        # re-labeled the logical names the rider now carries
-        keys_df = keys_df.toDF(*t["keys"])
+        # re-labeled the logical names the rider now carries.  Under
+        # ``physical=True`` (a raw, unmapped read — the OPTIMIZE
+        # rewrite path) the join keys are the frozen physical names.
+        names = [mapping.get(k, k) for k in t["keys"]]
+        keys_df = keys_df.toDF(*names)
         if not t.get("scoped"):
-            df = df.join(F.broadcast(keys_df), on=t["keys"], how="left_anti")
+            df = df.join(F.broadcast(keys_df), on=names, how="left_anti")
             continue
         files = _tomb_scope_files(base, entry, t)
         fdf = spark.createDataFrame(
@@ -671,7 +687,7 @@ def _apply_tombstones(
         ).withColumn("_vtomb_scope__", F.lit(True))
         hit = keys_df.withColumn("_vtomb_hit__", F.lit(True))
         df = (
-            df.join(F.broadcast(hit), on=t["keys"], how="left")
+            df.join(F.broadcast(hit), on=names, how="left")
             .join(F.broadcast(fdf), on=_REL_COL, how="left")
             .filter(
                 ~(
@@ -1357,6 +1373,178 @@ def compact_versioned(
         shutil.rmtree(data_dir, ignore_errors=True)
         raise
     return version
+
+
+def optimize_small_files(
+    spark: SparkSession,
+    base: str,
+    target_rows_per_file: int = 1_000_000,
+    small_file_rows: int | None = None,
+    user_meta: dict | None = None,
+) -> tuple[int, int]:
+    """INCREMENTAL OPTIMIZE (bin-packing): rewrite only the files
+    smaller than ``small_file_rows`` (default ``target // 2``) into
+    ~``target_rows_per_file``-row files; every right-sized file is
+    HARDLINKED into the new snapshot untouched.  Cost is
+    O(small files + footer metadata), never O(table) — the property
+    that makes OPTIMIZE runnable continuously after streaming/merge
+    ingest, where each micro-batch lands a few small files next to an
+    already-compacted bulk (``compact_versioned`` is the full rewrite
+    for layout CHANGES, e.g. z-ordering).
+
+    Details that keep it exactly content-preserving:
+
+    - File row counts come from parquet FOOTERS (driver-side pyarrow
+      metadata reads, no Spark job, no data pages).
+    - The rewrite reads the small files RAW (frozen physical column
+      names — a column-mapped table's files must stay physical) with
+      tombstones applied under the translated names, so deleted rows
+      are physically purged from the compacted output; carried
+      tombstones keep covering the hardlinked files (their scopes list
+      kept rel paths; entries for vanished files match nothing).
+    - Partitioned layouts rewrite per partition directory; compacted
+      output lands beside the kept files of the same partition.
+    - Nothing small → NO commit: returns the current version with
+      ``n_compacted=0`` (the idempotent steady state; an empty commit
+      per OPTIMIZE tick would bloat history).
+
+    Returns ``(version, n_files_compacted)``."""
+    import pyarrow.parquet as pq
+
+    cur = _current(base)
+    if cur is None:
+        raise ValueError(f"no committed versions at {base}")
+    cutoff = (
+        small_file_rows if small_file_rows is not None
+        else max(target_rows_per_file // 2, 1)
+    )
+    snap_dir = os.path.join(base, cur["dir"])
+    files = _snapshot_files(snap_dir)
+    rows_of: dict[str, int] = {}
+    for (rel, _ino), path in files.items():
+        n_rows = pq.ParquetFile(path).metadata.num_rows
+        if n_rows < cutoff:
+            rows_of[rel] = n_rows
+    # group small files by partition directory so output lands in the
+    # right hive dirs (root-level files group under ""), and DROP any
+    # group whose bin-packing wouldn't reduce its file count — else a
+    # lone small file (or a group totaling under the cutoff) would be
+    # rewritten on every tick, never reaching the no-op steady state
+    by_dir: dict[str, list[str]] = {}
+    for rel in rows_of:
+        by_dir.setdefault(os.path.dirname(rel), []).append(rel)
+    by_dir = {
+        d: rels
+        for d, rels in by_dir.items()
+        if max(1, -(-sum(rows_of[r] for r in rels)
+                    // target_rows_per_file)) < len(rels)
+    }
+    small_set = {rel for rels in by_dir.values() for rel in rels}
+    if not small_set:
+        return cur["version"], 0
+    version = cur["version"] + 1
+    name, data_dir = _new_data_dir(base)
+    staging = os.path.join(base, f"_opt-staging-{uuid.uuid4().hex[:8]}")
+    try:
+        os.makedirs(data_dir, exist_ok=True)
+        for part_dir, rels in sorted(by_dir.items()):
+            raw = _reader(spark, cur).parquet(
+                *[os.path.join(snap_dir, r) for r in rels]
+            )
+            tombs = cur.get("tombstones") or []
+            mapping_ = _col_mapping(cur)
+            for t in tombs:
+                missing = [
+                    k for k in t["keys"]
+                    if mapping_.get(k, k) not in raw.columns
+                ]
+                if missing:
+                    raise ValueError(
+                        "optimize_small_files: tombstone keys "
+                        f"{missing} are hive-partition columns (not in "
+                        "the data files) — the raw rewrite cannot apply "
+                        "them; run compact_versioned instead"
+                    )
+            if any(t.get("scoped") for t in tombs):
+                raw = raw.withColumn(_REL_COL, _rel_path_col(cur))
+            purged = _apply_tombstones(
+                spark, base, cur, raw, physical=True
+            )
+            if any(t.get("scoped") for t in tombs):
+                purged = purged.drop(_REL_COL)
+            total = purged.count()
+            n_files = max(1, -(-total // target_rows_per_file))
+            out = os.path.join(staging, part_dir) if part_dir else staging
+            purged.repartition(n_files).write.mode("errorifexists").parquet(
+                out
+            )
+        # assemble: hardlink every kept file, adopt staged output
+        for (rel, _ino), path in files.items():
+            if rel in small_set:
+                continue
+            dst = os.path.join(data_dir, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            get_fs().link_file(path, dst)
+        # carried tombstones need their SIDECAR dirs in the new
+        # snapshot too (_snapshot_files excludes hidden sidecars, so
+        # the kept-file walk above never links them); bloom sidecars
+        # are deliberately dropped — the file set changed, matching
+        # compact_versioned
+        for t in cur.get("tombstones") or []:
+            _link_tree(
+                os.path.join(snap_dir, t["dir"]),
+                os.path.join(data_dir, t["dir"]),
+            )
+        tag = uuid.uuid4().hex[:8]
+        for root, _dirs, names_ in os.walk(staging):
+            rel_dir = os.path.relpath(root, staging)
+            for fn in names_:
+                if not fn.endswith(".parquet") or fn.startswith(("_", ".")):
+                    continue
+                out_dir = (
+                    os.path.join(data_dir, rel_dir)
+                    if rel_dir != "." else data_dir
+                )
+                os.makedirs(out_dir, exist_ok=True)
+                get_fs().link_file(
+                    os.path.join(root, fn),
+                    os.path.join(out_dir, f"opt-{tag}-{fn}"),
+                )
+        extra: dict = {}
+        # stats: kept files keep their manifest rows (rel paths are
+        # stable under the link); new files get a footer harvest
+        if cur.get("stats") is not None:
+            kept_stats = {
+                rel: s
+                for rel, s in cur["stats"].items()
+                if rel not in small_set
+            }
+            new_paths = []
+            for root, _dirs, names_ in os.walk(data_dir):
+                for fn in names_:
+                    if fn.startswith("opt-" + tag):
+                        new_paths.append(os.path.join(root, fn))
+            sc = cur.get("stats_cols") or []
+            harvested = _harvest_file_stats(
+                spark, data_dir, sc, only_paths=new_paths
+            ) if sc else {}
+            extra["stats_cols"] = sc
+            extra["stats"] = {**kept_stats, **harvested}
+        for key in (
+            "schema_json", "column_mapping", "constraints",
+            "ingested_files", "identity", "tombstones",
+        ):
+            if cur.get(key):
+                extra[key] = cur[key]
+        if user_meta is not None:
+            extra["user_meta"] = dict(user_meta)
+        _commit(base, version, name, "optimize", extra=extra or None)
+    except ConcurrentCommitError:
+        shutil.rmtree(data_dir, ignore_errors=True)
+        raise
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return version, len(small_set)
 
 
 def clone_versioned(
