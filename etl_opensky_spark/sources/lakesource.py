@@ -148,7 +148,10 @@ try:  # pyspark >= 4.0
         EqualTo,
         GreaterThan,
         GreaterThanOrEqual,
+        In,
         InputPartition,
+        IsNotNull,
+        IsNull,
         LessThan,
         LessThanOrEqual,
     )
@@ -177,7 +180,9 @@ try:  # pyspark >= 4.0
             self._mapping = _col_mapping(self._entry)  # logical->physical
             self._tombstones = _read_tombstones(base, self._entry)
             self._ranges: dict[str, list] = {}
-            self._part_eq: dict[str, str] = {}
+            self._part_in: dict[str, set[str]] = {}
+            self._not_null: set[str] = set()
+            self._only_null: set[str] = set()
 
         # -- pushdown: collect prunable predicates, support NONE --------
         def pushFilters(self, filters):
@@ -192,12 +197,25 @@ try:  # pyspark >= 4.0
                 col = attr[0]
                 if isinstance(f, EqualTo):
                     if col in part_cols:
-                        self._part_eq[col] = str(f.value)
+                        self._part_in[col] = {str(f.value)}
                     self._tighten(col, f.value, f.value)
+                elif isinstance(f, In):
+                    vals = list(f.value)  # In.value is the literal TUPLE
+                    if col in part_cols:
+                        self._part_in[col] = {str(v) for v in vals}
+                    if vals and all(v is not None for v in vals):
+                        try:
+                            self._tighten(col, min(vals), max(vals))
+                        except TypeError:
+                            pass  # mixed/unorderable literal types
                 elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
                     self._tighten(col, f.value, None)
                 elif isinstance(f, (LessThan, LessThanOrEqual)):
                     self._tighten(col, None, f.value)
+                elif isinstance(f, IsNotNull):
+                    self._not_null.add(col)
+                elif isinstance(f, IsNull):
+                    self._only_null.add(col)
             # return EVERYTHING as unsupported: Spark re-applies all
             # predicates after the scan, so pruning can never lose rows
             # (strict > vs >= only affects skipping tightness, not
@@ -222,11 +240,11 @@ try:  # pyspark >= 4.0
                 }
             kept = []
             for rel, path in self._files:
-                if self._part_eq:
+                if self._part_in:
                     pv = _partition_values(rel)
                     if any(
-                        pv.get(c) is not None and pv[c] != v
-                        for c, v in self._part_eq.items()
+                        pv.get(c) is not None and pv[c] not in vals
+                        for c, vals in self._part_in.items()
                     ):
                         continue  # partition-directory pruning
                 if where and rel in stats:
@@ -235,6 +253,21 @@ try:  # pyspark >= 4.0
                             continue  # manifest min/max skipping
                     except ValueError:
                         pass  # incomparable stat/filter types: keep
+                if (self._not_null or self._only_null) and rel in stats:
+                    per_col = stats[rel]
+                    skip = False
+                    for c in self._not_null:
+                        s = per_col.get(self._mapping.get(c, c))
+                        if s and s["rows"] and s["nulls"] == s["rows"]:
+                            skip = True  # all-null file, col must be set
+                            break
+                    for c in self._only_null:
+                        s = per_col.get(self._mapping.get(c, c))
+                        if s and s["nulls"] == 0 and s["rows"]:
+                            skip = True  # no nulls, col must be null
+                            break
+                    if skip:
+                        continue
                 kept.append(_LakeFilePartition(path, rel))
             return kept
 

@@ -140,6 +140,35 @@ def test_pushdown_prunes_files_and_partitions(spark, tmp_path):
     assert [(r["id"], r["val"]) for r in point.collect()] == [(42, 420)]
 
 
+def test_in_and_null_pushdown(spark, tmp_path):
+    """IN on a partition column prunes to the named directories;
+    IsNotNull skips all-null files (stats record nulls==rows)."""
+    base = str(tmp_path / "lake")
+    df = spark.createDataFrame(
+        [(i, f"p{i % 4}", float(i) if i % 4 else None) for i in range(16)],
+        "id int, part string, score double",
+    ).repartition(1)
+    write_version(df, base, partition_by=("part",), stats_cols=("score",))
+    register_versioned_source(spark)
+    full = _via_ds(spark, base)
+    n_all = full.rdd.getNumPartitions()
+    assert n_all >= 4
+    two = _via_ds(spark, base).filter(F.col("part").isin("p1", "p3"))
+    assert two.rdd.getNumPartitions() < n_all
+    assert sorted(r["id"] for r in two.collect()) == [
+        i for i in range(16) if i % 4 in (1, 3)
+    ]
+    # part=p0 holds only null scores -> IsNotNull skips that whole file
+    nn = _via_ds(spark, base).filter(F.col("score").isNotNull())
+    assert nn.rdd.getNumPartitions() < n_all
+    assert sorted(r["id"] for r in nn.collect()) == [
+        i for i in range(16) if i % 4
+    ]
+    only_null = _via_ds(spark, base).filter(F.col("score").isNull())
+    assert only_null.rdd.getNumPartitions() < n_all
+    assert sorted(r["id"] for r in only_null.collect()) == [0, 4, 8, 12]
+
+
 def test_filters_never_lose_rows_even_unprunable(spark, tmp_path):
     """Filters the pruner can't use (e.g. on a stat-less column) still
     return exact results — Spark re-applies everything."""
