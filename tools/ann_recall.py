@@ -60,16 +60,40 @@ def _ids(df, k):
     return [r[0] for r in df.select("vec_id").limit(k).collect()]
 
 
+def _clustered(spark, n_families=2000, fam=10, dim=64, sigma=0.05):
+    """Synthetic NEAR-DUP regime: ``n_families`` unit base vectors, each
+    with ``fam`` jittered copies (cosine ~1/(1+dim*sigma^2) ≈ 0.86
+    within a family) — the concentrated-angle distribution LSH is for,
+    vs the isotropic sf1 embeddings where the top-10 of a random query
+    sit at ~60 degrees and hyperplane collisions are hopeless at any
+    table count."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((n_families, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    pts = np.repeat(base, fam, axis=0) + sigma * rng.standard_normal(
+        (n_families * fam, dim)
+    )
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(pts)],
+        "vec_id long, embedding array<float>",
+    )
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "scaledata/sf1"
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     n_queries = int(sys.argv[3]) if len(sys.argv) > 3 else 20
     spark = get_spark(app_name="ann_recall", shuffle_partitions=32)
-    emb = (
-        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-        .select("vec_id", "embedding")
-        .localCheckpoint()
-    )
+    if sf_dir == "clustered":
+        emb = _clustered(spark).localCheckpoint()
+    else:
+        emb = (
+            spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+            .select("vec_id", "embedding")
+            .localCheckpoint()
+        )
     n, dim = emb.count(), len(emb.first()["embedding"])
 
     # deterministic query panel spread across the id range
