@@ -317,6 +317,7 @@ BENCH_QUERIES = [
     "q294_lakefeed_replication",
     "q295_lake_datasource_pushdown",
     "q296_incremental_optimize",
+    "q297_lake_datasource_writer",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

@@ -14076,6 +14076,72 @@ FROM src WHERE k % 11 <> 0
 """
 
 
+def q297_lake_datasource_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAKE DS-API WRITER gate (``sources.lakesource`` writer half —
+    ``df.write.format("versioned")``): orders are committed through the
+    Python Data Source writer as an overwrite (v1: evens) then an
+    append (v2: odds) — executors stage pyarrow parquet, the driver
+    lands ONE atomic commit per mode through the same put-if-absent
+    point as every engine writer, appends hardlink the parent — and a
+    MOR delete issued BETWEEN the two writes must survive the append
+    (tombstones carried).  Read back at the tip and at v1; oracle
+    replays both states plus the history ops."""
+    import shutil
+
+    from etl_opensky_spark.sources.lakesource import (
+        register_versioned_source,
+    )
+    from etl_opensky_spark.sources.versioned import (
+        _read_log,
+        purge_versioned_mor,
+        read_version,
+    )
+
+    base = _gate_tmp("q297_dsw", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    register_versioned_source(spark)
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), _dec("o_totalprice").alias("price")
+    )
+    orders.filter(F.col("k") % 2 == 0).write.format("versioned").mode(
+        "overwrite"
+    ).save(base)
+    purge_versioned_mor(
+        spark, base,
+        orders.filter(F.col("k") % 14 == 0).select("k"), ["k"],
+    )
+    orders.filter(F.col("k") % 2 == 1).write.format("versioned").mode(
+        "append"
+    ).save(base)
+    ops = ",".join(e["op"] for e in _read_log(base))
+    tip = read_version(spark, base).agg(
+        F.count("*").alias("n"),
+        F.sum("k").alias("key_sum"),
+        F.sum("price").cast("double").alias("price_total"),
+    )
+    v1n = read_version(spark, base, as_of=1).count()
+    return tip.select(
+        "*",
+        F.lit(v1n).alias("n_v1"),
+        F.lit(ops).alias("ops"),
+    )
+
+
+ORACLE_Q297 = """
+WITH src AS (
+  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders
+), tip AS (
+  SELECT * FROM src WHERE k % 2 = 1 OR (k % 2 = 0 AND k % 14 <> 0)
+)
+SELECT COUNT(*) AS n, SUM(k) AS key_sum,
+  CAST(SUM(price) AS DOUBLE) AS price_total,
+  (SELECT COUNT(*) FROM src WHERE k % 2 = 0) AS n_v1,
+  'write,purge_mor,append' AS ops
+FROM tip
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -14372,6 +14438,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q294_lakefeed_replication": q294_lakefeed_replication,
     "q295_lake_datasource_pushdown": q295_lake_datasource_pushdown,
     "q296_incremental_optimize": q296_incremental_optimize,
+    "q297_lake_datasource_writer": q297_lake_datasource_writer,
 }
 
 ORACLES: dict[str, str] = {
@@ -14669,6 +14736,7 @@ ORACLES: dict[str, str] = {
     "q294_lakefeed_replication": ORACLE_Q294,
     "q295_lake_datasource_pushdown": ORACLE_Q295,
     "q296_incremental_optimize": ORACLE_Q296,
+    "q297_lake_datasource_writer": ORACLE_Q297,
 }
 
 

@@ -46,8 +46,13 @@ from pyspark.sql.types import (
 
 from etl_opensky_spark.sources.versioned import (
     TOMB_SCOPE,
+    ConcurrentCommitError,
     _col_mapping,
+    _commit,
+    _current,
     _file_matches,
+    _link_tree,
+    _new_data_dir,
     _resolve,
     _snapshot_files,
 )
@@ -141,10 +146,93 @@ def _read_tombstones(base: str, entry: dict) -> list[dict]:
     return out
 
 
+def _spark_to_arrow(dt):
+    """Spark DataType -> arrow type (inverse of :func:`_arrow_to_spark`;
+    runs on executors with no SparkContext)."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.ByteType):
+        return pa.int8()
+    if isinstance(dt, T.ShortType):
+        return pa.int16()
+    if isinstance(dt, T.IntegerType):
+        return pa.int32()
+    if isinstance(dt, T.LongType):
+        return pa.int64()
+    if isinstance(dt, T.FloatType):
+        return pa.float32()
+    if isinstance(dt, T.DoubleType):
+        return pa.float64()
+    if isinstance(dt, T.BooleanType):
+        return pa.bool_()
+    if isinstance(dt, T.StringType):
+        return pa.string()
+    if isinstance(dt, T.BinaryType):
+        return pa.binary()
+    if isinstance(dt, T.DecimalType):
+        return pa.decimal128(dt.precision, dt.scale)
+    if isinstance(dt, T.DateType):
+        return pa.date32()
+    if isinstance(dt, T.TimestampType):
+        return pa.timestamp("us")
+    if isinstance(dt, T.ArrayType):
+        return pa.list_(_spark_to_arrow(dt.elementType))
+    raise ValueError(f"versioned writer: unmapped Spark type {dt}")
+
+
+def _pyarrow_file_stats(path: str, cols: list[str]) -> dict:
+    """Footer min/max/nulls/rows for one file, same dict shape as
+    ``versioned._harvest_file_stats`` — pyarrow only, so the DS
+    writer's driver-side commit needs no Spark job.  Non-JSON-basic
+    stats (decimal, timestamp) map to None (reader keeps the file)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    out = {}
+    for c in cols:
+        if c not in idx:
+            continue
+        mn = mx = None
+        nulls = rows = 0
+        ok = True
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(idx[c])
+            st = col.statistics
+            rows += md.row_group(rg).num_rows
+            if st is None or not st.has_min_max:
+                if st is not None and st.null_count == md.row_group(
+                    rg
+                ).num_rows:
+                    nulls += st.null_count
+                    continue
+                ok = False
+                break
+            nulls += st.null_count or 0
+            lo, hi = st.min, st.max
+            if not all(
+                isinstance(v, (int, float, str, bool)) for v in (lo, hi)
+            ):
+                ok = False  # not JSON-manifest-able: no stats, keep file
+                break
+            if mn is None or lo < mn:
+                mn = lo
+            if mx is None or hi > mx:
+                mx = hi
+        out[c] = (
+            {"min": mn, "max": mx, "nulls": nulls, "rows": rows}
+            if ok
+            else None
+        )
+    return out
+
+
 try:  # pyspark >= 4.0
     from pyspark.sql.datasource import (
         DataSource,
         DataSourceReader,
+        DataSourceWriter,
         EqualTo,
         GreaterThan,
         GreaterThanOrEqual,
@@ -154,6 +242,7 @@ try:  # pyspark >= 4.0
         IsNull,
         LessThan,
         LessThanOrEqual,
+        WriterCommitMessage,
     )
 
     class _LakeFilePartition(InputPartition):
@@ -309,6 +398,198 @@ try:  # pyspark >= 4.0
                 if not dead:
                     yield row
 
+    class _StagedFile(WriterCommitMessage):
+        def __init__(self, path: str | None, rows: int):
+            self.path = path
+            self.rows = rows
+
+    class VersionedLakeWriter(DataSourceWriter):
+        """``df.write.format("versioned").mode("append"|"overwrite")``
+        — ACID lake commits through the DS API.
+
+        Executors stage one parquet file per non-empty input partition
+        (pyarrow, the snapshot's frozen PHYSICAL column names); the
+        driver-side ``commit()`` assembles the snapshot — parent
+        hardlinked for append, fresh for overwrite — harvests footer
+        stats for the staged files when the table tracks stats (plain
+        pyarrow, no Spark job), carries the riders forward, and lands
+        ONE atomic commit through the same ``put_if_absent`` point as
+        every other writer; ``abort()`` leaves the table untouched.
+
+        Guard rails (each names the richer path): identity tables
+        refuse (the DS writer can't mint GENERATED ALWAYS ids — use
+        ``copy_into``/``merge_versioned``); CHECK-constraint tables
+        refuse (validation needs the engine); hive-partitioned tables
+        refuse append (partition routing lives in
+        ``merge_versioned``/``write_version``).
+        """
+
+        def __init__(self, options: dict, schema: StructType,
+                     overwrite: bool):
+            import uuid as _uuid
+
+            base = options.get("path")
+            if not base:
+                raise ValueError(
+                    "versioned writer: pass the table base via .save(dir)"
+                )
+            self._base = base
+            self._overwrite = overwrite
+            self._schema = schema
+            cur = _current(base)
+            self._parent_version = cur["version"] if cur else 0
+            mapping = {}
+            if cur is not None:
+                if cur.get("identity"):
+                    raise ValueError(
+                        "versioned writer: table has a GENERATED "
+                        "IDENTITY rider — use copy_into/merge_versioned"
+                    )
+                if cur.get("constraints"):
+                    raise ValueError(
+                        "versioned writer: table has CHECK constraints "
+                        "— use write_version/copy_into (engine-side "
+                        "validation)"
+                    )
+                mapping = _col_mapping(cur)
+                if not overwrite:
+                    import json
+
+                    import pyarrow.parquet as pq
+
+                    snap = os.path.join(base, cur["dir"])
+                    files = _snapshot_files(snap)
+                    if any(
+                        "=" in rel.split("/")[0] for (rel, _i) in files
+                    ):
+                        raise ValueError(
+                            "versioned writer: hive-partitioned table — "
+                            "append via merge_versioned/copy_into"
+                        )
+                    # the appended frame must carry exactly the
+                    # snapshot's LOGICAL columns
+                    if cur.get("schema_json"):
+                        want = {
+                            f["name"]
+                            for f in json.loads(cur["schema_json"])["fields"]
+                        }
+                    else:
+                        rev = {p: l for l, p in mapping.items()}
+                        any_path = next(iter(files.values()))
+                        want = {
+                            rev.get(n, n)
+                            for n in pq.read_schema(any_path).names
+                        }
+                    got = {f.name for f in schema.fields}
+                    if got != want:
+                        raise ValueError(
+                            "versioned writer: frame columns "
+                            f"{sorted(got)} != table columns "
+                            f"{sorted(want)}"
+                        )
+            self._mapping = mapping  # logical -> physical
+            self._staging = os.path.join(
+                base, f"_dsw-staging-{_uuid.uuid4().hex[:8]}"
+            )
+
+        def write(self, iterator):
+            import uuid as _uuid
+
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            rows = list(iterator)
+            if not rows:
+                return _StagedFile(None, 0)
+            names = [
+                self._mapping.get(f.name, f.name)
+                for f in self._schema.fields
+            ]
+            arrays = []
+            for i, f in enumerate(self._schema.fields):
+                arrays.append(
+                    pa.array(
+                        [r[i] for r in rows], type=_spark_to_arrow(f.dataType)
+                    )
+                )
+            table = pa.Table.from_arrays(arrays, names=names)
+            os.makedirs(self._staging, exist_ok=True)
+            path = os.path.join(
+                self._staging, f"dsw-{_uuid.uuid4().hex}.parquet"
+            )
+            pq.write_table(table, path)
+            return _StagedFile(path, len(rows))
+
+        def commit(self, messages) -> None:
+            try:
+                cur = _current(self._base)
+                if cur is not None and (
+                    cur["version"] != self._parent_version
+                ):
+                    raise ConcurrentCommitError(
+                        "versioned writer: table advanced past version "
+                        f"{self._parent_version} during the write"
+                    )
+                staged = [
+                    m.path for m in messages
+                    if m is not None and m.path is not None
+                ]
+                name, data_dir = _new_data_dir(self._base)
+                os.makedirs(data_dir, exist_ok=True)
+                extra: dict = {}
+                if cur is not None and not self._overwrite:
+                    _link_tree(
+                        os.path.join(self._base, cur["dir"]), data_dir
+                    )
+                    for key in (
+                        "schema_json", "column_mapping", "stats_cols",
+                        "tombstones", "ingested_files",
+                    ):
+                        if cur.get(key):
+                            extra[key] = cur[key]
+                elif cur is not None and self._overwrite:
+                    # layout + mapping reset, like write_version
+                    pass
+                from etl_opensky_spark.sources.fs import get_fs
+
+                for src in staged:
+                    get_fs().link_file(
+                        src, os.path.join(data_dir, os.path.basename(src))
+                    )
+                if (
+                    cur is not None
+                    and not self._overwrite
+                    and cur.get("stats") is not None
+                ):
+                    sc = cur.get("stats_cols") or []
+                    new_stats = {
+                        os.path.basename(p): _pyarrow_file_stats(
+                            os.path.join(
+                                data_dir, os.path.basename(p)
+                            ),
+                            [self._mapping.get(c, c) for c in sc],
+                        )
+                        for p in staged
+                    }
+                    extra["stats"] = {**cur["stats"], **new_stats}
+                op = "write" if self._overwrite else "append"
+                _commit(
+                    self._base,
+                    self._parent_version + 1,
+                    name,
+                    op,
+                    extra=extra or None,
+                )
+            finally:
+                import shutil as _shutil
+
+                _shutil.rmtree(self._staging, ignore_errors=True)
+
+        def abort(self, messages) -> None:
+            import shutil as _shutil
+
+            _shutil.rmtree(self._staging, ignore_errors=True)
+
     class VersionedLakeDataSource(DataSource):
         """``spark.read.format("versioned")`` — versioned-lake snapshots
         with manifest/partition file skipping driven by pushFilters."""
@@ -362,6 +643,9 @@ try:  # pyspark >= 4.0
 
         def reader(self, schema):
             return VersionedLakeReader(self.options, schema)
+
+        def writer(self, schema, overwrite: bool):
+            return VersionedLakeWriter(self.options, schema, overwrite)
 
     HAS_DATASOURCE_API = True
 except ImportError:  # pragma: no cover - pyspark < 4

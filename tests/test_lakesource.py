@@ -169,6 +169,99 @@ def test_in_and_null_pushdown(spark, tmp_path):
     assert sorted(r["id"] for r in only_null.collect()) == [0, 4, 8, 12]
 
 
+def test_writer_append_and_overwrite(spark, tmp_path):
+    """df.write.format('versioned'): overwrite creates v1/v2, append
+    hardlinks the parent and lands one atomic commit; time travel and
+    the Catalyst read path see every version."""
+    from etl_opensky_spark.sources.versioned import _read_log
+
+    base = str(tmp_path / "lake")
+    register_versioned_source(spark)
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    df1.write.format("versioned").mode("overwrite").save(base)
+    assert rows(read_version(spark, base)) == [(1, "a"), (2, "b")]
+    spark.createDataFrame([(3, "c")], "id int, v string").write.format(
+        "versioned"
+    ).mode("append").save(base)
+    assert [e["op"] for e in _read_log(base)] == ["write", "append"]
+    assert rows(read_version(spark, base)) == [
+        (1, "a"), (2, "b"), (3, "c"),
+    ]
+    assert rows(read_version(spark, base, as_of=1)) == [(1, "a"), (2, "b")]
+    # and the DS reader sees its own writes
+    assert rows(_via_ds(spark, base).select("id", "v")) == [
+        (1, "a"), (2, "b"), (3, "c"),
+    ]
+
+
+def test_writer_append_carries_stats_and_tombstones(spark, tmp_path):
+    from etl_opensky_spark.sources.versioned import prune_files
+
+    base = str(tmp_path / "lake")
+    write_version(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(8)], "id int, v string"
+        ).repartitionByRange(2, "id"),
+        base,
+        stats_cols=("id",),
+    )
+    purge_versioned_mor(
+        spark, base, spark.createDataFrame([(3,)], "id int"), ("id",)
+    )
+    register_versioned_source(spark)
+    spark.createDataFrame(
+        [(100, "x")], "id int, v string"
+    ).write.format("versioned").mode("append").save(base)
+    got = sorted(r["id"] for r in read_version(spark, base).collect())
+    assert got == [0, 1, 2, 4, 5, 6, 7, 100]  # delete survives the append
+    # stats manifest covers old AND new files, so pruning stays live
+    kept, total = prune_files(base, {"id": (100, 100)})
+    assert len(kept) == 1 and total == 3
+    got = sorted(
+        r["id"]
+        for r in read_version(spark, base, where={"id": (100, 100)})
+        .collect()
+    )
+    assert got == [100]
+
+
+def test_writer_schema_mismatch_and_guard_rails(spark, tmp_path):
+    from etl_opensky_spark.sources.versioned import add_constraint
+
+    base = str(tmp_path / "lake")
+    write_version(
+        spark.createDataFrame([(1, "a")], "id int, v string"), base
+    )
+    register_versioned_source(spark)
+    with pytest.raises(Exception, match="frame columns"):
+        spark.createDataFrame([(2,)], "id int").write.format(
+            "versioned"
+        ).mode("append").save(base)
+    add_constraint(spark, base, "id_pos", "id > 0")
+    with pytest.raises(Exception, match="CHECK constraints"):
+        spark.createDataFrame([(2, "b")], "id int, v string").write.format(
+            "versioned"
+        ).mode("append").save(base)
+    # nothing committed by the refused writes
+    assert rows(read_version(spark, base).select("id", "v")) == [(1, "a")]
+
+
+def test_writer_column_mapped_table(spark, tmp_path):
+    base = str(tmp_path / "lake")
+    write_version(
+        spark.createDataFrame([(1, "a")], "id int, v string"), base
+    )
+    rename_column(spark, base, {"id": "ident"})
+    register_versioned_source(spark)
+    # append uses the LOGICAL name; files keep the frozen physical one
+    spark.createDataFrame([(2, "b")], "ident int, v string").write.format(
+        "versioned"
+    ).mode("append").save(base)
+    assert rows(read_version(spark, base).select("ident", "v")) == [
+        (1, "a"), (2, "b"),
+    ]
+
+
 def test_filters_never_lose_rows_even_unprunable(spark, tmp_path):
     """Filters the pruner can't use (e.g. on a stat-less column) still
     return exact results — Spark re-applies everything."""
