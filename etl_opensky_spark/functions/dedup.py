@@ -1125,6 +1125,10 @@ def ngram_jaccard_pairs(
     set sizes still count pruned grams, intersections can't).  Default
     ``"auto"`` = 5 % of the corpus, floor 2 (:func:`_resolve_max_df`);
     ``None`` disables pruning (exact scores, truth-gate corpora only).
+
+    .. note:: the default changed from ``None`` to ``"auto"`` in round
+       6 — scores above the df cap became lower bounds and each call
+       pays one extra ``count()``; see CHANGELOG.md.
     """
     max_df = _resolve_max_df(df, max_df)
     grams_col = (
@@ -1618,7 +1622,8 @@ def containment_pairs(
     bound — set sizes still count pruned grams, intersections can't).
     Default ``"auto"`` = 5 % of the corpus, floor 2
     (:func:`_resolve_max_df`); ``None`` disables pruning (exact
-    scores, truth-gate corpora only).
+    scores, truth-gate corpora only).  The default changed from
+    ``None`` to ``"auto"`` in round 6 — see CHANGELOG.md.
     The score is emitted as exact integer micros
     (``floor(1e6 * i / smin)`` by integer division), so the whole pair
     table hash-matches a relational replay.

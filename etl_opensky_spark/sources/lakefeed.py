@@ -93,10 +93,9 @@ try:  # pyspark >= 4.0
     )
 
     class _CommitPartition(InputPartition):
-        def __init__(self, path: str, version: int, n_cols: int):
+        def __init__(self, path: str, version: int):
             self.path = path
             self.version = version
-            self.n_cols = n_cols
 
     class LakeFeedStreamReader(DataSourceStreamReader):
         def __init__(self, options: dict):
@@ -106,7 +105,6 @@ try:  # pyspark >= 4.0
                     "lakefeed: pass the feed directory via .load(dir)"
                 )
             self._path = path
-            self._n_cols = int(options["_n_cols"])
 
         def initialOffset(self) -> dict:
             return {"version": 0}
@@ -118,30 +116,39 @@ try:  # pyspark >= 4.0
         def partitions(self, start: dict, end: dict):
             lo, hi = int(start["version"]), int(end["version"])
             parts = [
-                _CommitPartition(
-                    os.path.join(self._path, f"commit={v}"), v, self._n_cols
-                )
+                _CommitPartition(os.path.join(self._path, f"commit={v}"), v)
                 for v in _commit_versions(self._path)
                 if lo < v <= hi
             ]
-            # an empty microbatch still needs >=1 partition in the API;
-            # a partition for a version with no dir yields nothing
+            # an empty microbatch (start == end on restart / no new
+            # data) still needs >=1 partition in the API — point it at
+            # the IMPOSSIBLE version -1, whose dir can never exist, so
+            # read() yields nothing.  Pointing at commit=<hi> would
+            # RE-EMIT an already-consumed commit under a fresh
+            # batch_id and break exactly-once downstream.
             return parts or [
                 _CommitPartition(
-                    os.path.join(self._path, f"commit={hi}"), hi, self._n_cols
+                    os.path.join(self._path, "commit=-1"), -1
                 )
             ]
 
         def read(self, partition):
+            """Arrow-batch yield: the Spark-4 DS API accepts
+            ``pyarrow.RecordBatch`` from ``read()`` — the whole decode
+            stays columnar (no per-row Python tuples); the ``commit``
+            version column is appended as a constant array per
+            batch."""
+            import pyarrow as pa
             import pyarrow.parquet as pq
 
-            if not os.path.isdir(partition.path):
+            if partition.version < 0 or not os.path.isdir(partition.path):
                 return
-            table = pq.read_table(partition.path)
-            cols = [c.to_pylist() for c in table.columns]
-            v = partition.version
-            for row in zip(*cols):
-                yield (*row, v)
+            v = pa.scalar(partition.version, type=pa.int32())
+            for batch in pq.read_table(partition.path).to_batches():
+                yield pa.RecordBatch.from_arrays(
+                    [*batch.columns, pa.repeat(v, batch.num_rows)],
+                    names=[*batch.schema.names, "commit"],
+                )
 
         def commit(self, end: dict) -> None:
             pass  # offsets live in the checkpoint; dirs are immutable
@@ -174,7 +181,6 @@ try:  # pyspark >= 4.0
                 f for f in sorted(os.listdir(first)) if f.endswith(".parquet")
             )
             arrow = pq.read_schema(os.path.join(first, fname))
-            self.options["_n_cols"] = str(len(arrow))
             return _arrow_to_ddl(arrow)
 
         def streamReader(self, schema):

@@ -146,6 +146,37 @@ def _read_tombstones(base: str, entry: dict) -> list[dict]:
     return out
 
 
+def _tomb_dead_mask(table, live: list[dict]):
+    """Vectorized MOR masking: numpy bool array marking rows whose key
+    appears in any live tombstone, or ``None`` when nothing matches.
+    Single-column keys go through ``pyarrow.compute.is_in`` (one C++
+    hash probe over the column); composite keys through a pandas
+    ``MultiIndex.isin`` (vectorized tuple probe) — no per-row Python
+    either way."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    dead = np.zeros(table.num_rows, dtype=bool)
+    for t in live:
+        kcols = t["key_cols"]
+        if not t["keys"]:
+            continue
+        if len(kcols) == 1:
+            col = table[kcols[0]]
+            vals = pa.array(
+                [k[0] for k in t["keys"]], type=col.type
+            )
+            m = pc.fill_null(pc.is_in(col, value_set=vals), False)
+            dead |= m.to_numpy(zero_copy_only=False)
+        else:
+            import pandas as pd
+
+            frame = table.select(kcols).to_pandas()
+            dead |= pd.MultiIndex.from_frame(frame).isin(t["keys"])
+    return dead if dead.any() else None
+
+
 def _spark_to_arrow(dt):
     """Spark DataType -> arrow type (inverse of :func:`_arrow_to_spark`;
     runs on executors with no SparkContext)."""
@@ -361,42 +392,50 @@ try:  # pyspark >= 4.0
             return kept
 
         def read(self, partition):
+            """Columnar decode: one ``pyarrow.Table`` assembled per
+            file — physical→logical rename, null columns for files
+            predating a schema evolution, CONSTANT arrays for
+            hive-partition values — cast to the exact read schema and
+            yielded as ``pyarrow.RecordBatch`` (the Spark-4 DS API
+            accepts batches; no per-row Python tuples).  Tombstones
+            apply as one vectorized boolean mask per scope-hit file."""
+            import pyarrow as pa
             import pyarrow.parquet as pq
 
             table = pq.read_table(partition.path)
             n = table.num_rows
             pv = _partition_values(partition.rel)
-            cols = []
-            key_idx: dict[str, int] = {}
-            for i, field in enumerate(self._schema.fields):
-                key_idx[field.name] = i
+            arrays = []
+            names = []
+            target = []
+            for field in self._schema.fields:
+                names.append(field.name)
+                atype = _spark_to_arrow(field.dataType)
+                target.append(pa.field(field.name, atype))
                 if field.name in pv:
-                    cols.append([_cast_partition(pv[field.name],
-                                                 field.dataType)] * n)
+                    val = _cast_partition(pv[field.name], field.dataType)
+                    arrays.append(
+                        pa.repeat(pa.scalar(val, type=atype), n)
+                    )
                     continue
                 phys = self._mapping.get(field.name, field.name)
                 if phys in table.column_names:
-                    cols.append(table[phys].to_pylist())
+                    arrays.append(table[phys])
                 else:
                     # schema evolution: file predates the column
-                    cols.append([None] * n)
-            rows = zip(*cols) if cols else iter(())
+                    arrays.append(pa.nulls(n, type=atype))
+            out = pa.table(arrays, names=names).cast(pa.schema(target))
             live = [
                 t for t in self._tombstones
                 if t["scope"] is None or partition.rel in t["scope"]
             ]
-            if not live:
-                yield from rows
-                return
-            for row in rows:
-                dead = False
-                for t in live:
-                    key = tuple(row[key_idx[c]] for c in t["key_cols"])
-                    if key in t["keys"]:
-                        dead = True
-                        break
-                if not dead:
-                    yield row
+            if live:
+                dead = _tomb_dead_mask(out, live)
+                if dead is not None:
+                    import pyarrow.compute as pc
+
+                    out = out.filter(pc.invert(pa.array(dead)))
+            yield from out.to_batches()
 
     class _StagedFile(WriterCommitMessage):
         def __init__(self, path: str | None, rows: int):
@@ -521,6 +560,8 @@ try:  # pyspark >= 4.0
             return _StagedFile(path, len(rows))
 
         def commit(self, messages) -> None:
+            data_dir = None
+            committed = False
             try:
                 cur = _current(self._base)
                 if cur is not None and (
@@ -580,10 +621,16 @@ try:  # pyspark >= 4.0
                     op,
                     extra=extra or None,
                 )
+                committed = True
             finally:
                 import shutil as _shutil
 
                 _shutil.rmtree(self._staging, ignore_errors=True)
+                # losing the put_if_absent race (or any pre-commit
+                # failure) must not leave the assembled snapshot dir
+                # behind — every other writer cleans up the same way
+                if not committed and data_dir is not None:
+                    _shutil.rmtree(data_dir, ignore_errors=True)
 
         def abort(self, messages) -> None:
             import shutil as _shutil
