@@ -51,7 +51,6 @@ import shutil
 import uuid
 from collections.abc import Sequence
 from functools import reduce
-from urllib.parse import quote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -59,6 +58,10 @@ from pyspark.sql import functions as F
 from etl_opensky_spark.sources.fs import get_fs
 
 COMMITS = "_commits"
+#: crash-debris staging dirs any writer family may leave behind:
+#: ``_staging-`` (merge/copy_into), ``_opt-staging-`` (OPTIMIZE),
+#: ``_dsw-staging-`` (DS-API writer) — and future ``_<tag>-staging-``
+_STAGING_RE = re.compile(r"^_(?:[a-z0-9]+-)?staging-")
 
 #: test instrumentation: mapping of hook-point name -> callable; used by
 #: the crash-injection property tests to simulate a writer dying between
@@ -84,16 +87,49 @@ def _commit_path(base: str, version: int) -> str:
     return os.path.join(_commits_dir(base), f"{version:08d}.json")
 
 
+#: write a rolled-up log checkpoint every N commits (Delta's
+#: ``_last_checkpoint`` cadence); reads then cost 1 checkpoint file +
+#: the tail instead of one metadata round-trip per historical commit —
+#: on an object store that is 1 GET + ≤N GETs vs 10⁴ GETs for a
+#: long-lived streaming table
+CHECKPOINT_EVERY = 10
+
+
+def _ckpt_path(base: str, version: int) -> str:
+    return os.path.join(
+        _commits_dir(base), f"{version:08d}.checkpoint.json"
+    )
+
+
 def _read_log(base: str) -> list[dict]:
-    """All commits, version-ascending.  O(versions) metadata reads."""
+    """All commits, version-ascending: newest readable checkpoint +
+    the commit files past it — O(tail) metadata reads, not
+    O(versions).  Checkpoints are pure accelerators: a torn, missing,
+    or vacuumed checkpoint falls back to older ones and ultimately to
+    the plain per-commit files, so correctness never depends on one."""
     cdir = _commits_dir(base)
     if not os.path.isdir(cdir):
         return []
-    out = []
-    for name in sorted(os.listdir(cdir)):
-        if not name.endswith(".json"):
-            continue
-        with open(os.path.join(cdir, name)) as fh:
+    versions: list[int] = []
+    ckpts: list[int] = []
+    for name in os.listdir(cdir):
+        if name.endswith(".checkpoint.json"):
+            ckpts.append(int(name.split(".")[0]))
+        elif name.endswith(".json"):
+            versions.append(int(name.split(".")[0]))
+    out: list[dict] = []
+    start = 0
+    for cv in sorted(ckpts, reverse=True):
+        try:
+            with open(_ckpt_path(base, cv)) as fh:
+                doc = json.load(fh)
+            out = list(doc["entries"])
+            start = cv
+            break
+        except (OSError, ValueError, KeyError):
+            continue  # unreadable accelerator: fall back further
+    for v in sorted(c for c in versions if c > start):
+        with open(_commit_path(base, v)) as fh:
             out.append(json.load(fh))
     return out
 
@@ -163,6 +199,29 @@ def _commit(
         raise ConcurrentCommitError(
             f"version {version} at {base} was committed by another writer"
         ) from None
+    if version % CHECKPOINT_EVERY == 0:
+        _write_checkpoint(base, version)
+
+
+def _write_checkpoint(base: str, version: int) -> None:
+    """Roll the log up to ``version`` into one checkpoint file.  Only
+    the writer that WON version ``version`` gets here, so the
+    deterministic name races with nobody; entries past ``version``
+    (a faster concurrent writer) are excluded so the tail-read in
+    :func:`_read_log` never double-counts.  Best-effort by design —
+    a failed checkpoint costs reads nothing but speed."""
+    try:
+        entries = [
+            e for e in _read_log(base) if e["version"] <= version
+        ]
+        get_fs().put_if_absent(
+            _ckpt_path(base, version),
+            json.dumps(
+                {"version": version, "entries": entries}
+            ).encode(),
+        )
+    except (OSError, ValueError):
+        pass
 
 
 def _new_data_dir(base: str) -> tuple[str, str]:
@@ -627,19 +686,37 @@ def _rel_path_col(entry: dict):
 _URI_PCHAR_SAFE = "/!$&'()*+,;=:@-._~"
 
 
+def _hadoop_uri_quote(p: str) -> str:
+    """Percent-encode ``p`` exactly the way the Hadoop Path URI behind
+    ``_metadata.file_path`` does: ASCII characters outside the pchar
+    set become ``%XX``, but NON-ASCII characters stay RAW (Java's
+    multi-arg ``URI`` constructor treats them as the allowed "other"
+    category — verified empirically: ``p=Zürich`` surfaces unescaped
+    while ``p=a b`` surfaces as ``p=a%20b``).  ``urllib.quote`` would
+    UTF-8-encode ``ü`` to ``%C3%BC`` and the scope key would never
+    match the provenance column, silently un-applying the delete."""
+    return "".join(
+        ch
+        if ch > "\x7f" or ch.isalnum() or ch in _URI_PCHAR_SAFE
+        else "%{:02X}".format(ord(ch))
+        for ch in p
+    )
+
+
 def _tomb_scope_files(base: str, entry: dict, t: dict) -> list[str]:
     """Scope list for one tombstone, re-encoded to match the URI form
     ``_metadata.file_path`` reports.  The sidecar stores the RAW on-disk
     relative paths (ground truth, portable); Spark's file provenance is
     the Hadoop Path URI — ``p=4-NOT SPECIFIED/x.parquet`` surfaces as
-    ``p=4-NOT%20SPECIFIED/x.parquet`` — so the join keys must be
-    encoded identically or rows in any partition whose value contains
-    an escaped character silently fall out of scope (and their deletes
+    ``p=4-NOT%20SPECIFIED/x.parquet`` while non-ASCII values like
+    ``p=Zürich`` surface raw — so the join keys must be encoded
+    identically or rows in any partition whose value contains an
+    escaped character silently fall out of scope (and their deletes
     silently un-apply)."""
     with open(
         os.path.join(base, entry["dir"], t["dir"], TOMB_SCOPE)
     ) as fh:
-        return [quote(p, safe=_URI_PCHAR_SAFE) for p in json.load(fh)]
+        return [_hadoop_uri_quote(p) for p in json.load(fh)]
 
 
 def _apply_tombstones(
@@ -660,42 +737,75 @@ def _apply_tombstones(
     vectors are file/row-position scoped for exactly this reason: a
     row with the same key written AFTER the delete (merge re-insert,
     ``copy_into`` append) lands in a new file outside every existing
-    scope and stays visible.  The membership tests are two broadcast
-    hash joins per tombstone (keys, then file list) — map-side only,
-    no shuffle.  Legacy unscoped sidecars (no ``_scope.json``) keep
-    the original whole-table anti-join."""
+    scope and stays visible.
+
+    ALL sidecars sharing a key-column set COALESCE into one pair of
+    broadcast hash joins — keys frame carrying the per-key set of
+    tombstone ids, scope frame carrying the per-file set — with
+    ``arrays_overlap`` deciding death, so the read plan stays at TWO
+    map-side joins no matter how many deletes accumulate between
+    OPTIMIZE runs (previously two joins PER sidecar: a delete-heavy
+    table built an unbounded join chain — VERDICT r6 #3).  Legacy
+    unscoped sidecars (no ``_scope.json``) ride the same keys frame
+    with a match-any-file marker."""
     tombs = entry.get("tombstones") or []
+    if not tombs:
+        return df
     scoped_any = any(t.get("scoped") for t in tombs)
     mapping = _col_mapping(entry) if physical else {}
-    for t in tombs:
-        keys_df = spark.read.parquet(
-            os.path.join(base, entry["dir"], t["dir"])
-        )
+    # group sidecars by their (mapped) key-column tuple: one coalesced
+    # join pair per distinct key set (tables delete by one key set in
+    # practice, so this is one pair total)
+    groups: dict[tuple, list[tuple[int, dict]]] = {}
+    for i, t in enumerate(tombs):
         # positional rename: the sidecar's column ORDER is the key
         # order at write time, but a later rename_column may have
         # re-labeled the logical names the rider now carries.  Under
         # ``physical=True`` (a raw, unmapped read — the OPTIMIZE
         # rewrite path) the join keys are the frozen physical names.
-        names = [mapping.get(k, k) for k in t["keys"]]
-        keys_df = keys_df.toDF(*names)
-        if not t.get("scoped"):
-            df = df.join(F.broadcast(keys_df), on=names, how="left_anti")
-            continue
-        files = _tomb_scope_files(base, entry, t)
-        fdf = spark.createDataFrame(
-            [(p,) for p in files], f"{_REL_COL} string"
-        ).withColumn("_vtomb_scope__", F.lit(True))
-        hit = keys_df.withColumn("_vtomb_hit__", F.lit(True))
-        df = (
-            df.join(F.broadcast(hit), on=names, how="left")
-            .join(F.broadcast(fdf), on=_REL_COL, how="left")
-            .filter(
-                ~(
-                    F.col("_vtomb_hit__").isNotNull()
-                    & F.col("_vtomb_scope__").isNotNull()
-                )
+        names = tuple(mapping.get(k, k) for k in t["keys"])
+        groups.setdefault(names, []).append((i, t))
+    for names, group in groups.items():
+        key_frames = []
+        scope_rows: list[tuple[str, int]] = []
+        for i, t in group:
+            kdf = spark.read.parquet(
+                os.path.join(base, entry["dir"], t["dir"])
+            ).toDF(*names)
+            # id -1 marks UNSCOPED (legacy whole-table) sidecars
+            tid = i if t.get("scoped") else -1
+            key_frames.append(
+                kdf.withColumn("_vtomb_id__", F.lit(tid))
             )
-            .drop("_vtomb_hit__", "_vtomb_scope__")
+            if t.get("scoped"):
+                scope_rows.extend(
+                    (p, i) for p in _tomb_scope_files(base, entry, t)
+                )
+        keys_all = reduce(DataFrame.unionByName, key_frames)
+        hit = keys_all.groupBy(*names).agg(
+            F.collect_set(
+                F.when(F.col("_vtomb_id__") >= 0, F.col("_vtomb_id__"))
+            ).alias("_vtomb_ids__"),
+            F.max(
+                (F.col("_vtomb_id__") < 0).cast("int")
+            ).alias("_vtomb_any__"),
+        )
+        df = df.join(F.broadcast(hit), on=list(names), how="left")
+        dead = F.col("_vtomb_any__") == 1
+        if scope_rows:
+            fdf = (
+                spark.createDataFrame(
+                    scope_rows, f"{_REL_COL} string, _vtomb_fid__ int"
+                )
+                .groupBy(_REL_COL)
+                .agg(F.collect_set("_vtomb_fid__").alias("_vtomb_fids__"))
+            )
+            df = df.join(F.broadcast(fdf), on=_REL_COL, how="left")
+            dead = dead | F.arrays_overlap(
+                "_vtomb_ids__", "_vtomb_fids__"
+            )
+        df = df.filter(~F.coalesce(dead, F.lit(False))).drop(
+            "_vtomb_ids__", "_vtomb_any__", "_vtomb_fids__"
         )
     if scoped_any:
         df = df.drop(_REL_COL)
@@ -845,6 +955,15 @@ def vacuum_versions(base: str, keep_last: int = 1) -> list[int]:
         raise ValueError("vacuum_versions: keep_last must be >= 1")
     log = _read_log(base)
     drop = log[:-keep_last]
+    if drop:
+        # checkpoints roll up PREFIXES of the log, so every one of
+        # them contains at least one dropped entry and would resurrect
+        # it on read — remove them FIRST (a crash mid-vacuum then
+        # leaves extra commit files, never a log with holes)
+        cdir = _commits_dir(base)
+        for name in os.listdir(cdir):
+            if name.endswith(".checkpoint.json"):
+                os.remove(os.path.join(cdir, name))
     for entry in drop:
         os.remove(_commit_path(base, entry["version"]))
         shutil.rmtree(os.path.join(base, entry["dir"]), ignore_errors=True)
@@ -864,8 +983,11 @@ def vacuum_orphans(base: str) -> list[str]:
         full = os.path.join(base, name)
         if not os.path.isdir(full) or name == COMMITS:
             continue
-        if (name.startswith("data-") and name not in live) or name.startswith(
-            "_staging-"
+        # staging debris from ANY writer family: merge/copy_into use
+        # _staging-, OPTIMIZE uses _opt-staging-, the DS-API writer
+        # uses _dsw-staging- — all crash-leavable, all orphans here
+        if (name.startswith("data-") and name not in live) or _STAGING_RE.match(
+            name
         ):
             shutil.rmtree(full, ignore_errors=True)
             removed.append(name)
@@ -1445,6 +1567,7 @@ def optimize_small_files(
     version = cur["version"] + 1
     name, data_dir = _new_data_dir(base)
     staging = os.path.join(base, f"_opt-staging-{uuid.uuid4().hex[:8]}")
+    committed = False
     try:
         os.makedirs(data_dir, exist_ok=True)
         for part_dir, rels in sorted(by_dir.items()):
@@ -1539,11 +1662,14 @@ def optimize_small_files(
         if user_meta is not None:
             extra["user_meta"] = dict(user_meta)
         _commit(base, version, name, "optimize", extra=extra or None)
-    except ConcurrentCommitError:
-        shutil.rmtree(data_dir, ignore_errors=True)
-        raise
+        committed = True
     finally:
         shutil.rmtree(staging, ignore_errors=True)
+        # ANY failure before the commit landed (lost race, Spark job
+        # error, crash in stats harvest) must not leave the assembled
+        # snapshot behind as permanent orphan debris
+        if not committed:
+            shutil.rmtree(data_dir, ignore_errors=True)
     return version, len(small_set)
 
 
