@@ -14142,6 +14142,105 @@ FROM tip
 """
 
 
+def q298_maintain_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLE MAINTENANCE gate (``sources.maintenance.maintain_table``
+    + ``versioned.materialize_tombstones`` — the Delta
+    auto-compaction / REORG APPLY PURGE policy layer): orders land as
+    a range-clustered bulk, then three streaming-shaped churn rounds
+    each COPY INTO a deliberately small landing batch and MOR-delete a
+    key slice (so later batches RE-INSERT some already-deleted keys —
+    file-scoped semantics must keep them).  ONE ``maintain_table``
+    call with tight thresholds must purge the tombstones via REORG
+    (manifest-stats-pruned rewrite), bin-pack the small files, and
+    reach the steady state (an immediate second call repairs
+    nothing).  Oracle replays the scoped delete/re-insert algebra;
+    pins: tombstones zeroed, small files bounded, steady state, and a
+    join-free (MOR-free) read plan."""
+    import shutil
+
+    from etl_opensky_spark.sources.maintenance import maintain_table
+    from etl_opensky_spark.sources.versioned import (
+        copy_into,
+        purge_versioned_mor,
+        read_version,
+        write_version,
+    )
+
+    base = _gate_tmp("q298_maint", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), _dec("o_totalprice").alias("price")
+    )
+    n_orders = orders.count()
+    target = max(int(n_orders * 0.3), 8)
+    write_version(
+        orders.filter(F.col("k") % 4 != 0).repartitionByRange(4, "k"),
+        base,
+        stats_cols=("k",),
+    )
+    for r in (1, 2, 3):
+        landing = _gate_tmp(f"q298_landing{r}", sf_dir)
+        shutil.rmtree(landing, ignore_errors=True)
+        orders.filter(
+            (F.col("k") % 4 == 0) & (F.expr("k div 4") % 3 == r - 1)
+        ).repartition(3).write.mode("overwrite").parquet(landing)
+        copy_into(spark, base, landing, stats_cols=("k",))
+        purge_versioned_mor(
+            spark, base,
+            orders.filter(F.col("k") % 17 == r).select("k"), ["k"],
+        )
+    policy = {
+        "target_rows_per_file": target,
+        "max_small_files": 3,
+        "max_live_tombstones": 2,
+    }
+    report = maintain_table(spark, base, policy)
+    again = maintain_table(spark, base, policy)
+    t = read_version(spark, base)
+    plan = t._jdf.queryExecution().executedPlan().toString()
+    return t.agg(
+        F.count("*").alias("n"),
+        F.sum("k").alias("key_sum"),
+        F.sum("price").cast("double").alias("price_total"),
+    ).select(
+        "*",
+        F.lit(bool(report["after"]["n_tombstones"] == 0)).alias(
+            "tombstones_zeroed"
+        ),
+        F.lit(bool(report["after"]["n_small_files"] <= 3)).alias(
+            "files_bounded"
+        ),
+        F.lit(bool(again["actions"] == [])).alias("steady_state"),
+        F.lit(bool("BroadcastHashJoin" not in plan)).alias(
+            "plan_join_free"
+        ),
+    )
+
+
+ORACLE_Q298 = """
+WITH src AS (
+  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders
+), live AS (
+  -- bulk rows (k%4<>0) exist before every delete; batch b (b=(k//4)%3,
+  -- landed in round b+1) only sees the deletes of rounds >= b+1 —
+  -- file-scoped tombstones never kill rows written after them
+  SELECT * FROM src
+  WHERE NOT (
+       (k % 4 <> 0 AND (k % 17) IN (1, 2, 3))
+    OR (k % 4 = 0 AND (k // 4) % 3 = 0 AND (k % 17) IN (1, 2, 3))
+    OR (k % 4 = 0 AND (k // 4) % 3 = 1 AND (k % 17) IN (2, 3))
+    OR (k % 4 = 0 AND (k // 4) % 3 = 2 AND (k % 17) = 3)
+  )
+)
+SELECT COUNT(*) AS n, SUM(k) AS key_sum,
+  CAST(SUM(price) AS DOUBLE) AS price_total,
+  TRUE AS tombstones_zeroed, TRUE AS files_bounded,
+  TRUE AS steady_state, TRUE AS plan_join_free
+FROM live
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -14439,6 +14538,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q295_lake_datasource_pushdown": q295_lake_datasource_pushdown,
     "q296_incremental_optimize": q296_incremental_optimize,
     "q297_lake_datasource_writer": q297_lake_datasource_writer,
+    "q298_maintain_table": q298_maintain_table,
 }
 
 ORACLES: dict[str, str] = {
@@ -14737,6 +14837,7 @@ ORACLES: dict[str, str] = {
     "q295_lake_datasource_pushdown": ORACLE_Q295,
     "q296_incremental_optimize": ORACLE_Q296,
     "q297_lake_datasource_writer": ORACLE_Q297,
+    "q298_maintain_table": ORACLE_Q298,
 }
 
 

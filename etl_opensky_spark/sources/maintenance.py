@@ -1,0 +1,178 @@
+"""Threshold-driven table maintenance — ``maintain_table`` keeps a
+churning versioned-lake table at its steady state with ONE call.
+
+Streaming/merge ingest accretes exactly three kinds of debt, each with
+a dedicated repair op the operator had to sequence by hand until now:
+
+===================  =============================  ====================
+debt                 measured signal                repair
+===================  =============================  ====================
+small files          parquet-footer row counts      ``optimize_small_files``
+                     below the bin-packing cutoff   (incremental, only
+                                                    small files move)
+live tombstones      ``tombstones`` rider length    ``materialize_tombstones``
+                     on the tip commit               (REORG APPLY PURGE —
+                                                    only key-hit files move)
+log length           commit files past the newest   ``_write_checkpoint``
+                     checkpoint                     (roll-up, O(tail) reads
+                                                    after)
+===================  =============================  ====================
+
+plus optional retention (``vacuum_keep_last``) which maps to
+``vacuum_versions`` + ``vacuum_orphans``.  Every threshold compares a
+MEASURED metric (:func:`table_metrics` — driver-side footer/manifest
+reads, no Spark job) against the policy, so a no-debt call is a cheap
+no-op and a churn workload converges to bounded files / tombstones /
+log length no matter how often it runs (idempotent; safe on a timer).
+
+This is the policy layer Delta ships as auto-compaction +
+``delta.deletionVectors`` purge + checkpoint cadence; the reference
+engine has no table format at all (its non-ACID check-then-append at
+``src/jobs/extract_flights.py:80-92`` is what the versioned lake
+replaces), so the policy surface is new, Spark-first capability.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from etl_opensky_spark.sources.versioned import (
+    CHECKPOINT_EVERY,
+    _commits_dir,
+    _current,
+    _read_log,
+    _snapshot_files,
+    _write_checkpoint,
+    materialize_tombstones,
+    optimize_small_files,
+    vacuum_orphans,
+    vacuum_versions,
+)
+
+#: one knob per debt class; ``None`` disables that repair
+DEFAULT_POLICY: dict = {
+    # bin-packing target for both OPTIMIZE and REORG rewrites
+    "target_rows_per_file": 1_000_000,
+    # explicit small-file cutoff; None = target // 2 (OPTIMIZE default)
+    "small_file_rows": None,
+    # OPTIMIZE when more than this many files sit under the cutoff
+    "max_small_files": 8,
+    # REORG when more than this many tombstone sidecars are live
+    "max_live_tombstones": 4,
+    # roll a log checkpoint when the tail past the newest one exceeds
+    # this many commits (the automatic every-Nth-commit cadence can
+    # lag after a vacuum cleared the checkpoints)
+    "max_log_tail": 2 * CHECKPOINT_EVERY,
+    # retention: keep this many newest versions (None = never vacuum)
+    "vacuum_keep_last": None,
+}
+
+
+def table_metrics(base: str, small_file_rows: int = 500_000) -> dict:
+    """Measured maintenance signals for the tip snapshot — pyarrow
+    footer + manifest reads only, no Spark job: ``{n_files,
+    n_small_files, n_tombstones, n_commits, log_tail}`` where
+    ``log_tail`` counts commit files newer than the newest readable
+    checkpoint (the metadata reads every log consumer pays)."""
+    import pyarrow.parquet as pq
+
+    cur = _current(base)
+    if cur is None:
+        raise ValueError(f"no committed versions at {base}")
+    files = _snapshot_files(os.path.join(base, cur["dir"]))
+    n_small = 0
+    for (_rel, _ino), path in files.items():
+        if pq.ParquetFile(path).metadata.num_rows < small_file_rows:
+            n_small += 1
+    versions: list[int] = []
+    ckpts: list[int] = [0]
+    for name_ in os.listdir(_commits_dir(base)):
+        if name_.endswith(".checkpoint.json"):
+            ckpts.append(int(name_.split(".")[0]))
+        elif name_.endswith(".json"):
+            versions.append(int(name_.split(".")[0]))
+    newest_ckpt = max(ckpts)
+    return {
+        "n_files": len(files),
+        "n_small_files": n_small,
+        "n_tombstones": len(cur.get("tombstones") or []),
+        "n_commits": len(versions),
+        "log_tail": sum(1 for v in versions if v > newest_ckpt),
+    }
+
+
+def maintain_table(
+    spark: SparkSession, base: str, policy: dict | None = None
+) -> dict:
+    """Run every repair whose measured signal exceeds its policy
+    threshold, in debt-dependency order (REORG first — it also packs
+    the files it rewrites, so OPTIMIZE afterwards sees the real
+    residue), and report ``{before, actions, after}``.
+
+    Unknown policy keys are rejected (a typo'd threshold silently
+    never firing is the failure mode that lets a table rot)."""
+    p = dict(DEFAULT_POLICY)
+    for k, v in (policy or {}).items():
+        if k not in DEFAULT_POLICY:
+            raise ValueError(
+                f"maintain_table: unknown policy key {k!r} "
+                f"(valid: {sorted(DEFAULT_POLICY)})"
+            )
+        p[k] = v
+    target = p["target_rows_per_file"]
+    cutoff = (
+        p["small_file_rows"] if p["small_file_rows"] is not None
+        else max(target // 2, 1)
+    )
+    before = table_metrics(base, small_file_rows=cutoff)
+    actions: list[dict] = []
+
+    if (
+        p["max_live_tombstones"] is not None
+        and before["n_tombstones"] > p["max_live_tombstones"]
+    ):
+        v, n = materialize_tombstones(
+            spark, base, target_rows_per_file=target
+        )
+        actions.append(
+            {"action": "materialize_tombstones", "version": v,
+             "files_rewritten": n}
+        )
+
+    if p["max_small_files"] is not None:
+        m = table_metrics(base, small_file_rows=cutoff)
+        if m["n_small_files"] > p["max_small_files"]:
+            v, n = optimize_small_files(
+                spark, base,
+                target_rows_per_file=target,
+                small_file_rows=cutoff,
+            )
+            if n:
+                actions.append(
+                    {"action": "optimize_small_files", "version": v,
+                     "files_compacted": n}
+                )
+
+    if p["vacuum_keep_last"] is not None:
+        dropped = vacuum_versions(base, keep_last=p["vacuum_keep_last"])
+        orphans = vacuum_orphans(base)
+        if dropped or orphans:
+            actions.append(
+                {"action": "vacuum", "versions_dropped": len(dropped),
+                 "orphans_removed": len(orphans)}
+            )
+
+    if p["max_log_tail"] is not None:
+        m = table_metrics(base, small_file_rows=cutoff)
+        if m["log_tail"] > p["max_log_tail"]:
+            tip = _read_log(base)[-1]["version"]
+            _write_checkpoint(base, tip)
+            actions.append({"action": "log_checkpoint", "version": tip})
+
+    return {
+        "before": before,
+        "actions": actions,
+        "after": table_metrics(base, small_file_rows=cutoff),
+    }

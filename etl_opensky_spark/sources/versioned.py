@@ -1673,6 +1673,184 @@ def optimize_small_files(
     return version, len(small_set)
 
 
+def materialize_tombstones(
+    spark: SparkSession,
+    base: str,
+    target_rows_per_file: int = 1_000_000,
+    user_meta: dict | None = None,
+) -> tuple[int, int]:
+    """Delta ``REORG TABLE ... APPLY (PURGE)``: physically remove
+    merge-on-read tombstoned rows and DROP every tombstone rider, so
+    reads go back to a join-free plan.  Cost is O(affected files), not
+    O(table): only files a tombstone can actually kill rows in are
+    rewritten —
+
+    - scoped sidecars nominate their ``_scope.json`` file list (∩ the
+      live snapshot; vanished rel paths match nothing),
+    - an unscoped (legacy) sidecar nominates every file,
+    - when the table tracks manifest stats, a nominated file whose
+      per-column min/max provably excludes EVERY tombstone key is
+      skipped (it cannot contain a dead row, so dropping the rider is
+      safe without touching it) — the same manifest that drives read
+      pruning drives maintenance pruning.
+
+    Everything else is hardlinked untouched; rewritten files get a
+    fresh footer-stats harvest; bloom sidecars are dropped (file set
+    changed — same rule as ``compact_versioned``).  Tombstone keys
+    that are hive-partition columns cannot be applied on the raw
+    (physical) files — use :func:`compact_versioned`.  Returns
+    ``(version, n_files_rewritten)``; with no tombstones returns the
+    current version unchanged (no empty commit)."""
+    import pyarrow.parquet as pq
+
+    cur = _current(base)
+    if cur is None:
+        raise ValueError(f"no committed versions at {base}")
+    tombs = cur.get("tombstones") or []
+    if not tombs:
+        return cur["version"], 0
+    snap_dir = os.path.join(base, cur["dir"])
+    files = _snapshot_files(snap_dir)
+    rels = {rel for rel, _ino in files}
+    mapping_ = _col_mapping(cur)
+    stats = cur.get("stats") or {}
+
+    def _may_hold_key(per_col: dict, names: list[str], keys: list) -> bool:
+        """False only when the file's manifest ranges exclude every
+        key tuple — unknown/missing stats keep the file (rewrite)."""
+        for key in keys:
+            excluded = False
+            for c, v in zip(names, key):
+                s = per_col.get(c)
+                if s is None or v is None:
+                    continue
+                lo, hi = s.get("min"), s.get("max")
+                if lo is None or hi is None:
+                    continue
+                try:
+                    if v < lo or v > hi:
+                        excluded = True
+                        break
+                except TypeError:
+                    continue
+            if not excluded:
+                return True
+        return False
+
+    cand: set[str] = set()
+    for t in tombs:
+        names = [mapping_.get(k, k) for k in t["keys"]]
+        trels = rels
+        if t.get("scoped"):
+            with open(
+                os.path.join(snap_dir, t["dir"], TOMB_SCOPE)
+            ) as fh:
+                trels = set(json.load(fh)) & rels
+        keys = [
+            tuple(r)
+            for r in spark.read.parquet(
+                os.path.join(snap_dir, t["dir"])
+            ).collect()
+        ]
+        for rel in trels:
+            if rel in cand:
+                continue
+            per_col = stats.get(rel)
+            if per_col is None or _may_hold_key(per_col, names, keys):
+                cand.add(rel)
+
+    version = cur["version"] + 1
+    name, data_dir = _new_data_dir(base)
+    staging = os.path.join(base, f"_reorg-staging-{uuid.uuid4().hex[:8]}")
+    committed = False
+    try:
+        os.makedirs(data_dir, exist_ok=True)
+        by_dir: dict[str, list[str]] = {}
+        for rel in cand:
+            by_dir.setdefault(os.path.dirname(rel), []).append(rel)
+        for part_dir, crels in sorted(by_dir.items()):
+            raw = _reader(spark, cur).parquet(
+                *[os.path.join(snap_dir, r) for r in sorted(crels)]
+            )
+            missing = [
+                mapping_.get(k, k)
+                for t in tombs
+                for k in t["keys"]
+                if mapping_.get(k, k) not in raw.columns
+            ]
+            if missing:
+                raise ValueError(
+                    "materialize_tombstones: tombstone keys "
+                    f"{sorted(set(missing))} are hive-partition columns "
+                    "(not in the data files) — run compact_versioned "
+                    "instead"
+                )
+            if any(t.get("scoped") for t in tombs):
+                raw = raw.withColumn(_REL_COL, _rel_path_col(cur))
+            purged = _apply_tombstones(
+                spark, base, cur, raw, physical=True
+            )
+            total = purged.count()
+            if total == 0:
+                continue  # every row in this group was dead
+            n_files = max(1, -(-total // target_rows_per_file))
+            out = os.path.join(staging, part_dir) if part_dir else staging
+            purged.repartition(n_files).write.mode(
+                "errorifexists"
+            ).parquet(out)
+        for (rel, _ino), path in files.items():
+            if rel in cand:
+                continue
+            dst = os.path.join(data_dir, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            get_fs().link_file(path, dst)
+        tag = uuid.uuid4().hex[:8]
+        new_paths = []
+        if os.path.isdir(staging):
+            for root, _dirs, names_ in os.walk(staging):
+                rel_dir = os.path.relpath(root, staging)
+                for fn in names_:
+                    if not fn.endswith(".parquet") or fn.startswith(
+                        ("_", ".")
+                    ):
+                        continue
+                    out_dir = (
+                        os.path.join(data_dir, rel_dir)
+                        if rel_dir != "." else data_dir
+                    )
+                    os.makedirs(out_dir, exist_ok=True)
+                    dst = os.path.join(out_dir, f"reorg-{tag}-{fn}")
+                    get_fs().link_file(os.path.join(root, fn), dst)
+                    new_paths.append(dst)
+        extra: dict = {}
+        if cur.get("stats") is not None:
+            kept_stats = {
+                rel: s for rel, s in cur["stats"].items()
+                if rel not in cand
+            }
+            sc = cur.get("stats_cols") or []
+            harvested = _harvest_file_stats(
+                spark, data_dir, sc, only_paths=new_paths
+            ) if sc and new_paths else {}
+            extra["stats_cols"] = sc
+            extra["stats"] = {**kept_stats, **harvested}
+        for key in (
+            "schema_json", "column_mapping", "constraints",
+            "ingested_files", "identity",
+        ):
+            if cur.get(key):
+                extra[key] = cur[key]
+        if user_meta is not None:
+            extra["user_meta"] = dict(user_meta)
+        _commit(base, version, name, "reorg", extra=extra or None)
+        committed = True
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+        if not committed:
+            shutil.rmtree(data_dir, ignore_errors=True)
+    return version, len(cand)
+
+
 def clone_versioned(
     src_base: str, dst_base: str, as_of: int | None = None
 ) -> int:
@@ -2631,14 +2809,20 @@ def materialize_change_feed(
     batch of table commits (or from a scheduler); cost is the feed
     extraction for NEW commits only.  Returns ``(n_commits_materialized,
     n_change_rows)``."""
+    from etl_opensky_spark.sources.fs import is_published
+
     log = _read_log(base)
     if not log:
         raise ValueError(f"no committed versions at {base}")
     os.makedirs(out_dir, exist_ok=True)
+    # the cursor counts only PUBLISHED dirs (fs.is_published): a
+    # crashed object-store publish leaves an unmarked final dir whose
+    # re-materialization must re-run (fs.replace deletes the debris)
     done = {
         int(d.split("=", 1)[1])
         for d in os.listdir(out_dir)
         if d.startswith("commit=")
+        and is_published(os.path.join(out_dir, d))
     }
     first = log[0]["version"]
     todo = [

@@ -1,0 +1,194 @@
+"""``materialize_tombstones`` (REORG APPLY PURGE) and the
+``maintain_table`` policy op (VERDICT r6 #5): a churn workload —
+streaming-shaped small-file appends + MOR deletes — converges to
+bounded files / tombstones / log length under one idempotent call.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from etl_opensky_spark.sources.maintenance import (
+    DEFAULT_POLICY,
+    maintain_table,
+    table_metrics,
+)
+from etl_opensky_spark.sources.versioned import (
+    _read_log,
+    copy_into,
+    materialize_tombstones,
+    purge_versioned_mor,
+    read_version,
+    write_version,
+)
+
+from .conftest import rows
+
+
+def _plan(df) -> str:
+    s = df._jdf.queryExecution().executedPlan().toString()
+    return s.split("== Initial Plan ==")[0]
+
+
+def _bulk(spark, n=400):
+    return spark.createDataFrame(
+        [(i, f"v{i}") for i in range(n)], "id int, v string"
+    )
+
+
+def test_materialize_purges_only_key_hit_files(spark, tmp_path):
+    """Manifest-stats pruning bounds the rewrite: keys are range-
+    clustered, so deleting low keys must rewrite the low-range files
+    only — the high-range files stay hardlinked (same inodes)."""
+    base = str(tmp_path / "lake")
+    write_version(
+        _bulk(spark).repartitionByRange(4, "id"), base, stats_cols=("id",)
+    )
+    purge_versioned_mor(
+        spark, base,
+        spark.createDataFrame([(0,), (1,), (2,)], "id int"), ["id"],
+    )
+    tip = _read_log(base)[-1]
+    assert len(tip["tombstones"]) == 1
+    from etl_opensky_spark.sources.versioned import _snapshot_files
+
+    before = _snapshot_files(os.path.join(base, tip["dir"]))
+    v, n_rewritten = materialize_tombstones(spark, base)
+    assert 1 <= n_rewritten < len(before)  # pruned, not O(table)
+    tip2 = _read_log(base)[-1]
+    assert tip2["op"] == "reorg"
+    assert not tip2.get("tombstones")
+    after = _snapshot_files(os.path.join(base, tip2["dir"]))
+    # untouched files carried by hardlink: inode intersection is the
+    # kept set, and it is exactly n_files - n_rewritten of the parent
+    kept = {ino for _r, ino in before} & {ino for _r, ino in after}
+    assert len(kept) == len(before) - n_rewritten
+    df = read_version(spark, base)
+    assert rows(df) == [(i, f"v{i}") for i in range(3, 400)]
+    assert "BroadcastHashJoin" not in _plan(df)  # join-free again
+    # stats carried + re-harvested: manifest covers every live file
+    live_rels = {r for r, _ino in after}
+    assert set(tip2["stats"]) == live_rels
+    # idempotent: nothing live -> no new commit
+    assert materialize_tombstones(spark, base) == (v, 0)
+
+
+def test_materialize_preserves_scoped_reinsert(spark, tmp_path):
+    """A key re-inserted AFTER its delete (new file, outside the
+    tombstone's scope) must survive the purge rewrite."""
+    base = str(tmp_path / "lake")
+    write_version(_bulk(spark, 20), base, stats_cols=("id",))
+    purge_versioned_mor(
+        spark, base, spark.createDataFrame([(7,)], "id int"), ["id"]
+    )
+    landing = str(tmp_path / "landing")
+    spark.createDataFrame(
+        [(7, "v7b")], "id int, v string"
+    ).coalesce(1).write.parquet(landing)
+    copy_into(spark, base, landing, stats_cols=("id",))
+    want = [(i, f"v{i}") for i in range(20) if i != 7] + [(7, "v7b")]
+    assert rows(read_version(spark, base)) == sorted(want)
+    materialize_tombstones(spark, base)
+    df = read_version(spark, base)
+    assert rows(df) == sorted(want)
+    assert "BroadcastHashJoin" not in _plan(df)
+
+
+def test_maintain_table_converges_under_churn(spark, tmp_path):
+    """The lifecycle gate: 6 rounds of small-file appends + stacked
+    MOR deletes, maintained with tight thresholds — files, tombstones
+    and content stay bounded/correct every round, and the final call
+    on a clean table is a no-op."""
+    base = str(tmp_path / "lake")
+    write_version(
+        _bulk(spark).repartitionByRange(2, "id"), base, stats_cols=("id",)
+    )
+    policy = {
+        "target_rows_per_file": 200,
+        "max_small_files": 3,
+        "max_live_tombstones": 2,
+    }
+    alive = {i: f"v{i}" for i in range(400)}
+    for r in range(6):
+        batch = [(1000 + r * 10 + j, f"b{r}_{j}") for j in range(10)]
+        landing = str(tmp_path / f"landing{r}")
+        spark.createDataFrame(
+            batch, "id int, v string"
+        ).repartition(2).write.parquet(landing)
+        copy_into(spark, base, landing, stats_cols=("id",))
+        alive.update(dict(batch))
+        dead = [r * 3, r * 3 + 1]
+        purge_versioned_mor(
+            spark, base,
+            spark.createDataFrame([(k,) for k in dead], "id int"),
+            ["id"],
+        )
+        for k in dead:
+            alive.pop(k)
+        report = maintain_table(spark, base, policy)
+        m = report["after"]
+        assert m["n_small_files"] <= policy["max_small_files"]
+        assert m["n_tombstones"] <= policy["max_live_tombstones"]
+        assert rows(read_version(spark, base)) == sorted(alive.items())
+    assert any(
+        a["action"] == "materialize_tombstones"
+        for rep in [report] for a in rep["actions"]
+    ) or report["before"]["n_tombstones"] <= 2
+    # steady state: an immediate re-run repairs nothing
+    again = maintain_table(spark, base, policy)
+    assert again["actions"] == []
+    assert rows(read_version(spark, base)) == sorted(alive.items())
+
+
+def test_maintain_vacuum_and_log_checkpoint(spark, tmp_path):
+    from etl_opensky_spark.sources.versioned import (
+        _ckpt_path,
+        annotate_version,
+    )
+
+    base = str(tmp_path / "lake")
+    write_version(_bulk(spark, 10), base)
+    for i in range(7):
+        annotate_version(base, {"tick": i})
+    report = maintain_table(
+        spark, base,
+        {"vacuum_keep_last": 2, "max_log_tail": 1,
+         "max_small_files": None, "max_live_tombstones": None},
+    )
+    kinds = [a["action"] for a in report["actions"]]
+    assert kinds == ["vacuum", "log_checkpoint"]
+    log = _read_log(base)
+    assert len(log) == 2
+    tip = log[-1]["version"]
+    assert os.path.exists(_ckpt_path(base, tip))
+    assert report["after"]["log_tail"] == 0
+    assert read_version(spark, base).count() == 10
+
+
+def test_unknown_policy_key_rejected(spark, tmp_path):
+    base = str(tmp_path / "lake")
+    write_version(_bulk(spark, 5), base)
+    with pytest.raises(ValueError, match="unknown policy key"):
+        maintain_table(spark, base, {"max_smallfiles": 1})
+    assert set(DEFAULT_POLICY) >= {
+        "target_rows_per_file", "max_small_files",
+        "max_live_tombstones", "max_log_tail", "vacuum_keep_last",
+    }
+
+
+def test_table_metrics_counts(spark, tmp_path):
+    base = str(tmp_path / "lake")
+    write_version(
+        _bulk(spark, 100).repartition(4), base, stats_cols=("id",)
+    )
+    purge_versioned_mor(
+        spark, base, spark.createDataFrame([(1,)], "id int"), ["id"]
+    )
+    m = table_metrics(base, small_file_rows=1000)
+    assert m["n_files"] == 4
+    assert m["n_small_files"] == 4  # 25-row files under the cutoff
+    assert m["n_tombstones"] == 1
+    assert m["n_commits"] == 2
+    assert m["log_tail"] == 2  # no checkpoint yet
