@@ -50,6 +50,25 @@ from __future__ import annotations
 import os
 import shutil
 
+#: completion marker a directory publish leaves inside the published
+#: dir.  POSIX ``replace`` writes it into the tmp tree BEFORE the
+#: atomic rename (so it simply rides along); an object store has no
+#: directory rename, so :class:`ObjectStoreFS` copies the data objects
+#: first and PUTs the marker LAST — the marker's single-object
+#: appearance IS the atomic publish point, and prefix-listing
+#: consumers (``lakefeed``, ``materialize_change_feed``'s cursor) must
+#: treat an unmarked directory as invisible in-flight debris.
+#: Underscore-prefixed so parquet dataset discovery (Spark and
+#: pyarrow both default-ignore ``_``/``.`` prefixes) never sees it.
+PUBLISH_MARKER = "_PUBLISHED"
+
+
+def is_published(path: str) -> bool:
+    """True iff ``path`` is a directory whose publish completed (its
+    :data:`PUBLISH_MARKER` landed).  The gate every prefix-listing
+    reader of ``replace``-published directories must apply."""
+    return os.path.isfile(os.path.join(path, PUBLISH_MARKER))
+
 
 class LakeFS:
     """Local-filesystem (POSIX) implementation — the default backend.
@@ -73,7 +92,13 @@ class LakeFS:
     def replace(self, tmp: str, final: str) -> None:
         """Atomically publish ``tmp`` at ``final`` (file or dir):
         readers observe either the old state or the complete new one,
-        never a partial write."""
+        never a partial write.  A directory publish stamps the
+        :data:`PUBLISH_MARKER` into the tmp tree first so the marker
+        contract holds on every backend (here it rides the atomic
+        rename; on an object store it is the publish point itself)."""
+        if os.path.isdir(tmp):
+            with open(os.path.join(tmp, PUBLISH_MARKER), "w"):
+                pass
         os.replace(tmp, final)
 
     def link_file(self, src: str, dst: str) -> None:
@@ -94,6 +119,88 @@ class LakeFS:
             os.makedirs(out, exist_ok=True)
             for f in files:
                 self.link_file(os.path.join(root, f), os.path.join(out, f))
+
+
+class ObjectStoreFS(LakeFS):
+    """Simulated S3-style backend: the three primitives realized with
+    NO hardlinks and NO rename, exactly as the contract table above
+    prescribes — running the lake suite through this double is the
+    local proof that the commit protocol survives an object store
+    (VERDICT r6 #4).  Op counters (``n_cond_puts``, ``n_copies``,
+    ``n_marker_puts``, ``n_debris_deletes``) let tests pin WHICH
+    primitives a path exercised; ``os.link``/``os.replace`` are never
+    called (tests monkeypatch them to raise and run the suite).
+
+    - ``put_if_absent`` → conditional PUT (``If-None-Match: *``).  The
+      local stand-in keeps ``O_CREAT|O_EXCL`` because that IS the
+      conditional-PUT semantics: server-side atomic create-if-absent.
+    - ``link_file``/``link_tree`` → server-side COPY per object (S3
+      ``CopyObject``: metadata-only within a bucket class) — the
+      TRANSITIONAL backend named in the contract table.  Correctness
+      is identical to hardlinking; the O(metadata) snapshot-clone cost
+      claim becomes O(#objects) server-side copies.  The zero-copy
+      endgame (manifests listing absolute keys, "link the parent" =
+      "re-reference the parent's file list") is the Delta/Iceberg
+      design the table documents.
+    - ``replace`` of a FILE → single-key PUT: write the final key
+      directly (objects appear atomically by nature).
+    - ``replace`` of a DIRECTORY → the marker protocol: (1) an
+      already-:func:`is_published` final is left untouched (idempotent
+      retry), (2) UNMARKED debris under final — a crashed prior
+      attempt, invisible to marker-gated readers by contract — is
+      deleted, (3) data objects copy over one by one (readers that
+      ignore the marker WOULD see a partial prefix here, which is why
+      the marker gate is mandatory), (4) the :data:`PUBLISH_MARKER`
+      PUT lands last and publishes atomically, (5) the tmp tree is
+      deleted.
+    """
+
+    def __init__(self) -> None:
+        self.n_cond_puts = 0
+        self.n_copies = 0
+        self.n_marker_puts = 0
+        self.n_debris_deletes = 0
+
+    def put_if_absent(self, path: str, payload: bytes) -> None:
+        self.n_cond_puts += 1
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with os.fdopen(fd, "wb") as fh:
+            fh.write(payload)
+
+    def link_file(self, src: str, dst: str) -> None:
+        self.n_copies += 1
+        shutil.copyfile(src, dst)
+
+    def link_tree(self, src: str, dst: str) -> None:
+        for root, _dirs, files in os.walk(src):
+            rel = os.path.relpath(root, src)
+            out = os.path.join(dst, rel) if rel != "." else dst
+            os.makedirs(out, exist_ok=True)
+            for f in files:
+                self.link_file(os.path.join(root, f), os.path.join(out, f))
+
+    def replace(self, tmp: str, final: str) -> None:
+        if not os.path.isdir(tmp):
+            self.link_file(tmp, final)  # single-key PUT
+            os.remove(tmp)
+            return
+        if is_published(final):
+            shutil.rmtree(tmp, ignore_errors=True)
+            return  # idempotent retry: already atomically published
+        if os.path.isdir(final):
+            self.n_debris_deletes += 1
+            shutil.rmtree(final)  # unmarked = invisible crash debris
+        # a marker must never ride the data copy (walk order is
+        # arbitrary — it could publish a partial prefix); it lands last
+        stray = os.path.join(tmp, PUBLISH_MARKER)
+        if os.path.exists(stray):
+            os.remove(stray)
+        self.link_tree(tmp, final)
+        marker = os.path.join(final, PUBLISH_MARKER)
+        with open(marker, "w"):
+            pass
+        self.n_marker_puts += 1
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 _default = LakeFS()

@@ -36,6 +36,14 @@ _COMMIT_RE = re.compile(r"^commit=(\d+)$")
 
 
 def _commit_versions(path: str) -> list[int]:
+    """Published commit versions under the feed dir.  Publication is
+    MARKER-gated (``fs.is_published``): on an object store a commit
+    directory's objects appear one by one and only the final marker
+    PUT makes it consumable — an unmarked dir is in-flight debris and
+    must stay invisible (POSIX publishes write the marker inside the
+    tmp tree before the atomic rename, so the gate is uniform)."""
+    from etl_opensky_spark.sources.fs import is_published
+
     try:
         names = os.listdir(path)
     except FileNotFoundError:
@@ -44,6 +52,7 @@ def _commit_versions(path: str) -> list[int]:
         int(m.group(1))
         for n in names
         if (m := _COMMIT_RE.match(n)) is not None
+        and is_published(os.path.join(path, n))
     )
 
 
