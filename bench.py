@@ -335,6 +335,9 @@ BENCH_QUERIES = [
     "q91_semdedup_op",
     "q114_ppjoin_op",
     "q174_entity_resolution_op",
+    # round-7: DS-API Arrow decode path isolated from the q295 gate's
+    # table-build lifecycle
+    "q295_lake_datasource_op",
 ]
 
 #: queries whose recorded numbers have drifted under bench-VM scheduling

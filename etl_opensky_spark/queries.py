@@ -15019,6 +15019,37 @@ def q174_entity_resolution_op(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: bench-only callables — timed by bench.py, never oracle-compared
+def q295_lake_datasource_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python DS-API snapshot scan ALONE (the Arrow RecordBatch decode
+    path, VERDICT r6 #1): one full-table scan plus one manifest-pruned
+    box read of the q295 gate's lake table — isolates the columnar
+    decode from the table-build lifecycle the oracle gate times
+    (rebuilds the table only if the gate hasn't run this session)."""
+    import os
+
+    from etl_opensky_spark.sources.lakesource import (
+        register_versioned_source,
+    )
+
+    base = _gate_tmp("q295_lakesrc", sf_dir)
+    if not os.path.isdir(os.path.join(base, "_commits")):
+        QUERIES["q295_lake_datasource_pushdown"](spark, sf_dir).count()
+    register_versioned_source(spark)
+    n_cut = (
+        spark.read.format("versioned").load(base)
+        .filter(F.col("okey") < 2000)
+        .count()
+    )
+    return (
+        spark.read.format("versioned").load(base)
+        .agg(
+            F.count("*").alias("n_full"),
+            F.sum("okey").alias("key_sum"),
+        )
+        .select("*", F.lit(n_cut).alias("n_cut"))
+    )
+
+
 BENCH_ONLY_QUERIES = {
     "q215_incremental_dedup_op": q215_incremental_dedup_op,
     "q63_minhash_lsh_op": q63_minhash_lsh_op,
@@ -15030,4 +15061,5 @@ BENCH_ONLY_QUERIES = {
     "q91_semdedup_op": q91_semdedup_op,
     "q114_ppjoin_op": q114_ppjoin_op,
     "q174_entity_resolution_op": q174_entity_resolution_op,
+    "q295_lake_datasource_op": q295_lake_datasource_op,
 }
