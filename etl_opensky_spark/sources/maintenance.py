@@ -40,6 +40,7 @@ from pyspark.sql import SparkSession
 
 from etl_opensky_spark.sources.versioned import (
     CHECKPOINT_EVERY,
+    ConcurrentCommitError,
     _commits_dir,
     _current,
     _read_log,
@@ -129,30 +130,54 @@ def maintain_table(
     before = table_metrics(base, small_file_rows=cutoff)
     actions: list[dict] = []
 
+    def _attempt(fn, label: str) -> tuple | None:
+        """Maintenance runs on a timer NEXT TO live writers: losing a
+        ``put_if_absent`` race to an ingest commit is normal, not an
+        error.  Retry once against the new tip (the repair ops re-read
+        ``_current`` on entry, so the retry targets fresh state); a
+        second loss reports a skipped action and the next scheduled
+        run picks the debt up — crashing the scheduler would."""
+        for attempt in (1, 2):
+            try:
+                return fn()
+            except ConcurrentCommitError:
+                if attempt == 2:
+                    actions.append(
+                        {"action": label, "skipped": "lost commit race"}
+                    )
+        return None
+
     if (
         p["max_live_tombstones"] is not None
         and before["n_tombstones"] > p["max_live_tombstones"]
     ):
-        v, n = materialize_tombstones(
-            spark, base, target_rows_per_file=target
+        got = _attempt(
+            lambda: materialize_tombstones(
+                spark, base, target_rows_per_file=target
+            ),
+            "materialize_tombstones",
         )
-        actions.append(
-            {"action": "materialize_tombstones", "version": v,
-             "files_rewritten": n}
-        )
+        if got is not None:
+            actions.append(
+                {"action": "materialize_tombstones", "version": got[0],
+                 "files_rewritten": got[1]}
+            )
 
     if p["max_small_files"] is not None:
         m = table_metrics(base, small_file_rows=cutoff)
         if m["n_small_files"] > p["max_small_files"]:
-            v, n = optimize_small_files(
-                spark, base,
-                target_rows_per_file=target,
-                small_file_rows=cutoff,
+            got = _attempt(
+                lambda: optimize_small_files(
+                    spark, base,
+                    target_rows_per_file=target,
+                    small_file_rows=cutoff,
+                ),
+                "optimize_small_files",
             )
-            if n:
+            if got is not None and got[1]:
                 actions.append(
-                    {"action": "optimize_small_files", "version": v,
-                     "files_compacted": n}
+                    {"action": "optimize_small_files", "version": got[0],
+                     "files_compacted": got[1]}
                 )
 
     if p["vacuum_keep_last"] is not None:

@@ -27,6 +27,12 @@ from etl_opensky_spark.sources.versioned import (
 from .conftest import rows
 
 
+def _df(spark, pairs):
+    return spark.createDataFrame(
+        [(k, v) for k, v in pairs], "id int, v string"
+    )
+
+
 def _plan(df) -> str:
     s = df._jdf.queryExecution().executedPlan().toString()
     return s.split("== Initial Plan ==")[0]
@@ -192,3 +198,131 @@ def test_table_metrics_counts(spark, tmp_path):
     assert m["n_tombstones"] == 1
     assert m["n_commits"] == 2
     assert m["log_tail"] == 2  # no checkpoint yet
+
+
+# --- maintenance next to live writers ---------------------------------------
+
+
+def test_maintain_retries_past_one_lost_race(spark, tmp_path):
+    """A scheduler-driven maintenance call losing the put_if_absent
+    race to an ingest commit must retry against the new tip, not
+    crash."""
+    import json as _json
+
+    from etl_opensky_spark.sources.versioned import (
+        _commit_path,
+        _test_hooks,
+    )
+
+    base = str(tmp_path / "lake")
+    write_version(_bulk(spark, 30).repartition(2), base, stats_cols=("id",))
+    purge_versioned_mor(
+        spark, base, spark.createDataFrame([(1,)], "id int"), ["id"]
+    )
+    tip = _read_log(base)[-1]
+
+    def _steal_once():  # competing writer lands the version reorg wants
+        _test_hooks.pop("before_commit", None)
+        with open(_commit_path(base, tip["version"] + 1), "x") as fh:
+            _json.dump(
+                {"version": tip["version"] + 1, "dir": tip["dir"],
+                 "op": "annotate", "parent": tip["version"],
+                 "tombstones": tip["tombstones"]},
+                fh,
+            )
+
+    _test_hooks["before_commit"] = _steal_once
+    try:
+        report = maintain_table(
+            spark, base,
+            {"max_live_tombstones": 0, "max_small_files": None,
+             "target_rows_per_file": 100},
+        )
+    finally:
+        _test_hooks.pop("before_commit", None)
+    done = [a for a in report["actions"]
+            if a["action"] == "materialize_tombstones"]
+    assert done and "skipped" not in done[0]
+    assert report["after"]["n_tombstones"] == 0
+    assert rows(read_version(spark, base)) == [
+        (i, f"v{i}") for i in range(30) if i != 1
+    ]
+
+
+def test_maintain_reports_skip_after_repeated_races(spark, tmp_path):
+    import json as _json
+
+    from etl_opensky_spark.sources.versioned import (
+        _commit_path,
+        _test_hooks,
+    )
+
+    base = str(tmp_path / "lake")
+    write_version(_bulk(spark, 10), base)
+    purge_versioned_mor(
+        spark, base, spark.createDataFrame([(1,)], "id int"), ["id"]
+    )
+
+    def _steal_always():  # a writer beats BOTH attempts
+        cur = _read_log(base)[-1]
+        with open(_commit_path(base, cur["version"] + 1), "x") as fh:
+            _json.dump(
+                {"version": cur["version"] + 1, "dir": cur["dir"],
+                 "op": "annotate", "parent": cur["version"],
+                 "tombstones": cur.get("tombstones")},
+                fh,
+            )
+
+    _test_hooks["before_commit"] = _steal_always
+    try:
+        report = maintain_table(
+            spark, base,
+            {"max_live_tombstones": 0, "max_small_files": None},
+        )
+    finally:
+        _test_hooks.pop("before_commit", None)
+    assert report["actions"] == [
+        {"action": "materialize_tombstones",
+         "skipped": "lost commit race"}
+    ]
+    # debt intact for the next scheduled run; table undamaged
+    assert report["after"]["n_tombstones"] == 1
+    assert rows(read_version(spark, base)) == [
+        (i, f"v{i}") for i in range(10) if i != 1
+    ]
+
+
+def test_maintenance_composes_with_exactly_once_ingest(spark, tmp_path):
+    """Interleaved maintenance commits must be invisible to the
+    streaming txn cursor: replayed micro-batches stay no-ops across a
+    REORG/OPTIMIZE in between, and maintained state keeps the ingest's
+    content exact."""
+    from etl_opensky_spark.streaming.lake import (
+        last_txn_batch,
+        make_merge_batch,
+    )
+
+    base = str(tmp_path / "lake")
+    fn = make_merge_batch(base, ["id"], app_id="s1")
+    policy = {"target_rows_per_file": 100, "max_small_files": 0,
+              "max_live_tombstones": 0}
+    alive: dict[int, str] = {}
+    for b in range(4):
+        batch = [(b * 10 + j, f"b{b}_{j}") for j in range(5)]
+        fn(_df(spark, batch), b)
+        alive.update(dict(batch))
+        purge_versioned_mor(
+            spark, base,
+            spark.createDataFrame([(b * 10,)], "id int"), ["id"],
+        )
+        alive.pop(b * 10)
+        maintain_table(spark, base, policy)
+        fn(_df(spark, batch), b)  # crash-replay AFTER maintenance
+        assert rows(read_version(spark, base)) == sorted(alive.items())
+    assert last_txn_batch(base, "s1") == 3
+    # a stale replay of batch 0 four maintenance cycles later is
+    # still a commit-level no-op
+    n = len(_read_log(base))
+    fn(_df(spark, [(0, "b0_0")]), 0)
+    assert len(_read_log(base)) == n
+    assert rows(read_version(spark, base)) == sorted(alive.items())
