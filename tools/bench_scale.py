@@ -68,6 +68,9 @@ SCALE_QUERIES = [
     "q285_pq_ann",               # PQ train + ADC probe + exact re-rank
     "q286_mmr_rerank",           # greedy diversified top-k (5 picks)
     "q287_webdataset_roundtrip", # tar-shard export + Arrow tar re-read
+    # round-7 additions
+    "q298_maintain_table",       # churn + REORG purge + OPTIMIZE (sink gate)
+    "q295_lake_datasource_op",   # Python DS Arrow decode, full + pruned scan
 ]
 
 #: hot-key rehearsal: queries keyed on events.user_id or documents
