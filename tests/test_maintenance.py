@@ -326,3 +326,116 @@ def test_maintenance_composes_with_exactly_once_ingest(spark, tmp_path):
     fn(_df(spark, [(0, "b0_0")]), 0)
     assert len(_read_log(base)) == n
     assert rows(read_version(spark, base)) == sorted(alive.items())
+
+
+# --- REORG edge cases: mapped / partitioned / rider-carrying tables ---------
+
+
+def test_materialize_on_column_mapped_table(spark, tmp_path):
+    """REORG under a rename: tombstone keys are LOGICAL names mapped to
+    the frozen physical file columns; rewritten files stay physical and
+    the carried mapping keeps resolving them."""
+    from etl_opensky_spark.sources.versioned import rename_column
+
+    base = str(tmp_path / "lake")
+    write_version(
+        _bulk(spark, 40).repartitionByRange(4, "id"), base,
+        stats_cols=("id",),
+    )
+    rename_column(spark, base, {"id": "doc_id", "v": "payload"})
+    purge_versioned_mor(
+        spark, base,
+        spark.createDataFrame([(2,), (39,)], "doc_id int"), ["doc_id"],
+    )
+    v, n = materialize_tombstones(spark, base)
+    assert 1 <= n <= 4
+    tip = _read_log(base)[-1]
+    assert not tip.get("tombstones")
+    assert tip["column_mapping"]  # mapping carried
+    df = read_version(spark, base)
+    assert df.columns == ["doc_id", "payload"]
+    assert rows(df) == [
+        (i, f"v{i}") for i in range(40) if i not in (2, 39)
+    ]
+    assert "BroadcastHashJoin" not in _plan(df)
+
+
+def test_materialize_on_partitioned_table(spark, tmp_path):
+    """REORG on a hive-partitioned layout rewrites within partition
+    dirs; partition values survive; untouched partitions stay
+    hardlinked."""
+    from etl_opensky_spark.sources.versioned import _snapshot_files
+
+    base = str(tmp_path / "lake")
+    df = spark.createDataFrame(
+        [(i, f"v{i}", "even" if i % 2 == 0 else "odd") for i in range(40)],
+        "id int, v string, par string",
+    )
+    write_version(df, base, partition_by=["par"], stats_cols=("id",))
+    purge_versioned_mor(
+        spark, base,
+        spark.createDataFrame([(4,), (6,)], "id int"), ["id"],
+    )
+    tip = _read_log(base)[-1]
+    before = _snapshot_files(os.path.join(base, tip["dir"]))
+    v, n = materialize_tombstones(spark, base)
+    tip2 = _read_log(base)[-1]
+    assert not tip2.get("tombstones")
+    got = read_version(spark, base)
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        (i, f"v{i}", "even" if i % 2 == 0 else "odd")
+        for i in range(40) if i not in (4, 6)
+    )
+    after = _snapshot_files(os.path.join(base, tip2["dir"]))
+    # rewritten output landed under the partition dirs it came from
+    assert all("par=" in rel for rel, _ino in after)
+
+
+def test_materialize_refuses_partition_column_keys(spark, tmp_path):
+    """Tombstone keys that are hive-partition columns aren't in the
+    raw data files — REORG must refuse and name compact_versioned."""
+    base = str(tmp_path / "lake")
+    df = spark.createDataFrame(
+        [(i, f"v{i}", i % 3) for i in range(30)],
+        "id int, v string, par int",
+    )
+    write_version(df, base, partition_by=["par"])
+    purge_versioned_mor(
+        spark, base, spark.createDataFrame([(1,)], "par int"), ["par"]
+    )
+    with pytest.raises(ValueError, match="compact_versioned"):
+        materialize_tombstones(spark, base)
+
+
+def test_materialize_carries_constraints_and_identity(spark, tmp_path):
+    """CHECK-constraint and GENERATED IDENTITY riders survive REORG,
+    and the identity high-water mark keeps advancing after it."""
+    from etl_opensky_spark.sources.versioned import (
+        add_constraint,
+        copy_into,
+    )
+
+    base = str(tmp_path / "lake")
+    src = spark.createDataFrame(
+        [(f"v{i}",) for i in range(20)], "v string"
+    )
+    write_version(src, base, identity_col="rid", stats_cols=("rid",))
+    add_constraint(spark, base, "v_nonempty", "length(v) > 0")
+    purge_versioned_mor(
+        spark, base, spark.createDataFrame([(3,), (4,)], "rid bigint"),
+        ["rid"],
+    )
+    v, n = materialize_tombstones(spark, base)
+    tip = _read_log(base)[-1]
+    assert tip["constraints"] and tip["identity"]
+    assert not tip.get("tombstones")
+    assert read_version(spark, base).count() == 18
+    # identity continues monotonically from the carried high-water
+    landing = str(tmp_path / "landing")
+    spark.createDataFrame([("x",)], "v string").coalesce(1).write.parquet(
+        landing
+    )
+    copy_into(spark, base, landing)
+    ids = [r[0] for r in read_version(spark, base).select("rid").collect()]
+    assert len(ids) == 19 and len(set(ids)) == 19
+    assert max(ids) >= 21  # next id minted past the pre-REORG mark
