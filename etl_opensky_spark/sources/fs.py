@@ -83,11 +83,33 @@ class LakeFS:
     def put_if_absent(self, path: str, payload: bytes) -> None:
         """Atomically create ``path`` with ``payload`` iff it does not
         exist; raise :class:`FileExistsError` (losing a race counts) if
-        it does.  The payload of a SUCCESSFUL return is durable and
-        complete — callers treat the file's existence as the commit."""
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        with os.fdopen(fd, "wb") as fh:
+        it does.  The file appears WITH its complete payload or not at
+        all: the payload lands in a hidden temp first and ``os.link``
+        publishes it (atomic, EEXIST on a lost race) — a bare
+        ``O_EXCL`` create-then-write would expose an empty commit file
+        for a moment, and a concurrent ``_read_log`` would crash
+        parsing it.  Falls back to O_EXCL+write where hardlinks are
+        unsupported (the torn-read window returns, microseconds
+        wide)."""
+        import uuid as _uuid
+
+        tmp = f"{path}.put-{_uuid.uuid4().hex[:8]}"
+        with open(tmp, "wb") as fh:
             fh.write(payload)
+        try:
+            os.link(tmp, path)
+        except OSError as exc:
+            if isinstance(exc, FileExistsError):
+                raise
+            # no-hardlink filesystem: degraded single-file publish
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "wb") as fh:
+                fh.write(payload)
+        finally:
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
 
     def replace(self, tmp: str, final: str) -> None:
         """Atomically publish ``tmp`` at ``final`` (file or dir):

@@ -197,3 +197,24 @@ def test_seam_is_the_only_path():
                 and "``" not in line  # docstring mentions of the contract
             ]
             assert not hits, f"{fname}:{hits} bypasses the fs seam ({tok})"
+
+
+def test_put_if_absent_is_content_atomic(tmp_path):
+    """The commit file appears WITH its payload or not at all: the
+    hidden temp is linked into place (no empty-file window a racing
+    _read_log could crash on) and no temp residue survives either
+    outcome."""
+    import pytest
+
+    from etl_opensky_spark.sources.fs import LakeFS
+
+    fs = LakeFS()
+    p = str(tmp_path / "00000001.json")
+    fs.put_if_absent(p, b'{"version": 1}')
+    assert open(p, "rb").read() == b'{"version": 1}'
+    with pytest.raises(FileExistsError):
+        fs.put_if_absent(p, b"loser")
+    assert open(p, "rb").read() == b'{"version": 1}'  # loser changed nothing
+    import os as _os
+
+    assert [n for n in _os.listdir(tmp_path) if ".put-" in n] == []
