@@ -16,6 +16,10 @@ live tombstones      ``tombstones`` rider length    ``materialize_tombstones``
 log length           commit files past the newest   ``_write_checkpoint``
                      checkpoint                     (roll-up, O(tail) reads
                                                     after)
+clustering drift     :func:`clustering_depth` from  ``compact_versioned``
+                     the stats manifest (expected   (``sort_by`` 1-D /
+                     files per point lookup)        ``zorder_by`` 2-D
+                                                    re-cluster)
 ===================  =============================  ====================
 
 plus optional retention (``vacuum_keep_last``) which maps to
@@ -41,11 +45,13 @@ from pyspark.sql import SparkSession
 from etl_opensky_spark.sources.versioned import (
     CHECKPOINT_EVERY,
     ConcurrentCommitError,
+    _col_mapping,
     _commits_dir,
     _current,
     _read_log,
     _snapshot_files,
     _write_checkpoint,
+    compact_versioned,
     materialize_tombstones,
     optimize_small_files,
     vacuum_orphans,
@@ -68,7 +74,57 @@ DEFAULT_POLICY: dict = {
     "max_log_tail": 2 * CHECKPOINT_EVERY,
     # retention: keep this many newest versions (None = never vacuum)
     "vacuum_keep_last": None,
+    # layout clustering: 1 column (range-cluster) or 2 (z-order);
+    # None disables the re-cluster repair
+    "cluster_by": None,
+    # re-cluster when the measured clustering depth (see
+    # clustering_depth: ~1.0 = perfectly clustered, ~n_files = random
+    # layout) exceeds this factor
+    "max_clustering_depth": 2.5,
 }
+
+
+def clustering_depth(base: str, col: str) -> float | None:
+    """How DE-CLUSTERED the tip layout is on ``col``, from the stats
+    manifest alone: ``Σ per-file (max-min) / global (max-min)`` — the
+    expected number of files a point lookup on ``col`` must scan.
+    ~1.0 after a range-cluster rewrite (files own disjoint slices),
+    ~n_files for an accretion layout (every file spans the domain) —
+    the measured signal behind Delta/Databricks' re-cluster-on-drift
+    maintenance.  ``None`` when the manifest can't support the metric
+    (no stats for the column, non-numeric, single file, zero-width
+    domain); files with missing/partial stats count a full-domain
+    width, mirroring their unprunability."""
+    cur = _current(base)
+    if cur is None:
+        raise ValueError(f"no committed versions at {base}")
+    stats = cur.get("stats") or {}
+    phys = _col_mapping(cur).get(col, col)
+    if len(stats) < 2:
+        return None
+    bounds = []
+    for per_col in stats.values():
+        s = (per_col or {}).get(phys)
+        if s is None or s.get("min") is None or s.get("max") is None:
+            bounds.append(None)  # unprunable file: full-domain width
+            continue
+        if not isinstance(s["min"], (int, float)) or isinstance(
+            s["min"], bool
+        ):
+            return None  # non-numeric domain: no width algebra
+        bounds.append((s["min"], s["max"]))
+    known = [b for b in bounds if b is not None]
+    if not known:
+        return None
+    lo = min(b[0] for b in known)
+    hi = max(b[1] for b in known)
+    width = hi - lo
+    if width <= 0:
+        return None
+    covered = sum(
+        (b[1] - b[0]) if b is not None else width for b in bounds
+    )
+    return covered / width
 
 
 def table_metrics(base: str, small_file_rows: int = 500_000) -> dict:
@@ -147,9 +203,45 @@ def maintain_table(
                     )
         return None
 
+    # re-cluster FIRST: a triggered re-cluster is a full rewrite that
+    # also materializes tombstones and packs files, so the repairs
+    # below re-measure and usually no-op after it
+    if p["cluster_by"]:
+        cols = (
+            [p["cluster_by"]] if isinstance(p["cluster_by"], str)
+            else list(p["cluster_by"])
+        )
+        if len(cols) not in (1, 2):
+            raise ValueError(
+                "maintain_table: cluster_by takes 1 column "
+                "(range-cluster) or 2 (z-order)"
+            )
+        depths = [clustering_depth(base, c) for c in cols]
+        known = [d for d in depths if d is not None]
+        depth = sum(known) / len(known) if known else None
+        if depth is not None and depth > p["max_clustering_depth"]:
+            cur = _current(base)
+            got = _attempt(
+                lambda: compact_versioned(
+                    spark, base,
+                    target_rows_per_file=target,
+                    zorder_by=cols if len(cols) == 2 else (),
+                    sort_by=cols[0] if len(cols) == 1 else None,
+                    stats_cols=cur.get("stats_cols") or (),
+                ),
+                "recluster",
+            )
+            if got is not None:
+                actions.append(
+                    {"action": "recluster", "version": got,
+                     "depth_before": round(depth, 2),
+                     "cluster_by": cols}
+                )
+
     if (
         p["max_live_tombstones"] is not None
-        and before["n_tombstones"] > p["max_live_tombstones"]
+        and table_metrics(base, small_file_rows=cutoff)["n_tombstones"]
+        > p["max_live_tombstones"]
     ):
         got = _attempt(
             lambda: materialize_tombstones(

@@ -1398,6 +1398,7 @@ def compact_versioned(
     target_rows_per_file: int = 1_000_000,
     zorder_by: Sequence[str] = (),
     stats_cols: Sequence[str] = (),
+    sort_by: str | None = None,
 ) -> int:
     """Small-file compaction committing a new snapshot atomically
     (OPTIMIZE): rewrites every partition into ~``target_rows_per_file``-
@@ -1412,15 +1413,26 @@ def compact_versioned(
     planning time (``read_version where=``).  Unpartitioned tables
     only — hive partitioning is already the coarse clustering.
 
+    ``sort_by="col"`` is the 1-D clustering analog (OPTIMIZE ...
+    CLUSTER BY one key): range-partition + sort on the column so each
+    output file owns one tight, non-overlapping slice of the domain —
+    the layout a single-column point/range workload prunes best on.
+    Same restrictions as ``zorder_by`` (unpartitioned, exclusive with
+    it).
+
     ``stats_cols`` re-harvests footer stats into this commit (footer
     reads only, distributed over the file list).  Returns the
     committed version."""
     part_cols = list(partition_by)
-    if zorder_by and part_cols:
+    if (zorder_by or sort_by) and part_cols:
         raise ValueError(
-            "compact_versioned: zorder_by applies to unpartitioned "
-            "tables; drop partition_by or z-order within an upstream "
-            "write instead"
+            "compact_versioned: zorder_by/sort_by apply to "
+            "unpartitioned tables; drop partition_by or cluster within "
+            "an upstream write instead"
+        )
+    if zorder_by and sort_by:
+        raise ValueError(
+            "compact_versioned: zorder_by and sort_by are exclusive"
         )
     if zorder_by and len(zorder_by) != 2:
         raise ValueError("compact_versioned: zorder_by needs exactly 2 cols")
@@ -1444,6 +1456,15 @@ def compact_versioned(
                 .repartitionByRange(n_files, "_z")
                 .sortWithinPartitions("_z")
                 .drop("_z")
+                .write.mode("errorifexists")
+                .parquet(data_dir)
+            )
+        elif sort_by is not None:
+            total = df.count()
+            n_files = max(1, -(-total // target_rows_per_file))
+            (
+                df.repartitionByRange(n_files, sort_by)
+                .sortWithinPartitions(sort_by)
                 .write.mode("errorifexists")
                 .parquet(data_dir)
             )

@@ -439,3 +439,96 @@ def test_materialize_carries_constraints_and_identity(spark, tmp_path):
     ids = [r[0] for r in read_version(spark, base).select("rid").collect()]
     assert len(ids) == 19 and len(set(ids)) == 19
     assert max(ids) >= 21  # next id minted past the pre-REORG mark
+
+
+# --- clustering drift repair -------------------------------------------------
+
+
+def test_clustering_depth_and_recluster_1d(spark, tmp_path):
+    """An accretion layout (every file spans the id domain) measures
+    depth ~ n_files; the policy re-cluster rewrites to disjoint range
+    slices (depth ~ 1), pruning tightens, content identical, and the
+    steady state stops re-clustering."""
+    from etl_opensky_spark.sources.maintenance import clustering_depth
+    from etl_opensky_spark.sources.versioned import prune_files
+
+    base = str(tmp_path / "lake")
+    # round-robin repartition -> each of 4 files spans ~the full domain
+    write_version(
+        _bulk(spark, 400).repartition(4), base, stats_cols=("id",)
+    )
+    d0 = clustering_depth(base, "id")
+    assert d0 is not None and d0 > 2.5
+    kept0, total0 = prune_files(base, {"id": (10, 20)})
+    assert len(kept0) == total0  # unclustered: nothing prunes
+    policy = {
+        "target_rows_per_file": 100, "cluster_by": "id",
+        "max_small_files": None, "max_live_tombstones": None,
+    }
+    report = maintain_table(spark, base, policy)
+    acts = [a for a in report["actions"] if a["action"] == "recluster"]
+    assert acts and acts[0]["depth_before"] > 2.5
+    d1 = clustering_depth(base, "id")
+    assert d1 is not None and d1 < 1.5
+    kept1, total1 = prune_files(base, {"id": (10, 20)})
+    assert total1 >= 2 and len(kept1) < total1  # slices now prune
+    assert rows(read_version(spark, base)) == [
+        (i, f"v{i}") for i in range(400)
+    ]
+    again = maintain_table(spark, base, policy)
+    assert not [a for a in again["actions"] if a["action"] == "recluster"]
+
+
+def test_recluster_2d_zorder(spark, tmp_path):
+    from etl_opensky_spark.sources.maintenance import clustering_depth
+
+    base = str(tmp_path / "lake")
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 100, f"v{i}") for i in range(400)],
+        "x int, y int, v string",
+    )
+    write_version(df.repartition(4), base, stats_cols=("x", "y"))
+    policy = {
+        "target_rows_per_file": 100, "cluster_by": ("x", "y"),
+        "max_small_files": None, "max_live_tombstones": None,
+        "max_clustering_depth": 2.0,
+    }
+    report = maintain_table(spark, base, policy)
+    assert any(a["action"] == "recluster" for a in report["actions"])
+    got = read_version(spark, base)
+    assert got.count() == 400
+    dx = clustering_depth(base, "x")
+    assert dx is not None and dx < 3.0  # z-order tightens both dims
+    # depth is a numeric-domain metric: strings opt out cleanly
+    assert clustering_depth(base, "v") is None
+
+
+def test_compact_sort_by_direct(spark, tmp_path):
+    from etl_opensky_spark.sources.versioned import (
+        _snapshot_files,
+        compact_versioned,
+    )
+
+    base = str(tmp_path / "lake")
+    write_version(
+        _bulk(spark, 300).repartition(3), base, stats_cols=("id",)
+    )
+    with pytest.raises(ValueError, match="exclusive"):
+        compact_versioned(
+            spark, base, zorder_by=("id", "v"), sort_by="id"
+        )
+    v = compact_versioned(
+        spark, base, target_rows_per_file=100, sort_by="id",
+        stats_cols=("id",),
+    )
+    tip = _read_log(base)[-1]
+    assert tip["version"] == v
+    # disjoint range slices: every pair of file ranges non-overlapping
+    spans = sorted(
+        (s["id"]["min"], s["id"]["max"]) for s in tip["stats"].values()
+    )
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2
+    assert rows(read_version(spark, base)) == [
+        (i, f"v{i}") for i in range(300)
+    ]
