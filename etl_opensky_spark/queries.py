@@ -14241,6 +14241,81 @@ FROM live
 """
 
 
+def q299_clustering_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CLUSTERING-DRIFT MAINTENANCE gate
+    (``sources.maintenance.clustering_depth`` + the ``cluster_by``
+    policy repair — Databricks OPTIMIZE-on-drift): orders land
+    round-robin so every file spans the whole key domain
+    (``clustering_depth`` ≈ n_files, manifest pruning keeps
+    everything), then ONE ``maintain_table`` call must measure the
+    drift and range-re-cluster (``compact_versioned(sort_by=...)``) —
+    after it, files own disjoint key slices, a box read prunes at
+    planning time, the depth metric sits near 1, and a second call
+    repairs nothing.  Oracle replays content; pins carry the measured
+    layout facts."""
+    import shutil
+
+    from etl_opensky_spark.sources.maintenance import (
+        clustering_depth,
+        maintain_table,
+    )
+    from etl_opensky_spark.sources.versioned import (
+        prune_files,
+        read_version,
+        write_version,
+    )
+
+    base = _gate_tmp("q299_cluster", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), _dec("o_totalprice").alias("price")
+    )
+    n_orders = orders.count()
+    write_version(orders.repartition(8), base, stats_cols=("k",))
+    d0 = clustering_depth(base, "k")
+    kept0, total0 = prune_files(base, {"k": (1, max(n_orders // 50, 2))})
+    policy = {
+        "target_rows_per_file": max(n_orders // 8, 4),
+        "cluster_by": "k",
+        "max_small_files": None,
+        "max_live_tombstones": None,
+    }
+    report = maintain_table(spark, base, policy)
+    again = maintain_table(spark, base, policy)
+    d1 = clustering_depth(base, "k")
+    kept1, total1 = prune_files(base, {"k": (1, max(n_orders // 50, 2))})
+    t = read_version(spark, base)
+    return t.agg(
+        F.count("*").alias("n"),
+        F.sum("k").alias("key_sum"),
+        F.sum("price").cast("double").alias("price_total"),
+    ).select(
+        "*",
+        F.lit(bool(
+            d0 is not None and d0 > 2.5
+            and any(a["action"] == "recluster" for a in report["actions"])
+        )).alias("drift_detected"),
+        F.lit(bool(d1 is not None and d1 < 1.5)).alias("layout_tight"),
+        F.lit(bool(
+            len(kept0) == total0 and total1 >= 2 and len(kept1) < total1
+        )).alias("pruning_tightened"),
+        F.lit(bool(
+            not [a for a in again["actions"] if a["action"] == "recluster"]
+        )).alias("steady_state"),
+    )
+
+
+ORACLE_Q299 = """
+SELECT COUNT(*) AS n, SUM(o_orderkey) AS key_sum,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_total,
+  TRUE AS drift_detected, TRUE AS layout_tight,
+  TRUE AS pruning_tightened, TRUE AS steady_state
+FROM orders
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -14539,6 +14614,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q296_incremental_optimize": q296_incremental_optimize,
     "q297_lake_datasource_writer": q297_lake_datasource_writer,
     "q298_maintain_table": q298_maintain_table,
+    "q299_clustering_maintenance": q299_clustering_maintenance,
 }
 
 ORACLES: dict[str, str] = {
@@ -14838,6 +14914,7 @@ ORACLES: dict[str, str] = {
     "q296_incremental_optimize": ORACLE_Q296,
     "q297_lake_datasource_writer": ORACLE_Q297,
     "q298_maintain_table": ORACLE_Q298,
+    "q299_clustering_maintenance": ORACLE_Q299,
 }
 
 
