@@ -117,10 +117,24 @@ class LakeFS:
         never a partial write.  A directory publish stamps the
         :data:`PUBLISH_MARKER` into the tmp tree first so the marker
         contract holds on every backend (here it rides the atomic
-        rename; on an object store it is the publish point itself)."""
+        rename; on an object store it is the publish point itself).
+
+        Directory-over-directory semantics mirror :class:`ObjectStoreFS`
+        exactly (they must — callers like ``materialize_change_feed``
+        treat unmarked final dirs as re-runnable debris on EVERY
+        backend): an already-published final is an idempotent retry
+        (tmp discarded), an UNMARKED final — a crashed prior attempt or
+        a pre-marker-era legacy dir — is deleted before the rename
+        (``os.replace`` over a non-empty dir would raise ENOTEMPTY and
+        make the debris permanently un-repairable)."""
         if os.path.isdir(tmp):
             with open(os.path.join(tmp, PUBLISH_MARKER), "w"):
                 pass
+            if is_published(final):
+                shutil.rmtree(tmp, ignore_errors=True)
+                return  # idempotent retry: already atomically published
+            if os.path.isdir(final):
+                shutil.rmtree(final)  # unmarked = invisible crash debris
         os.replace(tmp, final)
 
     def link_file(self, src: str, dst: str) -> None:
@@ -178,16 +192,39 @@ class ObjectStoreFS(LakeFS):
     """
 
     def __init__(self) -> None:
+        import threading
+
         self.n_cond_puts = 0
         self.n_copies = 0
         self.n_marker_puts = 0
         self.n_debris_deletes = 0
+        # the simulated server's internal serialization point: a real
+        # conditional PUT is atomic WITH its payload server-side; this
+        # process IS the "server", so a process-local lock plays that
+        # role (ADVICE r7: the previous O_EXCL-create-then-write
+        # re-opened the torn-commit-file window the POSIX backend
+        # closed — a concurrent ``_read_log`` could parse an empty file)
+        self._put_lock = threading.Lock()
 
     def put_if_absent(self, path: str, payload: bytes) -> None:
+        """Conditional PUT, content-atomic: the payload lands in a
+        hidden temp and the publish is an ``os.rename`` under the
+        store's internal lock — ``path`` is observable only with its
+        complete payload, exactly like a real ``If-None-Match: *`` PUT
+        (``os.rename`` here models the server's atomic key swap, not a
+        filesystem primitive the lake code may use — the booby-trap
+        tests ban ``os.link``/``os.replace`` from lake code paths)."""
+        import uuid as _uuid
+
         self.n_cond_puts += 1
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        with os.fdopen(fd, "wb") as fh:
+        tmp = f"{path}.put-{_uuid.uuid4().hex[:8]}"
+        with open(tmp, "wb") as fh:
             fh.write(payload)
+        with self._put_lock:
+            if os.path.exists(path):
+                os.remove(tmp)
+                raise FileExistsError(path)
+            os.rename(tmp, path)
 
     def link_file(self, src: str, dst: str) -> None:
         self.n_copies += 1

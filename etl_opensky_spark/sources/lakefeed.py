@@ -35,25 +35,36 @@ from pyspark.sql import SparkSession
 _COMMIT_RE = re.compile(r"^commit=(\d+)$")
 
 
-def _commit_versions(path: str) -> list[int]:
-    """Published commit versions under the feed dir.  Publication is
-    MARKER-gated (``fs.is_published``): on an object store a commit
-    directory's objects appear one by one and only the final marker
-    PUT makes it consumable — an unmarked dir is in-flight debris and
-    must stay invisible (POSIX publishes write the marker inside the
-    tmp tree before the atomic rename, so the gate is uniform)."""
+def _scan_commit_dirs(path: str) -> tuple[list[int], list[int]]:
+    """``(published, unpublished)`` commit versions under the feed dir.
+    Publication is MARKER-gated (``fs.is_published``): on an object
+    store a commit directory's objects appear one by one and only the
+    final marker PUT makes it consumable — an unmarked dir is in-flight
+    debris and must stay invisible (POSIX publishes write the marker
+    inside the tmp tree before the atomic rename, so the gate is
+    uniform).  Unpublished dirs are surfaced separately so
+    ``latestOffset`` can refuse to advance PAST an in-flight publish
+    (see there)."""
     from etl_opensky_spark.sources.fs import is_published
 
     try:
         names = os.listdir(path)
     except FileNotFoundError:
-        return []
-    return sorted(
-        int(m.group(1))
-        for n in names
-        if (m := _COMMIT_RE.match(n)) is not None
-        and is_published(os.path.join(path, n))
-    )
+        return [], []
+    pub: list[int] = []
+    unpub: list[int] = []
+    for n in names:
+        m = _COMMIT_RE.match(n)
+        if m is None:
+            continue
+        v = int(m.group(1))
+        (pub if is_published(os.path.join(path, n)) else unpub).append(v)
+    return sorted(pub), sorted(unpub)
+
+
+def _commit_versions(path: str) -> list[int]:
+    """Published commit versions under the feed dir (marker-gated)."""
+    return _scan_commit_dirs(path)[0]
 
 
 def _arrow_to_ddl(schema) -> str:
@@ -119,8 +130,27 @@ try:  # pyspark >= 4.0
             return {"version": 0}
 
         def latestOffset(self) -> dict:
-            vs = _commit_versions(self._path)
-            return {"version": vs[-1] if vs else 0}
+            """Highest SAFELY consumable version: never past an
+            in-flight publish.  ``materialize_change_feed`` publishes
+            versions ascending within one call, but on an object store
+            each publish copies data objects into the FINAL dir before
+            the marker PUT lands — a racing trigger could otherwise see
+            commit=5's marker while commit=4's dir sits unmarked
+            mid-copy, advance past 4, and permanently skip it
+            (``partitions`` lists only published dirs in ``(lo, hi]``
+            — ADVICE r7).  An unmarked dir therefore CAPS the offset
+            just below it; crash debris is equally safe to wait behind,
+            because re-materialization republishes that version (the
+            cursor skips only marker-published dirs) and the cap lifts.
+            The residual window — a version whose publish has not
+            created its dir at all while a later version is already
+            published — requires two CONCURRENT materializers, which
+            the feed does not support (single-writer, like every
+            table-format checkpoint writer)."""
+            pub, unpub = _scan_commit_dirs(self._path)
+            cap = unpub[0] - 1 if unpub else None
+            safe = [v for v in pub if cap is None or v <= cap]
+            return {"version": safe[-1] if safe else 0}
 
         def partitions(self, start: dict, end: dict):
             lo, hi = int(start["version"]), int(end["version"])

@@ -152,7 +152,13 @@ def _tomb_dead_mask(table, live: list[dict]):
     Single-column keys go through ``pyarrow.compute.is_in`` (one C++
     hash probe over the column); composite keys through a pandas
     ``MultiIndex.isin`` (vectorized tuple probe) — no per-row Python
-    either way."""
+    either way.
+
+    NULL keys never match — ``is_in`` yields null for null inputs
+    (filled False) and ``MultiIndex.isin`` can't probe None tuples —
+    which AGREES with the JVM read path's equality join and with SQL
+    semantics, and is enforced at the source: ``purge_versioned_mor``
+    rejects NULL delete keys outright (ADVICE r7)."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc

@@ -85,26 +85,36 @@ DEFAULT_POLICY: dict = {
 
 
 def clustering_depth(base: str, col: str) -> float | None:
-    """How DE-CLUSTERED the tip layout is on ``col``, from the stats
-    manifest alone: ``Σ per-file (max-min) / global (max-min)`` — the
-    expected number of files a point lookup on ``col`` must scan.
-    ~1.0 after a range-cluster rewrite (files own disjoint slices),
-    ~n_files for an accretion layout (every file spans the domain) —
-    the measured signal behind Delta/Databricks' re-cluster-on-drift
-    maintenance.  ``None`` when the manifest can't support the metric
-    (no stats for the column, non-numeric, single file, zero-width
-    domain); files with missing/partial stats count a full-domain
-    width, mirroring their unprunability."""
+    """How DE-CLUSTERED the tip layout is on ``col``, measured over the
+    SNAPSHOT'S ACTUAL FILES against the stats manifest: ``Σ per-file
+    (max-min) / global (max-min)`` — the expected number of files a
+    point lookup on ``col`` must scan.  ~1.0 after a range-cluster
+    rewrite (files own disjoint slices), ~n_files for an accretion
+    layout (every file spans the domain) — the measured signal behind
+    Delta/Databricks' re-cluster-on-drift maintenance.  ``None`` when
+    the metric is unsupportable (non-numeric domain, <2 snapshot
+    files, zero-width domain, or NO file has usable stats).
+
+    The file list is the snapshot's, not the stats dict's keys: a data
+    file entirely ABSENT from the manifest (e.g. appended by a writer
+    that skipped stats harvesting) counts a full-domain width exactly
+    like a file with a missing per-column entry — both are unprunable
+    — and the <2-files gate counts snapshot files, not stats entries.
+    Iterating only the stats dict understated the depth under partial
+    coverage and silently disarmed the re-cluster repair (ADVICE r7)."""
     cur = _current(base)
     if cur is None:
         raise ValueError(f"no committed versions at {base}")
     stats = cur.get("stats") or {}
     phys = _col_mapping(cur).get(col, col)
-    if len(stats) < 2:
+    rels = sorted(
+        rel for rel, _ino in _snapshot_files(os.path.join(base, cur["dir"]))
+    )
+    if len(rels) < 2:
         return None
     bounds = []
-    for per_col in stats.values():
-        s = (per_col or {}).get(phys)
+    for rel in rels:
+        s = (stats.get(rel) or {}).get(phys)
         if s is None or s.get("min") is None or s.get("max") is None:
             bounds.append(None)  # unprunable file: full-domain width
             continue
@@ -127,21 +137,46 @@ def clustering_depth(base: str, col: str) -> float | None:
     return covered / width
 
 
-def table_metrics(base: str, small_file_rows: int = 500_000) -> dict:
-    """Measured maintenance signals for the tip snapshot — pyarrow
-    footer + manifest reads only, no Spark job: ``{n_files,
-    n_small_files, n_tombstones, n_commits, log_tail}`` where
-    ``log_tail`` counts commit files newer than the newest readable
-    checkpoint (the metadata reads every log consumer pays)."""
-    import pyarrow.parquet as pq
+def _file_rows_from_stats(entry: dict, rel: str) -> int | None:
+    """Per-file row count from the commit manifest's harvested stats,
+    or None when the manifest can't prove it (file absent from the
+    stats dict, or every per-column entry unusable)."""
+    per_col = (entry.get("stats") or {}).get(rel)
+    if not per_col:
+        return None
+    for s in per_col.values():
+        if s is not None and s.get("rows") is not None:
+            return s["rows"]
+    return None
 
+
+def table_metrics(base: str, small_file_rows: int = 500_000) -> dict:
+    """Measured maintenance signals for the tip snapshot — manifest
+    reads first, parquet footers only as fallback, no Spark job:
+    ``{n_files, n_small_files, n_tombstones, n_commits, log_tail}``
+    where ``log_tail`` counts commit files newer than the newest
+    readable checkpoint (the metadata reads every log consumer pays).
+
+    Per-file row counts come from the commit log's harvested stats
+    when the table tracks ``stats_cols`` — the manifest already paid
+    the footer reads at write time, so a maintenance tick on a
+    stats-tracked table opens ZERO footers; only files the manifest
+    can't prove (stats-less tables, stats-less appends) fall back to
+    one ``pq.ParquetFile`` metadata read each (VERDICT r7 #3: at
+    10⁵–10⁶ files the old always-walk cost minutes of metadata I/O
+    per tick)."""
     cur = _current(base)
     if cur is None:
         raise ValueError(f"no committed versions at {base}")
     files = _snapshot_files(os.path.join(base, cur["dir"]))
     n_small = 0
-    for (_rel, _ino), path in files.items():
-        if pq.ParquetFile(path).metadata.num_rows < small_file_rows:
+    for (rel, _ino), path in files.items():
+        rows = _file_rows_from_stats(cur, rel)
+        if rows is None:
+            import pyarrow.parquet as pq
+
+            rows = pq.ParquetFile(path).metadata.num_rows
+        if rows < small_file_rows:
             n_small += 1
     versions: list[int] = []
     ckpts: list[int] = [0]
@@ -185,6 +220,16 @@ def maintain_table(
     )
     before = table_metrics(base, small_file_rows=cutoff)
     actions: list[dict] = []
+    # measure ONCE per call; re-measure only after a repair that
+    # mutated the table (VERDICT r7 #3 — each measurement walks the
+    # snapshot listing, so a no-debt tick should pay for exactly one)
+    _state = {"m": before, "dirty": False}
+
+    def _measure() -> dict:
+        if _state["dirty"]:
+            _state["m"] = table_metrics(base, small_file_rows=cutoff)
+            _state["dirty"] = False
+        return _state["m"]
 
     def _attempt(fn, label: str) -> tuple | None:
         """Maintenance runs on a timer NEXT TO live writers: losing a
@@ -232,6 +277,7 @@ def maintain_table(
                 "recluster",
             )
             if got is not None:
+                _state["dirty"] = True
                 actions.append(
                     {"action": "recluster", "version": got,
                      "depth_before": round(depth, 2),
@@ -240,8 +286,7 @@ def maintain_table(
 
     if (
         p["max_live_tombstones"] is not None
-        and table_metrics(base, small_file_rows=cutoff)["n_tombstones"]
-        > p["max_live_tombstones"]
+        and _measure()["n_tombstones"] > p["max_live_tombstones"]
     ):
         got = _attempt(
             lambda: materialize_tombstones(
@@ -250,13 +295,14 @@ def maintain_table(
             "materialize_tombstones",
         )
         if got is not None:
+            _state["dirty"] = True
             actions.append(
                 {"action": "materialize_tombstones", "version": got[0],
                  "files_rewritten": got[1]}
             )
 
     if p["max_small_files"] is not None:
-        m = table_metrics(base, small_file_rows=cutoff)
+        m = _measure()
         if m["n_small_files"] > p["max_small_files"]:
             got = _attempt(
                 lambda: optimize_small_files(
@@ -267,6 +313,7 @@ def maintain_table(
                 "optimize_small_files",
             )
             if got is not None and got[1]:
+                _state["dirty"] = True
                 actions.append(
                     {"action": "optimize_small_files", "version": got[0],
                      "files_compacted": got[1]}
@@ -276,20 +323,21 @@ def maintain_table(
         dropped = vacuum_versions(base, keep_last=p["vacuum_keep_last"])
         orphans = vacuum_orphans(base)
         if dropped or orphans:
+            _state["dirty"] = True
             actions.append(
                 {"action": "vacuum", "versions_dropped": len(dropped),
                  "orphans_removed": len(orphans)}
             )
 
     if p["max_log_tail"] is not None:
-        m = table_metrics(base, small_file_rows=cutoff)
-        if m["log_tail"] > p["max_log_tail"]:
+        if _measure()["log_tail"] > p["max_log_tail"]:
             tip = _read_log(base)[-1]["version"]
             _write_checkpoint(base, tip)
+            _state["dirty"] = True
             actions.append({"action": "log_checkpoint", "version": tip})
 
     return {
         "before": before,
         "actions": actions,
-        "after": table_metrics(base, small_file_rows=cutoff),
+        "after": _measure(),
     }

@@ -209,10 +209,23 @@ def _write_checkpoint(base: str, version: int) -> None:
     deterministic name races with nobody; entries past ``version``
     (a faster concurrent writer) are excluded so the tail-read in
     :func:`_read_log` never double-counts.  Best-effort by design —
-    a failed checkpoint costs reads nothing but speed."""
+    a failed checkpoint costs reads nothing but speed.
+
+    Every entry is RE-STATTED against its commit file before inclusion:
+    a concurrent ``vacuum_versions`` may have dropped old versions (and
+    rmtree'd their data dirs) between this writer's ``_read_log`` and
+    the checkpoint PUT — rolling those entries up would resurrect
+    versions whose snapshots no longer exist, and a later ``_read_log``
+    would serve readers dangling directories (ADVICE r7).  The re-stat
+    narrows the race to microseconds; vacuum's delete order (checkpoints
+    first, then commit files) covers the remainder: a checkpoint written
+    from a stale log after a full vacuum pass contains only entries
+    whose commit files survived it."""
     try:
         entries = [
-            e for e in _read_log(base) if e["version"] <= version
+            e for e in _read_log(base)
+            if e["version"] <= version
+            and os.path.exists(_commit_path(base, e["version"]))
         ]
         get_fs().put_if_absent(
             _ckpt_path(base, version),
@@ -1344,7 +1357,18 @@ def purge_versioned_mor(
     back to zero.  Tombstone keys are logical names (applied after
     column mapping); underscore-prefixed sidecar dirs are invisible to
     the parquet scan.  Returns ``(version, n_deleted)``; a no-match
-    delete commits nothing."""
+    delete commits nothing.
+
+    NULL delete keys are REJECTED (ValueError): a tombstone is matched
+    by equality joins (Spark side) and hash probes (the Python DS
+    reader's ``is_in``/``MultiIndex`` mask), and NULL equals nothing
+    under SQL semantics — a NULL-keyed tombstone would silently delete
+    zero rows while appearing committed (and the same is true of
+    :func:`purge_versioned`'s anti-join).  Delete null-keyed rows by
+    committing the filtered frame: ``write_version(read_version(...)
+    .filter(col(k).isNotNull()), base)`` (ADVICE r7: the two read
+    paths previously DISAGREED on null-key tombstones; rejection makes
+    the question unreachable)."""
     keys = list(keys)
     cur = _current(base)
     if cur is None:
@@ -1352,6 +1376,16 @@ def purge_versioned_mor(
     parent_dir = os.path.join(base, cur["dir"])
     target = _read_snapshot(spark, base, cur)
     dk = delete_keys.select(*keys).distinct().localCheckpoint()
+    null_pred = reduce(
+        lambda a, b: a | b, [F.col(k).isNull() for k in keys]
+    )
+    if dk.filter(null_pred).limit(1).count():
+        raise ValueError(
+            "purge_versioned_mor: delete_keys contains NULL key "
+            "values — NULL never matches an equality tombstone "
+            "(SQL semantics), so the delete would silently no-op; "
+            "commit the filtered frame via write_version instead"
+        )
     n_deleted = target.join(F.broadcast(dk), on=keys, how="left_semi").count()
     if n_deleted == 0:
         return cur["version"], 0
