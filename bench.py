@@ -339,6 +339,9 @@ BENCH_QUERIES = [
     # round-7: DS-API Arrow decode path isolated from the q295 gate's
     # table-build lifecycle
     "q295_lake_datasource_op",
+    # round-8: DS-API Arrow ENCODE path (the DataSourceArrowWriter
+    # swap) isolated from the q297 gate's MOR/read lifecycle
+    "q297_ds_writer_op",
 ]
 
 #: queries whose recorded numbers have drifted under bench-VM scheduling

@@ -204,11 +204,16 @@ def test_ds_writer_commit_on_object_store(spark, tmp_path):
     base = str(tmp_path / "lake")
     with object_store(tmp_path) as fs:
         write_version(_df(spark, [(1, "a")]), base)
+        import pyarrow as pa
+
         schema = read_version(spark, base).schema
         writer = VersionedLakeWriter(
             {"path": base}, schema, overwrite=False
         )
-        msg = writer.write(iter([(2, "b")]))
+        msg = writer.write(
+            iter([pa.record_batch({"id": pa.array([2], pa.int32()),
+                                   "v": pa.array(["b"])})])
+        )
         writer.commit([msg])
         assert rows(read_version(spark, base)) == [(1, "a"), (2, "b")]
         assert fs.n_copies > 0

@@ -179,9 +179,14 @@ def test_ds_writer_lost_race_cleans_snapshot_dir(spark, tmp_path):
     write_version(
         spark.createDataFrame([(1, "a")], "id int, v string"), base
     )
+    import pyarrow as pa
+
     schema = read_version(spark, base).schema
     writer = VersionedLakeWriter({"path": base}, schema, overwrite=False)
-    msg = writer.write(iter([(2, "b")]))
+    msg = writer.write(
+        iter([pa.record_batch({"id": pa.array([2], pa.int32()),
+                               "v": pa.array(["b"])})])
+    )
 
     v1_dir = _read_log(base)[-1]["dir"]
 

@@ -280,6 +280,67 @@ def test_maintain_table_measures_once_when_idle(
     assert calls["n"] == 1  # one measurement feeds before/checks/after
 
 
+# --- VERDICT #2: Arrow-batch DS writer ------------------------------------
+
+
+def test_ds_writer_is_arrow_batch_path(spark, tmp_path):
+    """The DS-API writer receives ``pyarrow.RecordBatch``es (the
+    ``DataSourceArrowWriter`` contract) and stages them columnar —
+    renamed to physical names, cast to the table's types — with no
+    Python row objects; and the end-to-end
+    ``df.write.format("versioned")`` path commits through it."""
+    pytest.importorskip("pyspark.sql.datasource")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.datasource import DataSourceArrowWriter
+
+    from etl_opensky_spark.sources.lakesource import (
+        VersionedLakeWriter,
+        register_versioned_source,
+    )
+    from etl_opensky_spark.sources.versioned import (
+        read_version,
+        rename_column,
+        write_version,
+    )
+
+    assert issubclass(VersionedLakeWriter, DataSourceArrowWriter)
+    base = str(tmp_path / "lake")
+    write_version(
+        spark.createDataFrame([(1, 10.0)], "id int, score double"), base
+    )
+    rename_column(spark, base, {"score": "quality"})  # physical: score
+    schema = read_version(spark, base).schema
+    w = VersionedLakeWriter({"path": base}, schema, overwrite=False)
+    batch = pa.record_batch(
+        {
+            "id": pa.array([2, 3], pa.int64()),     # needs int32 cast
+            "quality": pa.array([20.0, 30.0]),       # logical name
+        }
+    )
+    msg = w.write(iter([batch]))
+    assert msg.rows == 2
+    staged = pq.read_table(msg.path)
+    # frozen PHYSICAL column name + exact table types on disk
+    assert staged.column_names == ["id", "score"]
+    assert staged.schema.field("id").type == pa.int32()
+    w.commit([msg])
+    got = {tuple(r) for r in read_version(spark, base).collect()}
+    assert got == {(1, 10.0), (2, 20.0), (3, 30.0)}
+    # per-row input is a type error by construction, not silently slow
+    with pytest.raises(AttributeError):
+        VersionedLakeWriter(
+            {"path": base}, schema, overwrite=False
+        ).write(iter([(4, 40.0)]))
+
+    # end-to-end through the Spark write path
+    register_versioned_source(spark)
+    spark.createDataFrame([(4, 40.0)], "id int, quality double").write.format(
+        "versioned"
+    ).mode("append").save(base)
+    assert read_version(spark, base).count() == 4
+
+
 # --- VERDICT #5: content-atomic conditional PUT ---------------------------
 
 
