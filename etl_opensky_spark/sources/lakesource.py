@@ -47,14 +47,16 @@ from pyspark.sql.types import (
 from etl_opensky_spark.sources.versioned import (
     TOMB_SCOPE,
     ConcurrentCommitError,
+    _adopt_parent_files,
     _col_mapping,
     _commit,
+    _copy_sidecars,
     _current,
     _file_matches,
-    _link_tree,
+    _files_extra,
+    _live_files,
     _new_data_dir,
     _resolve,
-    _snapshot_files,
 )
 
 _HIVE_ESC = re.compile(r"%([0-9A-Fa-f]{2})")
@@ -299,10 +301,7 @@ try:  # pyspark >= 4.0
             self._entry = _resolve(
                 base, int(as_of) if as_of is not None else None
             )
-            snap_dir = os.path.join(base, self._entry["dir"])
-            self._files = sorted(
-                (rel, p) for (rel, _ino), p in _snapshot_files(snap_dir).items()
-            )
+            self._files = sorted(_live_files(base, self._entry).items())
             self._mapping = _col_mapping(self._entry)  # logical->physical
             self._tombstones = _read_tombstones(base, self._entry)
             self._ranges: dict[str, list] = {}
@@ -508,10 +507,9 @@ try:  # pyspark >= 4.0
 
                     import pyarrow.parquet as pq
 
-                    snap = os.path.join(base, cur["dir"])
-                    files = _snapshot_files(snap)
+                    files = _live_files(base, cur)
                     if any(
-                        "=" in rel.split("/")[0] for (rel, _i) in files
+                        "=" in rel.split("/")[0] for rel in files
                     ):
                         raise ValueError(
                             "versioned writer: hive-partitioned table — "
@@ -601,10 +599,14 @@ try:  # pyspark >= 4.0
                 name, data_dir = _new_data_dir(self._base)
                 os.makedirs(data_dir, exist_ok=True)
                 extra: dict = {}
+                from etl_opensky_spark.sources.fs import get_fs
+
+                files_out: dict = {}
                 if cur is not None and not self._overwrite:
-                    _link_tree(
-                        os.path.join(self._base, cur["dir"]), data_dir
+                    _adopt_parent_files(
+                        self._base, cur, data_dir, files_out
                     )
+                    _copy_sidecars(self._base, cur, data_dir)
                     for key in (
                         "schema_json", "column_mapping", "stats_cols",
                         "tombstones", "ingested_files",
@@ -614,12 +616,22 @@ try:  # pyspark >= 4.0
                 elif cur is not None and self._overwrite:
                     # layout + mapping reset, like write_version
                     pass
-                from etl_opensky_spark.sources.fs import get_fs
-
                 for src in staged:
+                    dst_name = os.path.basename(src)
                     get_fs().link_file(
-                        src, os.path.join(data_dir, os.path.basename(src))
+                        src, os.path.join(data_dir, dst_name)
                     )
+                    files_out[dst_name] = name
+                extra.update(
+                    _files_extra(
+                        files_out,
+                        materialized=cur is None
+                        or self._overwrite
+                        or not getattr(
+                            get_fs(), "zero_copy_clone", False
+                        ),
+                    )
+                )
                 if (
                     cur is not None
                     and not self._overwrite
@@ -690,20 +702,19 @@ try:  # pyspark >= 4.0
             # Built as DataType objects directly — schema() runs in a
             # planning process with NO SparkContext, so DDL parsing is
             # unavailable.
-            snap = os.path.join(base, entry["dir"])
-            files = sorted(_snapshot_files(snap).items())
+            files = sorted(_live_files(base, entry).items())
             if not files:
                 raise ValueError(
                     f"versioned source: empty snapshot at {base}"
                 )
-            (rel0, _ino), path0 = files[0]
+            rel0, path0 = files[0]
             rev = {p: l for l, p in _col_mapping(entry).items()}
             out = StructType()
             for f in pq.read_schema(path0):
                 out.add(rev.get(f.name, f.name), _arrow_to_spark(f.type),
                         True)
             part_cols: dict[str, bool] = {}
-            for (rel, _i), _p in files:
+            for rel, _p in files:
                 for c, v in _partition_values(rel).items():
                     digits = v.lstrip("-").isdigit()
                     part_cols[c] = part_cols.get(c, True) and digits

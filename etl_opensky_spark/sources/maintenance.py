@@ -48,8 +48,9 @@ from etl_opensky_spark.sources.versioned import (
     _col_mapping,
     _commits_dir,
     _current,
+    _entry_files,
+    _live_files,
     _read_log,
-    _snapshot_files,
     _write_checkpoint,
     compact_versioned,
     materialize_tombstones,
@@ -107,9 +108,7 @@ def clustering_depth(base: str, col: str) -> float | None:
         raise ValueError(f"no committed versions at {base}")
     stats = cur.get("stats") or {}
     phys = _col_mapping(cur).get(col, col)
-    rels = sorted(
-        rel for rel, _ino in _snapshot_files(os.path.join(base, cur["dir"]))
-    )
+    rels = sorted(_entry_files(base, cur))
     if len(rels) < 2:
         return None
     bounds = []
@@ -168,9 +167,9 @@ def table_metrics(base: str, small_file_rows: int = 500_000) -> dict:
     cur = _current(base)
     if cur is None:
         raise ValueError(f"no committed versions at {base}")
-    files = _snapshot_files(os.path.join(base, cur["dir"]))
+    files = _live_files(base, cur)
     n_small = 0
-    for (rel, _ino), path in files.items():
+    for rel, path in files.items():
         rows = _file_rows_from_stats(cur, rel)
         if rows is None:
             import pyarrow.parquet as pq
