@@ -321,6 +321,7 @@ BENCH_QUERIES = [
     "q298_maintain_table",
     "q299_clustering_maintenance",
     "q300_zero_copy_object_store",
+    "q301_timestamp_time_travel",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

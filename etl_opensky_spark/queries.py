@@ -14411,6 +14411,81 @@ FROM tip
 """
 
 
+def q301_timestamp_time_travel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TIMESTAMP AS OF gate (``versioned.version_at_timestamp`` /
+    ``read_version(as_of_timestamp=)`` — Delta's second time-travel
+    axis, round 8): commits stamp wall-clock ``ts`` into the log;
+    resolution takes the LATEST version whose monotonic-clamped commit
+    time is ``<= ts``.  The gate builds a 3-version lake (bulk write,
+    append, MOR delete), reads back at the recorded time of v2 —
+    exactly the pre-delete state — and at now() — the tip — and pins
+    both resolved version numbers alongside full content aggregates."""
+    import shutil
+    import time as _time
+
+    from etl_opensky_spark.sources.versioned import (
+        copy_into,
+        describe_history,
+        purge_versioned_mor,
+        read_version,
+        version_at_timestamp,
+        write_version,
+    )
+
+    base = _gate_tmp("q301_ts_travel", sf_dir)
+    landing = _gate_tmp("q301_ts_travel_landing", sf_dir)
+    for d in (base, landing):
+        shutil.rmtree(d, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), _dec("o_totalprice").alias("price")
+    )
+    write_version(orders.filter(F.col("k") % 2 == 0), base)
+    _time.sleep(0.02)  # distinct wall-clock ticks between commits
+    orders.filter(F.col("k") % 2 == 1).write.mode("overwrite").parquet(
+        landing
+    )
+    copy_into(spark, base, landing)
+    _time.sleep(0.02)
+    purge_versioned_mor(
+        spark, base, orders.filter(F.col("k") % 21 == 0).select("k"), ["k"]
+    )
+    ts_v2 = describe_history(base)[1]["ts"]
+    v_mid = version_at_timestamp(base, ts_v2)
+    v_tip = version_at_timestamp(base, _time.time())
+    mid = read_version(spark, base, as_of_timestamp=ts_v2)
+    tip = read_version(spark, base, as_of_timestamp=_time.time())
+    return (
+        mid.agg(
+            F.count("*").alias("n_mid"),
+            F.sum("k").alias("key_sum_mid"),
+        )
+        .crossJoin(
+            tip.agg(
+                F.count("*").alias("n_tip"),
+                F.sum("k").alias("key_sum_tip"),
+            )
+        )
+        .select(
+            "*",
+            F.lit(v_mid).alias("v_mid"),
+            F.lit(v_tip).alias("v_tip"),
+        )
+    )
+
+
+ORACLE_Q301 = """
+WITH src AS (SELECT o_orderkey AS k FROM orders)
+SELECT
+  (SELECT COUNT(*) FROM src) AS n_mid,
+  (SELECT SUM(k) FROM src) AS key_sum_mid,
+  (SELECT COUNT(*) FROM src WHERE k % 21 <> 0) AS n_tip,
+  (SELECT SUM(k) FROM src WHERE k % 21 <> 0) AS key_sum_tip,
+  2 AS v_mid, 3 AS v_tip
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -14711,6 +14786,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q298_maintain_table": q298_maintain_table,
     "q299_clustering_maintenance": q299_clustering_maintenance,
     "q300_zero_copy_object_store": q300_zero_copy_object_store,
+    "q301_timestamp_time_travel": q301_timestamp_time_travel,
 }
 
 ORACLES: dict[str, str] = {
@@ -15012,6 +15088,7 @@ ORACLES: dict[str, str] = {
     "q298_maintain_table": ORACLE_Q298,
     "q299_clustering_maintenance": ORACLE_Q299,
     "q300_zero_copy_object_store": ORACLE_Q300,
+    "q301_timestamp_time_travel": ORACLE_Q301,
 }
 
 

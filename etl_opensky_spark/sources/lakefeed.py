@@ -23,6 +23,10 @@ Usage::
     register_lakefeed_source(spark)
     stream = spark.readStream.format("lakefeed").load(feed_dir)
     # stream -> cdc_stream_sink / windowed aggs / dedup, as any stream
+
+``.option("maxCommitsPerBatch", n)`` bounds how many commit dirs one
+microbatch admits (the maxFilesPerTrigger analog — see latestOffset
+for the exact guarantee and its one API-imposed exception).
 """
 
 from __future__ import annotations
@@ -125,8 +129,26 @@ try:  # pyspark >= 4.0
                     "lakefeed: pass the feed directory via .load(dir)"
                 )
             self._path = path
+            raw = options.get("maxCommitsPerBatch")
+            self._max = int(raw) if raw is not None else None
+            if self._max is not None and self._max < 1:
+                raise ValueError(
+                    "lakefeed: maxCommitsPerBatch must be >= 1"
+                )
+            #: highest offset this reader has admitted or seen
+            #: planned — the base the NEXT capped batch advances from.
+            #: None until the first latestOffset/partitions call of
+            #: this run reveals it.
+            self._last: int | None = None
+
+        def _trace(self, msg: str) -> None:
+            log = os.environ.get("LAKEFEED_TRACE")
+            if log:
+                with open(log, "a") as fh:
+                    fh.write(f"pid={os.getpid()} id={id(self)} {msg}\n")
 
         def initialOffset(self) -> dict:
+            self._trace("initialOffset")
             return {"version": 0}
 
         def latestOffset(self) -> dict:
@@ -150,10 +172,45 @@ try:  # pyspark >= 4.0
             pub, unpub = _scan_commit_dirs(self._path)
             cap = unpub[0] - 1 if unpub else None
             safe = [v for v in pub if cap is None or v <= cap]
-            return {"version": safe[-1] if safe else 0}
+            latest = safe[-1] if safe else 0
+            if self._max is None:
+                self._trace(f"latestOffset(uncapped) -> {latest}")
+                return {"version": latest}
+            # ADMISSION CONTROL (maxCommitsPerBatch, the
+            # maxFilesPerTrigger analog): a burst of published
+            # commits — materialize_change_feed draining a long table
+            # backlog publishes them all between two triggers — must
+            # not become ONE microbatch: at a 100 TB lake's feed that
+            # batch is unboundedly large and a single failure retries
+            # all of it.  The Python DS API gives latestOffset no
+            # start offset (unlike Scala's SupportsAdmissionControl
+            # ``latestOffset(start, limit)``), so the base is tracked
+            # on the reader: offsets this run already admitted or saw
+            # planned (``partitions`` — a restart that replays the
+            # last batch reveals the base before any latestOffset).
+            # The VERY FIRST latestOffset of a run, base unknown,
+            # must return the true latest UNCAPPED: any smaller value
+            # could sit below the (unknowable) checkpointed offset,
+            # and a backward offset in the log would re-emit every
+            # version between them as duplicates on the next batch.
+            # Engine probes of latestOffset within one trigger are
+            # idempotent — the base advances only when ``partitions``
+            # plans a batch.
+            if self._last is None:
+                self._last = latest
+                self._trace(f"latestOffset(first, uncapped) -> {latest}")
+                return {"version": latest}
+            base = self._last
+            pending = [v for v in safe if v > base]
+            out = pending[: self._max][-1] if pending else base
+            self._trace(f"latestOffset(capped) base={base} -> {out}")
+            return {"version": out}
 
         def partitions(self, start: dict, end: dict):
             lo, hi = int(start["version"]), int(end["version"])
+            self._trace(f"partitions({lo},{hi})")
+            if self._max is not None:
+                self._last = max(self._last or 0, lo, hi)
             parts = [
                 _CommitPartition(os.path.join(self._path, f"commit={v}"), v)
                 for v in _commit_versions(self._path)

@@ -48,6 +48,7 @@ import json
 import os
 import re
 import shutil
+import time
 import uuid
 from collections.abc import Sequence
 from functools import reduce
@@ -187,7 +188,7 @@ def _commit(
     if hook is not None:
         hook()
     doc = {"version": version, "dir": data_dir_name, "op": op,
-           "parent": version - 1}
+           "parent": version - 1, "ts": time.time()}
     if extra:
         doc.update(extra)
     payload = json.dumps(doc)
@@ -853,6 +854,53 @@ def _resolve(base: str, as_of: int | None) -> dict:
     return log[versions.index(as_of)]
 
 
+def _commit_ts(base: str, entry: dict) -> float | None:
+    """Effective commit timestamp of one log entry: the ``ts`` the
+    commit recorded, else (pre-r8 commits) the commit FILE's mtime —
+    the same fallback Delta uses for tables without in-commit
+    timestamps.  ``None`` when neither exists (a vacuumed legacy commit
+    surviving only inside a checkpoint roll-up has no commit file left
+    to stat)."""
+    ts = entry.get("ts")
+    if ts is not None:
+        return float(ts)
+    try:
+        return os.path.getmtime(_commit_path(base, entry["version"]))
+    except OSError:
+        return None
+
+
+def version_at_timestamp(base: str, ts: float) -> int:
+    """TIMESTAMP AS OF resolution: the LATEST committed version whose
+    effective commit time is ``<= ts`` (epoch seconds).  Commit times
+    are made MONOTONIC over the log first (each entry's effective time
+    is clamped up to its parent's — Delta's exact adjustment, since
+    wall clocks across writers can regress); a ``ts`` earlier than the
+    first resolvable commit raises, matching Delta's
+    ``TimestampEarlierThanCommitRetention``.  Compose with any
+    version-taking API: ``read_version(spark, base,
+    as_of=version_at_timestamp(base, ts))``."""
+    log = _read_log(base)
+    if not log:
+        raise ValueError(f"no committed versions at {base}")
+    best = None
+    running = None
+    for entry in log:
+        t = _commit_ts(base, entry)
+        if t is None:
+            continue
+        running = t if running is None else max(running, t)
+        if running <= ts:
+            best = entry["version"]
+    if best is None:
+        raise ValueError(
+            f"timestamp {ts} precedes the first resolvable commit at "
+            f"{base} — earliest is "
+            f"{next((_commit_ts(base, e) for e in log), None)}"
+        )
+    return best
+
+
 def _reader(spark: SparkSession, entry: dict):
     """Parquet reader for one snapshot, honoring a schema recorded in
     the commit (schema evolution): a merge that ADDED columns hardlinks
@@ -1109,10 +1157,13 @@ def read_version(
     base: str,
     as_of: int | None = None,
     where: dict | None = None,
+    as_of_timestamp: float | None = None,
 ) -> DataFrame:
-    """Snapshot read: the current version, or time-travel to ``as_of``.
-    Resolves the log once — the returned DataFrame is pinned to one
-    immutable directory regardless of later commits.
+    """Snapshot read: the current version, or time-travel to ``as_of``
+    (VERSION AS OF) / ``as_of_timestamp`` (TIMESTAMP AS OF, epoch
+    seconds — resolved via :func:`version_at_timestamp`; exclusive with
+    ``as_of``).  Resolves the log once — the returned DataFrame is
+    pinned to one immutable directory regardless of later commits.
 
     ``where`` (``{col: (lo, hi)}``, either bound None) applies MANIFEST
     data skipping: only files whose recorded footer-stat range can
@@ -1123,6 +1174,12 @@ def read_version(
     selective and the layout is clustered (pair with
     ``repartitionByRange`` or the z-order writer in
     ``operators.layout``)."""
+    if as_of_timestamp is not None:
+        if as_of is not None:
+            raise ValueError(
+                "read_version: as_of and as_of_timestamp are exclusive"
+            )
+        as_of = version_at_timestamp(base, as_of_timestamp)
     entry = _resolve(base, as_of)
     if not where:
         return _read_snapshot(spark, base, entry)
@@ -1153,6 +1210,7 @@ def describe_history(base: str) -> list[dict]:
                 "has_mapping": bool(c.get("column_mapping")),
                 "has_stats": "stats" in c,
                 "dir": c["dir"],
+                "ts": _commit_ts(base, c),
             }
         )
     return out
