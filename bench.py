@@ -322,6 +322,7 @@ BENCH_QUERIES = [
     "q299_clustering_maintenance",
     "q300_zero_copy_object_store",
     "q301_timestamp_time_travel",
+    "q302_positional_delete",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)
@@ -384,6 +385,14 @@ def main() -> None:
     spark = get_spark("bench")
     # warm up the JVM + parquet footer caches with a trivial action
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # q215_incremental_dedup_op measures the PER-BATCH probe (its
+    # whole point: the index build is one-time, amortized across every
+    # batch).  Its persisted index lives in the gate tmp dir, so on a
+    # fresh machine the first sweep would otherwise fold the ~6 s
+    # build into the probe number and read as a phantom 3× regression
+    # round-over-round (observed r7→r8).  Build it UNTIMED here; the
+    # op's own "build if missing" guard then never fires in the sweep.
+    catalog["q215_incremental_dedup_op"](spark, sf_dir)
 
     # a single failing query must never kill the whole bench — record the
     # error, keep timing the rest, and ALWAYS emit the final JSON line

@@ -1489,10 +1489,17 @@ def build_dedup_index(
     """Persist the corpus's LSH band index — built ONCE, reused by
     every incoming batch (``dedup_batch_against_index``).  At 100 TB
     this is the difference between re-scanning the corpus per daily
-    batch and touching only index rows + candidate documents."""
-    md5_minhash_bands(corpus, id_col, text_col, **band_params).write.mode(
-        "overwrite"
-    ).parquet(path)
+    batch and touching only index rows + candidate documents.
+
+    The index lands HASH-DISTRIBUTED on ``(band, bh)`` across the
+    session's parallelism: one parquet file is ONE streamed partition
+    at read time, so an AQE-coalesced tiny build would otherwise
+    serialize every future probe join onto a single task (measured 2×
+    on the whole probe at sf0.1 — the r8 bench regression)."""
+    n = corpus.sparkSession.sparkContext.defaultParallelism
+    md5_minhash_bands(corpus, id_col, text_col, **band_params).repartition(
+        n, "band", "bh"
+    ).write.mode("overwrite").parquet(path)
 
 
 def append_to_dedup_index(
@@ -1544,6 +1551,14 @@ def dedup_batch_against_index(
     from etl_opensky_spark.functions.text import word_shingles
 
     idx = spark.read.parquet(index_path)
+    # defensive parallelism: an index written by an older build (or a
+    # tiny AQE-coalesced one) may be a single parquet file — a single
+    # streamed partition that would serialize the probe join onto one
+    # task.  Re-spreading a small index is ~free; large indexes always
+    # arrive multi-file and skip this.
+    par = spark.sparkContext.defaultParallelism
+    if idx.rdd.getNumPartitions() < max(2, par // 4):
+        idx = idx.repartition(par, "band", "bh")
     probes = md5_minhash_bands(
         batch, id_col, text_col, shingle_n=shingle_n, **band_params
     )

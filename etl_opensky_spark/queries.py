@@ -14486,6 +14486,72 @@ SELECT
 """
 
 
+def q302_positional_delete(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """POSITIONAL DELETION VECTOR gate (``versioned.delete_where`` —
+    Delta DV / Iceberg position-delete semantics, round 8): predicate
+    MOR deletes recording ``(file, row_index)`` sidecars, NO key
+    columns needed.  The gate exercises the capability keyed
+    tombstones cannot provide — deleting NULL-valued rows
+    (``purge_versioned_mor`` rejects NULL keys: equality never matches
+    them) — stacks a second predicate delete, REORGs the deletes away
+    (rewriting only sidecar-named files), and replays tip + v1 content
+    with the commit-op trail pinned."""
+    import shutil
+
+    from etl_opensky_spark.sources.versioned import (
+        _read_log,
+        delete_where,
+        materialize_tombstones,
+        read_version,
+        write_version,
+    )
+
+    base = _gate_tmp("q302_posdel", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        _dec("o_totalprice").alias("price"),
+        F.nullif(F.col("o_orderkey") % 13, F.lit(0)).alias("bucket"),
+    )
+    write_version(orders.repartition(4), base)
+    delete_where(spark, base, F.col("bucket").isNull())
+    delete_where(spark, base, "k % 50 = 3")
+    materialize_tombstones(spark, base)
+    tip_entry = _read_log(base)[-1]
+    ops = ",".join(e["op"] for e in _read_log(base))
+    n_tombs = len(tip_entry.get("tombstones") or [])
+    n_v1 = read_version(spark, base, as_of=1).count()
+    tip = read_version(spark, base)
+    return tip.agg(
+        F.count("*").alias("n"),
+        F.sum("k").alias("key_sum"),
+        F.sum("price").cast("double").alias("price_total"),
+    ).select(
+        "*",
+        F.lit(n_v1).alias("n_v1"),
+        F.lit(ops).alias("ops"),
+        F.lit(n_tombs).alias("n_tombs_tip"),
+    )
+
+
+ORACLE_Q302 = """
+WITH src AS (
+  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders
+), tip AS (
+  SELECT * FROM src WHERE k % 13 <> 0 AND k % 50 <> 3
+)
+SELECT COUNT(*) AS n, SUM(k) AS key_sum,
+  CAST(SUM(price) AS DOUBLE) AS price_total,
+  (SELECT COUNT(*) FROM src) AS n_v1,
+  'write,delete_where,delete_where,reorg' AS ops,
+  0 AS n_tombs_tip
+FROM tip
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -14787,6 +14853,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q299_clustering_maintenance": q299_clustering_maintenance,
     "q300_zero_copy_object_store": q300_zero_copy_object_store,
     "q301_timestamp_time_travel": q301_timestamp_time_travel,
+    "q302_positional_delete": q302_positional_delete,
 }
 
 ORACLES: dict[str, str] = {
@@ -15089,6 +15156,7 @@ ORACLES: dict[str, str] = {
     "q299_clustering_maintenance": ORACLE_Q299,
     "q300_zero_copy_object_store": ORACLE_Q300,
     "q301_timestamp_time_travel": ORACLE_Q301,
+    "q302_positional_delete": ORACLE_Q302,
 }
 
 

@@ -138,6 +138,19 @@ def _read_tombstones(base: str, entry: dict) -> list[dict]:
     for t in entry.get("tombstones") or []:
         tdir = os.path.join(base, entry["dir"], t["dir"])
         table = pq.read_table(tdir)
+        if t.get("kind") == "pos":
+            # positional deletion vector: {URI-quoted rel -> positions}
+            # (delete_where stores the scan-side quoted form; read()
+            # quotes the manifest rel before probing).  Loaded driver-
+            # side like every sidecar here — the JVM path is the scale
+            # route for huge DELETEs.
+            rels = table.column(0).to_pylist()
+            poss = table.column(1).to_pylist()
+            by_rel: dict[str, set] = {}
+            for r, p in zip(rels, poss):
+                by_rel.setdefault(r, set()).add(p)
+            out.append({"kind": "pos", "pos_by_rel": by_rel})
+            continue
         keys = set(zip(*(c.to_pylist() for c in table.columns)))
         scope = None
         if t.get("scoped"):
@@ -167,6 +180,14 @@ def _tomb_dead_mask(table, live: list[dict]):
 
     dead = np.zeros(table.num_rows, dtype=bool)
     for t in live:
+        if t.get("kind") == "pos":
+            # positional: t carries the THIS-FILE position set already
+            # (resolved by the caller); row i of the fully-read file IS
+            # row_index i
+            idx = [p for p in t["positions"] if 0 <= p < table.num_rows]
+            if idx:
+                dead[idx] = True
+            continue
         kcols = t["key_cols"]
         if not t["keys"]:
             continue
@@ -430,10 +451,24 @@ try:  # pyspark >= 4.0
                     # schema evolution: file predates the column
                     arrays.append(pa.nulls(n, type=atype))
             out = pa.table(arrays, names=names).cast(pa.schema(target))
-            live = [
-                t for t in self._tombstones
-                if t["scope"] is None or partition.rel in t["scope"]
-            ]
+            live = []
+            qrel = None
+            for t in self._tombstones:
+                if t.get("kind") == "pos":
+                    if qrel is None:
+                        from etl_opensky_spark.sources.versioned import (
+                            _hadoop_uri_quote,
+                        )
+
+                        qrel = _hadoop_uri_quote(partition.rel)
+                    positions = t["pos_by_rel"].get(qrel)
+                    if positions:
+                        live.append(
+                            {"kind": "pos", "positions": positions}
+                        )
+                    continue
+                if t["scope"] is None or partition.rel in t["scope"]:
+                    live.append(t)
             if live:
                 dead = _tomb_dead_mask(out, live)
                 if dead is not None:

@@ -934,6 +934,17 @@ def _reader(spark: SparkSession, entry: dict):
 #: engine-internal file-provenance column used to scope tombstones to
 #: the files that existed at delete time; never visible to callers
 _REL_COL = "_vtomb_rel__"
+#: engine-internal row-position column (``_metadata.row_index``) used
+#: by POSITIONAL deletion vectors (:func:`delete_where`); with
+#: :data:`_REL_COL` it identifies one physical row forever (rel paths
+#: embed a uuid filename and never collide across origins)
+_POS_COL = "_vtomb_pos__"
+
+
+def _is_pos_tomb(t: dict) -> bool:
+    """True for POSITIONAL deletion-vector sidecars (``kind: "pos"``,
+    columns ``(rel, pos)``); False for keyed MOR tombstones."""
+    return t.get("kind") == "pos"
 #: name of the hidden JSON file inside a tombstone sidecar dir listing
 #: the snapshot-relative data-file paths the delete applies to
 #: (underscore prefix keeps it invisible to the parquet scan; it
@@ -996,12 +1007,35 @@ def _tomb_scope_files(base: str, entry: dict, t: dict) -> list[str]:
         return [_hadoop_uri_quote(p) for p in json.load(fh)]
 
 
+def _sidecar_bytes(base: str, entry: dict, t: dict) -> int:
+    """Total parquet bytes of one sidecar dir — the broadcast-or-not
+    signal for positional deletes (key tombstones are small by design;
+    a positional sidecar grows with the DELETE's row count)."""
+    tdir = os.path.join(base, entry["dir"], t["dir"])
+    total = 0
+    try:
+        for fn in os.listdir(tdir):
+            if fn.endswith(".parquet") and not fn.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(tdir, fn))
+    except OSError:
+        pass
+    return total
+
+
+#: positional-delete sidecars up to this many bytes broadcast into the
+#: read's anti-join; larger ones fall back to a shuffled anti-join
+#: (Catalyst's choice) so a huge DELETE can never OOM the executors'
+#: broadcast buffers
+_POS_BROADCAST_MAX_BYTES = 32 * 1024 * 1024
+
+
 def _apply_tombstones(
     spark: SparkSession,
     base: str,
     entry: dict,
     df: DataFrame,
     physical: bool = False,
+    keep_provenance: bool = False,
 ) -> DataFrame:
     """Merge-on-read DELETE: remove every (key, file) the snapshot's
     tombstone sidecars record (``purge_versioned_mor``).  Applied AFTER
@@ -1027,6 +1061,31 @@ def _apply_tombstones(
     with a match-any-file marker."""
     tombs = entry.get("tombstones") or []
     if not tombs:
+        return df
+    pos_tombs = [t for t in tombs if _is_pos_tomb(t)]
+    key_tombs = [t for t in tombs if not _is_pos_tomb(t)]
+    # POSITIONAL deletion vectors: every pos sidecar unions into ONE
+    # (rel, pos) frame and ONE anti-join kills exactly the recorded
+    # physical rows — inherently file-scoped (rel paths are immutable
+    # identities), so re-inserted equal rows in later files stay
+    # visible without any scope machinery.  Broadcast when the union
+    # is provably small (sidecar bytes), else let Catalyst shuffle.
+    if pos_tombs:
+        pos_frames = [
+            spark.read.parquet(
+                os.path.join(base, entry["dir"], t["dir"])
+            ).toDF(_REL_COL, _POS_COL)
+            for t in pos_tombs
+        ]
+        pos_all = reduce(DataFrame.unionByName, pos_frames)
+        total = sum(_sidecar_bytes(base, entry, t) for t in pos_tombs)
+        if total <= _POS_BROADCAST_MAX_BYTES:
+            pos_all = F.broadcast(pos_all)
+        df = df.join(pos_all, on=[_REL_COL, _POS_COL], how="left_anti")
+    tombs = key_tombs
+    if not tombs:
+        if not keep_provenance:
+            df = df.drop(_REL_COL, _POS_COL)
         return df
     scoped_any = any(t.get("scoped") for t in tombs)
     mapping = _col_mapping(entry) if physical else {}
@@ -1084,8 +1143,8 @@ def _apply_tombstones(
         df = df.filter(~F.coalesce(dead, F.lit(False))).drop(
             "_vtomb_ids__", "_vtomb_any__", "_vtomb_fids__"
         )
-    if scoped_any:
-        df = df.drop(_REL_COL)
+    if not keep_provenance:
+        df = df.drop(_REL_COL, _POS_COL)  # no-op when never attached
     return df
 
 
@@ -1094,6 +1153,7 @@ def _open_snapshot(
     base: str,
     entry: dict,
     rels: list[str] | None = None,
+    provenance: bool = False,
 ) -> DataFrame:
     """The one snapshot-open path: scan (optionally an explicit
     snapshot-relative file subset), attach file provenance when any
@@ -1134,17 +1194,25 @@ def _open_snapshot(
         if not frames:  # empty manifest: read the (empty) own dir
             frames.append(r.parquet(data_dir))
     tombs = entry.get("tombstones") or []
+    has_pos = any(_is_pos_tomb(t) for t in tombs)
     keep: list[str] = []
-    if any(t.get("scoped") for t in tombs):
+    if provenance or has_pos or any(t.get("scoped") for t in tombs):
         # _metadata resolves only on the scan node — materialize the
-        # provenance column on EACH scan before any union/projection
+        # provenance columns on EACH scan before any union/projection
         frames = [
             f.withColumn(_REL_COL, _rel_path_col(entry)) for f in frames
         ]
         keep = [_REL_COL]
+    if provenance or has_pos:
+        frames = [
+            f.withColumn(_POS_COL, F.col("_metadata.row_index"))
+            for f in frames
+        ]
+        keep.append(_POS_COL)
     df = reduce(DataFrame.unionByName, frames)
     return _apply_tombstones(
-        spark, base, entry, _apply_mapping(df, entry, keep=keep)
+        spark, base, entry, _apply_mapping(df, entry, keep=keep),
+        keep_provenance=provenance,
     )
 
 
@@ -1808,6 +1876,94 @@ def purge_versioned_mor(
     return version, n_deleted
 
 
+def delete_where(
+    spark: SparkSession,
+    base: str,
+    condition,
+    user_meta: dict | None = None,
+) -> tuple[int, int]:
+    """Predicate DELETE as a POSITIONAL deletion vector (Delta DV /
+    Iceberg position-delete semantics): the commit records the
+    ``(file, row_index)`` of every LIVE row matching ``condition`` in
+    a hidden sidecar — no key columns required, exact row INSTANCES
+    die (duplicates of an un-matched row survive), and commit cost is
+    O(matched rows + #files metadata), never a data rewrite.
+
+    ``condition`` is a ``pyspark.sql.Column`` or SQL string over the
+    snapshot's LOGICAL columns (hive-partition columns included —
+    unlike keyed tombstones, positions need no key columns inside the
+    data files, so partition-column predicates materialize fine under
+    REORG).  Readers apply ALL stacked positional sidecars as ONE
+    anti-join on ``(rel, pos)`` (broadcast while the union is small,
+    shuffled above :data:`_POS_BROADCAST_MAX_BYTES`); positions are
+    inherently file-scoped, so rows appended by later commits can
+    never be shadowed.  ``compact_versioned`` materializes the
+    deletes away; :func:`materialize_tombstones` rewrites exactly the
+    files the sidecars name.  Returns ``(version, n_deleted)``; a
+    no-match delete commits nothing.
+
+    The ``rel`` stored in the sidecar is the URI-quoted form surfaced
+    by ``_metadata.file_path`` (see :func:`_hadoop_uri_quote`) — both
+    join sides derive from the same scan column, and driver-side
+    consumers quote manifest rels before comparing."""
+    cur = _current(base)
+    if cur is None:
+        raise ValueError(f"no committed versions at {base}")
+    cond = condition if not isinstance(condition, str) else F.expr(
+        condition
+    )
+    live = _open_snapshot(spark, base, cur, provenance=True)
+    hits = (
+        live.filter(cond)
+        .select(
+            F.col(_REL_COL).alias("rel"),
+            F.col(_POS_COL).alias("pos"),
+        )
+        .localCheckpoint()
+    )
+    n_deleted = hits.count()
+    if n_deleted == 0:
+        return cur["version"], 0
+    version = cur["version"] + 1
+    name, data_dir = _new_data_dir(base)
+    try:
+        os.makedirs(data_dir, exist_ok=True)
+        files_out: dict = {}
+        _adopt_parent_files(base, cur, data_dir, files_out)
+        _copy_sidecars(base, cur, data_dir)
+        tomb_name = f"_posdel-{uuid.uuid4().hex[:12]}"
+        # ~10M (rel, pos) pairs per sidecar file: tiny deletes get one
+        # file, huge ones stay parallel end-to-end
+        n_files = max(1, -(-n_deleted // 10_000_000))
+        hits.repartition(n_files).write.mode("errorifexists").parquet(
+            os.path.join(data_dir, tomb_name)
+        )
+        tombs = list(cur.get("tombstones") or [])
+        tombs.append({"dir": tomb_name, "kind": "pos", "scoped": True})
+        extra: dict = {"tombstones": tombs}
+        extra.update(
+            _files_extra(
+                files_out,
+                materialized=not getattr(
+                    get_fs(), "zero_copy_clone", False
+                ),
+            )
+        )
+        for key in (
+            "schema_json", "column_mapping", "stats_cols", "stats",
+            "constraints", "ingested_files", "identity",
+        ):
+            if cur.get(key) is not None and key in cur:
+                extra[key] = cur[key]
+        if user_meta is not None:
+            extra["user_meta"] = dict(user_meta)
+        _commit(base, version, name, "delete_where", extra=extra)
+    except ConcurrentCommitError:
+        shutil.rmtree(data_dir, ignore_errors=True)
+        raise
+    return version, n_deleted
+
+
 def compact_versioned(
     spark: SparkSession,
     base: str,
@@ -2033,6 +2189,8 @@ def optimize_small_files(
             tombs = cur.get("tombstones") or []
             mapping_ = _col_mapping(cur)
             for t in tombs:
+                if _is_pos_tomb(t):
+                    continue  # positional: joins on (rel, pos) only
                 missing = [
                     k for k in t["keys"]
                     if mapping_.get(k, k) not in raw.columns
@@ -2044,13 +2202,16 @@ def optimize_small_files(
                         "the data files) — the raw rewrite cannot apply "
                         "them; run compact_versioned instead"
                     )
-            if any(t.get("scoped") for t in tombs):
+            has_pos_ = any(_is_pos_tomb(t) for t in tombs)
+            if has_pos_ or any(t.get("scoped") for t in tombs):
                 raw = raw.withColumn(_REL_COL, _rel_path_col(cur))
+            if has_pos_:
+                raw = raw.withColumn(
+                    _POS_COL, F.col("_metadata.row_index")
+                )
             purged = _apply_tombstones(
                 spark, base, cur, raw, physical=True
             )
-            if any(t.get("scoped") for t in tombs):
-                purged = purged.drop(_REL_COL)
             total = purged.count()
             n_files = max(1, -(-total // target_rows_per_file))
             out = os.path.join(staging, part_dir) if part_dir else staging
@@ -2234,6 +2395,21 @@ def materialize_tombstones(
 
     cand: set[str] = set()
     for t in tombs:
+        if _is_pos_tomb(t):
+            # positional sidecars NAME their files outright: the
+            # distinct rel values (URI-quoted scan form) intersected
+            # with the live manifest (raw form) are exactly the
+            # rewrite set — no stats pruning needed, it is exact
+            qrels = {_hadoop_uri_quote(r): r for r in rels}
+            side = os.path.join(snap_dir, t["dir"])
+            for row in (
+                spark.read.parquet(side).toDF("rel", "pos")
+                .select("rel").distinct().collect()
+            ):
+                raw_rel = qrels.get(row["rel"])
+                if raw_rel is not None:
+                    cand.add(raw_rel)
+            continue
         names = [mapping_.get(k, k) for k in t["keys"]]
         trels = rels
         if t.get("scoped"):
@@ -2311,6 +2487,7 @@ def materialize_tombstones(
             missing = [
                 mapping_.get(k, k)
                 for t in tombs
+                if not _is_pos_tomb(t)
                 for k in t["keys"]
                 if mapping_.get(k, k) not in raw.columns
             ]
@@ -2321,8 +2498,13 @@ def materialize_tombstones(
                     "(not in the data files) — run compact_versioned "
                     "instead"
                 )
-            if any(t.get("scoped") for t in tombs):
+            has_pos_ = any(_is_pos_tomb(t) for t in tombs)
+            if has_pos_ or any(t.get("scoped") for t in tombs):
                 raw = raw.withColumn(_REL_COL, _rel_path_col(cur))
+            if has_pos_:
+                raw = raw.withColumn(
+                    _POS_COL, F.col("_metadata.row_index")
+                )
             purged = _apply_tombstones(
                 spark, base, cur, raw, physical=True
             )
@@ -2686,7 +2868,8 @@ def rename_column(
         # tombstone key labels are logical names: re-label them with the
         # rename (sidecar files are positional, so data stays untouched)
         extra["tombstones"] = [
-            {**t, "keys": [renames.get(k, k) for k in t["keys"]]}
+            dict(t) if _is_pos_tomb(t)  # positional: no key labels
+            else {**t, "keys": [renames.get(k, k) for k in t["keys"]]}
             for t in cur["tombstones"]
         ]
     try:
@@ -3162,6 +3345,28 @@ def _step_changes(
         child_map = _col_mapping(child)
         phys_to_tip = {p: l for l, p in _col_mapping(tip_entry).items()}
     for t in fresh_tombs:
+        if _is_pos_tomb(t):
+            # positional delete: the erased rows are the parent's LIVE
+            # rows at exactly the recorded (rel, pos) — read the parent
+            # with provenance kept and semi-join the sidecar
+            pos_df = spark.read.parquet(
+                os.path.join(cdir, t["dir"])
+            ).toDF(_REL_COL, _POS_COL)
+            par = _open_snapshot(spark, base, parent, provenance=True)
+            erased = (
+                par.join(
+                    F.broadcast(pos_df)
+                    if _sidecar_bytes(base, child, t)
+                    <= _POS_BROADCAST_MAX_BYTES
+                    else pos_df,
+                    on=[_REL_COL, _POS_COL],
+                    how="left_semi",
+                )
+                .drop(_REL_COL, _POS_COL)
+            )
+            erased = tip_view(erased, parent)
+            old = erased if old is None else old.unionByName(erased)
+            continue
         tkeys = spark.read.parquet(
             os.path.join(cdir, t["dir"])
         ).toDF(*t["keys"])
