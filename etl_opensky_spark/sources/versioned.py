@@ -1284,14 +1284,27 @@ def describe_history(base: str) -> list[dict]:
     return out
 
 
-def restore_version(base: str, to_version: int) -> int:
+def restore_version(
+    base: str,
+    to_version: int | None = None,
+    to_timestamp: float | None = None,
+) -> int:
     """RESTORE: commit a NEW version whose content is an old snapshot
     (Delta RESTORE semantics — history is append-only, a restore never
     deletes the versions after ``to_version``; readers pinned to them
     are undisturbed and the operation itself is time-travelable).
     Zero-copy: the old snapshot's files are hardlinked, all its
     metadata riders (schema, mapping, stats) travel with it.  The
-    rollback primitive after a bad merge.  Returns the new version."""
+    rollback primitive after a bad merge.  ``to_timestamp`` (epoch
+    seconds, exclusive with ``to_version``) restores the state AT that
+    time via :func:`version_at_timestamp` — RESTORE TIMESTAMP AS OF.
+    Returns the new version."""
+    if (to_version is None) == (to_timestamp is None):
+        raise ValueError(
+            "restore_version: exactly one of to_version / to_timestamp"
+        )
+    if to_timestamp is not None:
+        to_version = version_at_timestamp(base, to_timestamp)
     entry = _resolve(base, to_version)
     cur = _current(base)
     version = cur["version"] + 1
@@ -1332,7 +1345,11 @@ def restore_version(base: str, to_version: int) -> int:
     return version
 
 
-def vacuum_versions(base: str, keep_last: int = 1) -> list[int]:
+def vacuum_versions(
+    base: str,
+    keep_last: int = 1,
+    retain_seconds: float | None = None,
+) -> list[int]:
     """Retention VACUUM: drop all but the newest ``keep_last`` committed
     snapshots (commit file + data directory).  Hardlinked inodes shared
     with retained snapshots survive the directory removal — deleting an
@@ -1341,12 +1358,34 @@ def vacuum_versions(base: str, keep_last: int = 1) -> list[int]:
     version subsequently raises (by design: retention is the trade).
     Must not run concurrently with writers — same caveat as
     :func:`vacuum_orphans` and every table format's VACUUM.
-    Returns the dropped version numbers."""
+
+    ``retain_seconds`` is Delta's ``RETAIN n HOURS`` analog composed
+    with ``keep_last``: a version younger than the window (effective
+    commit time within ``retain_seconds`` of now, monotonic-clamped
+    like :func:`version_at_timestamp`) is NEVER dropped even when it
+    falls outside ``keep_last``; an unresolvable legacy timestamp
+    keeps the version (conservative).  Returns the dropped version
+    numbers."""
     if keep_last < 1:
         raise ValueError("vacuum_versions: keep_last must be >= 1")
     log = _read_log(base)
     drop = log[:-keep_last]
     keep = log[-keep_last:]
+    if retain_seconds is not None and drop:
+        cutoff = time.time() - retain_seconds
+        old_enough: list[dict] = []
+        running = None
+        for e in drop:
+            t = _commit_ts(base, e)
+            if t is not None:
+                running = t if running is None else max(running, t)
+            if running is not None and running < cutoff:
+                old_enough.append(e)
+            else:
+                break  # monotonic times: nothing after this is older
+        retained_young = drop[len(old_enough):]
+        drop = old_enough
+        keep = retained_young + keep
     # zero-copy snapshots re-reference files living in ANCESTOR data
     # dirs — possibly dirs of versions being dropped.  Collect every
     # (origin dir, rel) a RETAINED non-materialized snapshot needs and
@@ -3439,8 +3478,10 @@ def table_changes(
     spark: SparkSession,
     base: str,
     keys: Sequence[str],
-    from_version: int,
+    from_version: int | None = None,
     to_version: int | None = None,
+    from_timestamp: float | None = None,
+    to_timestamp: float | None = None,
 ) -> DataFrame:
     """CHANGE DATA FEED: every row-level change committed AFTER
     ``from_version`` up to and including ``to_version`` (default: the
@@ -3464,7 +3505,32 @@ def table_changes(
     commit step (the keyed diff join).  Reference parity: the reference
     has no CDC surface at all (its extract_flights.py re-appends whole
     daily partitions); this is the missing primitive that makes
-    downstream incremental consumers possible."""
+    downstream incremental consumers possible.
+
+    Timestamp bounds (Delta ``table_changes(..., startingTimestamp)``
+    parity): ``from_timestamp`` / ``to_timestamp`` resolve through
+    :func:`version_at_timestamp` — "changes since time T" means
+    changes AFTER the version that was current at T (exclusive with
+    their version twins)."""
+    if from_timestamp is not None:
+        if from_version is not None:
+            raise ValueError(
+                "table_changes: from_version and from_timestamp are "
+                "exclusive"
+            )
+        from_version = version_at_timestamp(base, from_timestamp)
+    if from_version is None:
+        raise ValueError(
+            "table_changes: one of from_version / from_timestamp is "
+            "required"
+        )
+    if to_timestamp is not None:
+        if to_version is not None:
+            raise ValueError(
+                "table_changes: to_version and to_timestamp are "
+                "exclusive"
+            )
+        to_version = version_at_timestamp(base, to_timestamp)
     log = _read_log(base)
     if not log:
         raise ValueError(f"no committed versions at {base}")

@@ -262,3 +262,67 @@ class TestLakefeedAdmissionControl:
             LakeFeedStreamReader(
                 {"path": "/x", "maxCommitsPerBatch": "0"}
             )
+
+
+class TestTimestampComposedApis:
+    def _lake(self, spark, tmp_path):
+        base = str(tmp_path / "lake")
+        write_version(_df(spark, [(1, "a")]), base)
+        merge_versioned(spark, base, _df(spark, [(2, "b")]), ["id"])
+        merge_versioned(spark, base, _df(spark, [(3, "c")]), ["id"])
+        return base
+
+    def test_vacuum_retention_window(self, spark, tmp_path):
+        from etl_opensky_spark.sources.versioned import vacuum_versions
+
+        base = self._lake(spark, tmp_path)
+        _set_commit_ts(base, {1: 100.0, 2: 200.0})  # ancient
+        # everything still inside an enormous retention window: the
+        # age gate overrides keep_last and nothing drops
+        assert vacuum_versions(base, 1, retain_seconds=1e12) == []
+        assert len(describe_history(base)) == 3
+        # ancient versions fall out of a 1h window
+        assert vacuum_versions(base, 1, retain_seconds=3600.0) == [1, 2]
+        assert [h["version"] for h in describe_history(base)] == [3]
+
+    def test_vacuum_retention_partial(self, spark, tmp_path):
+        import time as _t
+
+        from etl_opensky_spark.sources.versioned import vacuum_versions
+
+        base = self._lake(spark, tmp_path)
+        # v1 ancient, v2 recent: only v1 leaves a 1h window even
+        # though keep_last=1 would drop both
+        _set_commit_ts(base, {1: 100.0, 2: _t.time()})
+        assert vacuum_versions(base, 1, retain_seconds=3600.0) == [1]
+        assert [h["version"] for h in describe_history(base)] == [2, 3]
+
+    def test_restore_by_timestamp(self, spark, tmp_path):
+        from etl_opensky_spark.sources.versioned import restore_version
+
+        base = self._lake(spark, tmp_path)
+        _set_commit_ts(base, {1: 100.0, 2: 200.0, 3: 300.0})
+        v = restore_version(base, to_timestamp=250.0)  # state at 250 = v2
+        assert v == 4
+        assert rows(read_version(spark, base)) == rows(
+            read_version(spark, base, as_of=2)
+        )
+        with pytest.raises(ValueError, match="exactly one"):
+            restore_version(base)
+        with pytest.raises(ValueError, match="exactly one"):
+            restore_version(base, to_version=1, to_timestamp=1.0)
+
+    def test_table_changes_by_timestamp(self, spark, tmp_path):
+        from etl_opensky_spark.sources.versioned import table_changes
+
+        base = self._lake(spark, tmp_path)
+        _set_commit_ts(base, {1: 100.0, 2: 200.0, 3: 300.0})
+        by_v = table_changes(spark, base, ["id"], from_version=1)
+        by_ts = table_changes(spark, base, ["id"], from_timestamp=150.0)
+        assert rows(by_v) == rows(by_ts)
+        with pytest.raises(ValueError, match="exclusive"):
+            table_changes(
+                spark, base, ["id"], from_version=1, from_timestamp=1.0
+            )
+        with pytest.raises(ValueError, match="required"):
+            table_changes(spark, base, ["id"])
