@@ -39,6 +39,29 @@ def zorder_value(x: Column, y: Column, bits: int = ZBITS) -> Column:
     return zorder_key([_clamp16(x), _clamp16(y)], bits)
 
 
+def zorder_value_multi(
+    cols: list[Column], bits: int | None = None
+) -> Column:
+    """N-dimensional Morton key (``OPTIMIZE ZORDER BY c1, ..., ck``):
+    clamp each column into ``[0, 2^bits)`` and interleave.  ``bits``
+    defaults to the widest per-dimension width that keeps the full key
+    inside a SIGNED 64-bit long (``min(16, 63 // k)`` — a term at bit
+    63 would flip the key negative and break the range sort), so 2
+    dims keep the 16-bit contract of :func:`zorder_value`, 3 dims get
+    16, 4 dims 15, 8 dims 7."""
+    n = len(cols)
+    if n < 2:
+        raise ValueError("zorder_value_multi: need >= 2 columns")
+    b = bits if bits is not None else min(ZBITS, 63 // n)
+    from etl_opensky_spark.sources.sinks import zorder_key
+
+    def clamp(col: Column) -> Column:
+        v = col.cast("bigint")
+        return F.least(F.greatest(v, F.lit(0)), F.lit((1 << b) - 1))
+
+    return zorder_key([clamp(c) for c in cols], b)
+
+
 def zorder_value_sql(x_expr: str, y_expr: str, bits: int = ZBITS) -> str:
     """The identical unrolled interleave as ANSI SQL (oracle/DuckDB
     replay) over pre-clamped integer expressions.  Every term is fully

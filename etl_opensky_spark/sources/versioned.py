@@ -2017,13 +2017,16 @@ def compact_versioned(
     row files.  Layout-only — rows identical in/out; readers of the old
     snapshot are undisturbed, and a crash leaves only orphan debris.
 
-    ``zorder_by=(x, y)`` is OPTIMIZE ZORDER: the rewrite Morton-
-    clusters rows on the two columns (range partition + sort on the
+    ``zorder_by=(c1, c2, ...)`` is OPTIMIZE ZORDER: the rewrite
+    Morton-clusters rows on 2+ columns (range partition + sort on the
     interleaved key), so every output file gets a tight min/max
-    envelope in BOTH dimensions; pair with ``stats_cols`` to record
-    those envelopes in the commit manifest and 2-D box reads prune at
-    planning time (``read_version where=``).  Unpartitioned tables
-    only — hive partitioning is already the coarse clustering.
+    envelope in EVERY z-ordered dimension; pair with ``stats_cols``
+    to record those envelopes in the commit manifest and k-D box
+    reads prune at planning time (``read_version where=``).  Two
+    columns keep the frozen 16-bit-per-dim key; 3+ auto-narrow the
+    per-dimension width to fit a signed long
+    (``layout.zorder_value_multi``).  Unpartitioned tables only —
+    hive partitioning is already the coarse clustering.
 
     ``sort_by="col"`` is the 1-D clustering analog (OPTIMIZE ...
     CLUSTER BY one key): range-partition + sort on the column so each
@@ -2046,8 +2049,8 @@ def compact_versioned(
         raise ValueError(
             "compact_versioned: zorder_by and sort_by are exclusive"
         )
-    if zorder_by and len(zorder_by) != 2:
-        raise ValueError("compact_versioned: zorder_by needs exactly 2 cols")
+    if zorder_by and len(zorder_by) < 2:
+        raise ValueError("compact_versioned: zorder_by needs >= 2 cols")
     cur = _current(base)
     if cur is None:
         raise ValueError(f"no committed versions at {base}")
@@ -2056,15 +2059,25 @@ def compact_versioned(
     name, data_dir = _new_data_dir(base)
     try:
         if zorder_by:
-            from etl_opensky_spark.operators.layout import zorder_value
+            from etl_opensky_spark.operators.layout import (
+                zorder_value,
+                zorder_value_multi,
+            )
 
+            zcols = [F.col(c) for c in zorder_by]
+            # 2 columns keep the frozen 16-bit zorder_value contract
+            # (oracle-replayed by q233/q299); 3+ go through the
+            # n-dimensional key with per-dim width auto-narrowed to
+            # fit a signed long
+            zkey = (
+                zorder_value(zcols[0], zcols[1])
+                if len(zcols) == 2
+                else zorder_value_multi(zcols)
+            )
             total = df.count()
             n_files = max(1, -(-total // target_rows_per_file))
             (
-                df.withColumn(
-                    "_z",
-                    zorder_value(F.col(zorder_by[0]), F.col(zorder_by[1])),
-                )
+                df.withColumn("_z", zkey)
                 .repartitionByRange(n_files, "_z")
                 .sortWithinPartitions("_z")
                 .drop("_z")

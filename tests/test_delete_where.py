@@ -240,3 +240,62 @@ def test_delete_on_hive_partition_column(spark, tmp_path):
     materialize_tombstones(spark, base)
     assert _ids(spark, base) == want
     assert not V._current(base).get("tombstones")
+
+
+def test_maintain_table_reorgs_positional_deletes(spark, tmp_path):
+    """The maintenance policy counts positional sidecars as MOR debt
+    and its REORG repair materializes them — churn converges without
+    caller intervention."""
+    from etl_opensky_spark.sources.maintenance import (
+        maintain_table,
+        table_metrics,
+    )
+
+    base = str(tmp_path / "lake")
+    write_version(_df(spark, 40).repartition(2), base)
+    for cond in ("id = 1", "id = 2", "id = 3", "id = 4", "id = 5"):
+        delete_where(spark, base, cond)
+    assert table_metrics(base)["n_tombstones"] == 5
+    report = maintain_table(
+        spark, base,
+        policy={"max_live_tombstones": 4},
+    )
+    acts = ",".join(map(str, report["actions"]))
+    assert "reorg" in acts or "materialize" in acts, report
+    assert table_metrics(base)["n_tombstones"] == 0
+    assert _ids(spark, base) == [i for i in range(40) if i > 5 or i == 0]
+
+
+def test_zorder_three_columns(spark, tmp_path):
+    """compact_versioned(zorder_by=(x, y, z)) — the n-dimensional
+    Morton key: content preserved exactly, manifest stats recorded,
+    and a 3-D box read prunes files at planning time."""
+    from etl_opensky_spark.sources.versioned import prune_files
+
+    base = str(tmp_path / "lake")
+    rows_ = [
+        (i, (i * 7) % 100, (i * 13) % 100, (i * 29) % 100)
+        for i in range(4000)
+    ]
+    df = spark.createDataFrame(rows_, "id int, x int, y int, z int")
+    write_version(df.repartition(8), base)
+    compact_versioned(
+        spark, base,
+        target_rows_per_file=500,
+        zorder_by=("x", "y", "z"),
+        stats_cols=("x", "y", "z"),
+    )
+    got = sorted(r["id"] for r in read_version(spark, base).collect())
+    assert got == list(range(4000))
+    kept, total = prune_files(
+        base, {"x": (0, 12), "y": (0, 12), "z": (0, 12)}
+    )
+    assert total == 8
+    assert 0 < len(kept) < total  # the box prunes, the read stays exact
+    n_box = read_version(
+        spark, base, where={"x": (0, 12), "y": (0, 12), "z": (0, 12)}
+    ).filter("x <= 12 and y <= 12 and z <= 12").count()
+    want = sum(
+        1 for (_, x, y, z) in rows_ if x <= 12 and y <= 12 and z <= 12
+    )
+    assert n_box == want
