@@ -27,6 +27,8 @@ Usage::
 ``.option("maxCommitsPerBatch", n)`` bounds how many commit dirs one
 microbatch admits (the maxFilesPerTrigger analog — see latestOffset
 for the exact guarantee and its one API-imposed exception).
+``.option("startingVersion", v)`` starts a FRESH query at feed commit
+``v`` instead of the beginning (checkpointed restarts ignore it).
 """
 
 from __future__ import annotations
@@ -135,6 +137,12 @@ try:  # pyspark >= 4.0
                 raise ValueError(
                     "lakefeed: maxCommitsPerBatch must be >= 1"
                 )
+            raw_sv = options.get("startingVersion")
+            self._starting = int(raw_sv) if raw_sv is not None else None
+            if self._starting is not None and self._starting < 1:
+                raise ValueError(
+                    "lakefeed: startingVersion must be >= 1"
+                )
             #: highest offset this reader has admitted or seen
             #: planned — the base the NEXT capped batch advances from.
             #: None until the first latestOffset/partitions call of
@@ -148,7 +156,15 @@ try:  # pyspark >= 4.0
                     fh.write(f"pid={os.getpid()} id={id(self)} {msg}\n")
 
         def initialOffset(self) -> dict:
+            """Fresh queries start at version 0 — the whole feed — or
+            just below ``startingVersion`` (Delta's option of the same
+            name: skip history already consumed elsewhere; offsets are
+            exclusive lower bounds).  Restarts never come here: the
+            checkpoint wins, so changing the option on an existing
+            checkpoint is intentionally inert."""
             self._trace("initialOffset")
+            if self._starting is not None:
+                return {"version": self._starting - 1}
             return {"version": 0}
 
         def latestOffset(self) -> dict:

@@ -326,3 +326,52 @@ class TestTimestampComposedApis:
             )
         with pytest.raises(ValueError, match="required"):
             table_changes(spark, base, ["id"])
+
+
+class TestLakefeedStartingVersion:
+    def test_fresh_query_starts_at_version(self, spark, tmp_path):
+        from etl_opensky_spark.sources.lakefeed import (
+            LakeFeedStreamReader,
+            _commit_versions,
+            register_lakefeed_source,
+        )
+        from etl_opensky_spark.sources.versioned import (
+            materialize_change_feed,
+        )
+
+        src = str(tmp_path / "src")
+        feed = str(tmp_path / "feed")
+        write_version(_df(spark, []), src)
+        for i in range(4):
+            merge_versioned(
+                spark, src, _df(spark, [(i, f"v{i}")]), ["id"]
+            )
+        materialize_change_feed(spark, src, feed, ["id"])
+        versions = _commit_versions(feed)
+        start_at = versions[2]
+        r = LakeFeedStreamReader(
+            {"path": feed, "startingVersion": str(start_at)}
+        )
+        assert r.initialOffset() == {"version": start_at - 1}
+        with pytest.raises(ValueError, match="startingVersion"):
+            LakeFeedStreamReader(
+                {"path": feed, "startingVersion": "0"}
+            )
+        # e2e: a fresh query consumes only commits >= startingVersion
+        register_lakefeed_source(spark)
+        seen: set[int] = set()
+
+        def collect(batch_df, _bid):
+            seen.update(r["commit"] for r in batch_df.collect())
+
+        q = (
+            spark.readStream.format("lakefeed")
+            .option("startingVersion", str(start_at))
+            .load(feed)
+            .writeStream.foreachBatch(collect)
+            .option("checkpointLocation", str(tmp_path / "ck_sv"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert seen == set(versions[2:])

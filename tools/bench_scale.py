@@ -71,6 +71,10 @@ SCALE_QUERIES = [
     # round-7 additions
     "q298_maintain_table",       # churn + REORG purge + OPTIMIZE (sink gate)
     "q295_lake_datasource_op",   # Python DS Arrow decode, full + pruned scan
+    # round-8 additions
+    "q297_ds_writer_op",         # DS-API Arrow ENCODE (bulk append)
+    "q300_zero_copy_object_store",  # object-store commit lifecycle (sink gate)
+    "q302_positional_delete",    # delete_where sidecars + REORG (sink gate)
 ]
 
 #: hot-key rehearsal: queries keyed on events.user_id or documents
