@@ -14454,24 +14454,28 @@ def q301_timestamp_time_travel(
     ts_v2 = describe_history(base)[1]["ts"]
     v_mid = version_at_timestamp(base, ts_v2)
     v_tip = version_at_timestamp(base, _time.time())
-    mid = read_version(spark, base, as_of_timestamp=ts_v2)
-    tip = read_version(spark, base, as_of_timestamp=_time.time())
-    return (
-        mid.agg(
+    # mid-state aggregates collapse to one row — carry them as
+    # literals on the tip frame (a 1x1 crossJoin would read as a
+    # nested-loop hazard to the plan lint, and these ARE constants)
+    mid_row = (
+        read_version(spark, base, as_of_timestamp=ts_v2)
+        .agg(
             F.count("*").alias("n_mid"),
             F.sum("k").alias("key_sum_mid"),
         )
-        .crossJoin(
-            tip.agg(
-                F.count("*").alias("n_tip"),
-                F.sum("k").alias("key_sum_tip"),
-            )
-        )
-        .select(
-            "*",
-            F.lit(v_mid).alias("v_mid"),
-            F.lit(v_tip).alias("v_tip"),
-        )
+        .first()
+    )
+    tip = read_version(spark, base, as_of_timestamp=_time.time())
+    return tip.agg(
+        F.count("*").alias("n_tip"),
+        F.sum("k").alias("key_sum_tip"),
+    ).select(
+        F.lit(mid_row["n_mid"]).alias("n_mid"),
+        F.lit(mid_row["key_sum_mid"]).alias("key_sum_mid"),
+        "n_tip",
+        "key_sum_tip",
+        F.lit(v_mid).alias("v_mid"),
+        F.lit(v_tip).alias("v_tip"),
     )
 
 

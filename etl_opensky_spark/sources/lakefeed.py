@@ -189,6 +189,14 @@ try:  # pyspark >= 4.0
             cap = unpub[0] - 1 if unpub else None
             safe = [v for v in pub if cap is None or v <= cap]
             latest = safe[-1] if safe else 0
+            # a startingVersion AHEAD of the current feed tip must
+            # floor the offset: Spark compares offsets only by
+            # (in)equality, so returning tip < startingVersion-1 would
+            # be RECORDED in the offset log, and commits published
+            # between tip and startingVersion would later be consumed
+            # against the user's explicit exclusion (review finding r8)
+            if self._starting is not None:
+                latest = max(latest, self._starting - 1)
             if self._max is None:
                 self._trace(f"latestOffset(uncapped) -> {latest}")
                 return {"version": latest}

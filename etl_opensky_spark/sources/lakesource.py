@@ -57,6 +57,7 @@ from etl_opensky_spark.sources.versioned import (
     _live_files,
     _new_data_dir,
     _resolve,
+    _zero_copy,
 )
 
 _HIVE_ESC = re.compile(r"%([0-9A-Fa-f]{2})")
@@ -642,6 +643,16 @@ try:  # pyspark >= 4.0
                         self._base, cur, data_dir, files_out
                     )
                     _copy_sidecars(self._base, cur, data_dir)
+                    # this commit ADDS files but runs pyarrow-only (no
+                    # SparkSession to extend the bloom index over
+                    # them): a carried stale index would false-negative
+                    # point lookups on the appended rows — drop it;
+                    # copy_into is the bloom-maintaining append path
+                    from etl_opensky_spark.sources.versioned import (
+                        _bloom_drop,
+                    )
+
+                    _bloom_drop(data_dir)
                     for key in (
                         "schema_json", "column_mapping", "stats_cols",
                         "tombstones", "ingested_files",
@@ -662,9 +673,7 @@ try:  # pyspark >= 4.0
                         files_out,
                         materialized=cur is None
                         or self._overwrite
-                        or not getattr(
-                            get_fs(), "zero_copy_clone", False
-                        ),
+                        or not _zero_copy(),
                     )
                 )
                 if (

@@ -49,6 +49,7 @@ from etl_opensky_spark.sources.versioned import (
     _commits_dir,
     _current,
     _entry_files,
+    _file_rows_from_stats,
     _live_files,
     _read_log,
     _write_checkpoint,
@@ -134,19 +135,6 @@ def clustering_depth(base: str, col: str) -> float | None:
         (b[1] - b[0]) if b is not None else width for b in bounds
     )
     return covered / width
-
-
-def _file_rows_from_stats(entry: dict, rel: str) -> int | None:
-    """Per-file row count from the commit manifest's harvested stats,
-    or None when the manifest can't prove it (file absent from the
-    stats dict, or every per-column entry unusable)."""
-    per_col = (entry.get("stats") or {}).get(rel)
-    if not per_col:
-        return None
-    for s in per_col.values():
-        if s is not None and s.get("rows") is not None:
-            return s["rows"]
-    return None
 
 
 def table_metrics(base: str, small_file_rows: int = 500_000) -> dict:

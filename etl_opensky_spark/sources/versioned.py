@@ -303,6 +303,13 @@ def _link_tree(src: str, dst: str) -> None:
 # directory walk.
 
 
+def _zero_copy() -> bool:
+    """True when the active backend consumes manifest re-references
+    instead of physical placement (``fs.zero_copy_clone``) — the one
+    probe every commit site keys ``materialized`` off."""
+    return bool(getattr(get_fs(), "zero_copy_clone", False))
+
+
 def _list_data_files(data_dir: str) -> list[str]:
     """Snapshot-relative data-file paths under ``data_dir`` (hidden
     sidecars excluded, mirroring the parquet scan)."""
@@ -315,6 +322,21 @@ def _list_data_files(data_dir: str) -> list[str]:
                     os.path.relpath(os.path.join(root, n), data_dir)
                 )
     return out
+
+
+def _file_rows_from_stats(entry: dict, rel: str) -> int | None:
+    """Per-file row count from the commit manifest's harvested stats,
+    or None when the manifest can't prove it (file absent from the
+    stats dict, or every per-column entry unusable).  The one place
+    that encodes which per-column entry proves a row count —
+    maintenance and OPTIMIZE both read through here."""
+    per_col = (entry.get("stats") or {}).get(rel)
+    if not per_col:
+        return None
+    for s in per_col.values():
+        if s is not None and s.get("rows") is not None:
+            return s["rows"]
+    return None
 
 
 def _entry_materialized(entry: dict) -> bool:
@@ -373,7 +395,7 @@ def _adopt_parent_files(
     wanted = parent_files if rels is None else {
         rel: parent_files[rel] for rel in rels
     }
-    zero_copy = getattr(get_fs(), "zero_copy_clone", False)
+    zero_copy = _zero_copy()
     live = None if zero_copy else _live_files(base, parent)
     # a MATERIALIZED parent physically holds every file in its OWN dir
     # while its manifest origins may point at since-vacuumed ancestors
@@ -422,7 +444,7 @@ def _adopt_full(base: str, parent: dict, data_dir: str) -> dict:
     _copy_sidecars(base, parent, data_dir)
     return _files_extra(
         files_out,
-        materialized=not getattr(get_fs(), "zero_copy_clone", False),
+        materialized=not _zero_copy(),
     )
 
 
@@ -1317,7 +1339,7 @@ def restore_version(
     extra.update(
         _files_extra(
             files_out,
-            materialized=not getattr(get_fs(), "zero_copy_clone", False),
+            materialized=not _zero_copy(),
         )
     )
     for key in (
@@ -1680,7 +1702,7 @@ def merge_versioned(
         extra = _files_extra(
             files_out,
             materialized=not part_cols
-            or not getattr(get_fs(), "zero_copy_clone", False),
+            or not _zero_copy(),
         )
         extra.update(
             _stats_extra_cow(
@@ -1789,7 +1811,7 @@ def purge_versioned(
         extra = _files_extra(
             files_out,
             materialized=not part_cols
-            or not getattr(get_fs(), "zero_copy_clone", False),
+            or not _zero_copy(),
         )
         extra.update(
             _stats_extra_cow(
@@ -1895,9 +1917,7 @@ def purge_versioned_mor(
         extra.update(
             _files_extra(
                 files_out,
-                materialized=not getattr(
-                    get_fs(), "zero_copy_clone", False
-                ),
+                materialized=not _zero_copy(),
             )
         )
         for key in (
@@ -1983,9 +2003,7 @@ def delete_where(
         extra.update(
             _files_extra(
                 files_out,
-                materialized=not getattr(
-                    get_fs(), "zero_copy_clone", False
-                ),
+                materialized=not _zero_copy(),
             )
         )
         for key in (
@@ -2194,18 +2212,11 @@ def optimize_small_files(
     )
     snap_dir = os.path.join(base, cur["dir"])
     live = _live_files(base, cur)
-    stats_manifest = cur.get("stats") or {}
     rows_of: dict[str, int] = {}
     for rel, path in live.items():
         # manifest row counts first (no I/O); footer only when the
         # commit can't prove it — same economy as table_metrics
-        n_rows = None
-        per_col = stats_manifest.get(rel)
-        if per_col:
-            for s in per_col.values():
-                if s is not None and s.get("rows") is not None:
-                    n_rows = s["rows"]
-                    break
+        n_rows = _file_rows_from_stats(cur, rel)
         if n_rows is None:
             n_rows = pq.ParquetFile(path).metadata.num_rows
         if n_rows < cutoff:
@@ -2304,7 +2315,7 @@ def optimize_small_files(
         _record_new_files(data_dir, name, files_out)
         extra: dict = _files_extra(
             files_out,
-            materialized=not getattr(get_fs(), "zero_copy_clone", False),
+            materialized=not _zero_copy(),
         )
         # stats: kept files keep their manifest rows (rel paths are
         # stable under adoption); new files get a footer harvest
@@ -2593,7 +2604,7 @@ def materialize_tombstones(
         _record_new_files(data_dir, name, files_out)
         extra: dict = _files_extra(
             files_out,
-            materialized=not getattr(get_fs(), "zero_copy_clone", False),
+            materialized=not _zero_copy(),
         )
         if cur.get("stats") is not None:
             kept_stats = {
@@ -3011,13 +3022,20 @@ def copy_into(
             _adopt_parent_files(base, cur, data_dir, files_out)
             _copy_sidecars(base, cur, data_dir)
         tag = uuid.uuid4().hex[:8]
+        ing_rels = []
         for f in os.listdir(staging):
             if f.endswith(".parquet"):
+                rel = f"ing-{tag}-{f}"
                 get_fs().link_file(
                     os.path.join(staging, f),
-                    os.path.join(data_dir, f"ing-{tag}-{f}"),
+                    os.path.join(data_dir, rel),
                 )
+                ing_rels.append(rel)
         _record_new_files(data_dir, dname, files_out)
+        # a carried bloom index must COVER the new files or point
+        # lookups false-negative on them — extend it with one scan of
+        # just the ingested files (r8 review finding)
+        _bloom_extend(spark, data_dir, ing_rels)
         extra: dict = {
             "ingested_files": sorted(seen | set(new_files)),
         }
@@ -3025,7 +3043,7 @@ def copy_into(
             _files_extra(
                 files_out,
                 materialized=cur is None
-                or not getattr(get_fs(), "zero_copy_clone", False),
+                or not _zero_copy(),
             )
         )
         # a column-mapped table's files carry the frozen PHYSICAL names:
@@ -3168,6 +3186,76 @@ def _bloom_load(data_dir: str) -> dict | None:
         return None
     with open(path) as fh:
         return json.load(fh)
+
+
+def _bloom_drop(data_dir: str) -> None:
+    """Remove a carried bloom sidecar.  File-ADDING commits that
+    cannot extend the index must drop it: ``prune_files_eq`` iterates
+    the index's file list, so a file invisible to the index is a FALSE
+    NEGATIVE — the one failure mode the bloom contract forbids (r8
+    review finding; compact/optimize already drop on file-set
+    change)."""
+    try:
+        os.remove(os.path.join(data_dir, BLOOM_SIDECAR))
+    except OSError:
+        pass
+
+
+def _bloom_extend(spark: SparkSession, data_dir: str, rels) -> None:
+    """Incrementally index NEWLY ADDED files into a carried bloom
+    sidecar (one column-pruned scan over just those files) — the
+    append-mostly lifecycle keeps its point-lookup pruning instead of
+    losing the index on every ``copy_into``.  A column absent from the
+    new files (schema evolution) drops that column's index — no false
+    negatives, ever."""
+    side = _bloom_load(data_dir)
+    if not side or not rels:
+        return
+    paths = [os.path.join(data_dir, r) for r in rels]
+    df = spark.read.parquet(*paths)
+    for c in list(side):
+        idx = side[c]
+        if c not in df.columns:
+            del side[c]  # unprovable for the new files
+            continue
+        n_bits, n_hashes = idx["bits"], idx["hashes"]
+        positions = F.array(
+            *[
+                F.pmod(F.xxhash64(F.col(c), F.lit(h)), F.lit(n_bits))
+                for h in range(n_hashes)
+            ]
+        )
+        rows = (
+            df.filter(F.col(c).isNotNull())
+            .select(
+                F.input_file_name().alias("_f"),
+                F.explode(positions).alias("_p"),
+            )
+            .groupBy(
+                "_f", (F.col("_p") / F.lit(64)).cast("int").alias("_w")
+            )
+            .agg(
+                F.bit_or(
+                    F.expr("shiftleft(1L, CAST(_p % 64 AS INT))")
+                ).alias("_bits")
+            )
+            .collect()
+        )
+        new_files: dict = {}
+        for r in rows:
+            rel = os.path.relpath(
+                r["_f"].replace("file://", "", 1), data_dir
+            )
+            new_files.setdefault(rel, {})[str(r["_w"])] = r["_bits"]
+        # a new file with NO set bits (all-null column) must still be
+        # listed, else lookups would false-negative on it; an absent
+        # words dict admits nothing, so list it explicitly as a file
+        # the column cannot match
+        for rel in rels:
+            new_files.setdefault(rel, {})
+        idx["files"].update(new_files)
+    with open(os.path.join(data_dir, BLOOM_SIDECAR), "w") as fh:
+        json.dump(side, fh)
 
 
 def _bloom_positions(

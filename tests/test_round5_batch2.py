@@ -450,7 +450,8 @@ def test_compact_zorder_rejects_partitioned_and_bad_arity(spark, tmp_path):
         compact_versioned(spark, base, partition_by=["p"], zorder_by=("x", "p"))
     base2 = str(tmp_path / "optbad2")
     write_version(df, base2)
-    with pytest.raises(ValueError, match="exactly 2"):
+    with pytest.raises(ValueError, match=">= 2"):
+        # 1-D "z-order" is just a sort: sort_by is the named path
         compact_versioned(spark, base2, zorder_by=("x",))
 
 

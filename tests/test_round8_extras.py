@@ -375,3 +375,100 @@ class TestLakefeedStartingVersion:
         )
         q.awaitTermination()
         assert seen == set(versions[2:])
+
+    def test_starting_version_past_tip_floors_offset(
+        self, spark, tmp_path
+    ):
+        """startingVersion ahead of the feed tip: latestOffset must
+        never report an offset below startingVersion-1 — Spark records
+        whatever it returns, and commits published in the gap would
+        later be consumed against the user's exclusion."""
+        from etl_opensky_spark.sources.lakefeed import (
+            LakeFeedStreamReader,
+            _commit_versions,
+        )
+        from etl_opensky_spark.sources.versioned import (
+            materialize_change_feed,
+        )
+
+        src = str(tmp_path / "src")
+        feed = str(tmp_path / "feed")
+        write_version(_df(spark, []), src)
+        for i in range(3):
+            merge_versioned(
+                spark, src, _df(spark, [(i, f"v{i}")]), ["id"]
+            )
+        materialize_change_feed(spark, src, feed, ["id"])
+        tip = _commit_versions(feed)[-1]
+        future = tip + 5
+        r = LakeFeedStreamReader(
+            {"path": feed, "startingVersion": str(future)}
+        )
+        start = r.initialOffset()
+        assert start == {"version": future - 1}
+        end = r.latestOffset()
+        assert end["version"] >= future - 1  # floored, no regression
+        parts = [
+            p.version
+            for p in r.partitions(start, end)
+            if p.version >= 0
+        ]
+        assert parts == []  # nothing below startingVersion ever planned
+
+
+class TestBloomOnFileAddingCommits:
+    """r8 review finding: prune_files_eq iterates the bloom index's
+    file list, so files added AFTER the bloom build must be indexed
+    (copy_into extends) or the index must go (DS append drops) — a
+    carried stale index silently false-negatives point lookups."""
+
+    def test_copy_into_extends_bloom(self, spark, tmp_path):
+        from etl_opensky_spark.sources.versioned import (
+            copy_into,
+            prune_files_eq,
+            read_version_eq,
+        )
+
+        base = str(tmp_path / "lake")
+        landing = str(tmp_path / "landing")
+        write_version(
+            _df(spark, [(i, f"v{i}") for i in range(10)]),
+            base, bloom_cols=("id",),
+        )
+        spark.createDataFrame(
+            [(99, "new")], "id int, v string"
+        ).write.parquet(landing)
+        copy_into(spark, base, landing)
+        kept, total = prune_files_eq(spark, base, "id", 99)
+        assert kept, "ingested file invisible to the bloom index"
+        got = read_version_eq(spark, base, "id", 99).filter(
+            "id = 99"
+        ).collect()
+        assert [(r["id"], r["v"]) for r in got] == [(99, "new")]
+        # old keys still resolve through the extended index
+        assert read_version_eq(spark, base, "id", 3).filter(
+            "id = 3"
+        ).count() == 1
+
+    def test_ds_append_drops_bloom(self, spark, tmp_path):
+        from etl_opensky_spark.sources.lakesource import (
+            register_versioned_source,
+        )
+        from etl_opensky_spark.sources.versioned import prune_files_eq
+
+        base = str(tmp_path / "lake")
+        write_version(
+            _df(spark, [(i, f"v{i}") for i in range(10)]),
+            base, bloom_cols=("id",),
+        )
+        register_versioned_source(spark)
+        spark.createDataFrame(
+            [(99, "new")], "id int, v string"
+        ).write.format("versioned").mode("append").save(base)
+        # correctness over staleness: the index is gone, not lying
+        with pytest.raises(ValueError, match="no bloom"):
+            prune_files_eq(spark, base, "id", 99)
+        got = sorted(
+            r["id"] for r in read_version(spark, base).collect()
+        )
+        assert got == sorted(list(range(10)) + [99])
