@@ -323,6 +323,7 @@ BENCH_QUERIES = [
     "q300_zero_copy_object_store",
     "q301_timestamp_time_travel",
     "q302_positional_delete",
+    "q303_bloom_append_lookup",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

@@ -14556,6 +14556,86 @@ FROM tip
 """
 
 
+def q303_bloom_append_lookup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BLOOM-MAINTAINED APPEND gate (round-8 review fix): a table
+    written with ``bloom_cols`` then appended via ``copy_into`` must
+    keep its point-lookup pruning COVERING the ingested files — the
+    index is extended with one scan of just the new files, and
+    ``read_version_eq`` finds keys that live ONLY in them (the stale
+    carried index silently false-negatived these).  The gate looks up
+    one bloom-era key and one ingested-only key and pins both row
+    contents plus pruning engagement (kept < total files)."""
+    import shutil
+
+    from etl_opensky_spark.sources.versioned import (
+        copy_into,
+        prune_files_eq,
+        read_version_eq,
+        write_version,
+    )
+
+    base = _gate_tmp("q303_bloom", sf_dir)
+    landing = _gate_tmp("q303_bloom_landing", sf_dir)
+    for d in (base, landing):
+        shutil.rmtree(d, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), _dec("o_totalprice").alias("price")
+    )
+    old = orders.filter(F.col("k") % 2 == 0)
+    new = orders.filter(F.col("k") % 2 == 1)
+    # bits sized ~10x the per-file key count at sf1 so the filter
+    # never saturates across the SFs this gate runs at (a saturated
+    # filter admits every file and the pruning pins would read false)
+    write_version(
+        old.repartitionByRange(8, "k"), base,
+        bloom_cols=("k",), bloom_bits=1 << 20,
+    )
+    new.repartition(2).write.mode("overwrite").parquet(landing)
+    copy_into(spark, base, landing)
+    k_old = old.agg(F.min("k")).first()[0]
+    k_new = new.agg(F.min("k")).first()[0]
+    kept_old, total = prune_files_eq(spark, base, "k", k_old)
+    kept_new, _ = prune_files_eq(spark, base, "k", k_new)
+    hit_old = read_version_eq(spark, base, "k", k_old).filter(
+        F.col("k") == k_old
+    )
+    hit_new = read_version_eq(spark, base, "k", k_new).filter(
+        F.col("k") == k_new
+    )
+    return (
+        hit_old.unionByName(hit_new)
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.sum("k").alias("key_sum"),
+            F.sum("price").cast("double").alias("price_sum"),
+        )
+        .select(
+            "*",
+            F.lit(total).alias("n_files"),
+            F.lit(int(len(kept_old) < total)).alias("pruned_old"),
+            F.lit(int(0 < len(kept_new) < total)).alias("pruned_new"),
+        )
+    )
+
+
+ORACLE_Q303 = """
+WITH src AS (
+  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders
+), hits AS (
+  SELECT * FROM src
+  WHERE k = (SELECT MIN(k) FROM src WHERE k % 2 = 0)
+     OR k = (SELECT MIN(k) FROM src WHERE k % 2 = 1)
+)
+SELECT COUNT(*) AS n_hits, SUM(k) AS key_sum,
+  CAST(SUM(price) AS DOUBLE) AS price_sum,
+  10 AS n_files, 1 AS pruned_old, 1 AS pruned_new
+FROM hits
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -14858,6 +14938,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q300_zero_copy_object_store": q300_zero_copy_object_store,
     "q301_timestamp_time_travel": q301_timestamp_time_travel,
     "q302_positional_delete": q302_positional_delete,
+    "q303_bloom_append_lookup": q303_bloom_append_lookup,
 }
 
 ORACLES: dict[str, str] = {
@@ -15161,6 +15242,7 @@ ORACLES: dict[str, str] = {
     "q300_zero_copy_object_store": ORACLE_Q300,
     "q301_timestamp_time_travel": ORACLE_Q301,
     "q302_positional_delete": ORACLE_Q302,
+    "q303_bloom_append_lookup": ORACLE_Q303,
 }
 
 
