@@ -76,7 +76,7 @@ DEFAULT_POLICY: dict = {
     "max_log_tail": 2 * CHECKPOINT_EVERY,
     # retention: keep this many newest versions (None = never vacuum)
     "vacuum_keep_last": None,
-    # layout clustering: 1 column (range-cluster) or 2 (z-order);
+    # layout clustering: 1 column (range-cluster) or 2+ (z-order);
     # None disables the re-cluster repair
     "cluster_by": None,
     # re-cluster when the measured clustering depth (see
@@ -243,10 +243,10 @@ def maintain_table(
             [p["cluster_by"]] if isinstance(p["cluster_by"], str)
             else list(p["cluster_by"])
         )
-        if len(cols) not in (1, 2):
+        if not cols:
             raise ValueError(
-                "maintain_table: cluster_by takes 1 column "
-                "(range-cluster) or 2 (z-order)"
+                "maintain_table: cluster_by needs >= 1 column "
+                "(1 = range-cluster, 2+ = z-order)"
             )
         depths = [clustering_depth(base, c) for c in cols]
         known = [d for d in depths if d is not None]
@@ -257,7 +257,7 @@ def maintain_table(
                 lambda: compact_versioned(
                     spark, base,
                     target_rows_per_file=target,
-                    zorder_by=cols if len(cols) == 2 else (),
+                    zorder_by=cols if len(cols) >= 2 else (),
                     sort_by=cols[0] if len(cols) == 1 else None,
                     stats_cols=cur.get("stats_cols") or (),
                 ),

@@ -3108,6 +3108,32 @@ def merge_with_retry(
     ) from last
 
 
+def delete_with_retry(
+    spark: SparkSession,
+    base: str,
+    condition,
+    max_retries: int = 3,
+    **delete_kwargs,
+) -> tuple[int, int]:
+    """Optimistic-concurrency RETRY around :func:`delete_where` —
+    the same contract as :func:`merge_with_retry`.  Correct for
+    predicate deletes because each attempt recomputes positions
+    against the NEW tip: stale (rel, pos) from the lost attempt are
+    discarded wholesale, so a concurrent compaction/merge can never
+    leave the delete pointing at rewritten files.  Raises after
+    ``max_retries`` losses."""
+    last: ConcurrentCommitError | None = None
+    for _ in range(max_retries + 1):
+        try:
+            return delete_where(spark, base, condition, **delete_kwargs)
+        except ConcurrentCommitError as e:
+            last = e
+    raise ConcurrentCommitError(
+        f"delete_with_retry: lost the commit race {max_retries + 1} "
+        f"times at {base}"
+    ) from last
+
+
 # --- per-file BLOOM index: point-lookup skipping (q243) -------------------
 #
 # min/max stats prune RANGES on clustered layouts; a point lookup on an

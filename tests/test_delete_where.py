@@ -299,3 +299,75 @@ def test_zorder_three_columns(spark, tmp_path):
         1 for (_, x, y, z) in rows_ if x <= 12 and y <= 12 and z <= 12
     )
     assert n_box == want
+
+
+def test_delete_with_retry_recomputes_against_new_tip(spark, tmp_path):
+    """A lost commit race re-reads the NEW tip: positions from the
+    losing attempt (computed against a since-compacted parent) are
+    discarded wholesale, so the retry can never kill wrong rows in
+    rewritten files."""
+    from etl_opensky_spark.sources.versioned import (
+        _test_hooks,
+        delete_with_retry,
+    )
+
+    base = str(tmp_path / "lake")
+    write_version(_df(spark, 30).repartition(4), base)
+
+    fired = {"n": 0}
+
+    def interfere():
+        # first attempt only: compact the table between the position
+        # computation and the commit point, stealing the version
+        if fired["n"] == 0:
+            fired["n"] += 1
+            hook = _test_hooks.pop("before_commit")
+            try:
+                compact_versioned(spark, base)
+            finally:
+                _test_hooks["before_commit"] = hook
+
+    _test_hooks["before_commit"] = interfere
+    try:
+        v, n = delete_with_retry(spark, base, "id % 10 = 0")
+    finally:
+        _test_hooks.pop("before_commit", None)
+    assert n == 3
+    assert _ids(spark, base) == [i for i in range(30) if i % 10 != 0]
+
+
+def test_maintain_table_reclusters_three_columns(spark, tmp_path):
+    """cluster_by now composes with the n-D ZORDER: three drifting
+    columns trigger one 3-D Morton re-cluster and the depth metric
+    tightens on every dimension."""
+    from etl_opensky_spark.sources.maintenance import (
+        clustering_depth,
+        maintain_table,
+    )
+
+    base = str(tmp_path / "lake")
+    rows_ = [
+        (i, (i * 7) % 100, (i * 13) % 100, (i * 29) % 100)
+        for i in range(4000)
+    ]
+    df = spark.createDataFrame(rows_, "id int, x int, y int, z int")
+    # accretion layout: every file spans all three domains
+    write_version(
+        df.repartition(8), base, stats_cols=("x", "y", "z")
+    )
+    before = clustering_depth(base, "x")
+    assert before is not None and before > 2.5
+    report = maintain_table(
+        spark, base,
+        policy={"cluster_by": ("x", "y", "z"),
+                "max_clustering_depth": 2.5,
+                "target_rows_per_file": 500},
+    )
+    acts = ",".join(str(a) for a in report["actions"])
+    assert "recluster" in acts, report
+    after = [clustering_depth(base, c) for c in ("x", "y", "z")]
+    assert all(a is not None and a < before for a in after), (
+        before, after,
+    )
+    got = sorted(r["id"] for r in read_version(spark, base).collect())
+    assert got == list(range(4000))
