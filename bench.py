@@ -324,6 +324,7 @@ BENCH_QUERIES = [
     "q301_timestamp_time_travel",
     "q302_positional_delete",
     "q303_bloom_append_lookup",
+    "q304_zorder3_skipping",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

@@ -14636,6 +14636,96 @@ FROM hits
 """
 
 
+def q304_zorder3_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-DIMENSIONAL Z-ORDER + manifest skipping (round 8:
+    ``compact_versioned(zorder_by=(c1, c2, c3))`` through
+    ``layout.zorder_value_multi``): orders are Morton-clustered on
+    (custkey, order-day, price-bucket) via the lake's own OPTIMIZE
+    ZORDER, per-file min/max for all THREE dims land in the commit
+    manifest, and a 3-D box prunes files on every dimension at
+    planning time.  The oracle replays the box filter + aggregate;
+    pruning engagement is pinned as a column (kept < total)."""
+    import shutil
+
+    from etl_opensky_spark.sources.versioned import (
+        compact_versioned,
+        prune_files,
+        read_version,
+        write_version,
+    )
+
+    base = _gate_tmp("q304_zorder3", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date")
+        ).alias("day_nr"),
+        F.floor(_dec("o_totalprice") / 1000).cast("int").alias("price_k"),
+    )
+    write_version(orders.repartition(4), base)
+    compact_versioned(
+        spark, base,
+        target_rows_per_file=max(2, orders.count() // 16),
+        zorder_by=("o_custkey", "day_nr", "price_k"),
+        stats_cols=("o_custkey", "day_nr", "price_k"),
+    )
+    mx = orders.agg(
+        F.max("o_custkey").alias("mc"),
+        F.max("day_nr").alias("md"),
+        F.max("price_k").alias("mp"),
+    ).first()
+    box = {
+        "o_custkey": (mx["mc"] // 4, mx["mc"] // 2),
+        "day_nr": (mx["md"] // 4, mx["md"] // 2),
+        "price_k": (mx["mp"] // 4, mx["mp"] // 2),
+    }
+    kept, total = prune_files(base, box)
+    pruned = read_version(spark, base, where=box)
+    return (
+        pruned.filter(
+            F.col("o_custkey").between(*box["o_custkey"])
+            & F.col("day_nr").between(*box["day_nr"])
+            & F.col("price_k").between(*box["price_k"])
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+        )
+        .select(
+            "*", F.lit(int(len(kept) < total)).alias("prune_engaged")
+        )
+    )
+
+
+ORACLE_Q304 = """
+WITH src AS (
+  SELECT o_orderpriority, o_custkey, o_totalprice,
+    (CAST(o_orderdate AS DATE) - DATE '1992-01-01') AS day_nr,
+    CAST(FLOOR(CAST(o_totalprice AS DECIMAL(18,2)) / 1000) AS INT) AS price_k
+  FROM orders
+), b AS (
+  SELECT MAX(o_custkey) // 4 AS c_lo, MAX(o_custkey) // 2 AS c_hi,
+         MAX(day_nr) // 4 AS d_lo, MAX(day_nr) // 2 AS d_hi,
+         MAX(price_k) // 4 AS p_lo, MAX(price_k) // 2 AS p_hi
+  FROM src
+)
+SELECT o_orderpriority, COUNT(*) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+    AS total_price,
+  1 AS prune_engaged
+FROM src, b
+WHERE o_custkey BETWEEN c_lo AND c_hi
+  AND day_nr BETWEEN d_lo AND d_hi
+  AND price_k BETWEEN p_lo AND p_hi
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -14939,6 +15029,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q301_timestamp_time_travel": q301_timestamp_time_travel,
     "q302_positional_delete": q302_positional_delete,
     "q303_bloom_append_lookup": q303_bloom_append_lookup,
+    "q304_zorder3_skipping": q304_zorder3_skipping,
 }
 
 ORACLES: dict[str, str] = {
@@ -15243,6 +15334,7 @@ ORACLES: dict[str, str] = {
     "q301_timestamp_time_travel": ORACLE_Q301,
     "q302_positional_delete": ORACLE_Q302,
     "q303_bloom_append_lookup": ORACLE_Q303,
+    "q304_zorder3_skipping": ORACLE_Q304,
 }
 
 
