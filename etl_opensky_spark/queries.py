@@ -14441,17 +14441,30 @@ def q301_timestamp_time_travel(
     orders = _t(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("k"), _dec("o_totalprice").alias("price")
     )
+
+    def _wait_past_tip():
+        # deterministic ts separation (r8 ADVICE): a fixed sleep can
+        # still land two commits on one effective tick under a coarse
+        # clock or the mtime fallback; instead spin until wall-clock
+        # is STRICTLY past the tip's recorded effective time, so the
+        # next commit's monotonic-clamped ts must exceed it
+        tip_ts = describe_history(base)[-1]["ts"]
+        while _time.time() <= tip_ts:
+            _time.sleep(0.005)
+
     write_version(orders.filter(F.col("k") % 2 == 0), base)
-    _time.sleep(0.02)  # distinct wall-clock ticks between commits
+    _wait_past_tip()
     orders.filter(F.col("k") % 2 == 1).write.mode("overwrite").parquet(
         landing
     )
     copy_into(spark, base, landing)
-    _time.sleep(0.02)
+    _wait_past_tip()
     purge_versioned_mor(
         spark, base, orders.filter(F.col("k") % 21 == 0).select("k"), ["k"]
     )
-    ts_v2 = describe_history(base)[1]["ts"]
+    hist = describe_history(base)
+    assert hist[1]["ts"] < hist[2]["ts"], "commit clocks not separated"
+    ts_v2 = hist[1]["ts"]
     v_mid = version_at_timestamp(base, ts_v2)
     v_tip = version_at_timestamp(base, _time.time())
     # mid-state aggregates collapse to one row — carry them as

@@ -161,11 +161,33 @@ try:  # pyspark >= 4.0
             name: skip history already consumed elsewhere; offsets are
             exclusive lower bounds).  Restarts never come here: the
             checkpoint wins, so changing the option on an existing
-            checkpoint is intentionally inert."""
+            checkpoint is intentionally inert.
+
+            Seeing the base here also SEEDS the admission-control
+            cursor (r8 ADVICE): on any engine that asks for
+            initialOffset BEFORE the first latestOffset, the first
+            batch of a fresh query is then capped like every other.
+            Traced reality on Spark 4.1.2's PythonMicroBatchStream is
+            the OTHER order — latestOffset, then initialOffset, then
+            partitions (``test_round9_advice.py`` pins the trace) — so
+            on this engine a fresh query's first batch over a long
+            backlog remains uncapped: the first latestOffset cannot
+            tell fresh from committed-restart, and a capped value
+            below a restart's checkpointed offset would be recorded
+            BACKWARD in the offset log and replayed as duplicates.
+            ``startingVersion`` is the supported lever for pointing a
+            fresh query at a long feed history; the seed costs nothing
+            and closes the gap the moment the engine's call order
+            changes."""
             self._trace("initialOffset")
-            if self._starting is not None:
-                return {"version": self._starting - 1}
-            return {"version": 0}
+            base = self._starting - 1 if self._starting is not None else 0
+            # never DOWNGRADE an already-advanced cursor: in the
+            # traced order the first latestOffset has already been
+            # recorded by the engine, and re-probes must stay
+            # idempotent at or above it
+            if self._max is not None and self._last is None:
+                self._last = base
+            return {"version": base}
 
         def latestOffset(self) -> dict:
             """Highest SAFELY consumable version: never past an

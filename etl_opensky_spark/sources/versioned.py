@@ -80,6 +80,18 @@ class ConcurrentCommitError(RuntimeError):
     re-running it against the new tip converges."""
 
 
+class LogicalConflictError(ConcurrentCommitError):
+    """A lost commit race that cannot be REBASED: a winning commit's
+    change set logically overlaps this writer's read/write set, or
+    table semantics drifted (schema, column mapping, constraints,
+    identity high-water).  Rebase-capable writers (``merge_versioned``
+    partitioned, ``copy_into``, ``delete_where``) raise this ONLY when
+    the overlap is real; disjoint concurrent commits are transparently
+    re-parented and committed without re-running any Spark compute.
+    On this error, re-run against the new tip
+    (``merge_with_retry``/``delete_with_retry`` do so automatically)."""
+
+
 def _commits_dir(base: str) -> str:
     return os.path.join(base, COMMITS)
 
@@ -1399,9 +1411,15 @@ def vacuum_versions(
         running = None
         for e in drop:
             t = _commit_ts(base, e)
-            if t is not None:
-                running = t if running is None else max(running, t)
-            if running is not None and running < cutoff:
+            if t is None:
+                # unresolvable (legacy commit surviving only via a
+                # checkpoint roll-up): inheriting the PREVIOUS entry's
+                # clamped time could vacuum a commit that is actually
+                # younger than the window — keep it and stop, the
+                # documented conservative behavior (r8 ADVICE)
+                break
+            running = t if running is None else max(running, t)
+            if running < cutoff:
                 old_enough.append(e)
             else:
                 break  # monotonic times: nothing after this is older
@@ -3233,7 +3251,16 @@ def _bloom_extend(spark: SparkSession, data_dir: str, rels) -> None:
     append-mostly lifecycle keeps its point-lookup pruning instead of
     losing the index on every ``copy_into``.  A column absent from the
     new files (schema evolution) drops that column's index — no false
-    negatives, ever."""
+    negatives, ever.
+
+    Values are hashed at the index's RECORDED dtype, not the ingested
+    files' native parquet type: lookups (:func:`_bloom_positions`)
+    cast the probe to ``idx['dtype']``, so an ingested file storing
+    e.g. int32 where the table recorded int64 must hash the widened
+    value or every appended row silently false-negatives (r8 ADVICE).
+    The cast mirrors the probe side exactly — rows whose cast comes
+    out NULL still contribute xxhash64's hash-of-null bits, matching
+    what a probe that casts NULL would look up."""
     side = _bloom_load(data_dir)
     if not side or not rels:
         return
@@ -3245,9 +3272,10 @@ def _bloom_extend(spark: SparkSession, data_dir: str, rels) -> None:
             del side[c]  # unprovable for the new files
             continue
         n_bits, n_hashes = idx["bits"], idx["hashes"]
+        hashed = F.col(c).cast(idx["dtype"])
         positions = F.array(
             *[
-                F.pmod(F.xxhash64(F.col(c), F.lit(h)), F.lit(n_bits))
+                F.pmod(F.xxhash64(hashed, F.lit(h)), F.lit(n_bits))
                 for h in range(n_hashes)
             ]
         )
@@ -3280,8 +3308,21 @@ def _bloom_extend(spark: SparkSession, data_dir: str, rels) -> None:
         for rel in rels:
             new_files.setdefault(rel, {})
         idx["files"].update(new_files)
-    with open(os.path.join(data_dir, BLOOM_SIDECAR), "w") as fh:
+    # BREAK THE HARDLINK before publishing: _copy_sidecars carries the
+    # parent's _bloom.json by link_file (os.link on POSIX), so an
+    # in-place open(path, 'w') would truncate the SHARED inode and
+    # corrupt every ancestor snapshot's supposedly immutable index —
+    # time-travel point lookups at as_of=parent would list ingested
+    # files absent from the parent's manifest (r8 ADVICE, high).
+    # Writing a fresh temp file and fs-replacing it swaps the
+    # directory entry to a NEW inode; ancestors keep theirs.  (On the
+    # object-store backend the carried sidecar is already an
+    # independent object, and replace-of-a-file is a single-key PUT.)
+    final = os.path.join(data_dir, BLOOM_SIDECAR)
+    tmp = final + ".tmp"
+    with open(tmp, "w") as fh:
         json.dump(side, fh)
+    get_fs().replace(tmp, final)
 
 
 def _bloom_positions(
