@@ -14739,6 +14739,202 @@ GROUP BY o_orderpriority
 """
 
 
+def q305_concurrent_writers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMISTIC MULTI-WRITER gate (round 9: logical conflict
+    detection + rebase — ``versioned._commit_rebased``): two
+    INTERLEAVED disjoint-partition MERGEs both commit WITHOUT
+    re-running.  Writer B stages its rewrite against v1; writer A
+    steals v2 (injected at B's commit point via the library's own
+    test hook — the same interleaving two real jobs produce); B's
+    conflict check proves A stayed out of B's partitions and REBASES
+    the already-staged output onto v2, committing v3.  The reference's
+    own non-ACID append race (extract_flights.py:80-92 check-then-
+    append) is the failure mode this replaces.  Pinned: the op trail
+    (write,merge,merge — no aborted re-run), the loser's rebased
+    version, and the full post-merge table content vs the oracle's
+    replay of both updates."""
+    import shutil
+
+    from etl_opensky_spark.sources.versioned import (
+        _read_log,
+        _test_hooks,
+        merge_versioned,
+        read_version,
+        write_version,
+    )
+
+    base = _gate_tmp("q305_concurrent", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    src = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        _dec("o_totalprice").alias("price"),
+        (F.col("o_orderkey") % 4).cast("int").alias("bucket"),
+    )
+    write_version(src.repartition(4), base, partition_by=("bucket",))
+    upd_a = src.filter(
+        (F.col("bucket") == 0) & (F.col("k") % 20 == 0)
+    ).withColumn("price", F.col("price") * 2)
+    upd_b = src.filter(
+        (F.col("bucket") == 1) & (F.col("k") % 20 == 1)
+    ).withColumn("price", F.col("price") + 1000)
+
+    def steal():  # writer A lands v2 while B sits at its commit point
+        _test_hooks.pop("before_commit", None)
+        merge_versioned(spark, base, upd_a, ["k"], partition_by=("bucket",))
+
+    _test_hooks["before_commit"] = steal
+    try:
+        v_loser = merge_versioned(
+            spark, base, upd_b, ["k"], partition_by=("bucket",)
+        )
+    finally:
+        _test_hooks.pop("before_commit", None)
+    ops = ",".join(e["op"] for e in _read_log(base))
+    tip = read_version(spark, base)
+    return tip.agg(
+        F.count("*").alias("n"),
+        F.sum("k").alias("key_sum"),
+        F.sum("price").cast("double").alias("price_total"),
+    ).select(
+        "*",
+        F.lit(ops).alias("ops"),
+        F.lit(v_loser).alias("v_loser"),
+    )
+
+
+ORACLE_Q305 = """
+WITH src AS (
+  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+         o_orderkey % 4 AS bucket
+  FROM orders
+), final AS (
+  SELECT k,
+    CASE WHEN bucket = 0 AND k % 20 = 0 THEN price * 2
+         WHEN bucket = 1 AND k % 20 = 1 THEN price + 1000
+         ELSE price END AS price
+  FROM src
+)
+SELECT COUNT(*) AS n, SUM(k) AS key_sum,
+  CAST(SUM(price) AS DOUBLE) AS price_total,
+  'write,merge,merge' AS ops, 3 AS v_loser
+FROM final
+"""
+
+
+def q306_stream_lake_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE EXACTLY-ONCE STREAMING LAKE SINK gate (round 9:
+    ``df.writeStream.format("versioned")`` via
+    ``DataSourceStreamArrowWriter`` — the write-side twin of
+    ``lakefeed``): a real Structured Streaming query ingests a
+    landing-zone backlog into the lake (one ACID commit per
+    microbatch, txn cursor in ``user_meta.stream_txn``), STOPS, more
+    input lands, and the query RESUMES on the same checkpoint.  The
+    crash window is then exercised directly: the last batch is
+    re-committed through a fresh writer instance with a re-staged
+    file, exactly what Structured Streaming's at-least-once replay
+    does — the cursor makes it a no-op.  Pinned: full table content
+    (every input row exactly once), the commit-op trail, and the
+    replay leaving the log untouched."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+
+    from etl_opensky_spark.sources.lakesource import (
+        VersionedLakeStreamWriter,
+        register_versioned_source,
+    )
+    from etl_opensky_spark.sources.versioned import _read_log, read_version
+
+    register_versioned_source(spark)
+    root = _gate_tmp("q306_stream_sink", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    src = os.path.join(root, "src")
+    ckpt = os.path.join(root, "ckpt")
+    base = os.path.join(root, "lake")
+    os.makedirs(src)
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        # exact integer cents: double sums are order-sensitive across
+        # engines, decimal-scaled longs hash identically
+        (_dec("o_totalprice") * 100).cast("long").alias("price_c"),
+    )
+
+    def run():
+        q = (
+            spark.readStream.schema("k long, price_c long")
+            .option("pathGlobFilter", "*.parquet")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+            .writeStream.format("versioned")
+            .option("appId", "q306")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start(base)
+        )
+        q.awaitTermination(300)
+
+    orders.filter(F.col("k") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(src, "batch_a"))
+    run()
+    orders.filter(F.col("k") % 2 == 1).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(src, "batch_b"))
+    run()  # resume on the same checkpoint
+    n_commits = len(_read_log(base))
+    # the crash window: re-commit the LAST batch id through a fresh
+    # writer (as pyspark's commit runner does on replay)
+    sch = read_version(spark, base).schema
+    w = VersionedLakeStreamWriter(
+        {"path": base, "appId": "q306"}, sch, False
+    )
+    msg = w.write(
+        iter(
+            [
+                pa.RecordBatch.from_pydict(
+                    {
+                        "k": pa.array([1], pa.int64()),
+                        "price_c": pa.array([100], pa.int64()),
+                    }
+                )
+            ]
+        )
+    )
+    VersionedLakeStreamWriter(
+        {"path": base, "appId": "q306"}, sch, False
+    ).commit([msg], n_commits - 1)
+    replay_noop = int(len(_read_log(base)) == n_commits)
+    ops = ",".join(sorted({e["op"] for e in _read_log(base)}))
+    tip = read_version(spark, base)
+    return tip.agg(
+        F.count("*").alias("n"),
+        F.count_distinct("k").alias("n_distinct"),
+        F.sum("k").alias("key_sum"),
+        F.sum("price_c").alias("price_cents"),
+    ).select(
+        "*",
+        F.lit(ops).alias("ops"),
+        F.lit(n_commits).alias("n_commits"),
+        F.lit(replay_noop).alias("replay_noop"),
+    )
+
+
+ORACLE_Q306 = """
+WITH src AS (
+  SELECT o_orderkey AS k,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS price_c
+  FROM orders
+)
+SELECT COUNT(*) AS n, COUNT(DISTINCT k) AS n_distinct,
+  CAST(SUM(k) AS BIGINT) AS key_sum,
+  CAST(SUM(price_c) AS BIGINT) AS price_cents,
+  'stream_append' AS ops, 2 AS n_commits, 1 AS replay_noop
+FROM src
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -15043,6 +15239,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q302_positional_delete": q302_positional_delete,
     "q303_bloom_append_lookup": q303_bloom_append_lookup,
     "q304_zorder3_skipping": q304_zorder3_skipping,
+    "q305_concurrent_writers": q305_concurrent_writers,
+    "q306_stream_lake_sink": q306_stream_lake_sink,
 }
 
 ORACLES: dict[str, str] = {
@@ -15348,6 +15546,8 @@ ORACLES: dict[str, str] = {
     "q302_positional_delete": ORACLE_Q302,
     "q303_bloom_append_lookup": ORACLE_Q303,
     "q304_zorder3_skipping": ORACLE_Q304,
+    "q305_concurrent_writers": ORACLE_Q305,
+    "q306_stream_lake_sink": ORACLE_Q306,
 }
 
 

@@ -294,6 +294,7 @@ try:  # pyspark >= 4.0
         DataSource,
         DataSourceArrowWriter,
         DataSourceReader,
+        DataSourceStreamArrowWriter,
         EqualTo,
         GreaterThan,
         GreaterThanOrEqual,
@@ -716,6 +717,215 @@ try:  # pyspark >= 4.0
 
             _shutil.rmtree(self._staging, ignore_errors=True)
 
+    #: commit-log rider key for the streaming sink's transaction cursor
+    #: (same key streaming/lake.py's foreachBatch path uses, so the two
+    #: exactly-once mechanisms read each other's cursors)
+    _STREAM_TXN_KEY = "stream_txn"
+
+    class VersionedLakeStreamWriter(DataSourceStreamArrowWriter):
+        """``df.writeStream.format("versioned").option("appId", ...)``
+        — NATIVE exactly-once Structured Streaming sink for the lake
+        (round-9 VERDICT #2: the write-side twin of ``lakefeed``).
+
+        Executors reuse the batch writer's Arrow staging path (one
+        parquet file per non-empty partition, columnar end-to-end).
+        The driver-side ``commit(messages, batchId)`` makes the sink
+        EXACTLY-ONCE with the same transaction-cursor idiom as
+        ``streaming/lake.py`` (Delta's ``txnAppId``/``txnVersion``):
+        each microbatch lands as ONE lake commit carrying
+        ``user_meta.stream_txn = {app_id, batch_id}``; Structured
+        Streaming's replay of a batch after a crash between the sink
+        commit and the checkpoint write re-enters ``commit`` with the
+        SAME batchId, finds the cursor already at it, and no-ops
+        (discarding its re-staged files).  ``appId`` is REQUIRED and
+        must be stable across restarts — it is the cursor's identity
+        (a generated default would silently reset exactly-once on
+        every restart).
+
+        Commits are blind appends, so a lost version race REBASES via
+        the round-9 conflict engine unless table semantics drifted —
+        concurrent maintenance (OPTIMIZE, deletes elsewhere) no longer
+        kills the stream.  The commit runner constructs a FRESH writer
+        per batch (pyspark's python_streaming_sink_runner), so all
+        state lives in the commit log — restart-safe by construction.
+        """
+
+        def __init__(self, options: dict, schema: StructType,
+                     overwrite: bool):
+            if overwrite:
+                raise ValueError(
+                    "versioned stream sink: append output mode only "
+                    "(complete/truncate would rewrite the table every "
+                    "microbatch — use foreachBatch + write_version)"
+                )
+            app_id = options.get("appId") or options.get("appid")
+            if not app_id:
+                raise ValueError(
+                    "versioned stream sink: .option('appId', <stable "
+                    "id>) is required — it is the exactly-once "
+                    "transaction cursor's identity and must survive "
+                    "restarts"
+                )
+            self._app_id = str(app_id)
+            # guard rails + staging mechanics are the batch writer's
+            # (identity/constraint/partitioned tables refuse, naming
+            # the engine path)
+            self._inner = VersionedLakeWriter(options, schema, False)
+            self._base = self._inner._base
+
+        def write(self, iterator):
+            return self._inner.write(iterator)
+
+        def _committed_batch(self) -> int:
+            """Newest batch id this app committed to the table, or -1
+            — O(log tail) newest-first scan, foreign commits skipped."""
+            from etl_opensky_spark.sources.versioned import _read_log
+
+            for entry in reversed(_read_log(self._base)):
+                meta = (entry.get("user_meta") or {}).get(
+                    _STREAM_TXN_KEY
+                )
+                if meta and meta.get("app_id") == self._app_id:
+                    return int(meta["batch_id"])
+            return -1
+
+        def commit(self, messages, batchId: int) -> None:
+            from etl_opensky_spark.sources.versioned import (
+                _bloom_drop,
+                _check_rebase_append,
+                _commit_rebased,
+                _current,
+            )
+            from etl_opensky_spark.sources.fs import get_fs
+
+            staged = [
+                m.path for m in messages
+                if m is not None and m.path is not None
+            ]
+            try:
+                if self._committed_batch() >= batchId:
+                    return  # replayed batch: the crash window — no-op
+                cur = _current(self._base)
+
+                def build(parent_e, scavenge):
+                    name, data_dir = _new_data_dir(self._base)
+                    os.makedirs(data_dir, exist_ok=True)
+                    extra: dict = {}
+                    files_out: dict = {}
+                    if parent_e is not None:
+                        _adopt_parent_files(
+                            self._base, parent_e, data_dir, files_out
+                        )
+                        _copy_sidecars(self._base, parent_e, data_dir)
+                        # pyarrow-only append: no SparkSession to
+                        # extend a carried bloom index — drop it (see
+                        # the batch writer; maintain_table rebuilds)
+                        _bloom_drop(data_dir)
+                        for key in (
+                            "schema_json", "column_mapping",
+                            "stats_cols", "tombstones",
+                            "ingested_files", "constraints",
+                        ):
+                            if parent_e.get(key):
+                                extra[key] = parent_e[key]
+                    for src in staged:
+                        dst_name = os.path.basename(src)
+                        get_fs().link_file(
+                            src, os.path.join(data_dir, dst_name)
+                        )
+                        files_out[dst_name] = name
+                    extra.update(
+                        _files_extra(
+                            files_out,
+                            materialized=parent_e is None
+                            or not _zero_copy(),
+                        )
+                    )
+                    if (
+                        parent_e is not None
+                        and parent_e.get("stats") is not None
+                    ):
+                        sc = parent_e.get("stats_cols") or []
+                        mapping = self._inner._mapping
+                        new_stats = {
+                            os.path.basename(p): _pyarrow_file_stats(
+                                os.path.join(
+                                    data_dir, os.path.basename(p)
+                                ),
+                                [mapping.get(c, c) for c in sc],
+                            )
+                            for p in staged
+                        }
+                        extra["stats"] = {
+                            **parent_e["stats"], **new_stats
+                        }
+                    extra["user_meta"] = {
+                        _STREAM_TXN_KEY: {
+                            "app_id": self._app_id,
+                            "batch_id": int(batchId),
+                        }
+                    }
+                    return name, data_dir, extra
+
+                def check(parent_e, winners):
+                    # a zombie duplicate of THIS stream that committed
+                    # the same batch concurrently is exactly-once
+                    # satisfied, not a conflict — surface it as one
+                    # and let the re-check below swallow it
+                    _check_rebase_append(
+                        self._base, cur or {}, winners, ()
+                    )
+                    for w in winners:
+                        meta = (w.get("user_meta") or {}).get(
+                            _STREAM_TXN_KEY
+                        )
+                        if (
+                            meta
+                            and meta.get("app_id") == self._app_id
+                            and int(meta["batch_id"]) >= batchId
+                        ):
+                            from etl_opensky_spark.sources.versioned import (  # noqa: E501
+                                LogicalConflictError,
+                            )
+
+                            raise LogicalConflictError(
+                                f"batch {batchId} already committed "
+                                "by a concurrent instance of "
+                                f"app {self._app_id!r}"
+                            )
+
+                try:
+                    _commit_rebased(
+                        self._base, cur, "stream_append", build, check
+                    )
+                except ConcurrentCommitError:
+                    if self._committed_batch() >= batchId:
+                        return  # zombie raced us to it: exactly-once
+                    raise
+            finally:
+                # the commit runner constructs its OWN writer instance
+                # (different staging uuid than the planning instance
+                # the executors staged under): clean by the MESSAGE
+                # paths, the one truth both sides share
+                for p in staged:
+                    try:
+                        os.remove(p)
+                    except OSError:
+                        pass
+                for d in {os.path.dirname(p) for p in staged}:
+                    try:
+                        os.rmdir(d)
+                    except OSError:
+                        pass  # another batch's files still staged
+
+        def abort(self, messages, batchId: int) -> None:
+            for m in messages:
+                if m is not None and m.path is not None:
+                    try:
+                        os.remove(m.path)
+                    except OSError:
+                        pass
+
     class VersionedLakeDataSource(DataSource):
         """``spark.read.format("versioned")`` — versioned-lake snapshots
         with manifest/partition file skipping driven by pushFilters."""
@@ -771,6 +981,11 @@ try:  # pyspark >= 4.0
 
         def writer(self, schema, overwrite: bool):
             return VersionedLakeWriter(self.options, schema, overwrite)
+
+        def streamWriter(self, schema, overwrite: bool):
+            return VersionedLakeStreamWriter(
+                self.options, schema, overwrite
+            )
 
     HAS_DATASOURCE_API = True
 except ImportError:  # pragma: no cover - pyspark < 4

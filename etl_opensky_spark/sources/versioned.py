@@ -460,6 +460,274 @@ def _adopt_full(base: str, parent: dict, data_dir: str) -> dict:
     )
 
 
+# --- optimistic multi-writer concurrency: conflict detection + rebase ----
+#
+# Delta-style logical conflict resolution (the round-9 VERDICT task):
+# a writer that loses the version race no longer aborts wholesale.  Its
+# already-written data files are REUSED — the snapshot is reassembled
+# against the new tip (pure metadata + linking, no Spark recompute) and
+# committed one version up, PROVIDED every intervening winner is
+# logically disjoint from this writer's read/write set.  The winner's
+# change set needs no new commit metadata: the manifest diff vs its
+# parent (the same (rel, origin) identity CDF uses) IS its write set,
+# and fresh tombstone sidecars name their target files.  The conflict
+# matrix implemented below:
+#
+#   loser \ winner      append   posdel   rewrite in S   rewrite out S
+#   append (copy_into)  OK*      OK       OK             OK
+#   posdel (delete)     OK†      OK       conflict‡      OK
+#   merge on parts S    OK§      ‡        conflict       OK
+#
+#   * unless the winner ingested the same landing files (exactly-once)
+#   † snapshot-scoped: rows appended concurrently are NOT deleted
+#     (WriteSerializable semantics, like Delta's blind-append rule)
+#   ‡ conflict iff the winner removed/rewrote files the loser's
+#     sidecar targets / the loser's rewritten partitions contain
+#   § appends land outside hive layouts; partitioned tables reject them
+#
+# Any drift in table SEMANTICS (schema, column mapping, constraints,
+# identity high-water) between the loser's read snapshot and the new
+# tip defeats rebasing unconditionally: staged data was validated and
+# identity ranges minted against the old values.
+
+_SEMANTIC_KEYS = ("schema_json", "column_mapping", "constraints",
+                  "identity")
+
+#: hard bound on rebase attempts per commit — a pathologically hot log
+#: tip deserves a queue, not an unbounded spin
+_REBASE_MAX = 10
+
+
+def _manifest_delta(base: str, parent: dict, child: dict):
+    """``(added, removed)`` rel sets of ONE commit vs its parent.
+    File identity is the manifest ``(rel, origin)`` pair exactly as in
+    :func:`_step_changes` (a rel present on both sides under a NEW
+    origin is a rewrite: removed + added; a zero-copy child of a
+    materialized parent re-anchors origins to the parent's dir, which
+    also counts as carried) — zero filesystem I/O.  Legacy pre-manifest
+    commits fall back to hardlink-inode identity."""
+    if child.get("files") is not None:
+        pf = _entry_files(base, parent)
+        cf = _entry_files(base, child)
+
+        def carried(rel: str) -> bool:
+            c_org = cf.get(rel)
+            return c_org is not None and rel in pf and (
+                c_org == pf[rel] or c_org == parent["dir"]
+            )
+
+        return (
+            {r for r in cf if not carried(r)},
+            {r for r in pf if not carried(r)},
+        )
+    pfiles = _snapshot_files(os.path.join(base, parent["dir"]))
+    cfiles = _snapshot_files(os.path.join(base, child["dir"]))
+    return (
+        {rel for (rel, ino) in cfiles if (rel, ino) not in pfiles},
+        {rel for (rel, ino) in pfiles if (rel, ino) not in cfiles},
+    )
+
+
+def _new_tombstones(parent: dict, child: dict) -> list[dict]:
+    pdirs = {t["dir"] for t in parent.get("tombstones") or []}
+    return [
+        t for t in (child.get("tombstones") or [])
+        if t["dir"] not in pdirs
+    ]
+
+
+def _semantic_drift(orig: dict, tip: dict) -> str | None:
+    """First table-semantics key that differs between the loser's read
+    snapshot and the new tip, or None."""
+    for key in _SEMANTIC_KEYS:
+        a, b = orig.get(key), tip.get(key)
+        va = json.dumps(a, sort_keys=True) if a is not None else None
+        vb = json.dumps(b, sort_keys=True) if b is not None else None
+        if va != vb:
+            return key
+    return None
+
+
+def _require_no_drift(orig: dict, tip: dict) -> None:
+    drift = _semantic_drift(orig, tip)
+    if drift:
+        raise LogicalConflictError(
+            f"cannot rebase: table {drift} changed concurrently "
+            f"(read v{orig.get('version')}, tip v{tip['version']}) — "
+            "re-run against the new tip"
+        )
+
+
+def _tomb_target_rels(
+    spark: SparkSession, base: str, entry: dict, t: dict
+) -> set | None:
+    """URI-quoted rels ONE tombstone sidecar targets — positional
+    sidecars name them outright (distinct-rel read, ≤ #files rows),
+    scoped key tombstones list them in ``_scope.json``.  ``None`` =
+    unprovable (legacy unscoped key tombstone: table-wide)."""
+    if _is_pos_tomb(t):
+        tdir = os.path.join(base, entry["dir"], t["dir"])
+        return {
+            r["rel"]
+            for r in spark.read.parquet(tdir)
+            .select("rel").distinct().collect()
+        }
+    if t.get("scoped"):
+        try:
+            return set(_tomb_scope_files(base, entry, t))
+        except OSError:
+            return None
+    return None
+
+
+def _quoted_under(rel_quoted: str, suffixes_quoted) -> bool:
+    return any(rel_quoted.startswith(s + "/") for s in suffixes_quoted)
+
+
+def _check_rebase_partitions(
+    spark: SparkSession,
+    base: str,
+    orig: dict,
+    parent: dict,
+    winners: list[dict],
+    suffixes,
+) -> None:
+    """Partition-scoped rewrite (MERGE/keyed purge) vs winners: every
+    winner must leave the loser's partitions byte-identical — no file
+    added/removed/rewritten under them, no new tombstone targeting
+    them (a tombstone over a partition this merge re-derived from
+    pre-tombstone data would resurrect the deleted rows)."""
+    _require_no_drift(orig, winners[-1])
+    qsuf = {_hadoop_uri_quote(s) for s in suffixes}
+    prev = parent
+    for w in winners:
+        added, removed = _manifest_delta(base, prev, w)
+        hit = next(
+            (
+                r for r in added | removed
+                if _quoted_under(_hadoop_uri_quote(r), qsuf)
+            ),
+            None,
+        )
+        if hit is not None:
+            raise LogicalConflictError(
+                f"cannot rebase: winner v{w['version']} "
+                f"({w.get('op')}) touched {hit} inside a partition "
+                "this merge rewrote — re-run against the new tip"
+            )
+        for t in _new_tombstones(prev, w):
+            trels = _tomb_target_rels(spark, base, w, t)
+            if trels is None or any(
+                _quoted_under(r, qsuf) for r in trels
+            ):
+                raise LogicalConflictError(
+                    f"cannot rebase: winner v{w['version']} added a "
+                    "tombstone over a partition this merge rewrote — "
+                    "re-run against the new tip"
+                )
+        prev = w
+
+
+def _check_rebase_posdel(
+    base: str,
+    orig: dict,
+    parent: dict,
+    winners: list[dict],
+    target_rels_quoted,
+) -> None:
+    """Positional delete vs winners: valid as long as every file the
+    sidecar names keeps its manifest identity at the tip (appends and
+    other MOR deletes stack freely; a rewrite/compaction of a target
+    file invalidates its row positions).  Concurrently APPENDED rows
+    are deliberately NOT deleted — the delete is snapshot-scoped,
+    Delta's WriteSerializable contract for blind appends."""
+    _require_no_drift(orig, winners[-1])
+    prev = parent
+    for w in winners:
+        _added, removed = _manifest_delta(base, prev, w)
+        hit = {
+            _hadoop_uri_quote(r) for r in removed
+        } & set(target_rels_quoted)
+        if hit:
+            raise LogicalConflictError(
+                f"cannot rebase: winner v{w['version']} "
+                f"({w.get('op')}) rewrote {len(hit)} file(s) this "
+                "delete's positions target — re-run against the new tip"
+            )
+        prev = w
+
+
+def _check_rebase_append(
+    base: str,
+    orig: dict,
+    winners: list[dict],
+    my_file_names,
+) -> None:
+    """Blind file-level append (copy_into) vs winners: no read set, so
+    only semantics can conflict — plus the exactly-once contract: a
+    winner that ingested any of the SAME landing files forces a re-run
+    (which then skips them), never a double ingest.  This closes the
+    reference's non-ACID check-then-append race
+    (src/jobs/extract_flights.py:80-92): two concurrent daily ingests
+    both commit, each landing file exactly once."""
+    tip = winners[-1]
+    _require_no_drift(orig, tip)
+    if _partition_cols_of(base, tip):
+        raise LogicalConflictError(
+            "cannot rebase: table became hive-partitioned concurrently"
+        )
+    dup = set(tip.get("ingested_files") or ()) & set(my_file_names)
+    if dup:
+        raise LogicalConflictError(
+            f"cannot rebase: {len(dup)} landing file(s) were ingested "
+            "concurrently — re-run copy_into (it skips them)"
+        )
+
+
+def _commit_rebased(
+    base: str,
+    parent: dict | None,
+    op: str,
+    build,
+    check,
+) -> int:
+    """Optimistic commit WITH REBASE.  ``build(parent, scavenge) ->
+    (name, data_dir, extra)`` assembles the snapshot against any given
+    parent — pure metadata + linking; the expensive Spark compute
+    happened before this loop, and ``scavenge`` (the previous failed
+    attempt's data dir) lets it move already-written outputs instead
+    of re-staging.  On a lost race, ``check(parent, winners)`` raises
+    :class:`LogicalConflictError` for real overlaps; otherwise the
+    snapshot is reassembled against the new tip and committed one
+    version up.  Returns the committed version."""
+    scavenge = None
+    attempts = 0
+    while True:
+        name, data_dir, extra = build(parent, scavenge)
+        if scavenge is not None:
+            shutil.rmtree(scavenge, ignore_errors=True)
+            scavenge = None
+        version = (parent["version"] if parent else 0) + 1
+        try:
+            _commit(base, version, name, op, extra=extra)
+            return version
+        except ConcurrentCommitError:
+            attempts += 1
+            log = _read_log(base)
+            pv = parent["version"] if parent else 0
+            winners = [e for e in log if e["version"] > pv]
+            if not winners or attempts >= _REBASE_MAX:
+                shutil.rmtree(data_dir, ignore_errors=True)
+                raise
+            try:
+                check(parent, winners)
+            except ConcurrentCommitError:
+                shutil.rmtree(data_dir, ignore_errors=True)
+                raise
+            parent = log[-1]
+            scavenge = data_dir
+
+
 def _assert_partitioned(base: str, entry: dict,
                         part_cols: Sequence[str]) -> None:
     if not any(
@@ -1598,7 +1866,6 @@ def merge_versioned(
         return 1
 
     version = cur["version"] + 1
-    parent_dir = os.path.join(base, cur["dir"])
     mapping = _col_mapping(cur)
     cons = dict(cur.get("constraints") or {})
     target = _read_snapshot(spark, base, cur)
@@ -1646,107 +1913,146 @@ def merge_versioned(
         _assert_partitioned(base, cur, part_cols)  # fail before staging IO
 
     staging = os.path.join(base, f"_staging-{uuid.uuid4().hex[:12]}")
-    name, data_dir = _new_data_dir(base)
-    files_out: dict = {}
-    try:
-        if not part_cols:
+
+    if not part_cols:
+        # full rewrite under logical names: the write set is the whole
+        # table, so a lost race is never rebasable — abort
+        # (merge_with_retry re-runs against the new tip)
+        name, data_dir = _new_data_dir(base)
+        files_out: dict = {}
+        try:
             reconciled = target.join(
                 upd.select(*keys), on=keys, how="left_anti"
             ).unionByName(upd)
             reconciled.write.mode("errorifexists").parquet(data_dir)
-        else:
-            affected = upd.select(*part_cols).distinct()
-            if not keys_are_partition_stable:
-                # partitions currently holding a matched key: column-pruned
-                # (keys + partition cols) probe — no data columns read
-                moved_from = (
-                    target.select(*part_cols, *keys)
-                    .join(
-                        F.broadcast(upd.select(*keys)), on=keys, how="left_semi"
-                    )
-                    .select(*part_cols)
-                    .distinct()
-                )
-                affected = affected.union(moved_from).distinct()
-            affected_suffixes = {
-                _hive_dir(part_cols, tuple(r[c] for c in part_cols))
-                for r in affected.collect()
-            }
-            existing_affected = target.join(
-                F.broadcast(affected), on=part_cols, how="left_semi"
+            _record_new_files(data_dir, name, files_out)
+            extra = _files_extra(files_out, materialized=True)
+            extra.update(
+                _stats_extra_cow(
+                    spark, base, cur, files_out, name, data_dir,
+                    list(stats_cols),
+                ) or {}
             )
-            reconciled = (
-                existing_affected.join(
-                    upd.select(*keys), on=keys, how="left_anti"
+            if new_cols or cur.get("schema_json"):
+                extra["schema_json"] = json.dumps(
+                    json.loads(target.schema.json())
                 )
-                .unionByName(upd)
-                .select(*target.columns)
+            if cons:
+                extra["constraints"] = cons
+            if cur.get("ingested_files"):
+                extra["ingested_files"] = cur["ingested_files"]
+            if ident is not None:
+                extra["identity"] = ident
+            if user_meta is not None:
+                extra["user_meta"] = dict(user_meta)
+            _commit(base, version, name, "merge", extra=extra)
+        except ConcurrentCommitError:
+            shutil.rmtree(data_dir, ignore_errors=True)
+            raise
+        return version
+
+    # partitioned branch: write set = affected_suffixes only, so a lost
+    # race against winners that stayed OUT of those partitions is
+    # rebased — the staged rewrite is reused, no Spark recompute
+    try:
+        affected = upd.select(*part_cols).distinct()
+        if not keys_are_partition_stable:
+            # partitions currently holding a matched key: column-pruned
+            # (keys + partition cols) probe — no data columns read
+            moved_from = (
+                target.select(*part_cols, *keys)
+                .join(
+                    F.broadcast(upd.select(*keys)), on=keys, how="left_semi"
+                )
+                .select(*part_cols)
+                .distinct()
             )
-            if mapping:
-                # hardlinked partitions keep the frozen physical names,
-                # so rewritten partitions must too — write under the
-                # mapping's physical names and carry it forward
-                reconciled = reconciled.select(
-                    *[
-                        F.col(c).alias(mapping.get(c, c))
-                        for c in reconciled.columns
-                    ]
-                )
-            reconciled.write.mode("errorifexists").partitionBy(
-                *part_cols
-            ).parquet(staging)
+            affected = affected.union(moved_from).distinct()
+        affected_suffixes = {
+            _hive_dir(part_cols, tuple(r[c] for c in part_cols))
+            for r in affected.collect()
+        }
+        existing_affected = target.join(
+            F.broadcast(affected), on=part_cols, how="left_semi"
+        )
+        reconciled = (
+            existing_affected.join(
+                upd.select(*keys), on=keys, how="left_anti"
+            )
+            .unionByName(upd)
+            .select(*target.columns)
+        )
+        if mapping:
+            # hardlinked partitions keep the frozen physical names,
+            # so rewritten partitions must too — write under the
+            # mapping's physical names and carry it forward
+            reconciled = reconciled.select(
+                *[
+                    F.col(c).alias(mapping.get(c, c))
+                    for c in reconciled.columns
+                ]
+            )
+        reconciled.write.mode("errorifexists").partitionBy(
+            *part_cols
+        ).parquet(staging)
+        phys_stats = [mapping.get(c, c) for c in stats_cols]
+
+        def build(parent_e, scavenge):
+            bname, bdir = _new_data_dir(base)
+            files_out: dict = {}
+            # a rebase scavenges the failed attempt's dir: its affected
+            # partitions hold exactly this merge's staged output (the
+            # original staging was drained into it), same layout
             _snapshot_from_parent(
-                base, cur, data_dir, part_cols, affected_suffixes,
-                staging, files_out,
+                base, parent_e, bdir, part_cols, affected_suffixes,
+                scavenge if scavenge is not None else staging,
+                files_out,
             )
             # adopted partitions still hold MOR-deleted rows: the
             # tombstone sidecars (and their rider) must travel or those
             # rows would silently resurface
-            for t in cur.get("tombstones") or []:
+            for t in parent_e.get("tombstones") or []:
                 _link_tree(
-                    os.path.join(parent_dir, t["dir"]),
-                    os.path.join(data_dir, t["dir"]),
+                    os.path.join(base, parent_e["dir"], t["dir"]),
+                    os.path.join(bdir, t["dir"]),
                 )
-        _record_new_files(data_dir, name, files_out)
-        # the unpartitioned branch is a full rewrite under LOGICAL names,
-        # which clears any column mapping; the partitioned branch keeps
-        # physical names in every file and must carry the mapping
-        carry_mapping = mapping if part_cols else {}
-        phys_stats = (
-            [mapping.get(c, c) for c in stats_cols]
-            if carry_mapping
-            else list(stats_cols)
-        )
-        extra = _files_extra(
-            files_out,
-            materialized=not part_cols
-            or not _zero_copy(),
-        )
-        extra.update(
-            _stats_extra_cow(
-                spark, base, cur, files_out, name, data_dir, phys_stats
-            ) or {}
-        )
-        if new_cols or cur.get("schema_json"):
-            extra["schema_json"] = json.dumps(
-                json.loads(target.schema.json())
+            _record_new_files(bdir, bname, files_out)
+            extra = _files_extra(
+                files_out, materialized=not _zero_copy()
             )
-        if carry_mapping:
-            extra["column_mapping"] = carry_mapping
-        if cons:
-            extra["constraints"] = cons
-        if cur.get("ingested_files"):
-            extra["ingested_files"] = cur["ingested_files"]
-        if ident is not None:
-            extra["identity"] = ident  # carries the advanced high-water mark
-        if part_cols and cur.get("tombstones"):
-            extra["tombstones"] = cur["tombstones"]
-        if user_meta is not None:
-            extra["user_meta"] = dict(user_meta)
-        _commit(base, version, name, "merge", extra=extra or None)
-    except ConcurrentCommitError:
-        shutil.rmtree(data_dir, ignore_errors=True)
-        raise
+            extra.update(
+                _stats_extra_cow(
+                    spark, base, parent_e, files_out, bname, bdir,
+                    phys_stats,
+                ) or {}
+            )
+            if new_cols or parent_e.get("schema_json"):
+                extra["schema_json"] = json.dumps(
+                    json.loads(target.schema.json())
+                )
+            if mapping:
+                extra["column_mapping"] = mapping
+            if cons:
+                extra["constraints"] = cons
+            if parent_e.get("ingested_files"):
+                extra["ingested_files"] = parent_e["ingested_files"]
+            if ident is not None:
+                # carries the advanced high-water mark (rebase-safe:
+                # semantic drift check pins the tip's identity to the
+                # read snapshot's, so the minted range stays unique)
+                extra["identity"] = ident
+            if parent_e.get("tombstones"):
+                extra["tombstones"] = parent_e["tombstones"]
+            if user_meta is not None:
+                extra["user_meta"] = dict(user_meta)
+            return bname, bdir, extra
+
+        def check(parent_e, winners):
+            _check_rebase_partitions(
+                spark, base, cur, parent_e, winners, affected_suffixes
+            )
+
+        version = _commit_rebased(base, cur, "merge", build, check)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
     return version
@@ -2001,22 +2307,44 @@ def delete_where(
     n_deleted = hits.count()
     if n_deleted == 0:
         return cur["version"], 0
-    version = cur["version"] + 1
-    name, data_dir = _new_data_dir(base)
-    try:
+    tomb_name = f"_posdel-{uuid.uuid4().hex[:12]}"
+    # ~10M (rel, pos) pairs per sidecar file: tiny deletes get one
+    # file, huge ones stay parallel end-to-end
+    n_files = max(1, -(-n_deleted // 10_000_000))
+    # the sidecar's target rels, needed only when a race forces a
+    # conflict check — memoized, ≤ #files rows (already URI-quoted:
+    # both derive from _metadata.file_path)
+    targets_cache: dict = {}
+
+    def _targets():
+        if "rels" not in targets_cache:
+            targets_cache["rels"] = {
+                r["rel"] for r in hits.select("rel").distinct().collect()
+            }
+        return targets_cache["rels"]
+
+    def build(parent_e, scavenge):
+        name, data_dir = _new_data_dir(base)
         os.makedirs(data_dir, exist_ok=True)
         files_out: dict = {}
-        _adopt_parent_files(base, cur, data_dir, files_out)
-        _copy_sidecars(base, cur, data_dir)
-        tomb_name = f"_posdel-{uuid.uuid4().hex[:12]}"
-        # ~10M (rel, pos) pairs per sidecar file: tiny deletes get one
-        # file, huge ones stay parallel end-to-end
-        n_files = max(1, -(-n_deleted // 10_000_000))
-        hits.repartition(n_files).write.mode("errorifexists").parquet(
-            os.path.join(data_dir, tomb_name)
+        _adopt_parent_files(base, parent_e, data_dir, files_out)
+        _copy_sidecars(base, parent_e, data_dir)
+        tdst = os.path.join(data_dir, tomb_name)
+        if scavenge is not None and os.path.isdir(
+            os.path.join(scavenge, tomb_name)
+        ):
+            # rebase: the positions stay valid (the conflict check
+            # proved every target file carried identity to the new
+            # tip) — move the already-written sidecar, zero recompute
+            os.rename(os.path.join(scavenge, tomb_name), tdst)
+        else:
+            hits.repartition(n_files).write.mode(
+                "errorifexists"
+            ).parquet(tdst)
+        tombs = list(parent_e.get("tombstones") or [])
+        tombs.append(
+            {"dir": tomb_name, "kind": "pos", "scoped": True}
         )
-        tombs = list(cur.get("tombstones") or [])
-        tombs.append({"dir": tomb_name, "kind": "pos", "scoped": True})
         extra: dict = {"tombstones": tombs}
         extra.update(
             _files_extra(
@@ -2028,14 +2356,16 @@ def delete_where(
             "schema_json", "column_mapping", "stats_cols", "stats",
             "constraints", "ingested_files", "identity",
         ):
-            if cur.get(key) is not None and key in cur:
-                extra[key] = cur[key]
+            if parent_e.get(key) is not None and key in parent_e:
+                extra[key] = parent_e[key]
         if user_meta is not None:
             extra["user_meta"] = dict(user_meta)
-        _commit(base, version, name, "delete_where", extra=extra)
-    except ConcurrentCommitError:
-        shutil.rmtree(data_dir, ignore_errors=True)
-        raise
+        return name, data_dir, extra
+
+    def check(parent_e, winners):
+        _check_rebase_posdel(base, cur, parent_e, winners, _targets())
+
+    version = _commit_rebased(base, cur, "delete_where", build, check)
     return version, n_deleted
 
 
@@ -3029,67 +3359,79 @@ def copy_into(
             *[F.col(c).alias(mapping.get(c, c)) for c in batch.columns]
         )
     os.makedirs(base, exist_ok=True)
-    version = (cur["version"] if cur else 0) + 1
-    dname, data_dir = _new_data_dir(base)
     staging = os.path.join(base, f"_staging-{uuid.uuid4().hex[:12]}")
+    tag = uuid.uuid4().hex[:8]
     try:
         batch.write.mode("errorifexists").parquet(staging)
-        os.makedirs(data_dir, exist_ok=True)
-        files_out: dict = {}
-        if cur is not None:
-            _adopt_parent_files(base, cur, data_dir, files_out)
-            _copy_sidecars(base, cur, data_dir)
-        tag = uuid.uuid4().hex[:8]
-        ing_rels = []
-        for f in os.listdir(staging):
-            if f.endswith(".parquet"):
+        staged = sorted(
+            f for f in os.listdir(staging) if f.endswith(".parquet")
+        )
+
+        def build(parent_e, scavenge):
+            # pure metadata + linking: staging outlives every rebase
+            # attempt, so the batch is written (and the bloom extension
+            # scans it) exactly once per assembly, never recomputed
+            dname, data_dir = _new_data_dir(base)
+            os.makedirs(data_dir, exist_ok=True)
+            files_out: dict = {}
+            if parent_e is not None:
+                _adopt_parent_files(base, parent_e, data_dir, files_out)
+                _copy_sidecars(base, parent_e, data_dir)
+            ing_rels = []
+            for f in staged:
                 rel = f"ing-{tag}-{f}"
                 get_fs().link_file(
                     os.path.join(staging, f),
                     os.path.join(data_dir, rel),
                 )
                 ing_rels.append(rel)
-        _record_new_files(data_dir, dname, files_out)
-        # a carried bloom index must COVER the new files or point
-        # lookups false-negative on them — extend it with one scan of
-        # just the ingested files (r8 review finding)
-        _bloom_extend(spark, data_dir, ing_rels)
-        extra: dict = {
-            "ingested_files": sorted(seen | set(new_files)),
-        }
-        extra.update(
-            _files_extra(
-                files_out,
-                materialized=cur is None
-                or not _zero_copy(),
+            _record_new_files(data_dir, dname, files_out)
+            # a carried bloom index must COVER the new files or point
+            # lookups false-negative on them — extend it with one scan
+            # of just the ingested files (r8 review finding)
+            _bloom_extend(spark, data_dir, ing_rels)
+            extra: dict = {
+                "ingested_files": sorted(
+                    set((parent_e or {}).get("ingested_files") or [])
+                    | set(new_files)
+                ),
+            }
+            extra.update(
+                _files_extra(
+                    files_out,
+                    materialized=parent_e is None or not _zero_copy(),
+                )
             )
-        )
-        # a column-mapped table's files carry the frozen PHYSICAL names:
-        # harvest footer stats under those (matching merge/purge), or
-        # the stats manifest silently comes back empty for mapped cols
-        phys_stats = [mapping.get(c, c) for c in stats_cols]
-        st = (
-            _stats_extra_cow(
-                spark, base, cur, files_out, dname, data_dir, phys_stats
+            # a column-mapped table's files carry the frozen PHYSICAL
+            # names: harvest footer stats under those (matching merge/
+            # purge), or the stats manifest silently comes back empty
+            # for mapped cols
+            phys_stats = [mapping.get(c, c) for c in stats_cols]
+            st = (
+                _stats_extra_cow(
+                    spark, base, parent_e, files_out, dname, data_dir,
+                    phys_stats,
+                )
+                if parent_e is not None
+                else _stats_extra(spark, data_dir, phys_stats)
             )
-            if cur is not None
-            else _stats_extra(spark, data_dir, phys_stats)
-        )
-        if st:
-            extra.update(st)
-        if cur:
-            for key in (
-                "schema_json", "column_mapping", "constraints",
-                "tombstones",
-            ):
-                if cur.get(key):
-                    extra[key] = cur[key]
-        if identity_rider:
-            extra["identity"] = identity_rider
-        _commit(base, version, dname, "copy_into", extra=extra)
-    except ConcurrentCommitError:
-        shutil.rmtree(data_dir, ignore_errors=True)
-        raise
+            if st:
+                extra.update(st)
+            if parent_e:
+                for key in (
+                    "schema_json", "column_mapping", "constraints",
+                    "tombstones",
+                ):
+                    if parent_e.get(key):
+                        extra[key] = parent_e[key]
+            if identity_rider:
+                extra["identity"] = identity_rider
+            return dname, data_dir, extra
+
+        def check(parent_e, winners):
+            _check_rebase_append(base, cur or {}, winners, new_files)
+
+        version = _commit_rebased(base, cur, "copy_into", build, check)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
     return version, len(new_files)
@@ -3111,7 +3453,12 @@ def merge_with_retry(
     is exactly the Delta/Iceberg conflict-resolution contract for
     non-overlapping logical updates.  Raises after ``max_retries``
     losses (a pathologically hot log tip deserves a queue, not a spin
-    loop)."""
+    loop).
+
+    Since round 9, partitioned merges REBASE internally on logically
+    disjoint races (``_commit_rebased``) — this wrapper only ever
+    re-runs on a real overlap (:class:`LogicalConflictError`) or an
+    unpartitioned full rewrite."""
     last: ConcurrentCommitError | None = None
     for _ in range(max_retries + 1):
         try:
@@ -3139,7 +3486,12 @@ def delete_with_retry(
     against the NEW tip: stale (rel, pos) from the lost attempt are
     discarded wholesale, so a concurrent compaction/merge can never
     leave the delete pointing at rewritten files.  Raises after
-    ``max_retries`` losses."""
+    ``max_retries`` losses.
+
+    Since round 9, :func:`delete_where` REBASES internally when the
+    winners left every targeted file intact (appends and other MOR
+    deletes stack) — this wrapper only re-runs on a real rewrite of a
+    targeted file (:class:`LogicalConflictError`)."""
     last: ConcurrentCommitError | None = None
     for _ in range(max_retries + 1):
         try:
