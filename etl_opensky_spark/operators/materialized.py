@@ -35,6 +35,10 @@ from pyspark.sql import functions as F
 
 from etl_opensky_spark.sources.versioned import (
     _current,
+    _file_rows_from_stats,
+    _live_files,
+    _manifest_delta,
+    _read_log,
     merge_versioned,
     read_version,
     table_changes,
@@ -42,6 +46,16 @@ from etl_opensky_spark.sources.versioned import (
 )
 
 _META_KEY = "aggregate_mv"
+
+#: auto-mode crossover (see :func:`refresh_aggregate_mv`): below this
+#: many source rows a full recompute is a sub-second job and the
+#: incremental path's fixed costs (CDF extraction + diff join ≈ 4 extra
+#: Spark jobs) dominate — measured locally at sf1 (1.5 M rows, 1 %
+#: churn): refresh 1.9 s vs recompute 0.6 s (BENCH_sf1.json)
+AUTO_MIN_TABLE_ROWS = 10_000_000
+#: and above it, incremental only wins while the churn is a small
+#: fraction of the table: recompute when changed_rows * RATIO >= total
+AUTO_CHANGE_RATIO = 8
 
 
 def _sum_alias(col: str) -> str:
@@ -89,16 +103,115 @@ def create_aggregate_mv(
     )
 
 
+def estimate_refresh_work(
+    source_base: str, last: int, tip: int
+) -> dict | None:
+    """Driver-side cost estimate for an incremental refresh vs a
+    recompute, from the commit manifests alone (harvested per-file row
+    counts; parquet-footer metadata as fallback — no Spark job):
+    ``{"changed_rows": N, "total_rows": M}`` where ``changed_rows``
+    counts rows in every file ADDED or REMOVED between ``last`` and
+    ``tip`` (both sides of each rewrite — the work the CDF diff scans)
+    and ``total_rows`` is the tip's size (the work a recompute scans).
+    ``None`` when any commit in the range was vacuumed (the feed is
+    unextractable then anyway — recompute is forced)."""
+
+    def rows_of(entry: dict, rel: str, path: str) -> int:
+        n = _file_rows_from_stats(entry, rel)
+        if n is None:
+            import pyarrow.parquet as pq
+
+            n = pq.ParquetFile(path).metadata.num_rows
+        return n
+
+    entries = {e["version"]: e for e in _read_log(source_base)}
+    if not all(v in entries for v in range(last, tip + 1)):
+        return None
+    tip_e = entries[tip]
+    tip_live = _live_files(source_base, tip_e)
+    total = sum(
+        rows_of(tip_e, rel, p) for rel, p in tip_live.items()
+    )
+    changed = 0
+    prev = entries[last]
+    for v in range(last + 1, tip + 1):
+        child = entries[v]
+        added, removed = _manifest_delta(source_base, prev, child)
+        if added:
+            live_c = _live_files(source_base, child)
+            changed += sum(
+                rows_of(child, r, live_c[r]) for r in added
+            )
+        if removed:
+            live_p = _live_files(source_base, prev)
+            changed += sum(
+                rows_of(prev, r, live_p[r]) for r in removed
+            )
+        prev = child
+    return {"changed_rows": changed, "total_rows": total}
+
+
+def _recompute_mv(
+    spark: SparkSession,
+    source_base: str,
+    mv_base: str,
+    meta: dict,
+    src_tip: int,
+) -> tuple[int, int]:
+    """Full re-aggregate of the source tip, committed as a snapshot
+    replace with the cursor pinned to the tip — the same shape as
+    ``create_aggregate_mv``, reusable whenever the incremental path is
+    not worth it (or the feed history was vacuumed)."""
+    snap = read_version(spark, source_base)
+    mv = snap.groupBy(*meta["group_cols"]).agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(c).alias(_sum_alias(c))
+            for c in meta["sum_cols"]
+        ],
+    )
+    new_meta = {_META_KEY: {**meta, "source_version": src_tip}}
+    v = write_version(
+        mv, mv_base,
+        partition_by=meta["partition_by"],
+        user_meta=new_meta,
+    )
+    return v, src_tip
+
+
 def refresh_aggregate_mv(
     spark: SparkSession,
     source_base: str,
     mv_base: str,
+    mode: str = "incremental",
 ) -> tuple[int, int]:
     """Fold the source's change feed since the last refresh into the
     view.  One shuffle over the CHANGES (the signed-delta groupBy), one
     keyed MERGE over affected groups; the source table is only read
     where the feed says it changed.  Returns ``(mv_version,
-    source_version_reflected)``; a no-op refresh commits nothing."""
+    source_version_reflected)``; a no-op refresh commits nothing.
+
+    ``mode`` (r8 VERDICT "what's wrong" #2 — the incremental path LOSES
+    to recompute below a table-size/churn crossover because its fixed
+    costs dominate):
+
+    - ``"incremental"`` (default): always fold the feed — right when
+      the caller knows the table dwarfs the churn.
+    - ``"recompute"``: full re-aggregate of the tip (cursor still
+      advances atomically) — right for small views or huge churn.
+    - ``"auto"``: decide from the commit manifests
+      (:func:`estimate_refresh_work`, driver-side, no Spark job):
+      recompute when the tip is small (< :data:`AUTO_MIN_TABLE_ROWS`,
+      where recompute is a sub-second job and the feed machinery's ~4
+      fixed Spark jobs dominate), when the churn is a large fraction
+      (changed_rows × :data:`AUTO_CHANGE_RATIO` ≥ total_rows), or when
+      the estimate is unknowable (vacuumed history — the feed could
+      not be extracted anyway); incremental otherwise."""
+    if mode not in ("incremental", "recompute", "auto"):
+        raise ValueError(
+            f"refresh_aggregate_mv: unknown mode {mode!r} "
+            "(incremental | recompute | auto)"
+        )
     cur = _current(mv_base)
     if cur is None or _META_KEY not in (cur.get("user_meta") or {}):
         raise ValueError(
@@ -113,6 +226,18 @@ def refresh_aggregate_mv(
     src_tip = _current(source_base)["version"]
     if src_tip == last:
         return cur["version"], last
+    if mode == "auto":
+        est = estimate_refresh_work(source_base, last, src_tip)
+        mode = (
+            "recompute"
+            if est is None
+            or est["total_rows"] < AUTO_MIN_TABLE_ROWS
+            or est["changed_rows"] * AUTO_CHANGE_RATIO
+            >= est["total_rows"]
+            else "incremental"
+        )
+    if mode == "recompute":
+        return _recompute_mv(spark, source_base, mv_base, meta, src_tip)
 
     ch = table_changes(
         spark, source_base, meta["source_keys"], last, src_tip

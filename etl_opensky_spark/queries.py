@@ -14935,6 +14935,185 @@ FROM src
 """
 
 
+def q307_bloom_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-REPAIR MAINTENANCE gate (round 9, closing the r8 review
+    finding: a ``df.write.format("versioned")`` append silently
+    disarmed bloom point-lookup pruning because the pyarrow-only
+    writer drops the sidecar it cannot extend, and nothing rebuilt
+    it).  The gate DS-appends to a bloom table, shows coverage gone,
+    runs ``maintain_table`` (whose new ``repair_bloom`` policy seeds
+    the rebuilt index from the donor snapshot's words and scans ONLY
+    the uncovered appended files), and pins: one bloom-era key and one
+    appended-only key both found with pruning ENGAGED (kept < total),
+    the repair having scanned exactly the appended file count, and the
+    second maintenance tick being a steady-state no-op."""
+    import shutil
+
+    from etl_opensky_spark.sources.lakesource import (
+        register_versioned_source,
+    )
+    from etl_opensky_spark.sources.maintenance import maintain_table
+    from etl_opensky_spark.sources.versioned import (
+        bloom_coverage,
+        prune_files_eq,
+        read_version_eq,
+        write_version,
+    )
+
+    register_versioned_source(spark)
+    base = _gate_tmp("q307_bloom_repair", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), _dec("o_totalprice").alias("price")
+    )
+    old = orders.filter(F.col("k") % 2 == 0)
+    new = orders.filter(F.col("k") % 2 == 1)
+    write_version(
+        old.repartitionByRange(8, "k"), base,
+        bloom_cols=("k",), bloom_bits=1 << 20,
+    )
+    new.repartition(2).write.format("versioned").mode("append").save(base)
+    dropped = int(bloom_coverage(base) is None)  # DS append disarmed it
+    report = maintain_table(spark, base, {"max_small_files": None})
+    repair = next(
+        a for a in report["actions"] if a["action"] == "repair_bloom"
+    )
+    report2 = maintain_table(spark, base, {"max_small_files": None})
+    steady = int(
+        not [a for a in report2["actions"]
+             if a["action"] == "repair_bloom"]
+    )
+    k_old = old.agg(F.min("k")).first()[0]
+    k_new = new.agg(F.min("k")).first()[0]
+    kept_old, total = prune_files_eq(spark, base, "k", k_old)
+    kept_new, _ = prune_files_eq(spark, base, "k", k_new)
+    row_old = (
+        read_version_eq(spark, base, "k", k_old)
+        .filter(F.col("k") == k_old)
+    )
+    row_new = (
+        read_version_eq(spark, base, "k", k_new)
+        .filter(F.col("k") == k_new)
+    )
+    return row_old.unionByName(row_new).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("k").alias("key_sum"),
+        F.sum("price").cast("double").alias("price_sum"),
+    ).select(
+        "*",
+        F.lit(dropped).alias("sidecar_dropped"),
+        F.lit(int(repair["files_scanned"])).alias("files_scanned"),
+        F.lit(steady).alias("steady_noop"),
+        F.lit(int(bool(kept_old) and len(kept_old) < total)).alias(
+            "pruned_old"
+        ),
+        F.lit(int(bool(kept_new) and len(kept_new) < total)).alias(
+            "pruned_new"
+        ),
+    )
+
+
+ORACLE_Q307 = """
+WITH src AS (
+  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders
+), picks AS (
+  SELECT * FROM src
+  WHERE k = (SELECT MIN(k) FROM src WHERE k % 2 = 0)
+     OR k = (SELECT MIN(k) FROM src WHERE k % 2 = 1)
+)
+SELECT COUNT(*) AS n_rows, CAST(SUM(k) AS BIGINT) AS key_sum,
+  CAST(SUM(price) AS DOUBLE) AS price_sum,
+  1 AS sidecar_dropped, 2 AS files_scanned, 1 AS steady_noop,
+  1 AS pruned_old, 1 AS pruned_new
+FROM picks
+"""
+
+
+def q308_ds_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-SURFACE TIME TRAVEL gate (round 9:
+    ``spark.read.format("versioned").option("versionAsOf"|
+    "timestampAsOf", ...)`` — Delta's option names on the Python DS
+    source, so SQL-first users get time travel without the Python
+    helper).  A 2-version lake is read back three ways — versionAsOf
+    the parent, timestampAsOf the parent's recorded commit time, and
+    the unoptioned tip — and every aggregate is pinned against the
+    oracle's replay; the two v1 readings must agree exactly with
+    ``read_version(as_of=1)``."""
+    import shutil
+    import time as _time
+
+    from etl_opensky_spark.sources.lakesource import (
+        register_versioned_source,
+    )
+    from etl_opensky_spark.sources.versioned import (
+        copy_into,
+        describe_history,
+        write_version,
+    )
+
+    register_versioned_source(spark)
+    base = _gate_tmp("q308_ds_travel", sf_dir)
+    landing = _gate_tmp("q308_ds_travel_landing", sf_dir)
+    for d in (base, landing):
+        shutil.rmtree(d, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        (_dec("o_totalprice") * 100).cast("long").alias("price_c"),
+    )
+    write_version(orders.filter(F.col("k") % 2 == 0), base)
+    # strictly separate the two commit clocks so timestampAsOf(v1) is
+    # deterministic (same spin as q301)
+    ts_v1 = describe_history(base)[-1]["ts"]
+    while _time.time() <= ts_v1:
+        _time.sleep(0.005)
+    orders.filter(F.col("k") % 2 == 1).write.mode("overwrite").parquet(
+        landing
+    )
+    copy_into(spark, base, landing)
+
+    def agg(df, prefix):
+        return df.agg(
+            F.count("*").alias(f"{prefix}_n"),
+            F.sum("k").alias(f"{prefix}_key_sum"),
+            F.sum("price_c").alias(f"{prefix}_price_c"),
+        )
+
+    v1 = spark.read.format("versioned").option("versionAsOf", "1").load(
+        base
+    )
+    t1 = (
+        spark.read.format("versioned")
+        .option("timestampAsOf", str(ts_v1))
+        .load(base)
+    )
+    tip = spark.read.format("versioned").load(base)
+    return (
+        agg(v1, "v1")
+        .crossJoin(F.broadcast(agg(t1, "t1")))
+        .crossJoin(F.broadcast(agg(tip, "tip")))
+    )
+
+
+ORACLE_Q308 = """
+WITH src AS (
+  SELECT o_orderkey AS k,
+    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
+  FROM orders
+), v1 AS (SELECT * FROM src WHERE k % 2 = 0)
+SELECT
+  (SELECT COUNT(*) FROM v1) AS v1_n,
+  (SELECT CAST(SUM(k) AS BIGINT) FROM v1) AS v1_key_sum,
+  (SELECT CAST(SUM(price_c) AS BIGINT) FROM v1) AS v1_price_c,
+  (SELECT COUNT(*) FROM v1) AS t1_n,
+  (SELECT CAST(SUM(k) AS BIGINT) FROM v1) AS t1_key_sum,
+  (SELECT CAST(SUM(price_c) AS BIGINT) FROM v1) AS t1_price_c,
+  (SELECT COUNT(*) FROM src) AS tip_n,
+  (SELECT CAST(SUM(k) AS BIGINT) FROM src) AS tip_key_sum,
+  (SELECT CAST(SUM(price_c) AS BIGINT) FROM src) AS tip_price_c
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -15241,6 +15420,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q304_zorder3_skipping": q304_zorder3_skipping,
     "q305_concurrent_writers": q305_concurrent_writers,
     "q306_stream_lake_sink": q306_stream_lake_sink,
+    "q307_bloom_repair": q307_bloom_repair,
+    "q308_ds_time_travel": q308_ds_time_travel,
 }
 
 ORACLES: dict[str, str] = {
@@ -15548,6 +15729,8 @@ ORACLES: dict[str, str] = {
     "q304_zorder3_skipping": ORACLE_Q304,
     "q305_concurrent_writers": ORACLE_Q305,
     "q306_stream_lake_sink": ORACLE_Q306,
+    "q307_bloom_repair": ORACLE_Q307,
+    "q308_ds_time_travel": ORACLE_Q308,
 }
 
 

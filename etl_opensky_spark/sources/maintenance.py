@@ -56,6 +56,7 @@ from etl_opensky_spark.sources.versioned import (
     compact_versioned,
     materialize_tombstones,
     optimize_small_files,
+    repair_bloom_index,
     vacuum_orphans,
     vacuum_versions,
 )
@@ -83,6 +84,11 @@ DEFAULT_POLICY: dict = {
     # clustering_depth: ~1.0 = perfectly clustered, ~n_files = random
     # layout) exceeds this factor
     "max_clustering_depth": 2.5,
+    # rebuild/extend a bloom point-lookup sidecar the DS batch/stream
+    # writers dropped (pyarrow-only appends can't extend it) — the
+    # donor-seeded repair re-scans ONLY uncovered files; tables that
+    # never carried a bloom index no-op (r8 review finding #1)
+    "repair_bloom": True,
 }
 
 
@@ -305,6 +311,22 @@ def maintain_table(
                     {"action": "optimize_small_files", "version": got[0],
                      "files_compacted": got[1]}
                 )
+
+    if p["repair_bloom"]:
+        # after the rewriting repairs (a re-cluster/REORG/OPTIMIZE just
+        # above drops the sidecar it invalidates, so the repair indexes
+        # the fresh layout once, not twice) but BEFORE vacuum: the
+        # donor snapshot whose words the repair reuses may be exactly
+        # what retention is about to drop
+        got = _attempt(
+            lambda: repair_bloom_index(spark, base), "repair_bloom"
+        )
+        if got is not None:
+            _state["dirty"] = True
+            actions.append(
+                {"action": "repair_bloom", "version": got[0],
+                 "files_scanned": got[1]}
+            )
 
     if p["vacuum_keep_last"] is not None:
         dropped = vacuum_versions(base, keep_last=p["vacuum_keep_last"])

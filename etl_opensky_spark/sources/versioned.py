@@ -2198,7 +2198,6 @@ def purge_versioned_mor(
     cur = _current(base)
     if cur is None:
         raise ValueError(f"no committed versions at {base}")
-    parent_dir = os.path.join(base, cur["dir"])
     target = _read_snapshot(spark, base, cur)
     dk = delete_keys.select(*keys).distinct().localCheckpoint()
     null_pred = reduce(
@@ -2214,28 +2213,36 @@ def purge_versioned_mor(
     n_deleted = target.join(F.broadcast(dk), on=keys, how="left_semi").count()
     if n_deleted == 0:
         return cur["version"], 0
-    version = cur["version"] + 1
-    name, data_dir = _new_data_dir(base)
-    try:
+    tomb_name = f"_tomb-{uuid.uuid4().hex[:12]}"
+    # the tombstone's scope is the READ snapshot's whole file set, so a
+    # lost race rebases iff every one of those files kept its manifest
+    # identity — appends stack (later-written keys stay visible, the
+    # file-scope contract), rewrites force the keyed re-run
+    scope = sorted(_entry_files(base, cur))
+    scope_quoted = {_hadoop_uri_quote(r) for r in scope}
+
+    def build(parent_e, scavenge):
+        name, data_dir = _new_data_dir(base)
         os.makedirs(data_dir, exist_ok=True)
         files_out: dict = {}
-        _adopt_parent_files(base, cur, data_dir, files_out)
-        _copy_sidecars(base, cur, data_dir)
-        tomb_name = f"_tomb-{uuid.uuid4().hex[:12]}"
-        dk.coalesce(1).write.mode("errorifexists").parquet(
-            os.path.join(data_dir, tomb_name)
-        )
-        # file-scope the delete to the data files that exist NOW (Delta
-        # deletion-vector semantics): rows with the same key written by
-        # a LATER merge/copy_into land in new files outside this scope
-        # and must stay visible.  The list rides inside the sidecar so
-        # it travels (as a physical copy) with every commit.
-        scope = sorted(files_out)
-        with open(
-            os.path.join(data_dir, tomb_name, TOMB_SCOPE), "w"
-        ) as fh:
-            json.dump(scope, fh)
-        tombs = list(cur.get("tombstones") or [])
+        _adopt_parent_files(base, parent_e, data_dir, files_out)
+        _copy_sidecars(base, parent_e, data_dir)
+        tdst = os.path.join(data_dir, tomb_name)
+        if scavenge is not None and os.path.isdir(
+            os.path.join(scavenge, tomb_name)
+        ):
+            os.rename(os.path.join(scavenge, tomb_name), tdst)
+        else:
+            dk.coalesce(1).write.mode("errorifexists").parquet(tdst)
+            # file-scope the delete to the data files that existed at
+            # the READ snapshot (Delta deletion-vector semantics): rows
+            # with the same key written by a LATER merge/copy_into land
+            # in new files outside this scope and must stay visible.
+            # The list rides inside the sidecar so it travels (as a
+            # physical copy) with every commit.
+            with open(os.path.join(tdst, TOMB_SCOPE), "w") as fh:
+                json.dump(scope, fh)
+        tombs = list(parent_e.get("tombstones") or [])
         tombs.append({"dir": tomb_name, "keys": keys, "scoped": True})
         extra: dict = {"tombstones": tombs}
         extra.update(
@@ -2248,14 +2255,16 @@ def purge_versioned_mor(
             "schema_json", "column_mapping", "stats_cols", "stats",
             "constraints", "ingested_files", "identity",
         ):
-            if cur.get(key) is not None and key in cur:
-                extra[key] = cur[key]
+            if parent_e.get(key) is not None and key in parent_e:
+                extra[key] = parent_e[key]
         if user_meta is not None:
             extra["user_meta"] = dict(user_meta)
-        _commit(base, version, name, "purge_mor", extra=extra)
-    except ConcurrentCommitError:
-        shutil.rmtree(data_dir, ignore_errors=True)
-        raise
+        return name, data_dir, extra
+
+    def check(parent_e, winners):
+        _check_rebase_posdel(base, cur, parent_e, winners, scope_quoted)
+
+    version = _commit_rebased(base, cur, "purge_mor", build, check)
     return version, n_deleted
 
 
@@ -3597,7 +3606,9 @@ def _bloom_drop(data_dir: str) -> None:
         pass
 
 
-def _bloom_extend(spark: SparkSession, data_dir: str, rels) -> None:
+def _bloom_extend(
+    spark: SparkSession, data_dir: str, rels, path_of: dict | None = None
+) -> None:
     """Incrementally index NEWLY ADDED files into a carried bloom
     sidecar (one column-pruned scan over just those files) — the
     append-mostly lifecycle keeps its point-lookup pruning instead of
@@ -3612,11 +3623,26 @@ def _bloom_extend(spark: SparkSession, data_dir: str, rels) -> None:
     value or every appended row silently false-negatives (r8 ADVICE).
     The cast mirrors the probe side exactly — rows whose cast comes
     out NULL still contribute xxhash64's hash-of-null bits, matching
-    what a probe that casts NULL would look up."""
+    what a probe that casts NULL would look up.
+
+    ``path_of`` ({rel: abspath}) lets the caller index files that live
+    OUTSIDE ``data_dir`` — zero-copy manifest snapshots whose carried
+    files sit in ancestor origin dirs (:func:`repair_bloom_index`);
+    default is the materialized layout (files under ``data_dir``)."""
     side = _bloom_load(data_dir)
     if not side or not rels:
         return
-    paths = [os.path.join(data_dir, r) for r in rels]
+    paths = [
+        path_of[r] if path_of is not None else os.path.join(data_dir, r)
+        for r in rels
+    ]
+    # reverse map for provenance resolution: the scan surfaces each
+    # file as a URI (quoted path), so register raw AND quoted forms
+    rev: dict[str, str] = {}
+    for r, p in zip(rels, paths):
+        ap = os.path.abspath(p)
+        rev[ap] = r
+        rev[_hadoop_uri_quote(ap)] = r
     df = spark.read.parquet(*paths)
     for c in list(side):
         idx = side[c]
@@ -3649,9 +3675,17 @@ def _bloom_extend(spark: SparkSession, data_dir: str, rels) -> None:
         )
         new_files: dict = {}
         for r in rows:
-            rel = os.path.relpath(
-                r["_f"].replace("file://", "", 1), data_dir
-            )
+            fpath = r["_f"].replace("file://", "", 1)
+            if path_of is not None:
+                rel = rev.get(fpath)
+                if rel is None:
+                    # never guess a key: a mis-filed entry would be a
+                    # silent false negative on the real file
+                    raise KeyError(
+                        f"_bloom_extend: unmapped scan path {fpath!r}"
+                    )
+            else:
+                rel = os.path.relpath(fpath, data_dir)
             new_files.setdefault(rel, {})[str(r["_w"])] = r["_bits"]
         # a new file with NO set bits (all-null column) must still be
         # listed, else lookups would false-negative on it; an absent
@@ -3752,6 +3786,114 @@ def read_version_eq(
     if not kept:
         return _read_snapshot(spark, base, entry).filter(F.lit(False))
     return _open_snapshot(spark, base, entry, rels=kept)
+
+
+def bloom_coverage(base: str, as_of: int | None = None) -> dict | None:
+    """How much of the snapshot the bloom sidecar covers:
+    ``{"cols": [...], "covered": n, "total": n_files}`` — ``covered``
+    counts manifest files indexed by EVERY column's filter (a file any
+    column misses can't be pruned on that column).  ``None`` when the
+    snapshot carries no sidecar at all.  Driver-side dict folding, no
+    data reads — the maintenance signal behind
+    :func:`repair_bloom_index`."""
+    entry = _resolve(base, as_of)
+    side = _bloom_load(os.path.join(base, entry["dir"]))
+    if not side:
+        return None
+    rels = set(_entry_files(base, entry))
+    covered = set.intersection(
+        *[set(idx["files"]) for idx in side.values()]
+    )
+    return {
+        "cols": sorted(side),
+        "covered": len(covered & rels),
+        "total": len(rels),
+    }
+
+
+def repair_bloom_index(
+    spark: SparkSession, base: str
+) -> tuple[int, int] | None:
+    """Restore bloom point-lookup pruning after a sidecar-dropping
+    append (r8 review finding #1: the pyarrow-only DS batch/stream
+    writers DROP the index rather than risk false negatives, and
+    nothing rebuilt it — q303-grade lookups quietly reverted to
+    stats-envelope pruning).
+
+    The newest snapshot still carrying a sidecar is the DONOR: its
+    per-file words are reused VERBATIM for every rel whose manifest
+    ``(rel, origin)`` identity carried to the tip — file content is
+    immutable under that identity, so no re-hash is needed — and only
+    genuinely uncovered files get the one column-pruned
+    :func:`_bloom_extend` scan.  The repaired index lands as a
+    metadata-only commit (op ``bloom_repair``) so concurrent readers
+    and writers see it through the normal log protocol; historical
+    snapshots keep their own (possibly partial) sidecars untouched.
+
+    Returns ``(version, n_files_scanned)`` or ``None`` when there is
+    nothing to do: tip fully covered, or no donor anywhere in the
+    retained log (a vacuumed donor means the bloom configuration is
+    gone — rebuild explicitly by re-writing with ``bloom_cols``)."""
+    cur = _current(base)
+    if cur is None:
+        raise ValueError(f"no committed versions at {base}")
+    tip_files = _entry_files(base, cur)
+    donor = donor_side = None
+    for e in reversed(_read_log(base)):
+        s = _bloom_load(os.path.join(base, e["dir"]))
+        if s:
+            donor, donor_side = e, s
+            break
+    if donor_side is None:
+        return None
+    donor_files = _entry_files(base, donor)
+    # seed: words reusable under carried (rel, origin) identity; the
+    # re-anchor case (zero-copy child of a materialized parent) makes
+    # origins drift, which only costs a re-scan — never a wrong reuse
+    seeded: dict = {}
+    for c, idx in donor_side.items():
+        seeded[c] = {
+            **idx,
+            "files": {
+                r: w
+                for r, w in idx["files"].items()
+                if r in tip_files and tip_files[r] == donor_files.get(r)
+            },
+        }
+    covered = set.intersection(
+        *[set(idx["files"]) for idx in seeded.values()]
+    )
+    missing = sorted(r for r in tip_files if r not in covered)
+    if donor["version"] == cur["version"] and not missing:
+        return None  # tip already fully covered: steady-state no-op
+    version = cur["version"] + 1
+    dname, data_dir = _new_data_dir(base)
+    try:
+        extra: dict = _adopt_full(base, cur, data_dir)
+        for key in (
+            "schema_json", "column_mapping", "stats_cols", "stats",
+            "constraints", "ingested_files", "tombstones", "identity",
+        ):
+            if key in cur and cur.get(key) is not None:
+                extra[key] = cur[key]
+        # publish the seeded index breaking any hardlink _adopt_full
+        # carried (same hazard as _bloom_extend's in-place write)
+        final = os.path.join(data_dir, BLOOM_SIDECAR)
+        tmp = final + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(seeded, fh)
+        get_fs().replace(tmp, final)
+        if missing:
+            live = _live_files(base, cur)
+            _bloom_extend(
+                spark, data_dir, missing,
+                path_of={r: live[r] for r in missing},
+            )
+        _commit(base, version, dname, "bloom_repair", extra=extra)
+    except ConcurrentCommitError:
+        shutil.rmtree(data_dir, ignore_errors=True)
+        raise
+    return version, len(missing)
 
 
 # --- change data feed --------------------------------------------------------

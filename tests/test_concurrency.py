@@ -355,3 +355,57 @@ class TestHammer:
             assert len(rows(read_version(spark, base, as_of=2))) == 12
         finally:
             set_fs(prev)
+
+
+class TestPurgeMorRebase:
+    def _unpart(self, spark, base):
+        write_version(
+            spark.range(30).select(
+                F.col("id"), F.concat(F.lit("v"), F.col("id")).alias("v")
+            ).repartition(3),
+            base,
+        )
+
+    def test_mor_purge_rebases_over_append(self, spark, tmp_path):
+        """Keyed MOR delete vs blind append: the tombstone's file scope
+        is the READ snapshot, so appended rows with the same key stay
+        visible (the deletion-vector contract) and the rebase stacks
+        the sidecar onto the winner's tip."""
+        from etl_opensky_spark.sources.versioned import (
+            purge_versioned_mor,
+        )
+
+        base = str(tmp_path / "lake")
+        self._unpart(spark, base)
+        land = str(tmp_path / "land")
+        spark.range(2, 4).select(
+            F.col("id"), F.lit("new").alias("v")
+        ).repartition(1).write.parquet(land)
+        _interfere_once(lambda: copy_into(spark, base, land))
+        v, n = purge_versioned_mor(
+            spark, base,
+            spark.createDataFrame([(2,), (3,)], "id long"), ["id"],
+        )
+        assert (v, n) == (3, 2)
+        got = [
+            (r["id"], r["v"])
+            for r in read_version(spark, base).collect()
+        ]
+        dead = {i for i, v_ in got if v_.startswith("v") and i in (2, 3)}
+        assert not dead                       # snapshot rows deleted
+        assert (2, "new") in got and (3, "new") in got  # appends live
+        assert len(got) == 30  # 30 - 2 deleted + 2 appended
+
+    def test_mor_purge_conflicts_with_compaction(self, spark, tmp_path):
+        from etl_opensky_spark.sources.versioned import (
+            purge_versioned_mor,
+        )
+
+        base = str(tmp_path / "lake")
+        self._unpart(spark, base)
+        _interfere_once(lambda: compact_versioned(spark, base))
+        with pytest.raises(LogicalConflictError):
+            purge_versioned_mor(
+                spark, base,
+                spark.createDataFrame([(2,)], "id long"), ["id"],
+            )

@@ -254,3 +254,85 @@ class TestQ301Deterministic:
 
         row = q301_timestamp_time_travel(spark, sf_dir).first()
         assert (row["v_mid"], row["v_tip"]) == (2, 3)
+
+
+class TestDsTimeTravelOptions:
+    """SQL-surface time travel (round-9 VERDICT #6):
+    spark.read.format('versioned').option('versionAsOf'|'timestampAsOf')
+    — oracle-pinned against read_version in gate q308."""
+
+    def _lake(self, spark, tmp_path):
+        from etl_opensky_spark.sources.lakesource import (
+            register_versioned_source,
+        )
+        from etl_opensky_spark.sources.versioned import copy_into
+
+        register_versioned_source(spark)
+        base = str(tmp_path / "lake")
+        land = str(tmp_path / "land")
+        spark.range(0, 10).select(
+            F.col("id").alias("k"), F.lit("old").alias("v")
+        ).write.parquet(land)
+        write_version(
+            spark.range(100, 105).select(
+                F.col("id").alias("k"), F.lit("v1").alias("v")
+            ),
+            base,
+        )
+        copy_into(spark, base, land)
+        return base
+
+    def test_version_as_of(self, spark, tmp_path):
+        base = self._lake(spark, tmp_path)
+        v1 = (
+            spark.read.format("versioned")
+            .option("versionAsOf", "1").load(base)
+        )
+        assert sorted(r["k"] for r in v1.collect()) == list(
+            range(100, 105)
+        )
+        tip = spark.read.format("versioned").load(base)
+        assert tip.count() == 15
+
+    def test_timestamp_as_of(self, spark, tmp_path):
+        from etl_opensky_spark.sources.versioned import describe_history
+
+        base = self._lake(spark, tmp_path)
+        ts1 = describe_history(base)[0]["ts"]
+        df = (
+            spark.read.format("versioned")
+            .option("timestampAsOf", str(ts1)).load(base)
+        )
+        assert df.count() == 5
+        # ISO string form resolves through the same clock
+        import datetime as dt
+
+        iso = dt.datetime.fromtimestamp(
+            describe_history(base)[-1]["ts"] + 1
+        ).isoformat()
+        tip = (
+            spark.read.format("versioned")
+            .option("timestampAsOf", iso).load(base)
+        )
+        assert tip.count() == 15
+
+    def test_exclusive_options_rejected(self, spark, tmp_path):
+        from py4j.protocol import Py4JJavaError
+        from pyspark.errors import AnalysisException
+
+        base = self._lake(spark, tmp_path)
+        with pytest.raises((Py4JJavaError, AnalysisException, Exception)):
+            (
+                spark.read.format("versioned")
+                .option("versionAsOf", "1")
+                .option("timestampAsOf", "1.0")
+                .load(base)
+                .collect()
+            )
+
+    def test_legacy_asof_alias(self, spark, tmp_path):
+        base = self._lake(spark, tmp_path)
+        v1 = (
+            spark.read.format("versioned").option("asof", "1").load(base)
+        )
+        assert v1.count() == 5

@@ -144,6 +144,34 @@ def run(spark, sf_dir: str, churn_pct: int, label: str) -> dict:
         return full.collect()
 
     t_recompute, _ = timed(recompute)
+    # auto mode (round 9): a SECOND churn round so auto has fresh feed
+    # to decide over; at local scale it must pick recompute and land at
+    # ~recompute cost — the crossover rule under test
+    upd2 = upd.withColumn(
+        "price", (F.col("price") + 1).cast("decimal(18,2)")
+    )
+    merge_versioned(
+        spark, src, upd2, ["o_orderkey"], ["month"],
+        keys_are_partition_stable=True,
+    )
+    from etl_opensky_spark.operators.materialized import (
+        estimate_refresh_work,
+    )
+    from etl_opensky_spark.sources.versioned import _current
+
+    est = estimate_refresh_work(
+        src, _current(src)["version"] - 1, _current(src)["version"]
+    )
+    t_auto, _ = timed(
+        lambda: refresh_aggregate_mv(spark, src, mv, mode="auto"),
+        reps=1,
+    )
+    from etl_opensky_spark.sources.versioned import _read_log
+
+    auto_choice = (
+        "recompute" if _read_log(mv)[-1]["op"] == "write"
+        else "incremental"
+    )
     mv_rows = read_aggregate_mv(spark, mv).count()
     return {
         "rows": n_rows,
@@ -156,6 +184,9 @@ def run(spark, sf_dir: str, churn_pct: int, label: str) -> dict:
         "refresh_sec": round(t_refresh, 3),
         "recompute_sec": round(t_recompute, 3),
         "refresh_vs_recompute": round(t_refresh / t_recompute, 2),
+        "auto_sec": round(t_auto, 3),
+        "auto_choice": auto_choice,
+        "auto_estimate": est,
         "diff_rows_scanned": rows_scanned,
         "scan_fraction": round(rows_scanned / n_rows, 4),
         "mv_groups": mv_rows,
