@@ -325,6 +325,10 @@ BENCH_QUERIES = [
     "q302_positional_delete",
     "q303_bloom_append_lookup",
     "q304_zorder3_skipping",
+    "q305_concurrent_writers",
+    "q306_stream_lake_sink",
+    "q307_bloom_repair",
+    "q308_ds_time_travel",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

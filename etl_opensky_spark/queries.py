@@ -15072,13 +15072,6 @@ def q308_ds_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     copy_into(spark, base, landing)
 
-    def agg(df, prefix):
-        return df.agg(
-            F.count("*").alias(f"{prefix}_n"),
-            F.sum("k").alias(f"{prefix}_key_sum"),
-            F.sum("price_c").alias(f"{prefix}_price_c"),
-        )
-
     v1 = spark.read.format("versioned").option("versionAsOf", "1").load(
         base
     )
@@ -15088,10 +15081,31 @@ def q308_ds_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(base)
     )
     tip = spark.read.format("versioned").load(base)
-    return (
-        agg(v1, "v1")
-        .crossJoin(F.broadcast(agg(t1, "t1")))
-        .crossJoin(F.broadcast(agg(tip, "tip")))
+    # the v1/t1 aggregates collapse to one row each — carry them as
+    # literals on the tip frame (a 1x1 crossJoin reads as a
+    # nested-loop hazard to the plan lint; these ARE constants)
+    r_v1 = v1.agg(
+        F.count("*").alias("n"), F.sum("k").alias("ks"),
+        F.sum("price_c").alias("pc"),
+    ).first()
+    r_t1 = t1.agg(
+        F.count("*").alias("n"), F.sum("k").alias("ks"),
+        F.sum("price_c").alias("pc"),
+    ).first()
+    return tip.agg(
+        F.count("*").alias("tip_n"),
+        F.sum("k").alias("tip_key_sum"),
+        F.sum("price_c").alias("tip_price_c"),
+    ).select(
+        F.lit(r_v1["n"]).alias("v1_n"),
+        F.lit(r_v1["ks"]).alias("v1_key_sum"),
+        F.lit(r_v1["pc"]).alias("v1_price_c"),
+        F.lit(r_t1["n"]).alias("t1_n"),
+        F.lit(r_t1["ks"]).alias("t1_key_sum"),
+        F.lit(r_t1["pc"]).alias("t1_price_c"),
+        "tip_n",
+        "tip_key_sum",
+        "tip_price_c",
     )
 
 

@@ -109,7 +109,20 @@ class LakeFS:
         except OSError as exc:
             if isinstance(exc, FileExistsError):
                 raise
-            # no-hardlink filesystem: degraded single-file publish
+            # no-hardlink filesystem: degraded single-file publish —
+            # tell the operator ONCE that the torn-read window is back
+            # (microseconds wide, but the guarantee changed; r8 VERDICT
+            # advisory #3)
+            import warnings
+
+            warnings.warn(
+                "LakeFS.put_if_absent: filesystem does not support "
+                "hardlinks — falling back to O_EXCL create-then-write; "
+                "commit files are briefly observable empty (consider "
+                "the ObjectStoreFS backend or a hardlink-capable mount)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             with os.fdopen(fd, "wb") as fh:
                 fh.write(payload)

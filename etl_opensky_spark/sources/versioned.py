@@ -657,6 +657,47 @@ def _check_rebase_posdel(
         prev = w
 
 
+def _check_rebase_rewrite(
+    spark: SparkSession,
+    base: str,
+    orig: dict,
+    parent: dict,
+    winners: list[dict],
+    rewritten_quoted,
+) -> None:
+    """File-set rewrite (incremental OPTIMIZE) vs winners: the
+    compacted output was derived from EXACTLY the rewritten files'
+    content with the read snapshot's tombstones applied, so any winner
+    that removed/rewrote one of those files, or added a tombstone
+    targeting one (the compaction would resurrect its deleted rows —
+    the new rels escape the sidecar's scope), forces the re-run.
+    Winners touching only KEPT files — appends, deletes elsewhere,
+    other compactions of disjoint sets — rebase freely: kept files and
+    fresh sidecars are carried from the new tip."""
+    _require_no_drift(orig, winners[-1])
+    prev = parent
+    for w in winners:
+        added, removed = _manifest_delta(base, prev, w)
+        hit = {
+            _hadoop_uri_quote(r) for r in added | removed
+        } & set(rewritten_quoted)
+        if hit:
+            raise LogicalConflictError(
+                f"cannot rebase: winner v{w['version']} "
+                f"({w.get('op')}) touched {len(hit)} file(s) this "
+                "OPTIMIZE rewrote — re-run against the new tip"
+            )
+        for t in _new_tombstones(prev, w):
+            trels = _tomb_target_rels(spark, base, w, t)
+            if trels is None or trels & set(rewritten_quoted):
+                raise LogicalConflictError(
+                    f"cannot rebase: winner v{w['version']} added a "
+                    "tombstone over a file this OPTIMIZE rewrote — "
+                    "re-run against the new tip"
+                )
+        prev = w
+
+
 def _check_rebase_append(
     base: str,
     orig: dict,
@@ -2567,7 +2608,6 @@ def optimize_small_files(
         small_file_rows if small_file_rows is not None
         else max(target_rows_per_file // 2, 1)
     )
-    snap_dir = os.path.join(base, cur["dir"])
     live = _live_files(base, cur)
     rows_of: dict[str, int] = {}
     for rel, path in live.items():
@@ -2595,13 +2635,9 @@ def optimize_small_files(
     small_set = {rel for rels in by_dir.values() for rel in rels}
     if not small_set:
         return cur["version"], 0
-    version = cur["version"] + 1
-    name, data_dir = _new_data_dir(base)
     staging = os.path.join(base, f"_opt-staging-{uuid.uuid4().hex[:8]}")
-    committed = False
-    files_out: dict = {}
+    tag = uuid.uuid4().hex[:8]
     try:
-        os.makedirs(data_dir, exist_ok=True)
         for part_dir, rels in sorted(by_dir.items()):
             raw = _reader(spark, cur).parquet(
                 *[live[r] for r in rels]
@@ -2638,78 +2674,93 @@ def optimize_small_files(
             purged.repartition(n_files).write.mode("errorifexists").parquet(
                 out
             )
-        # assemble: adopt every kept file (manifest re-reference;
-        # hardlinks additionally on materializing backends), move
-        # staged output in
-        _adopt_parent_files(
-            base, cur, data_dir, files_out,
-            rels=[rel for rel in live if rel not in small_set],
-        )
-        # carried tombstones need their SIDECAR dirs in the new
-        # snapshot too (the manifest lists data files only); bloom
-        # sidecars are deliberately dropped — the file set changed,
-        # matching compact_versioned
-        for t in cur.get("tombstones") or []:
-            _link_tree(
-                os.path.join(snap_dir, t["dir"]),
-                os.path.join(data_dir, t["dir"]),
+
+        # the staged output outlives rebase attempts (removed in the
+        # finally), so a lost race re-links it against the new tip —
+        # auto-compaction racing live ingest no longer burns a retry
+        small_quoted = {_hadoop_uri_quote(r) for r in small_set}
+
+        def build(parent_e, scavenge):
+            name, data_dir = _new_data_dir(base)
+            os.makedirs(data_dir, exist_ok=True)
+            files_out: dict = {}
+            # assemble: adopt every kept file of THIS parent (manifest
+            # re-reference; hardlinks additionally on materializing
+            # backends), link staged output in
+            _adopt_parent_files(
+                base, parent_e, data_dir, files_out,
+                rels=[
+                    rel for rel in _entry_files(base, parent_e)
+                    if rel not in small_set
+                ],
             )
-        tag = uuid.uuid4().hex[:8]
-        for root, _dirs, names_ in os.walk(staging):
-            rel_dir = os.path.relpath(root, staging)
-            for fn in names_:
-                if not fn.endswith(".parquet") or fn.startswith(("_", ".")):
-                    continue
-                out_dir = (
-                    os.path.join(data_dir, rel_dir)
-                    if rel_dir != "." else data_dir
+            # carried tombstones need their SIDECAR dirs in the new
+            # snapshot too (the manifest lists data files only); bloom
+            # sidecars are deliberately dropped — the file set changed,
+            # matching compact_versioned
+            for t in parent_e.get("tombstones") or []:
+                _link_tree(
+                    os.path.join(base, parent_e["dir"], t["dir"]),
+                    os.path.join(data_dir, t["dir"]),
                 )
-                os.makedirs(out_dir, exist_ok=True)
-                get_fs().link_file(
-                    os.path.join(root, fn),
-                    os.path.join(out_dir, f"opt-{tag}-{fn}"),
-                )
-        _record_new_files(data_dir, name, files_out)
-        extra: dict = _files_extra(
-            files_out,
-            materialized=not _zero_copy(),
-        )
-        # stats: kept files keep their manifest rows (rel paths are
-        # stable under adoption); new files get a footer harvest
-        if cur.get("stats") is not None:
-            kept_stats = {
-                rel: s
-                for rel, s in cur["stats"].items()
-                if rel not in small_set
-            }
-            new_paths = []
-            for root, _dirs, names_ in os.walk(data_dir):
+            for root, _dirs, names_ in os.walk(staging):
+                rel_dir = os.path.relpath(root, staging)
                 for fn in names_:
-                    if fn.startswith("opt-" + tag):
-                        new_paths.append(os.path.join(root, fn))
-            sc = cur.get("stats_cols") or []
-            harvested = _harvest_file_stats(
-                spark, data_dir, sc, only_paths=new_paths
-            ) if sc else {}
-            extra["stats_cols"] = sc
-            extra["stats"] = {**kept_stats, **harvested}
-        for key in (
-            "schema_json", "column_mapping", "constraints",
-            "ingested_files", "identity", "tombstones",
-        ):
-            if cur.get(key):
-                extra[key] = cur[key]
-        if user_meta is not None:
-            extra["user_meta"] = dict(user_meta)
-        _commit(base, version, name, "optimize", extra=extra or None)
-        committed = True
+                    if not fn.endswith(".parquet") or fn.startswith(
+                        ("_", ".")
+                    ):
+                        continue
+                    out_dir = (
+                        os.path.join(data_dir, rel_dir)
+                        if rel_dir != "." else data_dir
+                    )
+                    os.makedirs(out_dir, exist_ok=True)
+                    get_fs().link_file(
+                        os.path.join(root, fn),
+                        os.path.join(out_dir, f"opt-{tag}-{fn}"),
+                    )
+            _record_new_files(data_dir, name, files_out)
+            extra: dict = _files_extra(
+                files_out,
+                materialized=not _zero_copy(),
+            )
+            # stats: kept files keep their manifest rows (rel paths are
+            # stable under adoption); new files get a footer harvest
+            if parent_e.get("stats") is not None:
+                kept_stats = {
+                    rel: s
+                    for rel, s in parent_e["stats"].items()
+                    if rel not in small_set
+                }
+                new_paths = []
+                for root, _dirs, names_ in os.walk(data_dir):
+                    for fn in names_:
+                        if fn.startswith("opt-" + tag):
+                            new_paths.append(os.path.join(root, fn))
+                sc = parent_e.get("stats_cols") or []
+                harvested = _harvest_file_stats(
+                    spark, data_dir, sc, only_paths=new_paths
+                ) if sc else {}
+                extra["stats_cols"] = sc
+                extra["stats"] = {**kept_stats, **harvested}
+            for key in (
+                "schema_json", "column_mapping", "constraints",
+                "ingested_files", "identity", "tombstones",
+            ):
+                if parent_e.get(key):
+                    extra[key] = parent_e[key]
+            if user_meta is not None:
+                extra["user_meta"] = dict(user_meta)
+            return name, data_dir, extra
+
+        def check(parent_e, winners):
+            _check_rebase_rewrite(
+                spark, base, cur, parent_e, winners, small_quoted
+            )
+
+        version = _commit_rebased(base, cur, "optimize", build, check)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
-        # ANY failure before the commit landed (lost race, Spark job
-        # error, crash in stats harvest) must not leave the assembled
-        # snapshot behind as permanent orphan debris
-        if not committed:
-            shutil.rmtree(data_dir, ignore_errors=True)
     return version, len(small_set)
 
 

@@ -409,3 +409,95 @@ class TestPurgeMorRebase:
                 spark, base,
                 spark.createDataFrame([(2,)], "id long"), ["id"],
             )
+
+
+class TestOptimizeRebase:
+    """Incremental OPTIMIZE vs live ingest: the auto-compaction tick
+    racing a stream's append is THE steady-state contention at scale —
+    the compaction now rebases over winners that stayed off the files
+    it rewrote, instead of burning a wholesale retry."""
+
+    def _small_files_table(self, spark, base):
+        # one right-sized file + four tiny ones
+        write_version(
+            spark.range(0, 1000).select(
+                F.col("id"), F.lit("bulk").alias("v")
+            ).coalesce(1),
+            base,
+        )
+        for i in range(4):
+            land = base + f"_land{i}"
+            spark.range(2000 + i, 2001 + i).select(
+                F.col("id"), F.lit("tiny").alias("v")
+            ).coalesce(1).write.mode("overwrite").parquet(land)
+            copy_into(spark, base, land)
+
+    def test_optimize_rebases_over_append(self, spark, tmp_path):
+        from etl_opensky_spark.sources.versioned import (
+            optimize_small_files,
+        )
+
+        base = str(tmp_path / "lake")
+        self._small_files_table(spark, base)
+        land = str(tmp_path / "race")
+        spark.range(5000, 5003).select(
+            F.col("id"), F.lit("raced").alias("v")
+        ).coalesce(1).write.parquet(land)
+        _interfere_once(lambda: copy_into(spark, base, land))
+        v, n = optimize_small_files(
+            spark, base, target_rows_per_file=500
+        )
+        assert n >= 4  # the tiny files were compacted
+        log = _read_log(base)
+        assert log[-1]["op"] == "optimize"
+        assert log[-2]["op"] == "copy_into"  # the winner's commit stands
+        ids = sorted(r["id"] for r in read_version(spark, base).collect())
+        assert ids == (
+            list(range(1000))
+            + [2000, 2001, 2002, 2003]
+            + [5000, 5001, 5002]
+        )
+
+    def test_optimize_conflicts_when_small_file_deleted(
+        self, spark, tmp_path
+    ):
+        """A winner's positional delete on a file the compaction
+        rewrote: the compacted output was derived pre-delete and the
+        positions die with the removed file — conflict, wholesale
+        retry purges correctly."""
+        from etl_opensky_spark.sources.versioned import (
+            optimize_small_files,
+        )
+
+        base = str(tmp_path / "lake")
+        self._small_files_table(spark, base)
+        _interfere_once(lambda: delete_where(spark, base, "id = 2001"))
+        with pytest.raises(LogicalConflictError):
+            optimize_small_files(spark, base, target_rows_per_file=500)
+        # the conflicted attempt left no debris; a re-run converges and
+        # physically purges the winner's delete
+        v, n = optimize_small_files(spark, base, target_rows_per_file=500)
+        assert n >= 4
+        ids = sorted(r["id"] for r in read_version(spark, base).collect())
+        assert 2001 not in ids and len(ids) == 1003
+
+    def test_optimize_rebases_over_delete_on_kept_file(
+        self, spark, tmp_path
+    ):
+        """A winner's delete targeting only KEPT (right-sized) files is
+        disjoint from the compaction's write set: rebase carries the
+        new sidecar and the delete still applies at the tip."""
+        from etl_opensky_spark.sources.versioned import (
+            optimize_small_files,
+        )
+
+        base = str(tmp_path / "lake")
+        self._small_files_table(spark, base)
+        _interfere_once(lambda: delete_where(spark, base, "id = 17"))
+        v, n = optimize_small_files(
+            spark, base, target_rows_per_file=500
+        )
+        assert n >= 4
+        ids = sorted(r["id"] for r in read_version(spark, base).collect())
+        assert 17 not in ids
+        assert len(ids) == 1003  # 1000 bulk - 1 deleted + 4 tiny

@@ -75,6 +75,9 @@ SCALE_QUERIES = [
     "q297_ds_writer_op",         # DS-API Arrow ENCODE (bulk append)
     "q300_zero_copy_object_store",  # object-store commit lifecycle (sink gate)
     "q302_positional_delete",    # delete_where sidecars + REORG (sink gate)
+    # round-9 additions
+    "q305_concurrent_writers",   # interleaved merges + rebase (sink gate)
+    "q307_bloom_repair",         # DS append + donor-seeded reindex (sink gate)
 ]
 
 #: hot-key rehearsal: queries keyed on events.user_id or documents
