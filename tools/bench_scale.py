@@ -115,6 +115,14 @@ def bench_dir(spark, catalog, names, sf_dir, reps, label):
 
 def main() -> None:
     reps = 1 if "--quick" in sys.argv else 2
+    # --only=q305_x,q307_y: incremental sweep for newly-added entries —
+    # results MERGE into BENCH_sf1.json, prior rows untouched
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = set(a.split("=", 1)[1].split(","))
+    scale_qs = [q for q in SCALE_QUERIES if only is None or q in only]
+    zipf_qs = [q for q in ZIPF_QUERIES if only is None or q in only]
 
     from etl_opensky_spark.queries import BENCH_ONLY_QUERIES, QUERIES
     from etl_opensky_spark.session import get_spark
@@ -122,12 +130,12 @@ def main() -> None:
     catalog = {**QUERIES, **BENCH_ONLY_QUERIES}
     spark = get_spark("bench-scale")
 
-    small = bench_dir(spark, catalog, SCALE_QUERIES, SF_SMALL, reps, "sf0.1")
-    big = bench_dir(spark, catalog, SCALE_QUERIES, SF_BIG, reps, "sf1")
-    zipf = bench_dir(spark, catalog, ZIPF_QUERIES, SF_ZIPF, reps, "sf1zipf")
+    small = bench_dir(spark, catalog, scale_qs, SF_SMALL, reps, "sf0.1")
+    big = bench_dir(spark, catalog, scale_qs, SF_BIG, reps, "sf1")
+    zipf = bench_dir(spark, catalog, zipf_qs, SF_ZIPF, reps, "sf1zipf")
 
     table = {}
-    for name in SCALE_QUERIES:
+    for name in scale_qs:
         t0, t1 = small[name]["sec"], big[name]["sec"]
         ratio = t1 / t0 if t0 > 0 else float("inf")
         table[name] = {
@@ -138,7 +146,7 @@ def main() -> None:
             "sf0.1_rows": small[name]["rows"],
             "sf1_rows": big[name]["rows"],
         }
-    for name in ZIPF_QUERIES:
+    for name in zipf_qs:
         table.setdefault(name, {})
         table[name]["sf1zipf_sec"] = zipf[name]["sec"]
         if "sf1_sec" in table[name] and table[name]["sf1_sec"] > 0:
