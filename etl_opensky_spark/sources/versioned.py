@@ -2118,7 +2118,6 @@ def purge_versioned(
     cur = _current(base)
     if cur is None:
         raise ValueError(f"no committed versions at {base}")
-    parent_dir = os.path.join(base, cur["dir"])
     target = _read_snapshot(spark, base, cur)
     dk = delete_keys.select(*keys).distinct().localCheckpoint()
     n_deleted = target.join(F.broadcast(dk), on=keys, how="left_semi").count()
@@ -2128,77 +2127,108 @@ def purge_versioned(
     version = cur["version"] + 1
     mapping = _col_mapping(cur)
     staging = os.path.join(base, f"_staging-{uuid.uuid4().hex[:12]}")
-    name, data_dir = _new_data_dir(base)
-    files_out: dict = {}
-    try:
-        if not part_cols:
+
+    if not part_cols:
+        # full rewrite: whole-table write set, lost races abort
+        name, data_dir = _new_data_dir(base)
+        files_out: dict = {}
+        try:
             kept = target.join(F.broadcast(dk), on=keys, how="left_anti")
             kept.write.mode("errorifexists").parquet(data_dir)
-        else:
-            affected = (
-                target.select(*part_cols, *keys)
-                .join(F.broadcast(dk), on=keys, how="left_semi")
-                .select(*part_cols)
-                .distinct()
+            _record_new_files(data_dir, name, files_out)
+            extra = _files_extra(files_out, materialized=True)
+            extra.update(
+                _stats_extra_cow(
+                    spark, base, cur, files_out, name, data_dir,
+                    list(stats_cols),
+                ) or {}
             )
-            affected_suffixes = {
-                _hive_dir(part_cols, tuple(r[c] for c in part_cols))
-                for r in affected.collect()
-            }
-            kept = (
-                target.join(F.broadcast(affected), on=part_cols, how="left_semi")
-                .join(F.broadcast(dk), on=keys, how="left_anti")
-                .select(*target.columns)
+            if cur.get("schema_json"):
+                extra["schema_json"] = cur["schema_json"]
+            if cur.get("constraints"):
+                extra["constraints"] = cur["constraints"]
+            if cur.get("ingested_files"):
+                extra["ingested_files"] = cur["ingested_files"]
+            if cur.get("identity"):
+                extra.setdefault("identity", cur["identity"])
+            _commit(base, version, name, "purge", extra=extra or None)
+        except ConcurrentCommitError:
+            shutil.rmtree(data_dir, ignore_errors=True)
+            raise
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        return version, n_deleted
+
+    # partitioned branch: same rebase shape as merge_versioned — only
+    # the key-hit partitions are this delete's write set
+    try:
+        affected = (
+            target.select(*part_cols, *keys)
+            .join(F.broadcast(dk), on=keys, how="left_semi")
+            .select(*part_cols)
+            .distinct()
+        )
+        affected_suffixes = {
+            _hive_dir(part_cols, tuple(r[c] for c in part_cols))
+            for r in affected.collect()
+        }
+        kept = (
+            target.join(F.broadcast(affected), on=part_cols, how="left_semi")
+            .join(F.broadcast(dk), on=keys, how="left_anti")
+            .select(*target.columns)
+        )
+        if mapping:
+            kept = kept.select(
+                *[F.col(c).alias(mapping.get(c, c)) for c in kept.columns]
             )
-            if mapping:
-                kept = kept.select(
-                    *[F.col(c).alias(mapping.get(c, c)) for c in kept.columns]
-                )
-            kept.write.mode("errorifexists").partitionBy(*part_cols).parquet(
-                staging
-            )
+        kept.write.mode("errorifexists").partitionBy(*part_cols).parquet(
+            staging
+        )
+        phys_stats = [mapping.get(c, c) for c in stats_cols]
+
+        def build(parent_e, scavenge):
+            bname, bdir = _new_data_dir(base)
+            files_out: dict = {}
             _snapshot_from_parent(
-                base, cur, data_dir, part_cols, affected_suffixes,
-                staging, files_out,
+                base, parent_e, bdir, part_cols, affected_suffixes,
+                scavenge if scavenge is not None else staging,
+                files_out,
             )
-            for t in cur.get("tombstones") or []:
+            for t in parent_e.get("tombstones") or []:
                 _link_tree(
-                    os.path.join(parent_dir, t["dir"]),
-                    os.path.join(data_dir, t["dir"]),
+                    os.path.join(base, parent_e["dir"], t["dir"]),
+                    os.path.join(bdir, t["dir"]),
                 )
-        _record_new_files(data_dir, name, files_out)
-        carry_mapping = mapping if part_cols else {}
-        phys_stats = (
-            [mapping.get(c, c) for c in stats_cols]
-            if carry_mapping
-            else list(stats_cols)
-        )
-        extra = _files_extra(
-            files_out,
-            materialized=not part_cols
-            or not _zero_copy(),
-        )
-        extra.update(
-            _stats_extra_cow(
-                spark, base, cur, files_out, name, data_dir, phys_stats
-            ) or {}
-        )
-        if cur.get("schema_json"):
-            extra["schema_json"] = cur["schema_json"]
-        if carry_mapping:
-            extra["column_mapping"] = carry_mapping
-        if cur.get("constraints"):
-            extra["constraints"] = cur["constraints"]
-        if cur.get("ingested_files"):
-            extra["ingested_files"] = cur["ingested_files"]
-        if cur.get("identity"):
-            extra.setdefault("identity", cur["identity"])
-        if part_cols and cur.get("tombstones"):
-            extra["tombstones"] = cur["tombstones"]
-        _commit(base, version, name, "purge", extra=extra or None)
-    except ConcurrentCommitError:
-        shutil.rmtree(data_dir, ignore_errors=True)
-        raise
+            _record_new_files(bdir, bname, files_out)
+            extra = _files_extra(
+                files_out, materialized=not _zero_copy()
+            )
+            extra.update(
+                _stats_extra_cow(
+                    spark, base, parent_e, files_out, bname, bdir,
+                    phys_stats,
+                ) or {}
+            )
+            if parent_e.get("schema_json"):
+                extra["schema_json"] = parent_e["schema_json"]
+            if mapping:
+                extra["column_mapping"] = mapping
+            if parent_e.get("constraints"):
+                extra["constraints"] = parent_e["constraints"]
+            if parent_e.get("ingested_files"):
+                extra["ingested_files"] = parent_e["ingested_files"]
+            if parent_e.get("identity"):
+                extra.setdefault("identity", parent_e["identity"])
+            if parent_e.get("tombstones"):
+                extra["tombstones"] = parent_e["tombstones"]
+            return bname, bdir, extra
+
+        def check(parent_e, winners):
+            _check_rebase_partitions(
+                spark, base, cur, parent_e, winners, affected_suffixes
+            )
+
+        version = _commit_rebased(base, cur, "purge", build, check)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
     return version, n_deleted
@@ -4293,14 +4323,94 @@ def table_changes(
     return reduce(lambda a, b: a.unionByName(b), steps)
 
 
+def _rel_partition_values(rel: str) -> dict:
+    """Hive partition values parsed from a snapshot-relative path —
+    raw string values (this engine's own partitioned writes reject the
+    characters Spark would %-escape, see ``_ESCAPED_CHARS``, so no
+    unescaping is needed)."""
+    out: dict = {}
+    for seg in rel.split("/")[:-1]:
+        if "=" in seg:
+            k, v = seg.split("=", 1)
+            out[k] = v
+    return out
+
+
+def _where_file_verdict(rel: str, per_col: dict, where: dict) -> str:
+    """Can the manifest PROVE how a range box relates to one file?
+    ``"all"`` = every row satisfies every bound (no nulls in any
+    bounded column, min/max fully inside), ``"none"`` = no row can
+    satisfy (disjoint range or all-null column), ``"partial"`` =
+    unprovable — the box cuts through the file (or a bound column has
+    nulls / no usable stats)."""
+    part_vals = _rel_partition_values(rel)
+    verdicts = []
+    for c, (lo, hi) in where.items():
+        if c in part_vals:
+            ref = lo if lo is not None else hi
+            try:
+                v = type(ref)(part_vals[c]) if ref is not None else (
+                    part_vals[c]
+                )
+            except (TypeError, ValueError):
+                return "partial"  # untypable partition value
+            if (lo is not None and v < lo) or (
+                hi is not None and v > hi
+            ):
+                verdicts.append("none")
+            else:
+                verdicts.append("all")
+            continue
+        s = per_col.get(c)
+        if s is None:
+            return "partial"  # no stats: nothing provable
+        if s["min"] is None and s["max"] is None:
+            if s["rows"] and s["nulls"] == s["rows"]:
+                verdicts.append("none")  # all null: no row matches
+                continue
+            return "partial"
+        try:
+            if (lo is not None and s["max"] < lo) or (
+                hi is not None and s["min"] > hi
+            ):
+                verdicts.append("none")
+                continue
+            inside = (lo is None or s["min"] >= lo) and (
+                hi is None or s["max"] <= hi
+            )
+        except TypeError:
+            return "partial"  # bound/stat type mismatch
+        if inside and s["nulls"] == 0:
+            verdicts.append("all")
+        else:
+            return "partial"  # box cuts the file, or nulls drop rows
+    if "none" in verdicts:
+        return "none"
+    return "all"
+
+
 def metadata_aggregate(
-    base: str, cols: Sequence[str], as_of: int | None = None
+    base: str,
+    cols: Sequence[str],
+    as_of: int | None = None,
+    where: dict | None = None,
 ) -> dict:
     """COUNT(*)/COUNT(col)/MIN/MAX answered PURELY FROM THE MANIFEST —
     zero data pages, zero Spark jobs (note: no SparkSession parameter;
     it's O(#files) dict folding on the driver).  The Delta metadata-
     query optimization: at 100 TB a ``SELECT count(*), max(ts)`` is a
     commit-log read, not a scan.
+
+    ``where`` (``{col: (lo, hi)}``, either bound None — the same box
+    shape as ``read_version``) restricts the aggregate to rows
+    satisfying every bound, and stays EXACT by the same refusal
+    contract: each file must be provably all-in (no nulls in a bounded
+    column, stats fully inside the box — hive-partition columns
+    resolve from the directory path, so partition-value boxes prune
+    exactly even though partition columns carry no footer stats) or
+    provably all-out; a box that CUTS any file raises rather than
+    approximates (a clustered layout — ``repartitionByRange`` /
+    OPTIMIZE ZORDER — is what makes file-aligned boxes common).
 
     Returns ``{"rows": N, <col>: {"count": n_non_null, "min": .., "max"
     : ..}}``.  Exactness is REFUSED (ValueError) rather than
@@ -4323,6 +4433,21 @@ def metadata_aggregate(
             "(write with stats_cols=...)"
         )
     mapping = _col_mapping(entry)  # logical -> physical
+    if where:
+        where_phys = {mapping.get(c, c): b for c, b in where.items()}
+        selected: dict = {}
+        for rel, per_col in stats.items():
+            verdict = _where_file_verdict(rel, per_col, where_phys)
+            if verdict == "partial":
+                raise ValueError(
+                    f"metadata_aggregate: the where box cuts file "
+                    f"{rel!r} (or its stats can't prove containment) — "
+                    "the exact answer needs a scan; cluster the layout "
+                    "on the box columns to make boxes file-aligned"
+                )
+            if verdict == "all":
+                selected[rel] = per_col
+        stats = selected
     out: dict = {}
     rows_total = 0
     for rel, per_col in stats.items():

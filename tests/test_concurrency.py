@@ -501,3 +501,51 @@ class TestOptimizeRebase:
         ids = sorted(r["id"] for r in read_version(spark, base).collect())
         assert 17 not in ids
         assert len(ids) == 1003  # 1000 bulk - 1 deleted + 4 tiny
+
+
+class TestPurgeCowRebase:
+    def test_partitioned_purge_rebases_over_disjoint_merge(
+        self, spark, tmp_path
+    ):
+        from etl_opensky_spark.sources.versioned import purge_versioned
+
+        base = str(tmp_path / "lake")
+        _seed(spark, base)
+        _interfere_once(
+            lambda: merge_versioned(
+                spark, base, _pdf(spark, [(1, "A1")], p=1),
+                ["id"], partition_by=("p",),
+            )
+        )
+        v, n = purge_versioned(
+            spark, base,
+            spark.createDataFrame([(0,), (3,)], "id long"), ["id"],
+            partition_by=("p",),
+        )
+        assert (v, n) == (3, 2)
+        got = dict(
+            (r["id"], r["v"]) for r in read_version(spark, base).collect()
+        )
+        assert 0 not in got and 3 not in got
+        assert got[1] == "A1"  # the winner's merge survives
+        assert len(got) == 10
+
+    def test_partitioned_purge_conflicts_on_same_partition(
+        self, spark, tmp_path
+    ):
+        from etl_opensky_spark.sources.versioned import purge_versioned
+
+        base = str(tmp_path / "lake")
+        _seed(spark, base)
+        _interfere_once(
+            lambda: merge_versioned(
+                spark, base, _pdf(spark, [(0, "A0")], p=0),
+                ["id"], partition_by=("p",),
+            )
+        )
+        with pytest.raises(LogicalConflictError):
+            purge_versioned(
+                spark, base,
+                spark.createDataFrame([(3,)], "id long"), ["id"],
+                partition_by=("p",),
+            )

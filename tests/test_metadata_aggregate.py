@@ -68,3 +68,76 @@ def test_unprovable_cases_refuse(spark, lake, tmp_path):
     write_version(spark.range(3), base2)
     with pytest.raises(ValueError, match="no harvested stats"):
         metadata_aggregate(base2, [])
+
+
+# --- round 9: where-box pruned metadata aggregation ------------------------
+
+
+class TestWhereBox:
+    def _clustered(self, spark, tmp_path):
+        """Two value clusters, range-clustered so each file owns one:
+        file-aligned boxes are provable, cutting boxes refuse."""
+        base = str(tmp_path / "clustered")
+        df = spark.range(0, 100).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 2).cast("double").alias("v"),
+        ).union(
+            spark.range(1000, 1100).select(
+                F.col("id").alias("k"),
+                (F.col("id") * 2).cast("double").alias("v"),
+            )
+        )
+        write_version(
+            df.repartitionByRange(2, "k"), base, stats_cols=["k", "v"]
+        )
+        return base
+
+    def test_file_aligned_box_counts_exactly(self, spark, tmp_path):
+        base = self._clustered(spark, tmp_path)
+        agg = metadata_aggregate(base, ["k"], where={"k": (0, 500)})
+        assert agg["rows"] == 100
+        assert agg["k"] == {"count": 100, "min": 0, "max": 99}
+        hi = metadata_aggregate(base, ["k"], where={"k": (500, None)})
+        assert hi["rows"] == 100
+        assert (hi["k"]["min"], hi["k"]["max"]) == (1000, 1099)
+
+    def test_cutting_box_refuses(self, spark, tmp_path):
+        base = self._clustered(spark, tmp_path)
+        with pytest.raises(ValueError, match="cuts file"):
+            metadata_aggregate(base, ["k"], where={"k": (0, 50)})
+
+    def test_disjoint_box_counts_zero(self, spark, tmp_path):
+        base = self._clustered(spark, tmp_path)
+        agg = metadata_aggregate(base, ["k"], where={"k": (5000, 9000)})
+        assert agg["rows"] == 0
+
+    def test_partition_value_box(self, spark, tmp_path):
+        """Partition columns carry no footer stats but resolve exactly
+        from the directory path — the Delta metadata-only partition
+        count."""
+        base = str(tmp_path / "parts")
+        df = spark.range(0, 120).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).cast("int").alias("p"),
+        )
+        write_version(
+            df, base, partition_by=["p"], stats_cols=["k"]
+        )
+        agg = metadata_aggregate(base, ["k"], where={"p": (0, 0)})
+        assert agg["rows"] == 40
+        assert agg["k"]["count"] == 40
+        two = metadata_aggregate(base, ["k"], where={"p": (1, 2)})
+        assert two["rows"] == 80
+
+    def test_null_bearing_column_refuses(self, spark, tmp_path):
+        """Nulls in a bounded column drop rows the stats can't count —
+        refuse rather than approximate."""
+        base = str(tmp_path / "nulls")
+        df = spark.range(0, 50).select(
+            F.when(F.col("id") % 10 == 0, None)
+            .otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("w"),
+        )
+        write_version(df.coalesce(1), base, stats_cols=["k", "w"])
+        with pytest.raises(ValueError, match="cuts file"):
+            metadata_aggregate(base, ["w"], where={"k": (None, None)})
