@@ -767,6 +767,12 @@ def _commit_rebased(
                 raise
             parent = log[-1]
             scavenge = data_dir
+        except BaseException:
+            # ANY other pre-commit failure (Spark error, crash-injected
+            # fault) must not leave the assembled snapshot behind as
+            # permanent orphan debris — same contract as every writer
+            shutil.rmtree(data_dir, ignore_errors=True)
+            raise
 
 
 def _assert_partitioned(base: str, entry: dict,
