@@ -549,3 +549,95 @@ class TestPurgeCowRebase:
                 spark.createDataFrame([(3,)], "id long"), ["id"],
                 partition_by=("p",),
             )
+
+
+class TestRandomizedInterleavings:
+    """Seeded randomized rebase property: rounds of a writer losing to
+    one or two DISJOINT interferers (merges on other partitions,
+    point deletes elsewhere) must converge to the model that applies
+    every committed op — the rebase can never drop a winner's effect
+    or its own."""
+
+    def test_model_equivalence(self, spark, tmp_path):
+        import random
+
+        rng = random.Random(9090)
+        base = str(tmp_path / "lake")
+        n_parts = 4
+        model = {}  # id -> v
+        seed_pairs = [(i, f"v{i}") for i in range(16)]
+        model.update(seed_pairs)
+        write_version(
+            spark.createDataFrame(
+                [(i, v, i % n_parts) for i, v in seed_pairs],
+                "id long, v string, p int",
+            ).repartition(2),
+            base,
+            partition_by=("p",),
+        )
+        next_id = 1000
+
+        def model_merge(pairs, p):
+            for i, v in pairs:
+                model[i] = v
+
+        def do_merge(tag, p):
+            nonlocal next_id
+            pairs = [(next_id, f"{tag}{next_id}")]
+            next_id += 1
+            # sometimes also update an existing key of that partition
+            existing = [i for i in model if i % n_parts == p and i < 1000]
+            if existing and rng.random() < 0.7:
+                k = rng.choice(existing)
+                pairs.append((k, f"{tag}u{k}"))
+            pairs = [(i, v) for i, v in pairs if i % n_parts == p or i >= 1000]
+            # force inserts into partition p
+            upd = spark.createDataFrame(
+                [(i, v, p) for i, v in pairs], "id long, v string, p int"
+            )
+            merge_versioned(spark, base, upd, ["id"], partition_by=("p",))
+            model_merge(pairs, p)
+
+        def do_delete(i):
+            delete_where(spark, base, f"id = {i}")
+            model.pop(i, None)
+
+        for round_no in range(10):
+            parts = rng.sample(range(n_parts), 3)
+            outer_p, int_p1, int_p2 = parts
+            interferers = []
+            # interferer 1: merge on a different partition
+            interferers.append(lambda p=int_p1: do_merge("A", p))
+            # interferer 2 (sometimes): delete an id OUTSIDE outer_p
+            victims = [
+                i for i in model
+                if i % n_parts == int_p2 and i < 1000
+            ]
+            if victims and rng.random() < 0.6:
+                interferers.append(
+                    lambda i=rng.choice(victims): do_delete(i)
+                )
+
+            def hook(fns=tuple(interferers)):
+                _test_hooks.pop("before_commit", None)
+                for fn in fns:
+                    fn()
+
+            _test_hooks["before_commit"] = hook
+            try:
+                do_merge("B", outer_p)
+            finally:
+                _test_hooks.pop("before_commit", None)
+
+        got = dict(
+            (r["id"], r["v"])
+            for r in read_version(spark, base).collect()
+        )
+        assert got == model, (
+            f"diverged: extra={sorted(set(got) - set(model))[:5]} "
+            f"missing={sorted(set(model) - set(got))[:5]} "
+            f"changed={[k for k in got if k in model and got[k] != model[k]][:5]}"
+        )
+        # every round committed 2-3 versions, none aborted
+        ops = [e["op"] for e in _read_log(base)]
+        assert ops[0] == "write" and len(ops) >= 21
