@@ -204,12 +204,31 @@ try:  # pyspark >= 4.0
             cursor skips only marker-published dirs) and the cap lifts.
             The residual window — a version whose publish has not
             created its dir at all while a later version is already
-            published — requires two CONCURRENT materializers, which
-            the feed does not support (single-writer, like every
-            table-format checkpoint writer)."""
+            published — arises only under CONCURRENT materializers
+            (supported since round 9: per-version conditional-PUT
+            claims make each publish single-writer) and is closed by
+            the contiguity cap below: the offset never crosses a hole
+            in the published version sequence."""
             pub, unpub = _scan_commit_dirs(self._path)
             cap = unpub[0] - 1 if unpub else None
             safe = [v for v in pub if cap is None or v <= cap]
+            # CONTIGUITY cap (round 9, multi-materializer claims):
+            # concurrent materializers claim versions independently, so
+            # a faster writer can publish v+1 while v is still in
+            # flight (or its claimant crashed before creating v's dir
+            # at all — the residual window the r8 docstring called
+            # unsupported).  Consuming past such a HOLE would skip v
+            # forever; cap at the contiguous run containing the lowest
+            # published version — the hole heals when its claimant
+            # publishes (or repair_change_feed re-claims) and the cap
+            # lifts.  Single-writer feeds publish ascending, so this
+            # never engages for them.
+            contiguous: list[int] = []
+            for v in safe:
+                if contiguous and v != contiguous[-1] + 1:
+                    break
+                contiguous.append(v)
+            safe = contiguous
             latest = safe[-1] if safe else 0
             # a startingVersion AHEAD of the current feed tip must
             # floor the offset: Spark compares offsets only by

@@ -4490,6 +4490,10 @@ def metadata_aggregate(
     return out
 
 
+def _feed_claim_path(out_dir: str, v: int) -> str:
+    return os.path.join(out_dir, f"_claim-{v:08d}")
+
+
 def materialize_change_feed(
     spark: SparkSession,
     base: str,
@@ -4509,7 +4513,18 @@ def materialize_change_feed(
     a crashed run leaves only an invisible temp dir.  Call after each
     batch of table commits (or from a scheduler); cost is the feed
     extraction for NEW commits only.  Returns ``(n_commits_materialized,
-    n_change_rows)``."""
+    n_change_rows)``.
+
+    MULTI-MATERIALIZER SAFE (round 9): each version is claimed with a
+    conditional PUT (``_claim-<v>``) before any extraction, so exactly
+    one writer ever copies into a given ``commit=<v>`` dir — two
+    uncoordinated schedulers can no longer interleave their object
+    copies into one torn directory.  A version claimed by someone else
+    is skipped (its claimant publishes it); lakefeed's offset caps at
+    any resulting GAP until the hole heals, so readers never skip a
+    version.  A CRASHED claimant (claim present, dir never published)
+    stalls the feed deterministically rather than corrupting it —
+    :func:`repair_change_feed` re-claims and republishes."""
     from etl_opensky_spark.sources.fs import is_published
 
     log = _read_log(base)
@@ -4531,7 +4546,13 @@ def materialize_change_feed(
         if c["version"] not in done and c["version"] > first
     ]
     n_rows = 0
+    n_done = 0
     for v in sorted(todo):
+        try:
+            get_fs().put_if_absent(_feed_claim_path(out_dir, v), b"")
+        except FileExistsError:
+            continue  # a concurrent materializer owns v (or a crashed
+            # one does — repair_change_feed re-claims)
         ch = table_changes(spark, base, keys, v - 1, v)
         final = os.path.join(out_dir, f"commit={v}")
         tmp = os.path.join(out_dir, f"_tmp-{uuid.uuid4().hex[:8]}")
@@ -4539,4 +4560,42 @@ def materialize_change_feed(
         n = spark.read.parquet(tmp).count()
         get_fs().replace(tmp, final)
         n_rows += n
-    return len(todo), n_rows
+        n_done += 1
+    return n_done, n_rows
+
+
+def repair_change_feed(
+    spark: SparkSession,
+    base: str,
+    out_dir: str,
+    keys: Sequence[str],
+) -> tuple[int, int]:
+    """Recover a feed stalled by a CRASHED materializer: drop every
+    claim whose ``commit=<v>`` dir never published, then re-materialize
+    (which re-claims and publishes the holes; lakefeed's gap cap lifts
+    as each one lands).  Claims with published dirs are left alone.
+
+    MUST NOT run concurrently with a live materializer — the same
+    operational caveat as ``vacuum_versions``: re-claiming a version
+    whose original claimant is merely SLOW would put two writers back
+    into one ``commit=<v>`` publish, the exact race the claims exist
+    to prevent (without clocks, crashed and slow are
+    indistinguishable — the standard lease problem; run the repair
+    from the scheduler slot that owns the feed).  Returns
+    ``materialize_change_feed``'s counts."""
+    from etl_opensky_spark.sources.fs import is_published
+
+    try:
+        names = os.listdir(out_dir)
+    except FileNotFoundError:
+        names = []
+    for n in names:
+        if not n.startswith("_claim-"):
+            continue
+        v = int(n.split("-", 1)[1])
+        if not is_published(os.path.join(out_dir, f"commit={v}")):
+            try:
+                os.remove(os.path.join(out_dir, n))
+            except OSError:
+                pass
+    return materialize_change_feed(spark, base, out_dir, keys)
