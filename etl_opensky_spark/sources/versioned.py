@@ -731,6 +731,7 @@ def _commit_rebased(
     op: str,
     build,
     check,
+    cleanup_on_error: bool = False,
 ) -> int:
     """Optimistic commit WITH REBASE.  ``build(parent, scavenge) ->
     (name, data_dir, extra)`` assembles the snapshot against any given
@@ -740,7 +741,13 @@ def _commit_rebased(
     of re-staging.  On a lost race, ``check(parent, winners)`` raises
     :class:`LogicalConflictError` for real overlaps; otherwise the
     snapshot is reassembled against the new tip and committed one
-    version up.  Returns the committed version."""
+    version up.  Returns the committed version.
+
+    ``cleanup_on_error`` removes the assembled dir on ANY pre-commit
+    failure (OPTIMIZE's historical contract); the default leaves
+    non-race failures' debris for ``vacuum_orphans`` — the other
+    writers' historical contract, and what a real process death (which
+    runs no cleanup code) produces anyway."""
     scavenge = None
     attempts = 0
     while True:
@@ -768,10 +775,12 @@ def _commit_rebased(
             parent = log[-1]
             scavenge = data_dir
         except BaseException:
-            # ANY other pre-commit failure (Spark error, crash-injected
-            # fault) must not leave the assembled snapshot behind as
-            # permanent orphan debris — same contract as every writer
-            shutil.rmtree(data_dir, ignore_errors=True)
+            # any other pre-commit failure (Spark error, crash-injected
+            # fault): OPTIMIZE cleans its assembled snapshot eagerly
+            # (r7 contract); the rest leave vacuum_orphans-collectable
+            # debris, exactly like a real process death would
+            if cleanup_on_error:
+                shutil.rmtree(data_dir, ignore_errors=True)
             raise
 
 
@@ -2794,7 +2803,9 @@ def optimize_small_files(
                 spark, base, cur, parent_e, winners, small_quoted
             )
 
-        version = _commit_rebased(base, cur, "optimize", build, check)
+        version = _commit_rebased(
+            base, cur, "optimize", build, check, cleanup_on_error=True
+        )
     finally:
         shutil.rmtree(staging, ignore_errors=True)
     return version, len(small_set)
@@ -4499,6 +4510,7 @@ def materialize_change_feed(
     base: str,
     out_dir: str,
     keys: Sequence[str],
+    multi_writer: bool = False,
 ) -> tuple[int, int]:
     """Make the change feed STREAMABLE: append each un-materialized
     commit's ``table_changes`` rows as parquet under
@@ -4515,16 +4527,20 @@ def materialize_change_feed(
     extraction for NEW commits only.  Returns ``(n_commits_materialized,
     n_change_rows)``.
 
-    MULTI-MATERIALIZER SAFE (round 9): each version is claimed with a
-    conditional PUT (``_claim-<v>``) before any extraction, so exactly
-    one writer ever copies into a given ``commit=<v>`` dir — two
-    uncoordinated schedulers can no longer interleave their object
-    copies into one torn directory.  A version claimed by someone else
-    is skipped (its claimant publishes it); lakefeed's offset caps at
-    any resulting GAP until the hole heals, so readers never skip a
-    version.  A CRASHED claimant (claim present, dir never published)
-    stalls the feed deterministically rather than corrupting it —
-    :func:`repair_change_feed` re-claims and republishes."""
+    ``multi_writer=True`` (round 9) makes CONCURRENT materializers
+    safe: each version is claimed with a conditional PUT
+    (``_claim-<v>``) before any extraction, so exactly one writer ever
+    copies into a given ``commit=<v>`` dir — two uncoordinated
+    schedulers can no longer interleave their object copies into one
+    torn directory.  A version claimed by someone else is skipped (its
+    claimant publishes it); lakefeed's offset caps at any resulting
+    GAP until the hole heals, so readers never skip a version.  The
+    trade (why it is opt-in): with claims, a CRASHED claimant stalls
+    the feed deterministically until :func:`repair_change_feed`
+    re-claims and republishes, whereas the single-writer default
+    SELF-HEALS — a re-run simply republishes any unpublished version.
+    Exactly the at-least-once vs mutual-exclusion trade; pick per
+    deployment."""
     from etl_opensky_spark.sources.fs import is_published
 
     log = _read_log(base)
@@ -4548,11 +4564,14 @@ def materialize_change_feed(
     n_rows = 0
     n_done = 0
     for v in sorted(todo):
-        try:
-            get_fs().put_if_absent(_feed_claim_path(out_dir, v), b"")
-        except FileExistsError:
-            continue  # a concurrent materializer owns v (or a crashed
-            # one does — repair_change_feed re-claims)
+        if multi_writer:
+            try:
+                get_fs().put_if_absent(
+                    _feed_claim_path(out_dir, v), b""
+                )
+            except FileExistsError:
+                continue  # a concurrent materializer owns v (or a
+                # crashed one does — repair_change_feed re-claims)
         ch = table_changes(spark, base, keys, v - 1, v)
         final = os.path.join(out_dir, f"commit={v}")
         tmp = os.path.join(out_dir, f"_tmp-{uuid.uuid4().hex[:8]}")
@@ -4598,4 +4617,6 @@ def repair_change_feed(
                 os.remove(os.path.join(out_dir, n))
             except OSError:
                 pass
-    return materialize_change_feed(spark, base, out_dir, keys)
+    return materialize_change_feed(
+        spark, base, out_dir, keys, multi_writer=True
+    )

@@ -48,14 +48,8 @@ def test_materialize_is_idempotent_and_complete(spark, tmp_path):
     )
     n_commits, n_rows = materialize_change_feed(spark, base, feed, ["id"])
     assert (n_commits, n_rows) == (1, 2)
-    # commit dirs plus the r9 per-version claims (underscore-prefixed:
-    # invisible to parquet scans and the feed cursor)
-    assert sorted(
-        d for d in os.listdir(feed) if d.startswith("commit=")
-    ) == ["commit=2", "commit=3", "commit=4"]
-    assert sorted(
-        d for d in os.listdir(feed) if d.startswith("_claim-")
-    ) == ["_claim-00000002", "_claim-00000003", "_claim-00000004"]
+    # single-writer default: no claim files, just the commit dirs
+    assert sorted(os.listdir(feed)) == ["commit=2", "commit=3", "commit=4"]
 
 
 def test_feed_is_a_real_streaming_source(spark, tmp_path):

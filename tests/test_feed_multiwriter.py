@@ -63,7 +63,7 @@ class TestClaims:
         def worker():
             try:
                 results.append(
-                    materialize_change_feed(spark, src, feed, ["id"])
+                    materialize_change_feed(spark, src, feed, ["id"], multi_writer=True)
                 )
             except Exception as exc:  # noqa: BLE001
                 errors.append(exc)
@@ -83,8 +83,8 @@ class TestClaims:
     def test_rerun_is_noop_with_claims_present(self, spark, tmp_path):
         src = _src(spark, tmp_path)
         feed = str(tmp_path / "feed")
-        assert materialize_change_feed(spark, src, feed, ["id"])[0] == 4
-        assert materialize_change_feed(spark, src, feed, ["id"]) == (0, 0)
+        assert materialize_change_feed(spark, src, feed, ["id"], multi_writer=True)[0] == 4
+        assert materialize_change_feed(spark, src, feed, ["id"], multi_writer=True) == (0, 0)
 
     def test_crashed_claim_stalls_then_repairs(self, spark, tmp_path):
         """A claim without a published dir (claimant died pre-publish)
@@ -96,7 +96,7 @@ class TestClaims:
         # simulate the crash: version 3's claim exists, dir never lands
         with open(_feed_claim_path(feed, 3), "w"):
             pass
-        n, _rows = materialize_change_feed(spark, src, feed, ["id"])
+        n, _rows = materialize_change_feed(spark, src, feed, ["id"], multi_writer=True)
         assert n == 3  # v3 skipped (someone "owns" it)
         assert _commit_versions(feed) == [2, 4, 5]
         r = LakeFeedStreamReader({"path": feed})
@@ -111,7 +111,7 @@ class TestClaims:
     def test_repair_spares_published_claims(self, spark, tmp_path):
         src = _src(spark, tmp_path)
         feed = str(tmp_path / "feed")
-        materialize_change_feed(spark, src, feed, ["id"])
+        materialize_change_feed(spark, src, feed, ["id"], multi_writer=True)
         claims = sorted(
             n for n in os.listdir(feed) if n.startswith("_claim-")
         )
@@ -128,7 +128,7 @@ class TestClaims:
         try:
             src = _src(spark, tmp_path, n_commits=2)
             feed = str(tmp_path / "feed")
-            n, _ = materialize_change_feed(spark, src, feed, ["id"])
+            n, _ = materialize_change_feed(spark, src, feed, ["id"], multi_writer=True)
             assert n == 2
             assert _commit_versions(feed) == [2, 3]
             rows = _feed_rows(spark, feed)
@@ -144,7 +144,7 @@ class TestGapCap:
         forever once the offset log records anything above it."""
         src = _src(spark, tmp_path)
         feed = str(tmp_path / "feed")
-        materialize_change_feed(spark, src, feed, ["id"])
+        materialize_change_feed(spark, src, feed, ["id"], multi_writer=True)
         # knock v4 out (simulate: its claimant crashed pre-dir under a
         # concurrent drain where v5 already landed)
         import shutil
@@ -158,3 +158,26 @@ class TestGapCap:
         start = {"version": 0}
         r2.partitions(start, start)
         assert r2.latestOffset() == {"version": 2}
+
+
+class TestSingleWriterDefault:
+    def test_no_claims_and_self_heal(self, spark, tmp_path):
+        """The default stays the r8 contract: no claim files, and a
+        crashed publish (stripped marker) self-heals on the next run —
+        the at-least-once side of the trade."""
+        from etl_opensky_spark.sources.fs import PUBLISH_MARKER
+
+        src = _src(spark, tmp_path, n_commits=2)
+        feed = str(tmp_path / "feed")
+        n, _ = materialize_change_feed(spark, src, feed, ["id"])
+        assert n == 2
+        assert not [
+            f for f in os.listdir(feed) if f.startswith("_claim-")
+        ]
+        marker = os.path.join(feed, "commit=3", PUBLISH_MARKER)
+        if os.path.exists(marker):
+            os.remove(marker)  # simulate a crashed publish
+        assert _commit_versions(feed) == [2]
+        n2, _ = materialize_change_feed(spark, src, feed, ["id"])
+        assert n2 == 1  # republished without any repair call
+        assert _commit_versions(feed) == [2, 3]
