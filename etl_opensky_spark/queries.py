@@ -14780,12 +14780,20 @@ def q305_concurrent_writers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def steal():  # writer A lands v2 while B sits at its commit point
         _test_hooks.pop("before_commit", None)
-        merge_versioned(spark, base, upd_a, ["k"], partition_by=("bucket",))
+        merge_versioned(
+            spark, base, upd_a, ["k"], partition_by=("bucket",),
+            keys_are_partition_stable=True,
+        )
 
     _test_hooks["before_commit"] = steal
     try:
+        # bucket = k % 4 is a pure function of the key, so the stable
+        # declaration is truthful — and required for a proof-free
+        # rebase since round 10 (ADVICE r9 #1: without it a contested
+        # merge must prove winners' added files key-disjoint via stats)
         v_loser = merge_versioned(
-            spark, base, upd_b, ["k"], partition_by=("bucket",)
+            spark, base, upd_b, ["k"], partition_by=("bucket",),
+            keys_are_partition_stable=True,
         )
     finally:
         _test_hooks.pop("before_commit", None)

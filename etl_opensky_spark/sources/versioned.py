@@ -250,9 +250,26 @@ def _write_checkpoint(base: str, version: int) -> None:
         pass
 
 
+#: when set (``_commit_rebased`` with ``cleanup_on_error``), every dir
+#: ``_new_data_dir`` hands out is appended here so a failure INSIDE a
+#: ``build`` callback — stats harvest, link_file, snapshot assembly —
+#: can be cleaned eagerly instead of leaking debris for
+#: ``vacuum_orphans`` (ADVICE r9 #4).  A contextvar so concurrent
+#: writer threads track their own allocations.
+from contextvars import ContextVar  # noqa: E402 - grouped with its use
+
+_ALLOC_TRACK: ContextVar[list | None] = ContextVar(
+    "_ALLOC_TRACK", default=None
+)
+
+
 def _new_data_dir(base: str) -> tuple[str, str]:
     name = f"data-{uuid.uuid4().hex[:12]}"
-    return name, os.path.join(base, name)
+    path = os.path.join(base, name)
+    tracked = _ALLOC_TRACK.get()
+    if tracked is not None:
+        tracked.append(path)
+    return name, path
 
 
 #: characters Spark %-escapes in partition directory names
@@ -584,6 +601,109 @@ def _quoted_under(rel_quoted: str, suffixes_quoted) -> bool:
     return any(rel_quoted.startswith(s + "/") for s in suffixes_quoted)
 
 
+#: winner ops that can never INTRODUCE a key absent from their parent
+#: snapshot — they rearrange (OPTIMIZE/REORG/compact) or remove
+#: (purge/delete) existing rows, so their added files contain only
+#: keys that already lived in partitions the losing merge's
+#: ``moved_from`` probe examined (and found disjoint from its updates,
+#: else those partitions would be in its write set).  Winners OUTSIDE
+#: this set (merge/append/copy_into/restore/...) can insert new rows
+#: and must prove key-disjointness file by file.
+_KEY_PRESERVING_OPS = frozenset(
+    {"optimize", "reorg", "compact", "purge", "purge_mor",
+     "delete_where", "bloom_repair", "annotate"}
+)
+
+
+def _file_key_disjoint(
+    per_col: dict, part_vals: dict, phys_keys, upd_env: dict
+) -> bool:
+    """True iff SOME key column provably separates one winner-added
+    file from the losing merge's update-key envelope: the file's
+    manifest [min, max] (or its hive-partition path value, for keys
+    that are partition columns) misses ``upd_env[col] = (lo, hi)``
+    entirely.  One disjoint column suffices for composite keys (no
+    tuple can then match).  Nulls in the file's key column cannot
+    collide — update keys are validated non-null — so min/max over
+    non-nulls is the right envelope.  Unknown stats prove nothing."""
+    for c in phys_keys:
+        env = upd_env.get(c)
+        if env is None:
+            continue
+        ulo, uhi = env
+        if ulo is None or uhi is None:
+            continue
+        if c in part_vals:
+            try:
+                v = type(ulo)(part_vals[c])
+            except (TypeError, ValueError):
+                continue
+            if v < ulo or v > uhi:
+                return True
+            continue
+        s = per_col.get(c)
+        if s is None or s["min"] is None or s["max"] is None:
+            continue
+        try:
+            if s["max"] < ulo or s["min"] > uhi:
+                return True
+        except TypeError:
+            continue
+    return False
+
+
+def _check_rebase_key_overlap(
+    base: str,
+    parent: dict,
+    winners: list[dict],
+    suffixes,
+    phys_keys,
+    upd_env: dict,
+) -> None:
+    """Key-level disjointness for a partition-scoped MERGE whose keys
+    may MOVE partitions (``keys_are_partition_stable=False`` — ADVICE
+    r9 #1).  Such a merge's logical read set is every partition's key
+    columns (the ``moved_from`` probe scans them all), so partition
+    disjointness alone is not enough: a winner that inserted key ``k``
+    into bucket=3 while this merge inserts ``k`` into bucket=2 would,
+    under a partition-only check, rebase into a table holding ``k``
+    TWICE — an outcome no serial order produces (a re-run's probe
+    would have routed the update to bucket=3).  Every winner-added
+    data file OUTSIDE the merge's rewritten partitions must therefore
+    be PROVABLY key-disjoint from the updates via the winner's own
+    manifest stats (or hive-partition path values); winners whose op
+    cannot introduce new keys (:data:`_KEY_PRESERVING_OPS`) pass
+    outright.  Anything unprovable raises — ``merge_with_retry``
+    re-runs against the tip, which is the semantics Delta ships as
+    ``ConcurrentAppendException``."""
+    qsuf = {_hadoop_uri_quote(s) for s in suffixes}
+    prev = parent
+    for w in winners:
+        if w.get("op") in _KEY_PRESERVING_OPS:
+            prev = w
+            continue
+        added, _removed = _manifest_delta(base, prev, w)
+        stats = w.get("stats") or {}
+        for rel in added:
+            if _quoted_under(_hadoop_uri_quote(rel), qsuf):
+                continue  # inside the rewritten partitions: already
+                # adjudicated (and refused) by the partition check
+            if not _file_key_disjoint(
+                stats.get(rel) or {}, _rel_partition_values(rel),
+                phys_keys, upd_env,
+            ):
+                raise LogicalConflictError(
+                    f"cannot rebase: winner v{w['version']} "
+                    f"({w.get('op')}) added {rel} whose key range is "
+                    "not provably disjoint from this merge's update "
+                    "keys — rebasing could duplicate a key (declare "
+                    "keys_are_partition_stable=True if keys never "
+                    "change partition, or harvest stats on the key "
+                    "columns); re-run against the new tip"
+                )
+        prev = w
+
+
 def _check_rebase_partitions(
     spark: SparkSession,
     base: str,
@@ -751,7 +871,23 @@ def _commit_rebased(
     scavenge = None
     attempts = 0
     while True:
-        name, data_dir, extra = build(parent, scavenge)
+        if cleanup_on_error:
+            # a failure INSIDE build (stats harvest, linking, snapshot
+            # assembly) must honor the same eager-cleanup contract as a
+            # post-build failure: track the dir(s) build allocates and
+            # remove them on the way out (ADVICE r9 #4)
+            allocated: list = []
+            token = _ALLOC_TRACK.set(allocated)
+            try:
+                name, data_dir, extra = build(parent, scavenge)
+            except BaseException:
+                for d in allocated:
+                    shutil.rmtree(d, ignore_errors=True)
+                raise
+            finally:
+                _ALLOC_TRACK.reset(token)
+        else:
+            name, data_dir, extra = build(parent, scavenge)
         if scavenge is not None:
             shutil.rmtree(scavenge, ignore_errors=True)
             scavenge = None
@@ -1869,6 +2005,20 @@ def merge_versioned(
     every untouched partition directory is hardlinked from the parent
     snapshot, so commit cost is O(affected data + total file count
     metadata), never O(table).  Returns the committed version.
+
+    ``keys_are_partition_stable=True`` declares that a key's partition
+    value never changes: updates for an existing key always carry its
+    current partition, and no two writers ever insert the SAME new key
+    under different partition values.  The declaration does double
+    duty: it skips the matched-key probe AND it licenses lost-race
+    REBASES against winners in other partitions without a key-level
+    proof (partition disjointness alone then implies key
+    disjointness).  With the default ``False``, a contested rebase
+    additionally proves every winner-added file key-disjoint from the
+    updates via the winner's manifest stats — unprovable overlap
+    raises :class:`LogicalConflictError` (ADVICE r9 #1: two merges
+    inserting the same key into different partitions must never both
+    commit), and ``merge_with_retry`` re-runs against the tip.
     """
     keys = list(keys)
     part_cols = list(partition_by)
@@ -2052,6 +2202,27 @@ def merge_versioned(
             *part_cols
         ).parquet(staging)
         phys_stats = [mapping.get(c, c) for c in stats_cols]
+        phys_keys = [mapping.get(k, k) for k in keys]
+        upd_env_cache: dict = {}
+
+        def upd_key_envelope() -> dict:
+            """``{physical key col: (min, max)}`` over the updates, in
+            the manifest's JSON stat encoding — computed lazily (only a
+            CONTESTED commit needs it) and once (upd is checkpointed)."""
+            if not upd_env_cache:
+                aggs = []
+                for i, c in enumerate(keys):
+                    aggs += [
+                        F.min(c).alias(f"_mn{i}"),
+                        F.max(c).alias(f"_mx{i}"),
+                    ]
+                row = upd.agg(*aggs).first()
+                for i, pk in enumerate(phys_keys):
+                    upd_env_cache[pk] = (
+                        _json_stat(row[f"_mn{i}"]),
+                        _json_stat(row[f"_mx{i}"]),
+                    )
+            return upd_env_cache
 
         def build(parent_e, scavenge):
             bname, bdir = _new_data_dir(base)
@@ -2107,6 +2278,15 @@ def merge_versioned(
             _check_rebase_partitions(
                 spark, base, cur, parent_e, winners, affected_suffixes
             )
+            if not keys_are_partition_stable:
+                # ADVICE r9 #1: keys may move partitions, so the read
+                # set is EVERY partition's keys — winners that inserted
+                # rows elsewhere must prove their keys disjoint from
+                # the updates or the rebase could duplicate a key
+                _check_rebase_key_overlap(
+                    base, parent_e, winners, affected_suffixes,
+                    phys_keys, upd_key_envelope(),
+                )
 
         version = _commit_rebased(base, cur, "merge", build, check)
     finally:
@@ -4359,9 +4539,15 @@ def _where_file_verdict(rel: str, per_col: dict, where: dict) -> str:
     bounded column, min/max fully inside), ``"none"`` = no row can
     satisfy (disjoint range or all-null column), ``"partial"`` =
     unprovable — the box cuts through the file (or a bound column has
-    nulls / no usable stats)."""
+    nulls / no usable stats).
+
+    EVERY bound column is evaluated before a ``"partial"`` verdict is
+    returned: a single column that proves ``"none"`` excludes the file
+    outright, even when another column is unprovable — so whether a
+    query succeeds never depends on the iteration order of the
+    caller's ``where`` dict (ADVICE r9 #3)."""
     part_vals = _rel_partition_values(rel)
-    verdicts = []
+    partial = False
     for c, (lo, hi) in where.items():
         if c in part_vals:
             ref = lo if lo is not None else hi
@@ -4370,40 +4556,36 @@ def _where_file_verdict(rel: str, per_col: dict, where: dict) -> str:
                     part_vals[c]
                 )
             except (TypeError, ValueError):
-                return "partial"  # untypable partition value
+                partial = True  # untypable partition value
+                continue
             if (lo is not None and v < lo) or (
                 hi is not None and v > hi
             ):
-                verdicts.append("none")
-            else:
-                verdicts.append("all")
-            continue
+                return "none"
+            continue  # this column: all rows inside
         s = per_col.get(c)
         if s is None:
-            return "partial"  # no stats: nothing provable
+            partial = True  # no stats: nothing provable on this column
+            continue
         if s["min"] is None and s["max"] is None:
             if s["rows"] and s["nulls"] == s["rows"]:
-                verdicts.append("none")  # all null: no row matches
-                continue
-            return "partial"
+                return "none"  # all null: no row matches
+            partial = True
+            continue
         try:
             if (lo is not None and s["max"] < lo) or (
                 hi is not None and s["min"] > hi
             ):
-                verdicts.append("none")
-                continue
+                return "none"
             inside = (lo is None or s["min"] >= lo) and (
                 hi is None or s["max"] <= hi
             )
         except TypeError:
-            return "partial"  # bound/stat type mismatch
-        if inside and s["nulls"] == 0:
-            verdicts.append("all")
-        else:
-            return "partial"  # box cuts the file, or nulls drop rows
-    if "none" in verdicts:
-        return "none"
-    return "all"
+            partial = True  # bound/stat type mismatch
+            continue
+        if not (inside and s["nulls"] == 0):
+            partial = True  # box cuts the file, or nulls drop rows
+    return "partial" if partial else "all"
 
 
 def metadata_aggregate(
@@ -4499,6 +4681,11 @@ def metadata_aggregate(
                 mx = s["max"]
         out[c] = {"count": rows_total - n_nulls, "min": mn, "max": mx}
     return out
+
+
+#: live feed claims: ``_claim-<v>`` (round 9) or ``_claim-<v>-g<gen>``
+#: (round 10 leases); anything else under the prefix is debris
+_FEED_CLAIM_RE = re.compile(r"^_claim-(\d+)(?:-g(\d+))?$")
 
 
 def _feed_claim_path(out_dir: str, v: int) -> str:
@@ -4611,7 +4798,21 @@ def repair_change_feed(
     for n in names:
         if not n.startswith("_claim-"):
             continue
-        v = int(n.split("-", 1)[1])
+        if ".put-" in n:
+            # a claimant that crashed INSIDE put_if_absent leaves the
+            # hidden staging temp ('_claim-00000005.put-ab12cd34') —
+            # never a live claim, and int() on it used to crash the
+            # repair in exactly the crashed-claimant scenario it exists
+            # to recover (ADVICE r9 #2); garbage-collect it
+            try:
+                os.remove(os.path.join(out_dir, n))
+            except OSError:
+                pass
+            continue
+        m = _FEED_CLAIM_RE.match(n)
+        if m is None:
+            continue  # unrecognized debris: parse defensively, skip
+        v = int(m.group(1))
         if not is_published(os.path.join(out_dir, f"commit={v}")):
             try:
                 os.remove(os.path.join(out_dir, n))

@@ -85,12 +85,14 @@ class TestMergeRebase:
                 spark, base,
                 _pdf(spark, [(0, "A0"), (100, "A100")], p=0),
                 ["id"], partition_by=("p",),
+                keys_are_partition_stable=True,
             )
         )
         v = merge_versioned(
             spark, base,
             _pdf(spark, [(1, "B1"), (200, "B200")], p=1),
             ["id"], partition_by=("p",),
+            keys_are_partition_stable=True,
         )
         log = _read_log(base)
         assert v == 3 and [e["op"] for e in log] == [
@@ -305,6 +307,7 @@ class TestHammer:
                         p=p,
                     ),
                     ["id"], partition_by=("p",),
+                    keys_are_partition_stable=True,
                 )
             except Exception as exc:  # noqa: BLE001 - recorded for assert
                 errors.append((p, exc))
@@ -339,11 +342,13 @@ class TestHammer:
                 lambda: merge_versioned(
                     spark, base, _pdf(spark, [(0, "A0")], p=0),
                     ["id"], partition_by=("p",),
+                    keys_are_partition_stable=True,
                 )
             )
             v = merge_versioned(
                 spark, base, _pdf(spark, [(1, "B1")], p=1),
                 ["id"], partition_by=("p",),
+                keys_are_partition_stable=True,
             )
             assert v == 3
             got = dict(
@@ -595,7 +600,10 @@ class TestRandomizedInterleavings:
             upd = spark.createDataFrame(
                 [(i, v, p) for i, v in pairs], "id long, v string, p int"
             )
-            merge_versioned(spark, base, upd, ["id"], partition_by=("p",))
+            merge_versioned(
+                spark, base, upd, ["id"], partition_by=("p",),
+                keys_are_partition_stable=True,
+            )
             model_merge(pairs, p)
 
         def do_delete(i):
