@@ -15136,6 +15136,120 @@ SELECT
 """
 
 
+def q309_feed_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FEED RETENTION gate (round 10: ``vacuum_change_feed`` +
+    lakefeed's incremental listing — VERDICT r9 #1).  The change feed
+    of a pipeline that runs for years must stay O(retained window),
+    not O(table lifetime): window 1 drains the insert backlog through
+    the ``lakefeed`` source on a checkpoint, the consumed commits are
+    VACUUMED (low-water published atomically, dirs dropped, claims
+    cleared), the table keeps evolving, and the RESUMED stream on the
+    same checkpoint admits exactly the new commit — never needing,
+    touching, or silently skipping the dropped ones
+    (``materialize_change_feed`` treats vacuumed versions as done, so
+    they are not re-published either).  Pinned: both windows' consumed
+    change rows vs the oracle's replay, the post-vacuum directory
+    census (one live commit dir), and the low-water mark.  The
+    per-trigger marker-stat bound itself is pinned in-process by
+    ``tests/test_feed_retention.py`` (the reader runs in a Spark
+    worker here, so the gate pins the semantics, the test the cost)."""
+    import shutil
+
+    from etl_opensky_spark.sources.lakefeed import (
+        _commit_versions,
+        feed_low_water,
+        register_lakefeed_source,
+    )
+    from etl_opensky_spark.sources.versioned import (
+        materialize_change_feed,
+        merge_versioned,
+        vacuum_change_feed,
+        write_version,
+    )
+
+    register_lakefeed_source(spark)
+    base = _gate_tmp("q309_retention_lake", sf_dir)
+    feed = _gate_tmp("q309_retention_feed", sf_dir)
+    ckpt = _gate_tmp("q309_retention_ckpt", sf_dir)
+    for d in (base, feed, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        (_dec("o_totalprice") * 100).cast("long").alias("price_c"),
+    )
+    # v1 empty seed, v2 inserts evens, v3 inserts odds
+    write_version(orders.filter(F.lit(False)), base)
+    merge_versioned(spark, base, orders.filter(F.col("k") % 2 == 0), ["k"])
+    merge_versioned(spark, base, orders.filter(F.col("k") % 2 == 1), ["k"])
+    materialize_change_feed(spark, base, feed, ["k"])
+
+    consumed: list[tuple] = []
+
+    def drain():
+        q = (
+            spark.readStream.format("lakefeed")
+            .load(feed)
+            .writeStream.foreachBatch(
+                lambda df, _bid: consumed.extend(
+                    (r["k"], r["price_c"], r["_change_type"])
+                    for r in df.collect()
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()  # window 1: the insert backlog (commits 2 and 3)
+    w1 = consumed[:]
+    vacuum_change_feed(feed, keep_after=3)
+    # v4: update every %10 key (all even, so they exist) to 2x price
+    merge_versioned(
+        spark, base,
+        orders.filter(F.col("k") % 10 == 0).select(
+            "k", (F.col("price_c") * 2).alias("price_c")
+        ),
+        ["k"],
+    )
+    materialize_change_feed(spark, base, feed, ["k"])
+    before = len(consumed)
+    drain()  # window 2: exactly the update images of commit 4
+    w2 = consumed[before:]
+    dirs_left = len(_commit_versions(feed))
+    low = feed_low_water(feed)
+    return spark.createDataFrame(
+        [(
+            len(w1), sum(k for k, _p, _t in w1),
+            len(w2), sum(k for k, _p, _t in w2),
+            sum(p for _k, p, _t in w2),
+            sorted({t for _k, _p, t in w2}),
+            dirs_left, low,
+        )],
+        "w1_n long, w1_key_sum long, w2_n long, w2_key_sum long, "
+        "w2_price_total long, w2_types array<string>, "
+        "dirs_left int, low_water int",
+    )
+
+
+ORACLE_Q309 = """
+WITH src AS (
+  SELECT o_orderkey AS k,
+    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
+  FROM orders
+), upd AS (SELECT * FROM src WHERE k % 10 = 0)
+SELECT
+  (SELECT COUNT(*) FROM src) AS w1_n,
+  (SELECT CAST(SUM(k) AS BIGINT) FROM src) AS w1_key_sum,
+  (SELECT 2 * COUNT(*) FROM upd) AS w2_n,
+  (SELECT CAST(2 * SUM(k) AS BIGINT) FROM upd) AS w2_key_sum,
+  (SELECT CAST(3 * SUM(price_c) AS BIGINT) FROM upd) AS w2_price_total,
+  ['update_postimage', 'update_preimage'] AS w2_types,
+  1 AS dirs_left,
+  3 AS low_water
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -15444,6 +15558,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q306_stream_lake_sink": q306_stream_lake_sink,
     "q307_bloom_repair": q307_bloom_repair,
     "q308_ds_time_travel": q308_ds_time_travel,
+    "q309_feed_retention": q309_feed_retention,
 }
 
 ORACLES: dict[str, str] = {
@@ -15753,6 +15868,7 @@ ORACLES: dict[str, str] = {
     "q306_stream_lake_sink": ORACLE_Q306,
     "q307_bloom_repair": ORACLE_Q307,
     "q308_ds_time_travel": ORACLE_Q308,
+    "q309_feed_retention": ORACLE_Q309,
 }
 
 

@@ -386,6 +386,16 @@ def _entry_files(base: str, entry: dict) -> dict:
     return {rel: entry["dir"] for rel in _list_data_files(snap)}
 
 
+def _entry_files_ro(base: str, entry: dict) -> dict:
+    """Read-only view of :func:`_entry_files` — skips the defensive
+    copy (a 100k-file manifest is copied twice per winner in a rebase
+    walk otherwise; VERDICT r9 #6).  Callers must not mutate."""
+    files = entry.get("files")
+    if files is not None:
+        return files
+    return _entry_files(base, entry)
+
+
 def _live_files(base: str, entry: dict) -> dict:
     """``{rel: absolute path}`` resolution of the snapshot's data files
     — the own dir for materialized snapshots, the origin dirs for
@@ -524,8 +534,8 @@ def _manifest_delta(base: str, parent: dict, child: dict):
     also counts as carried) — zero filesystem I/O.  Legacy pre-manifest
     commits fall back to hardlink-inode identity."""
     if child.get("files") is not None:
-        pf = _entry_files(base, parent)
-        cf = _entry_files(base, child)
+        pf = _entry_files_ro(base, parent)
+        cf = _entry_files_ro(base, child)
 
         def carried(rel: str) -> bool:
             c_org = cf.get(rel)
@@ -4743,10 +4753,19 @@ def materialize_change_feed(
         if d.startswith("commit=")
         and is_published(os.path.join(out_dir, d))
     }
+    # versions at or below the retention low-water were consumed and
+    # vacuumed (vacuum_change_feed) — they are done by contract, never
+    # to be re-published (their dirs are gone, so the directory cursor
+    # alone would wrongly re-materialize them)
+    from etl_opensky_spark.sources.lakefeed import feed_low_water
+
+    low = feed_low_water(out_dir)
     first = log[0]["version"]
     todo = [
         c["version"] for c in log
-        if c["version"] not in done and c["version"] > first
+        if c["version"] not in done
+        and c["version"] > first
+        and c["version"] > low
     ]
     n_rows = 0
     n_done = 0
@@ -4768,6 +4787,59 @@ def materialize_change_feed(
         n_rows += n
         n_done += 1
     return n_done, n_rows
+
+
+def vacuum_change_feed(out_dir: str, keep_after: int) -> list[int]:
+    """RETENTION for the materialized change feed (VERDICT r9 #1):
+    drop every ``commit=<v>`` dir with ``v <= keep_after`` (plus its
+    claim files) and raise the feed's low-water mark.  Without this the
+    feed grows forever — the reference's persona is a ``@daily``
+    pipeline that runs for years (dags/flights_daily.py:27), so a
+    bounded feed directory is what keeps per-trigger listings and
+    storage O(retained window) instead of O(table lifetime).
+
+    Contract mirrors :func:`vacuum_versions`: the caller asserts every
+    consumer's checkpoint is PAST ``keep_after``; a stream that later
+    needs a dropped version raises (``lakefeed`` checks the low-water
+    in ``partitions``) instead of silently skipping data, and a fresh
+    query over the vacuumed feed must start at
+    ``startingVersion = keep_after + 1`` or later.  The low-water file
+    is published atomically BEFORE any dir is deleted, so a racing
+    reader observes the refusal, never a half-vacuumed mystery.
+    ``materialize_change_feed`` treats vacuumed versions as done.
+    Returns the dropped versions (ascending)."""
+    from etl_opensky_spark.sources.lakefeed import (
+        _COMMIT_RE,
+        FEED_LOWWATER,
+        feed_low_water,
+    )
+
+    low = feed_low_water(out_dir)
+    if keep_after > low:
+        tmp = os.path.join(
+            out_dir, f"_lowwater-tmp-{uuid.uuid4().hex[:8]}"
+        )
+        with open(tmp, "w") as fh:
+            json.dump({"low": keep_after}, fh)
+        get_fs().replace(tmp, os.path.join(out_dir, FEED_LOWWATER))
+    dropped: list[int] = []
+    try:
+        names = os.listdir(out_dir)
+    except FileNotFoundError:
+        names = []
+    for n in names:
+        m = _COMMIT_RE.match(n)
+        if m is not None and int(m.group(1)) <= keep_after:
+            shutil.rmtree(os.path.join(out_dir, n), ignore_errors=True)
+            dropped.append(int(m.group(1)))
+            continue
+        c = _FEED_CLAIM_RE.match(n)
+        if c is not None and int(c.group(1)) <= keep_after:
+            try:
+                os.remove(os.path.join(out_dir, n))
+            except OSError:
+                pass
+    return sorted(dropped)
 
 
 def repair_change_feed(
