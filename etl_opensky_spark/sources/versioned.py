@@ -4693,13 +4693,74 @@ def metadata_aggregate(
     return out
 
 
-#: live feed claims: ``_claim-<v>`` (round 9) or ``_claim-<v>-g<gen>``
-#: (round 10 leases); anything else under the prefix is debris
+#: live feed claims: ``_claim-<v>`` (round 9, gen 0) or
+#: ``_claim-<v>-g<gen>`` (round 10 leases); anything else under the
+#: prefix is debris
 _FEED_CLAIM_RE = re.compile(r"^_claim-(\d+)(?:-g(\d+))?$")
 
 
-def _feed_claim_path(out_dir: str, v: int) -> str:
-    return os.path.join(out_dir, f"_claim-{v:08d}")
+def _feed_claim_path(out_dir: str, v: int, gen: int = 0) -> str:
+    if gen == 0:
+        return os.path.join(out_dir, f"_claim-{v:08d}")
+    return os.path.join(out_dir, f"_claim-{v:08d}-g{gen:06d}")
+
+
+def _feed_claims(out_dir: str) -> dict[int, int]:
+    """``{version: highest claim generation}`` from one feed-dir
+    listing (bare round-9 claims are generation 0; heartbeats and
+    put-temps are not claims)."""
+    out: dict[int, int] = {}
+    try:
+        names = os.listdir(out_dir)
+    except FileNotFoundError:
+        return out
+    for n in names:
+        m = _FEED_CLAIM_RE.match(n)
+        if m is None:
+            continue
+        v, g = int(m.group(1)), int(m.group(2) or 0)
+        if g >= out.get(v, -1):
+            out[v] = g
+    return out
+
+
+def _feed_claim_expired(
+    out_dir: str, v: int, gen: int, lease_ttl: float
+) -> bool:
+    """True iff the claim's lease lapsed: ``lease_ttl`` seconds passed
+    since BOTH its creation timestamp (JSON payload ``ts``; file mtime
+    for payload-less round-9 claims) and its latest heartbeat renewal
+    (``<claim>.hb`` mtime).  A vanished claim counts as expired — its
+    owner released or a repair removed it."""
+    path = _feed_claim_path(out_dir, v, gen)
+    ts = None
+    try:
+        with open(path, "rb") as fh:
+            payload = fh.read()
+        if payload:
+            ts = float(json.loads(payload)["ts"])
+    except FileNotFoundError:
+        return True
+    except (ValueError, KeyError, TypeError):
+        ts = None
+    if ts is None:
+        try:
+            ts = os.path.getmtime(path)
+        except OSError:
+            return True
+    try:
+        ts = max(ts, os.path.getmtime(path + ".hb"))
+    except OSError:
+        pass
+    return (time.time() - ts) > lease_ttl
+
+
+def _feed_heartbeat(out_dir: str, v: int, gen: int) -> None:
+    """Renew the claim's lease: (re)write the heartbeat sidecar.  Not
+    atomic and needs no atomicity — only the claim's single owner ever
+    writes it, readers use only its mtime."""
+    with open(_feed_claim_path(out_dir, v, gen) + ".hb", "w") as fh:
+        fh.write(str(time.time()))
 
 
 def materialize_change_feed(
@@ -4708,6 +4769,7 @@ def materialize_change_feed(
     out_dir: str,
     keys: Sequence[str],
     multi_writer: bool = False,
+    lease_ttl: float | None = None,
 ) -> tuple[int, int]:
     """Make the change feed STREAMABLE: append each un-materialized
     commit's ``table_changes`` rows as parquet under
@@ -4737,7 +4799,30 @@ def materialize_change_feed(
     re-claims and republishes, whereas the single-writer default
     SELF-HEALS — a re-run simply republishes any unpublished version.
     Exactly the at-least-once vs mutual-exclusion trade; pick per
-    deployment."""
+    deployment.
+
+    ``lease_ttl`` (seconds, implies ``multi_writer``) upgrades claims
+    to LEASES (round 10: VERDICT r9 #2), making crashed-claimant
+    recovery automatic: claims become generational
+    (``_claim-<v>-g<gen>``) with a creation timestamp inside and a
+    heartbeat sidecar the owner renews (on claim and again at publish
+    start); a claim whose lease lapsed is taken over by the next
+    materializer via a conditional PUT of generation+1 — exactly one
+    taker wins — and the publish path FENCES: the owner re-checks it
+    still holds the highest generation immediately before publishing
+    and aborts (staged output discarded) if superseded, so a merely
+    SLOW claimant that outlived its lease cannot fight the taker.
+    Crashed-vs-slow becomes a TTL: pick ``lease_ttl`` well above the
+    slowest expected extraction+publish (and above driver GC pauses /
+    clock skew between materializer hosts — with both the POSIX
+    backend's atomic dir rename makes even a fence-straddling zombie
+    publish harmless, it atomically replaces identical logical content
+    or no-ops on the marker; on an object store the marker-last
+    protocol bounds the residual torn window to a zombie that passes
+    the fence and interleaves its object copies with the taker's,
+    which the TTL headroom is there to exclude).
+    :func:`repair_change_feed` remains the manual path for
+    ttl-less claim feeds."""
     from etl_opensky_spark.sources.fs import is_published
 
     log = _read_log(base)
@@ -4767,22 +4852,62 @@ def materialize_change_feed(
         and c["version"] > first
         and c["version"] > low
     ]
+    if lease_ttl is not None:
+        multi_writer = True
+    owner = uuid.uuid4().hex[:12]
+    claims = _feed_claims(out_dir) if multi_writer else {}
     n_rows = 0
     n_done = 0
     for v in sorted(todo):
+        my_gen: int | None = None
         if multi_writer:
-            try:
-                get_fs().put_if_absent(
-                    _feed_claim_path(out_dir, v), b""
-                )
-            except FileExistsError:
-                continue  # a concurrent materializer owns v (or a
-                # crashed one does — repair_change_feed re-claims)
+            if lease_ttl is None:
+                try:
+                    get_fs().put_if_absent(
+                        _feed_claim_path(out_dir, v), b""
+                    )
+                except FileExistsError:
+                    continue  # a concurrent materializer owns v (or a
+                    # crashed one does — repair_change_feed re-claims)
+                my_gen = 0
+            else:
+                held = claims.get(v)
+                if held is not None and not _feed_claim_expired(
+                    out_dir, v, held, lease_ttl
+                ):
+                    continue  # live claimant owns v
+                # fresh claim, or takeover of a lapsed lease: the
+                # conditional PUT of generation held+1 admits exactly
+                # one taker (losers skip; the version's new owner
+                # publishes it)
+                my_gen = (held + 1) if held is not None else 1
+                payload = json.dumps(
+                    {"owner": owner, "ts": time.time()}
+                ).encode()
+                try:
+                    get_fs().put_if_absent(
+                        _feed_claim_path(out_dir, v, my_gen), payload
+                    )
+                except FileExistsError:
+                    continue
+                _feed_heartbeat(out_dir, v, my_gen)
         ch = table_changes(spark, base, keys, v - 1, v)
         final = os.path.join(out_dir, f"commit={v}")
         tmp = os.path.join(out_dir, f"_tmp-{uuid.uuid4().hex[:8]}")
         ch.write.mode("errorifexists").parquet(tmp)
         n = spark.read.parquet(tmp).count()
+        hook = _test_hooks.get("feed_before_publish")
+        if hook is not None:
+            hook(v)
+        if lease_ttl is not None and my_gen is not None:
+            # FENCE: if the lease lapsed during extraction and someone
+            # took generation my_gen+1, the version is theirs — abort
+            # this publish entirely rather than race their object
+            # copies (the taker republishes v; nothing is lost)
+            if _feed_claims(out_dir).get(v, my_gen) > my_gen:
+                shutil.rmtree(tmp, ignore_errors=True)
+                continue
+            _feed_heartbeat(out_dir, v, my_gen)  # renew through publish
         get_fs().replace(tmp, final)
         n_rows += n
         n_done += 1
@@ -4833,7 +4958,7 @@ def vacuum_change_feed(out_dir: str, keep_after: int) -> list[int]:
             shutil.rmtree(os.path.join(out_dir, n), ignore_errors=True)
             dropped.append(int(m.group(1)))
             continue
-        c = _FEED_CLAIM_RE.match(n)
+        c = _FEED_CLAIM_RE.match(n[:-3] if n.endswith(".hb") else n)
         if c is not None and int(c.group(1)) <= keep_after:
             try:
                 os.remove(os.path.join(out_dir, n))
@@ -4853,13 +4978,15 @@ def repair_change_feed(
     (which re-claims and publishes the holes; lakefeed's gap cap lifts
     as each one lands).  Claims with published dirs are left alone.
 
-    MUST NOT run concurrently with a live materializer — the same
-    operational caveat as ``vacuum_versions``: re-claiming a version
-    whose original claimant is merely SLOW would put two writers back
-    into one ``commit=<v>`` publish, the exact race the claims exist
-    to prevent (without clocks, crashed and slow are
-    indistinguishable — the standard lease problem; run the repair
-    from the scheduler slot that owns the feed).  Returns
+    MUST NOT run concurrently with a live TTL-LESS materializer — the
+    same operational caveat as ``vacuum_versions``: re-claiming a
+    version whose original claimant is merely SLOW would put two
+    writers back into one ``commit=<v>`` publish, the exact race the
+    claims exist to prevent (without a lease, crashed and slow are
+    indistinguishable).  Feeds materialized with ``lease_ttl`` do not
+    need this function at all: ``materialize_change_feed`` itself
+    takes over lapsed leases (generation bump + publish fencing), so
+    recovery is automatic and concurrent-safe.  Returns
     ``materialize_change_feed``'s counts."""
     from etl_opensky_spark.sources.fs import is_published
 
@@ -4881,7 +5008,8 @@ def repair_change_feed(
             except OSError:
                 pass
             continue
-        m = _FEED_CLAIM_RE.match(n)
+        stem = n[:-3] if n.endswith(".hb") else n
+        m = _FEED_CLAIM_RE.match(stem)
         if m is None:
             continue  # unrecognized debris: parse defensively, skip
         v = int(m.group(1))
