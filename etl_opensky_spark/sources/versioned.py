@@ -3178,13 +3178,8 @@ def materialize_tombstones(
                 if per_col is None or _envelope_hits(per_col, names, env):
                     cand.add(rel)
 
-    version = cur["version"] + 1
-    name, data_dir = _new_data_dir(base)
     staging = os.path.join(base, f"_reorg-staging-{uuid.uuid4().hex[:8]}")
-    committed = False
-    files_out: dict = {}
     try:
-        os.makedirs(data_dir, exist_ok=True)
         by_dir: dict[str, list[str]] = {}
         for rel in cand:
             by_dir.setdefault(os.path.dirname(rel), []).append(rel)
@@ -3224,58 +3219,127 @@ def materialize_tombstones(
             purged.repartition(n_files).write.mode(
                 "errorifexists"
             ).parquet(out)
-        _adopt_parent_files(
-            base, cur, data_dir, files_out,
-            rels=[rel for rel in live if rel not in cand],
-        )
         tag = uuid.uuid4().hex[:8]
-        new_paths = []
-        if os.path.isdir(staging):
-            for root, _dirs, names_ in os.walk(staging):
-                rel_dir = os.path.relpath(root, staging)
-                for fn in names_:
-                    if not fn.endswith(".parquet") or fn.startswith(
-                        ("_", ".")
-                    ):
-                        continue
-                    out_dir = (
-                        os.path.join(data_dir, rel_dir)
-                        if rel_dir != "." else data_dir
-                    )
-                    os.makedirs(out_dir, exist_ok=True)
-                    dst = os.path.join(out_dir, f"reorg-{tag}-{fn}")
-                    get_fs().link_file(os.path.join(root, fn), dst)
-                    new_paths.append(dst)
-        _record_new_files(data_dir, name, files_out)
-        extra: dict = _files_extra(
-            files_out,
-            materialized=not _zero_copy(),
+        cand_quoted = {_hadoop_uri_quote(r) for r in cand}
+        tombs_json = json.dumps(tombs, sort_keys=True)
+        has_unscoped = any(
+            not _is_pos_tomb(t) and not t.get("scoped") for t in tombs
         )
-        if cur.get("stats") is not None:
-            kept_stats = {
-                rel: s for rel, s in cur["stats"].items()
-                if rel not in cand
-            }
-            sc = cur.get("stats_cols") or []
-            harvested = _harvest_file_stats(
-                spark, data_dir, sc, only_paths=new_paths
-            ) if sc and new_paths else {}
-            extra["stats_cols"] = sc
-            extra["stats"] = {**kept_stats, **harvested}
-        for key in (
-            "schema_json", "column_mapping", "constraints",
-            "ingested_files", "identity",
-        ):
-            if cur.get(key):
-                extra[key] = cur[key]
-        if user_meta is not None:
-            extra["user_meta"] = dict(user_meta)
-        _commit(base, version, name, "reorg", extra=extra or None)
-        committed = True
+
+        def build(parent_e, _scavenge):
+            # reassembly is non-destructive of the staged rewrite (the
+            # staging outlives attempts; files LINK in, never move), so
+            # a rebase simply re-links against the new tip: adopt every
+            # tip file outside the rewrite set, link the purged outputs
+            name, data_dir = _new_data_dir(base)
+            files_out: dict = {}
+            os.makedirs(data_dir, exist_ok=True)
+            _adopt_parent_files(
+                base, parent_e, data_dir, files_out,
+                rels=[
+                    rel for rel in _entry_files_ro(base, parent_e)
+                    if rel not in cand
+                ],
+            )
+            new_paths = []
+            if os.path.isdir(staging):
+                for root, _dirs, names_ in os.walk(staging):
+                    rel_dir = os.path.relpath(root, staging)
+                    for fn in names_:
+                        if not fn.endswith(".parquet") or fn.startswith(
+                            ("_", ".")
+                        ):
+                            continue
+                        out_dir = (
+                            os.path.join(data_dir, rel_dir)
+                            if rel_dir != "." else data_dir
+                        )
+                        os.makedirs(out_dir, exist_ok=True)
+                        dst = os.path.join(out_dir, f"reorg-{tag}-{fn}")
+                        get_fs().link_file(os.path.join(root, fn), dst)
+                        new_paths.append(dst)
+            _record_new_files(data_dir, name, files_out)
+            extra: dict = _files_extra(
+                files_out,
+                materialized=not _zero_copy(),
+            )
+            if parent_e.get("stats") is not None:
+                kept_stats = {
+                    rel: s for rel, s in parent_e["stats"].items()
+                    if rel not in cand
+                }
+                sc = parent_e.get("stats_cols") or []
+                harvested = _harvest_file_stats(
+                    spark, data_dir, sc, only_paths=new_paths
+                ) if sc and new_paths else {}
+                extra["stats_cols"] = sc
+                extra["stats"] = {**kept_stats, **harvested}
+            for key in (
+                "schema_json", "column_mapping", "constraints",
+                "ingested_files", "identity",
+            ):
+                if parent_e.get(key):
+                    extra[key] = parent_e[key]
+            if user_meta is not None:
+                extra["user_meta"] = dict(user_meta)
+            return name, data_dir, extra
+
+        def check(parent_e, winners):
+            """REORG vs winners (round 10, VERDICT r9 #4 — previously
+            abort-only): the commit's read set is the rewritten files
+            (``cand``, derived with the read snapshot's tombstones
+            applied) and its effect DROPS every tombstone rider, so a
+            winner is disjoint iff (a) the rider set at the tip is
+            byte-identical to the read snapshot's — any added tombstone
+            would be silently un-deleted, any rider change (another
+            REORG, a rescoping compaction) invalidates the drop — and
+            (b) no winner added or removed a file in ``cand`` (its
+            positions/content were rewritten from the old bytes).
+            Winners that only touched OTHER files — blind appends,
+            merges/deletes elsewhere, disjoint compactions — rebase:
+            every non-cand file is adopted from the tip, and scoped /
+            positional riders cannot target winner-added rels (their
+            scopes enumerate read-snapshot paths).  A legacy UNSCOPED
+            key tombstone applies table-wide, so winner-appended rows
+            could be masked by it: rebasing would resurrect them —
+            conflict unconditionally in that case."""
+            _require_no_drift(cur, winners[-1])
+            if has_unscoped:
+                raise LogicalConflictError(
+                    "cannot rebase: this REORG drops an UNSCOPED "
+                    "(table-wide) tombstone — concurrently appended "
+                    "rows could be masked by it and would resurrect; "
+                    "re-run against the new tip"
+                )
+            if json.dumps(
+                winners[-1].get("tombstones") or [], sort_keys=True
+            ) != tombs_json:
+                raise LogicalConflictError(
+                    "cannot rebase: tombstone riders changed "
+                    "concurrently (a new delete, or another "
+                    "REORG/compaction) — this REORG's rider drop no "
+                    "longer matches the tip; re-run against the new tip"
+                )
+            prev = parent_e
+            for w in winners:
+                added, removed = _manifest_delta(base, prev, w)
+                hit = {
+                    _hadoop_uri_quote(r) for r in added | removed
+                } & cand_quoted
+                if hit:
+                    raise LogicalConflictError(
+                        f"cannot rebase: winner v{w['version']} "
+                        f"({w.get('op')}) touched {len(hit)} file(s) "
+                        "this REORG rewrote — re-run against the new "
+                        "tip"
+                    )
+                prev = w
+
+        version = _commit_rebased(
+            base, cur, "reorg", build, check, cleanup_on_error=True
+        )
     finally:
         shutil.rmtree(staging, ignore_errors=True)
-        if not committed:
-            shutil.rmtree(data_dir, ignore_errors=True)
     return version, len(cand)
 
 

@@ -649,3 +649,93 @@ class TestRandomizedInterleavings:
         # every round committed 2-3 versions, none aborted
         ops = [e["op"] for e in _read_log(base)]
         assert ops[0] == "write" and len(ops) >= 21
+
+
+class TestReorgRebase:
+    """Round-10 VERDICT #4: REORG was abort-only under concurrency; it
+    now rebases over winners that stayed off its rewritten files AND
+    left the tombstone riders untouched — blind appends, the common
+    live-ingest race — while any rider change or rewrite overlap still
+    aborts (a dropped rider must exactly match the tip's)."""
+
+    def _mor_table(self, spark, base):
+        write_version(
+            spark.range(30).select(
+                F.col("id"), F.concat(F.lit("v"), F.col("id")).alias("v")
+            ).repartition(3),
+            base,
+        )
+        delete_where(spark, base, "id < 5")  # positional scoped rider
+
+    def test_reorg_rebases_over_blind_append(self, spark, tmp_path):
+        from etl_opensky_spark.sources.versioned import (
+            materialize_tombstones,
+        )
+
+        base = str(tmp_path / "lake")
+        self._mor_table(spark, base)
+        land = str(tmp_path / "land")
+        spark.range(100, 103).select(
+            F.col("id"), F.lit("new").alias("v")
+        ).repartition(1).write.parquet(land)
+        _interfere_once(lambda: copy_into(spark, base, land))
+        v, n_rewritten = materialize_tombstones(spark, base)
+        assert v == 4 and n_rewritten > 0
+        log = _read_log(base)
+        assert [e["op"] for e in log] == [
+            "write", "delete_where", "copy_into", "reorg"
+        ]
+        assert not log[-1].get("tombstones")  # riders dropped
+        got = sorted(
+            r["id"] for r in read_version(spark, base).collect()
+        )
+        assert got == list(range(5, 30)) + [100, 101, 102]
+
+    def test_reorg_conflicts_with_concurrent_delete(
+        self, spark, tmp_path
+    ):
+        """A winner that ADDED a rider must defeat the rebase: REORG's
+        commit drops every rider, which would silently un-delete the
+        winner's rows."""
+        from etl_opensky_spark.sources.versioned import (
+            materialize_tombstones,
+        )
+
+        base = str(tmp_path / "lake")
+        self._mor_table(spark, base)
+        _interfere_once(lambda: delete_where(spark, base, "id = 7"))
+        with pytest.raises(LogicalConflictError):
+            materialize_tombstones(spark, base)
+        # the winner's delete stands untouched
+        got = sorted(
+            r["id"] for r in read_version(spark, base).collect()
+        )
+        assert got == [i for i in range(5, 30) if i != 7]
+        # and a plain re-run against the new tip converges
+        v, _ = materialize_tombstones(spark, base)
+        assert v == 4
+        assert not _read_log(base)[-1].get("tombstones")
+        assert sorted(
+            r["id"] for r in read_version(spark, base).collect()
+        ) == [i for i in range(5, 30) if i != 7]
+
+    def test_reorg_conflicts_when_rewritten_file_compacted(
+        self, spark, tmp_path
+    ):
+        """A winner that REWROTE one of the REORG's candidate files
+        (OPTIMIZE carrying the riders forward) invalidates the staged
+        purge of those bytes."""
+        from etl_opensky_spark.sources.versioned import (
+            materialize_tombstones,
+            optimize_small_files,
+        )
+
+        base = str(tmp_path / "lake")
+        self._mor_table(spark, base)
+        _interfere_once(
+            lambda: optimize_small_files(
+                spark, base, target_rows_per_file=100
+            )
+        )
+        with pytest.raises(LogicalConflictError):
+            materialize_tombstones(spark, base)
