@@ -258,3 +258,62 @@ class TestOptimizeBuildFailureCleanup:
         assert on_disk == referenced  # eager cleanup covered build too
         # table unharmed
         assert len(rows(read_version(spark, base))) == 40
+
+
+class TestKeyUniquenessProperty:
+    def test_no_interleaving_duplicates_keys(self, spark, tmp_path):
+        """Randomized adversarial property for the ADVICE r9 #1 class:
+        rounds of a merge losing to an interferer that sometimes
+        inserts the SAME new key under a DIFFERENT partition value.
+        Whatever the outcome of each round (rebase or refusal), the
+        table must NEVER hold a key twice, and every committed value
+        must be one some serial order produces."""
+        import random
+
+        from etl_opensky_spark.sources.versioned import (
+            ConcurrentCommitError,
+        )
+
+        rng = random.Random(1010)
+        base = str(tmp_path / "lake")
+        _seed(spark, base, n=12, parts=3)
+        next_new = 5000
+        for _round in range(8):
+            outer_p = rng.randrange(3)
+            inner_p = (outer_p + 1 + rng.randrange(2)) % 3
+            if rng.random() < 0.5:
+                # adversarial: both writers insert the SAME new key
+                shared = next_new
+                next_new += 1
+                inner_pairs = [(shared, f"I{shared}", inner_p)]
+                outer_pairs = [(shared, f"O{shared}", outer_p)]
+            else:
+                a, b = next_new, next_new + 1
+                next_new += 2
+                inner_pairs = [(a, f"I{a}", inner_p)]
+                outer_pairs = [(b, f"O{b}", outer_p)]
+            _interfere_once(
+                lambda p=inner_pairs: merge_versioned(
+                    spark, base, _pdf(spark, p),
+                    ["id"], partition_by=("p",),
+                )
+            )
+            try:
+                merge_versioned(
+                    spark, base, _pdf(spark, outer_pairs),
+                    ["id"], partition_by=("p",),
+                )
+            except ConcurrentCommitError:
+                pass  # refusal is a legal outcome; duplication is not
+            finally:
+                _test_hooks.pop("before_commit", None)
+        rows_ = read_version(spark, base).collect()
+        ids = [r["id"] for r in rows_]
+        assert len(ids) == len(set(ids)), (
+            f"duplicate keys: "
+            f"{sorted(i for i in ids if ids.count(i) > 1)}"
+        )
+        # winners' rows are never lost or altered by a loser's refusal
+        for r in rows_:
+            if r["id"] >= 5000:
+                assert r["v"] in (f"I{r['id']}", f"O{r['id']}")
