@@ -4886,7 +4886,13 @@ def materialize_change_feed(
     the fence and interleaves its object copies with the taker's,
     which the TTL headroom is there to exclude).
     :func:`repair_change_feed` remains the manual path for
-    ttl-less claim feeds."""
+    ttl-less claim feeds.
+
+    Do NOT mix ttl-less (``multi_writer=True``) and leased
+    materializers on one feed: bare claims and lease generations live
+    at different paths, so a bare writer can slip past a leased
+    writer's generation claim (and vice versa) — pick one mode per
+    feed, like picking one lock implementation per resource."""
     from etl_opensky_spark.sources.fs import is_published
 
     log = _read_log(base)
@@ -4926,6 +4932,10 @@ def materialize_change_feed(
         my_gen: int | None = None
         if multi_writer:
             if lease_ttl is None:
+                if claims.get(v, 0) > 0:
+                    continue  # a LEASED materializer owns v — its
+                    # generation claims live at other paths, so the
+                    # bare conditional PUT below would not see them
                 try:
                     get_fs().put_if_absent(
                         _feed_claim_path(out_dir, v), b""
@@ -4967,8 +4977,15 @@ def materialize_change_feed(
             # FENCE: if the lease lapsed during extraction and someone
             # took generation my_gen+1, the version is theirs — abort
             # this publish entirely rather than race their object
-            # copies (the taker republishes v; nothing is lost)
-            if _feed_claims(out_dir).get(v, my_gen) > my_gen:
+            # copies (the taker republishes v; nothing is lost).  One
+            # O(1) existence probe, not a directory listing: a
+            # takeover always claims exactly max-gen+1 and live claims
+            # are never deleted, so the immediate successor path is
+            # the only possible fencer — a 10^4-version backlog drain
+            # fences in O(V) total, not O(V^2).
+            if os.path.exists(
+                _feed_claim_path(out_dir, v, my_gen + 1)
+            ):
                 shutil.rmtree(tmp, ignore_errors=True)
                 continue
             _feed_heartbeat(out_dir, v, my_gen)  # renew through publish
