@@ -27,8 +27,15 @@ Usage::
 ``.option("maxCommitsPerBatch", n)`` bounds how many commit dirs one
 microbatch admits (the maxFilesPerTrigger analog — see latestOffset
 for the exact guarantee and its one API-imposed exception).
+``.option("maxBytesPerBatch", n)`` bounds admission by DATA BYTES
+instead (the maxBytesPerTrigger analog; composes with the count cap) —
+commit sizes vary by orders of magnitude, so at scale the byte budget
+is what actually bounds executor memory and retry blast radius; a
+single over-budget commit is still admitted alone (never stalls).
 ``.option("startingVersion", v)`` starts a FRESH query at feed commit
-``v`` instead of the beginning (checkpointed restarts ignore it).
+``v`` instead of the beginning; ``.option("startingVersion",
+"latest")`` starts at the tip, consuming only commits published after
+the query starts (checkpointed restarts ignore both forms).
 """
 
 from __future__ import annotations
@@ -178,12 +185,39 @@ try:  # pyspark >= 4.0
                 raise ValueError(
                     "lakefeed: maxCommitsPerBatch must be >= 1"
                 )
-            raw_sv = options.get("startingVersion")
-            self._starting = int(raw_sv) if raw_sv is not None else None
-            if self._starting is not None and self._starting < 1:
+            # size-based admission (Delta's maxBytesPerTrigger analog):
+            # commit dirs vary by orders of magnitude — a backfill
+            # commit can be 1000x a steady-state one — so the byte
+            # budget, not the commit count, is the unit that actually
+            # bounds executor memory and retry blast radius at 100 TB.
+            # Composes with maxCommitsPerBatch (both caps apply).
+            raw_mb = options.get("maxBytesPerBatch")
+            self._maxb = int(raw_mb) if raw_mb is not None else None
+            if self._maxb is not None and self._maxb < 1:
                 raise ValueError(
-                    "lakefeed: startingVersion must be >= 1"
+                    "lakefeed: maxBytesPerBatch must be >= 1"
                 )
+            raw_sv = options.get("startingVersion")
+            #: int, or the sentinel "latest" (Delta parity) resolved to
+            #: tip+1 at initialOffset — ONLY there: restarts never call
+            #: initialOffset, and resolving at construction would let a
+            #: restart's offset floor jump past unpublished versions
+            #: (data loss); unresolved means no floor, which is exactly
+            #: right for a checkpointed restart.
+            self._starting: int | str | None
+            if raw_sv is None:
+                self._starting = None
+            elif str(raw_sv).lower() == "latest":
+                self._starting = "latest"
+            else:
+                self._starting = int(raw_sv)
+                if self._starting < 1:
+                    raise ValueError(
+                        "lakefeed: startingVersion must be >= 1 "
+                        "(or 'latest')"
+                    )
+            #: immutable per-version byte sizes, cached per reader
+            self._sizes: dict[int, int] = {}
             #: highest offset this reader has admitted or seen
             #: planned — the base the NEXT capped batch advances from.
             #: None until the first latestOffset/partitions call of
@@ -195,6 +229,33 @@ try:  # pyspark >= 4.0
             if log:
                 with open(log, "a") as fh:
                     fh.write(f"pid={os.getpid()} id={id(self)} {msg}\n")
+
+        def _resolve_starting(self) -> None:
+            """Resolve ``startingVersion='latest'`` to tip+1 (fresh
+            queries only — called from initialOffset)."""
+            if self._starting == "latest":
+                pub = _commit_versions(self._path)
+                self._starting = (pub[-1] + 1) if pub else 1
+
+        def _dir_bytes(self, v: int) -> int:
+            """Total data bytes of one published commit dir, cached —
+            published dirs are immutable, so each version is scanned
+            at most once per reader."""
+            cached = self._sizes.get(v)
+            if cached is not None:
+                return cached
+            total = 0
+            try:
+                with os.scandir(
+                    os.path.join(self._path, f"commit={v}")
+                ) as it:
+                    for e in it:
+                        if e.name.endswith(".parquet") and e.is_file():
+                            total += e.stat().st_size
+            except FileNotFoundError:
+                pass
+            self._sizes[v] = total
+            return total
 
         def initialOffset(self) -> dict:
             """Fresh queries start at version 0 — the whole feed — or
@@ -221,6 +282,7 @@ try:  # pyspark >= 4.0
             and closes the gap the moment the engine's call order
             changes."""
             self._trace("initialOffset")
+            self._resolve_starting()
             base = self._starting - 1 if self._starting is not None else 0
             # never DOWNGRADE an already-advanced cursor: in the
             # traced order the first latestOffset has already been
@@ -302,9 +364,9 @@ try:  # pyspark >= 4.0
             # be RECORDED in the offset log, and commits published
             # between tip and startingVersion would later be consumed
             # against the user's explicit exclusion (review finding r8)
-            if self._starting is not None:
+            if isinstance(self._starting, int):
                 latest = max(latest, self._starting - 1)
-            if self._max is None:
+            if self._max is None and self._maxb is None:
                 self._trace(f"latestOffset(uncapped) -> {latest}")
                 return {"version": latest}
             # ADMISSION CONTROL (maxCommitsPerBatch, the
@@ -331,10 +393,27 @@ try:  # pyspark >= 4.0
                 self._last = latest
                 self._trace(f"latestOffset(first, uncapped) -> {latest}")
                 return {"version": latest}
-            base = self._last
             pending = [v for v in safe if v > base]
-            out = pending[: self._max][-1] if pending else base
-            self._trace(f"latestOffset(capped) base={base} -> {out}")
+            admitted: list[int] = []
+            total_bytes = 0
+            for v in pending:
+                if self._max is not None and len(admitted) >= self._max:
+                    break
+                if self._maxb is not None:
+                    size = self._dir_bytes(v)
+                    # the FIRST pending version is always admitted even
+                    # when oversized — a single commit above the budget
+                    # must not stall the stream forever (the same
+                    # at-least-one rule as maxBytesPerTrigger)
+                    if admitted and total_bytes + size > self._maxb:
+                        break
+                    total_bytes += size
+                admitted.append(v)
+            out = admitted[-1] if admitted else base
+            self._trace(
+                f"latestOffset(capped) base={base} -> {out} "
+                f"(bytes={total_bytes})"
+            )
             return {"version": out}
 
         def partitions(self, start: dict, end: dict):
