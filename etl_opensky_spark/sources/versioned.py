@@ -4995,7 +4995,90 @@ def materialize_change_feed(
     return n_done, n_rows
 
 
-def vacuum_change_feed(out_dir: str, keep_after: int) -> list[int]:
+def describe_change_feed(out_dir: str) -> dict:
+    """Operational introspection for a materialized change feed — the
+    feed-side ``DESCRIBE HISTORY``: one directory listing + one marker
+    stat per commit dir, no Spark job.  Returns::
+
+        {"low_water": N,          # vacuum_change_feed's mark (0 = none)
+         "first": v|None, "tip": v|None, "n_published": n,
+         "holes": [...],          # missing versions inside (first, tip)
+                                  # — a stream stalls at the first one
+         "unpublished": [...],    # unmarked dirs: in-flight or debris
+         "claims": [{"version", "gen", "mode": "bare"|"lease",
+                     "published": bool, "age_seconds": s,
+                     "heartbeat_age_seconds": s|None}, ...]}
+
+    ``claims`` with ``published=False`` and a large age / heartbeat age
+    are the crashed-claimant signature: a leased materializer will take
+    them over once the TTL lapses; a ttl-less feed needs
+    :func:`repair_change_feed`."""
+    from etl_opensky_spark.sources.lakefeed import (
+        _scan_commit_dirs,
+        feed_low_water,
+    )
+
+    pub, unpub = _scan_commit_dirs(out_dir)
+    now = time.time()
+    claims = []
+    try:
+        names = sorted(os.listdir(out_dir))
+    except FileNotFoundError:
+        names = []
+    for n in names:
+        m = _FEED_CLAIM_RE.match(n)
+        if m is None:
+            continue
+        v, g = int(m.group(1)), int(m.group(2) or 0)
+        path = os.path.join(out_dir, n)
+        try:
+            age = now - os.path.getmtime(path)
+        except OSError:
+            continue
+        try:
+            with open(path, "rb") as fh:
+                payload = fh.read()
+            if payload:
+                age = now - float(json.loads(payload)["ts"])
+        except (OSError, ValueError, KeyError, TypeError):
+            pass
+        hb_age = None
+        try:
+            hb_age = now - os.path.getmtime(path + ".hb")
+        except OSError:
+            pass
+        claims.append(
+            {
+                "version": v,
+                "gen": g,
+                "mode": "lease" if g > 0 else "bare",
+                "published": v in pub,
+                "age_seconds": age,
+                "heartbeat_age_seconds": hb_age,
+            }
+        )
+    first = pub[0] if pub else None
+    tip = pub[-1] if pub else None
+    holes = (
+        [v for v in range(first, tip) if v not in set(pub)]
+        if pub else []
+    )
+    return {
+        "low_water": feed_low_water(out_dir),
+        "first": first,
+        "tip": tip,
+        "n_published": len(pub),
+        "holes": holes,
+        "unpublished": unpub,
+        "claims": claims,
+    }
+
+
+def vacuum_change_feed(
+    out_dir: str,
+    keep_after: int | None = None,
+    keep_last: int | None = None,
+) -> list[int]:
     """RETENTION for the materialized change feed (VERDICT r9 #1):
     drop every ``commit=<v>`` dir with ``v <= keep_after`` (plus its
     claim files) and raise the feed's low-water mark.  Without this the
@@ -5013,13 +5096,31 @@ def vacuum_change_feed(out_dir: str, keep_after: int) -> list[int]:
     is published atomically BEFORE any dir is deleted, so a racing
     reader observes the refusal, never a half-vacuumed mystery.
     ``materialize_change_feed`` treats vacuumed versions as done.
-    Returns the dropped versions (ascending)."""
+    Returns the dropped versions (ascending).
+
+    Pass either ``keep_after`` (explicit threshold — the right knob
+    when consumer checkpoints are known) or ``keep_last=N``
+    (:func:`vacuum_versions` parity: keep only the newest N published
+    versions; the threshold is computed from the current tip)."""
     from etl_opensky_spark.sources.lakefeed import (
         _COMMIT_RE,
         FEED_LOWWATER,
+        _commit_versions,
         feed_low_water,
     )
 
+    if (keep_after is None) == (keep_last is None):
+        raise ValueError(
+            "vacuum_change_feed: pass exactly one of keep_after= or "
+            "keep_last="
+        )
+    if keep_after is None:
+        if keep_last < 0:
+            raise ValueError("vacuum_change_feed: keep_last must be >= 0")
+        pub = _commit_versions(out_dir)
+        if not pub:
+            return []
+        keep_after = pub[-1] - keep_last
     low = feed_low_water(out_dir)
     if keep_after > low:
         tmp = os.path.join(

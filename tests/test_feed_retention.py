@@ -182,3 +182,49 @@ class TestVacuum:
         assert sorted(r[2] for r in new) == [6, 7]
         # and the feed directory stayed bounded
         assert _commit_versions(feed) == [6, 7]
+
+
+class TestDescribeAndKeepLast:
+    def test_describe_change_feed(self, spark, tmp_path):
+        import json as _json
+        import time as _time
+
+        from etl_opensky_spark.sources.versioned import (
+            _feed_claim_path,
+            describe_change_feed,
+            vacuum_change_feed,
+        )
+
+        src, feed = _lake(spark, tmp_path)  # commits 2..5
+        d = describe_change_feed(feed)
+        assert (d["first"], d["tip"], d["n_published"]) == (2, 5, 4)
+        assert d["low_water"] == 0
+        assert d["holes"] == [] and d["unpublished"] == []
+        # carve a hole + add a crashed lease claim
+        shutil.rmtree(os.path.join(feed, "commit=4"))
+        with open(_feed_claim_path(feed, 4, 2), "w") as fh:
+            _json.dump({"owner": "dead", "ts": _time.time() - 500}, fh)
+        vacuum_change_feed(feed, keep_after=2)
+        d = describe_change_feed(feed)
+        assert d["low_water"] == 2
+        assert (d["first"], d["tip"]) == (3, 5)
+        assert d["holes"] == [4]
+        (claim,) = d["claims"]
+        assert claim["version"] == 4 and claim["gen"] == 2
+        assert claim["mode"] == "lease" and not claim["published"]
+        assert claim["age_seconds"] > 400
+        assert claim["heartbeat_age_seconds"] is None
+
+    def test_keep_last(self, spark, tmp_path):
+        from etl_opensky_spark.sources.versioned import (
+            vacuum_change_feed,
+        )
+
+        src, feed = _lake(spark, tmp_path)  # commits 2..5
+        assert vacuum_change_feed(feed, keep_last=2) == [2, 3]
+        assert _commit_versions(feed) == [4, 5]
+        assert feed_low_water(feed) == 3
+        with pytest.raises(ValueError, match="exactly one"):
+            vacuum_change_feed(feed)
+        with pytest.raises(ValueError, match="exactly one"):
+            vacuum_change_feed(feed, keep_after=1, keep_last=1)
