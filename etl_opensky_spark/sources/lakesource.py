@@ -287,6 +287,16 @@ def _pyarrow_file_stats(path: str, cols: list[str]) -> dict:
     out = {}
     for c in cols:
         if c not in idx:
+            # a column the file simply does not carry (subset-column
+            # append / pre-evolution file) READS as all-null — record
+            # exactly that, so metadata-only aggregates stay exact and
+            # range pruning can prove "no row matches"
+            out[c] = {
+                "min": None,
+                "max": None,
+                "nulls": md.num_rows,
+                "rows": md.num_rows,
+            }
             continue
         mn = mx = None
         nulls = rows = 0
@@ -553,6 +563,8 @@ try:  # pyspark >= 4.0
             self._base = base
             self._overwrite = overwrite
             self._schema = schema
+            self._subset_append = False
+            self._full_schema_json = None
             cur = _current(base)
             self._parent_version = cur["version"] if cur else 0
             mapping = {}
@@ -582,27 +594,53 @@ try:  # pyspark >= 4.0
                             "versioned writer: hive-partitioned table — "
                             "append via merge_versioned/copy_into"
                         )
-                    # the appended frame must carry exactly the
-                    # snapshot's LOGICAL columns
-                    if cur.get("schema_json"):
+                    # the appended frame may carry any SUBSET of the
+                    # snapshot's LOGICAL columns (Delta parity: missing
+                    # columns read back null — the files simply lack
+                    # them and the logged schema fills the gap); UNKNOWN
+                    # columns refuse by name (appending them silently
+                    # would be schema evolution no one asked for — that
+                    # lives in merge_versioned(merge_schema=True))
+                    full_json = cur.get("schema_json")
+                    if full_json:
                         want = {
                             f["name"]
-                            for f in json.loads(cur["schema_json"])["fields"]
+                            for f in json.loads(full_json)["fields"]
                         }
                     else:
                         rev = {p: l for l, p in mapping.items()}
                         any_path = next(iter(files.values()))
+                        footer = pq.read_schema(any_path)
                         want = {
-                            rev.get(n, n)
-                            for n in pq.read_schema(any_path).names
+                            rev.get(n, n) for n in footer.names
                         }
                     got = {f.name for f in schema.fields}
-                    if got != want:
+                    extra_cols = got - want
+                    if extra_cols:
                         raise ValueError(
                             "versioned writer: frame columns "
-                            f"{sorted(got)} != table columns "
-                            f"{sorted(want)}"
+                            f"{sorted(extra_cols)} do not exist in the "
+                            f"table (columns: {sorted(want)}) — new "
+                            "columns need "
+                            "merge_versioned(merge_schema=True)"
                         )
+                    self._subset_append = bool(want - got)
+                    if self._subset_append and not full_json:
+                        # a subset append makes per-file schemas
+                        # diverge: the commit must LOG the full logical
+                        # schema or a later read could derive its
+                        # schema from a narrow file and silently drop
+                        # the missing columns.  Built as DataType
+                        # objects (planning process: no SparkContext).
+                        full = StructType()
+                        for f in footer:
+                            full.add(
+                                rev.get(f.name, f.name),
+                                _arrow_to_spark(f.type),
+                                True,
+                            )
+                        full_json = json.dumps(json.loads(full.json()))
+                    self._full_schema_json = full_json
             self._mapping = mapping  # logical -> physical
             self._staging = os.path.join(
                 base, f"_dsw-staging-{_uuid.uuid4().hex[:8]}"
@@ -690,6 +728,12 @@ try:  # pyspark >= 4.0
                     ):
                         if cur.get(key):
                             extra[key] = cur[key]
+                    if self._subset_append and not extra.get(
+                        "schema_json"
+                    ):
+                        # per-file schemas now diverge: log the full
+                        # logical schema so reads stay deterministic
+                        extra["schema_json"] = self._full_schema_json
                 elif cur is not None and self._overwrite:
                     # layout + mapping reset, like write_version
                     pass
@@ -891,6 +935,12 @@ try:  # pyspark >= 4.0
                         ):
                             if parent_e.get(key):
                                 extra[key] = parent_e[key]
+                        if self._inner._subset_append and not extra.get(
+                            "schema_json"
+                        ):
+                            extra["schema_json"] = (
+                                self._inner._full_schema_json
+                            )
                     for src in staged:
                         dst_name = os.path.basename(src)
                         get_fs().link_file(

@@ -233,17 +233,29 @@ def test_writer_schema_mismatch_and_guard_rails(spark, tmp_path):
         spark.createDataFrame([(1, "a")], "id int, v string"), base
     )
     register_versioned_source(spark)
-    with pytest.raises(Exception, match="frame columns"):
-        spark.createDataFrame([(2,)], "id int").write.format(
-            "versioned"
-        ).mode("append").save(base)
+    # a frame with UNKNOWN columns refuses by name (silent evolution
+    # stays in merge_versioned(merge_schema=True)); a SUBSET of the
+    # table's columns is a legal append since round 10 (Delta parity:
+    # missing columns read back null) — see tests/test_subset_append.py
+    with pytest.raises(Exception, match="do not exist"):
+        spark.createDataFrame(
+            [(2, "b")], "id int, wrong string"
+        ).write.format("versioned").mode("append").save(base)
+    spark.createDataFrame([(2,)], "id int").write.format(
+        "versioned"
+    ).mode("append").save(base)
+    assert rows(read_version(spark, base).select("id", "v")) == [
+        (1, "a"), (2, None),
+    ]
     add_constraint(spark, base, "id_pos", "id > 0")
     with pytest.raises(Exception, match="CHECK constraints"):
-        spark.createDataFrame([(2, "b")], "id int, v string").write.format(
+        spark.createDataFrame([(3, "b")], "id int, v string").write.format(
             "versioned"
         ).mode("append").save(base)
     # nothing committed by the refused writes
-    assert rows(read_version(spark, base).select("id", "v")) == [(1, "a")]
+    assert rows(read_version(spark, base).select("id", "v")) == [
+        (1, "a"), (2, None),
+    ]
 
 
 def test_writer_column_mapped_table(spark, tmp_path):

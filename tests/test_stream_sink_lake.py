@@ -214,10 +214,18 @@ class TestRound10Drift:
             opts["checkpointlocation"] = ckpt
         return VersionedLakeStreamWriter(opts, SCH, False)
 
-    def test_table_evolved_mid_stream_refuses_named(
+    def test_table_evolved_mid_stream_continues_with_nulls(
         self, spark, tmp_path
     ):
-        from etl_opensky_spark.sources.versioned import merge_versioned
+        """Mid-stream table evolution is survivable (round-10 subset
+        appends): the next batch's fresh writer sees its schema as a
+        SUBSET of the evolved tip and keeps appending — the new column
+        reads null on streamed rows.  (The deeper coverage lives in
+        tests/test_subset_append.py.)"""
+        from etl_opensky_spark.sources.versioned import (
+            merge_versioned,
+            read_version,
+        )
 
         base = str(tmp_path / "lake")
         w = self._writer_opts(base, "app1", str(tmp_path / "ck"))
@@ -233,10 +241,16 @@ class TestRound10Drift:
             ),
             ["id"], merge_schema=True,
         )
-        # next batch: the fresh per-batch writer re-validates against
-        # the tip and refuses by name — no silent positional cast
-        with pytest.raises(ValueError, match="frame columns"):
-            self._writer_opts(base, "app1", str(tmp_path / "ck"))
+        w2 = self._writer_opts(base, "app1", str(tmp_path / "ck"))
+        m1 = _stage(w2, [(2, "b")])
+        self._writer_opts(base, "app1", str(tmp_path / "ck")).commit(
+            [m1], 1
+        )
+        got = {
+            r["id"]: r["extra"]
+            for r in read_version(spark, base).collect()
+        }
+        assert got == {1: "x", 2: None}
 
     def test_stream_with_extra_column_refuses_at_start(
         self, spark, tmp_path
