@@ -330,6 +330,7 @@ BENCH_QUERIES = [
     "q307_bloom_repair",
     "q308_ds_time_travel",
     "q309_feed_retention",
+    "q310_subset_append",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

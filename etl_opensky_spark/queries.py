@@ -15250,6 +15250,80 @@ SELECT
 """
 
 
+def q310_subset_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBSET-COLUMN APPEND gate (round 10, Delta parity): a frame
+    carrying only SOME of the table's logical columns appends through
+    ``df.write.format("versioned").mode("append")`` — the staged files
+    lack the missing columns, the commit logs the full logical schema
+    (a later read must never derive a narrow schema from a narrow
+    file), and the missing column reads back NULL through both the
+    engine read and the metadata-only aggregate (the absent column is
+    recorded as all-null file stats, so COUNT(col) stays
+    manifest-provable without a scan).  Pinned: tip content aggregates
+    vs the oracle's replay, plus ``metadata_aggregate``'s rows /
+    count / min / max carried as literals — a drifting stats contract
+    breaks the hash even though no Spark scan computed it."""
+    import shutil
+
+    from etl_opensky_spark.sources.lakesource import (
+        register_versioned_source,
+    )
+    from etl_opensky_spark.sources.versioned import (
+        metadata_aggregate,
+        read_version,
+        write_version,
+    )
+
+    register_versioned_source(spark)
+    base = _gate_tmp("q310_subset", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        (_dec("o_totalprice") * 100).cast("long").alias("price_c"),
+    )
+    # v1: evens with both columns (stats on price_c); v2: odds append
+    # with the key column ONLY — price_c must come back null
+    write_version(
+        orders.filter(F.col("k") % 2 == 0), base,
+        stats_cols=("price_c",),
+    )
+    orders.filter(F.col("k") % 2 == 1).select("k").write.format(
+        "versioned"
+    ).mode("append").save(base)
+    meta = metadata_aggregate(base, ["price_c"])
+    tip = read_version(spark, base)
+    return tip.agg(
+        F.count("*").alias("n"),
+        F.sum("k").alias("key_sum"),
+        F.count("price_c").alias("price_n"),
+        F.sum("price_c").alias("price_sum"),
+    ).select(
+        "*",
+        F.lit(meta["rows"]).alias("meta_rows"),
+        F.lit(meta["price_c"]["count"]).alias("meta_price_n"),
+        F.lit(meta["price_c"]["min"]).cast("long").alias("meta_price_min"),
+        F.lit(meta["price_c"]["max"]).cast("long").alias("meta_price_max"),
+    )
+
+
+ORACLE_Q310 = """
+WITH src AS (
+  SELECT o_orderkey AS k,
+    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
+  FROM orders
+), ev AS (SELECT * FROM src WHERE k % 2 = 0)
+SELECT
+  (SELECT COUNT(*) FROM src) AS n,
+  (SELECT CAST(SUM(k) AS BIGINT) FROM src) AS key_sum,
+  (SELECT COUNT(*) FROM ev) AS price_n,
+  (SELECT CAST(SUM(price_c) AS BIGINT) FROM ev) AS price_sum,
+  (SELECT COUNT(*) FROM src) AS meta_rows,
+  (SELECT COUNT(*) FROM ev) AS meta_price_n,
+  (SELECT CAST(MIN(price_c) AS BIGINT) FROM ev) AS meta_price_min,
+  (SELECT CAST(MAX(price_c) AS BIGINT) FROM ev) AS meta_price_max
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -15559,6 +15633,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q307_bloom_repair": q307_bloom_repair,
     "q308_ds_time_travel": q308_ds_time_travel,
     "q309_feed_retention": q309_feed_retention,
+    "q310_subset_append": q310_subset_append,
 }
 
 ORACLES: dict[str, str] = {
@@ -15869,6 +15944,7 @@ ORACLES: dict[str, str] = {
     "q307_bloom_repair": ORACLE_Q307,
     "q308_ds_time_travel": ORACLE_Q308,
     "q309_feed_retention": ORACLE_Q309,
+    "q310_subset_append": ORACLE_Q310,
 }
 
 
