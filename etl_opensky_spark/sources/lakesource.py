@@ -470,9 +470,28 @@ try:  # pyspark >= 4.0
             import pyarrow as pa
             import pyarrow.parquet as pq
 
-            table = pq.read_table(partition.path)
-            n = table.num_rows
             pv = _partition_values(partition.rel)
+            # decode only the physical columns this read actually
+            # assembles: partition values come from the path, columns
+            # the file predates don't exist in it, and a renamed/
+            # evolved file may carry extra physical columns the logical
+            # schema no longer references — none of those should cost
+            # IO or decode time (the footer read is metadata-only)
+            avail = set(pq.read_schema(partition.path).names)
+            want = [
+                self._mapping.get(f.name, f.name)
+                for f in self._schema.fields
+                if f.name not in pv
+            ]
+            cols = [c for c in want if c in avail]
+            if cols:
+                table = pq.read_table(partition.path, columns=cols)
+                n = table.num_rows
+            else:
+                # nothing to decode (all-partition/absent schema):
+                # row count from the footer, zero data pages
+                n = pq.ParquetFile(partition.path).metadata.num_rows
+                table = pa.table({})
             arrays = []
             names = []
             target = []
