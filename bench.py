@@ -331,6 +331,7 @@ BENCH_QUERIES = [
     "q308_ds_time_travel",
     "q309_feed_retention",
     "q310_subset_append",
+    "q311_drop_column",
     # production-pipeline-only variants of the accuracy-bound gates —
     # the gate queries above time operator + exact-truth verification;
     # these time the operator ALONE (VERDICT r3 #2)

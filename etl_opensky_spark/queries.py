@@ -15324,6 +15324,76 @@ SELECT
 """
 
 
+def q311_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DROP COLUMN gate (round 10: ``versioned.drop_column`` —
+    metadata-only, Delta column-mapping semantics).  The table drops
+    ``price_c`` (zero data movement; old versions keep it), then
+    RE-ADDS the same name via partitioned ``merge_schema`` for the %5
+    keys at 3x the price.  The adversarial pin: adopted files still
+    physically hold every original price byte, so if the re-added
+    column ever read those stale bytes back (instead of the
+    version-unique physical column the evolution froze), the null
+    count and sums explode and the hash breaks.  Also pinned:
+    versionAsOf the pre-drop snapshot still serves the ORIGINAL
+    prices."""
+    import shutil
+
+    from etl_opensky_spark.sources.versioned import (
+        drop_column,
+        merge_versioned,
+        read_version,
+        write_version,
+    )
+
+    base = _gate_tmp("q311_drop_col", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        (_dec("o_totalprice") * 100).cast("long").alias("price_c"),
+        (F.col("o_orderkey") % 4).cast("int").alias("bucket"),
+    )
+    write_version(orders, base, partition_by=("bucket",))
+    drop_column(spark, base, "price_c")
+    upd = orders.filter(F.col("k") % 5 == 0).select(
+        "k", (F.col("price_c") * 3).alias("price_c"), "bucket"
+    )
+    merge_versioned(
+        spark, base, upd, ["k"], partition_by=("bucket",),
+        merge_schema=True, keys_are_partition_stable=True,
+    )
+    tip = read_version(spark, base)
+    v1 = read_version(spark, base, as_of=1)
+    r1 = v1.agg(
+        F.count("*").alias("n"), F.sum("price_c").alias("pc")
+    ).first()
+    return tip.agg(
+        F.count("*").alias("n"),
+        F.sum("k").alias("key_sum"),
+        F.count("price_c").alias("price_n"),
+        F.sum("price_c").alias("price_sum"),
+    ).select(
+        "*",
+        F.lit(r1["n"]).alias("v1_n"),
+        F.lit(r1["pc"]).alias("v1_price_sum"),
+    )
+
+
+ORACLE_Q311 = """
+WITH src AS (
+  SELECT o_orderkey AS k,
+    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
+  FROM orders
+), upd AS (SELECT k, price_c * 3 AS price_c FROM src WHERE k % 5 = 0)
+SELECT
+  (SELECT COUNT(*) FROM src) AS n,
+  (SELECT CAST(SUM(k) AS BIGINT) FROM src) AS key_sum,
+  (SELECT COUNT(*) FROM upd) AS price_n,
+  (SELECT CAST(SUM(price_c) AS BIGINT) FROM upd) AS price_sum,
+  (SELECT COUNT(*) FROM src) AS v1_n,
+  (SELECT CAST(SUM(price_c) AS BIGINT) FROM src) AS v1_price_sum
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -15634,6 +15704,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q308_ds_time_travel": q308_ds_time_travel,
     "q309_feed_retention": q309_feed_retention,
     "q310_subset_append": q310_subset_append,
+    "q311_drop_column": q311_drop_column,
 }
 
 ORACLES: dict[str, str] = {
@@ -15945,6 +16016,7 @@ ORACLES: dict[str, str] = {
     "q308_ds_time_travel": ORACLE_Q308,
     "q309_feed_retention": ORACLE_Q309,
     "q310_subset_append": ORACLE_Q310,
+    "q311_drop_column": ORACLE_Q311,
 }
 
 

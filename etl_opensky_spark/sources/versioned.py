@@ -2171,6 +2171,18 @@ def merge_versioned(
     # race against winners that stayed OUT of those partitions is
     # rebased — the staged rewrite is reused, no Spark recompute
     try:
+        if new_cols:
+            # freeze a version-unique PHYSICAL name for every evolved
+            # column (Delta column-mapping semantics): adopted files
+            # may physically contain a same-named column from a
+            # dropped-then-readded lineage, and reading those stale
+            # bytes back as the new logical column would resurrect
+            # dropped data — a fresh physical name cannot collide with
+            # anything written before this version.  (The unpartitioned
+            # branch is a full rewrite: old files vanish, no collision,
+            # no mapping needed.)
+            for c in new_cols:
+                mapping[c] = f"{c}__v{version}"
         affected = upd.select(*part_cols).distinct()
         if not keys_are_partition_stable:
             # partitions currently holding a matched key: column-pruned
@@ -3646,6 +3658,114 @@ def rename_column(
         ]
     try:
         _commit(base, version, name, "rename", extra=extra)
+    except ConcurrentCommitError:
+        shutil.rmtree(data_dir, ignore_errors=True)
+        raise
+    return version
+
+
+def drop_column(spark: SparkSession, base: str, col: str) -> int:
+    """Metadata-only DROP COLUMN (Delta column-mapping semantics):
+    every data file is hardlinked/re-referenced from the parent
+    unchanged — the commit simply logs a schema without the column (and
+    a mapping without its entry), so reads stop selecting it.  O(#files)
+    metadata, zero data movement, fully time-travelable (old versions
+    keep the column).
+
+    The dropped bytes stay inside the physical files until a FULL
+    rewrite (``compact_versioned`` / unpartitioned merge) retires them
+    — the GDPR-grade purge is ``purge_versioned``/``compact``, not
+    DROP.  RE-ADDING a same-named column later is safe: schema
+    evolution freezes a version-unique PHYSICAL name for every new
+    column (``merge_versioned(merge_schema=True)``), so old files'
+    stale bytes can never resurface as the new column — re-added
+    columns read null on pre-evolution rows, exactly like Delta under
+    column mapping.
+
+    Refused for: partition columns (the directory layout is their
+    physical name), the GENERATED IDENTITY column, columns referenced
+    by CHECK constraints (drop the constraint first), key columns of
+    un-materialized keyed tombstones (the MOR read applies deletes BY
+    that column — ``materialize_tombstones`` first), and the last
+    remaining column.  Returns the committed version."""
+    cur = _current(base)
+    if cur is None:
+        raise ValueError(f"no committed versions at {base}")
+    logical = _read_snapshot(spark, base, cur).schema
+    cols = [f.name for f in logical.fields]
+    if col not in cols:
+        raise ValueError(f"drop_column: {col!r} not in columns {cols}")
+    if len(cols) == 1:
+        raise ValueError(
+            "drop_column: cannot drop the table's only column"
+        )
+    if col in set(_partition_cols_of(base, cur)):
+        raise ValueError(
+            f"drop_column: {col!r} is a partition column — the "
+            "directory layout is its physical name; dropping it means "
+            "rewriting the table (compact into a new layout instead)"
+        )
+    ident = cur.get("identity")
+    if ident and ident.get("col") == col:
+        raise ValueError(
+            f"drop_column: {col!r} is the GENERATED IDENTITY column"
+        )
+    cons = dict(cur.get("constraints") or {})
+    hits = [
+        n for n, e in cons.items()
+        if re.search(rf"\b{re.escape(col)}\b", e)
+    ]
+    if hits:
+        raise ValueError(
+            f"drop_column: {col!r} is referenced by CHECK "
+            f"constraint(s) {sorted(hits)} — drop_constraint first"
+        )
+    for t in cur.get("tombstones") or []:
+        if not _is_pos_tomb(t) and col in (t.get("keys") or ()):
+            raise ValueError(
+                f"drop_column: {col!r} is a key of an un-materialized "
+                "keyed tombstone — the MOR read applies deletes by "
+                "it; run materialize_tombstones first"
+            )
+    mapping = _col_mapping(cur)
+    phys = mapping.get(col, col)
+    new_mapping = {l: p for l, p in mapping.items() if l != col}
+    from pyspark.sql.types import StructType
+
+    new_schema = StructType([f for f in logical.fields if f.name != col])
+    version = cur["version"] + 1
+    name, data_dir = _new_data_dir(base)
+    extra: dict = _adopt_full(base, cur, data_dir)
+    extra["schema_json"] = json.dumps(json.loads(new_schema.json()))
+    if new_mapping:
+        extra["column_mapping"] = new_mapping
+    if "stats" in cur:
+        # strip the dropped PHYSICAL column so metadata aggregates on
+        # the gone logical name refuse instead of answering from stale
+        # entries
+        extra["stats_cols"] = [
+            c for c in (cur.get("stats_cols") or []) if c != phys
+        ]
+        extra["stats"] = {
+            rel: {c: s for c, s in per.items() if c != phys}
+            for rel, per in (cur.get("stats") or {}).items()
+        }
+    if cons:
+        extra["constraints"] = cons
+    if cur.get("ingested_files"):
+        extra["ingested_files"] = cur["ingested_files"]
+    if ident:
+        extra["identity"] = ident
+    if cur.get("tombstones"):
+        extra["tombstones"] = cur["tombstones"]
+    side = _bloom_load(data_dir)
+    if side and phys in side:
+        # the sidecar indexes the dropped column: the whole index is an
+        # optimization — drop it rather than rewrite it (maintain_table
+        # rebuilds over the remaining indexed columns on its next tick)
+        _bloom_drop(data_dir)
+    try:
+        _commit(base, version, name, "drop_column", extra=extra)
     except ConcurrentCommitError:
         shutil.rmtree(data_dir, ignore_errors=True)
         raise
