@@ -171,3 +171,40 @@ class TestReAdd:
             for r in spark.read.format("versioned").load(base).collect()
         }
         assert got == {1: None, 2: None, 3: 5.5}
+
+
+class TestPhysicalRetirement:
+    def test_compact_purges_dropped_bytes(self, spark, tmp_path):
+        """The docstring's GDPR story: DROP is metadata-only, the
+        bytes persist until a full rewrite — and compact_versioned
+        actually retires them (the new snapshot's files physically
+        lack the column)."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        from etl_opensky_spark.sources.versioned import (
+            _current,
+            _live_files,
+            compact_versioned,
+        )
+
+        base = str(tmp_path / "lake")
+        _seed(spark, base)
+        drop_column(spark, base, "score")
+        # pre-compact: the bytes are still in the files
+        cur = _current(base)
+        assert any(
+            "score" in pq.read_schema(p).names
+            for p in _live_files(base, cur).values()
+        )
+        compact_versioned(spark, base)
+        cur = _current(base)
+        phys_cols = {
+            n
+            for p in _live_files(base, cur).values()
+            for n in pq.read_schema(p).names
+        }
+        assert "score" not in phys_cols  # bytes gone
+        got = rows(read_version(spark, base).select("id", "v"))
+        assert got == [(1, "a"), (2, "b"), (3, "c")]
