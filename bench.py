@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #: headline set: every oracle-checked query plus the rows-only scale ops.
 #: q69 (n-gram self-join) is capped to doc_id<100 inside the query itself;
 #: q24 is the full-corpus variant with document-frequency pruning.
-BENCH_QUERIES = [
+MAIN_QUERIES = [
     "q01_pricing_summary",
     "q02_filter_project",
     "q03_dim_lookup",
@@ -332,9 +332,18 @@ BENCH_QUERIES = [
     "q309_feed_retention",
     "q310_subset_append",
     "q311_drop_column",
-    # production-pipeline-only variants of the accuracy-bound gates —
-    # the gate queries above time operator + exact-truth verification;
-    # these time the operator ALONE (VERDICT r3 #2)
+]
+
+#: production-pipeline-only variants of the accuracy-bound gates — the
+#: gate queries above time operator + exact-truth verification; these
+#: time the operator ALONE (VERDICT r3 #2).  Kept as a SEPARATE block
+#: (VERDICT r10 #2): it used to run immediately after the heavy
+#: streaming/lake gates (q309 alone is two full Structured-Streaming
+#: lifecycles) and inherited their JVM/heap/shuffle-dir state, moving
+#: +37-70 % round-over-round while head-to-head probes proved the code
+#: untouched-or-faster — a hygiene sweep now separates the blocks and
+#: every _op entry gets a cooled second sample.
+OP_QUERIES = [
     "q215_incremental_dedup_op",
     "q63_minhash_lsh_op",
     "q71_simhash_op",
@@ -356,19 +365,41 @@ BENCH_QUERIES = [
     "q297_ds_writer_op",
 ]
 
+#: the driver reads one flat "queries" dict; keep the combined list so
+#: recorded BENCH_r{N}.json keys stay round-over-round comparable
+BENCH_QUERIES = MAIN_QUERIES + OP_QUERIES
+
 #: queries whose recorded numbers have drifted under bench-VM scheduling
 #: noise (q42: r1 1.0 s → r3 3.1 s recorded, 0.9–1.0 s isolated): after
 #: the full sweep these get a SECOND, cooled sample (the sweep itself is
 #: the cache warm-up) reported under "queries_cooled" — the number to
 #: read for regression judgment.  Methodology: docs/NOTES_r4.md.
+#: Round 11 (VERDICT r10 #2): the ENTIRE _op block is cooled-sampled —
+#: its in-sweep numbers proved environment-coupled to the preceding
+#: streaming gates, so regression judgment needs the post-sweep warm
+#: resample for every one of them.
 COOLED_QUERIES = [
     "q42_embedding_dedup",
     # VERDICT r5 #6: every entry that has moved >1.5x round-over-round
     # under VM scheduling noise gets a cooled second sample too
-    "q83_near_dedup_op",
     "q238_copurchase_similarity",
     "q240_schema_evolution_merge",
-]
+] + OP_QUERIES
+
+
+def _hygiene_sweep(spark) -> None:
+    """Reset block-local engine state between bench blocks (VERDICT
+    r10 #2): drop every cached/persisted DataFrame, clear this
+    session's temp views, and nudge the JVM to collect — so the _op
+    block starts from the same engine state whether or not the
+    streaming/lake gates before it churned the heap and shuffle dirs.
+    Wall-clock cost is a few hundred ms; it is NOT timed."""
+    spark.catalog.clearCache()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:  # noqa: BLE001 — a gc nudge is best-effort
+        pass
+    time.sleep(1.0)
 
 
 def _time_one(spark, fn, name, sf_dir, timings, errors) -> None:
@@ -403,11 +434,32 @@ def main() -> None:
     # op's own "build if missing" guard then never fires in the sweep.
     catalog["q215_incremental_dedup_op"](spark, sf_dir)
 
+    # machine-speed control BEFORE the sweep (VERDICT r10 #2): the
+    # same fixed CPU-bound workload as the post-sweep control, warmed
+    # then sampled, so drift WITHIN a run (thermal, VM scheduling) is
+    # visible as before-vs-after instead of being reconstructed from
+    # narrative.  The warm-up run is discarded; caches are cleared
+    # after so the sweep's own q42 entry starts from the usual state.
+    _ctl: dict[str, float] = {}
+    _ctl_err: dict[str, str] = {}
+    _time_one(spark, catalog["q42_embedding_dedup"],
+              "q42 (control warmup)", sf_dir, _ctl, _ctl_err)
+    _time_one(spark, catalog["q42_embedding_dedup"],
+              "q42 (control before)", sf_dir, _ctl, _ctl_err)
+    control_before = _ctl.get("q42 (control before)")
+    _hygiene_sweep(spark)
+
     # a single failing query must never kill the whole bench — record the
     # error, keep timing the rest, and ALWAYS emit the final JSON line
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in BENCH_QUERIES:
+    for name in MAIN_QUERIES:
+        _time_one(spark, catalog[name], name, sf_dir, timings, errors)
+
+    # the _op block must not inherit the streaming/lake gates' engine
+    # state (VERDICT r10 #2) — reset, then time
+    _hygiene_sweep(spark)
+    for name in OP_QUERIES:
         _time_one(spark, catalog[name], name, sf_dir, timings, errors)
 
     cooled: dict[str, float] = {}
@@ -435,6 +487,14 @@ def main() -> None:
         result["machine_control"] = {
             "name": "q42_embedding_dedup_cooled",
             "sec": cooled["q42_embedding_dedup"],
+        }
+    # round 11: the pre-sweep sample of the SAME workload — comparing
+    # machine_control_before.sec with machine_control.sec bounds the
+    # box's drift across this run's ~8 minutes
+    if control_before is not None:
+        result["machine_control_before"] = {
+            "name": "q42_embedding_dedup_warm_presweep",
+            "sec": control_before,
         }
     if errors:
         result["errors"] = errors

@@ -49,6 +49,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 
 #: completion marker a directory publish leaves inside the published
 #: dir.  POSIX ``replace`` writes it into the tmp tree BEFORE the
@@ -157,6 +158,28 @@ class LakeFS:
             if os.path.isdir(final):
                 shutil.rmtree(final)  # unmarked = invisible crash debris
         os.replace(tmp, final)
+
+    def mtime(self, path: str) -> float:
+        """STORE-observed modification time of ``path`` (seconds since
+        the epoch on the store's clock).  POSIX serves it from
+        ``stat``; an object store serves it from HEAD
+        ``Last-Modified`` — either way the value comes from the
+        STORAGE system's clock, never from a timestamp some client
+        stamped into the payload.  The feed-lease protocol measures
+        expiry exclusively against this clock (paired with
+        :meth:`now`) so that skew between materializer hosts can
+        neither extend a lease indefinitely nor expire a live one
+        (VERDICT r10 #3).  Raises :class:`OSError` when absent."""
+        return os.path.getmtime(path)
+
+    def now(self) -> float:
+        """'Now' on the SAME clock :meth:`mtime` reports.  For the
+        local backend the stat clock is the system clock, so
+        ``time.time()`` serves.  A remote backend must derive it from
+        the store instead (e.g. PUT a probe object and read back its
+        Last-Modified) — the whole point is that ``now() - mtime(p)``
+        is an age measured on one clock."""
+        return time.time()
 
     def link_file(self, src: str, dst: str) -> None:
         """Adopt one existing file at a second path without copying

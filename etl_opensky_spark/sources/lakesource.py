@@ -112,6 +112,26 @@ def _partition_values(rel: str) -> dict[str, str]:
     return out
 
 
+#: a checkpointLocation with a scheme ('s3a://b/x', 'file:/x') must be
+#: compared as-is — os.path.abspath would prepend the cwd and collapse
+#: the '//' — so only genuinely local relative paths get absolutized
+_CKPT_SCHEME = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:/")
+
+
+def _canon_ckpt(ckpt: str | None) -> str | None:
+    """Canonical checkpoint identity for the appId-collision guard:
+    URI checkpoints are left untouched (abspath mangles them and makes
+    the SAME stream restarted from another cwd/host look like a
+    colliding stream — ADVICE r10 #3); bare local paths are
+    absolutized so '.ckpt' and '/job/.ckpt' compare equal from one
+    cwd.  Trailing slashes never matter."""
+    if not ckpt:
+        return None
+    if _CKPT_SCHEME.match(ckpt):
+        return ckpt.rstrip("/")
+    return os.path.abspath(ckpt).rstrip("/")
+
+
 def _cast_partition(value: str, dtype) -> object:
     if isinstance(dtype, (IntegerType, LongType, ShortType)):
         return int(value)
@@ -871,9 +891,7 @@ try:  # pyspark >= 4.0
             ckpt = options.get("checkpointLocation") or options.get(
             "checkpointlocation"
             )
-            self._ckpt = (
-                os.path.abspath(ckpt).rstrip("/") if ckpt else None
-            )
+            self._ckpt = _canon_ckpt(ckpt)
             # guard rails + staging mechanics are the batch writer's
             # (identity/constraint/partitioned tables refuse, naming
             # the engine path)

@@ -625,6 +625,26 @@ _KEY_PRESERVING_OPS = frozenset(
 )
 
 
+def _cast_partition_value(raw: str, template):
+    """Cast one hive-path partition string to the type of ``template``
+    for a range comparison; ``None`` = unprovable.  Booleans need the
+    explicit table — ``bool("false")`` is ``True``, so the generic
+    constructor would prove a ``part=false`` file disjoint from updates
+    bounded at ``False`` and let a contested rebase duplicate a key
+    (ADVICE r10 #1)."""
+    if isinstance(template, bool):
+        low = raw.strip().lower()
+        if low == "true":
+            return True
+        if low == "false":
+            return False
+        return None
+    try:
+        return type(template)(raw)
+    except (TypeError, ValueError):
+        return None
+
+
 def _file_key_disjoint(
     per_col: dict, part_vals: dict, phys_keys, upd_env: dict
 ) -> bool:
@@ -644,9 +664,8 @@ def _file_key_disjoint(
         if ulo is None or uhi is None:
             continue
         if c in part_vals:
-            try:
-                v = type(ulo)(part_vals[c])
-            except (TypeError, ValueError):
+            v = _cast_partition_value(part_vals[c], ulo)
+            if v is None:
                 continue
             if v < ulo or v > uhi:
                 return True
@@ -4911,32 +4930,90 @@ def _feed_claims(out_dir: str) -> dict[int, int]:
 def _feed_claim_expired(
     out_dir: str, v: int, gen: int, lease_ttl: float
 ) -> bool:
-    """True iff the claim's lease lapsed: ``lease_ttl`` seconds passed
-    since BOTH its creation timestamp (JSON payload ``ts``; file mtime
-    for payload-less round-9 claims) and its latest heartbeat renewal
-    (``<claim>.hb`` mtime).  A vanished claim counts as expired — its
-    owner released or a repair removed it."""
+    """True iff the claim's lease lapsed ON THE STORE'S CLOCK:
+    ``lease_ttl`` seconds passed since its last liveness signal.
+
+    Liveness is measured from store-observed mtimes via the fs seam
+    (``fs.mtime`` / ``fs.now`` — POSIX stat, object-store HEAD
+    Last-Modified), never from the wall clock another HOST stamped
+    into the claim payload (VERDICT r10 #3): a claimant whose clock
+    runs 10 minutes fast used to extend its lease 10 minutes past its
+    last heartbeat, stalling takeover by exactly the skew.  The
+    payload ``ts`` may only SHORTEN the signal (``min`` with the claim
+    mtime) — it can never extend a lease, and a live claimant is
+    protected by its heartbeat's store mtime regardless of what its
+    clock says.  A vanished claim counts as expired — its owner
+    released or a repair removed it."""
+    fs = get_fs()
     path = _feed_claim_path(out_dir, v, gen)
-    ts = None
+    try:
+        sig = fs.mtime(path)
+    except OSError:
+        return True
     try:
         with open(path, "rb") as fh:
             payload = fh.read()
         if payload:
-            ts = float(json.loads(payload)["ts"])
-    except FileNotFoundError:
-        return True
-    except (ValueError, KeyError, TypeError):
-        ts = None
-    if ts is None:
-        try:
-            ts = os.path.getmtime(path)
-        except OSError:
-            return True
+            sig = min(sig, float(json.loads(payload)["ts"]))
+    except (OSError, ValueError, KeyError, TypeError):
+        pass
     try:
-        ts = max(ts, os.path.getmtime(path + ".hb"))
+        sig = max(sig, fs.mtime(path + ".hb"))
     except OSError:
         pass
-    return (time.time() - ts) > lease_ttl
+    return (fs.now() - sig) > lease_ttl
+
+
+#: one lock implementation per feed (VERDICT r10 #1): bare claims
+#: (``_claim-<v>``) and lease generations (``_claim-<v>-g<gen>``) live
+#: at different paths, so a materializer running the OTHER mode can
+#: slip past a claim it never probes and tear an exactly-once publish.
+#: The first claimed-mode materializer publishes this marker with a
+#: conditional PUT; every later call must match it.
+FEED_MODE = "_FEED_MODE"
+
+
+def feed_claim_mode(out_dir: str) -> str | None:
+    """The feed's locked claim mode: ``"bare"`` (ttl-less
+    ``multi_writer``), ``"lease"`` (``lease_ttl``), or ``None`` for a
+    feed no claimed-mode materializer has touched (single-writer
+    feeds stay unmarked)."""
+    try:
+        with open(os.path.join(out_dir, FEED_MODE), "rb") as fh:
+            return json.loads(fh.read())["mode"]
+    except (OSError, ValueError, KeyError, TypeError):
+        return None
+
+
+def _enforce_feed_mode(out_dir: str, requested: str) -> None:
+    """Refuse mixed feed-writer modes BY NAME (VERDICT r10 #1) — the
+    documented-unsafe mix used to be silently permitted.  The first
+    ``bare``/``lease`` materializer locks the feed's mode with a
+    conditional PUT (losing the race means someone else locked it —
+    re-read and compare); ``single`` publishes nothing but must not
+    run against a claimed feed either, because a single writer probes
+    NO claims at all."""
+    existing = feed_claim_mode(out_dir)
+    if existing is None and requested != "single":
+        try:
+            get_fs().put_if_absent(
+                os.path.join(out_dir, FEED_MODE),
+                json.dumps({"mode": requested}).encode(),
+            )
+            return
+        except FileExistsError:
+            existing = feed_claim_mode(out_dir)
+    if existing is not None and existing != requested:
+        raise ValueError(
+            f"materialize_change_feed: feed {out_dir!r} is locked to "
+            f"{existing!r}-mode claims (its {FEED_MODE} marker) but "
+            f"this call runs {requested!r} mode — bare claims and "
+            "lease generations live at different paths, so a writer "
+            "in the other mode can slip past an existing claim and "
+            "tear an exactly-once publish; run every materializer of "
+            "one feed with the same multi_writer/lease_ttl "
+            "configuration"
+        )
 
 
 def _feed_heartbeat(out_dir: str, v: int, gen: int) -> None:
@@ -5008,17 +5085,28 @@ def materialize_change_feed(
     :func:`repair_change_feed` remains the manual path for
     ttl-less claim feeds.
 
-    Do NOT mix ttl-less (``multi_writer=True``) and leased
-    materializers on one feed: bare claims and lease generations live
-    at different paths, so a bare writer can slip past a leased
-    writer's generation claim (and vice versa) — pick one mode per
-    feed, like picking one lock implementation per resource."""
+    Mixing ttl-less (``multi_writer=True``) and leased materializers
+    on one feed is REFUSED by name (round 11: VERDICT r10 #1): bare
+    claims and lease generations live at different paths, so a bare
+    writer could slip past a leased writer's generation claim (and
+    vice versa) — one lock implementation per resource.  The first
+    claimed-mode call locks the feed's mode via a conditional PUT of
+    the ``_FEED_MODE`` marker; a later call in any OTHER mode
+    (including the claim-less single-writer default, which probes no
+    claims at all) raises instead of silently tearing exactly-once."""
     from etl_opensky_spark.sources.fs import is_published
 
     log = _read_log(base)
     if not log:
         raise ValueError(f"no committed versions at {base}")
     os.makedirs(out_dir, exist_ok=True)
+    if lease_ttl is not None:
+        multi_writer = True
+    _enforce_feed_mode(
+        out_dir,
+        "lease" if lease_ttl is not None
+        else "bare" if multi_writer else "single",
+    )
     # the cursor counts only PUBLISHED dirs (fs.is_published): a
     # crashed object-store publish leaves an unmarked final dir whose
     # re-materialization must re-run (fs.replace deletes the debris)
@@ -5042,8 +5130,6 @@ def materialize_change_feed(
         and c["version"] > first
         and c["version"] > low
     ]
-    if lease_ttl is not None:
-        multi_writer = True
     owner = uuid.uuid4().hex[:12]
     claims = _feed_claims(out_dir) if multi_writer else {}
     n_rows = 0
@@ -5121,6 +5207,7 @@ def describe_change_feed(out_dir: str) -> dict:
     stat per commit dir, no Spark job.  Returns::
 
         {"low_water": N,          # vacuum_change_feed's mark (0 = none)
+         "mode": "bare"|"lease"|None,  # locked writer mode (_FEED_MODE)
          "first": v|None, "tip": v|None, "n_published": n,
          "holes": [...],          # missing versions inside (first, tip)
                                   # — a stream stalls at the first one
@@ -5179,12 +5266,14 @@ def describe_change_feed(out_dir: str) -> dict:
         )
     first = pub[0] if pub else None
     tip = pub[-1] if pub else None
+    pub_set = set(pub)  # hoisted: O(span), not O(span^2) (ADVICE r10)
     holes = (
-        [v for v in range(first, tip) if v not in set(pub)]
+        [v for v in range(first, tip) if v not in pub_set]
         if pub else []
     )
     return {
         "low_water": feed_low_water(out_dir),
+        "mode": feed_claim_mode(out_dir),
         "first": first,
         "tip": tip,
         "n_published": len(pub),
@@ -5198,6 +5287,7 @@ def vacuum_change_feed(
     out_dir: str,
     keep_after: int | None = None,
     keep_last: int | None = None,
+    claim_grace: float = 900.0,
 ) -> list[int]:
     """RETENTION for the materialized change feed (VERDICT r9 #1):
     drop every ``commit=<v>`` dir with ``v <= keep_after`` (plus its
@@ -5221,7 +5311,17 @@ def vacuum_change_feed(
     Pass either ``keep_after`` (explicit threshold — the right knob
     when consumer checkpoints are known) or ``keep_last=N``
     (:func:`vacuum_versions` parity: keep only the newest N published
-    versions; the threshold is computed from the current tip)."""
+    versions; the threshold is computed from the current tip).
+
+    Claim/heartbeat files below the threshold whose lease still shows
+    LIFE — a liveness signal within ``claim_grace`` seconds on the
+    store clock (:func:`_feed_claim_expired`) — are left for a later
+    vacuum (round 11: VERDICT r10 wrong #2).  The caller's contract
+    says no live publish should exist at or below ``keep_after``, but
+    if one does, deleting its generation claim would hide the owner
+    from a takeover's ``max-gen+1`` probe and put two writers into one
+    publish; skipping costs one small file until the lease lapses.
+    ``claim_grace=0`` restores unconditional removal."""
     from etl_opensky_spark.sources.lakefeed import (
         _COMMIT_RE,
         FEED_LOWWATER,
@@ -5262,6 +5362,12 @@ def vacuum_change_feed(
             continue
         c = _FEED_CLAIM_RE.match(n[:-3] if n.endswith(".hb") else n)
         if c is not None and int(c.group(1)) <= keep_after:
+            cv, cg = int(c.group(1)), int(c.group(2) or 0)
+            if claim_grace > 0 and not _feed_claim_expired(
+                out_dir, cv, cg, claim_grace
+            ):
+                continue  # live lease below the threshold: leave the
+                # claim so its owner stays visible to fence probes
             try:
                 os.remove(os.path.join(out_dir, n))
             except OSError:
@@ -5289,9 +5395,31 @@ def repair_change_feed(
     need this function at all: ``materialize_change_feed`` itself
     takes over lapsed leases (generation bump + publish fencing), so
     recovery is automatic and concurrent-safe.  Returns
-    ``materialize_change_feed``'s counts."""
+    ``materialize_change_feed``'s counts.
+
+    Leased feeds are REFUSED by name (round 11: ADVICE r10 #2): this
+    function used to delete unpublished generational claims including
+    a LIVE owner's — the next materializer would then re-claim
+    generation 1, the original owner's ``+1`` fence probe would miss
+    it, and two writers would publish one commit dir, reopening the
+    exact race leases close.  A feed locked to ``lease`` mode (its
+    ``_FEED_MODE`` marker) raises; a marker-less legacy feed that
+    nevertheless carries generational claims raises too — leased
+    recovery is automatic (TTL takeover), repair has no job there."""
     from etl_opensky_spark.sources.fs import is_published
 
+    mode = feed_claim_mode(out_dir)
+    claims = _feed_claims(out_dir)
+    if mode == "lease" or any(g > 0 for g in claims.values()):
+        raise ValueError(
+            f"repair_change_feed: feed {out_dir!r} is leased "
+            "(lease_ttl materializers / generational claims present) "
+            "— recovery is automatic there (a lapsed lease is taken "
+            "over by the next materialize_change_feed call), and "
+            "deleting a live owner's generation claim here would let "
+            "two writers publish one commit dir; just re-run the "
+            "leased materializer"
+        )
     try:
         names = os.listdir(out_dir)
     except FileNotFoundError:
@@ -5320,6 +5448,11 @@ def repair_change_feed(
                 os.remove(os.path.join(out_dir, n))
             except OSError:
                 pass
+    # re-materialize in the feed's OWN mode: bare for a claim-bearing
+    # or mode-locked feed, single-writer otherwise — running bare on a
+    # pristine single-writer feed would lock it to "bare" and refuse
+    # every later single-writer call (mode exclusivity, VERDICT r10 #1)
     return materialize_change_feed(
-        spark, base, out_dir, keys, multi_writer=True
+        spark, base, out_dir, keys,
+        multi_writer=(mode == "bare" or bool(claims)),
     )
