@@ -114,7 +114,7 @@ def bench_drop_column(spark, sf, sf_dir, files_per_sf):
         partition_by=("bucket",), stats_cols=("price_c",),
     )
     t0 = time.perf_counter()
-    n_files = drop_column(spark, base, "price_c")
+    version = drop_column(spark, base, "price_c")
     drop_sec = round(time.perf_counter() - t0, 3)
     # physical retirement: data-bound by design, recorded honestly
     t0 = time.perf_counter()
@@ -127,7 +127,7 @@ def bench_drop_column(spark, sf, sf_dir, files_per_sf):
     assert tip_n == n_rows
     return {
         "table_rows": n_rows,
-        "files_touched_by_drop": n_files,
+        "committed_version": version,
         "drop_sec": drop_sec,
         "retire_compact_sec": retire_sec,
     }
@@ -191,6 +191,7 @@ def _exponent(v01: float, v1: float) -> float:
 def main() -> None:
     out_json = sys.argv[1] if len(sys.argv) > 1 else "BENCH_sf1.json"
     spark = get_spark("bench_round11_scale")
+    register_versioned_source(spark)
     os.makedirs(WORK, exist_ok=True)
     files = {"sf0.1": 32, "sf1": 320}
     res: dict = {}
