@@ -332,6 +332,7 @@ MAIN_QUERIES = [
     "q309_feed_retention",
     "q310_subset_append",
     "q311_drop_column",
+    "q312_wav_decode",
 ]
 
 #: production-pipeline-only variants of the accuracy-bound gates — the

@@ -1,14 +1,17 @@
 """Multimodal column plumbing: image/audio/video as opaque binary + typed
 metadata.
 
-IMAGE decode is REAL in every environment: ``with_available_codecs()``
-registers the pure-stdlib PNG decoder (``functions.png`` — zlib
-inflate + unfilter, oracle-gated in q291), with Pillow overriding it
-where importable.  Audio/video decode still needs a codec library the
-container lacks, so those stay behind deterministic-fake /
-``NotImplementedError`` guards — while everything Spark-side is real
-and tested: the schema contract, the Arrow-batched ``mapInPandas``
-signature, batch shapes, and partition behavior.
+IMAGE and AUDIO decode are REAL in every environment:
+``with_available_codecs()`` registers the pure-stdlib PNG decoder
+(``functions.png`` — zlib inflate + unfilter, oracle-gated in q291)
+and the pure-stdlib PCM WAV decoder (``functions.wav`` — stdlib
+``wave`` framing + numpy sample conversion, oracle-gated in q312),
+with Pillow/soundfile overriding them where importable.  Video decode
+still needs a codec library the container lacks, so it stays behind
+the deterministic-fake / ``NotImplementedError`` guard — while
+everything Spark-side is real and tested: the schema contract, the
+Arrow-batched ``mapInPandas`` signature, batch shapes, and partition
+behavior.
 
 Decoder injection is official API: :class:`DecoderRegistry` maps
 ``media_type -> decoder``; ``extract_features(..., registry=...)``
@@ -162,13 +165,18 @@ def with_available_codecs(
     real decoder for every codec library importable in this environment
     (Pillow → image, soundfile → audio).  Images always get at least
     the pure-stdlib PNG decoder (``functions.png`` — zlib + unfilter,
-    no codec library needed), so ``image`` is REAL in every container;
-    Pillow, when importable, overrides it with the multi-format path.
-    Audio/video keep their guards where no codec imports."""
+    no codec library needed) and audio at least the pure-stdlib PCM
+    WAV decoder (``functions.wav`` — stdlib ``wave`` framing + numpy
+    sample conversion, round 11), so ``image`` AND ``audio`` are REAL
+    in every container; Pillow/soundfile, when importable, override
+    them with the multi-format paths.  Video keeps its guard where no
+    codec imports."""
     reg = (registry or DEFAULT_REGISTRY).copy()
     from etl_opensky_spark.functions.png import png_image_decode
+    from etl_opensky_spark.functions.wav import wav_audio_decode
 
     reg.register("image", png_image_decode)
+    reg.register("audio", wav_audio_decode)
     try:
         import PIL.Image  # noqa: F401
 
