@@ -333,6 +333,7 @@ MAIN_QUERIES = [
     "q310_subset_append",
     "q311_drop_column",
     "q312_wav_decode",
+    "q313_avi_decode",
 ]
 
 #: production-pipeline-only variants of the accuracy-bound gates — the

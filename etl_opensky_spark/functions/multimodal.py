@@ -165,18 +165,22 @@ def with_available_codecs(
     real decoder for every codec library importable in this environment
     (Pillow → image, soundfile → audio).  Images always get at least
     the pure-stdlib PNG decoder (``functions.png`` — zlib + unfilter,
-    no codec library needed) and audio at least the pure-stdlib PCM
+    no codec library needed), audio at least the pure-stdlib PCM
     WAV decoder (``functions.wav`` — stdlib ``wave`` framing + numpy
-    sample conversion, round 11), so ``image`` AND ``audio`` are REAL
-    in every container; Pillow/soundfile, when importable, override
-    them with the multi-format paths.  Video keeps its guard where no
-    codec imports."""
+    sample conversion), and video at least the pure-stdlib
+    uncompressed-DIB AVI decoder (``functions.avi`` — RIFF walking +
+    numpy frame de-padding; both round 11), so ALL THREE modalities
+    are REAL in every container; Pillow/soundfile (and an ffmpeg
+    binding, when one exists) override them with the multi-format
+    paths."""
     reg = (registry or DEFAULT_REGISTRY).copy()
+    from etl_opensky_spark.functions.avi import avi_video_decode
     from etl_opensky_spark.functions.png import png_image_decode
     from etl_opensky_spark.functions.wav import wav_audio_decode
 
     reg.register("image", png_image_decode)
     reg.register("audio", wav_audio_decode)
+    reg.register("video", avi_video_decode)
     try:
         import PIL.Image  # noqa: F401
 

@@ -15446,6 +15446,88 @@ def q312_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q313_avi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode gate (round 11 — ``functions.avi`` + the
+    ``DecoderRegistry`` upgrade path, completing the modality set
+    after q291/PNG and q312/WAV): 32 uncompressed-DIB AVI clips
+    (16 frames of 8×12 grayscale) are synthesized on EXECUTORS from
+    the exact pixel formula ``v(m, f, i, j) = (29 m + 17 f + 5 i +
+    3 j) mod 256``, RIFF-framed by the stdlib encoder, then decoded
+    back through ``with_available_codecs()`` — which in this
+    codec-less container registers the pure-stdlib AVI decoder as the
+    ``video`` decoder — inside the Arrow ``mapInPandas`` feature
+    extraction.  Features are the mean luminance of 8 evenly sampled
+    frames (frame ``2b`` for bucket ``b``); the gate emits the
+    integer per-frame pixel SUMS, which the oracle replays from the
+    formula alone — any mis-walked RIFF list, stride de-pad, row
+    flip, or BGR swap breaks the match."""
+    from etl_opensky_spark.functions.multimodal import (
+        FEATURE_DIM,
+        extract_features,
+        with_available_codecs,
+    )
+
+    NF, H, W = 16, 8, 12
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 32)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+
+    def make(batches):
+        import numpy as np
+        import pandas as pd
+
+        from etl_opensky_spark.functions.avi import encode_avi
+
+        for pdf in batches:
+            f = np.arange(NF)[:, None, None]
+            i = np.arange(H)[None, :, None]
+            j = np.arange(W)[None, None, :]
+            payloads = [
+                encode_avi(
+                    ((int(m) * 29 + f * 17 + i * 5 + j * 3) % 256)
+                    .astype(np.uint8)
+                )
+                for m in pdf["media_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": "video",
+                    "payload": payloads,
+                }
+            )
+
+    media = ids.mapInPandas(
+        make, "media_id long, media_type string, payload binary"
+    )
+    feats = extract_features(media, registry=with_available_codecs())
+    return feats.select(
+        "media_id", F.posexplode("feature").alias("bucket", "_luma")
+    ).select(
+        "media_id",
+        "bucket",
+        # feature = mean(v/255) over one 8x12 frame; scale back to the
+        # exact integer pixel sum (f32 error ~1.5e-3 << 0.5)
+        F.round(F.col("_luma") * (255 * H * W))
+        .cast("long").alias("pix_sum"),
+    )
+
+
+ORACLE_Q313 = """
+WITH ids AS (
+  SELECT doc_id AS media_id FROM documents WHERE doc_id < 32
+), px AS (
+  SELECT media_id, CAST(b.b AS INT) AS bucket,
+         (media_id * 29 + (2 * b.b) * 17 + i.i * 5 + j.j * 3) % 256 AS v
+  FROM ids, range(8) b(b), range(8) i(i), range(12) j(j)
+)
+SELECT media_id, bucket, CAST(SUM(v) AS BIGINT) AS pix_sum
+FROM px GROUP BY 1, 2
+"""
+
+
 ORACLE_Q312 = """
 WITH ids AS (
   SELECT doc_id AS media_id FROM documents WHERE doc_id < 48
@@ -15787,6 +15869,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q310_subset_append": q310_subset_append,
     "q311_drop_column": q311_drop_column,
     "q312_wav_decode": q312_wav_decode,
+    "q313_avi_decode": q313_avi_decode,
 }
 
 ORACLES: dict[str, str] = {
@@ -16100,6 +16183,7 @@ ORACLES: dict[str, str] = {
     "q310_subset_append": ORACLE_Q310,
     "q311_drop_column": ORACLE_Q311,
     "q312_wav_decode": ORACLE_Q312,
+    "q313_avi_decode": ORACLE_Q313,
 }
 
 
