@@ -334,6 +334,7 @@ MAIN_QUERIES = [
     "q311_drop_column",
     "q312_wav_decode",
     "q313_avi_decode",
+    "q314_widen_column",
 ]
 
 #: production-pipeline-only variants of the accuracy-bound gates — the

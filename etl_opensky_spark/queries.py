@@ -15515,6 +15515,104 @@ def q313_avi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q314_widen_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER COLUMN TYPE widening gate (round 11:
+    ``versioned.widen_column_type`` — metadata-only, Delta
+    type-widening semantics).  A lake table seeds NARROW (int keys,
+    int cents, date) with manifest stats, widens to
+    bigint/bigint/timestamp_ntz with ZERO data movement, then a
+    post-widen ``copy_into`` appends rows whose values need the wide
+    types (keys +5e9, cents +3e9, noon timestamps) — the manifest
+    mixes int32- and int64-backed files forever and the logged
+    logical schema is the only source of truth.  Pinned: the mixed-era
+    scan aggregates (any mis-widened value breaks the sums), the
+    noon-hour count (date rows widen to EXACT midnight, so only
+    appended rows land at hour 12), ``metadata_aggregate`` min/max
+    over both eras (narrow per-file stats carried verbatim must fold
+    exactly with wide ones), and the pre-widen version's row count via
+    time travel."""
+    import shutil
+
+    from etl_opensky_spark.sources.versioned import (
+        copy_into,
+        metadata_aggregate,
+        read_version,
+        widen_column_type,
+        write_version,
+    )
+
+    base = _gate_tmp("q314_widen", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    land = _gate_tmp("q314_widen_land", sf_dir)
+    shutil.rmtree(land, ignore_errors=True)
+    seed = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 3 == 0
+    ).select(
+        F.col("o_orderkey").cast("int").alias("k"),
+        (_dec("o_totalprice") * 100).cast("int").alias("cents"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    )
+    write_version(seed, base, stats_cols=("k", "cents"))
+    widen_column_type(
+        spark, base,
+        {"k": "bigint", "cents": "bigint", "d": "timestamp_ntz"},
+    )
+    wide = seed.filter(F.col("k") % 5 == 0).select(
+        (F.col("k").cast("long") + F.lit(5_000_000_000)).alias("k"),
+        (F.col("cents").cast("long") + F.lit(3_000_000_000)).alias(
+            "cents"
+        ),
+        (
+            F.col("d").cast("timestamp_ntz")
+            + F.expr("INTERVAL 12 HOURS")
+        ).alias("d"),
+    )
+    wide.write.parquet(land)
+    copy_into(spark, base, land, stats_cols=("k", "cents"))
+    meta = metadata_aggregate(base, ["k", "cents"])
+    v1_n = read_version(spark, base, as_of=1).count()
+    return read_version(spark, base).agg(
+        F.count("*").alias("n"),
+        F.sum("k").alias("key_sum"),
+        F.sum("cents").alias("cents_sum"),
+        F.count(F.when(F.hour("d") == 12, 1)).alias("noon_n"),
+    ).select(
+        "*",
+        F.lit(meta["k"]["min"]).cast("long").alias("meta_min_k"),
+        F.lit(meta["k"]["max"]).cast("long").alias("meta_max_k"),
+        F.lit(meta["cents"]["max"]).cast("long").alias("meta_max_cents"),
+        F.lit(v1_n).alias("v1_n"),
+    )
+
+
+ORACLE_Q314 = """
+WITH seed AS (
+  SELECT CAST(o_orderkey AS INT) AS k,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS INT) AS cents,
+         CAST(o_orderdate AS DATE) AS d
+  FROM orders WHERE o_orderkey % 3 = 0
+), uni AS (
+  SELECT CAST(k AS BIGINT) AS k, CAST(cents AS BIGINT) AS cents,
+         CAST(d AS TIMESTAMP) AS ts
+  FROM seed
+  UNION ALL
+  SELECT CAST(k AS BIGINT) + 5000000000,
+         CAST(cents AS BIGINT) + 3000000000,
+         CAST(d AS TIMESTAMP) + INTERVAL 12 HOUR
+  FROM seed WHERE k % 5 = 0
+)
+SELECT COUNT(*) AS n,
+       CAST(SUM(k) AS BIGINT) AS key_sum,
+       CAST(SUM(cents) AS BIGINT) AS cents_sum,
+       COUNT(CASE WHEN EXTRACT(hour FROM ts) = 12 THEN 1 END) AS noon_n,
+       CAST(MIN(k) AS BIGINT) AS meta_min_k,
+       CAST(MAX(k) AS BIGINT) AS meta_max_k,
+       CAST(MAX(cents) AS BIGINT) AS meta_max_cents,
+       (SELECT COUNT(*) FROM seed) AS v1_n
+FROM uni
+"""
+
+
 ORACLE_Q313 = """
 WITH ids AS (
   SELECT doc_id AS media_id FROM documents WHERE doc_id < 32
@@ -15870,6 +15968,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q311_drop_column": q311_drop_column,
     "q312_wav_decode": q312_wav_decode,
     "q313_avi_decode": q313_avi_decode,
+    "q314_widen_column": q314_widen_column,
 }
 
 ORACLES: dict[str, str] = {
@@ -16184,6 +16283,7 @@ ORACLES: dict[str, str] = {
     "q311_drop_column": ORACLE_Q311,
     "q312_wav_decode": ORACLE_Q312,
     "q313_avi_decode": ORACLE_Q313,
+    "q314_widen_column": ORACLE_Q314,
 }
 
 

@@ -290,6 +290,10 @@ def _spark_to_arrow(dt):
         return pa.date32()
     if isinstance(dt, T.TimestampType):
         return pa.timestamp("us")
+    if isinstance(dt, T.TimestampNTZType):
+        # date -> timestamp_ntz widening (versioned.widen_column_type):
+        # tz-naive us timestamps on the arrow side
+        return pa.timestamp("us")
     if isinstance(dt, T.ArrayType):
         return pa.list_(_spark_to_arrow(dt.elementType))
     raise ValueError(f"versioned writer: unmapped Spark type {dt}")

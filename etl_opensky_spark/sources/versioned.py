@@ -3791,6 +3791,240 @@ def drop_column(spark: SparkSession, base: str, col: str) -> int:
     return version
 
 
+#: integer digits each integral type can need in a decimal target
+_INTEGRAL_DIGITS = {"byte": 3, "short": 5, "integer": 10, "long": 20}
+#: the integral ladder, narrowest first
+_INTEGRAL_ORDER = ["byte", "short", "integer", "long"]
+
+
+def _widen_allowed(src, dst) -> bool:
+    """Delta's type-widening matrix, restricted to conversions Spark
+    4.1's vectorized parquet reader performs natively under an explicit
+    read schema (each verified empirically; narrowing, ``->float`` and
+    ``->string`` raise PARQUET_COLUMN_DATA_TYPE_MISMATCH at read time
+    and are refused here):
+
+    - integral upcasts: byte -> short/int/long, short -> int/long,
+      int -> long
+    - byte/short/int -> double (every 32-bit integer is exactly
+      representable in a 53-bit mantissa; long -> double would be
+      LOSSY and is not offered by the reader either)
+    - float -> double (the reader promotes the exact float32 value)
+    - integral -> decimal(p, s) with p - s >= the source's maximum
+      integer digits (3/5/10/20)
+    - decimal(p, s) -> decimal(p', s') with s' >= s and
+      p' - s' >= p - s (never drops integer digits or fraction digits)
+    - date -> timestamp_ntz (midnight; NTZ so no session-zone shift)
+    """
+    from pyspark.sql.types import (
+        DateType,
+        DecimalType,
+        DoubleType,
+        FloatType,
+        TimestampNTZType,
+    )
+
+    s, d = src.typeName(), dst.typeName()
+    if s in _INTEGRAL_ORDER:
+        if d in _INTEGRAL_ORDER:
+            return _INTEGRAL_ORDER.index(d) > _INTEGRAL_ORDER.index(s)
+        if isinstance(dst, DoubleType):
+            return s != "long"
+        if isinstance(dst, DecimalType):
+            return dst.precision - dst.scale >= _INTEGRAL_DIGITS[s]
+        return False
+    if isinstance(src, FloatType):
+        return isinstance(dst, DoubleType)
+    if isinstance(src, DecimalType):
+        return (
+            isinstance(dst, DecimalType)
+            and dst.scale >= src.scale
+            and dst.precision - dst.scale >= src.precision - src.scale
+        )
+    if isinstance(src, DateType):
+        return isinstance(dst, TimestampNTZType)
+    return False
+
+
+def widen_column_type(
+    spark: SparkSession, base: str, changes: dict
+) -> int:
+    """Metadata-only ALTER COLUMN TYPE widening (Delta type widening):
+    every data file is hardlinked/re-referenced from the parent
+    unchanged — the commit logs the schema with the WIDER logical
+    types and Spark's vectorized parquet reader (and the DS reader's
+    arrow cast) widens each narrow physical value at scan time.
+    O(#files) metadata, zero data movement, fully time-travelable (old
+    versions keep the narrow types).  ``changes`` maps ``{col: target
+    DataType | DDL string}``; see :func:`_widen_allowed` for the legal
+    matrix.  Returns the committed version.
+
+    Files appended AFTER the widen store the wide type physically;
+    the manifest mixes narrow- and wide-typed files indefinitely —
+    reads are uniform because the logged logical schema, not any file
+    footer, is the source of truth (``_reader``).  A FULL rewrite
+    (``compact_versioned`` / unpartitioned merge) materializes the
+    wide type physically, the same OPTIMIZE path that retires
+    renamed/dropped-column bytes.
+
+    Manifest file stats stay EXACT without a re-harvest: a narrow
+    min/max IS the widened column's min/max in the same JSON domain
+    (ints stay ints, float32 footers already surface as their exact
+    double promotion), so pruning and :func:`metadata_aggregate` keep
+    answering; ``date -> timestamp_ntz`` stats are rewritten to
+    midnight ISO form in the commit ("YYYY-MM-DD" orders BEFORE
+    "YYYY-MM-DDT00:00:00", so an exact-midnight lower bound would
+    otherwise wrongly prove a file disjoint).  Bloom sidecars carry
+    unchanged: probes and extends both hash at the index's RECORDED
+    narrow dtype (r8 ADVICE), so lookups stay false-negative-free on
+    every file, old or new.
+
+    Refused for: partition columns (their physical name is the
+    directory layout; their type is baked into every path comparison),
+    non-integral targets on the GENERATED IDENTITY column (the
+    generator mints integers), key columns of un-materialized keyed
+    tombstones (the MOR anti-join and the DS reader's arrow mask
+    compare at matching types — ``materialize_tombstones`` first),
+    and any (src, dst) pair outside the widening matrix — narrowing
+    or lossy casts never silently truncate."""
+    from pyspark.sql.types import DataType
+
+    cur = _current(base)
+    if cur is None:
+        raise ValueError(f"no committed versions at {base}")
+    logical = _read_snapshot(spark, base, cur).schema
+    by_name = {f.name: f for f in logical.fields}
+    part_cols = set(_partition_cols_of(base, cur))
+    ident = cur.get("identity")
+    targets: dict = {}
+    for col, tgt in changes.items():
+        if col not in by_name:
+            raise ValueError(
+                f"widen_column_type: {col!r} not in columns "
+                f"{[f.name for f in logical.fields]}"
+            )
+        if isinstance(tgt, str):
+            tgt = _parse_ddl_type(spark, tgt)
+        if not isinstance(tgt, DataType):
+            raise ValueError(
+                f"widen_column_type: bad target type {tgt!r} for "
+                f"{col!r} (pass a DataType or a DDL string)"
+            )
+        src = by_name[col].dataType
+        if col in part_cols:
+            raise ValueError(
+                f"widen_column_type: {col!r} is a partition column — "
+                "its values are baked into the directory layout and "
+                "every path-string comparison; widening it means "
+                "rewriting the table (compact into a new layout "
+                "instead)"
+            )
+        if not _widen_allowed(src, tgt):
+            raise ValueError(
+                f"widen_column_type: {src.simpleString()} -> "
+                f"{tgt.simpleString()} on {col!r} is not a supported "
+                "widening (integral upcasts, byte/short/int->double, "
+                "float->double, ->decimal with enough integer digits, "
+                "decimal widening, date->timestamp_ntz)"
+            )
+        if ident and ident.get("col") == col and tgt.typeName() not in (
+            _INTEGRAL_ORDER
+        ):
+            raise ValueError(
+                f"widen_column_type: {col!r} is the GENERATED IDENTITY "
+                f"column — the generator mints integers; "
+                f"{tgt.simpleString()} is not an integral type"
+            )
+        for t in cur.get("tombstones") or []:
+            if not _is_pos_tomb(t) and col in (t.get("keys") or ()):
+                raise ValueError(
+                    f"widen_column_type: {col!r} is a key of an "
+                    "un-materialized keyed tombstone — the MOR read "
+                    "applies deletes by it at matching types; run "
+                    "materialize_tombstones first"
+                )
+        targets[col] = tgt
+    from pyspark.sql.types import StructField, StructType
+
+    new_schema = StructType(
+        [
+            StructField(
+                f.name, targets.get(f.name, f.dataType), f.nullable,
+                f.metadata,
+            )
+            for f in logical.fields
+        ]
+    )
+    mapping = _col_mapping(cur)
+    version = cur["version"] + 1
+    name, data_dir = _new_data_dir(base)
+    extra: dict = _adopt_full(base, cur, data_dir)
+    extra["schema_json"] = json.dumps(json.loads(new_schema.json()))
+    if mapping:
+        extra["column_mapping"] = mapping
+    if "stats" in cur:
+        # date -> timestamp_ntz: normalize this column's date-form ISO
+        # stats to midnight timestamps; every other widening keeps the
+        # narrow stats verbatim (same JSON comparison domain)
+        ts_phys = {
+            mapping.get(c, c)
+            for c, t in targets.items()
+            if by_name[c].dataType.typeName() == "date"
+        }
+        extra["stats_cols"] = cur.get("stats_cols")
+        if ts_phys:
+            extra["stats"] = {
+                rel: {
+                    c: (
+                        _stat_date_to_ts(s)
+                        if c in ts_phys and s is not None
+                        else s
+                    )
+                    for c, s in per.items()
+                }
+                for rel, per in (cur.get("stats") or {}).items()
+            }
+        else:
+            extra["stats"] = cur["stats"]
+    cons = dict(cur.get("constraints") or {})
+    if cons:
+        extra["constraints"] = cons
+    if cur.get("ingested_files"):
+        extra["ingested_files"] = cur["ingested_files"]
+    if ident:
+        extra["identity"] = ident
+    if cur.get("tombstones"):
+        extra["tombstones"] = cur["tombstones"]
+    try:
+        _commit(base, version, name, "widen", extra=extra)
+    except ConcurrentCommitError:
+        shutil.rmtree(data_dir, ignore_errors=True)
+        raise
+    return version
+
+
+def _parse_ddl_type(spark: SparkSession, ddl: str):
+    """One DDL type string -> DataType via the session's parser (the
+    same grammar ``CAST(x AS <ddl>)`` accepts)."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    return _parse_datatype_string(ddl)
+
+
+def _stat_date_to_ts(s: dict) -> dict:
+    """One per-file stat dict of a ``date -> timestamp_ntz``-widened
+    column: date-form ISO strings ("YYYY-MM-DD", length 10) become the
+    midnight timestamp ISO form — the EXACT value every widened row
+    takes, so min/max stay tight and string order stays chronological
+    against timestamp-form bounds."""
+    out = dict(s)
+    for k in ("min", "max"):
+        v = out.get(k)
+        if isinstance(v, str) and len(v) == 10:
+            out[k] = v + "T00:00:00"
+    return out
+
+
 def copy_into(
     spark: SparkSession,
     base: str,
