@@ -335,6 +335,7 @@ MAIN_QUERIES = [
     "q312_wav_decode",
     "q313_avi_decode",
     "q314_widen_column",
+    "q315_partitioned_copy_into",
 ]
 
 #: production-pipeline-only variants of the accuracy-bound gates — the

@@ -15585,6 +15585,95 @@ def q314_widen_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q315_partitioned_copy_into(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Partitioned COPY INTO gate (round 11 — hive-partitioned blind
+    file appends, the append-only event-ingest pattern at 100 TB: a
+    day-partitioned table grows by linking landing files into their
+    partition directories, never by merge rewrites).  Two landing
+    batches ingest partition-shaped (the first commit sets the
+    layout), a RE-RUN of the second is pinned as a file-identity
+    no-op (exactly-once ingest — the reference's non-ACID
+    check-then-append race, extract_flights.py:80-92, closed), a
+    partitioned MERGE then rewrites only affected partitions, and the
+    result pins the mixed append+merge content, a partition-filtered
+    count (partition-dir pruning serves real values), and a
+    partition-box ``metadata_aggregate`` row count (path-resolved,
+    zero data pages)."""
+    import shutil
+
+    from etl_opensky_spark.sources.versioned import (
+        copy_into,
+        merge_versioned,
+        metadata_aggregate,
+        read_version,
+    )
+
+    base = _gate_tmp("q315_part_copy", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    land1 = _gate_tmp("q315_land1", sf_dir)
+    land2 = _gate_tmp("q315_land2", sf_dir)
+    shutil.rmtree(land1, ignore_errors=True)
+    shutil.rmtree(land2, ignore_errors=True)
+    seed = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 2 == 0
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        (_dec("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_orderkey") % 4).cast("int").alias("bucket"),
+    )
+    seed.filter(F.col("k") % 3 == 0).write.parquet(land1)
+    seed.filter(F.col("k") % 3 != 0).write.parquet(land2)
+    copy_into(
+        spark, base, land1, stats_cols=("k",), partition_by=("bucket",)
+    )
+    copy_into(spark, base, land2, stats_cols=("k",))
+    _v, rerun_new = copy_into(spark, base, land2)  # exactly-once
+    upd = seed.filter(F.col("k") % 10 == 0).select(
+        "k", (F.col("cents") * 2).alias("cents"), "bucket"
+    )
+    merge_versioned(
+        spark, base, upd, ["k"], partition_by=("bucket",),
+        keys_are_partition_stable=True, stats_cols=("k",),
+    )
+    meta_b3 = metadata_aggregate(base, [], where={"bucket": (3, 3)})
+    tip = read_version(spark, base)
+    return tip.agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("cents_sum"),
+    ).select(
+        "*",
+        F.lit(
+            tip.filter(F.col("bucket") == 2).count()
+        ).alias("bucket2_n"),
+        F.lit(meta_b3["rows"]).alias("meta_b3_n"),
+        F.lit(rerun_new).alias("rerun_new"),
+    )
+
+
+ORACLE_Q315 = """
+WITH seed AS (
+  SELECT o_orderkey AS k,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents,
+         CAST(o_orderkey % 4 AS INT) AS bucket
+  FROM orders WHERE o_orderkey % 2 = 0
+), merged AS (
+  SELECT k,
+         CASE WHEN k % 10 = 0 THEN cents * 2 ELSE cents END AS cents,
+         bucket
+  FROM seed
+)
+SELECT COUNT(*) AS n,
+       CAST(SUM(cents) AS BIGINT) AS cents_sum,
+       (SELECT COUNT(*) FROM merged WHERE bucket = 2) AS bucket2_n,
+       (SELECT COUNT(*) FROM merged WHERE bucket = 3) AS meta_b3_n,
+       0 AS rerun_new
+FROM merged
+"""
+
+
 ORACLE_Q314 = """
 WITH seed AS (
   SELECT CAST(o_orderkey AS INT) AS k,
@@ -15969,6 +16058,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q312_wav_decode": q312_wav_decode,
     "q313_avi_decode": q313_avi_decode,
     "q314_widen_column": q314_widen_column,
+    "q315_partitioned_copy_into": q315_partitioned_copy_into,
 }
 
 ORACLES: dict[str, str] = {
@@ -16284,6 +16374,7 @@ ORACLES: dict[str, str] = {
     "q312_wav_decode": ORACLE_Q312,
     "q313_avi_decode": ORACLE_Q313,
     "q314_widen_column": ORACLE_Q314,
+    "q315_partitioned_copy_into": ORACLE_Q315,
 }
 
 

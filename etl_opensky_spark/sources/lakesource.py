@@ -461,8 +461,11 @@ try:  # pyspark >= 4.0
                         continue  # partition-directory pruning
                 if where and rel in stats:
                     try:
-                        if not _file_matches(stats[rel], where):
-                            continue  # manifest min/max skipping
+                        if not _file_matches(
+                            stats[rel], where, _partition_values(rel)
+                        ):
+                            # manifest min/max + partition-dir skipping
+                            continue
                     except ValueError:
                         pass  # incomparable stat/filter types: keep
                 if (self._not_null or self._only_null) and rel in stats:

@@ -852,6 +852,7 @@ def _check_rebase_append(
     orig: dict,
     winners: list[dict],
     my_file_names,
+    part_cols: Sequence[str] = (),
 ) -> None:
     """Blind file-level append (copy_into) vs winners: no read set, so
     only semantics can conflict — plus the exactly-once contract: a
@@ -859,12 +860,18 @@ def _check_rebase_append(
     (which then skips them), never a double ingest.  This closes the
     reference's non-ACID check-then-append race
     (src/jobs/extract_flights.py:80-92): two concurrent daily ingests
-    both commit, each landing file exactly once."""
+    both commit, each landing file exactly once.  ``part_cols`` is the
+    hive layout the loser STAGED under — a tip whose layout differs
+    (the table became partitioned, unpartitioned, or re-specced
+    concurrently) cannot absorb the staged files without mixing
+    layouts inside one snapshot, which would break the single-scan
+    read."""
     tip = winners[-1]
     _require_no_drift(orig, tip)
-    if _partition_cols_of(base, tip):
+    if _partition_cols_of(base, tip) != list(part_cols):
         raise LogicalConflictError(
-            "cannot rebase: table became hive-partitioned concurrently"
+            "cannot rebase: the table's hive partition layout changed "
+            "concurrently — re-run copy_into against the new tip"
         )
     dup = set(tip.get("ingested_files") or ()) & set(my_file_names)
     if dup:
@@ -1204,13 +1211,34 @@ def _stats_extra_cow(
     return {"stats_cols": list(stats_cols), "stats": out}
 
 
-def _file_matches(per_col: dict, where: dict) -> bool:
+def _file_matches(
+    per_col: dict, where: dict, part_vals: dict | None = None
+) -> bool:
     """True if the file can hold rows satisfying every range predicate
     in ``where`` (``{col: (lo, hi)}``, either bound None = unbounded).
     Conservative: missing/unusable stats keep the file.  Null rows
     never satisfy a range predicate (SQL semantics), so an all-null
-    file is skippable."""
+    file is skippable.  ``part_vals`` (``{col: raw hive string}``,
+    parsed from the file's rel path) lets bounds on PARTITION columns
+    skip files too — partition columns carry no footer stats, but the
+    directory value is exact for every row (cast via the bool-safe
+    :func:`_cast_partition_value`; an uncastable value keeps the
+    file)."""
     for c, (lo, hi) in where.items():
+        if part_vals and c in part_vals:
+            ref = lo if lo is not None else hi
+            v = (
+                _cast_partition_value(part_vals[c], ref)
+                if ref is not None
+                else part_vals[c]
+            )
+            if v is None:
+                continue  # uncastable partition value: keep
+            if (lo is not None and v < lo) or (
+                hi is not None and v > hi
+            ):
+                return False
+            continue
         s = per_col.get(c)
         if s is None:
             if c in per_col:
@@ -1254,7 +1282,9 @@ def prune_files(
             "no manifest stats to prune on"
         )
     kept = [
-        rel for rel, per_col in stats.items() if _file_matches(per_col, where)
+        rel
+        for rel, per_col in stats.items()
+        if _file_matches(per_col, where, _rel_partition_values(rel))
     ]
     return kept, len(stats)
 
@@ -4031,6 +4061,7 @@ def copy_into(
     src_dir: str,
     pattern: str = ".parquet",
     stats_cols: Sequence[str] = (),
+    partition_by: Sequence[str] = (),
 ) -> tuple[int, int]:
     """Idempotent FILE-LEVEL ingest (Delta ``COPY INTO`` / Auto-Loader
     semantics, batch form): every source file is ingested EXACTLY ONCE
@@ -4045,8 +4076,19 @@ def copy_into(
     and the new batch's parquet parts land beside it under unique
     names.  CHECK constraints validate the incoming batch BEFORE any
     staging; a column-mapped table writes the batch under the frozen
-    physical names.  Unpartitioned tables only (a partitioned landing
-    zone should land partition-shaped via ``merge_versioned``).
+    physical names.
+
+    HIVE-PARTITIONED tables append partition-shaped (round 11 — the
+    append-only event-ingest pattern at scale: at 100 TB a
+    day-partitioned table must grow by blind file appends, never by
+    merge rewrites): the batch stages under the table's OWN layout and
+    each staged part links into its partition directory, so the
+    snapshot stays one partition-prunable scan and every manifest/
+    path-based pruning, stats, and conflict-proof mechanism sees
+    ordinary hive rels.  The table's layout is authoritative — a
+    ``partition_by`` argument is only consulted for the FIRST commit
+    (empty table) and otherwise must match it; null partition values
+    refuse like ``merge_versioned``.
 
     Driver-side directory listing — at real scale feed this from a
     notification queue or a distributed listing job; the log protocol
@@ -4061,8 +4103,15 @@ def copy_into(
     seen: set[str] = set()
     if cur is not None:
         seen = set(cur.get("ingested_files") or [])
-        if _partition_cols_of(base, cur):
-            raise ValueError("copy_into: unpartitioned tables only")
+        part_cols = _partition_cols_of(base, cur)
+        if list(partition_by) and list(partition_by) != part_cols:
+            raise ValueError(
+                f"copy_into: partition_by={list(partition_by)} does "
+                f"not match the table's hive layout {part_cols} — the "
+                "existing layout is authoritative"
+            )
+    else:
+        part_cols = list(partition_by)
     new_files = [f for f in names if f not in seen]
     if not new_files:
         return (cur["version"] if cur else 0), 0
@@ -4087,6 +4136,21 @@ def copy_into(
         identity_rider["next"] += n_batch
     cons = dict((cur or {}).get("constraints") or {})
     _check_constraints(batch, cons)
+    if part_cols:
+        missing_parts = [c for c in part_cols if c not in batch.columns]
+        if missing_parts:
+            raise ValueError(
+                f"copy_into: landing files lack partition column(s) "
+                f"{missing_parts} — a partition-shaped append needs "
+                "them as data columns"
+            )
+        any_null = reduce(
+            lambda a, b: a | b, [F.col(c).isNull() for c in part_cols]
+        )
+        if batch.filter(any_null).limit(1).count():
+            raise ValueError(
+                "copy_into: null partition values are not supported"
+            )
     mapping = _col_mapping(cur) if cur else {}
     if mapping:
         batch = batch.select(
@@ -4096,9 +4160,17 @@ def copy_into(
     staging = os.path.join(base, f"_staging-{uuid.uuid4().hex[:12]}")
     tag = uuid.uuid4().hex[:8]
     try:
-        batch.write.mode("errorifexists").parquet(staging)
+        w = batch.write.mode("errorifexists")
+        if part_cols:
+            w = w.partitionBy(*part_cols)
+        w.parquet(staging)
+        # staged rels keep their hive partition components (flat
+        # layouts: just the file name)
         staged = sorted(
-            f for f in os.listdir(staging) if f.endswith(".parquet")
+            os.path.relpath(os.path.join(root, f), staging)
+            for root, _dirs, fnames in os.walk(staging)
+            for f in fnames
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
         )
 
         def build(parent_e, scavenge):
@@ -4113,11 +4185,16 @@ def copy_into(
                 _copy_sidecars(base, parent_e, data_dir)
             ing_rels = []
             for f in staged:
-                rel = f"ing-{tag}-{f}"
-                get_fs().link_file(
-                    os.path.join(staging, f),
-                    os.path.join(data_dir, rel),
+                # unique-name the FILE component; partition dirs (if
+                # any) carry through so the snapshot stays one
+                # partition-prunable hive scan
+                rel = os.path.join(
+                    os.path.dirname(f),
+                    f"ing-{tag}-{os.path.basename(f)}",
                 )
+                dst = os.path.join(data_dir, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                get_fs().link_file(os.path.join(staging, f), dst)
                 ing_rels.append(rel)
             _record_new_files(data_dir, dname, files_out)
             # a carried bloom index must COVER the new files or point
@@ -4163,7 +4240,9 @@ def copy_into(
             return dname, data_dir, extra
 
         def check(parent_e, winners):
-            _check_rebase_append(base, cur or {}, winners, new_files)
+            _check_rebase_append(
+                base, cur or {}, winners, new_files, part_cols
+            )
 
         version = _commit_rebased(base, cur, "copy_into", build, check)
     finally:
