@@ -336,6 +336,7 @@ MAIN_QUERIES = [
     "q313_avi_decode",
     "q314_widen_column",
     "q315_partitioned_copy_into",
+    "q316_partition_evolution",
 ]
 
 #: production-pipeline-only variants of the accuracy-bound gates — the

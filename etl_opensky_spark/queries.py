@@ -13964,8 +13964,15 @@ def q295_lake_datasource_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame
     register_versioned_source(spark)
     full = spark.read.format("versioned").load(base)
     n_total = full.rdd.getNumPartitions()
-    cut = spark.read.format("versioned").load(base).filter(
-        F.col("okey") < 2000
+    # pruning=aggressive: planning-time skipping is OPT-IN (the safe
+    # default keeps the per-load() cached partition list
+    # query-agnostic); this load serves exactly one query — the shape
+    # aggressive mode exists for
+    cut = (
+        spark.read.format("versioned")
+        .option("pruning", "aggressive")
+        .load(base)
+        .filter(F.col("okey") < 2000)
     )
     n_pruned = cut.rdd.getNumPartitions()
     return cut.agg(
@@ -15652,6 +15659,109 @@ def q315_partitioned_copy_into(
     )
 
 
+def q316_partition_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PARTITION EVOLUTION gate (round 11:
+    ``versioned.set_partition_spec`` — Iceberg spec-evolution
+    semantics over hive layouts): a bucket-partitioned ingest table
+    re-specs to month partitioning as a METADATA COMMIT (zero data
+    movement), the next ``copy_into`` lands month-shaped while the
+    bucket-era files stay put, and the mixed-era read resolves BOTH
+    partition columns per file (bucket from era-A paths / era-B data,
+    month the other way).  Pinned: mixed-era totals and per-column
+    filtered counts, the REFUSAL of a partition-scoped merge while
+    eras are mixed (committing one would duplicate keys hiding in
+    old-era files), the ``compact_versioned(partition_by=...)``
+    migration that ends the mixed era and re-records the spec, and a
+    post-migration merge + append on the new layout."""
+    import shutil
+
+    from etl_opensky_spark.sources.versioned import (
+        compact_versioned,
+        copy_into,
+        merge_versioned,
+        read_version,
+        set_partition_spec,
+    )
+
+    base = _gate_tmp("q316_evolve", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    land1 = _gate_tmp("q316_land1", sf_dir)
+    land2 = _gate_tmp("q316_land2", sf_dir)
+    shutil.rmtree(land1, ignore_errors=True)
+    shutil.rmtree(land2, ignore_errors=True)
+    seed = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        (_dec("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_orderkey") % 4).cast("int").alias("bucket"),
+        F.month("o_orderdate").alias("pmonth"),
+    )
+    seed.filter(F.col("k") % 2 == 0).write.parquet(land1)
+    seed.filter(F.col("k") % 2 == 1).write.parquet(land2)
+    copy_into(
+        spark, base, land1, stats_cols=("k",), partition_by=("bucket",)
+    )
+    set_partition_spec(spark, base, ["pmonth"])
+    copy_into(spark, base, land2, stats_cols=("k",))
+    mixed = read_version(spark, base)
+    mixed_n = mixed.count()
+    mixed_b2 = mixed.filter(F.col("bucket") == 2).count()
+    mixed_m3 = mixed.filter(F.col("pmonth") == 3).count()
+    upd = seed.filter(F.col("k") % 10 == 0).select(
+        "k", (F.col("cents") * 2).alias("cents"), "bucket", "pmonth"
+    )
+    try:
+        merge_versioned(
+            spark, base, upd, ["k"], partition_by=("pmonth",),
+            keys_are_partition_stable=True,
+        )
+        merge_refused = False
+    except ValueError:
+        merge_refused = True
+    compact_versioned(
+        spark, base, partition_by=("pmonth",), stats_cols=("k",)
+    )
+    merge_versioned(
+        spark, base, upd, ["k"], partition_by=("pmonth",),
+        keys_are_partition_stable=True, stats_cols=("k",),
+    )
+    tip = read_version(spark, base)
+    return tip.agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("cents_sum"),
+    ).select(
+        "*",
+        F.lit(mixed_n).alias("mixed_n"),
+        F.lit(mixed_b2).alias("mixed_b2"),
+        F.lit(mixed_m3).alias("mixed_m3"),
+        F.lit(merge_refused).alias("merge_refused"),
+    )
+
+
+ORACLE_Q316 = """
+WITH seed AS (
+  SELECT o_orderkey AS k,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents,
+         CAST(o_orderkey % 4 AS INT) AS bucket,
+         EXTRACT(month FROM o_orderdate) AS pmonth
+  FROM orders
+), merged AS (
+  SELECT k,
+         CASE WHEN k % 10 = 0 THEN cents * 2 ELSE cents END AS cents
+  FROM seed
+)
+SELECT COUNT(*) AS n,
+       CAST(SUM(cents) AS BIGINT) AS cents_sum,
+       (SELECT COUNT(*) FROM seed) AS mixed_n,
+       (SELECT COUNT(*) FROM seed WHERE bucket = 2) AS mixed_b2,
+       (SELECT COUNT(*) FROM seed WHERE pmonth = 3) AS mixed_m3,
+       TRUE AS merge_refused
+FROM merged
+"""
+
+
 ORACLE_Q315 = """
 WITH seed AS (
   SELECT o_orderkey AS k,
@@ -16059,6 +16169,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q313_avi_decode": q313_avi_decode,
     "q314_widen_column": q314_widen_column,
     "q315_partitioned_copy_into": q315_partitioned_copy_into,
+    "q316_partition_evolution": q316_partition_evolution,
 }
 
 ORACLES: dict[str, str] = {
@@ -16375,6 +16486,7 @@ ORACLES: dict[str, str] = {
     "q313_avi_decode": ORACLE_Q313,
     "q314_widen_column": ORACLE_Q314,
     "q315_partitioned_copy_into": ORACLE_Q315,
+    "q316_partition_evolution": ORACLE_Q316,
 }
 
 
@@ -16573,7 +16685,9 @@ def q295_lake_datasource_op(spark: SparkSession, sf_dir: str) -> DataFrame:
         QUERIES["q295_lake_datasource_pushdown"](spark, sf_dir).count()
     register_versioned_source(spark)
     n_cut = (
-        spark.read.format("versioned").load(base)
+        spark.read.format("versioned")
+        .option("pruning", "aggressive")  # one load, one query
+        .load(base)
         .filter(F.col("okey") < 2000)
         .count()
     )

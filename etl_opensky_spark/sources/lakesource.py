@@ -4,14 +4,20 @@ PUSHDOWN-DRIVEN FILE SKIPPING.
 ``spark.read.format("versioned").option("asOf", v).load(base)`` reads a
 snapshot of the versioned table through the Python Data Source API:
 
-- **pushFilters → planning-time pruning**: equality/range predicates on
-  stats-harvested columns prune against the commit manifest's per-file
-  min/max (the same `_file_matches` rule as ``prune_files``), and
-  equality on partition columns prunes partition DIRECTORIES by path —
-  both happen on the driver before any task launches, so a selective
-  query plans tasks for only the files that can match.  Every filter is
-  returned as UNSUPPORTED, so Spark re-applies them post-scan: pruning
-  is purely a cost lever, never a correctness dependency.
+- **pushFilters → planning-time pruning** (``.option("pruning",
+  "aggressive")``): equality/range predicates on stats-harvested
+  columns prune against the commit manifest's per-file min/max (the
+  same `_file_matches` rule as ``prune_files``), and equality on
+  partition columns prunes partition DIRECTORIES by path — both happen
+  on the driver before any task launches, so a selective query plans
+  tasks for only the files that can match.  Every filter is returned
+  as UNSUPPORTED, so Spark re-applies them post-scan: pruning is
+  purely a cost lever, never a correctness dependency.  The DEFAULT is
+  ``pruning=safe`` (no planning-time skipping): Spark caches the
+  planned partitions per ``load()`` and re-plans only for queries
+  carrying pushable filters, so a shared frame's later filterless
+  action would inherit a stale pruned file list — aggressive mode is
+  for the one-load-per-query shape.
 - **one InputPartition per data file**, pyarrow decode on executors.
 - full snapshot semantics: time travel (``asOf``), column mapping
   (physical file names → logical), schema evolution (files predating an
@@ -391,6 +397,24 @@ try:  # pyspark >= 4.0
             self._files = sorted(_live_files(base, self._entry).items())
             self._mapping = _col_mapping(self._entry)  # logical->physical
             self._tombstones = _read_tombstones(base, self._entry)
+            # planning-time file skipping is OPT-IN
+            # (.option("pruning", "aggressive")): Spark caches this
+            # relation's planned (read function, partitions) per
+            # load() and re-plans ONLY when a query carries pushable
+            # filters — so a frame shared across actions would serve a
+            # later filterless aggregate the previous query's PRUNED
+            # file list, silently dropping rows (round-11 finding; the
+            # default therefore never prunes at planning time and the
+            # cached partition list stays query-agnostic).  Aggressive
+            # mode restores manifest/partition-dir skipping for the
+            # one-load-per-query shape every ETL pipeline here uses.
+            mode = str(options.get("pruning", "safe")).lower()
+            if mode not in ("safe", "aggressive"):
+                raise ValueError(
+                    "versioned source: pruning must be 'safe' or "
+                    f"'aggressive', got {mode!r}"
+                )
+            self._prune_mode = mode
             self._ranges: dict[str, list] = {}
             self._part_in: dict[str, set[str]] = {}
             self._not_null: set[str] = set()
@@ -398,6 +422,15 @@ try:  # pyspark >= 4.0
 
         # -- pushdown: collect prunable predicates, support NONE --------
         def pushFilters(self, filters):
+            # RESET before collecting: Spark reuses one reader instance
+            # across every query planned over a shared
+            # ``spark.read...load()`` DataFrame, so filter state pushed
+            # for an earlier action would otherwise leak into this one
+            # and silently prune files the current query needs
+            self._ranges = {}
+            self._part_in = {}
+            self._not_null = set()
+            self._only_null = set()
             part_cols = {
                 c for rel, _ in self._files
                 for c in _partition_values(rel)
@@ -442,6 +475,14 @@ try:  # pyspark >= 4.0
                 cur[1] = hi
 
         def partitions(self):
+            if self._prune_mode != "aggressive":
+                # query-agnostic partition list: safe under Spark's
+                # per-load() plan caching (see __init__); filters are
+                # all re-applied above the scan regardless
+                return [
+                    _LakeFilePartition(path, rel)
+                    for rel, path in self._files
+                ]
             stats = self._entry.get("stats") or {}
             where = None
             if self._ranges:
@@ -484,6 +525,20 @@ try:  # pyspark >= 4.0
                     if skip:
                         continue
                 kept.append(_LakeFilePartition(path, rel))
+            # CONSUME the pushed filter state: planning is done, and
+            # the next query over this shared reader instance may carry
+            # no pushable filters at all (Spark then never calls
+            # pushFilters, so reset-at-push alone cannot clear the
+            # previous query's pruning — a filterless aggregate would
+            # silently read the previously pruned subset).  A re-plan
+            # that re-enters partitions() without a fresh pushFilters
+            # sees no filters and returns the full file list — a
+            # SUPERSET, always safe because every predicate is returned
+            # as unsupported and re-applied above the scan.
+            self._ranges = {}
+            self._part_in = {}
+            self._not_null = set()
+            self._only_null = set()
             return kept
 
         def read(self, partition):
@@ -635,7 +690,10 @@ try:  # pyspark >= 4.0
                     files = _live_files(base, cur)
                     if any(
                         "=" in rel.split("/")[0] for rel in files
-                    ):
+                    ) or cur.get("partition_spec"):
+                        # files in hive dirs, OR an evolved spec whose
+                        # layout future writes must follow (this writer
+                        # stages flat files only)
                         raise ValueError(
                             "versioned writer: hive-partitioned table — "
                             "append via merge_versioned/copy_into"

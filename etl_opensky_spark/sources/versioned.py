@@ -518,7 +518,7 @@ def _adopt_full(base: str, parent: dict, data_dir: str) -> dict:
 # identity ranges minted against the old values.
 
 _SEMANTIC_KEYS = ("schema_json", "column_mapping", "constraints",
-                  "identity")
+                  "identity", "partition_spec")
 
 #: hard bound on rebase attempts per commit — a pathologically hot log
 #: tip deserves a queue, not an unbounded spin
@@ -958,6 +958,12 @@ def _commit_rebased(
 
 def _assert_partitioned(base: str, entry: dict,
                         part_cols: Sequence[str]) -> None:
+    """A partition-SCOPED rewrite is sound only when every live file
+    sits under exactly the layout the rewrite scopes by: the adoption
+    walk keeps whole partition directories by suffix, so a file in a
+    DIFFERENT layout era (partition evolution in progress) or outside
+    any hive dir would be blindly carried even when its rows belong to
+    an affected partition — silently duplicating keys."""
     if not any(
         "=" in rel.split("/", 1)[0] for rel in _entry_files(base, entry)
     ):
@@ -966,6 +972,22 @@ def _assert_partitioned(base: str, entry: dict,
             f"{list(part_cols)} — a partitioned merge/purge over it "
             "would silently drop unaffected rows; re-write the table "
             "with partition_by first"
+        )
+    want = tuple(part_cols)
+    bad = sorted(
+        {
+            _hive_layout_of(rel)
+            for rel in _entry_files_ro(base, entry)
+            if _hive_layout_of(rel) != want
+        }
+    )
+    if bad:
+        raise ValueError(
+            f"versioned: partition-scoped rewrite by {list(part_cols)} "
+            f"over a snapshot holding layout era(s) "
+            f"{[list(b) for b in bad]} — old-era files can hide rows "
+            "of affected partitions; migrate with "
+            f"compact_versioned(partition_by={list(part_cols)}) first"
         )
 
 
@@ -1723,21 +1745,40 @@ def _open_snapshot(
     r = _reader(spark, entry)
     frames: list[DataFrame] = []
     if _entry_materialized(entry):
-        if rels is None:
+        want = (
+            sorted(_entry_files_ro(base, entry))
+            if rels is None
+            else list(rels)
+        )
+        eras: dict[tuple, list[str]] = {}
+        for rel in want:
+            eras.setdefault(_hive_layout_of(rel), []).append(rel)
+        if rels is None and len(eras) <= 1:
             frames.append(r.parquet(data_dir))
         else:
-            frames.append(
-                r.option("basePath", data_dir).parquet(
-                    *[os.path.join(data_dir, rel) for rel in rels]
+            # one basePath-anchored scan per layout ERA (partition
+            # evolution: a whole-dir scan over mixed hive layouts
+            # fails partition discovery; per-era scans resolve each
+            # column from that era's path or from file data)
+            for _era, erels in sorted(eras.items()):
+                frames.append(
+                    r.option("basePath", data_dir).parquet(
+                        *[os.path.join(data_dir, rel) for rel in erels]
+                    )
                 )
-            )
+            if not frames:  # empty manifest: read the (empty) own dir
+                frames.append(r.parquet(data_dir))
     else:
         files = _entry_files(base, entry)
         want = sorted(files) if rels is None else list(rels)
-        groups: dict[str, list[str]] = {}
+        groups: dict[tuple, list[str]] = {}
         for rel in want:
-            groups.setdefault(files[rel], []).append(rel)
-        for origin, grels in sorted(groups.items()):
+            # group by (origin, layout era): each origin scan already
+            # anchors its own hive layout; evolution adds the era split
+            groups.setdefault(
+                (files[rel], _hive_layout_of(rel)), []
+            ).append(rel)
+        for (origin, _era), grels in sorted(groups.items()):
             odir = os.path.join(base, origin)
             frames.append(
                 r.option("basePath", odir).parquet(
@@ -1874,7 +1915,7 @@ def restore_version(
         )
     )
     for key in (
-        "schema_json", "column_mapping", "stats_cols", "stats",
+        "schema_json", "column_mapping", "partition_spec", "stats_cols", "stats",
         "constraints", "ingested_files", "tombstones", "identity",
     ):
         if entry.get(key) is not None and key in entry:
@@ -2330,6 +2371,8 @@ def merge_versioned(
                 )
             if mapping:
                 extra["column_mapping"] = mapping
+            if parent_e.get("partition_spec") is not None:
+                extra["partition_spec"] = parent_e["partition_spec"]
             if cons:
                 extra["constraints"] = cons
             if parent_e.get("ingested_files"):
@@ -2479,6 +2522,8 @@ def purge_versioned(
                 extra["schema_json"] = parent_e["schema_json"]
             if mapping:
                 extra["column_mapping"] = mapping
+            if parent_e.get("partition_spec") is not None:
+                extra["partition_spec"] = parent_e["partition_spec"]
             if parent_e.get("constraints"):
                 extra["constraints"] = parent_e["constraints"]
             if parent_e.get("ingested_files"):
@@ -2589,7 +2634,7 @@ def purge_versioned_mor(
             )
         )
         for key in (
-            "schema_json", "column_mapping", "stats_cols", "stats",
+            "schema_json", "column_mapping", "partition_spec", "stats_cols", "stats",
             "constraints", "ingested_files", "identity",
         ):
             if parent_e.get(key) is not None and key in parent_e:
@@ -2699,7 +2744,7 @@ def delete_where(
             )
         )
         for key in (
-            "schema_json", "column_mapping", "stats_cols", "stats",
+            "schema_json", "column_mapping", "partition_spec", "stats_cols", "stats",
             "constraints", "ingested_files", "identity",
         ):
             if parent_e.get(key) is not None and key in parent_e:
@@ -2854,6 +2899,12 @@ def compact_versioned(
             extra["ingested_files"] = cur["ingested_files"]
         if cur.get("identity"):
             extra.setdefault("identity", cur["identity"])
+        if cur.get("partition_spec") is not None:
+            # the full rewrite materializes ITS layout everywhere —
+            # this commit's partition_by IS the (re-)authoritative
+            # spec, ending any mixed-era state (partition evolution's
+            # migration step)
+            extra["partition_spec"] = part_cols
         _commit(base, version, name, "compact", extra=extra or None)
     except ConcurrentCommitError:
         shutil.rmtree(data_dir, ignore_errors=True)
@@ -3040,10 +3091,10 @@ def optimize_small_files(
                 extra["stats_cols"] = sc
                 extra["stats"] = {**kept_stats, **harvested}
             for key in (
-                "schema_json", "column_mapping", "constraints",
+                "schema_json", "column_mapping", "partition_spec", "constraints",
                 "ingested_files", "identity", "tombstones",
             ):
-                if parent_e.get(key):
+                if parent_e.get(key) is not None and key in parent_e:
                     extra[key] = parent_e[key]
             if user_meta is not None:
                 extra["user_meta"] = dict(user_meta)
@@ -3336,10 +3387,10 @@ def materialize_tombstones(
                 extra["stats_cols"] = sc
                 extra["stats"] = {**kept_stats, **harvested}
             for key in (
-                "schema_json", "column_mapping", "constraints",
+                "schema_json", "column_mapping", "partition_spec", "constraints",
                 "ingested_files", "identity",
             ):
-                if parent_e.get(key):
+                if parent_e.get(key) is not None and key in parent_e:
                     extra[key] = parent_e[key]
             if user_meta is not None:
                 extra["user_meta"] = dict(user_meta)
@@ -3446,6 +3497,8 @@ def clone_versioned(
         extra["schema_json"] = entry["schema_json"]
     if entry.get("column_mapping"):
         extra["column_mapping"] = entry["column_mapping"]
+    if entry.get("partition_spec") is not None:
+        extra["partition_spec"] = entry["partition_spec"]
     if entry.get("constraints"):
         extra["constraints"] = entry["constraints"]
     if entry.get("ingested_files"):
@@ -3513,7 +3566,7 @@ def add_constraint(
     extra: dict = _adopt_full(base, cur, data_dir)
     extra["constraints"] = cons
     for key in (
-        "schema_json", "column_mapping", "stats_cols", "stats",
+        "schema_json", "column_mapping", "partition_spec", "stats_cols", "stats",
         "ingested_files", "tombstones", "identity",
     ):
         if key in cur and cur.get(key) is not None:
@@ -3540,7 +3593,7 @@ def annotate_version(base: str, user_meta: dict) -> int:
     extra: dict = _adopt_full(base, cur, data_dir)
     extra["user_meta"] = dict(user_meta)
     for key in (
-        "schema_json", "column_mapping", "stats_cols", "stats",
+        "schema_json", "column_mapping", "partition_spec", "stats_cols", "stats",
         "constraints", "ingested_files", "tombstones", "identity",
     ):
         if key in cur and cur.get(key) is not None:
@@ -3568,7 +3621,7 @@ def drop_constraint(base: str, name: str) -> int:
     if cons:
         extra["constraints"] = cons
     for key in (
-        "schema_json", "column_mapping", "stats_cols", "stats",
+        "schema_json", "column_mapping", "partition_spec", "stats_cols", "stats",
         "ingested_files", "tombstones", "identity",
     ):
         if key in cur and cur.get(key) is not None:
@@ -3581,20 +3634,156 @@ def drop_constraint(base: str, name: str) -> int:
     return version
 
 
+def _hive_layout_of(rel: str) -> tuple:
+    """One file's hive layout era: the tuple of partition column names
+    its rel path encodes, outermost first (``()`` for flat rels).  The
+    per-file grouping key behind partition evolution — files of
+    different eras live in one snapshot and each era scans under its
+    own layout."""
+    cols = []
+    for p in rel.split("/")[:-1]:
+        if "=" not in p:
+            break
+        cols.append(p.split("=", 1)[0])
+    return tuple(cols)
+
+
 def _partition_cols_of(base: str, entry: dict) -> list[str]:
-    """Hive partition column names of a snapshot, outermost first
-    (empty for unpartitioned layouts) — read from the file MANIFEST's
-    rel-path shape (a zero-copy snapshot dir holds only its own new
-    files, so the directory walk stopped being representative)."""
-    for rel in _entry_files(base, entry):
-        parts = rel.split("/")[:-1]
-        cols = []
-        for p in parts:
-            if "=" not in p:
-                break
-            cols.append(p.split("=", 1)[0])
-        return cols
+    """The snapshot's EFFECTIVE partition spec, outermost first (empty
+    for unpartitioned layouts): the ``partition_spec`` the commit
+    recorded (:func:`set_partition_spec` — authoritative once set,
+    carried by every layout-preserving op) or, for tables that never
+    evolved, the file MANIFEST's rel-path shape (a zero-copy snapshot
+    dir holds only its own new files, so the directory walk stopped
+    being representative).  During partition evolution old-era files
+    keep their own path layouts; this function answers "what layout do
+    NEW writes use", not "what layouts exist" — that's
+    :func:`_all_layout_cols` / :func:`_mixed_layouts`."""
+    spec = entry.get("partition_spec")
+    if spec is not None:
+        return list(spec)
+    for rel in _entry_files_ro(base, entry):
+        return list(_hive_layout_of(rel))
     return []
+
+
+def _all_layout_cols(base: str, entry: dict) -> set:
+    """Every column that is partition-PATH-ENCODED in any live file's
+    layout era, plus the effective spec: the set a column-shape change
+    (rename/drop/widen) must refuse on — an era-A partition column
+    that left the spec is still the directory layout of every era-A
+    file until a rewrite retires them."""
+    cols = set(_partition_cols_of(base, entry))
+    for rel in _entry_files_ro(base, entry):
+        cols.update(_hive_layout_of(rel))
+    return cols
+
+
+def _mixed_layouts(base: str, entry: dict) -> bool:
+    """True iff live files span more than one hive layout era (a
+    partition evolution is in progress and no rewrite has migrated the
+    old era yet)."""
+    spec = tuple(_partition_cols_of(base, entry))
+    return any(
+        _hive_layout_of(rel) != spec
+        for rel in _entry_files_ro(base, entry)
+    )
+
+
+def set_partition_spec(
+    spark: SparkSession, base: str, partition_by: Sequence[str]
+) -> int:
+    """PARTITION EVOLUTION (Iceberg ``ALTER TABLE ... WRITE ORDERED/
+    PARTITIONED BY`` semantics, scoped to this lake's hive layouts):
+    change the partition spec for FUTURE writes with zero data
+    movement.  The commit adopts every file unchanged and records the
+    new ``partition_spec``; old-era files keep their own directory
+    layouts and reads union one partition-prunable scan per layout era
+    (:func:`_open_snapshot`), resolving every column either from the
+    era's path or from file data — at 100 TB re-partitioning a
+    day-partitioned event table is a metadata commit, not a rewrite.
+
+    What the mixed-era state supports and refuses, by design:
+
+    - ``copy_into`` appends land under the NEW spec immediately (the
+      append-only ingest path keeps flowing).
+    - Per-file mechanisms — pruning, where-box metadata verdicts,
+      positional deletes, keyed MOR tombstones, incremental OPTIMIZE,
+      CDF — keep working unchanged (they resolve layout per file).
+    - Partition-SCOPED rewrites (``merge_versioned``/
+      ``purge_versioned`` with ``partition_by``) REFUSE while eras are
+      mixed: a rewrite scoped to new-spec partitions cannot see the
+      rows hiding in old-era files, so committing one would silently
+      duplicate keys.  ``compact_versioned(partition_by=<spec>)`` is
+      the migration — a full rewrite into the new layout that ends the
+      mixed era (and re-records the spec).
+    - Columns path-encoded by ANY live era stay locked against
+      rename/drop/widen until a rewrite retires that era.
+
+    The spec is carried by every layout-preserving commit and RESET by
+    full rewrites (``compact_versioned`` records its own
+    ``partition_by``; an unpartitioned merge or ``write_version``
+    overwrite defines a fresh path-derived layout).  A concurrent spec
+    change is semantic drift — racing rebases conflict.  Refused for:
+    unknown columns, column-mapped (renamed) columns (partition dirs
+    encode the name they were written under; compact first to
+    materialize logical names), and a spec identical to the current
+    effective one.  Logs the snapshot's schema if no commit recorded
+    one yet, so mixed-era scans are schema-pinned (uniform types
+    across path-parsed and data-read columns).  Returns the committed
+    version."""
+    cur = _current(base)
+    if cur is None:
+        raise ValueError(f"no committed versions at {base}")
+    spec = list(partition_by)
+    logical = _read_snapshot(spark, base, cur).schema
+    cols = [f.name for f in logical.fields]
+    unknown = [c for c in spec if c not in cols]
+    if unknown:
+        raise ValueError(
+            f"set_partition_spec: column(s) {unknown} not in columns "
+            f"{cols}"
+        )
+    if len(set(spec)) != len(spec):
+        raise ValueError(
+            f"set_partition_spec: duplicate column in {spec}"
+        )
+    mapping = _col_mapping(cur)
+    mapped = [c for c in spec if c in mapping]
+    if mapped:
+        raise ValueError(
+            f"set_partition_spec: column(s) {mapped} are column-mapped "
+            "(renamed) — partition directories encode the physical "
+            "name; compact_versioned first to materialize logical "
+            "names"
+        )
+    if spec == _partition_cols_of(base, cur):
+        raise ValueError(
+            f"set_partition_spec: {spec} is already the effective "
+            "partition spec"
+        )
+    version = cur["version"] + 1
+    name, data_dir = _new_data_dir(base)
+    extra: dict = _adopt_full(base, cur, data_dir)
+    extra["partition_spec"] = spec
+    sj = cur.get("schema_json")
+    if not sj:
+        # pin the schema so every era scan (path-parsed vs data-read
+        # columns) resolves identical types
+        sj = json.dumps(json.loads(logical.json()))
+    extra["schema_json"] = sj
+    for key in (
+        "column_mapping", "stats_cols", "stats", "constraints",
+        "ingested_files", "identity", "tombstones",
+    ):
+        if cur.get(key):
+            extra[key] = cur[key]
+    try:
+        _commit(base, version, name, "set_spec", extra=extra)
+    except ConcurrentCommitError:
+        shutil.rmtree(data_dir, ignore_errors=True)
+        raise
+    return version
 
 
 def rename_column(
@@ -3626,7 +3815,7 @@ def rename_column(
         raise ValueError(f"no committed versions at {base}")
     logical = _read_snapshot(spark, base, cur).schema
     cols = [f.name for f in logical.fields]
-    part_cols = set(_partition_cols_of(base, cur))
+    part_cols = _all_layout_cols(base, cur)
     for old_name, new_name in renames.items():
         if old_name not in cols:
             raise ValueError(
@@ -3748,7 +3937,7 @@ def drop_column(spark: SparkSession, base: str, col: str) -> int:
         raise ValueError(
             "drop_column: cannot drop the table's only column"
         )
-    if col in set(_partition_cols_of(base, cur)):
+    if col in _all_layout_cols(base, cur):
         raise ValueError(
             f"drop_column: {col!r} is a partition column — the "
             "directory layout is its physical name; dropping it means "
@@ -3924,7 +4113,7 @@ def widen_column_type(
         raise ValueError(f"no committed versions at {base}")
     logical = _read_snapshot(spark, base, cur).schema
     by_name = {f.name: f for f in logical.fields}
-    part_cols = set(_partition_cols_of(base, cur))
+    part_cols = _all_layout_cols(base, cur)
     ident = cur.get("identity")
     targets: dict = {}
     for col, tgt in changes.items():
@@ -4230,10 +4419,10 @@ def copy_into(
                 extra.update(st)
             if parent_e:
                 for key in (
-                    "schema_json", "column_mapping", "constraints",
+                    "schema_json", "column_mapping", "partition_spec", "constraints",
                     "tombstones",
                 ):
-                    if parent_e.get(key):
+                    if parent_e.get(key) is not None and key in parent_e:
                         extra[key] = parent_e[key]
             if identity_rider:
                 extra["identity"] = identity_rider
@@ -4675,7 +4864,7 @@ def repair_bloom_index(
     try:
         extra: dict = _adopt_full(base, cur, data_dir)
         for key in (
-            "schema_json", "column_mapping", "stats_cols", "stats",
+            "schema_json", "column_mapping", "partition_spec", "stats_cols", "stats",
             "constraints", "ingested_files", "tombstones", "identity",
         ):
             if key in cur and cur.get(key) is not None:

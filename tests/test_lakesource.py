@@ -119,21 +119,27 @@ def test_pushdown_prunes_files_and_partitions(spark, tmp_path):
         stats_cols=("id",),
     )
     register_versioned_source(spark)
-    full = _via_ds(spark, base)
+    # planning-time pruning is opt-in (the safe default keeps the
+    # cached per-load() partition list query-agnostic)
+    full = _via_ds(spark, base, pruning="aggressive")
     n_all = full.rdd.getNumPartitions()
     assert n_all >= 4
 
-    pruned = _via_ds(spark, base).filter(F.col("id") < 10)
+    pruned = _via_ds(spark, base, pruning="aggressive").filter(
+        F.col("id") < 10
+    )
     assert pruned.rdd.getNumPartitions() < n_all  # manifest skipping
     assert sorted(r["id"] for r in pruned.collect()) == list(range(10))
 
-    one_part = _via_ds(spark, base).filter(F.col("bucket") == 2)
+    one_part = _via_ds(spark, base, pruning="aggressive").filter(
+        F.col("bucket") == 2
+    )
     assert one_part.rdd.getNumPartitions() < n_all  # dir pruning
     assert sorted(r["id"] for r in one_part.collect()) == [
         i for i in range(80) if i % 4 == 2
     ]
     # combined: equality on id -> exactly the files covering one value
-    point = _via_ds(spark, base).filter(
+    point = _via_ds(spark, base, pruning="aggressive").filter(
         (F.col("id") == 42) & (F.col("bucket") == 2)
     )
     assert point.rdd.getNumPartitions() <= 2
@@ -150,21 +156,27 @@ def test_in_and_null_pushdown(spark, tmp_path):
     ).repartition(1)
     write_version(df, base, partition_by=("part",), stats_cols=("score",))
     register_versioned_source(spark)
-    full = _via_ds(spark, base)
+    full = _via_ds(spark, base, pruning="aggressive")
     n_all = full.rdd.getNumPartitions()
     assert n_all >= 4
-    two = _via_ds(spark, base).filter(F.col("part").isin("p1", "p3"))
+    two = _via_ds(spark, base, pruning="aggressive").filter(
+        F.col("part").isin("p1", "p3")
+    )
     assert two.rdd.getNumPartitions() < n_all
     assert sorted(r["id"] for r in two.collect()) == [
         i for i in range(16) if i % 4 in (1, 3)
     ]
     # part=p0 holds only null scores -> IsNotNull skips that whole file
-    nn = _via_ds(spark, base).filter(F.col("score").isNotNull())
+    nn = _via_ds(spark, base, pruning="aggressive").filter(
+        F.col("score").isNotNull()
+    )
     assert nn.rdd.getNumPartitions() < n_all
     assert sorted(r["id"] for r in nn.collect()) == [
         i for i in range(16) if i % 4
     ]
-    only_null = _via_ds(spark, base).filter(F.col("score").isNull())
+    only_null = _via_ds(spark, base, pruning="aggressive").filter(
+        F.col("score").isNull()
+    )
     assert only_null.rdd.getNumPartitions() < n_all
     assert sorted(r["id"] for r in only_null.collect()) == [0, 4, 8, 12]
 
@@ -287,3 +299,35 @@ def test_filters_never_lose_rows_even_unprunable(spark, tmp_path):
     register_versioned_source(spark)
     got = _via_ds(spark, base).filter(F.col("tag") == "x")
     assert sorted(r["id"] for r in got.collect()) == [1, 3]
+
+
+def test_shared_frame_reuse_is_exact_by_default(spark, tmp_path):
+    """Round-11 correctness finding: Spark caches a Python DS
+    relation's planned (read function, partitions) per ``load()`` and
+    re-plans only for queries carrying pushable filters — so with
+    planning-time pruning on, a shared frame's later FILTERLESS action
+    would inherit the previous query's pruned file list and silently
+    drop rows.  The safe default keeps the cached list query-agnostic:
+    this exact sequence (count → filtered count → full aggregate) must
+    stay exact on one shared frame."""
+    base = str(tmp_path / "lake")
+    df = spark.range(0, 40).select(
+        F.col("id").cast("int").alias("id"),
+        (F.col("id") % 4).cast("int").alias("bucket"),
+        (F.col("id") * 10).cast("long").alias("val"),
+    )
+    write_version(
+        df.repartitionByRange(4, "id"),
+        base,
+        partition_by=("bucket",),
+        stats_cols=("id",),
+    )
+    register_versioned_source(spark)
+    shared = _via_ds(spark, base)
+    assert shared.count() == 40
+    assert shared.filter(F.col("id") < 10).count() == 10
+    assert shared.filter(F.col("bucket") == 2).count() == 10
+    # the poisoned action in the failure mode: filterless aggregate
+    # AFTER filtered ones on the same frame
+    assert shared.agg(F.sum("val")).first()[0] == 10 * (39 * 40 // 2)
+    assert shared.count() == 40

@@ -1,0 +1,312 @@
+"""Partition evolution (round 11): ``set_partition_spec`` changes the
+partition layout for FUTURE writes with zero data movement (Iceberg
+spec-evolution semantics scoped to hive layouts).  Old-era files keep
+their own directory layouts; reads union one partition-prunable scan
+per era, resolving every column from the era's path or from file
+data.  Partition-scoped rewrites refuse while eras are mixed;
+``compact_versioned(partition_by=...)`` migrates and re-records the
+spec.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_opensky_spark.sources.versioned import (
+    LogicalConflictError,
+    _read_log,
+    _test_hooks,
+    compact_versioned,
+    copy_into,
+    delete_where,
+    drop_column,
+    merge_versioned,
+    metadata_aggregate,
+    read_version,
+    rename_column,
+    restore_version,
+    set_partition_spec,
+    table_changes,
+    widen_column_type,
+    write_version,
+)
+
+from .conftest import rows
+
+
+@pytest.fixture(autouse=True)
+def _clean_hooks():
+    yield
+    _test_hooks.pop("before_commit", None)
+
+
+def _land(spark, tmp_path, name, lo, hi):
+    d = str(tmp_path / name)
+    spark.range(lo, hi).selectExpr(
+        "id AS k",
+        "CAST(id % 3 AS INT) AS day",
+        "CAST(id % 4 AS INT) AS bucket",
+        "id * 2 AS v",
+    ).repartition(1).write.mode("overwrite").parquet(d)
+    return d
+
+
+def _seed(spark, tmp_path, base, **kw):
+    copy_into(
+        spark, base, _land(spark, tmp_path, "l1", 0, 24),
+        stats_cols=("k", "day", "bucket"), partition_by=("day",), **kw
+    )
+
+
+class TestEvolution:
+    def test_mixed_era_read(self, spark, tmp_path):
+        base = str(tmp_path / "lake")
+        _seed(spark, tmp_path, base)
+        v = set_partition_spec(spark, base, ["bucket"])
+        assert _read_log(base)[-1]["op"] == "set_spec"
+        copy_into(spark, base, _land(spark, tmp_path, "l2", 24, 36))
+        tip = read_version(spark, base)
+        assert tip.count() == 36
+        assert tip.agg(F.sum("v")).first()[0] == 36 * 35
+        # old-era partition col: path for era A, data for era B
+        assert tip.filter(F.col("day") == 1).count() == 12
+        # new-era partition col: data for era A, path for era B
+        assert tip.filter(F.col("bucket") == 2).count() == 9
+        # both eras physically present
+        layouts = {
+            r.split("/")[0].split("=")[0]
+            for r in _read_log(base)[-1]["files"]
+        }
+        assert layouts == {"day", "bucket"}
+        # time travel: the pre-evolution snapshot still reads day-era
+        assert read_version(spark, base, as_of=v - 1).count() == 24
+
+    def test_flat_to_partitioned(self, spark, tmp_path):
+        base = str(tmp_path / "lake")
+        copy_into(
+            spark, base, _land(spark, tmp_path, "l1", 0, 12),
+            stats_cols=("k",),
+        )
+        set_partition_spec(spark, base, ["day"])
+        copy_into(spark, base, _land(spark, tmp_path, "l2", 12, 24))
+        tip = read_version(spark, base)
+        assert tip.count() == 24
+        assert tip.filter(F.col("day") == 0).count() == 8
+
+    def test_partitioned_to_flat(self, spark, tmp_path):
+        base = str(tmp_path / "lake")
+        _seed(spark, tmp_path, base)
+        set_partition_spec(spark, base, [])
+        copy_into(spark, base, _land(spark, tmp_path, "l2", 24, 30))
+        tip = read_version(spark, base)
+        assert tip.count() == 30
+        assert tip.filter(F.col("day") == 0).count() == 10
+
+    def test_where_boxes_stay_exact_across_eras(self, spark, tmp_path):
+        base = str(tmp_path / "lake")
+        _seed(spark, tmp_path, base)
+        set_partition_spec(spark, base, ["bucket"])
+        # a SINGLE-day landing batch (k ≡ 1 mod 3) keeps the day box
+        # file-aligned in era B too — exactness-by-refusal requires
+        # aligned files, evolution doesn't change that contract
+        d = str(tmp_path / "l2")
+        spark.range(25, 36, 3).selectExpr(
+            "id AS k", "CAST(id % 3 AS INT) AS day",
+            "CAST(id % 4 AS INT) AS bucket", "id * 2 AS v",
+        ).repartition(1).write.parquet(d)
+        copy_into(spark, base, d, stats_cols=("k", "day", "bucket"))
+        # the day box stays exact across eras: era A resolves day from
+        # the path, era B from footer stats (single-valued per file),
+        # zero data pages either way
+        assert metadata_aggregate(
+            base, [], where={"day": (1, 1)}
+        )["rows"] == 12
+        # the bucket box is honestly REFUSED while eras are mixed:
+        # bucket-2 rows hide INSIDE era-A day files (the box cuts
+        # them), and pretending exactness would be a wrong answer —
+        # compact into the bucket layout to make the box file-aligned
+        with pytest.raises(ValueError, match="cuts file"):
+            metadata_aggregate(base, [], where={"bucket": (2, 2)})
+        compact_versioned(
+            spark, base, partition_by=("bucket",),
+            stats_cols=("k", "day", "bucket"),
+        )
+        # bucket=2: six era-A rows (2,6,10,14,18,22) plus k=34
+        assert metadata_aggregate(
+            base, [], where={"bucket": (2, 2)}
+        )["rows"] == 7
+
+    def test_scoped_rewrites_refuse_then_compact_migrates(
+        self, spark, tmp_path
+    ):
+        base = str(tmp_path / "lake")
+        _seed(spark, tmp_path, base)
+        set_partition_spec(spark, base, ["bucket"])
+        copy_into(spark, base, _land(spark, tmp_path, "l2", 24, 36))
+        upd = spark.createDataFrame(
+            [(1, 1, 1, 999)], "k long, day int, bucket int, v long"
+        )
+        with pytest.raises(ValueError, match="layout era"):
+            merge_versioned(
+                spark, base, upd, ["k"], partition_by=("bucket",),
+                keys_are_partition_stable=True,
+            )
+        # the OLD spec is no longer the effective one either
+        with pytest.raises(ValueError, match="does not match|layout"):
+            copy_into(
+                spark, base, _land(spark, tmp_path, "l3", 36, 40),
+                partition_by=("day",),
+            )
+        compact_versioned(
+            spark, base, partition_by=("bucket",),
+            stats_cols=("k", "day", "bucket"),
+        )
+        assert _read_log(base)[-1]["partition_spec"] == ["bucket"]
+        merge_versioned(
+            spark, base, upd, ["k"], partition_by=("bucket",),
+            keys_are_partition_stable=True,
+            stats_cols=("k", "day", "bucket"),
+        )
+        got = read_version(spark, base)
+        assert got.filter("k = 1").first()["v"] == 999
+        assert got.count() == 36
+        # spec carried through the merge; appends keep flowing
+        copy_into(spark, base, _land(spark, tmp_path, "l4", 36, 40))
+        assert read_version(spark, base).count() == 40
+
+    def test_positional_delete_during_mixed_era(self, spark, tmp_path):
+        base = str(tmp_path / "lake")
+        _seed(spark, tmp_path, base)
+        set_partition_spec(spark, base, ["bucket"])
+        copy_into(spark, base, _land(spark, tmp_path, "l2", 24, 36))
+        delete_where(spark, base, "v >= 60")  # k >= 30, era B only
+        tip = read_version(spark, base)
+        assert tip.count() == 30
+        delete_where(spark, base, "k < 3")  # era A
+        assert read_version(spark, base).count() == 27
+
+    def test_era_columns_locked_against_shape_changes(
+        self, spark, tmp_path
+    ):
+        base = str(tmp_path / "lake")
+        _seed(spark, tmp_path, base)
+        set_partition_spec(spark, base, ["bucket"])
+        # day left the spec but is still era-A's directory layout
+        with pytest.raises(ValueError, match="partition column"):
+            rename_column(spark, base, {"day": "d2"})
+        with pytest.raises(ValueError, match="partition column"):
+            drop_column(spark, base, "day")
+        with pytest.raises(ValueError, match="partition column"):
+            widen_column_type(spark, base, {"day": "bigint"})
+        # the new spec column locks too
+        with pytest.raises(ValueError, match="partition column"):
+            drop_column(spark, base, "bucket")
+
+    def test_refusals(self, spark, tmp_path):
+        base = str(tmp_path / "lake")
+        _seed(spark, tmp_path, base)
+        with pytest.raises(ValueError, match="not in columns"):
+            set_partition_spec(spark, base, ["nope"])
+        with pytest.raises(ValueError, match="already the effective"):
+            set_partition_spec(spark, base, ["day"])
+        with pytest.raises(ValueError, match="duplicate"):
+            set_partition_spec(spark, base, ["bucket", "bucket"])
+        rename_column(spark, base, {"v": "val"})
+        with pytest.raises(ValueError, match="column-mapped"):
+            set_partition_spec(spark, base, ["val"])
+
+    def test_cdf_neutral_and_restore(self, spark, tmp_path):
+        base = str(tmp_path / "lake")
+        _seed(spark, tmp_path, base)
+        v = set_partition_spec(spark, base, ["bucket"])
+        assert table_changes(
+            spark, base, ["k"], from_version=v - 1, to_version=v
+        ).count() == 0
+        copy_into(spark, base, _land(spark, tmp_path, "l2", 24, 30))
+        # restore to the pre-evolution snapshot: day-era files only,
+        # effective spec back to the path-derived day layout
+        restore_version(base, v - 1)
+        assert read_version(spark, base).count() == 24
+        copy_into(
+            spark, base, _land(spark, tmp_path, "l3", 40, 44),
+            partition_by=("day",),
+        )
+        assert read_version(spark, base).count() == 28
+
+    def test_concurrent_merge_conflicts_on_spec_change(
+        self, spark, tmp_path
+    ):
+        base = str(tmp_path / "lake")
+        _seed(spark, tmp_path, base)
+
+        def hook():
+            _test_hooks.pop("before_commit", None)
+            set_partition_spec(spark, base, ["bucket"])
+
+        _test_hooks["before_commit"] = hook
+        # the spec change drifts table semantics (set_spec also pins
+        # the schema, so either key may be the one named)
+        with pytest.raises(
+            LogicalConflictError, match="schema_json|partition_spec"
+        ):
+            merge_versioned(
+                spark, base,
+                spark.createDataFrame(
+                    [(1, 1, 1, 999)], "k long, day int, bucket int, v long"
+                ),
+                ["k"], partition_by=("day",),
+                keys_are_partition_stable=True,
+            )
+
+    def test_concurrent_append_conflicts_on_spec_change(
+        self, spark, tmp_path
+    ):
+        base = str(tmp_path / "lake")
+        _seed(spark, tmp_path, base)
+        land = _land(spark, tmp_path, "l2", 24, 30)
+
+        def hook():
+            _test_hooks.pop("before_commit", None)
+            set_partition_spec(spark, base, ["bucket"])
+
+        _test_hooks["before_commit"] = hook
+        with pytest.raises(LogicalConflictError):
+            copy_into(spark, base, land)
+        # the documented re-run stages under the NEW spec
+        copy_into(spark, base, land)
+        assert read_version(spark, base).count() == 30
+
+    def test_ds_writer_refuses_specced_flat_table(self, spark, tmp_path):
+        from etl_opensky_spark.sources.lakesource import (
+            register_versioned_source,
+        )
+
+        base = str(tmp_path / "lake")
+        copy_into(
+            spark, base, _land(spark, tmp_path, "l1", 0, 6),
+            stats_cols=("k",),
+        )
+        set_partition_spec(spark, base, ["day"])
+        register_versioned_source(spark)
+        df = spark.createDataFrame(
+            [(99, 0, 0, 0)], "k long, day int, bucket int, v long"
+        )
+        with pytest.raises(Exception, match="hive-partitioned"):
+            df.write.format("versioned").mode("append").save(base)
+
+    def test_ds_reader_mixed_era(self, spark, tmp_path):
+        from etl_opensky_spark.sources.lakesource import (
+            register_versioned_source,
+        )
+
+        base = str(tmp_path / "lake")
+        _seed(spark, tmp_path, base)
+        set_partition_spec(spark, base, ["bucket"])
+        copy_into(spark, base, _land(spark, tmp_path, "l2", 24, 36))
+        register_versioned_source(spark)
+        out = spark.read.format("versioned").load(base)
+        assert out.count() == 36
+        assert out.filter(F.col("day") == 1).count() == 12
+        assert out.filter(F.col("bucket") == 2).count() == 9
+        assert out.agg(F.sum("v")).first()[0] == 36 * 35
