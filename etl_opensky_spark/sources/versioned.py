@@ -956,6 +956,22 @@ def _commit_rebased(
             raise
 
 
+def _require_spec_layout(cur: dict | None, part_cols, op: str) -> None:
+    """An UNPARTITIONED full rewrite over a table whose recorded
+    partition spec is non-empty would silently cancel a partition
+    evolution (the flat output becomes the layout and the spec key is
+    deliberately not carried by full rewrites) — refuse by name; the
+    caller either writes the spec'd layout or clears the spec first."""
+    spec = (cur or {}).get("partition_spec")
+    if spec and not list(part_cols):
+        raise ValueError(
+            f"{op}: the table's partition spec is {spec} — an "
+            "unpartitioned full rewrite would silently unpartition "
+            f"it; pass partition_by={spec} or clear the spec first "
+            "(set_partition_spec(spark, base, []))"
+        )
+
+
 def _assert_partitioned(base: str, entry: dict,
                         part_cols: Sequence[str]) -> None:
     """A partition-SCOPED rewrite is sound only when every live file
@@ -1405,6 +1421,11 @@ def write_version(
         extra["user_meta"] = dict(user_meta)
     if identity_rider is not None:
         extra["identity"] = identity_rider
+    if cur is not None and "partition_spec" in cur:
+        # a spec'd table stays spec'd through full overwrites: the
+        # overwrite DEFINES the layout, so the sticky spec updates to
+        # whatever this write partitioned by (possibly flat)
+        extra["partition_spec"] = list(partition_by)
     try:
         _commit(base, version, name, "write", extra=extra or None)
     except ConcurrentCommitError:
@@ -2217,6 +2238,8 @@ def merge_versioned(
             target = target.withColumn(c, F.lit(None).cast(upd_types[c]))
     if part_cols:
         _assert_partitioned(base, cur, part_cols)  # fail before staging IO
+    else:
+        _require_spec_layout(cur, part_cols, "merge_versioned")
 
     staging = os.path.join(base, f"_staging-{uuid.uuid4().hex[:12]}")
 
@@ -2435,6 +2458,8 @@ def purge_versioned(
 
     version = cur["version"] + 1
     mapping = _col_mapping(cur)
+    if not part_cols:
+        _require_spec_layout(cur, part_cols, "purge_versioned")
     staging = os.path.join(base, f"_staging-{uuid.uuid4().hex[:12]}")
 
     if not part_cols:
@@ -2811,6 +2836,8 @@ def compact_versioned(
     cur = _current(base)
     if cur is None:
         raise ValueError(f"no committed versions at {base}")
+    if not part_cols:
+        _require_spec_layout(cur, part_cols, "compact_versioned")
     version = cur["version"] + 1
     df = _read_snapshot(spark, base, cur)
     name, data_dir = _new_data_dir(base)

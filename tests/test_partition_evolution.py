@@ -310,3 +310,44 @@ class TestEvolution:
         assert out.filter(F.col("day") == 1).count() == 12
         assert out.filter(F.col("bucket") == 2).count() == 9
         assert out.agg(F.sum("v")).first()[0] == 36 * 35
+
+    def test_flat_rewrites_refuse_on_specced_table(self, spark, tmp_path):
+        """An unpartitioned full rewrite (merge/purge/compact without
+        partition_by) on a spec'd table would silently cancel the
+        evolution — each refuses by name; clearing the spec first (or
+        passing the spec) is the sanctioned path."""
+        from etl_opensky_spark.sources.versioned import purge_versioned
+
+        base = str(tmp_path / "lake")
+        _seed(spark, tmp_path, base)
+        set_partition_spec(spark, base, ["bucket"])
+        upd = spark.createDataFrame(
+            [(1, 1, 1, 999)], "k long, day int, bucket int, v long"
+        )
+        with pytest.raises(ValueError, match="partition spec"):
+            merge_versioned(spark, base, upd, ["k"])
+        with pytest.raises(ValueError, match="partition spec"):
+            purge_versioned(
+                spark, base,
+                spark.createDataFrame([(1,)], "k long"), ["k"],
+            )
+        with pytest.raises(ValueError, match="partition spec"):
+            compact_versioned(spark, base)
+        # clearing the spec re-opens the flat path
+        set_partition_spec(spark, base, [])
+        compact_versioned(spark, base)
+        assert read_version(spark, base).count() == 24
+
+    def test_overwrite_updates_sticky_spec(self, spark, tmp_path):
+        base = str(tmp_path / "lake")
+        _seed(spark, tmp_path, base)
+        set_partition_spec(spark, base, ["bucket"])
+        df = spark.range(6).selectExpr(
+            "id AS k", "CAST(id % 3 AS INT) AS day",
+            "CAST(id % 4 AS INT) AS bucket", "id * 2 AS v",
+        )
+        write_version(df, base, partition_by=("day",))
+        assert _read_log(base)[-1]["partition_spec"] == ["day"]
+        # subsequent appends follow the overwrite's layout
+        copy_into(spark, base, _land(spark, tmp_path, "l2", 10, 13))
+        assert read_version(spark, base).count() == 9
