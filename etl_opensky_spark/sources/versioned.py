@@ -3016,6 +3016,20 @@ def optimize_small_files(
             raw = _reader(spark, cur).parquet(
                 *[live[r] for r in rels]
             )
+            # a pinned read schema (rename/drop/widen/set_spec commits
+            # log one) lists this group's PATH-ENCODED partition
+            # columns too; the raw per-file read (no basePath) fills
+            # them with null — drop them so the staged rewrite never
+            # bakes dead null columns into files whose hive dir IS the
+            # value (Spark serves the path value either way; this
+            # keeps the physical files identical to legacy output)
+            enc = [
+                p.split("=", 1)[0]
+                for p in part_dir.split("/")
+                if "=" in p
+            ]
+            if enc:
+                raw = raw.drop(*enc)
             tombs = cur.get("tombstones") or []
             mapping_ = _col_mapping(cur)
             for t in tombs:

@@ -351,3 +351,43 @@ class TestEvolution:
         # subsequent appends follow the overwrite's layout
         copy_into(spark, base, _land(spark, tmp_path, "l2", 10, 13))
         assert read_version(spark, base).count() == 9
+
+    def test_optimize_small_files_per_era(self, spark, tmp_path):
+        """Incremental OPTIMIZE during a mixed era compacts within
+        each layout era's directories, and under a pinned read schema
+        never bakes null partition columns into the staged files."""
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from etl_opensky_spark.sources.versioned import (
+            optimize_small_files,
+        )
+
+        base = str(tmp_path / "lake")
+        _seed(spark, tmp_path, base)
+        set_partition_spec(spark, base, ["bucket"])
+        for i in range(3):  # several small new-era appends
+            copy_into(
+                spark, base,
+                _land(spark, tmp_path, f"l{i}", 24 + 4 * i, 28 + 4 * i),
+            )
+        before = read_version(spark, base).count()
+        v, n = optimize_small_files(
+            spark, base, target_rows_per_file=1000, small_file_rows=1000
+        )
+        assert n > 0
+        assert read_version(spark, base).count() == before == 36
+        entry = _read_log(base)[-1]
+        # staged files under hive dirs carry no physical copy of the
+        # dir's own partition column
+        for rel in entry["files"]:
+            parts = [
+                p.split("=", 1)[0] for p in rel.split("/")[:-1]
+                if "=" in p
+            ]
+            if not parts:
+                continue
+            path = f"{base}/{entry['dir']}/{rel}"
+            footer_cols = set(pq.read_schema(path).names)
+            assert not (footer_cols & set(parts)), (rel, footer_cols)
