@@ -3798,6 +3798,21 @@ def set_partition_spec(
             "name; compact_versioned first to materialize logical "
             "names"
         )
+    by_name = {f.name: f for f in logical.fields}
+    bad_types = [
+        c for c in spec
+        if by_name[c].dataType.typeName() in (
+            "float", "double", "binary",
+        )
+    ]
+    if bad_types:
+        raise ValueError(
+            f"set_partition_spec: column(s) {bad_types} have "
+            "float/double/binary types — hive directory names "
+            "round-trip them lossily (repr formatting, encoding); "
+            "partition on an integer/string/date/decimal derivation "
+            "instead"
+        )
     if spec == _partition_cols_of(base, cur):
         raise ValueError(
             f"set_partition_spec: {spec} is already the effective "

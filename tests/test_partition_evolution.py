@@ -391,3 +391,37 @@ class TestEvolution:
             path = f"{base}/{entry['dir']}/{rel}"
             footer_cols = set(pq.read_schema(path).names)
             assert not (footer_cols & set(parts)), (rel, footer_cols)
+
+    def test_change_feed_across_evolution(self, spark, tmp_path):
+        """CDF and the materialized change feed keep flowing through a
+        partition evolution: the spec commit is change-free, and
+        appends on either side of it surface as inserts."""
+        from etl_opensky_spark.sources.versioned import (
+            materialize_change_feed,
+        )
+
+        base = str(tmp_path / "lake")
+        feed = str(tmp_path / "feed")
+        _seed(spark, tmp_path, base)
+        set_partition_spec(spark, base, ["bucket"])
+        copy_into(spark, base, _land(spark, tmp_path, "l2", 24, 30))
+        n_vers, n_rows = materialize_change_feed(
+            spark, base, feed, ["k"]
+        )
+        # versions 2 (set_spec, zero changes) and 3 (6 inserts)
+        assert n_vers == 2
+        assert n_rows == 6
+        ch = table_changes(spark, base, ["k"], from_version=1)
+        assert sorted(r["k"] for r in ch.collect()) == list(range(24, 30))
+        assert set(r["_change_type"] for r in ch.collect()) == {"insert"}
+
+    def test_float_spec_refused(self, spark, tmp_path):
+        base = str(tmp_path / "lake")
+        df = spark.range(4).selectExpr(
+            "id AS k", "CAST(id AS DOUBLE) AS score",
+            "CAST(id % 2 AS INT) AS p",
+        )
+        write_version(df, base)
+        with pytest.raises(ValueError, match="float/double/binary"):
+            set_partition_spec(spark, base, ["score"])
+        set_partition_spec(spark, base, ["p"])  # int is fine
