@@ -337,6 +337,7 @@ MAIN_QUERIES = [
     "q314_widen_column",
     "q315_partitioned_copy_into",
     "q316_partition_evolution",
+    "q317_generated_columns",
 ]
 
 #: production-pipeline-only variants of the accuracy-bound gates — the

@@ -15739,6 +15739,99 @@ def q316_partition_evolution(
     )
 
 
+def q317_generated_columns(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GENERATED COLUMNS gate (round 11: Delta generated columns +
+    Iceberg hidden partitioning — ``copy_into(generated={"p_year":
+    "year(ts)"})``): landing files carry only the raw timestamp, the
+    engine derives the partition column at ingest and records the
+    rider; a ``read_version(where={"ts": box})`` then DERIVES the
+    year bounds from the monotone generator and skips partition
+    directories even though ``ts`` has no footer stats (the pinned
+    ``pruned``/``kept`` booleans prove the planning-time skip); a
+    provably-disjoint ts box answers an EXACT zero from metadata
+    alone; and a merge OMITTING the generated column re-derives it.
+    Values via the exact post-filter (pruning is a superset, Spark
+    re-applies)."""
+    import shutil
+
+    from etl_opensky_spark.sources.versioned import (
+        copy_into,
+        merge_versioned,
+        metadata_aggregate,
+        prune_files,
+        read_version,
+    )
+
+    base = _gate_tmp("q317_gen", sf_dir)
+    land = _gate_tmp("q317_gen_land", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    shutil.rmtree(land, ignore_errors=True)
+    seed = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 3 == 0
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        (_dec("o_totalprice") * 100).cast("long").alias("cents"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    seed.write.parquet(land)  # NO p_year anywhere in the landing data
+    copy_into(
+        spark, base, land, stats_cols=("k",),
+        partition_by=("p_year",), generated={"p_year": "year(ts)"},
+    )
+    box = ("1994-01-01T00:00:00", "1995-12-31T23:59:59")
+    kept, total = prune_files(base, {"ts": box})
+    upd = seed.filter(F.col("k") % 30 == 0).select(
+        "k", (F.col("cents") * 2).alias("cents"), "ts"
+    )  # generated p_year omitted — the engine derives it
+    merge_versioned(
+        spark, base, upd, ["k"], partition_by=("p_year",),
+        keys_are_partition_stable=True, stats_cols=("k",),
+    )
+    empty = metadata_aggregate(
+        base, [], where={"ts": ("1980-01-01T00:00:00",
+                                "1980-12-31T23:59:59")}
+    )
+    cut = read_version(spark, base, where={"ts": box}).filter(
+        (F.col("ts") >= "1994-01-01") & (F.col("ts") < "1996-01-01")
+    )
+    return cut.agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("cents_sum"),
+        F.min(F.year("ts")).alias("y_min"),
+        F.max(F.year("ts")).alias("y_max"),
+    ).select(
+        "*",
+        F.lit(bool(0 < len(kept) < total)).alias("pruned"),
+        F.lit(empty["rows"]).alias("empty_box_rows"),
+    )
+
+
+ORACLE_Q317 = """
+WITH seed AS (
+  SELECT o_orderkey AS k,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents,
+         o_orderdate AS ts
+  FROM orders WHERE o_orderkey % 3 = 0
+), merged AS (
+  SELECT k,
+         CASE WHEN k % 30 = 0 THEN cents * 2 ELSE cents END AS cents,
+         ts
+  FROM seed
+)
+SELECT COUNT(*) AS n,
+       CAST(SUM(cents) AS BIGINT) AS cents_sum,
+       CAST(MIN(EXTRACT(year FROM ts)) AS INT) AS y_min,
+       CAST(MAX(EXTRACT(year FROM ts)) AS INT) AS y_max,
+       TRUE AS pruned,
+       0 AS empty_box_rows
+FROM merged
+WHERE ts >= TIMESTAMP '1994-01-01' AND ts < TIMESTAMP '1996-01-01'
+"""
+
+
 ORACLE_Q316 = """
 WITH seed AS (
   SELECT o_orderkey AS k,
@@ -16170,6 +16263,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q314_widen_column": q314_widen_column,
     "q315_partitioned_copy_into": q315_partitioned_copy_into,
     "q316_partition_evolution": q316_partition_evolution,
+    "q317_generated_columns": q317_generated_columns,
 }
 
 ORACLES: dict[str, str] = {
@@ -16487,6 +16581,7 @@ ORACLES: dict[str, str] = {
     "q314_widen_column": ORACLE_Q314,
     "q315_partitioned_copy_into": ORACLE_Q315,
     "q316_partition_evolution": ORACLE_Q316,
+    "q317_generated_columns": ORACLE_Q317,
 }
 
 

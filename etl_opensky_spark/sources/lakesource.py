@@ -491,6 +491,16 @@ try:  # pyspark >= 4.0
                     self._mapping.get(c, c): (b[0], b[1])
                     for c, b in self._ranges.items()
                 }
+                # hidden partitioning: bounds on a monotone generated
+                # column's SOURCE imply bounds on the generated
+                # (partition) column — skip its directories too
+                from etl_opensky_spark.sources.versioned import (
+                    _derive_generated_bounds,
+                )
+
+                where.update(
+                    _derive_generated_bounds(self._entry, where)
+                )
             kept = []
             for rel, path in self._files:
                 if self._part_in:
@@ -680,6 +690,12 @@ try:  # pyspark >= 4.0
                         "versioned writer: table has CHECK constraints "
                         "— use write_version/copy_into (engine-side "
                         "validation)"
+                    )
+                if cur.get("generated_cols"):
+                    raise ValueError(
+                        "versioned writer: table has GENERATED "
+                        "columns — use write_version/copy_into (the "
+                        "engine computes and validates them)"
                     )
                 mapping = _col_mapping(cur)
                 if not overwrite:

@@ -518,7 +518,7 @@ def _adopt_full(base: str, parent: dict, data_dir: str) -> dict:
 # identity ranges minted against the old values.
 
 _SEMANTIC_KEYS = ("schema_json", "column_mapping", "constraints",
-                  "identity", "partition_spec")
+                  "identity", "partition_spec", "generated_cols")
 
 #: hard bound on rebase attempts per commit — a pathologically hot log
 #: tip deserves a queue, not an unbounded spin
@@ -956,6 +956,144 @@ def _commit_rebased(
             raise
 
 
+def _gen_cols(entry: dict | None) -> dict:
+    """``{generated column: SQL generator expression}`` rider of a
+    commit (empty when the table declares none)."""
+    return dict((entry or {}).get("generated_cols") or {})
+
+
+def _apply_generated(df: DataFrame, gen: dict, op: str) -> DataFrame:
+    """Enforce GENERATED ALWAYS AS (expr) semantics on an incoming
+    frame (Delta generated columns): absent generated columns are
+    COMPUTED from their expression; present ones are VALIDATED against
+    it in one aggregate (a caller-supplied value that disagrees with
+    the generator would silently corrupt the derived partition layout
+    and every pruning decision built on it — refuse by name).  Null-
+    safe comparison, so an expression yielding null matches a null
+    value."""
+    if not gen:
+        return df
+    present = [c for c in gen if c in df.columns]
+    for c, expr in gen.items():
+        if c not in df.columns:
+            df = df.withColumn(c, F.expr(expr))
+    if present:
+        checks = df.agg(
+            *[
+                F.sum(
+                    F.when(
+                        ~F.col(c).eqNullSafe(F.expr(gen[c])), 1
+                    ).otherwise(0)
+                ).alias(c)
+                for c in present
+            ]
+        ).first()
+        bad = [c for c in present if checks[c]]
+        if bad:
+            raise ValueError(
+                f"{op}: column(s) {bad} are GENERATED ALWAYS AS "
+                f"({', '.join(gen[c] for c in bad)}) and the incoming "
+                f"values disagree with the generator on "
+                f"{[int(checks[c]) for c in bad]} row(s) — omit the "
+                "column (the engine computes it) or fix the values"
+            )
+    return df
+
+
+#: recognized MONOTONE generator shapes for hidden-partitioning
+#: pruning: a where-box on the SOURCE column derives a box on the
+#: generated column.  Only transforms monotone over the stats JSON
+#: domain (ISO strings, numbers) qualify — month()/day() are NOT
+#: monotone across years and never prune.
+_GEN_PATTERNS = (
+    ("to_date", re.compile(r"^to_date\(\s*([a-zA-Z_][\w]*)\s*\)$")),
+    ("year", re.compile(r"^year\(\s*([a-zA-Z_][\w]*)\s*\)$")),
+    (
+        "yyyy-mm",
+        re.compile(
+            r"^date_format\(\s*([a-zA-Z_][\w]*)\s*,\s*'yyyy-MM'\s*\)$"
+        ),
+    ),
+    (
+        "div",
+        re.compile(
+            r"^floor\(\s*([a-zA-Z_][\w]*)\s*/\s*(\d+)\s*\)$|"
+            r"^([a-zA-Z_][\w]*)\s+div\s+(\d+)$",
+            re.IGNORECASE,
+        ),
+    ),
+)
+
+
+def _parse_generator(expr: str):
+    """``(kind, src_col, param)`` for a recognized monotone generator
+    expression, else None."""
+    e = expr.strip()
+    for kind, pat in _GEN_PATTERNS:
+        m = pat.match(e)
+        if m is None:
+            continue
+        if kind == "div":
+            src = m.group(1) or m.group(3)
+            n = int(m.group(2) or m.group(4))
+            return (kind, src, n)
+        return (kind, m.group(1), None)
+    return None
+
+
+def _derive_generated_bounds(entry: dict, where: dict) -> dict:
+    """Hidden-partitioning pruning (Iceberg transform pruning / Delta
+    generated-column partition filters): for every generated column
+    whose expression is a recognized MONOTONE transform of a
+    where-bounded source column, derive the generated column's own
+    ``(lo, hi)`` box.  Monotonicity gives ``src in [lo, hi] =>
+    gen in [f(lo), f(hi)]`` — the derived box is IMPLIED by the
+    source box, so using it to SKIP provably-disjoint files can never
+    lose a qualifying row (files it keeps are a superset).  Bounds
+    arrive in the stats JSON domain (ISO strings for
+    dates/timestamps, plain numbers); underivable shapes contribute
+    nothing."""
+    gen = _gen_cols(entry)
+    if not gen:
+        return {}
+    out: dict = {}
+    for gcol, expr in gen.items():
+        if gcol in where:
+            continue  # caller already bounded it directly
+        parsed = _parse_generator(expr)
+        if parsed is None:
+            continue
+        kind, src, param = parsed
+        if src not in where:
+            continue
+        lo, hi = where[src]
+
+        def _f(v):
+            if v is None:
+                return None
+            try:
+                if kind == "to_date":
+                    return str(v)[:10]
+                if kind == "year":
+                    return int(str(v)[:4])
+                if kind == "yyyy-mm":
+                    return str(v)[:7]
+                if kind == "div":
+                    import math
+
+                    return math.floor(v / param)
+            except (TypeError, ValueError):
+                return None
+            return None
+
+        glo, ghi = _f(lo), _f(hi)
+        if (lo is None or glo is not None) and (
+            hi is None or ghi is not None
+        ):
+            out[gcol] = (glo, ghi)
+    return out
+
+
 def _require_spec_layout(cur: dict | None, part_cols, op: str) -> None:
     """An UNPARTITIONED full rewrite over a table whose recorded
     partition spec is non-empty would silently cancel a partition
@@ -1310,6 +1448,13 @@ def prune_files(
     (``{col: (lo, hi)}``).  Returns ``(kept relative paths, total file
     count)`` — PLANNING-TIME metadata work only; no Spark job runs."""
     entry = _resolve(base, as_of)
+    # hidden partitioning: a bound on the SOURCE column of a monotone
+    # generated column implies a bound on the generated column itself
+    # — derive it so partition-dir skipping engages even when the
+    # source column has no footer stats
+    derived = _derive_generated_bounds(entry, where)
+    if derived:
+        where = {**where, **derived}
     mapping = _col_mapping(entry)
     if mapping:
         where = {mapping.get(c, c): b for c, b in where.items()}
@@ -1341,8 +1486,21 @@ def write_version(
     user_meta: dict | None = None,
     identity_col: str | None = None,
     identity_start: int = 1,
+    generated: dict | None = None,
 ) -> int:
     """Commit ``df`` as the next full snapshot of the table at ``base``.
+
+    ``generated`` declares GENERATED ALWAYS AS columns
+    (``{col: sql_expr}``, Delta generated columns): the engine computes
+    absent ones from their expression and VALIDATES caller-supplied
+    values against it; the rider is a TABLE property carried through
+    every later commit (a later ``generated=`` must match it).
+    Declaring a MONOTONE transform of a timestamp/key column
+    (``to_date(ts)``, ``year(ts)``, ``date_format(ts, 'yyyy-MM')``,
+    ``floor(k / N)``) and partitioning on it gives Iceberg-style
+    HIDDEN PARTITIONING: ``read_version(where={"ts": (lo, hi)})``
+    derives the generated column's own bounds and skips partition
+    directories even when the source column has no footer stats.
     ``user_meta`` is an arbitrary JSON-serializable annotation stored in
     THIS commit only (Delta ``userMetadata`` parity) — read back via
     :func:`describe_history`/the commit entry; incremental consumers use
@@ -1359,6 +1517,17 @@ def write_version(
     os.makedirs(base, exist_ok=True)
     cur = _current(base)
     cons = dict((cur or {}).get("constraints") or {})
+    gen = _gen_cols(cur)
+    if generated:
+        if gen and dict(generated) != gen:
+            raise ValueError(
+                f"write_version: generated={dict(generated)} does not "
+                f"match the table's recorded generated columns {gen} — "
+                "the rider is a table property (omit the argument to "
+                "keep it)"
+            )
+        gen = dict(generated)
+    df = _apply_generated(df, gen, "write_version")
     cur_ident = dict((cur or {}).get("identity") or {}) or None
     if cur_ident is not None:
         # the identity rider is a TABLE property, not a per-commit one:
@@ -1426,6 +1595,8 @@ def write_version(
         # overwrite DEFINES the layout, so the sticky spec updates to
         # whatever this write partitioned by (possibly flat)
         extra["partition_spec"] = list(partition_by)
+    if gen:
+        extra["generated_cols"] = gen
     try:
         _commit(base, version, name, "write", extra=extra or None)
     except ConcurrentCommitError:
@@ -1936,7 +2107,7 @@ def restore_version(
         )
     )
     for key in (
-        "schema_json", "column_mapping", "partition_spec", "stats_cols", "stats",
+        "schema_json", "column_mapping", "partition_spec", "generated_cols", "stats_cols", "stats",
         "constraints", "ingested_files", "tombstones", "identity",
     ):
         if entry.get(key) is not None and key in entry:
@@ -2144,6 +2315,15 @@ def merge_versioned(
     keys = list(keys)
     part_cols = list(partition_by)
 
+    # GENERATED ALWAYS columns first: the updates may legitimately
+    # OMIT a generated (hidden-partition) column — compute it before
+    # the partition-null probe below ever references it; present
+    # values validate against the generator (a mismatch would corrupt
+    # the derived layout and every pruning decision built on it)
+    updates = _apply_generated(
+        updates, _gen_cols(_current(base)), "merge_versioned"
+    )
+
     # materialize updates ONCE, then validate key-uniqueness and null
     # partition values in a SINGLE aggregation over the checkpointed
     # rows (separate probe jobs per rule made the per-micro-batch cost
@@ -2268,6 +2448,8 @@ def merge_versioned(
                 )
             if cons:
                 extra["constraints"] = cons
+            if cur.get("generated_cols"):
+                extra["generated_cols"] = cur["generated_cols"]
             if cur.get("ingested_files"):
                 extra["ingested_files"] = cur["ingested_files"]
             if ident is not None:
@@ -2396,6 +2578,8 @@ def merge_versioned(
                 extra["column_mapping"] = mapping
             if parent_e.get("partition_spec") is not None:
                 extra["partition_spec"] = parent_e["partition_spec"]
+            if parent_e.get("generated_cols"):
+                extra["generated_cols"] = parent_e["generated_cols"]
             if cons:
                 extra["constraints"] = cons
             if parent_e.get("ingested_files"):
@@ -2481,6 +2665,8 @@ def purge_versioned(
                 extra["schema_json"] = cur["schema_json"]
             if cur.get("constraints"):
                 extra["constraints"] = cur["constraints"]
+            if cur.get("generated_cols"):
+                extra["generated_cols"] = cur["generated_cols"]
             if cur.get("ingested_files"):
                 extra["ingested_files"] = cur["ingested_files"]
             if cur.get("identity"):
@@ -2549,6 +2735,8 @@ def purge_versioned(
                 extra["column_mapping"] = mapping
             if parent_e.get("partition_spec") is not None:
                 extra["partition_spec"] = parent_e["partition_spec"]
+            if parent_e.get("generated_cols"):
+                extra["generated_cols"] = parent_e["generated_cols"]
             if parent_e.get("constraints"):
                 extra["constraints"] = parent_e["constraints"]
             if parent_e.get("ingested_files"):
@@ -2659,7 +2847,7 @@ def purge_versioned_mor(
             )
         )
         for key in (
-            "schema_json", "column_mapping", "partition_spec", "stats_cols", "stats",
+            "schema_json", "column_mapping", "partition_spec", "generated_cols", "stats_cols", "stats",
             "constraints", "ingested_files", "identity",
         ):
             if parent_e.get(key) is not None and key in parent_e:
@@ -2769,7 +2957,7 @@ def delete_where(
             )
         )
         for key in (
-            "schema_json", "column_mapping", "partition_spec", "stats_cols", "stats",
+            "schema_json", "column_mapping", "partition_spec", "generated_cols", "stats_cols", "stats",
             "constraints", "ingested_files", "identity",
         ):
             if parent_e.get(key) is not None and key in parent_e:
@@ -2932,6 +3120,8 @@ def compact_versioned(
             # spec, ending any mixed-era state (partition evolution's
             # migration step)
             extra["partition_spec"] = part_cols
+        if cur.get("generated_cols"):
+            extra["generated_cols"] = cur["generated_cols"]
         _commit(base, version, name, "compact", extra=extra or None)
     except ConcurrentCommitError:
         shutil.rmtree(data_dir, ignore_errors=True)
@@ -3132,7 +3322,7 @@ def optimize_small_files(
                 extra["stats_cols"] = sc
                 extra["stats"] = {**kept_stats, **harvested}
             for key in (
-                "schema_json", "column_mapping", "partition_spec", "constraints",
+                "schema_json", "column_mapping", "partition_spec", "generated_cols", "constraints",
                 "ingested_files", "identity", "tombstones",
             ):
                 if parent_e.get(key) is not None and key in parent_e:
@@ -3428,7 +3618,7 @@ def materialize_tombstones(
                 extra["stats_cols"] = sc
                 extra["stats"] = {**kept_stats, **harvested}
             for key in (
-                "schema_json", "column_mapping", "partition_spec", "constraints",
+                "schema_json", "column_mapping", "partition_spec", "generated_cols", "constraints",
                 "ingested_files", "identity",
             ):
                 if parent_e.get(key) is not None and key in parent_e:
@@ -3540,6 +3730,8 @@ def clone_versioned(
         extra["column_mapping"] = entry["column_mapping"]
     if entry.get("partition_spec") is not None:
         extra["partition_spec"] = entry["partition_spec"]
+    if entry.get("generated_cols"):
+        extra["generated_cols"] = entry["generated_cols"]
     if entry.get("constraints"):
         extra["constraints"] = entry["constraints"]
     if entry.get("ingested_files"):
@@ -3607,7 +3799,7 @@ def add_constraint(
     extra: dict = _adopt_full(base, cur, data_dir)
     extra["constraints"] = cons
     for key in (
-        "schema_json", "column_mapping", "partition_spec", "stats_cols", "stats",
+        "schema_json", "column_mapping", "partition_spec", "generated_cols", "stats_cols", "stats",
         "ingested_files", "tombstones", "identity",
     ):
         if key in cur and cur.get(key) is not None:
@@ -3634,7 +3826,7 @@ def annotate_version(base: str, user_meta: dict) -> int:
     extra: dict = _adopt_full(base, cur, data_dir)
     extra["user_meta"] = dict(user_meta)
     for key in (
-        "schema_json", "column_mapping", "partition_spec", "stats_cols", "stats",
+        "schema_json", "column_mapping", "partition_spec", "generated_cols", "stats_cols", "stats",
         "constraints", "ingested_files", "tombstones", "identity",
     ):
         if key in cur and cur.get(key) is not None:
@@ -3662,7 +3854,7 @@ def drop_constraint(base: str, name: str) -> int:
     if cons:
         extra["constraints"] = cons
     for key in (
-        "schema_json", "column_mapping", "partition_spec", "stats_cols", "stats",
+        "schema_json", "column_mapping", "partition_spec", "generated_cols", "stats_cols", "stats",
         "ingested_files", "tombstones", "identity",
     ):
         if key in cur and cur.get(key) is not None:
@@ -3830,7 +4022,7 @@ def set_partition_spec(
     extra["schema_json"] = sj
     for key in (
         "column_mapping", "stats_cols", "stats", "constraints",
-        "ingested_files", "identity", "tombstones",
+        "generated_cols", "ingested_files", "identity", "tombstones",
     ):
         if cur.get(key):
             extra[key] = cur[key]
@@ -3894,6 +4086,7 @@ def rename_column(
             f"rename_column: target names collide: {sorted(new_names)}"
         )
     cons = dict(cur.get("constraints") or {})
+    gen = _gen_cols(cur)
     for old_name in renames:
         hits = [
             n for n, e in cons.items()
@@ -3904,6 +4097,21 @@ def rename_column(
                 f"rename_column: {old_name!r} is referenced by CHECK "
                 f"constraint(s) {sorted(hits)} — drop and re-add them "
                 "under the new name"
+            )
+        if old_name in gen:
+            raise ValueError(
+                f"rename_column: {old_name!r} is a GENERATED column "
+                f"(AS {gen[old_name]}) — the rider names it"
+            )
+        ghits = [
+            c for c, e in gen.items()
+            if re.search(rf"\b{re.escape(old_name)}\b", e)
+        ]
+        if ghits:
+            raise ValueError(
+                f"rename_column: {old_name!r} is the source of "
+                f"GENERATED column(s) {sorted(ghits)} — their "
+                "expressions name it"
             )
     mapping = _col_mapping(cur)
     new_mapping = {}
@@ -3936,6 +4144,8 @@ def rename_column(
         extra["stats"] = cur["stats"]
     if cons:
         extra["constraints"] = cons
+    if gen:
+        extra["generated_cols"] = gen
     if cur.get("ingested_files"):
         extra["ingested_files"] = cur["ingested_files"]
     if cur.get("identity"):
@@ -4014,6 +4224,21 @@ def drop_column(spark: SparkSession, base: str, col: str) -> int:
             f"drop_column: {col!r} is referenced by CHECK "
             f"constraint(s) {sorted(hits)} — drop_constraint first"
         )
+    gen = _gen_cols(cur)
+    if col in gen:
+        raise ValueError(
+            f"drop_column: {col!r} is a GENERATED column (AS "
+            f"{gen[col]}) — future writes would re-derive it"
+        )
+    ghits = [
+        c for c, e in gen.items()
+        if re.search(rf"\b{re.escape(col)}\b", e)
+    ]
+    if ghits:
+        raise ValueError(
+            f"drop_column: {col!r} is the source of GENERATED "
+            f"column(s) {sorted(ghits)} — their expressions name it"
+        )
     for t in cur.get("tombstones") or []:
         if not _is_pos_tomb(t) and col in (t.get("keys") or ()):
             raise ValueError(
@@ -4046,6 +4271,8 @@ def drop_column(spark: SparkSession, base: str, col: str) -> int:
         }
     if cons:
         extra["constraints"] = cons
+    if gen:
+        extra["generated_cols"] = gen
     if cur.get("ingested_files"):
         extra["ingested_files"] = cur["ingested_files"]
     if ident:
@@ -4218,6 +4445,13 @@ def widen_column_type(
                     "applies deletes by it at matching types; run "
                     "materialize_tombstones first"
                 )
+        gen_w = _gen_cols(cur)
+        if col in gen_w:
+            raise ValueError(
+                f"widen_column_type: {col!r} is a GENERATED column "
+                f"(AS {gen_w[col]}) — the generator expression "
+                "defines its type"
+            )
         targets[col] = tgt
     from pyspark.sql.types import StructField, StructType
 
@@ -4264,6 +4498,8 @@ def widen_column_type(
     cons = dict(cur.get("constraints") or {})
     if cons:
         extra["constraints"] = cons
+    if _gen_cols(cur):
+        extra["generated_cols"] = _gen_cols(cur)
     if cur.get("ingested_files"):
         extra["ingested_files"] = cur["ingested_files"]
     if ident:
@@ -4307,6 +4543,7 @@ def copy_into(
     pattern: str = ".parquet",
     stats_cols: Sequence[str] = (),
     partition_by: Sequence[str] = (),
+    generated: dict | None = None,
 ) -> tuple[int, int]:
     """Idempotent FILE-LEVEL ingest (Delta ``COPY INTO`` / Auto-Loader
     semantics, batch form): every source file is ingested EXACTLY ONCE
@@ -4363,6 +4600,19 @@ def copy_into(
     batch = spark.read.parquet(
         *[os.path.join(src_dir, f) for f in new_files]
     )
+    gen = _gen_cols(cur)
+    if generated:
+        if cur is not None and gen and dict(generated) != gen:
+            raise ValueError(
+                f"copy_into: generated={dict(generated)} does not "
+                f"match the table's recorded generated columns {gen}"
+            )
+        if cur is None:
+            gen = dict(generated)
+    # GENERATED ALWAYS columns: landing files normally OMIT them (the
+    # engine derives e.g. the hidden partition column); carried values
+    # are validated against the generator
+    batch = _apply_generated(batch, gen, "copy_into")
     identity_rider = dict((cur or {}).get("identity") or {}) or None
     if identity_rider:
         # landing files never carry the generated column: mint ids
@@ -4452,6 +4702,8 @@ def copy_into(
                     | set(new_files)
                 ),
             }
+            if gen:
+                extra["generated_cols"] = gen
             extra.update(
                 _files_extra(
                     files_out,
@@ -4475,7 +4727,7 @@ def copy_into(
                 extra.update(st)
             if parent_e:
                 for key in (
-                    "schema_json", "column_mapping", "partition_spec", "constraints",
+                    "schema_json", "column_mapping", "partition_spec", "generated_cols", "constraints",
                     "tombstones",
                 ):
                     if parent_e.get(key) is not None and key in parent_e:
@@ -4920,7 +5172,7 @@ def repair_bloom_index(
     try:
         extra: dict = _adopt_full(base, cur, data_dir)
         for key in (
-            "schema_json", "column_mapping", "partition_spec", "stats_cols", "stats",
+            "schema_json", "column_mapping", "partition_spec", "generated_cols", "stats_cols", "stats",
             "constraints", "ingested_files", "tombstones", "identity",
         ):
             if key in cur and cur.get(key) is not None:
@@ -5403,6 +5655,19 @@ def metadata_aggregate(
             "(write with stats_cols=...)"
         )
     mapping = _col_mapping(entry)  # logical -> physical
+    derived = _derive_generated_bounds(entry, where or {})
+    if derived:
+        # hidden partitioning, exactness-preserving direction only:
+        # a file provably DISJOINT from the derived generated-column
+        # box holds no rows satisfying the source bound — drop it
+        # before the verdict pass (its missing source stats can then
+        # never force a refusal).  The derived box is implied, not
+        # equivalent, so it is never used to prove all-in.
+        stats = {
+            rel: pc
+            for rel, pc in stats.items()
+            if _file_matches(pc, derived, _rel_partition_values(rel))
+        }
     if where:
         where_phys = {mapping.get(c, c): b for c, b in where.items()}
         selected: dict = {}
