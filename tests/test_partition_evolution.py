@@ -425,3 +425,119 @@ class TestEvolution:
         with pytest.raises(ValueError, match="float/double/binary"):
             set_partition_spec(spark, base, ["score"])
         set_partition_spec(spark, base, ["p"])  # int is fine
+
+
+class TestEvolutionProperty:
+    @pytest.mark.parametrize("seed", [7, 23])
+    def test_randomized_lifecycle_matches_model(
+        self, spark, tmp_path, seed
+    ):
+        """Model-based randomized lifecycle: a random interleaving of
+        partition-shaped appends, spec changes (day → bucket → flat →
+        ...), compact migrations, positional deletes, and merges
+        (attempted whenever the caller would — refusals must ONLY
+        happen in the documented mixed-era/flat-spec states) always
+        matches a plain Python dict model of the table, and every
+        read resolves both partition columns correctly whichever era
+        encodes them."""
+        import random
+
+        from etl_opensky_spark.sources.versioned import purge_versioned
+
+        rnd = random.Random(seed)
+        base = str(tmp_path / "lake")
+        model: dict[int, tuple[int, int, int]] = {}  # k -> (day, bucket, v)
+        specs = [["day"], ["bucket"], []]
+        cur_spec = ["day"]
+        next_k = 0
+        land_i = 0
+
+        def land(rows):
+            nonlocal land_i
+            land_i += 1
+            d = str(tmp_path / f"land{land_i}")
+            spark.createDataFrame(
+                [(k, k % 3, k % 4, v) for k, v in rows],
+                "k long, day int, bucket int, v long",
+            ).repartition(1).write.mode("overwrite").parquet(d)
+            return d
+
+        # seed (appends are BLIND file ingests — keys must be fresh,
+        # or the table legitimately holds duplicate rows per key and
+        # the keyed model stops being a model)
+        rows = [(k, k * 2) for k in range(8)]
+        next_k = 8
+        copy_into(
+            spark, base, land(rows), stats_cols=("k",),
+            partition_by=tuple(cur_spec),
+        )
+        model.update({k: (k % 3, k % 4, v) for k, v in rows})
+        mixed = False
+        for _ in range(14):
+            op = rnd.choice(
+                ["append", "append", "set_spec", "compact", "delete",
+                 "merge"]
+            )
+            if op == "append":
+                rows = [(next_k + i, (next_k + i) * 2) for i in range(4)]
+                next_k += 4
+                copy_into(spark, base, land(rows))
+                model.update(
+                    {k: (k % 3, k % 4, v) for k, v in rows}
+                )
+                # an append under a changed spec leaves eras mixed
+                mixed = mixed or False
+            elif op == "set_spec":
+                new = rnd.choice([s for s in specs if s != cur_spec])
+                set_partition_spec(spark, base, new)
+                cur_spec = new
+                mixed = True  # until a compact migrates
+            elif op == "compact":
+                if cur_spec:
+                    compact_versioned(
+                        spark, base, partition_by=tuple(cur_spec),
+                        stats_cols=("k",),
+                    )
+                else:
+                    try:
+                        compact_versioned(spark, base, stats_cols=("k",))
+                    except ValueError:
+                        # spec'd-table flat-compact refusal (only when
+                        # a non-empty spec is recorded)
+                        assert cur_spec
+                        continue
+                mixed = False
+            elif op == "delete":
+                if not model:
+                    continue
+                cut = rnd.choice(sorted(model))
+                delete_where(spark, base, f"k = {cut}")
+                model.pop(cut, None)
+            elif op == "merge":
+                if not model:
+                    continue
+                tgt = rnd.choice(sorted(model))
+                day, bucket, _v = model[tgt]
+                upd = spark.createDataFrame(
+                    [(tgt, day, bucket, 9_000 + tgt)],
+                    "k long, day int, bucket int, v long",
+                )
+                try:
+                    merge_versioned(
+                        spark, base, upd, ["k"],
+                        partition_by=tuple(cur_spec) or (),
+                        keys_are_partition_stable=True,
+                        stats_cols=("k",),
+                    )
+                except ValueError:
+                    # legal ONLY in the documented states: mixed eras
+                    # for a partitioned merge, or a flat merge over a
+                    # non-empty recorded spec
+                    assert mixed or not cur_spec
+                    continue
+                model[tgt] = (day, bucket, 9_000 + tgt)
+            got = {
+                r["k"]: (r["day"], r["bucket"], r["v"])
+                for r in read_version(spark, base).collect()
+            }
+            assert got == model
