@@ -2070,6 +2070,78 @@ def describe_history(base: str) -> list[dict]:
     return out
 
 
+def describe_table(base: str, as_of: int | None = None) -> dict:
+    """DESCRIBE TABLE (DETAIL): one operational view of everything a
+    snapshot tracks — pure metadata (commit entry + manifest folding,
+    zero Spark jobs, zero data pages), the lake's analog of Delta's
+    ``DESCRIBE DETAIL`` + ``SHOW TBLPROPERTIES`` in one dict:
+
+    - ``version`` / ``op`` / ``ts`` — the snapshot's commit identity;
+    - ``n_files`` / ``n_rows`` — manifest file count and the exact row
+      count when every file carries usable stats (else None — honesty
+      over approximation, same contract as ``metadata_aggregate``);
+    - ``partition_spec`` — the EFFECTIVE spec (recorded or
+      path-derived) plus ``layout_eras`` (every live hive layout) and
+      ``mixed_layouts`` (a partition evolution awaiting its compact
+      migration);
+    - ``generated_cols`` / ``constraints`` / ``identity`` /
+      ``column_mapping`` — the table-property riders verbatim;
+    - ``schema`` — the logical schema's simpleString when the commit
+      logged one (schema evolution / widen / spec pin), else None
+      (derive from footers via a read);
+    - ``n_tombstones`` / ``has_positional_deletes`` — MOR state a
+      maintenance tick would want;
+    - ``stats_cols`` and ``bloom_cols`` — which columns support
+      manifest skipping / point-lookup pruning.
+    """
+    entry = _resolve(base, as_of)
+    files = _entry_files_ro(base, entry)
+    eras = sorted({_hive_layout_of(rel) for rel in files})
+    spec = _partition_cols_of(base, entry)
+    n_rows: int | None = 0
+    stats = entry.get("stats")
+    for rel in files:
+        s = (stats or {}).get(rel)
+        file_rows = None
+        if s:
+            for per in s.values():
+                if per is not None:
+                    file_rows = per["rows"]
+                    break
+        if file_rows is None:
+            n_rows = None
+            break
+        n_rows += file_rows
+    schema = None
+    if entry.get("schema_json"):
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(
+            json.loads(entry["schema_json"])
+        ).simpleString()
+    tombs = entry.get("tombstones") or []
+    side = _bloom_load(os.path.join(base, entry["dir"]))
+    return {
+        "version": entry["version"],
+        "op": entry.get("op"),
+        "ts": _commit_ts(base, entry),
+        "n_files": len(files),
+        "n_rows": n_rows,
+        "partition_spec": spec,
+        "layout_eras": [list(e) for e in eras],
+        "mixed_layouts": any(tuple(spec) != e for e in eras),
+        "generated_cols": _gen_cols(entry),
+        "constraints": dict(entry.get("constraints") or {}),
+        "identity": dict(entry.get("identity") or {}) or None,
+        "column_mapping": _col_mapping(entry),
+        "schema": schema,
+        "n_tombstones": len(tombs),
+        "has_positional_deletes": any(_is_pos_tomb(t) for t in tombs),
+        "stats_cols": list(entry.get("stats_cols") or []),
+        "bloom_cols": sorted(side) if side else [],
+    }
+
+
 def restore_version(
     base: str,
     to_version: int | None = None,

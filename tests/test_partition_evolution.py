@@ -541,3 +541,46 @@ class TestEvolutionProperty:
                 for r in read_version(spark, base).collect()
             }
             assert got == model
+
+
+def test_describe_table(spark, tmp_path):
+    """describe_table: one metadata-only dict covering files/rows,
+    effective spec + layout eras, riders, and MOR state."""
+    from etl_opensky_spark.sources.versioned import (
+        add_constraint,
+        delete_where,
+        describe_table,
+    )
+
+    base = str(tmp_path / "lake")
+    d = str(tmp_path / "land")
+    spark.range(12).selectExpr(
+        "id AS k",
+        "timestamp(date_add(date'2020-01-01', CAST(id / 4 AS INT))) "
+        "AS ts",
+        "id * 2 AS v",
+    ).repartition(1).write.parquet(d)
+    copy_into(
+        spark, base, d, stats_cols=("k",), partition_by=("p_day",),
+        generated={"p_day": "to_date(ts)"},
+    )
+    add_constraint(spark, base, "v_pos", "v >= 0")
+    t = describe_table(base)
+    assert t["n_files"] == 3 and t["n_rows"] == 12
+    assert t["partition_spec"] == ["p_day"]
+    assert t["layout_eras"] == [["p_day"]]
+    assert t["mixed_layouts"] is False
+    assert t["generated_cols"] == {"p_day": "to_date(ts)"}
+    assert "v_pos" in t["constraints"]
+    assert t["stats_cols"] == ["k"]
+    set_partition_spec(spark, base, [])
+    delete_where(spark, base, "k = 3")
+    t2 = describe_table(base)
+    assert t2["partition_spec"] == []
+    assert t2["mixed_layouts"] is True  # p_day-era files still live
+    assert t2["n_tombstones"] == 1
+    assert t2["has_positional_deletes"] is True
+    # time travel: the pre-evolution snapshot describes the old state
+    t0 = describe_table(base, as_of=t["version"])
+    assert t0["partition_spec"] == ["p_day"]
+    assert t0["n_tombstones"] == 0
