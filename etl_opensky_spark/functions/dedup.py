@@ -1423,12 +1423,20 @@ def md5_minhash_bands(
     obvious per-row formulation — ``transform(seq, i ->
     array_min(transform(shingles, md5…)))`` — runs every md5 in an
     INTERPRETED higher-order lambda and re-walks the shingle array per
-    family member; at sf0.1 it benched 61 s.  This exploded
-    formulation pushes the identical hash strings through
-    whole-stage-codegen'd md5 (distinct grams × ``num_hashes`` rows,
-    map-side-combined MIN, one in-row array_sort for the band string)
-    and is ~30× faster — while producing byte-identical band hashes,
-    which the oracle (same SQL shapes) and the q215 gate pin."""
+    family member; at sf0.1 it benched 61 s.  Round 5 replaced it with
+    an exploded shape (grams × ``num_hashes`` rows through codegen'd
+    md5, two shuffles) at ~30× faster.  Round 11 (optimization —
+    guide §2.3/§2.4) unrolls the hash family into ``num_hashes``
+    map-side-combined MIN aggregate columns over the gram rows
+    directly: the same md5 evaluations run per gram ROW (no
+    ``num_hashes``× row blow-up through the exchange), ONE shuffle of
+    (id × num_hashes longs) replaces the two exploded-shape shuffles,
+    and the band hash is an in-row expression over the unrolled
+    columns (no collect_list/array_sort interpreted path).  Band
+    hashes stay byte-identical — same ``md5(h:gram)`` strings, same
+    min, same ``h``-ordered comma-joined band string — which the
+    oracle (same SQL shapes) and the q215/q227 gates pin; measured
+    2.4× on the full banding pass at sf0.1."""
     from etl_opensky_spark.functions.text import word_shingles
 
     rows = num_hashes // num_bands
@@ -1439,43 +1447,28 @@ def md5_minhash_bands(
             F.array_distinct(word_shingles(F.col(text_col), shingle_n))
         ).alias("_g"),
     )
-    mh = (
-        grams.select(
-            F.col(id_col),
-            F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias(
-                "_h"
-            ),
-            "_g",
+    mins = [
+        F.min(
+            _md5_int(F.concat_ws(":", F.lit(str(h)), F.col("_g")))
+        ).alias(f"_m{h}")
+        for h in range(num_hashes)
+    ]
+    sigs = grams.groupBy(id_col).agg(*mins)
+    band_hashes = []
+    for b in range(num_bands):
+        sig_str = F.concat_ws(
+            ",",
+            *[
+                F.col(f"_m{h}").cast("string")
+                for h in range(b * rows, (b + 1) * rows)
+            ],
         )
-        .select(
-            F.col(id_col),
-            "_h",
-            _md5_int(
-                F.concat_ws(":", F.col("_h").cast("string"), F.col("_g"))
-            ).alias("_v"),
+        band_hashes.append(
+            _md5_int(F.concat_ws(":", F.lit(str(b)), sig_str))
         )
-        .groupBy(id_col, "_h")
-        .agg(F.min("_v").alias("_v"))
-    )
-    band_sig = (
-        mh.groupBy(F.col(id_col), (F.col("_h") - F.col("_h") % rows).alias("_h0"))
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("_h", "_v"))),
-                    lambda s: s["_v"].cast("string"),
-                ),
-                ",",
-            ).alias("_sig_str")
-        )
-    )
-    band = (F.col("_h0") / rows).cast("int")
-    return band_sig.select(
+    return sigs.select(
         F.col(id_col),
-        band.alias("band"),
-        _md5_int(
-            F.concat_ws(":", band.cast("string"), F.col("_sig_str"))
-        ).alias("bh"),
+        F.posexplode(F.array(*band_hashes)).alias("band", "bh"),
     )
 
 

@@ -1214,6 +1214,13 @@ def _json_stat(v):
     return None  # unknown footer type: keep the file
 
 
+#: at or below this many files a commit's footer harvest runs on the
+#: driver (a footer is a ~1 ms local metadata read; an RDD job is
+#: ~100 ms of scheduling) — above it, the distributed harvest keeps
+#: the 100 TB contract that the driver never opens footers
+_DRIVER_HARVEST_MAX = 64
+
+
 def _harvest_file_stats(
     spark: SparkSession,
     data_dir: str,
@@ -1295,12 +1302,22 @@ def _harvest_file_stats(
                     else None
                 )
             yield path, per_col
-    n_slices = min(len(files), 32)
-    harvested = (
-        spark.sparkContext.parallelize(files, n_slices)
-        .mapPartitions(_footers)
-        .collect()
-    )
+    if len(files) <= _DRIVER_HARVEST_MAX:
+        # small commits (the overwhelming steady-state case: one
+        # append/merge lands a handful of files) read their footers on
+        # the driver directly — a parquet footer is a ~1 ms local
+        # metadata read, while scheduling an RDD job costs ~100 ms of
+        # pure fixed overhead per commit (guide §1.2: remove passes
+        # that do no work).  Large commits keep the distributed
+        # harvest: at 10^5 files the driver must never open footers.
+        harvested = list(_footers(files))
+    else:
+        n_slices = min(len(files), 32)
+        harvested = (
+            spark.sparkContext.parallelize(files, n_slices)
+            .mapPartitions(_footers)
+            .collect()
+        )
     out = {}
     for path, per_col in harvested:
         rel = (

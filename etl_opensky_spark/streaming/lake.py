@@ -178,43 +178,59 @@ def make_cdc_apply_batch(
             batch_df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
-            .localCheckpoint()  # both branches + both counts consume it
+            .localCheckpoint()  # both branches + the type census consume it
         )
         drop_cols = [
             c
             for c in (type_col, version_col, "commit")
             if c in final.columns
         ]
+        # ONE aggregate over the pinned batch decides which steps exist
+        # (round 11, guide §1.2): the previous shape paid an isEmpty
+        # job per branch plus an unconditional semi-join+checkpoint for
+        # deletes even when the batch carried none — three Spark jobs
+        # of pure overhead on every delete-free micro-batch (the common
+        # case for ingest feeds)
+        census = final.agg(
+            F.sum(
+                F.when(F.col(type_col).isin(*CDC_UPSERT_TYPES), 1).otherwise(0)
+            ).alias("_n_up"),
+            F.sum(
+                F.when(F.col(type_col) == "delete", 1).otherwise(0)
+            ).alias("_n_del"),
+        ).first()
         upserts = final.filter(F.col(type_col).isin(*CDC_UPSERT_TYPES)).drop(
             *drop_cols
         )
-        # a delete only needs a commit when its key WILL exist on the
-        # replica once the merge step lands: semi-join against existing
-        # keys UNION this batch's upserts, and PIN it (localCheckpoint)
-        # before any commit — lazily evaluating against the tip after
-        # the merge would be replay-order-dependent, and evaluating
-        # against only pre-merge keys drops deletes for keys this same
-        # batch inserts (insert+delete-of-sibling in one feed window)
-        existing = (
-            read_version(spark, base).select(*keys)
-            if _read_log(base)
-            else upserts.select(*keys).filter(F.lit(False))
-        )
-        deletes = (
-            final.filter(F.col(type_col) == "delete")
-            .select(*keys)
-            .join(
-                existing.unionByName(upserts.select(*keys)),
-                on=keys,
-                how="left_semi",
-            )
-            .localCheckpoint()
-        )
         steps: list[tuple[str, DataFrame]] = []
-        if not upserts.isEmpty():
+        if census["_n_up"]:
             steps.append(("merge", upserts))
-        if not deletes.isEmpty():
-            steps.append(("delete", deletes))
+        if census["_n_del"]:
+            # a delete only needs a commit when its key WILL exist on
+            # the replica once the merge step lands: semi-join against
+            # existing keys UNION this batch's upserts, and PIN it
+            # (localCheckpoint) before any commit — lazily evaluating
+            # against the tip after the merge would be
+            # replay-order-dependent, and evaluating against only
+            # pre-merge keys drops deletes for keys this same batch
+            # inserts (insert+delete-of-sibling in one feed window)
+            existing = (
+                read_version(spark, base).select(*keys)
+                if _read_log(base)
+                else upserts.select(*keys).filter(F.lit(False))
+            )
+            deletes = (
+                final.filter(F.col(type_col) == "delete")
+                .select(*keys)
+                .join(
+                    existing.unionByName(upserts.select(*keys)),
+                    on=keys,
+                    how="left_semi",
+                )
+                .localCheckpoint()
+            )
+            if not deletes.isEmpty():
+                steps.append(("delete", deletes))
         if not steps:
             return  # nothing to commit; replaying is free
         for i, (kind, df) in enumerate(steps, start=1):
