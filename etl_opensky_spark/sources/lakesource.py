@@ -887,6 +887,18 @@ try:  # pyspark >= 4.0
                         for p in staged
                     }
                     extra["stats"] = {**cur["stats"], **new_stats}
+                if not extra.get("schema_json") and (
+                    cur is None or self._overwrite
+                ):
+                    # root/overwrite commit: log the table schema so
+                    # reads plan from the manifest, not a footer sample
+                    from etl_opensky_spark.sources.versioned import (
+                        _canon_schema_json,
+                    )
+
+                    extra["schema_json"] = _canon_schema_json(
+                        self._schema
+                    )
                 op = "write" if self._overwrite else "append"
                 _commit(
                     self._base,
@@ -1059,6 +1071,15 @@ try:  # pyspark >= 4.0
                             extra["schema_json"] = (
                                 self._inner._full_schema_json
                             )
+                    else:
+                        # root commit: log the schema (see batch writer)
+                        from etl_opensky_spark.sources.versioned import (
+                            _canon_schema_json,
+                        )
+
+                        extra["schema_json"] = _canon_schema_json(
+                            self._inner._schema
+                        )
                     for src in staged:
                         dst_name = os.path.basename(src)
                         get_fs().link_file(

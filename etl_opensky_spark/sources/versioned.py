@@ -183,6 +183,25 @@ def _apply_mapping(
     )
 
 
+def _canon_schema_json(schema) -> str:
+    """Canonical ``schema_json`` text for a commit: every field
+    nullable, metadata stripped.  Root commits (write_version, first
+    merge, copy_into bootstrap, DS writer) record the table schema so
+    readers plan from the manifest instead of opening footers (the
+    Delta/Iceberg schema-in-log design; at 100 TB — and even locally,
+    where inference is a per-read driver job — the read path must
+    never depend on sampling a data file).  Canonical form matters
+    because ``_semantic_drift`` compares the JSON TEXT across commits:
+    a file read reports every column nullable, so a writer-side
+    ``nullable=false`` would make the first post-write merge look like
+    a schema change and veto perfectly disjoint rebases."""
+    doc = json.loads(schema.json())
+    for f in doc.get("fields", []):
+        f["nullable"] = True
+        f["metadata"] = {}
+    return json.dumps(doc)
+
+
 def _commit(
     base: str,
     version: int,
@@ -1614,6 +1633,9 @@ def write_version(
         extra["partition_spec"] = list(partition_by)
     if gen:
         extra["generated_cols"] = gen
+    # every commit logs the table schema: readers plan from the
+    # manifest (`_reader`) instead of a per-read footer-inference job
+    extra["schema_json"] = _canon_schema_json(df.schema)
     try:
         _commit(base, version, name, "write", extra=extra or None)
     except ConcurrentCommitError:
@@ -2455,6 +2477,7 @@ def merge_versioned(
             extra0.update(_stats_extra(spark, data_dir, stats_cols) or {})
             if user_meta is not None:
                 extra0["user_meta"] = dict(user_meta)
+            extra0["schema_json"] = _canon_schema_json(upd.schema)
             _commit(base, 1, name, "merge", extra=extra0 or None)
         except ConcurrentCommitError:
             shutil.rmtree(data_dir, ignore_errors=True)
@@ -2505,6 +2528,29 @@ def merge_versioned(
         upd_types = dict(upd.dtypes)
         for c in new_cols:
             target = target.withColumn(c, F.lit(None).cast(upd_types[c]))
+    # schema ENFORCEMENT on write (Delta semantics): common columns
+    # whose TYPE drifted in the updates are cast to the table's logical
+    # types before staging.  The commit-pinned `schema_json` is every
+    # snapshot's read schema, so staged files must store exactly those
+    # types — decimal arithmetic silently widens otherwise (price * 2
+    # on DECIMAL(18,2) stages DECIMAL(20,2), unreadable under the
+    # pinned narrow type).  A lossy value fails the cast loudly (ANSI,
+    # the Spark 4 default); a deliberate type change is
+    # `widen_column_type`.
+    tgt_types = {f.name: f.dataType for f in target.schema.fields}
+    upd_t = {f.name: f.dataType for f in upd.schema.fields}
+    if any(
+        c not in new_cols and upd_t[c] != tgt_types[c]
+        for c in upd.columns
+    ):
+        upd = upd.select(
+            *[
+                F.col(c)
+                if c in new_cols or upd_t[c] == tgt_types[c]
+                else F.col(c).cast(tgt_types[c]).alias(c)
+                for c in upd.columns
+            ]
+        )
     if part_cols:
         _assert_partitioned(base, cur, part_cols)  # fail before staging IO
     else:
@@ -3211,6 +3257,10 @@ def compact_versioned(
             extra["partition_spec"] = part_cols
         if cur.get("generated_cols"):
             extra["generated_cols"] = cur["generated_cols"]
+        # the full rewrite materializes the LOGICAL schema into every
+        # file (mapping reset); log it so reads keep planning from the
+        # manifest and a racing loser sees no phantom schema drift
+        extra["schema_json"] = _canon_schema_json(df.schema)
         _commit(base, version, name, "compact", extra=extra or None)
     except ConcurrentCommitError:
         shutil.rmtree(data_dir, ignore_errors=True)
@@ -3610,6 +3660,27 @@ def materialize_tombstones(
                 if per_col is None or _envelope_hits(per_col, names, env):
                     cand.add(rel)
 
+    # hive-partition tombstone keys live in directory NAMES, not in the
+    # raw files the rewrite reads — refuse against the table's layout
+    # columns (a pinned schema_json read would otherwise serve the key
+    # as an all-null column and silently apply nothing)
+    layout_cols = _all_layout_cols(base, cur)
+    missing = sorted(
+        {
+            mapping_.get(k, k)
+            for t in tombs
+            if not _is_pos_tomb(t)
+            for k in t["keys"]
+            if mapping_.get(k, k) in layout_cols
+        }
+    )
+    if missing:
+        raise ValueError(
+            "materialize_tombstones: tombstone keys "
+            f"{missing} are hive-partition columns "
+            "(not in the data files) — run compact_versioned "
+            "instead"
+        )
     staging = os.path.join(base, f"_reorg-staging-{uuid.uuid4().hex[:8]}")
     try:
         by_dir: dict[str, list[str]] = {}
@@ -3619,20 +3690,18 @@ def materialize_tombstones(
             raw = _reader(spark, cur).parquet(
                 *[live[r] for r in sorted(crels)]
             )
-            missing = [
-                mapping_.get(k, k)
-                for t in tombs
-                if not _is_pos_tomb(t)
-                for k in t["keys"]
-                if mapping_.get(k, k) not in raw.columns
+            # a pinned read schema lists this group's PATH-ENCODED
+            # partition columns too; the raw per-file read (no
+            # basePath) fills them with null — drop them so the staged
+            # rewrite never bakes dead null columns into files whose
+            # hive dir IS the value (same rule as optimize_small_files)
+            enc = [
+                p.split("=", 1)[0]
+                for p in part_dir.split("/")
+                if "=" in p
             ]
-            if missing:
-                raise ValueError(
-                    "materialize_tombstones: tombstone keys "
-                    f"{sorted(set(missing))} are hive-partition columns "
-                    "(not in the data files) — run compact_versioned "
-                    "instead"
-                )
+            if enc:
+                raw = raw.drop(*enc)
             has_pos_ = any(_is_pos_tomb(t) for t in tombs)
             if has_pos_ or any(t.get("scoped") for t in tombs):
                 raw = raw.withColumn(_REL_COL, _rel_path_col(cur))
@@ -4735,6 +4804,33 @@ def copy_into(
             raise ValueError(
                 "copy_into: null partition values are not supported"
             )
+    # schema ENFORCEMENT on append (same rule as merge_versioned):
+    # landing files whose common columns drifted in TYPE are cast to
+    # the table's pinned logical types before staging — the commit
+    # schema is the read schema, and a wider staged type (e.g. a
+    # DECIMAL precision bump in the landing feed) would be unreadable
+    # under it.  Lossy values fail the ANSI cast loudly.
+    sj_cur = (cur or {}).get("schema_json")
+    if sj_cur:
+        from pyspark.sql.types import StructType
+
+        logical_t = {
+            f.name: f.dataType
+            for f in StructType.fromJson(json.loads(sj_cur)).fields
+        }
+        bt = {f.name: f.dataType for f in batch.schema.fields}
+        if any(
+            c in logical_t and bt[c] != logical_t[c]
+            for c in batch.columns
+        ):
+            batch = batch.select(
+                *[
+                    F.col(c)
+                    if c not in logical_t or bt[c] == logical_t[c]
+                    else F.col(c).cast(logical_t[c]).alias(c)
+                    for c in batch.columns
+                ]
+            )
     mapping = _col_mapping(cur) if cur else {}
     if mapping:
         batch = batch.select(
@@ -4821,6 +4917,10 @@ def copy_into(
                 ):
                     if parent_e.get(key) is not None and key in parent_e:
                         extra[key] = parent_e[key]
+            else:
+                # bootstrap commit: log the table schema so every later
+                # read plans from the manifest, not a footer sample
+                extra["schema_json"] = _canon_schema_json(batch.schema)
             if identity_rider:
                 extra["identity"] = identity_rider
             return dname, data_dir, extra
