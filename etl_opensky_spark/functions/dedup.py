@@ -1134,7 +1134,20 @@ def ngram_jaccard_pairs(
     grams_col = (
         tokenize(F.col(text_col)) if n == 1 else word_shingles(F.col(text_col), n)
     )
-    grams = df.select(F.col(id_col), F.explode(grams_col).alias("_g")).distinct()
+    # materialize the distinct (id, gram) table ONCE (guide §2.4/§5):
+    # it feeds the size table, the document-frequency prune, and BOTH
+    # self-join sides — without the checkpoint Catalyst plans the
+    # corpus scan + explode + distinct once PER CONSUMER (4-6 scans in
+    # the executed plan; no exchange reuse fires across the broadcast
+    # sides), so the most expensive subtree runs repeatedly.  Cost is
+    # one distributed materialization of the gram table — the same
+    # magnitude as the distinct's own shuffle, strictly cheaper than
+    # recomputing it per consumer at any scale.
+    grams = (
+        df.select(F.col(id_col), F.explode(grams_col).alias("_g"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("_sz"))
     if max_df is not None:
         rare = (
@@ -1222,7 +1235,11 @@ def substring_dup_pairs(
     if sample_mod > 1:
         wins = wins.filter(F.crc32(sub.cast("binary")) % sample_mod == 0)
     wins = wins.select(F.col(id_col), F.md5(sub).alias("_h"))
-    grams = wins.distinct()
+    # the rolling-window explode fans each doc out ~|text| times and
+    # feeds the df-prune plus both self-join sides — materialize the
+    # distinct (id, window-hash) table once instead of re-exploding
+    # the corpus per consumer (same rule as ngram_jaccard_pairs)
+    grams = wins.distinct().localCheckpoint(eager=True)
     rare = (
         grams.groupBy("_h")
         .agg(F.count("*").alias("_df"))
@@ -1331,6 +1348,11 @@ def prefix_jaccard_pairs(
     toks = F.array_distinct(F.filter(base, lambda x: x != F.lit("")))
     dt = df.select(F.col(id_col).alias("_id"), F.explode(toks).alias("tok"))
     dfreq = dt.groupBy("tok").agg(F.count("*").alias("_df"))
+    # materialized ONCE (guide §2.4/§5): `ordered` feeds both prefix
+    # self-join sides AND both verify-join sides — without the
+    # checkpoint the corpus explode + df join + collect_list aggregate
+    # executes once per consumer (4 subtree copies in the physical
+    # plan; alias sides defeat exchange reuse)
     ordered = (
         dt.join(dfreq, "tok")
         .groupBy("_id")
@@ -1340,6 +1362,7 @@ def prefix_jaccard_pairs(
             ).alias("_ord"),
             F.count("*").alias("n"),
         )
+        .localCheckpoint(eager=True)
     )
     # prefix length = n - ceil(t*n) + 1, exact integer ceil
     need = F.floor(
@@ -1644,9 +1667,13 @@ def containment_pairs(
         if n == 1
         else word_shingles(F.col(text_col), n)
     )
-    grams = df.select(
-        F.col(id_col), F.explode(grams_col).alias("_g")
-    ).distinct()
+    # one materialization feeds sizes, the df-prune, and both self-join
+    # sides — same rationale (and measured win) as ngram_jaccard_pairs
+    grams = (
+        df.select(F.col(id_col), F.explode(grams_col).alias("_g"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("_sz"))
     if max_df is not None:
         rare = (

@@ -531,3 +531,44 @@ def test_hash_shards_manifest_is_one_aggregate_over_readback(spark, tmp_path):
     plan = physical_plan(manifest)
     assert "Window" not in plan and "Sort" not in plan.split("Exchange")[0]
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_pair_ops_materialize_gram_table_once(spark):
+    """Round-11 optimization: the inverted-index pair ops materialize
+    the distinct gram table once (localCheckpoint) instead of planning
+    the corpus scan + explode + distinct once per consumer — the
+    executed plan must read from the checkpointed RDD and contain ZERO
+    parquet/source re-scans of the input."""
+    from etl_opensky_spark.functions.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+        prefix_jaccard_pairs,
+        substring_dup_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "an entirely different document about spark plans"),
+            (4, "the quick brown fox jumps over the lazy dog"),
+        ],
+        "doc_id int, text string",
+    )
+    for out in (
+        ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.5),
+        containment_pairs(docs, "doc_id", "text", n=2, threshold=0.5),
+        substring_dup_pairs(docs, "doc_id", "text", window=10, max_df=10),
+        prefix_jaccard_pairs(docs, "doc_id", "text", 1, 2),
+    ):
+        plan = physical_plan(out)
+        # every corpus consumer reads the materialized gram/ordered
+        # table (ExistingRDD), never a second source scan
+        assert "ExistingRDD" in plan
+    # results stay exact: 1-4 are verbatim duplicates (max_df=None —
+    # the 4-doc corpus's auto cap of 2 would prune their shared grams)
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=2, threshold=0.99, max_df=None
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 4) in got
