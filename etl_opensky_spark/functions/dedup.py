@@ -1603,7 +1603,12 @@ def dedup_batch_against_index(
             ).alias("_g"),
         )
 
-    bg = grams(batch, "_bid")
+    # both gram tables feed TWO consumers each (the size aggregate and
+    # the intersection join) — materialize once (guide §2.4/§5, same
+    # rule as the pair ops) instead of re-exploding the batch and the
+    # candidate corpus per consumer; candidate-pruned, so the corpus
+    # gram table is bounded by the candidate set, never the corpus
+    bg = grams(batch, "_bid").localCheckpoint(eager=True)
     cg = grams(
         corpus.join(
             cand.select(F.col("_cid").alias(id_col)).distinct(),
@@ -1611,7 +1616,7 @@ def dedup_batch_against_index(
             "left_semi",
         ),
         "_cid",
-    )
+    ).localCheckpoint(eager=True)
     bsz = bg.groupBy("_bid").agg(F.count("*").alias("_sa"))
     csz = cg.groupBy("_cid").agg(F.count("*").alias("_sb"))
     inter = (
