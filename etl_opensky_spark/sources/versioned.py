@@ -70,6 +70,72 @@ _STAGING_RE = re.compile(r"^_(?:[a-z0-9]+-)?staging-")
 _test_hooks: dict = {}
 
 
+#: staged-output file-size target (guide §6: 128 MB–1 GB parquet files)
+_TARGET_FILE_BYTES = 128 * 1024 * 1024
+#: table size (in live files) below which output sizing is decided by
+#: driver-side stats + a shuffle-free coalesce; above it the extra
+#: REBALANCE shuffle is amortized by real data volume (same split as
+#: the driver-vs-distributed footer harvest in _harvest_file_stats)
+_SMALL_TABLE_FILES = 256
+#: conservative per-row staging estimate used ONLY for file sizing
+#: when the table itself has no bytes to extrapolate from (bootstrap
+#: merges); ±2x error moves a file-count decision by one notch, never
+#: correctness
+_EST_ROW_BYTES = 256
+
+
+def _optimized_write(
+    df: DataFrame,
+    part_cols: Sequence[str] = (),
+    live_paths: Sequence[str] | None = None,
+    upd_rows: int = 0,
+    small_keep: bool = False,
+) -> DataFrame:
+    """Right-size ENGINE-constructed staging frames before they land
+    (guide §6 "sensible output file sizing" — Delta optimized-writes).
+    Without it a 2 MB merge stages 10–30 near-empty files per commit —
+    inherited from whatever partitioning the reconcile join / update
+    checkpoint happened to have — and the count SNOWBALLS: each
+    commit's files become scan partitions of the next reconcile.  Task
+    commits, footer harvests, manifest entries and every later scan's
+    per-file open all multiply.
+
+    Two regimes (measured: an unconditional AQE REBALANCE costs ~0.3 s
+    of extra shuffle per small merge — more than the file savings —
+    while a driver-side estimate + ``coalesce`` is free):
+
+    - small tables (``live_paths`` given, ≤256 files): estimated bytes
+      = 2x the reconciled files' on-disk size + 256 B/row for the
+      updates; ``coalesce(ceil(est / 128 MB))`` — shuffle-free.
+    - large tables (or no estimate available): ``REBALANCE`` on the
+      partition columns, so each hive partition's rows land contiguous
+      at the AQE advisory size — the Delta optimized-write tradeoff,
+      amortized by real data volume.
+
+    Applied ONLY where the engine itself builds the staged frame
+    (merge reconcile) — callers who establish a deliberate layout
+    (``repartitionByRange`` clustering feeding ``write_version``) keep
+    it byte-for-byte.  ``SPARK_GRAFT_OPTIMIZE_WRITE=0`` disables."""
+    if os.environ.get("SPARK_GRAFT_OPTIMIZE_WRITE", "1") == "0":
+        return df
+    if live_paths is not None and len(live_paths) <= _SMALL_TABLE_FILES:
+        if small_keep:
+            # hive-partitioned small merges: a forced coalesce makes
+            # ONE task fan out every partition directory sequentially
+            # (measured +0.3 s/commit) — the affected-partition
+            # rewrite is already small, keep the inherited layout
+            return df
+        try:
+            est = 2 * sum(os.path.getsize(p) for p in live_paths)
+        except OSError:
+            est = None
+        if est is not None:
+            est += _EST_ROW_BYTES * max(0, upd_rows)
+            n = max(1, -(-est // _TARGET_FILE_BYTES))
+            return df.coalesce(int(n))
+    return df.hint("rebalance", *part_cols)
+
+
 class ConstraintViolationError(ValueError):
     """A write/merge contained rows failing a table CHECK constraint."""
 
@@ -2466,7 +2532,10 @@ def merge_versioned(
     cur = _current(base)
     if cur is None:
         name, data_dir = _new_data_dir(base)
-        w = upd.write.mode("errorifexists")
+        w = _optimized_write(
+            upd, part_cols, live_paths=(), upd_rows=checks["_n"],
+            small_keep=bool(part_cols),
+        ).write.mode("errorifexists")
         if part_cols:
             w = w.partitionBy(*part_cols)
         w.parquet(data_dir)
@@ -2568,7 +2637,11 @@ def merge_versioned(
             reconciled = target.join(
                 upd.select(*keys), on=keys, how="left_anti"
             ).unionByName(upd)
-            reconciled.write.mode("errorifexists").parquet(data_dir)
+            _optimized_write(
+                reconciled,
+                live_paths=list(_live_files(base, cur).values()),
+                upd_rows=checks["_n"],
+            ).write.mode("errorifexists").parquet(data_dir)
             _record_new_files(data_dir, name, files_out)
             extra = _files_extra(files_out, materialized=True)
             extra.update(
@@ -2650,9 +2723,17 @@ def merge_versioned(
                     for c in reconciled.columns
                 ]
             )
-        reconciled.write.mode("errorifexists").partitionBy(
-            *part_cols
-        ).parquet(staging)
+        _optimized_write(
+            reconciled,
+            part_cols,
+            # all live paths, not just affected ones: the count only
+            # decides the small-vs-REBALANCE regime here
+            live_paths=list(_live_files(base, cur).values()),
+            upd_rows=checks["_n"],
+            small_keep=True,
+        ).write.mode("errorifexists").partitionBy(*part_cols).parquet(
+            staging
+        )
         phys_stats = [mapping.get(c, c) for c in stats_cols]
         phys_keys = [mapping.get(k, k) for k in keys]
         upd_env_cache: dict = {}
