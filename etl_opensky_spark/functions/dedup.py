@@ -123,10 +123,11 @@ def minhash_signature(
     make every pair of short docs collide in every LSH band as a false
     1.0 near-duplicate.  ``minhash_lsh_pairs`` skips NULL signatures.
     """
-    grams = df.select(
-        F.col(id_col),
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("_g"),
-    ).select(id_col, F.xxhash64(F.col("_g")).alias("_h"))
+    from etl_opensky_spark.functions.text import word_shingle_rows
+
+    grams = word_shingle_rows(df, id_col, text_col, shingle_n).select(
+        id_col, F.xxhash64(F.col("_g")).alias("_h")
+    )
     mins = [
         F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"_m{i}")
         for i in range(num_hashes)
@@ -1057,10 +1058,9 @@ def contaminated_ids(
     recall for speed — decontamination must not miss, so nothing is
     pruned here; raise ``n`` to sharpen specificity instead.
     """
-    corpus_grams = corpus.select(
-        F.col(id_col),
-        F.explode(word_shingles(F.col(text_col), n)).alias("_g"),
-    )
+    from etl_opensky_spark.functions.text import word_shingle_rows
+
+    corpus_grams = word_shingle_rows(corpus, id_col, text_col, n)
     ref_grams = reference.select(
         F.explode(word_shingles(F.col(text_col), n)).alias("_g")
     ).distinct()
@@ -1131,9 +1131,8 @@ def ngram_jaccard_pairs(
        pays one extra ``count()``; see CHANGELOG.md.
     """
     max_df = _resolve_max_df(df, max_df)
-    grams_col = (
-        tokenize(F.col(text_col)) if n == 1 else word_shingles(F.col(text_col), n)
-    )
+    from etl_opensky_spark.functions.text import word_shingle_rows
+
     # materialize the distinct (id, gram) table ONCE (guide §2.4/§5):
     # it feeds the size table, the document-frequency prune, and BOTH
     # self-join sides — without the checkpoint Catalyst plans the
@@ -1142,12 +1141,11 @@ def ngram_jaccard_pairs(
     # sides), so the most expensive subtree runs repeatedly.  Cost is
     # one distributed materialization of the gram table — the same
     # magnitude as the distinct's own shuffle, strictly cheaper than
-    # recomputing it per consumer at any scale.
-    grams = (
-        df.select(F.col(id_col), F.explode(grams_col).alias("_g"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # recomputing it per consumer at any scale.  Gram rows come from
+    # the exploded-index codegen shape (word_shingle_rows, round 11).
+    grams = word_shingle_rows(
+        df, id_col, text_col, n, distinct=True
+    ).localCheckpoint(eager=True)
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("_sz"))
     if max_df is not None:
         rare = (
@@ -1460,16 +1458,16 @@ def md5_minhash_bands(
     min, same ``h``-ordered comma-joined band string — which the
     oracle (same SQL shapes) and the q215/q227 gates pin; measured
     2.4× on the full banding pass at sf0.1."""
-    from etl_opensky_spark.functions.text import word_shingles
+    from etl_opensky_spark.functions.text import word_shingle_rows
 
     rows = num_hashes // num_bands
     assert rows * num_bands == num_hashes
-    grams = df.select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(word_shingles(F.col(text_col), shingle_n))
-        ).alias("_g"),
-    )
+    # NON-distinct gram rows (round 11): min() is insensitive to
+    # duplicate grams, so the per-document array_distinct the array
+    # shape paid is pure overhead here — and the exploded-index row
+    # shape keeps shingle assembly in whole-stage codegen
+    # (word_shingle_rows; band output verified byte-identical)
+    grams = word_shingle_rows(df, id_col, text_col, shingle_n)
     mins = [
         F.min(
             _md5_int(F.concat_ws(":", F.lit(str(h)), F.col("_g")))
@@ -1564,8 +1562,6 @@ def dedup_batch_against_index(
     in any engine; candidate recall is the LSH banding's, by
     construction (the q215 oracle replays the same bands, so the gate
     is exact end-to-end)."""
-    from etl_opensky_spark.functions.text import word_shingles
-
     idx = spark.read.parquet(index_path)
     # defensive parallelism: an index written by an older build (or a
     # tiny AQE-coalesced one) may be a single parquet file — a single
@@ -1595,13 +1591,16 @@ def dedup_batch_against_index(
         .localCheckpoint(eager=True)
     )
 
+    from etl_opensky_spark.functions.text import word_shingle_rows
+
     def grams(df: DataFrame, alias: str) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias(alias),
-            F.explode(
-                F.array_distinct(word_shingles(F.col(text_col), shingle_n))
-            ).alias("_g"),
-        )
+        # distinct gram rows via the exploded-index codegen shape
+        # (round 11) — the array_distinct(word_shingles(...)) array
+        # form ran an interpreted per-shingle lambda (measured 2.4 s
+        # vs 0.4 s on the q227 corpus, multiset-identical)
+        return word_shingle_rows(
+            df, id_col, text_col, shingle_n, distinct=True
+        ).withColumnRenamed(id_col, alias)
 
     # both gram tables feed TWO consumers each (the size aggregate and
     # the intersection join) — materialize once (guide §2.4/§5, same
@@ -1667,18 +1666,14 @@ def containment_pairs(
     Returns ``(contained_id, container_id, containment_micros)``.
     """
     max_df = _resolve_max_df(df, max_df)
-    grams_col = (
-        tokenize(F.col(text_col))
-        if n == 1
-        else word_shingles(F.col(text_col), n)
-    )
+    from etl_opensky_spark.functions.text import word_shingle_rows
+
     # one materialization feeds sizes, the df-prune, and both self-join
-    # sides — same rationale (and measured win) as ngram_jaccard_pairs
-    grams = (
-        df.select(F.col(id_col), F.explode(grams_col).alias("_g"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # sides — same rationale (and measured win) as ngram_jaccard_pairs;
+    # gram rows via the exploded-index codegen shape (round 11)
+    grams = word_shingle_rows(
+        df, id_col, text_col, n, distinct=True
+    ).localCheckpoint(eager=True)
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("_sz"))
     if max_df is not None:
         rare = (

@@ -4923,15 +4923,13 @@ def q122_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap statistic an eval-contamination report publishes.  Shape:
     distinct n-grams per doc, LEFT SEMI-flagged against the broadcast
     benchmark n-gram set, one count aggregate; exact integers."""
-    from etl_opensky_spark.functions.text import word_shingles
+    from etl_opensky_spark.functions.text import word_shingle_rows
 
     docs = _t(spark, sf_dir, "documents")
-    grams = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(word_shingles(F.col("text"), 3))
-        ).alias("g"),
-    )
+    # distinct gram rows via the exploded-index codegen shape (round 11)
+    grams = word_shingle_rows(
+        docs, "doc_id", "text", 3, distinct=True
+    ).withColumnRenamed("_g", "g")
     bench = (
         grams.filter(F.col("doc_id") < 20).select("g").distinct()
         .withColumn("_hit", F.lit(1))
