@@ -1548,11 +1548,17 @@ def dedup_batch_against_index(
     shingle_n: int = 3,
     t_num: int = 1,
     t_den: int = 2,
+    _with_bands: bool = False,
     **band_params,
 ) -> DataFrame:
     """Incremental dedup: drop batch docs that near-duplicate (Jaccard
     ≥ t_num/t_den on word shingles) ANY corpus doc, using the
     PERSISTED corpus band index — the daily-ingest dedup shape.
+
+    ``_with_bands=True`` (internal, :func:`dedup_and_index_batch`)
+    additionally CHECKPOINTS the batch's band table and returns
+    ``(kept, bands)`` so an index-maintenance append can reuse the
+    bands instead of re-hashing the kept docs.
 
     Cost model: batch-side banding is O(batch); the probe is an
     equi-join on (band, hash) against the index; exact verification
@@ -1574,6 +1580,11 @@ def dedup_batch_against_index(
     probes = md5_minhash_bands(
         batch, id_col, text_col, shingle_n=shingle_n, **band_params
     )
+    if _with_bands:
+        # materialize the band table once: the candidate probe below
+        # AND the caller's index append both read it (re-banding the
+        # kept docs would redo every md5 of the hash family)
+        probes = probes.localCheckpoint(eager=True)
     cand = (
         probes.select(F.col(id_col).alias("_bid"), "band", "bh")
         .join(
@@ -1634,7 +1645,40 @@ def dedup_batch_against_index(
         .select(F.col("_bid").alias(id_col))
         .distinct()
     )
-    return batch.join(dups, id_col, "left_anti")
+    kept = batch.join(dups, id_col, "left_anti")
+    return (kept, probes) if _with_bands else kept
+
+
+def dedup_and_index_batch(
+    spark,
+    batch: DataFrame,
+    corpus: DataFrame,
+    index_path: str,
+    id_col: str,
+    text_col: str,
+    **kwargs,
+) -> DataFrame:
+    """One FULL ingest step of the incremental dedup loop: probe the
+    batch against the persisted index, MATERIALIZE the survivors, and
+    append their band rows to the index — the
+    :func:`dedup_batch_against_index` + :func:`append_to_dedup_index`
+    composition, fused so the kept docs' bands are FILTERED from the
+    probe's already-computed band table (one semi-join of in-memory
+    rows) instead of re-run through the whole md5 hash family (round-11
+    optimization, guide §1.2 — don't compute things twice).  Band rows
+    are byte-identical either way: banding is per-row deterministic and
+    kept ⊆ batch.  Returns the materialized kept frame (decisions
+    pinned BEFORE the index mutates, same contract as the manual
+    composition)."""
+    kept_lazy, bands = dedup_batch_against_index(
+        spark, batch, corpus, index_path, id_col, text_col,
+        _with_bands=True, **kwargs,
+    )
+    kept = kept_lazy.localCheckpoint()
+    bands.join(
+        kept.select(id_col), id_col, "left_semi"
+    ).write.mode("append").parquet(index_path)
+    return kept
 
 
 def containment_pairs(

@@ -9780,9 +9780,8 @@ def q227_sequential_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     from etl_opensky_spark.functions.dedup import (
-        append_to_dedup_index,
         build_dedup_index,
-        dedup_batch_against_index,
+        dedup_and_index_batch,
     )
 
     docs = _t(spark, sf_dir, "documents")
@@ -9794,10 +9793,12 @@ def q227_sequential_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept_all = None
     for m in (7, 8, 9):
         batch = docs.filter(F.col("doc_id") % 10 == m)
-        kept = dedup_batch_against_index(
+        # fused probe + materialize + index append (round 11): the kept
+        # docs' band rows are filtered from the probe's band table
+        # instead of re-hashed; decisions still pin BEFORE the append
+        kept = dedup_and_index_batch(
             spark, batch, corpus, index_path, "doc_id", "text"
-        ).localCheckpoint()  # decisions pinned BEFORE the index mutates
-        append_to_dedup_index(kept, "doc_id", "text", index_path)
+        )
         corpus = corpus.unionByName(kept)
         kept_all = kept if kept_all is None else kept_all.unionByName(kept)
     return kept_all.select("doc_id", "lang", "n_chars")
