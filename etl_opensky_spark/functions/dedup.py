@@ -26,6 +26,28 @@ from etl_opensky_spark.functions.text import fingerprint_md5, tokenize, word_shi
 SMALL_GRAPH_EDGES = 1_000_000
 
 
+def _materialize_gram_table(df: DataFrame, pruned: bool) -> DataFrame:
+    """Materialize a pair-op gram table ONCE (guide §2.4/§5) — but ONLY
+    on the document-frequency-pruned paths (``pruned=True``).
+
+    Round-12 measurement (isolated per-query JVMs, warm runs, matched
+    machine control): the eager ``localCheckpoint`` wins where the df
+    prune bounds downstream work and the table is consumed by the
+    prune + sizes + both join sides (q24 2.8–3.3 s ckpt vs 3.7–4.1 s
+    without; q99 2.4–3.2 vs 3.1–3.3), but LOSES on the unpruned
+    truth-gate path (q83: 8.2–10.2 s ckpt vs 6.7–7.8 s without) —
+    blocking materialization + block-manager residency of the full
+    gram table costs more than the re-derivations it saves, and at
+    100 TB an unpruned full-corpus materialization is a scale hazard
+    (``max_df=None`` is documented truth-gate-only, so production
+    corpora always take the pruned path).  A lazy
+    ``persist(MEMORY_AND_DISK)`` measured no better than the winner in
+    either case and has no release path in a long-lived session
+    (CacheManager pins the relation until an explicit unpersist —
+    ADVICE r4), so it stays rejected."""
+    return df.localCheckpoint(eager=True) if pruned else df
+
+
 def dedup_exact(
     df: DataFrame,
     text_col: str,
@@ -1133,19 +1155,19 @@ def ngram_jaccard_pairs(
     max_df = _resolve_max_df(df, max_df)
     from etl_opensky_spark.functions.text import word_shingle_rows
 
-    # materialize the distinct (id, gram) table ONCE (guide §2.4/§5):
-    # it feeds the size table, the document-frequency prune, and BOTH
-    # self-join sides — without the checkpoint Catalyst plans the
-    # corpus scan + explode + distinct once PER CONSUMER (4-6 scans in
-    # the executed plan; no exchange reuse fires across the broadcast
-    # sides), so the most expensive subtree runs repeatedly.  Cost is
-    # one distributed materialization of the gram table — the same
-    # magnitude as the distinct's own shuffle, strictly cheaper than
-    # recomputing it per consumer at any scale.  Gram rows come from
-    # the exploded-index codegen shape (word_shingle_rows, round 11).
-    grams = word_shingle_rows(
-        df, id_col, text_col, n, distinct=True
-    ).localCheckpoint(eager=True)
+    # materialize the distinct (id, gram) table ONCE on pruned paths
+    # (guide §2.4/§5): it feeds the size table, the document-frequency
+    # prune, and BOTH self-join sides — without the checkpoint Catalyst
+    # plans the corpus scan + explode + distinct once PER CONSUMER (4-6
+    # scans in the executed plan; no exchange reuse fires across the
+    # broadcast sides).  On the UNPRUNED truth-gate path (max_df=None)
+    # the checkpoint measured a net loss and is skipped — see
+    # _materialize_gram_table.  Gram rows come from the exploded-index
+    # codegen shape (word_shingle_rows, round 11).
+    grams = _materialize_gram_table(
+        word_shingle_rows(df, id_col, text_col, n, distinct=True),
+        pruned=max_df is not None,
+    )
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("_sz"))
     if max_df is not None:
         rare = (
@@ -1237,7 +1259,7 @@ def substring_dup_pairs(
     # feeds the df-prune plus both self-join sides — materialize the
     # distinct (id, window-hash) table once instead of re-exploding
     # the corpus per consumer (same rule as ngram_jaccard_pairs)
-    grams = wins.distinct().localCheckpoint(eager=True)
+    grams = _materialize_gram_table(wins.distinct(), pruned=True)
     rare = (
         grams.groupBy("_h")
         .agg(F.count("*").alias("_df"))
@@ -1346,11 +1368,19 @@ def prefix_jaccard_pairs(
     toks = F.array_distinct(F.filter(base, lambda x: x != F.lit("")))
     dt = df.select(F.col(id_col).alias("_id"), F.explode(toks).alias("tok"))
     dfreq = dt.groupBy("tok").agg(F.count("*").alias("_df"))
-    # materialized ONCE (guide §2.4/§5): `ordered` feeds both prefix
-    # self-join sides AND both verify-join sides — without the
-    # checkpoint the corpus explode + df join + collect_list aggregate
-    # executes once per consumer (4 subtree copies in the physical
-    # plan; alias sides defeat exchange reuse)
+    # NOT materialized (round-12 reversal of the round-11 checkpoint):
+    # `ordered` is one (df, tok) STRUCT ARRAY per document — the whole
+    # corpus re-encoded as deserialized object graphs — and eagerly
+    # checkpointing it measured a hard 2x loss on the production-shape
+    # q114_ppjoin_op (5.3-5.7 s vs 2.7-3.1 s without, isolated A/B at
+    # matched control; a lazy persist was no better and leaks — see
+    # _materialize_gram_table).  The prefix self-join sides and the
+    # verify-join sides are IDENTICAL aliased subtrees, so Catalyst's
+    # exchange reuse already shares the aggregate between each pair;
+    # the codegen re-derivation that remains is cheaper than holding
+    # the object-heavy table in the block manager at any measured
+    # scale, and at 100 TB the between-stage materialization of choice
+    # is a parquet write of `ordered`, not driver-lifetime blocks.
     ordered = (
         dt.join(dfreq, "tok")
         .groupBy("_id")
@@ -1360,7 +1390,6 @@ def prefix_jaccard_pairs(
             ).alias("_ord"),
             F.count("*").alias("n"),
         )
-        .localCheckpoint(eager=True)
     )
     # prefix length = n - ceil(t*n) + 1, exact integer ceil
     need = F.floor(
@@ -1713,11 +1742,13 @@ def containment_pairs(
     from etl_opensky_spark.functions.text import word_shingle_rows
 
     # one materialization feeds sizes, the df-prune, and both self-join
-    # sides — same rationale (and measured win) as ngram_jaccard_pairs;
-    # gram rows via the exploded-index codegen shape (round 11)
-    grams = word_shingle_rows(
-        df, id_col, text_col, n, distinct=True
-    ).localCheckpoint(eager=True)
+    # sides — same rationale (and measured win) as ngram_jaccard_pairs,
+    # pruned paths only (see _materialize_gram_table); gram rows via
+    # the exploded-index codegen shape (round 11)
+    grams = _materialize_gram_table(
+        word_shingle_rows(df, id_col, text_col, n, distinct=True),
+        pruned=max_df is not None,
+    )
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("_sz"))
     if max_df is not None:
         rare = (

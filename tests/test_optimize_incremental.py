@@ -38,13 +38,21 @@ def test_bin_pack_only_small_files(spark, tmp_path):
     # one big file (100 rows) + many small ones (1 row each)
     big = spark.range(100).select(F.col("id").cast("int").alias("id"))
     write_version(big.coalesce(1), base)
-    merge_versioned(
-        spark, base,
-        spark.range(100, 112)
-        .select(F.col("id").cast("int").alias("id"))
-        .repartition(12),
-        ["id"],
-    )
+    # the fixture NEEDS many small files; _optimized_write would (by
+    # design) coalesce this small merge to one right-sized file, so
+    # disable it for the setup commit only — the behavior under test
+    # (bin-pack only small files, hardlink the bulk) is unchanged
+    os.environ["SPARK_GRAFT_OPTIMIZE_WRITE"] = "0"
+    try:
+        merge_versioned(
+            spark, base,
+            spark.range(100, 112)
+            .select(F.col("id").cast("int").alias("id"))
+            .repartition(12),
+            ["id"],
+        )
+    finally:
+        del os.environ["SPARK_GRAFT_OPTIMIZE_WRITE"]
     before = _snap_inodes(base)
     n_files_before = len(before)
     # repartition(12) may hash some of the 12 rows together (empty

@@ -533,12 +533,15 @@ def test_hash_shards_manifest_is_one_aggregate_over_readback(spark, tmp_path):
     assert plan.count("HashAggregate") >= 2  # partial + final
 
 
-def test_pair_ops_materialize_gram_table_once(spark):
-    """Round-11 optimization: the inverted-index pair ops materialize
-    the distinct gram table once (localCheckpoint) instead of planning
-    the corpus scan + explode + distinct once per consumer — the
-    executed plan must read from the checkpointed RDD and contain ZERO
-    parquet/source re-scans of the input."""
+def test_pair_ops_materialize_gram_table_once(spark, tmp_path):
+    """Round-11/12 materialization contract for the inverted-index pair
+    ops: the DF-PRUNED paths materialize the distinct gram table once
+    (localCheckpoint → every consumer reads the checkpointed RDD, zero
+    source re-scans), while the paths where the round-12 isolated A/B
+    measured the eager checkpoint as a net LOSS stay lazy — the
+    unpruned truth-gate path (``max_df=None``, q83) and PPJoin's
+    object-heavy ``ordered`` struct-array table (q114) re-derive from
+    the source instead of pinning blocks for the driver's lifetime."""
     from etl_opensky_spark.functions.dedup import (
         containment_pairs,
         ngram_jaccard_pairs,
@@ -546,7 +549,8 @@ def test_pair_ops_materialize_gram_table_once(spark):
         substring_dup_pairs,
     )
 
-    docs = spark.createDataFrame(
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
         [
             (1, "the quick brown fox jumps over the lazy dog"),
             (2, "the quick brown fox jumps over the lazy cat"),
@@ -554,17 +558,29 @@ def test_pair_ops_materialize_gram_table_once(spark):
             (4, "the quick brown fox jumps over the lazy dog"),
         ],
         "doc_id int, text string",
-    )
+    ).write.parquet(src)
+    docs = spark.read.parquet(src)
     for out in (
         ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.5),
         containment_pairs(docs, "doc_id", "text", n=2, threshold=0.5),
         substring_dup_pairs(docs, "doc_id", "text", window=10, max_df=10),
-        prefix_jaccard_pairs(docs, "doc_id", "text", 1, 2),
     ):
         plan = physical_plan(out)
-        # every corpus consumer reads the materialized gram/ordered
-        # table (ExistingRDD), never a second source scan
+        # every corpus consumer reads the materialized gram table
+        # (ExistingRDD) — the source is never re-scanned
         assert "ExistingRDD" in plan
+        assert "Scan parquet" not in plan
+    for out in (
+        ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=2, threshold=0.5, max_df=None
+        ),
+        prefix_jaccard_pairs(docs, "doc_id", "text", 1, 2),
+    ):
+        # unpruned / ordered-table paths: NO blocking materialization —
+        # consumers plan straight from the source
+        plan = physical_plan(out)
+        assert "ExistingRDD" not in plan
+        assert "Scan parquet" in plan
     # results stay exact: 1-4 are verbatim duplicates (max_df=None —
     # the 4-doc corpus's auto cap of 2 would prune their shared grams)
     pairs = ngram_jaccard_pairs(
