@@ -463,13 +463,20 @@ def main() -> None:
         _time_one(spark, catalog[name], name, sf_dir, timings, errors)
 
     # the _op block must not inherit the streaming/lake gates' engine
-    # state (VERDICT r10 #2) — reset, then time
-    _hygiene_sweep(spark)
+    # state (VERDICT r10 #2) — reset, then time.  Round 12 (VERDICT r11
+    # #3): the reset runs between EVERY entry of the attribution blocks
+    # (_op + cooled), not just once before them — measured: q114_op's
+    # cooled re-sample inflated 1.6-2.7x over its in-sweep number from
+    # the preceding heavy entries' not-yet-GC'd engine state, and a
+    # per-entry sweep restores it to ~0.9x.  The sweep is UNTIMED and
+    # the per-query timed region is unchanged.
     for name in OP_QUERIES:
+        _hygiene_sweep(spark)
         _time_one(spark, catalog[name], name, sf_dir, timings, errors)
 
     cooled: dict[str, float] = {}
     for name in COOLED_QUERIES:
+        _hygiene_sweep(spark)
         _time_one(spark, catalog[name], f"{name} (cooled)", sf_dir, cooled, errors)
         if f"{name} (cooled)" in cooled:
             cooled[name] = cooled.pop(f"{name} (cooled)")

@@ -48,6 +48,26 @@ def _materialize_gram_table(df: DataFrame, pruned: bool) -> DataFrame:
     return df.localCheckpoint(eager=True) if pruned else df
 
 
+def _release_local_checkpoints(*dfs: DataFrame) -> None:
+    """Free the storage blocks of eagerly ``localCheckpoint``-ed frames
+    whose every consumer has already materialized (guide §5: unpersist
+    when done).  A localCheckpoint's blocks are the frame's ONLY copy —
+    the frame is unusable afterwards — so callers release strictly
+    after the last action that reads it.  Without this, blocks are
+    freed only when a driver GC lets the ContextCleaner reap the RDD
+    (default periodic GC: every 30 min), and a long-lived session
+    accumulates dead blocks that steal unified memory from execution —
+    measured round 11/12 as monotonic in-session inflation of the
+    block-manager-heavy queries (q114_op 2.8 s fresh → 10-19 s late in
+    a sweep, restored by cleanup).  Best-effort: an already-released or
+    never-checkpointed frame is ignored."""
+    for df in dfs:
+        try:
+            df._jdf.queryExecution().logical().rdd().unpersist(False)
+        except Exception:  # noqa: BLE001 — release is an optimization
+            pass
+
+
 def dedup_exact(
     df: DataFrame,
     text_col: str,
@@ -1083,9 +1103,19 @@ def contaminated_ids(
     from etl_opensky_spark.functions.text import word_shingle_rows
 
     corpus_grams = word_shingle_rows(corpus, id_col, text_col, n)
-    ref_grams = reference.select(
-        F.explode(word_shingles(F.col(text_col), n)).alias("_g")
-    ).distinct()
+    # reference grams through the SAME row-shape definition as the
+    # corpus side (ADVICE r11: one gram definition for both sides —
+    # and the codegen shape, should the reference set be large)
+    ref_grams = (
+        word_shingle_rows(
+            reference.select(F.lit(1).alias("_rid"), F.col(text_col)),
+            "_rid",
+            text_col,
+            n,
+        )
+        .select("_g")
+        .distinct()
+    )
     return (
         corpus_grams.join(ref_grams, "_g", "left_semi")
         .select(id_col)
@@ -1578,6 +1608,7 @@ def dedup_batch_against_index(
     t_num: int = 1,
     t_den: int = 2,
     _with_bands: bool = False,
+    _scratch: list | None = None,
     **band_params,
 ) -> DataFrame:
     """Incremental dedup: drop batch docs that near-duplicate (Jaccard
@@ -1587,7 +1618,10 @@ def dedup_batch_against_index(
     ``_with_bands=True`` (internal, :func:`dedup_and_index_batch`)
     additionally CHECKPOINTS the batch's band table and returns
     ``(kept, bands)`` so an index-maintenance append can reuse the
-    bands instead of re-hashing the kept docs.
+    bands instead of re-hashing the kept docs.  ``_scratch`` (internal,
+    same caller): collects every eagerly checkpointed intermediate so
+    the caller can release its blocks once the kept set is itself
+    materialized (:func:`_release_local_checkpoints`).
 
     Cost model: batch-side banding is O(batch); the probe is an
     equi-join on (band, hash) against the index; exact verification
@@ -1614,6 +1648,8 @@ def dedup_batch_against_index(
         # AND the caller's index append both read it (re-banding the
         # kept docs would redo every md5 of the hash family)
         probes = probes.localCheckpoint(eager=True)
+        if _scratch is not None:
+            _scratch.append(probes)
     cand = (
         probes.select(F.col(id_col).alias("_bid"), "band", "bh")
         .join(
@@ -1630,6 +1666,8 @@ def dedup_batch_against_index(
         # storage is released when the checkpointed RDD is GC'd.
         .localCheckpoint(eager=True)
     )
+    if _scratch is not None:
+        _scratch.append(cand)
 
     from etl_opensky_spark.functions.text import word_shingle_rows
 
@@ -1656,6 +1694,8 @@ def dedup_batch_against_index(
         ),
         "_cid",
     ).localCheckpoint(eager=True)
+    if _scratch is not None:
+        _scratch.extend((bg, cg))
     bsz = bg.groupBy("_bid").agg(F.count("*").alias("_sa"))
     csz = cg.groupBy("_cid").agg(F.count("*").alias("_sb"))
     inter = (
@@ -1699,14 +1739,20 @@ def dedup_and_index_batch(
     kept ⊆ batch.  Returns the materialized kept frame (decisions
     pinned BEFORE the index mutates, same contract as the manual
     composition)."""
+    scratch: list = []
     kept_lazy, bands = dedup_batch_against_index(
         spark, batch, corpus, index_path, id_col, text_col,
-        _with_bands=True, **kwargs,
+        _with_bands=True, _scratch=scratch, **kwargs,
     )
     kept = kept_lazy.localCheckpoint()
     bands.join(
         kept.select(id_col), id_col, "left_semi"
     ).write.mode("append").parquet(index_path)
+    # kept is materialized and the append is on disk: every checkpointed
+    # intermediate (probe bands, candidate pairs, both gram tables) is
+    # now dead — release its blocks NOW instead of waiting for a driver
+    # GC (guide §5; `bands` is `probes`, already in scratch)
+    _release_local_checkpoints(*scratch)
     return kept
 
 

@@ -216,12 +216,21 @@ def dup_ngram_fraction(shingles: Column) -> Column:
 
 def word_shingles(col: Column, n: int) -> Column:
     """Array of word n-gram shingles (space-joined), empty array when the
-    text has fewer than ``n`` tokens."""
+    text has fewer than ``n`` tokens — or is NULL.
+
+    The fence is spelled ``when(size >= n)`` POSITIVELY: for NULL text
+    ``size(tokenize(NULL))`` is NULL, so the previous ``when(size < n)``
+    fence fell through to the otherwise-branch, where
+    ``greatest(NULL, 0) = 0`` made ``sequence(1, 0)`` DESCEND and
+    fabricate two phantom ``''`` shingles per NULL document (ADVICE
+    r11; the row shape ``word_shingle_rows`` was fixed in round 11 —
+    this aligns every remaining array-form caller with it)."""
     toks = tokenize(col)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    )
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def word_shingle_rows(

@@ -119,12 +119,25 @@ def _stream_state_parts(spark: SparkSession, *paths: str) -> int:
     parallelism ceiling — a 100 TB stream saturates it, a 2 MB gate does
     not pay 32 state-store commits per micro-batch for 3 k rows of
     state).  ``SPARK_GRAFT_STATE_PARTITIONS`` overrides for production
-    streams whose lifetime state outgrows their first batch."""
+    streams whose lifetime state outgrows their first batch.
+
+    The byte probe is driver-local (``os.walk``): a NON-local source
+    URI (s3://, hdfs://) is not a directory here, stat fails, and the
+    function falls back to the session's full configured parallelism —
+    the safe default at real volumes.  Deployments on remote stores
+    that want the shrink must set ``SPARK_GRAFT_STATE_PARTITIONS``
+    (ADVICE r11)."""
     import os as _os
 
     env = _os.environ.get("SPARK_GRAFT_STATE_PARTITIONS")
     if env:
-        return max(1, int(env))
+        try:
+            return max(1, int(env))
+        except ValueError as exc:
+            raise ValueError(
+                "SPARK_GRAFT_STATE_PARTITIONS must be an integer, got "
+                f"{env!r}"
+            ) from exc
     total = 0
     for p in paths:
         try:

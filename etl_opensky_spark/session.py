@@ -70,6 +70,20 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # ContextCleaner reaps dead shuffle/broadcast/RDD state only
+        # when a driver GC enqueues the weak references; its fallback
+        # periodic System.gc() defaults to every 30 MINUTES, so a
+        # long-lived session accumulates dead localCheckpoint blocks
+        # that steal unified memory from execution (measured round 12:
+        # block-manager-heavy queries inflate monotonically within a
+        # session — q114_ppjoin_op 2.8 s fresh -> 10-19 s late — and a
+        # GC nudge restores them).  2 min bounds the residency; the
+        # env override lets a deployment with an expensive driver full
+        # GC relax it (the value is core-count- and SF-independent).
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "2min"),
+        )
     )
     if warehouse_dir:
         builder = builder.config("spark.sql.warehouse.dir", warehouse_dir)

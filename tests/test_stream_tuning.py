@@ -20,6 +20,7 @@ def _mkfile(tmp_path, name, size):
 
 
 def test_state_parts_byte_rule(spark, tmp_path):
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "32")
     try:
         tiny = _mkfile(tmp_path, "tiny.parquet", 1024)
@@ -32,7 +33,21 @@ def test_state_parts_byte_rule(spark, tmp_path):
         big2 = _mkfile(tmp_path, "big2.bin", 3 * 64 * 1024 * 1024 + 7)
         assert _stream_state_parts(spark, big, big2) == 7
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        # restore the SAVED value, not a constant (ADVICE r11): the
+        # shared session fixture's default must survive this test
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+
+def test_state_parts_env_override_rejects_garbage(spark, tmp_path):
+    import pytest
+
+    tiny = _mkfile(tmp_path, "g.bin", 10)
+    os.environ["SPARK_GRAFT_STATE_PARTITIONS"] = "not-a-number"
+    try:
+        with pytest.raises(ValueError, match="SPARK_GRAFT_STATE_PARTITIONS"):
+            _stream_state_parts(spark, tiny)
+    finally:
+        del os.environ["SPARK_GRAFT_STATE_PARTITIONS"]
 
 
 def test_state_parts_caps_at_session_parallelism(spark, tmp_path):

@@ -76,6 +76,26 @@ def test_null_text_yields_no_rows(spark):
         )
 
 
+def test_array_form_null_text_yields_empty_array(spark):
+    # round 12 (ADVICE r11): the ARRAY form itself is fence-fixed — the
+    # positive when(size >= n) guard sends NULL text to the empty-array
+    # branch, so the remaining array-form callers (pandas minhash,
+    # Gopher fractions) see zero shingles, matching word_shingle_rows
+    df = spark.createDataFrame(
+        [(6, None), (3, "one two"), (1, "a b c d")],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: r["sh"]
+        for r in df.select(
+            "doc_id", word_shingles(F.col("text"), 3).alias("sh")
+        ).collect()
+    }
+    assert got[6] == []          # NULL text: no phantom '' shingles
+    assert got[3] == []          # short doc: unchanged
+    assert got[1] == ["a b c", "b c d"]
+
+
 def test_n1_tokens(spark):
     df = _corpus(spark).filter(F.col("doc_id").isin(1, 2, 7))
     got = word_shingle_rows(df, "doc_id", "text", 1)
