@@ -393,19 +393,32 @@ COOLED_QUERIES = [
 ] + OP_QUERIES
 
 
-def _hygiene_sweep(spark) -> None:
-    """Reset block-local engine state between bench blocks (VERDICT
-    r10 #2): drop every cached/persisted DataFrame, clear this
-    session's temp views, and nudge the JVM to collect — so the _op
-    block starts from the same engine state whether or not the
-    streaming/lake gates before it churned the heap and shuffle dirs.
-    Wall-clock cost is a few hundred ms; it is NOT timed."""
+def _hygiene_sweep(spark, settle: float = 1.0) -> None:
+    """Reset block-local engine state between bench entries (VERDICT
+    r10 #2, extended per-entry in round 12 per VERDICT r11 #3): drop
+    every cached/persisted DataFrame and nudge the JVM to collect, so
+    each timed query starts from the same engine state instead of
+    inheriting its predecessors' not-yet-reaped checkpoint blocks.
+
+    Round-12 evidence for per-entry placement: (a) dead localCheckpoint
+    blocks are reaped only on a driver GC, and their accumulation
+    inflated block-manager-heavy entries monotonically within a session
+    (q114_op 2.8 s fresh -> 19.2 s as r11's cooled re-sample; a
+    per-entry sweep in the mini-sweep probe restored cooled/in-sweep to
+    0.93x); (b) leaving collection to the cleaner's periodic GC instead
+    lands multi-hundred-ms full-GC pauses INSIDE randomly chosen timed
+    queries (r12 pre-fix sweep: untouched q193_try_arithmetic 0.15 ->
+    1.17 s, q188/q189/q191 similarly out-of-band).  The sweep is NOT
+    timed and the per-query timed region is byte-identical to every
+    previous round."""
     spark.catalog.clearCache()
     try:
         spark.sparkContext._jvm.System.gc()
     except Exception:  # noqa: BLE001 — a gc nudge is best-effort
         pass
-    time.sleep(1.0)
+    # the ContextCleaner unpersists reaped RDDs asynchronously after
+    # the gc call returns — give it a beat to drain
+    time.sleep(settle)
 
 
 def _time_one(spark, fn, name, sf_dir, timings, errors) -> None:
@@ -460,6 +473,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in MAIN_QUERIES:
+        _hygiene_sweep(spark, settle=0.25)
         _time_one(spark, catalog[name], name, sf_dir, timings, errors)
 
     # the _op block must not inherit the streaming/lake gates' engine
